@@ -1,0 +1,204 @@
+"""Engine facade: the user-facing API mirroring pandarallel's 8 operators.
+
+pandarallel monkey-patches ``parallel_*`` methods onto pandas classes
+(reference ``core.py:522-556``). We do not monkey-patch Spark classes;
+instead ``parallelize(df)`` wraps a DataFrame in a thin facade exposing
+the same method names with the same semantics, so a pandarallel user can
+port a script mechanically:
+
+    pandarallel:  df.parallel_apply(f, axis=1)
+    here:         parallelize(df).parallel_apply(f, axis=1)
+
+    pandarallel:  df.groupby("a").parallel_apply(f)
+    here:         parallelize(df).groupby("a").parallel_apply(f)
+
+    pandarallel:  s.rolling(4).parallel_apply(f, raw=False)
+    here:         parallelize(df, order_by="id").series("x").rolling(4)
+                     .parallel_apply(f, raw=False)
+
+Every method returns a plain ``pyspark.sql.DataFrame`` — the facade adds
+no execution machinery of its own; it only routes to the operators
+package, which routes to Catalyst.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pandarallel_spark.operators import apply as _apply
+from pandarallel_spark.operators import groupby as _groupby
+from pandarallel_spark.operators import series as _series
+from pandarallel_spark.operators import window as _window
+from pandarallel_spark.plans.ordering import with_row_id
+from pandarallel_spark.session import configure
+
+
+class Engine:
+    """Session-scoped entry point. ``Engine(spark).frame(df)`` or the
+    module-level ``parallelize(df)``."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = configure(spark)
+
+    def frame(self, df: DataFrame, order_by: str | None = None) -> "ParallelFrame":
+        return ParallelFrame(df, order_by=order_by)
+
+    def read_parquet(self, path: str, order_by: str | None = None) -> "ParallelFrame":
+        return ParallelFrame(self.spark.read.parquet(path), order_by=order_by)
+
+
+def parallelize(df: DataFrame, order_by: str | None = None) -> "ParallelFrame":
+    """Wrap a Spark DataFrame with the pandarallel-shaped API."""
+    return ParallelFrame(df, order_by=order_by)
+
+
+class ParallelFrame:
+    def __init__(self, df: DataFrame, order_by: str | None = None):
+        self.df = df
+        self.order_by = order_by
+
+    def _ordered(self) -> tuple[DataFrame, str]:
+        if self.order_by is not None:
+            return self.df, self.order_by
+        from pandarallel_spark.plans.ordering import ROW_ID
+
+        return with_row_id(self.df), ROW_ID
+
+    # -- reference op #1/#2 (core.py:522-525) --------------------------------
+    def parallel_apply(
+        self,
+        func: Callable | Column | Mapping[str, Column],
+        axis: int = 1,
+        *,
+        args: tuple = (),
+        schema: T.StructType | str | None = None,
+        elementwise: bool = False,
+        include_input: bool = True,
+        result_name: str = "result",
+        **kwargs: Any,
+    ) -> DataFrame:
+        if axis in (1, "columns"):
+            return _apply.apply_rows(
+                self.df, func, schema, args=args, kwargs=kwargs,
+                include_input=include_input, result_name=result_name,
+            )
+        if axis in (0, "index"):
+            return _apply.apply_columns(self.df, func, elementwise=elementwise)
+        raise ValueError(f"invalid axis {axis!r}")  # reference: utils.py:93-99
+
+    # -- reference op #3 (core.py:526-530) -----------------------------------
+    def parallel_applymap(
+        self, func: Callable, columns: list[str] | None = None,
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        return _apply.applymap(self.df, func, columns=columns, schema=schema)
+
+    # -- reference op #7 (core.py:533-535) -----------------------------------
+    def groupby(self, *keys: str) -> "ParallelGroupBy":
+        flat: list[str] = []
+        for k in keys:
+            flat.extend(k) if isinstance(k, (list, tuple)) else flat.append(k)
+        return ParallelGroupBy(self, flat)
+
+    # -- series accessor (ops #4-#6) -----------------------------------------
+    def series(self, col: str) -> "ParallelSeries":
+        return ParallelSeries(self, col)
+
+
+class ParallelSeries:
+    def __init__(self, frame: ParallelFrame, col: str, partition_by: Sequence[str] = ()):
+        self.frame = frame
+        self.col = col
+        self.partition_by = tuple(partition_by)
+
+    # -- reference op #4 (core.py:548-550) -----------------------------------
+    def parallel_apply(
+        self, func: Callable | Column, *, args: tuple = (),
+        output_col: str | None = None, return_type: T.DataType | str | None = None,
+        **kwargs: Any,
+    ) -> DataFrame:
+        return _series.series_apply(
+            self.frame.df, self.col, func, args=args, kwargs=kwargs,
+            output_col=output_col, return_type=return_type,
+        )
+
+    # -- reference op #5 (core.py:551) ---------------------------------------
+    def parallel_map(
+        self, arg: Callable | Mapping | pd.Series, *,
+        output_col: str | None = None, return_type: T.DataType | str | None = None,
+    ) -> DataFrame:
+        return _series.series_map(
+            self.frame.df, self.col, arg, output_col=output_col, return_type=return_type
+        )
+
+    # -- reference ops #6/#8 (core.py:538-556) -------------------------------
+    def rolling(self, window: int, min_periods: int | None = None) -> "ParallelRolling":
+        return ParallelRolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1) -> "ParallelExpanding":
+        return ParallelExpanding(self, min_periods)
+
+
+class ParallelRolling:
+    def __init__(self, series: ParallelSeries, window: int, min_periods: int | None):
+        self.series = series
+        self.window = window
+        self.min_periods = min_periods
+
+    def parallel_apply(
+        self, func: str | Callable, *, raw: bool = True,
+        output_col: str | None = None, return_type: T.DataType | str = "double",
+    ) -> DataFrame:
+        df, order = self.series.frame._ordered()
+        return _window.rolling_apply(
+            df, self.series.col, self.window, func, order,
+            partition_by=self.series.partition_by, min_periods=self.min_periods,
+            raw=raw, output_col=output_col, return_type=return_type,
+        )
+
+
+class ParallelExpanding:
+    def __init__(self, series: ParallelSeries, min_periods: int):
+        self.series = series
+        self.min_periods = min_periods
+
+    def parallel_apply(
+        self, func: str | Callable, *, raw: bool = True,
+        output_col: str | None = None, return_type: T.DataType | str = "double",
+    ) -> DataFrame:
+        df, order = self.series.frame._ordered()
+        return _window.expanding_apply(
+            df, self.series.col, func, order,
+            partition_by=self.series.partition_by, min_periods=self.min_periods,
+            raw=raw, output_col=output_col, return_type=return_type,
+        )
+
+
+class ParallelGroupBy:
+    def __init__(self, frame: ParallelFrame, keys: list[str]):
+        self.frame = frame
+        self.keys = keys
+
+    # -- reference op #7 -----------------------------------------------------
+    def parallel_apply(
+        self, func: Callable, *, args: tuple = (),
+        schema: T.StructType | str | None = None, mode: str | None = None,
+        result_name: str = "result", **kwargs: Any,
+    ) -> DataFrame:
+        return _groupby.grouped_apply(
+            self.frame.df, self.keys, func, schema, args=args, kwargs=kwargs,
+            mode=mode, result_name=result_name,
+        )
+
+    def agg(self, exprs: Mapping[str, Column]) -> DataFrame:
+        """Builtin fast path — JVM-side partial aggregation."""
+        return _groupby.grouped_agg(self.frame.df, self.keys, exprs)
+
+    # -- reference op #8: df.groupby(k).col.rolling/expanding ---------------
+    def series(self, col: str) -> ParallelSeries:
+        return ParallelSeries(self.frame, col, partition_by=self.keys)

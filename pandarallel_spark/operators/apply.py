@@ -1,0 +1,206 @@
+"""DataFrame.parallel_apply (axis=0/1) and parallel_applymap.
+
+Reference semantics (pandarallel ``data_types/dataframe.py:13-75``,
+patched at ``core.py:522-530``):
+- axis=1: ``func(row)`` per row; scalar result → Series, Series result →
+  DataFrame. Chunked by contiguous row ranges.
+- axis=0: ``func(column)`` per whole column; chunked by columns.
+- applymap: ``func(cell)`` for every cell.
+
+Spark-first mapping (SURVEY.md §2.1 #1-#3):
+- If the caller hands a **Column expression** (or a dict of them) we just
+  ``select`` — Catalyst plans it, whole-stage codegen runs it, no Python.
+  This is the fast path and the recommended API.
+- Black-box Python ``func`` for axis=1 / applymap → ``mapInPandas``:
+  Arrow-batched, per-partition, embarrassingly parallel — exactly the
+  reference's scatter, minus the driver round-trip.
+- Black-box axis=0 is *whole-column* semantics: a reducing func uses a
+  grouped-agg pandas UDF (column gathered to one worker — same data
+  movement the reference does); an elementwise transform should pass
+  ``elementwise=True`` to stay batch-parallel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Mapping
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandarallel_spark.plans.schema import (
+    infer_schema_from_pandas,
+    pandas_dtype_to_spark,
+)
+
+_SAMPLE_ROWS = 100
+
+
+def _sample_pdf(df: DataFrame, n: int = _SAMPLE_ROWS) -> pd.DataFrame:
+    pdf = df.limit(n).toPandas()
+    if pdf.empty:
+        # build a typed empty frame so dtype-based inference still works
+        pdf = pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in df.schema.fields}
+        )
+    return pdf
+
+
+def apply_rows(
+    df: DataFrame,
+    func: Callable[..., Any] | Column | Mapping[str, Column],
+    schema: T.StructType | str | None = None,
+    *,
+    args: tuple = (),
+    kwargs: dict | None = None,
+    include_input: bool = True,
+    result_name: str = "result",
+) -> DataFrame:
+    """``df.parallel_apply(func, axis=1)``.
+
+    Fast path: ``func`` as a Column / mapping of name→Column → pure
+    ``select`` (JVM, codegen). Slow path: Python callable over rows via
+    ``mapInPandas`` (Arrow batches; schema declared or inferred from a
+    sampled prefix).
+    """
+    kwargs = kwargs or {}
+    if isinstance(func, Column):
+        cols = [*df.columns, func.alias(result_name)] if include_input else [func.alias(result_name)]
+        return df.select(*cols)
+    if isinstance(func, Mapping):
+        exprs = [c.alias(n) for n, c in func.items()]
+        return df.select(*df.columns, *exprs) if include_input else df.select(*exprs)
+
+    in_cols = list(df.columns)
+    if schema is None:
+        sample = _sample_pdf(df)
+        res = sample.apply(lambda row: func(row, *args, **kwargs), axis=1) if len(sample) else pd.Series(dtype="float64")
+        if isinstance(res, pd.DataFrame):
+            out_schema = infer_schema_from_pandas(res)
+            result_frame = True
+        else:
+            non_null = res.dropna()
+            sample_val = non_null.iloc[0] if len(non_null) else None
+            out_schema = T.StructType(
+                [T.StructField(result_name, pandas_dtype_to_spark(res.dtype, sample_val), True)]
+            )
+            result_frame = False
+        if include_input:
+            out_schema = T.StructType([*df.schema.fields, *out_schema.fields])
+    else:
+        out_schema = T.StructType(schema) if not isinstance(schema, str) else T.StructType.fromDDL(schema)
+        result_frame = None  # decided per batch
+
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            res = pdf.apply(lambda row: func(row, *args, **kwargs), axis=1)
+            if isinstance(res, pd.DataFrame):
+                out = pd.concat([pdf, res], axis=1) if include_input else res
+            else:
+                if include_input:
+                    out = pdf.copy()
+                    out[out_names[-1]] = res
+                else:
+                    out = res.to_frame(name=out_names[-1])
+            yield out[out_names]
+
+    _ = (in_cols, result_frame)
+    return df.mapInPandas(run, out_schema)
+
+
+def apply_columns(
+    df: DataFrame,
+    func: Callable[[pd.Series], Any],
+    columns: list[str] | None = None,
+    *,
+    elementwise: bool = False,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """``df.parallel_apply(func, axis=0)`` — func sees each whole column.
+
+    Reducing func (column → scalar, e.g. ``lambda x: x.max() - x.min()``,
+    reference test ``tests/test_pandarallel.py:31-35``) → one output row,
+    computed with a grouped-agg pandas UDF per column; Spark evaluates all
+    column aggregates in a single pass, so column-parallelism is free.
+
+    Transform func (column → same-length column) with ``elementwise=True``
+    → scalar pandas UDF per column, batch-parallel (correct whenever the
+    func is elementwise or batch-stable, which covers every reference
+    test). Whole-column non-elementwise transforms don't shard by
+    definition; callers needing them should restructure as grouped apply.
+    """
+    columns = columns or list(df.columns)
+    sample = _sample_pdf(df.select(*columns))
+
+    if elementwise:
+        out_cols = []
+        for c in columns:
+            res = func(sample[c]) if len(sample) else pd.Series(dtype="float64")
+            out_t = pandas_dtype_to_spark(
+                res.dtype, res.dropna().iloc[0] if len(res.dropna()) else None
+            )
+            udf = F.pandas_udf(lambda s, _f=func: _f(s), returnType=out_t)
+            out_cols.append(udf(F.col(c)).alias(c))
+        return df.select(*out_cols)
+
+    # reducing path: column → scalar
+    agg_cols = []
+    for c in columns:
+        if schema is not None:
+            out_t = schema[c].dataType
+        else:
+            val = func(sample[c]) if len(sample) else None
+            out_t = pandas_dtype_to_spark(getattr(val, "dtype", type(val)), val)
+        udf = F.pandas_udf(
+            lambda s, _f=func: _f(s), returnType=out_t, functionType=F.PandasUDFType.GROUPED_AGG
+        )
+        agg_cols.append(udf(F.col(c)).alias(c))
+    return df.agg(*agg_cols)
+
+
+def applymap(
+    df: DataFrame,
+    func: Callable[[Any], Any],
+    columns: list[str] | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """``df.parallel_applymap(func)`` — elementwise over every cell
+    (reference ``data_types/dataframe.py:53-75``).
+
+    One ``mapInPandas`` pass using ``pandas.DataFrame.map``; elementwise by
+    contract, so batch execution is exact. Prefer Column expressions via
+    ``apply_rows`` when the func is expressible — that path never leaves
+    the JVM.
+    """
+    columns = columns or list(df.columns)
+    passthrough = [c for c in df.columns if c not in columns]
+
+    if schema is None:
+        sample = _sample_pdf(df)
+        mapped = sample[columns].map(func) if len(sample) else sample[columns]
+        inferred = infer_schema_from_pandas(mapped)
+        by_name = {f.name: f for f in inferred.fields}
+        fields = [
+            by_name[c] if c in by_name else df.schema[c] for c in df.columns
+        ]
+        out_schema = T.StructType(fields)
+    else:
+        out_schema = schema
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            out[columns] = pdf[columns].map(func)
+            yield out[out_names]
+
+    _ = passthrough
+    return df.mapInPandas(run, out_schema)

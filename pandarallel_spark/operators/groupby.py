@@ -1,0 +1,120 @@
+"""DataFrameGroupBy.parallel_apply.
+
+Reference semantics (pandarallel ``data_types/dataframe_groupby.py:11-81``,
+patched at ``core.py:533-535``): ``func(group_df)`` per group; scalar
+result → Series indexed by key; DataFrame result → stacked frame with the
+group keys. The reference ships *whole groups* to workers round-robin and
+re-assembles with pandas-private ``_wrap_applied_output``.
+
+Spark-first mapping (SURVEY.md §2.1 #7): ``df.groupBy(keys)
+.applyInPandas(func, schema)`` — the closest primitive in the whole
+mapping. The shuffle hash-partitions rows by key (the reference's
+"whole groups to one worker" for free), AQE handles group-count/size
+skew, and the fragile reassembly step disappears because the schema is
+declared. Result-shape polymorphism is replicated as three declared
+modes — ``scalar`` / ``series`` / ``frame`` — inferred from a sampled
+group when not stated (SURVEY.md §7 "what's hard" #3).
+
+Fast path: ``grouped_agg`` for aggregations expressible as Column
+expressions — stays JVM-side with partial (map-side) aggregation, which
+is what you want on 100 TB: the shuffle then carries one partial row per
+(partition × group) instead of every input row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
+
+from pandarallel_spark.plans.schema import (
+    infer_schema_from_pandas,
+    _python_value_to_spark,
+)
+
+_SAMPLE_ROWS = 500
+
+
+def grouped_agg(df: DataFrame, keys: list[str], exprs: Mapping[str, Column]) -> DataFrame:
+    """Builtin-expression aggregation: ``groupBy(keys).agg(...)``."""
+    return df.groupBy(*keys).agg(*[c.alias(n) for n, c in exprs.items()])
+
+
+def _sample_group(df: DataFrame, keys: list[str]) -> pd.DataFrame:
+    """One (possibly truncated) group as pandas, for shape/schema inference."""
+    pdf = df.limit(_SAMPLE_ROWS).toPandas()
+    if pdf.empty:
+        return pdf
+    first_key = pdf[keys].iloc[0]
+    mask = (pdf[keys] == first_key.values).all(axis=1)
+    return pdf[mask].reset_index(drop=True)
+
+
+def grouped_apply(
+    df: DataFrame,
+    keys: str | list[str],
+    func: Callable[..., Any],
+    schema: T.StructType | str | None = None,
+    *,
+    args: tuple = (),
+    kwargs: dict | None = None,
+    mode: str | None = None,
+    result_name: str = "result",
+) -> DataFrame:
+    """``df.groupby(keys).parallel_apply(func)`` via ``applyInPandas``.
+
+    ``mode`` ∈ {"scalar", "series", "frame", None}. None → inferred by
+    running ``func`` on one sampled group (documented extra job; pass
+    ``schema`` + ``mode`` explicitly in production to skip it).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    kwargs = kwargs or {}
+    key_fields = [df.schema[k] for k in keys]
+
+    if mode is None or (schema is None and mode != "frame"):
+        sample = _sample_group(df, keys)
+        if sample.empty:
+            raise ValueError(
+                "cannot infer grouped_apply output on an empty frame; pass schema= and mode="
+            )
+        out = func(sample, *args, **kwargs)
+        if isinstance(out, pd.DataFrame):
+            mode = "frame"
+            inferred = infer_schema_from_pandas(out)
+        elif isinstance(out, pd.Series):
+            mode = "series"
+            inferred = T.StructType(
+                [T.StructField(str(i), _python_value_to_spark(v), True) for i, v in out.items()]
+            )
+        else:
+            mode = "scalar"
+            inferred = T.StructType([T.StructField(result_name, _python_value_to_spark(out), True)])
+        if schema is None:
+            extra = [f for f in inferred.fields if f.name not in keys]
+            schema = T.StructType([*key_fields, *extra])
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    out_names = [f.name for f in schema.fields]
+    value_names = [n for n in out_names if n not in keys]
+
+    def apply_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        res = func(pdf, *args, **kwargs)
+        if mode == "scalar":
+            row = dict(zip(keys, key))
+            row[value_names[0]] = res
+            return pd.DataFrame([row], columns=out_names)
+        if mode == "series":
+            row = dict(zip(keys, key))
+            row.update({str(i): v for i, v in res.items()})
+            return pd.DataFrame([row], columns=out_names)
+        out = res.copy()
+        for k, v in zip(keys, key):
+            if k not in out.columns:
+                out[k] = v
+        return out[out_names]
+
+    return df.groupBy(*keys).applyInPandas(apply_fn, schema)

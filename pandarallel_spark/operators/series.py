@@ -1,0 +1,105 @@
+"""Series.parallel_apply and Series.parallel_map.
+
+Reference semantics (pandarallel ``data_types/series.py:10-60``, patched
+at ``core.py:548-551``):
+- ``s.parallel_apply(func, *args, **kwargs)`` — func(scalar) per element,
+  args/kwargs forwarded (tested with ``args=(2,), bias=3`` at
+  ``tests/test_pandarallel.py:248-253``).
+- ``s.parallel_map(arg)`` — callable → same as apply; dict/Series →
+  lookup-substitution, unmatched keys → NaN.
+
+Spark-first mapping (SURVEY.md §2.1 #4-#5):
+- callable → Arrow-vectorized scalar ``pandas_udf`` running
+  ``Series.apply`` per batch (elementwise by contract, so batch
+  execution is exact); Column expression → plain ``select``.
+- dict/Series mapping → **no Python at all**: a literal ``F.create_map``
+  lookup for small mappings (constant-folded, codegen'd), a broadcast
+  hash join against a mapping table for large ones. Unmatched → NULL,
+  matching pandas NaN semantics. This is the reference's only join-like
+  operator, and broadcast-hash-join is exactly its distributed form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+from itertools import chain
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandarallel_spark.plans.schema import pandas_dtype_to_spark
+
+# above this many entries a literal create_map stops being sensible plan-side;
+# switch to a broadcast-join against a real (distributed-planner-visible) table
+_MAP_LITERAL_MAX = 1024
+
+
+def series_apply(
+    df: DataFrame,
+    col: str,
+    func: Callable[..., Any] | Column,
+    *,
+    args: tuple = (),
+    kwargs: dict | None = None,
+    output_col: str | None = None,
+    return_type: T.DataType | str | None = None,
+) -> DataFrame:
+    """``s.parallel_apply(func, *args, **kwargs)`` on column ``col``."""
+    kwargs = kwargs or {}
+    output_col = output_col or f"{col}_applied"
+    if isinstance(func, Column):
+        return df.withColumn(output_col, func)
+
+    if return_type is None:
+        sample = df.select(col).limit(100).toPandas()[col]
+        res = sample.apply(func, args=args, **kwargs) if len(sample) else pd.Series(dtype="float64")
+        non_null = res.dropna()
+        return_type = pandas_dtype_to_spark(
+            res.dtype, non_null.iloc[0] if len(non_null) else None
+        )
+
+    udf = F.pandas_udf(
+        lambda s: s.apply(func, args=args, **kwargs), returnType=return_type
+    )
+    return df.withColumn(output_col, udf(F.col(col)))
+
+
+def series_map(
+    df: DataFrame,
+    col: str,
+    arg: Callable[..., Any] | Mapping | pd.Series,
+    *,
+    output_col: str | None = None,
+    return_type: T.DataType | str | None = None,
+) -> DataFrame:
+    """``s.parallel_map(arg)`` on column ``col``.
+
+    dict / pd.Series → broadcast lookup (builtin, JVM-side); callable →
+    ``series_apply``.
+    """
+    output_col = output_col or f"{col}_mapped"
+    if callable(arg) and not isinstance(arg, Mapping):
+        return series_apply(df, col, arg, output_col=output_col, return_type=return_type)
+
+    mapping = dict(arg.items()) if isinstance(arg, pd.Series) else dict(arg)
+    if not mapping:
+        return df.withColumn(output_col, F.lit(None).cast(return_type or "string"))
+
+    if len(mapping) <= _MAP_LITERAL_MAX:
+        lit_map = F.create_map(
+            *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in mapping.items())
+        )
+        # element_at on a map yields NULL for missing keys == pandas NaN
+        return df.withColumn(output_col, F.element_at(lit_map, F.col(col)))
+
+    spark = df.sparkSession
+    map_df = spark.createDataFrame(
+        [(k, v) for k, v in mapping.items()], schema=["__map_key__", output_col]
+    )
+    joined = df.join(
+        F.broadcast(map_df), on=F.col(col) == F.col("__map_key__"), how="left"
+    ).drop("__map_key__")
+    return joined

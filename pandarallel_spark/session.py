@@ -1,0 +1,76 @@
+"""SparkSession construction tuned for this engine.
+
+Replaces ``pandarallel.initialize(nb_workers, use_memory_fs, ...)``
+(reference ``pandarallel/core.py:451-520``): instead of sizing a process
+pool and picking a pickle transport, we configure one SparkSession —
+Arrow replaces pickle-over-/dev/shm, executor threads replace the pool,
+AQE replaces static equal-count chunking.
+
+Scale notes (targets a 1000-executor cluster even though tests run
+``local[32]``):
+- ``spark.sql.shuffle.partitions`` defaults to the local core count here;
+  on a real cluster leave AQE's coalescing to right-size post-shuffle
+  partitions instead of hand-tuning.
+- AQE is always on: runtime partition coalescing, skew-join splitting.
+- Arrow batch size bounds per-batch memory for pandas UDFs so a 100 TB
+  scan never materializes unbounded batches in a Python worker.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "pandarallel_spark",
+    cpus: int | None = None,
+    driver_memory: str = "48g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply engine runtime confs to an externally-provided session.
+
+    The correctness driver hands us its own SparkSession; make sure the
+    confs that change *behavior* (Arrow, AQE) are set on it too. Only
+    runtime-settable confs here — no driver-memory etc.
+    """
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf may be static on this session; defaults are fine
+    return spark

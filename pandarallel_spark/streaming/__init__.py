@@ -1,0 +1,22 @@
+"""Structured Streaming surface.
+
+The reference has no streaming (SURVEY.md §2.2); this package is the
+north-star extension: windowed aggregations with watermarks over the
+``events`` table, runnable both as a batch demo (driver oracle checks)
+and as a real ``readStream`` → ``writeStream`` pipeline (tests use the
+file source with ``Trigger.AvailableNow`` semantics and a memory sink).
+"""
+
+from pandarallel_spark.streaming.windows import (
+    sessionize,
+    sliding_window_agg,
+    stream_events,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "sessionize",
+    "stream_events",
+]

@@ -1,0 +1,68 @@
+"""Driver-facing workload registry.
+
+Every implemented operator (SURVEY.md §2) registers here as a named
+query: a ``(spark, sf_dir) -> DataFrame`` callable plus, when the
+semantics are ANSI-SQL-expressible, a DuckDB oracle string over the same
+parquet tables. ``__spark_entry__.py`` re-exports this registry to the
+correctness driver.
+
+Determinism contract (what makes the driver's value-hash pass): every
+output column is bigint, string, timestamp, or a double derived from
+*exact* integer/decimal arithmetic (prices are 2-decimal → computed in
+cents as int64), so Spark and DuckDB produce bit-identical values. No
+transcendental functions in oracle-checked outputs; those live in the
+benchmark workloads instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    # import for side effect: each module registers its queries
+    from pandarallel_spark.workload import core_ops  # noqa: F401
+
+    try:
+        from pandarallel_spark.workload import extensions  # noqa: F401
+    except ImportError:
+        pass
+    _LOADED = True

@@ -1,0 +1,116 @@
+"""Differential tests for apply operators — the reference's own strategy
+(SURVEY.md §5): compute with stock pandas on the same rows, assert
+equality. Dimensions ported from tests/test_pandarallel.py: scalar vs
+frame UDF returns, 1-row and empty inputs, args/kwargs forwarding,
+invalid-axis error.
+"""
+
+import math
+
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+from pyspark.sql import functions as F
+
+from pandarallel_spark import parallelize
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    # F2 fixture: two-column numeric frame
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return pd.DataFrame(
+        {"a": rng.integers(1, 8, 1000), "b": rng.random(1000)}
+    )
+
+
+@pytest.fixture(scope="module")
+def sdf(spark, pdf):
+    return spark.createDataFrame(pdf)
+
+
+def _sorted(df, by):
+    return df.sort_values(by).reset_index(drop=True)
+
+
+def test_apply_rows_scalar(spark, pdf, sdf):
+    func = lambda row: math.sin(row.a**2) + math.sin(row.b**2)  # noqa: E731
+    expected = pdf.assign(result=pdf.apply(func, axis=1))
+    got = parallelize(sdf).parallel_apply(func, axis=1).toPandas()
+    pdt.assert_frame_equal(_sorted(got, ["a", "b"]), _sorted(expected, ["a", "b"]))
+
+
+def test_apply_rows_expression_fast_path(spark, pdf, sdf):
+    got = (
+        parallelize(sdf)
+        .parallel_apply(F.sin(F.col("a") ** 2) + F.sin(F.col("b") ** 2), axis=1)
+        .toPandas()
+    )
+    func = lambda row: math.sin(row.a**2) + math.sin(row.b**2)  # noqa: E731
+    expected = pdf.assign(result=pdf.apply(func, axis=1))
+    pdt.assert_frame_equal(_sorted(got, ["a", "b"]), _sorted(expected, ["a", "b"]))
+
+
+def test_apply_rows_series_return(spark, pdf, sdf):
+    func = lambda row: pd.Series({"x2": row.a * 2, "y2": row.b * 2})  # noqa: E731
+    expected = pd.concat([pdf, pdf.apply(func, axis=1)], axis=1)
+    got = parallelize(sdf).parallel_apply(func, axis=1).toPandas()
+    pdt.assert_frame_equal(_sorted(got, ["a", "b"]), _sorted(expected, ["a", "b"]))
+
+
+def test_apply_columns_reduce(spark, pdf, sdf):
+    func = lambda col: col.max() - col.min()  # noqa: E731  (reference test :31-35)
+    expected = pdf.apply(func, axis=0)
+    got = parallelize(sdf).parallel_apply(func, axis=0).toPandas()
+    assert got.shape == (1, 2)
+    assert got["a"].iloc[0] == expected["a"]
+    assert got["b"].iloc[0] == pytest.approx(expected["b"])
+
+
+def test_apply_columns_transform(spark, pdf, sdf):
+    func = lambda col: col * 2  # noqa: E731  (identity-shaped, reference :145-149)
+    expected = pdf.apply(func, axis=0)
+    got = parallelize(sdf).parallel_apply(func, axis=0, elementwise=True).toPandas()
+    pdt.assert_frame_equal(_sorted(got, ["a", "b"]), _sorted(expected, ["a", "b"]))
+
+
+def test_applymap(spark, pdf, sdf):
+    func = lambda x: x**2 - x  # noqa: E731  (reference :229-237 shape)
+    expected = pdf.map(func)
+    got = parallelize(sdf).parallel_applymap(func).toPandas()
+    pdt.assert_frame_equal(_sorted(got, ["a", "b"]), _sorted(expected, ["a", "b"]))
+
+
+def test_single_row(spark):
+    pdf1 = pd.DataFrame({"a": [3], "b": [0.5]})
+    sdf1 = spark.createDataFrame(pdf1)
+    func = lambda row: row.a + row.b  # noqa: E731
+    got = parallelize(sdf1).parallel_apply(func, axis=1).toPandas()
+    assert got["result"].iloc[0] == pytest.approx(3.5)
+
+
+def test_empty_frame(spark):
+    pdf0 = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="float64")})
+    sdf0 = spark.createDataFrame(pdf0, schema="a bigint, b double")
+    func = lambda row: row.a + row.b  # noqa: E731
+    got = parallelize(sdf0).parallel_apply(func, axis=1, schema="a bigint, b double, result double").toPandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["a", "b", "result"]
+
+
+def test_invalid_axis(spark, sdf):
+    with pytest.raises(ValueError):
+        parallelize(sdf).parallel_apply(lambda r: r, axis="invalid")
+
+
+def test_exception_transparency(spark, sdf):
+    # reference tests/test_pandarallel.py:167-174: worker exception type
+    # must surface to the caller. Spark wraps it in PythonException with
+    # the original traceback embedded.
+    def boom(row):
+        raise ZeroDivisionError("boom")
+
+    with pytest.raises(Exception, match="ZeroDivisionError"):
+        parallelize(sdf).parallel_apply(boom, axis=1, schema="a bigint, b double, result double").collect()
