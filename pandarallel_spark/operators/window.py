@@ -90,7 +90,11 @@ def rolling_apply(
     @F.pandas_udf(return_type)
     def apply_window(arrs: pd.Series) -> pd.Series:
         def run(vals):
-            if vals is None:
+            # pandas only invokes the func once the window holds
+            # min_periods values; Spark evaluates every row's frame, so
+            # the guard lives here rather than in a WHEN around the UDF
+            # (Spark does not short-circuit conditional UDF branches).
+            if vals is None or len(vals) < min_periods:
                 return None
             x = np.asarray(vals, dtype="float64")
             return func(x if raw else pd.Series(x))
@@ -98,9 +102,7 @@ def rolling_apply(
         return arrs.apply(run)
 
     frame_vals = F.collect_list(F.col(col)).over(spec)
-    return df.withColumn(
-        output_col, F.when(cnt >= min_periods, apply_window(frame_vals))
-    )
+    return df.withColumn(output_col, apply_window(frame_vals))
 
 
 def expanding_apply(
@@ -134,7 +136,7 @@ def expanding_apply(
     @F.pandas_udf(return_type)
     def apply_window(arrs: pd.Series) -> pd.Series:
         def run(vals):
-            if vals is None:
+            if vals is None or len(vals) < min_periods:
                 return None
             x = np.asarray(vals, dtype="float64")
             return func(x if raw else pd.Series(x))
@@ -142,6 +144,4 @@ def expanding_apply(
         return arrs.apply(run)
 
     frame_vals = F.collect_list(F.col(col)).over(spec)
-    return df.withColumn(
-        output_col, F.when(cnt >= min_periods, apply_window(frame_vals))
-    )
+    return df.withColumn(output_col, apply_window(frame_vals))

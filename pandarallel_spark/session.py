@@ -19,10 +19,47 @@ Scale notes (targets a 1000-executor cluster even though tests run
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_PKG_ZIP: str | None = None
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _package_zip() -> str:
+    """Zip this package once per process for ``addPyFile`` shipping."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        pkg_dir = Path(__file__).parent
+        fd, path = tempfile.mkstemp(prefix="pandarallel_spark_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(path, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, arcname=str(Path("pandarallel_spark") / py.relative_to(pkg_dir)))
+        _PKG_ZIP = path
+    return _PKG_ZIP
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make ``pandarallel_spark`` importable on executor Python workers.
+
+    Functions defined at module level in this package are cloudpickled
+    *by reference*, so workers must be able to ``import
+    pandarallel_spark``. On a real cluster this zip would ride along as
+    ``--py-files``; at runtime ``addPyFile`` is the equivalent and works
+    regardless of the driver's cwd/PYTHONPATH.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    sc.addPyFile(_package_zip())
+    _SHIPPED_CONTEXTS.add(key)
 
 
 def get_spark(
@@ -48,11 +85,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata events.parquet stores ts as TIMESTAMP(NANOS); read as
+        # int64 nanos and convert in the loader (sources/tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_shipped(spark)
     return spark
 
 
@@ -68,9 +109,11 @@ def configure(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf may be static on this session; defaults are fine
+    ensure_shipped(spark)
     return spark

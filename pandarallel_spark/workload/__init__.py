@@ -35,7 +35,17 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name, fn, oracle, doc)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver hands us its own session: make sure the package
+            # is importable on executors and behavior confs are set
+            from pandarallel_spark.session import configure
+
+            configure(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = doc or fn.__doc__
+        REGISTRY[name] = Query(name, wrapped, oracle, doc)
         return fn
 
     return deco

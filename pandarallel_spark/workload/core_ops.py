@@ -123,3 +123,307 @@ def q1_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupby("l_returnflag", "l_linestatus")
         .parallel_apply(_pricing_summary_pandas, schema=schema, mode="frame")
     )
+
+
+# ---------------------------------------------------------------------------
+# op #1 — DataFrame.parallel_apply(axis=1)
+# ---------------------------------------------------------------------------
+
+_ROW_APPLY_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+  CAST(round(l_extendedprice*100) AS BIGINT)
+    * (100 - CAST(round(l_discount*100) AS BIGINT)) / 10000.0 AS result
+FROM lineitem
+"""
+
+
+@register(
+    "row_apply_expr_disc_price",
+    _ROW_APPLY_ORACLE,
+    "Reference op #1 (DataFrame.parallel_apply axis=1), expression fast "
+    "path: the row UDF is expressed as a Column so it runs in "
+    "whole-stage codegen — zero Python in the hot path.",
+)
+def row_apply_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    expr = (
+        _cents("l_extendedprice") * (100 - _cents("l_discount")) / 10000.0
+    )
+    return parallelize(li).parallel_apply(expr, axis=1)
+
+
+@register(
+    "row_apply_udf_disc_price",
+    _ROW_APPLY_ORACLE,
+    "Same computation through the black-box-UDF path (mapInPandas, "
+    "Arrow batches) — proves the reference's row-wise apply machinery "
+    "with an explicit declared schema.",
+)
+def row_apply_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+
+    def disc_price(row):
+        pc = round(row["l_extendedprice"] * 100)
+        dc = round(row["l_discount"] * 100)
+        return pc * (100 - dc) / 10000.0
+
+    schema = (
+        "l_orderkey bigint, l_linenumber int, l_extendedprice double, "
+        "l_discount double, result double"
+    )
+    return parallelize(li).parallel_apply(disc_price, axis=1, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# op #2 — DataFrame.parallel_apply(axis=0): whole-column reduce
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "col_apply_range",
+    """
+SELECT max(l_quantity) - min(l_quantity) AS l_quantity,
+       max(l_extendedprice) - min(l_extendedprice) AS l_extendedprice,
+       max(l_discount) - min(l_discount) AS l_discount
+FROM lineitem
+""",
+    "Reference op #2 (axis=0 column apply) with the reference's own test "
+    "func `max(x)-min(x)` (tests/test_pandarallel.py:31-35), via "
+    "grouped-agg pandas UDF per column — all columns reduced in one pass.",
+)
+def col_apply_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return parallelize(li).parallel_apply(lambda col: col.max() - col.min(), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# op #3 — DataFrame.parallel_applymap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "applymap_affine",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity * 2.0 + 1.0 AS l_quantity
+FROM lineitem
+""",
+    "Reference op #3 (elementwise applymap) through mapInPandas with "
+    "pandas.DataFrame.map; key columns pass through untouched.",
+)
+def applymap_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return parallelize(li).parallel_applymap(
+        lambda x: x * 2.0 + 1.0, columns=["l_quantity"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# op #4 — Series.parallel_apply with args/kwargs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "series_apply_affine",
+    """
+SELECT c_custkey, c_acctbal, c_acctbal * 2.0 + 3.0 AS c_acctbal_applied
+FROM customer
+""",
+    "Reference op #4 (Series.parallel_apply) with args/kwargs forwarding "
+    "(the reference's `args=(2,), bias=3` test, "
+    "tests/test_pandarallel.py:248-253) via Arrow-vectorized pandas UDF.",
+)
+def series_apply_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return (
+        parallelize(cust)
+        .series("c_acctbal")
+        .parallel_apply(
+            lambda x, mult, bias=0.0: x * mult + bias,
+            args=(2.0,),
+            bias=3.0,
+            return_type="double",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# op #5 — Series.parallel_map(dict): broadcast lookup join
+# ---------------------------------------------------------------------------
+
+_SEGMENT_CODES = {"AUTOMOBILE": 1, "BUILDING": 2, "FURNITURE": 3, "MACHINERY": 4}
+
+
+@register(
+    "series_map_dict",
+    """
+SELECT c_custkey, c_mktsegment,
+  CASE c_mktsegment
+    WHEN 'AUTOMOBILE' THEN CAST(1 AS BIGINT)
+    WHEN 'BUILDING' THEN CAST(2 AS BIGINT)
+    WHEN 'FURNITURE' THEN CAST(3 AS BIGINT)
+    WHEN 'MACHINERY' THEN CAST(4 AS BIGINT)
+  END AS c_mktsegment_mapped
+FROM customer
+""",
+    "Reference op #5 (Series.parallel_map with dict): lookup-substitution "
+    "= the reference's only join-like operator (data_types/series.py:52-56). "
+    "Implemented as a literal create_map lookup (JVM-side); unmatched key "
+    "('HOUSEHOLD') → NULL, matching pandas NaN.",
+)
+def series_map_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return parallelize(cust).series("c_mktsegment").parallel_map(_SEGMENT_CODES)
+
+
+# ---------------------------------------------------------------------------
+# op #6 — Series.rolling.parallel_apply (global positional window)
+# ---------------------------------------------------------------------------
+
+_EVENTS_CENTS = "CAST(round(value*100) AS BIGINT)"
+
+_ROLLING_GLOBAL_ORACLE = f"""
+SELECT event_id,
+  CASE WHEN COUNT({_EVENTS_CENTS}) OVER w >= 4
+       THEN SUM({_EVENTS_CENTS}) OVER w END AS value_cents_rolling_sum
+FROM events
+WINDOW w AS (ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "rolling_sum_global",
+    _ROLLING_GLOBAL_ORACLE,
+    "Reference op #6 (Series.rolling.parallel_apply, global positional "
+    "window, min_periods=window → 3 leading NULLs). Builtin window agg — "
+    "the reference's halo-chunking trick is Spark's frame evaluation. "
+    "Global order = single-task by definition; the scale path is the "
+    "grouped variant below.",
+)
+def rolling_sum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", _cents("value").alias("value_cents"))
+    )
+    out = (
+        parallelize(ev, order_by="event_id")
+        .series("value_cents")
+        .rolling(4)
+        .parallel_apply("sum")
+    )
+    return out.select("event_id", "value_cents_rolling_sum")
+
+
+# ---------------------------------------------------------------------------
+# op #8 — grouped rolling / expanding
+# ---------------------------------------------------------------------------
+
+_ROLLING_GROUPED_ORACLE = f"""
+SELECT event_id, user_id,
+  CASE WHEN COUNT({_EVENTS_CENTS}) OVER w >= 4
+       THEN SUM({_EVENTS_CENTS}) OVER w END AS value_cents_rolling_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "grouped_rolling_sum",
+    _ROLLING_GROUPED_ORACLE,
+    "Reference op #8 (RollingGroupby.parallel_apply): "
+    "Window.partitionBy(user).orderBy(event).rowsBetween(-3, 0) — fully "
+    "parallel across groups; this is the 100 TB path for windows.",
+)
+def grouped_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", _cents("value").alias("value_cents"))
+    )
+    out = (
+        parallelize(ev, order_by="event_id")
+        .groupby("user_id")
+        .series("value_cents")
+        .rolling(4)
+        .parallel_apply("sum")
+    )
+    return out.select("event_id", "user_id", "value_cents_rolling_sum")
+
+
+_ROLLING_UDF_ORACLE = f"""
+SELECT event_id, user_id,
+  CASE WHEN COUNT({_EVENTS_CENTS}) OVER w >= 4
+       THEN CAST(FIRST_VALUE({_EVENTS_CENTS}) OVER w + {_EVENTS_CENTS} AS DOUBLE)
+  END AS rolling_first_plus_last
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "grouped_rolling_udf",
+    _ROLLING_UDF_ORACLE,
+    "Op #8 with an arbitrary Python window func (first+last of the "
+    "window): collect_list over the frame + Arrow pandas UDF — the "
+    "fallback when the window func isn't a builtin aggregate.",
+)
+def grouped_rolling_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", _cents("value").alias("value_cents"))
+    )
+    out = (
+        parallelize(ev, order_by="event_id")
+        .groupby("user_id")
+        .series("value_cents")
+        .rolling(4)
+        .parallel_apply(
+            lambda w: float(w[0] + w[-1]), raw=True,
+            output_col="rolling_first_plus_last",
+        )
+    )
+    return out.select("event_id", "user_id", "rolling_first_plus_last")
+
+
+_EXPANDING_ORACLE = """
+SELECT event_id, user_id,
+  MAX(value) OVER w AS value_expanding_max,
+  CAST(COUNT(value) OVER w AS DOUBLE) AS value_expanding_count
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "grouped_expanding_max",
+    _EXPANDING_ORACLE,
+    "Reference op #8 (ExpandingGroupby.parallel_apply): cumulative frame "
+    "unboundedPreceding→current per group; min_periods=1 (pandas default) "
+    "→ no leading NULLs. max/count are comparison-only — exact on doubles.",
+)
+def grouped_expanding_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    step1 = (
+        parallelize(ev, order_by="event_id")
+        .groupby("user_id")
+        .series("value")
+        .expanding()
+        .parallel_apply("max", return_type="double")
+    )
+    out = (
+        parallelize(step1, order_by="event_id")
+        .groupby("user_id")
+        .series("value")
+        .expanding()
+        .parallel_apply("count", return_type="double")
+    )
+    return out.select(
+        "event_id", "user_id", "value_expanding_max",
+        F.col("value_expanding_count").cast("double").alias("value_expanding_count"),
+    )

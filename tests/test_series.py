@@ -1,0 +1,88 @@
+"""Differential tests for Series.parallel_apply / parallel_map
+(reference tests/test_pandarallel.py:240-260, fixtures F3)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pandarallel_spark import parallelize
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    rng = np.random.default_rng(7)
+    return pd.DataFrame({"id": range(1000), "a": rng.random(1000) + 1})
+
+
+@pytest.fixture(scope="module")
+def sdf(spark, pdf):
+    return spark.createDataFrame(pdf)
+
+
+def test_series_apply(spark, pdf, sdf):
+    func = lambda x: math.log10(math.sqrt(math.exp(x**2)))  # noqa: E731
+    expected = pdf.a.apply(func)
+    got = (
+        parallelize(sdf).series("a").parallel_apply(func, output_col="r")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(got["r"], expected, check_names=False)
+
+
+def test_series_apply_args_kwargs(spark, pdf, sdf):
+    # reference tests args=(2,), bias=3 (tests/test_pandarallel.py:248-253)
+    func = lambda x, power, bias=0: math.log10(math.sqrt(math.exp(x**power))) + bias  # noqa: E731
+    expected = pdf.a.apply(func, args=(2,), bias=3)
+    got = (
+        parallelize(sdf).series("a")
+        .parallel_apply(func, args=(2,), bias=3, output_col="r")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(got["r"], expected, check_names=False)
+
+
+def test_series_map_callable(spark, pdf, sdf):
+    func = lambda x: x * 3 + 1  # noqa: E731
+    expected = pdf.a.map(func)
+    got = (
+        parallelize(sdf).series("a").parallel_map(func, output_col="r")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(got["r"], expected, check_names=False)
+
+
+def test_series_map_dict_unmatched_null(spark):
+    pdf = pd.DataFrame({"k": ["x", "y", "z", "x"]})
+    sdf = spark.createDataFrame(pdf)
+    expected = pdf.k.map({"x": 10, "y": 20})
+    got = (
+        parallelize(sdf).series("k").parallel_map({"x": 10, "y": 20}, output_col="r")
+        .toPandas()
+    )
+    # join output is unordered; compare as multisets keyed by k
+    got_map = got.groupby("k")["r"].apply(lambda s: sorted(s, key=str)).to_dict()
+    assert got_map["x"] == [10, 10]
+    assert got_map["y"] == [20]
+    assert pd.isna(got_map["z"][0])
+    assert expected.isna().sum() == 1
+
+
+def test_series_map_large_dict_broadcast_join(spark):
+    # > _MAP_LITERAL_MAX entries → broadcast-join path
+    mapping = {i: i * 2 for i in range(5000)}
+    pdf = pd.DataFrame({"k": list(range(0, 6000))})
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        parallelize(sdf).series("k").parallel_map(mapping, output_col="r").toPandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    expected = pdf.sort_values("k").k.map(mapping).reset_index(drop=True)
+    pd.testing.assert_series_equal(got["r"], expected, check_names=False)
+
+
+def test_series_map_empty_series(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({"a": [1.0]})).filter("a > 99")
+    got = parallelize(sdf).series("a").parallel_map({1.0: 2.0}, output_col="r").toPandas()
+    assert len(got) == 0

@@ -1,0 +1,104 @@
+"""Differential tests for rolling/expanding windows (reference
+tests/test_pandarallel.py:263-269, 308-345; fixtures F4/F6)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pandarallel_spark import parallelize
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    # F6: group key + value, with an explicit order column
+    rng = np.random.default_rng(11)
+    n = 2000
+    return pd.DataFrame(
+        {
+            "idx": range(n),
+            "a": rng.integers(1, 10, n),
+            "b": rng.random(n),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def sdf(spark, pdf):
+    return spark.createDataFrame(pdf)
+
+
+def _got(df, col):
+    return df.toPandas().sort_values("idx").reset_index(drop=True)[col]
+
+
+def test_rolling_global_builtin(spark, pdf, sdf):
+    expected = pdf.sort_values("idx").b.rolling(4).sum().reset_index(drop=True)
+    out = (
+        parallelize(sdf, order_by="idx").series("b").rolling(4).parallel_apply("sum")
+    )
+    pd.testing.assert_series_equal(
+        _got(out, "b_rolling_sum"), expected, check_names=False
+    )
+
+
+def test_rolling_global_udf(spark, pdf, sdf):
+    # F4 polynomial: w0 + w1^2 + w2^3 + w3^4, raw=False
+    func = lambda w: w.iloc[0] + w.iloc[1] ** 2 + w.iloc[2] ** 3 + w.iloc[3] ** 4  # noqa: E731
+    expected = pdf.sort_values("idx").b.rolling(4).apply(func, raw=False).reset_index(drop=True)
+    out = (
+        parallelize(sdf, order_by="idx").series("b").rolling(4)
+        .parallel_apply(func, raw=False, output_col="r")
+    )
+    pd.testing.assert_series_equal(_got(out, "r"), expected, check_names=False)
+
+
+def test_rolling_min_periods(spark, pdf, sdf):
+    expected = pdf.sort_values("idx").b.rolling(4, min_periods=2).mean().reset_index(drop=True)
+    out = (
+        parallelize(sdf, order_by="idx").series("b").rolling(4, min_periods=2)
+        .parallel_apply("mean", output_col="r")
+    )
+    pd.testing.assert_series_equal(_got(out, "r"), expected, check_names=False)
+
+
+def test_grouped_rolling_udf(spark, pdf, sdf):
+    func = lambda w: w[0] + w[1] ** 2 + w[2] ** 3 + w[3] ** 4  # noqa: E731
+    expected = (
+        pdf.sort_values("idx")
+        .groupby("a").b.rolling(4).apply(func, raw=True)
+        .reset_index(level=0)
+        .sort_index()["b"]
+        .reset_index(drop=True)
+    )
+    out = (
+        parallelize(sdf, order_by="idx").groupby("a").series("b").rolling(4)
+        .parallel_apply(func, raw=True, output_col="r")
+    )
+    pd.testing.assert_series_equal(_got(out, "r"), expected, check_names=False)
+
+
+def test_grouped_expanding_udf(spark, pdf, sdf):
+    func = lambda w: (w * np.arange(1, len(w) + 1)).sum()  # noqa: E731  weighted sum
+    expected = (
+        pdf.sort_values("idx")
+        .groupby("a").b.expanding().apply(func, raw=True)
+        .reset_index(level=0)
+        .sort_index()["b"]
+        .reset_index(drop=True)
+    )
+    out = (
+        parallelize(sdf, order_by="idx").groupby("a").series("b").expanding()
+        .parallel_apply(func, raw=True, output_col="r")
+    )
+    pd.testing.assert_series_equal(_got(out, "r"), expected, check_names=False)
+
+
+def test_group_smaller_than_window_all_null(spark):
+    # FIXTURES.md F6: groups smaller than the window must yield all-NULL
+    pdf = pd.DataFrame({"idx": [0, 1, 2], "a": [1, 1, 2], "b": [1.0, 2.0, 3.0]})
+    sdf = spark.createDataFrame(pdf)
+    out = (
+        parallelize(sdf, order_by="idx").groupby("a").series("b").rolling(4)
+        .parallel_apply("sum", output_col="r")
+    ).toPandas()
+    assert out["r"].isna().all()
