@@ -1,0 +1,300 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.3).
+
+Four tiers, each a different cost/recall point at 100 TB:
+
+- ``exact_dedup``        — hash-groupBy on the raw key columns. One
+  shuffle on the key; AQE handles skew. The baseline every pipeline runs.
+- ``fingerprint_dedup``  — exact dedup on a *normalized* key (sorted
+  distinct token set, ``text.fingerprint``) — catches word-order
+  permutations for the cost of exact dedup.
+- ``ngram_jaccard_pairs`` — exact n-gram-set Jaccard via a shingle
+  self-join. Quadratic in docs-per-shingle; the scale lever is
+  ``max_shingle_freq`` (drop shingles occurring in more than N docs —
+  they contribute candidates, not discrimination).
+- ``minhash_lsh_pairs``  — MinHash signatures + LSH banding: candidates
+  from band-bucket joins (linear-ish), then *exact* Jaccard verification
+  of candidates only. The standard 100 TB near-dup design
+  (shingle → minhash → band → bucket-join → verify).
+- ``simhash_pairs``      — 64-bit SimHash + chunk-blocking + Hamming
+  distance ≤ k. Cheapest signature; catches small edits.
+
+Hash determinism: signatures use ``xxhash64`` with fixed per-permutation
+seeds, so results are reproducible run-to-run and across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandarallel_spark.operators.text import fingerprint, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact / fingerprint
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per duplicate group. One shuffle on the
+    dedup key; survivor choice is deterministic (min id)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on the bag-of-words fingerprint."""
+    with_fp = df.withColumn("__fp__", fingerprint(text_col))
+    return exact_dedup(with_fp, ["__fp__"], id_col).drop("__fp__")
+
+
+# ---------------------------------------------------------------------------
+# n-gram shingles + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams ('w1 w2 w3'); empty array when < n tokens."""
+    toks = tokens(col)
+    size = F.size(toks)
+    idx = F.sequence(F.lit(0), size - F.lit(n))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j) + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(size >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded-distinct table — the join substrate."""
+    return df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(word_shingles(text_col, n)).alias("__s__"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-n-gram sets, for all pairs sharing
+    ≥1 shingle. Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — pure integer counts divided once
+    at the end → bit-exact vs any oracle.
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("__s__")
+            .agg(F.count(F.lit(1)).alias("__f__"))
+            .filter(F.col("__f__") <= max_shingle_freq)
+            .select("__s__")
+        )
+        sh = sh.join(F.broadcast(freq_ok), "__s__")
+
+    sizes = sh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
+    a = sh.select(F.col("__id__").alias("id_a"), "__s__")
+    b = sh.select(F.col("__id__").alias("id_b"), "__s__")
+    inter = (
+        a.join(b, "__s__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter__"))
+    )
+    sz_a = sizes.select(F.col("__id__").alias("id_a"), F.col("__sz__").alias("__sza__"))
+    sz_b = sizes.select(F.col("__id__").alias("id_b"), F.col("__sz__").alias("__szb__"))
+    out = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter__").cast("double")
+                / (F.col("__sza__") + F.col("__szb__") - F.col("__inter__"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """(id, sig array<bigint>) — per-permutation min of seeded xxhash64
+    over the doc's shingle set. One explode + one groupBy; the num_perm
+    mins are computed in a single aggregation pass (map-side partial)."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("__s__"), F.lit(i))).alias(f"__h{i}__")
+        for i in range(num_perm)
+    ]
+    agg = sh.groupBy("__id__").agg(*mins)
+    sig = F.array(*[F.col(f"__h{i}__") for i in range(num_perm)])
+    return agg.select(F.col("__id__"), sig.alias("__sig__"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Pipeline: shingle → minhash signature → split into ``bands`` bands of
+    ``num_perm/bands`` rows → hash each band → self-join on (band, hash)
+    → distinct candidate pairs → verify with exact Jaccard ≥ threshold.
+
+    Scale: the band join is linear in docs × bands with small buckets
+    (collision-driven); verification touches only candidates. With
+    num_perm=64, bands=16 (r=4), P(candidate) = 1-(1-j⁴)¹⁶ ≈ 0.99+ at
+    j=0.7 — recall tunable via (num_perm, bands).
+    Output: (id_a, id_b, jaccard) for verified pairs.
+    """
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_perm ({num_perm})"
+        )
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    band_cols = [
+        F.xxhash64(
+            *[F.element_at(F.col("__sig__"), b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        ).alias(f"__b{b}__")
+        for b in range(bands)
+    ]
+    banded = sigs.select("__id__", *band_cols)
+    bands_long = banded.select(
+        "__id__",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"__b{b}__").alias("h"))
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("__id__", F.col("bh.band").alias("__band__"), F.col("bh.h").alias("__h__"))
+
+    left = bands_long.select(F.col("__id__").alias("id_a"), "__band__", "__h__")
+    right = bands_long.select(F.col("__id__").alias("id_b"), "__band__", "__h__")
+    candidates = (
+        left.join(right, ["__band__", "__h__"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact verification restricted to candidates
+    verified = ngram_jaccard_pairs(
+        df.join(
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select("id_b"))
+            .distinct(),
+            id_col,
+            "left_semi",
+        ),
+        id_col,
+        text_col,
+        n,
+        threshold,
+    ).join(candidates, ["id_a", "id_b"], "left_semi")
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash over the token multiset, as pure expressions:
+    per-token xxhash64 → per-bit ±1 votes → sign → packed bits.
+    All JVM-side; no Python."""
+    toks = tokens(col)
+
+    def vote_merge(bit: int):
+        # PySpark introspects higher-order-function lambdas and requires
+        # exactly (acc, x) — bind the bit index via this factory instead
+        # of a defaulted third parameter.
+        return lambda acc, t: acc + F.when(
+            F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    packed = F.lit(0).cast("bigint")
+    for b in range(bits):
+        vote = F.aggregate(toks, F.lit(0).cast("bigint"), vote_merge(b))
+        # bit 63 of a signed 64-bit value is the sign bit
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        packed = packed + F.when(vote > 0, F.lit(bit_val).cast("bigint")).otherwise(F.lit(0))
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit hash into ``chunks`` 16-bit chunks; by
+    pigeonhole any pair within distance < chunks must share ≥1 exact
+    chunk → join on (chunk_idx, chunk_value), then filter by exact
+    Hamming via bit_count(xor). (With chunks=4, recall is exact for
+    max_hamming ≤ 3 and high above.)
+    Output: (id_a, id_b, hamming bigint).
+    """
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    sh = df.select(F.col(id_col).alias("__id__"), simhash(text_col).alias("__sh__"))
+    chunk_structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("__sh__"), c * width).bitwiseAND(F.lit(mask)).alias("v"),
+        )
+        for c in range(chunks)
+    ])
+    long = sh.select(
+        "__id__", "__sh__", F.explode(chunk_structs).alias("cv")
+    ).select("__id__", "__sh__", F.col("cv.c").alias("__c__"), F.col("cv.v").alias("__v__"))
+
+    left = long.select(
+        F.col("__id__").alias("id_a"), F.col("__sh__").alias("__sha__"), "__c__", "__v__"
+    )
+    right = long.select(
+        F.col("__id__").alias("id_b"), F.col("__sh__").alias("__shb__"), "__c__", "__v__"
+    )
+    return (
+        left.join(right, ["__c__", "__v__"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sha__").bitwiseXOR(F.col("__shb__"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

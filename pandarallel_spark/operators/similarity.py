@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (SURVEY.md §2.3).
+
+Two physical strategies for top-k retrieval:
+
+- ``topk_expr``  — declarative crossJoin + JVM-side dot product
+  (``F.zip_with``/``F.aggregate``) + ranking window. Catalyst broadcasts
+  the small query side; fine for modest corpora and the reference
+  baseline for correctness.
+- ``topk_numpy`` — the scale path: queries are collected (they are small
+  by definition) and closed over; the corpus streams through
+  ``mapInPandas`` where one int64 matmul per Arrow batch scores
+  batch × queries; per-batch top-k is emitted and a final window keeps
+  global top-k. Shuffle carries only candidates (batch_count × k rows),
+  never the corpus — at 100 TB this is the difference between a scan
+  and a blowup.
+- ``lsh_bucketed_topk`` — random-hyperplane LSH: sign-bit signatures
+  bucket the corpus; search only the query's bucket (and optionally
+  neighboring probes). Approximate; recall tunable by planes/probes.
+
+Scoring is the quantized inner product: q = round(x*10000) as int64,
+score = Σ q_i·c_i — exact integer arithmetic, reproducible across
+engines (the DuckDB oracle reproduces it bit-for-bit), and within
+1e-4 relative of the float dot product for unit-scale embeddings.
+Cosine variants divide by the (exact-int-derived) norms afterwards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 10000
+
+
+def quantize(col: Column) -> Column:
+    """array<float> → array<bigint> at 1e-4 resolution."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("bigint"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def topk_expr(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k by quantized dot product, declarative form.
+    Output: (q_id, c_id, score bigint, rank). Ties broken by c_id."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), quantize(F.col(vec_col)).alias("__qv__")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), quantize(F.col(vec_col)).alias("__cv__")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("q_id", "c_id", dot_q(F.col("__qv__"), F.col("__cv__")).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_numpy(
+    spark_queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Scale-path top-k: int64 matmul per Arrow batch, per-batch top-k,
+    global top-k window. Same output contract as ``topk_expr`` (exact
+    integer scores → identical results)."""
+    qpdf = spark_queries.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    q_mat = np.round(
+        np.stack(qpdf[vec_col].apply(np.asarray).to_numpy()).astype("float64") * QUANT
+    ).astype("int64")  # (nq, dim)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.round(
+                np.stack(pdf[vec_col].apply(np.asarray).to_numpy()).astype("float64")
+                * QUANT
+            ).astype("int64")
+            scores = q_mat @ c_mat.T  # (nq, nbatch) exact int64
+            n_keep = min(k, scores.shape[1])
+            # per-batch top-k per query: sort by (-score, c_id)
+            order = np.lexsort((c_ids[None, :].repeat(len(q_ids), 0), -scores), axis=1)
+            top = order[:, :n_keep]
+            out = pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, n_keep),
+                    "c_id": c_ids[top.ravel()],
+                    "score": np.take_along_axis(scores, top, axis=1).ravel(),
+                }
+            )
+            yield out
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, "q_id bigint, c_id bigint, score bigint"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs_q(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs with quantized-cosine ≥ threshold (embedding near-dup).
+    cos = dot_q / (sqrt(norm_q_a) * sqrt(norm_q_b)) — numerator and the
+    squared norms are exact integers; one sqrt+division at the end keeps
+    the value deterministic across engines.
+    Output: (id_a, id_b, cosine double)."""
+    v = df.select(
+        F.col(id_col).alias("__id__"),
+        quantize(F.col(vec_col)).alias("__v__"),
+    ).withColumn("__n2__", dot_q(F.col("__v__"), F.col("__v__")))
+    a = v.select(
+        F.col("__id__").alias("id_a"), F.col("__v__").alias("__va__"), F.col("__n2__").alias("__na__")
+    )
+    b = v.select(
+        F.col("__id__").alias("id_b"), F.col("__v__").alias("__vb__"), F.col("__n2__").alias("__nb__")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot_q(F.col("__va__"), F.col("__vb__")).cast("double")
+                / (F.sqrt(F.col("__na__").cast("double")) * F.sqrt(F.col("__nb__").cast("double")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature buckets.
+
+    Signature bit p = sign(Σ_i v_i · r_pi) with r from a seeded RNG —
+    deterministic. Corpus and queries bucket by the packed signature;
+    the scored join runs per bucket instead of all-pairs. Recall is
+    approximate (no multi-probe here); the exact operators above are the
+    correctness baseline.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes_mat = rng.standard_normal((planes, dim)).round(6)  # deterministic literal
+
+    def signature(vec: Column) -> Column:
+        bits = []
+        for p in range(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(planes_mat[p, i])) for i in range(dim)]),
+                    lambda x, r: x.cast("double") * r,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for bcol in bits[1:]:
+            out = out + bcol
+        return out.cast("bigint")
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize(F.col(vec_col)).alias("__qv__"),
+        signature(F.col(vec_col)).alias("__sig__"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        quantize(F.col(vec_col)).alias("__cv__"),
+        signature(F.col(vec_col)).alias("__sig__"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "__sig__")
+        .select("q_id", "c_id", dot_q(F.col("__qv__"), F.col("__cv__")).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

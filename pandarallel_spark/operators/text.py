@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.3).
+
+All pure Column expressions — tokenization, counting, quality scoring,
+language id, and fingerprinting run inside whole-stage codegen with no
+Python workers. At 100 TB this is the difference between a scan-rate
+pipeline and a UDF bottleneck.
+
+Determinism: every numeric output derives from integer counts (token
+counts, character counts) combined with a fixed IEEE expression tree, so
+the DuckDB oracle reproduces values bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small, fixed marker-token profiles per language. A real language-id
+# model would be a character-n-gram classifier; the engine-level contract
+# (deterministic, expression-only, argmax over per-language scores) is
+# identical, so swapping in bigger profiles is a data change, not a code
+# change.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "fast", "slow"),
+    "fr": ("le", "la", "et", "de", "vite"),
+    "de": ("der", "die", "und", "von", "schnell"),
+    "es": ("el", "la", "y", "de", "rapido"),
+}
+
+DEFAULT_STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in")
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def _marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def language_id(col: Column | str, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Argmax of per-language marker-token counts; ties and all-zero →
+    'und' (undetermined). Fixed evaluation order makes ties deterministic."""
+    markers = markers or LANG_MARKERS
+    toks = tokens(col)
+    counts = {lang: _marker_count(toks, words) for lang, words in markers.items()}
+    langs = list(counts)
+    best = None
+    for lang in langs:
+        others = [counts[o] for o in langs if o != lang]
+        cond = (counts[lang] > F.lit(0))
+        for o in others:
+            cond = cond & (counts[lang] > o)
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def quality_features(col: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> dict[str, Column]:
+    """Integer-derived quality signals. Ratios are NULL on empty text."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    sum_token_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    n_stop = _marker_count(toks, stopwords)
+    denom = F.nullif(n_tokens.cast("bigint"), F.lit(0))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "avg_token_len": sum_token_len.cast("double") / denom,
+        "stopword_ratio": n_stop.cast("double") / denom,
+    }
+
+
+def quality_score(col: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    """Deterministic [0,1] heuristic: enough tokens, not stopword soup,
+    reasonable word lengths. Fixed expression tree → oracle-exact."""
+    f = quality_features(col, stopwords)
+    length_part = F.least(F.lit(1.0), f["n_tokens"].cast("double") / F.lit(100.0))
+    stop_part = F.lit(1.0) - f["stopword_ratio"]
+    wordlen_part = F.least(F.lit(1.0), f["avg_token_len"] / F.lit(8.0))
+    return (
+        length_part * F.lit(0.5) + stop_part * F.lit(0.3) + wordlen_part * F.lit(0.2)
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — the classic "bag of words" canonical form. Documents that
+    permute the same vocabulary collide (by design).
+    """
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ")
+    )
+
+
+def with_text_stats(
+    df: DataFrame, text_col: str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> DataFrame:
+    """Attach the full text-analysis column set in one projection."""
+    feats = quality_features(text_col, stopwords)
+    return df.select(
+        "*",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(text_col, stopwords).alias("quality"),
+        language_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

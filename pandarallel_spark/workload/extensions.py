@@ -1,0 +1,332 @@
+"""North-star extension queries (SURVEY.md §2.3): dedup, similarity,
+text analysis, multimodal plumbing, windowed events, relational joins.
+
+Oracle policy: exact algorithms get full DuckDB oracles (bit-exact by
+construction — integer counts, quantized dot products, fixed IEEE
+expression trees). Hash-seeded approximate structures (SimHash pairs,
+multimodal fake features) register rows-only; the MinHash-LSH query is
+oracle-checked against the *exact* Jaccard pair set, which holds at the
+tuned (num_perm, bands) on this data and is the honest recall claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandarallel_spark.operators import dedup as _dedup
+from pandarallel_spark.operators import multimodal as _mm
+from pandarallel_spark.operators import similarity as _sim
+from pandarallel_spark.operators.text import with_text_stats
+from pandarallel_spark.sources import load_table
+from pandarallel_spark.streaming import tumbling_window_agg
+from pandarallel_spark.workload import register
+
+_DOC_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_DOC_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars_calc,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      / nullif(CAST(len(toks) AS BIGINT), 0) AS avg_token_len,
+    CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+      / nullif(CAST(len(toks) AS BIGINT), 0) AS stopword_ratio,
+    len(list_filter(toks, x -> x IN ('the','a','and','of','fast','slow'))) AS en_c,
+    len(list_filter(toks, x -> x IN ('le','la','et','de','vite'))) AS fr_c,
+    len(list_filter(toks, x -> x IN ('der','die','und','von','schnell'))) AS de_c,
+    len(list_filter(toks, x -> x IN ('el','la','y','de','rapido'))) AS es_c,
+    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+  FROM t)
+SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+  least(1.0, CAST(n_tokens AS DOUBLE)/100.0) * 0.5
+    + (1.0 - stopword_ratio) * 0.3
+    + least(1.0, avg_token_len/8.0) * 0.2 AS quality,
+  CASE
+    WHEN en_c > 0 AND en_c > fr_c AND en_c > de_c AND en_c > es_c THEN 'en'
+    WHEN fr_c > 0 AND fr_c > en_c AND fr_c > de_c AND fr_c > es_c THEN 'fr'
+    WHEN de_c > 0 AND de_c > en_c AND de_c > fr_c AND de_c > es_c THEN 'de'
+    WHEN es_c > 0 AND es_c > en_c AND es_c > fr_c AND es_c > de_c THEN 'es'
+    ELSE 'und' END AS lang_pred,
+  fingerprint
+FROM f
+"""
+
+
+@register(
+    "text_stats",
+    _TEXT_STATS_ORACLE,
+    "Text analysis battery (token count, quality score, language id, "
+    "bag-of-words fingerprint) as pure Column expressions — zero Python "
+    "in the scan.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_text_stats(docs, "text").select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
+        "quality", "lang_pred", "fingerprint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup tiers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_key",
+    """
+SELECT doc_id, lang, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+""",
+    "Exact dedup (hash-groupBy on key columns, min-id survivor) — one "
+    "shuffle, AQE-skew-safe.",
+)
+def dedup_exact_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return _dedup.exact_dedup(docs, ["lang", "source"], "doc_id")
+
+
+_FP_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct({_DOC_TOKS})), ' ')) AS fp
+FROM documents)
+SELECT doc_id FROM t
+QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+"""
+
+
+@register(
+    "dedup_fingerprint",
+    _FP_DEDUP_ORACLE,
+    "Normalized-content dedup: exact dedup on the sorted-distinct-token "
+    "md5 fingerprint — catches word-order permutations at exact-dedup cost.",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.fingerprint_dedup(docs, "text", "doc_id").select("doc_id")
+
+
+_JACCARD_ORACLE_BODY = f"""
+WITH toks AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+                         FOR i IN range(1, len(toks)-1)]) AS s
+  FROM toks WHERE len(toks) >= 3)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+  CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.5
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _JACCARD_ORACLE_BODY,
+    "Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) via "
+    "shingle self-join — integer set counts, bit-exact.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    _JACCARD_ORACLE_BODY,
+    "MinHash(64)+LSH(16 bands) candidates, then exact-Jaccard "
+    "verification ≥0.5. Oracle = the exact pair set: passing means 100% "
+    "recall at these parameters on this data (P[miss] ≈ (1-j^4)^16 < 1e-9 "
+    "at j≥0.7, and the planted near-dups all have j≥0.7).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,  # signature bits depend on xxhash64 — not ANSI-SQL-expressible
+    "SimHash(64-bit) near-dup pairs, Hamming ≤ 8, 16-bit-chunk blocking. "
+    "Deterministic (fixed seeds) but hash-defined → rows-only check.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT q_id, c_id,
+    CAST(list_sum([CAST(round(CAST(qe[i] AS DOUBLE)*10000) AS BIGINT) * CAST(round(CAST(ce[i] AS DOUBLE)*10000) AS BIGINT)
+                   FOR i IN range(1, len(qe)+1)]) AS BIGINT) AS score
+  FROM q, c)
+SELECT q_id, c_id, score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register(
+    "similarity_topk_numpy",
+    _ANN_ORACLE,
+    "Brute-force inner-product top-5 for 10 query vectors — the SCALE "
+    "path: int64 matmul per Arrow batch in mapInPandas, per-batch top-k, "
+    "global top-k window. Shuffle carries candidates only, never the "
+    "corpus. Quantized integer scores → bit-exact vs oracle.",
+)
+def similarity_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = _sim.topk_numpy(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select("q_id", "c_id", "score", F.col("rank").cast("bigint").alias("rank"))
+
+
+@register(
+    "similarity_topk_expr",
+    _ANN_ORACLE,
+    "Same top-5 through the declarative path: broadcast crossJoin + "
+    "zip_with/aggregate dot product + ranking window — all JVM-side.",
+)
+def similarity_topk_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = _sim.topk_expr(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select("q_id", "c_id", "score", F.col("rank").cast("bigint").alias("rank"))
+
+
+_COS_PAIRS_ORACLE = """
+WITH v AS (SELECT vec_id, [CAST(round(CAST(e AS DOUBLE)*10000) AS BIGINT) FOR e IN embedding] AS qv
+           FROM embeddings),
+n AS (SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1, len(a.qv)+1)]) AS DOUBLE)
+    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1, len(a.qv)+1)]) AS DOUBLE)
+    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4
+""".replace("\n  AND", "\n AND")
+
+
+@register(
+    "embedding_cosine_pairs",
+    _COS_PAIRS_ORACLE,
+    "Embedding near-dup: all pairs with quantized cosine ≥ 0.4. Integer "
+    "numerator/norms + one sqrt/div → deterministic doubles both engines.",
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.cosine_pairs_q(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling window aggregation (streaming-shaped, batch-checked)
+# ---------------------------------------------------------------------------
+
+_EVENTS_WINDOW_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "events_tumbling_hour",
+    _EVENTS_WINDOW_ORACLE,
+    "Tumbling 1-hour event-time windows per event_type — the batch form "
+    "of the Structured Streaming pipeline (streaming/windows.py); same "
+    "transformation runs under readStream+watermark in tests.",
+)
+def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return tumbling_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value_cents": F.sum("value_cents"),
+        },
+        group_by=["event_type"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational: broadcast-join rollup (beyond the reference's surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_revenue_per_nation",
+    """
+SELECT n.n_name,
+  CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+  COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    "Star-schema rollup: fact ⋈ two broadcast dims → aggregate. "
+    "Catalyst plans broadcast-hash joins (dims ≪ threshold); no fact "
+    "shuffle before the final aggregation.",
+)
+def join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, nation = (
+        load_table(spark, sf_dir, t) for t in ("orders", "customer", "nation")
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decode stubbed; Spark machinery real)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    None,  # fake features are sha256-seeded — not SQL-expressible
+    "Binary media column plumbing: synthesize binary content from text, "
+    "decode→features via mapInPandas (codec stubbed deterministically; "
+    "schema/batching/partitioning real). Rows-only check.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = _mm.synthesize_media(docs, "doc_id", "text")
+    return _mm.decode_features(media)

@@ -1,0 +1,121 @@
+"""Semantic unit tests for dedup / text / similarity / multimodal
+operators on constructed inputs where ground truth is known by hand."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandarallel_spark.operators import dedup, multimodal, similarity
+from pandarallel_spark.operators.text import (
+    fingerprint,
+    language_id,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different words entirely here now today"),
+        (4, "dog lazy the over jumps fox brown quick the"),  # permutation of 1
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    out = dedup.exact_dedup(docs, ["text"], "doc_id").toPandas()
+    assert sorted(out.doc_id) == [1, 2, 3, 4]  # 5 collapsed into 1
+
+
+def test_fingerprint_dedup_catches_permutation(spark, docs):
+    out = dedup.fingerprint_dedup(docs, "text", "doc_id").toPandas()
+    # 4 is a permutation of 1's token set, 5 an exact dup → both collapse
+    assert sorted(out.doc_id) == [1, 2, 3]
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).toPandas()
+    assert (1, 5) in set(zip(pairs.id_a, pairs.id_b))  # identical → j=1.0
+    assert (1, 2) in set(zip(pairs.id_a, pairs.id_b))  # one word changed
+    assert (1, 3) not in set(zip(pairs.id_a, pairs.id_b))
+
+
+def test_minhash_lsh_agrees_with_exact(spark, docs):
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).toPandas()
+    lsh = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5
+    ).toPandas()
+    assert set(zip(exact.id_a, exact.id_b)) == set(zip(lsh.id_a, lsh.id_b))
+
+
+def test_simhash_identical_distance_zero(spark, docs):
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=0).toPandas()
+    assert (1, 5) in set(zip(pairs.id_a, pairs.id_b))
+
+
+def test_token_count_and_langid(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "text": [
+                    "the cat and the dog",
+                    "le chat et la vite de",
+                    "",
+                ],
+            }
+        )
+    )
+    out = df.select(
+        "id",
+        token_count("text").alias("n"),
+        language_id("text").alias("lang"),
+        fingerprint("text").alias("fp"),
+    ).toPandas().set_index("id")
+    assert out.loc[1, "n"] == 5 and out.loc[1, "lang"] == "en"
+    assert out.loc[2, "lang"] == "fr"
+    assert out.loc[3, "n"] == 0 and out.loc[3, "lang"] == "und"
+
+
+def test_topk_strategies_agree(spark, sf_dir):
+    from pandarallel_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = similarity.topk_expr(q, emb, k=3).toPandas().sort_values(["q_id", "rank"])
+    b = similarity.topk_numpy(q, emb, k=3).toPandas().sort_values(["q_id", "rank"])
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_lsh_topk_self_hit(spark, sf_dir):
+    from pandarallel_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_bucketed_topk(q, emb, k=3).toPandas()
+    # a vector's own bucket always contains itself → rank-1 self hit
+    rank1 = out[out["rank"] == 1]
+    assert (rank1.q_id.to_numpy() == rank1.c_id.to_numpy()).all()
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    feats = multimodal.decode_features(media, out_dim=8).toPandas()
+    assert len(feats) == 5
+    assert all(len(f) == 8 for f in feats.features)
+    # deterministic: same content → same features (docs 1 and 5 identical)
+    f1 = feats.set_index("media_id").loc[1, "features"]
+    f5 = feats.set_index("media_id").loc[5, "features"]
+    assert list(f1) == list(f5)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(media, require_real_codec=True)
+
+
+def test_frame_sample_plan(spark, docs):
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    plan = multimodal.frame_sample_plan(media, every_n=10).toPandas()
+    assert (plan.frame_idx % 10 == 0).all()
+    assert plan.media_id.nunique() == 5
