@@ -31,6 +31,7 @@ HEADLINE = [
     "grouped_rolling_sum",
     "series_map_dict",
     "text_stats",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "similarity_topk_numpy",
     "join_revenue_per_nation",

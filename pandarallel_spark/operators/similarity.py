@@ -114,7 +114,9 @@ def topk_numpy(
             )
             yield out
 
-    candidates = corpus.select(id_col, vec_col).mapInPandas(
+    from pandarallel_spark.operators.apply import _widen
+
+    candidates = _widen(corpus.select(id_col, vec_col)).mapInPandas(
         score_batches, "q_id bigint, c_id bigint, score bigint"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))

@@ -64,23 +64,31 @@ def rolling_apply(
     *,
     partition_by: Sequence[str] = (),
     min_periods: int | None = None,
+    center: bool = False,
     raw: bool = True,
     output_col: str | None = None,
     return_type: T.DataType | str = "double",
 ) -> DataFrame:
-    """Rolling fixed-width positional window ending at the current row.
+    """Rolling fixed-width positional window ending at (or centered on)
+    the current row.
 
     ``func``: name of a builtin ("sum", "mean", ...) → JVM window agg;
     Python callable → ``collect_list`` over the frame + pandas UDF
     (``raw=True`` hands it a numpy array, else a pd.Series — mirroring
-    pandas ``rolling.apply(raw=...)``).
+    pandas ``rolling.apply(raw=...)``). ``center=True`` matches pandas:
+    the frame spans ``[-(w-1-(w-1)//2), +(w-1)//2]`` around each row.
     """
     if min_periods is None:
         min_periods = window  # pandas rolling default
     order_by = [order_by] if not isinstance(order_by, (list, tuple)) else list(order_by)
     output_col = output_col or f"{col}_rolling_{func if isinstance(func, str) else 'apply'}"
 
-    spec = _window_spec(order_by, partition_by).rowsBetween(-(window - 1), 0)
+    if center:
+        lead = (window - 1) // 2
+        frame = (-(window - 1 - lead), lead)
+    else:
+        frame = (-(window - 1), 0)
+    spec = _window_spec(order_by, partition_by).rowsBetween(*frame)
     cnt = F.count(F.col(col)).over(spec)
 
     if isinstance(func, str):

@@ -44,3 +44,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in (names or TABLES))
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str | None = None, header: bool = True
+) -> DataFrame:
+    """CSV source with an explicit schema preferred over inference — a
+    schema-inference pass reads the whole input twice at 100 TB."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source; same explicit-schema guidance as CSV."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
