@@ -70,9 +70,7 @@ def _load_all() -> None:
         return
     # import for side effect: each module registers its queries
     from pandarallel_spark.workload import core_ops  # noqa: F401
+    from pandarallel_spark.workload import extensions  # noqa: F401
+    from pandarallel_spark.workload import relational_ops  # noqa: F401
 
-    try:
-        from pandarallel_spark.workload import extensions  # noqa: F401
-    except ImportError:
-        pass
     _LOADED = True

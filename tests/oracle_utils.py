@@ -36,7 +36,10 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pdf[sorted(pdf.columns)].copy()
     for c in out.columns:
         if str(out[c].dtype).startswith("datetime64"):
-            out[c] = pd.to_datetime(out[c]).dt.tz_localize(None)
+            s = pd.to_datetime(out[c])
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            out[c] = s.astype("datetime64[ns]")
         # list-valued cells can't be sorted on; stringify for comparison
         if out[c].dtype == object and len(out) and isinstance(out[c].iloc[0], (list, tuple)):
             out[c] = out[c].apply(lambda v: str(list(v)))

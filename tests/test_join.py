@@ -1,0 +1,107 @@
+"""Differential tests for as-of / range joins against pandas
+merge_asof and hand-computed ground truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandarallel_spark.operators.join import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    rng = np.random.default_rng(13)
+    trades = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B", "C"], 300),
+            "t": np.sort(rng.integers(0, 10_000, 300)),
+            "qty": rng.integers(1, 100, 300),
+        }
+    )
+    quotes = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B", "C"], 500),
+            "t": np.sort(rng.integers(0, 10_000, 500)),
+            "px": rng.random(500).round(4) * 100,
+        }
+    ).drop_duplicates(["sym", "t"])
+    return trades, quotes
+
+
+def test_asof_matches_pandas(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    expected = pd.merge_asof(
+        trades.sort_values("t", kind="mergesort"),
+        quotes.sort_values("t", kind="mergesort"),
+        on="t",
+        by="sym",
+        direction="backward",
+    )
+    got = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        on="sym",
+        left_ts="t",
+        value_cols=["px"],
+        suffix="",
+    ).toPandas()
+    key = ["sym", "t", "qty"]
+    e = expected.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_series_equal(g["px"], e["px"], check_names=False)
+
+
+def test_asof_tolerance(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    expected = pd.merge_asof(
+        trades.sort_values("t", kind="mergesort"),
+        quotes.sort_values("t", kind="mergesort"),
+        on="t",
+        by="sym",
+        direction="backward",
+        tolerance=50,
+    )
+    got = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        on="sym",
+        left_ts="t",
+        value_cols=["px"],
+        tolerance=F.lit(50),
+        suffix="",
+    ).toPandas()
+    key = ["sym", "t", "qty"]
+    e = expected.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_series_equal(g["px"], e["px"], check_names=False)
+
+
+def test_asof_no_match_is_null(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": ["x"], "t": [5], "v": [1]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": ["x"], "t": [10], "px": [2.0]}))
+    out = asof_join(left, right, on="k", left_ts="t", value_cols=["px"]).toPandas()
+    assert pd.isna(out["px_asof"].iloc[0])
+
+
+def test_asof_equal_ts_matches(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": ["x"], "t": [10], "v": [1]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": ["x"], "t": [10], "px": [2.0]}))
+    out = asof_join(left, right, on="k", left_ts="t", value_cols=["px"]).toPandas()
+    assert out["px_asof"].iloc[0] == 2.0
+
+
+def test_range_join(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "b"], "t": [0, 100, 0], "lid": [1, 2, 3]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "b"], "t2": [5, 400, 500], "rid": [10, 20, 30]})
+    )
+    out = range_join(
+        left,
+        right,
+        on="k",
+        condition=(F.col("t2") >= F.col("t")) & (F.col("t2") <= F.col("t") + 10),
+    ).toPandas()
+    assert set(zip(out.lid, out.rid)) == {(1, 10)}
