@@ -95,6 +95,16 @@ def rolling_apply(
         agg = _BUILTIN_AGGS[func](F.col(col)).over(spec)
         return df.withColumn(output_col, F.when(cnt >= min_periods, agg))
 
+    if partition_by:
+        # grouped UDF windows: stock pandas rolling per group (exact
+        # reference semantics, no per-row collect_list arrays)
+        return _grouped_pandas_window(
+            df, col, order_by, partition_by, output_col, return_type,
+            lambda s: s.rolling(
+                window, min_periods=min_periods, center=center
+            ).apply(func, raw=raw),
+        )
+
     @F.pandas_udf(return_type)
     def apply_window(arrs: pd.Series) -> pd.Series:
         def run(vals):
@@ -111,6 +121,42 @@ def rolling_apply(
 
     frame_vals = F.collect_list(F.col(col)).over(spec)
     return df.withColumn(output_col, apply_window(frame_vals))
+
+
+def _grouped_pandas_window(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    output_col: str,
+    return_type: T.DataType | str,
+    pandas_op,
+) -> DataFrame:
+    """Arbitrary-UDF grouped window via ``applyInPandas``: run the stock
+    pandas rolling/expanding op inside each group — the exact semantics
+    the reference implements per group (``rolling_groupby.py:63-67``),
+    with linear state instead of ``collect_list``'s O(frame) arrays per
+    row. One shuffle on the group key; each group is one task, which is
+    the same parallelism profile as the reference's whole-group chunks.
+    """
+    order_cols = [c if isinstance(c, str) else c._jc.toString() for c in order_by]
+    out_schema = T.StructType(
+        [*df.schema.fields, T.StructField(output_col, _to_dtype(return_type), True)]
+    )
+    out_names = [f.name for f in out_schema.fields]
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf[output_col] = pandas_op(pdf[col])
+        return pdf[out_names]
+
+    return df.groupBy(*partition_by).applyInPandas(per_group, out_schema)
+
+
+def _to_dtype(t: T.DataType | str) -> T.DataType:
+    if isinstance(t, str):
+        return T.StructType.fromDDL(f"x {t}")[0].dataType
+    return t
 
 
 def expanding_apply(
@@ -140,6 +186,14 @@ def expanding_apply(
     if isinstance(func, str):
         agg = _BUILTIN_AGGS[func](F.col(col)).over(spec)
         return df.withColumn(output_col, F.when(cnt >= min_periods, agg))
+
+    if partition_by:
+        # collect_list over an expanding frame is O(n²) state per group;
+        # run pandas expanding inside each group instead (linear, exact)
+        return _grouped_pandas_window(
+            df, col, order_by, partition_by, output_col, return_type,
+            lambda s: s.expanding(min_periods=min_periods).apply(func, raw=raw),
+        )
 
     @F.pandas_udf(return_type)
     def apply_window(arrs: pd.Series) -> pd.Series:

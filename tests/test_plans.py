@@ -1,0 +1,51 @@
+"""Plan-regression tests: the physical plans that make this engine
+scale must not silently degrade. `.explain` output is asserted for
+pushdown, pruning, partial aggregation, and broadcast joins."""
+
+import io
+from contextlib import redirect_stdout
+
+from pandarallel_spark.workload import queries
+
+
+def _plan(spark, sf_dir, name):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        queries()[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "groupby_agg_pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # column pruning: only the referenced columns reach the scan
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_orderkey" not in read_schema  # unused column pruned
+    # two-phase aggregation (map-side partial)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_revenue_per_nation")
+    # formatted explain mentions each node in the tree and detail section
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_row_apply_expr_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "row_apply_expr_disc_price")
+    # the expression fast path must not contain any Python evaluation
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_series_map_is_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "series_map_dict")
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_grouped_rolling_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "grouped_rolling_sum")
+    # one exchange for the window partitioning; builtin agg stays in Window exec
+    assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
+    assert "ArrowEvalPython" not in plan

@@ -1,0 +1,115 @@
+"""Property-based differential testing (hypothesis): random frames and
+random affine/polynomial UDFs must match stock pandas through every
+operator path. Extends the reference's fixed-fixture differential method
+(SURVEY.md §5) to generated inputs.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pandarallel_spark import parallelize
+
+_SETTINGS = dict(
+    max_examples=8,  # each example runs Spark jobs — keep the budget sane
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def frames(draw):
+    n = draw(st.integers(min_value=1, max_value=60))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "g": rng.integers(0, 5, n),
+            "x": rng.integers(-100, 100, n).astype("int64"),
+            "y": rng.random(n) * 10 - 5,
+        }
+    )
+
+
+@given(pdf=frames(), a=st.integers(-5, 5), b=st.integers(-5, 5))
+@settings(**_SETTINGS)
+def test_row_apply_matches_pandas(spark, pdf, a, b):
+    sdf = spark.createDataFrame(pdf)
+    func = lambda row: a * row.x + b * row.y + math.sin(row.y)  # noqa: E731
+    expected = pdf.apply(func, axis=1)
+    got = (
+        parallelize(sdf)
+        .parallel_apply(func, axis=1, schema="g bigint, x bigint, y double, result double")
+        .toPandas()
+        .sort_values(["g", "x", "y"])
+        .reset_index(drop=True)["result"]
+    )
+    exp_sorted = (
+        pdf.assign(result=expected)
+        .sort_values(["g", "x", "y"])
+        .reset_index(drop=True)["result"]
+    )
+    pd.testing.assert_series_equal(got, exp_sorted, check_names=False)
+
+
+@given(pdf=frames())
+@settings(**_SETTINGS)
+def test_groupby_scalar_matches_pandas(spark, pdf):
+    sdf = spark.createDataFrame(pdf)
+    func = lambda g: float(g.y.sum() - g.x.max())  # noqa: E731
+    expected = (
+        pdf.groupby("g")[["x", "y"]].apply(func).rename("result").reset_index()
+    )
+    got = (
+        parallelize(sdf)
+        .groupby("g")
+        .parallel_apply(func, schema="g bigint, result double", mode="scalar")
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, expected.sort_values("g").reset_index(drop=True), check_dtype=False
+    )
+
+
+@given(pdf=frames(), w=st.integers(2, 6))
+@settings(**_SETTINGS)
+def test_grouped_rolling_matches_pandas(spark, pdf, w):
+    pdf = pdf.reset_index().rename(columns={"index": "idx"})
+    sdf = spark.createDataFrame(pdf)
+    func = lambda arr: float(np.sum(arr**2))  # noqa: E731
+    expected = (
+        pdf.sort_values("idx")
+        .groupby("g").y.rolling(w).apply(func, raw=True)
+        .reset_index(level=0, drop=True)
+        .sort_index()
+        .reset_index(drop=True)
+    )
+    got = (
+        parallelize(sdf, order_by="idx")
+        .groupby("g")
+        .series("y")
+        .rolling(w)
+        .parallel_apply(func, raw=True, output_col="r")
+        .toPandas()
+        .sort_values("idx")
+        .reset_index(drop=True)["r"]
+    )
+    pd.testing.assert_series_equal(got, expected, check_names=False)
+
+
+@pytest.mark.parametrize("n", [0, 1])
+def test_degenerate_sizes(spark, n):
+    pdf = pd.DataFrame({"g": [1] * n, "x": [2.0] * n})
+    sdf = spark.createDataFrame(pdf, schema="g bigint, x double")
+    out = (
+        parallelize(sdf)
+        .parallel_apply(lambda r: r.x * 2, axis=1, schema="g bigint, x double, result double")
+        .toPandas()
+    )
+    assert len(out) == n
