@@ -78,7 +78,8 @@ def _pandas_ratios(spark) -> dict[str, float]:
         return time.perf_counter() - t0
 
     # df.parallel_apply(axis=1): sin(a²)+sin(b²) — notebook cells 4-7
-    n = 1_000_000
+    # (notebook n=1e6; halved — apply(axis=1) is linear, ratio unchanged)
+    n = 500_000
     pdf = pd.DataFrame({"a": rng.integers(1, 8, n), "b": rng.random(n)})
     func = lambda row: math.sin(row.a**2) + math.sin(row.b**2)  # noqa: E731
     t0 = time.perf_counter()
@@ -93,9 +94,10 @@ def _pandas_ratios(spark) -> dict[str, float]:
     ratios["row_apply_vs_pandas"] = round(t_pandas / t_spark, 2)
 
     # groupby.parallel_apply — notebook cells 16-19 run a python math
-    # loop over each group (compute-bound, like the reference's bench)
-    n = 8_000_000
-    pdf = pd.DataFrame({"a": rng.integers(0, 1000, n), "b": rng.random(n)})
+    # loop over each group (compute-bound, like the reference's bench;
+    # notebook n=3e7 / 3000 groups, halved to bound the pandas side)
+    n = 16_000_000
+    pdf = pd.DataFrame({"a": rng.integers(0, 3000, n), "b": rng.random(n)})
 
     def gfunc(g):
         return sum(math.log10(math.sqrt(math.exp(x**2))) for x in g.b)
