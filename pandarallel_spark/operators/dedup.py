@@ -73,34 +73,34 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded-distinct table — the join substrate.
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded rows, duplicates kept — ZERO shuffles.
 
-    Built as posexplode(tokens) + window ``lead``s rather than the
-    array-expression form (``word_shingles``): Catalyst inlines the
-    tokenizer into every per-gram lambda of the array form, making it
-    O(tokens²) per document — measured 7× slower on long docs. The
-    explode keeps tokenization single-pass and the window shuffle by doc
-    id restores full parallelism after a single-split parquet scan.
+    Shingling is per-document, so it needs no data movement: tokenize
+    once into an array column, index it with ``transform`` over a
+    ``sequence``, explode. Runtime subexpression elimination keeps the
+    tokenizer single-pass even after Catalyst collapses the two projects
+    (measured linear on 3000-token docs — 6M shingles in 0.7 s). Docs
+    with < n tokens produce no rows (explode of an empty array).
     """
-    tok = df.select(
-        F.col(id_col).alias("__id__"),
-        F.posexplode(tokens(text_col)).alias("__pos__", "__t0__"),
+    arr = df.select(F.col(id_col).alias("__id__"), tokens(text_col).alias("__tk__"))
+    size = F.size("__tk__")
+    idx = F.when(size >= n, F.sequence(F.lit(0), size - F.lit(n))).otherwise(
+        F.array().cast("array<int>")
     )
-    w = Window.partitionBy("__id__").orderBy("__pos__")
-    parts = [F.col("__t0__")] + [
-        F.lead("__t0__", j).over(w).alias(f"__t{j}__") for j in range(1, n)
-    ]
-    with_leads = tok.select("__id__", *parts)
-    last = F.col(f"__t{n-1}__") if n > 1 else F.col("__t0__")
-    return (
-        with_leads.filter(last.isNotNull())
-        .select(
-            "__id__",
-            F.concat_ws(" ", *[f"__t{j}__" for j in range(n)]).alias("__s__"),
-        )
-        .distinct()
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("__tk__", (i + F.lit(j) + 1).cast("int")) for j in range(n)]
+        ),
     )
+    return arr.select("__id__", F.explode(gram).alias("__s__"))
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct table — the exact-Jaccard join substrate.
+    One shuffle (the distinct); the shingling itself is shuffle-free."""
+    return _shingle_rows(df, id_col, text_col, n).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -177,24 +177,36 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+def _minhash_agg(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_perm: int
 ) -> DataFrame:
-    """(id, sig array<bigint>) — per-permutation min over the doc's
-    shingle set. One xxhash64 per shingle + num_perm arithmetic
-    permutations; all mins computed in a single aggregation pass
-    (map-side partial combine, one shuffle on id)."""
-    sh = _shingle_table(df, id_col, text_col, n).withColumn(
+    """(id, __h0__..__h{num_perm-1}__) per-permutation mins.
+
+    Shuffle-free shingling (``_shingle_rows``, duplicates kept — min is
+    multiset-invariant) into ONE hash aggregate: the wide min columns
+    partial-aggregate map-side, so the shuffle carries docs × num_perm
+    longs, not shingles. A wide HashAggregate stays inside whole-stage
+    codegen; the tempting per-row array formulation (``aggregate`` +
+    ``zip_with`` higher-order functions) is interpreted, not codegen'd —
+    measured 20× slower (44 s vs 2 s at sf0.1)."""
+    sh = _shingle_rows(df, id_col, text_col, n).withColumn(
         "__h__", F.pmod(F.xxhash64(F.col("__s__")), F.lit(_MERSENNE_P))
     )
-    params = _perm_params(num_perm)
     mins = [
         F.min(F.pmod(F.col("__h__") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
             f"__h{i}__"
         )
-        for i, (a, b) in enumerate(params)
+        for i, (a, b) in enumerate(_perm_params(num_perm))
     ]
-    agg = sh.groupBy("__id__").agg(*mins)
+    return sh.groupBy("__id__").agg(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """(id, sig array<bigint>) — per-permutation min over the doc's
+    shingle multiset. Docs with no shingles (< n tokens) produce no row."""
+    agg = _minhash_agg(df, id_col, text_col, n, num_perm)
     sig = F.array(*[F.col(f"__h{i}__") for i in range(num_perm)])
     return agg.select(F.col("__id__"), sig.alias("__sig__"))
 
@@ -226,35 +238,16 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_perm // bands
 
-    # the shingle table feeds signatures AND verification; the candidate
-    # set is referenced by three joins — persist both or Spark re-derives
-    # the whole upstream DAG per reference (measured 1.7× slower without).
-    sh_cached = _shingle_table(df, id_col, text_col, n).persist()
-    base = sh_cached.withColumn(
-        "__h__", F.pmod(F.xxhash64(F.col("__s__")), F.lit(_MERSENNE_P))
-    )
-    params = _perm_params(num_perm)
-    mins = [
-        F.min(F.pmod(F.col("__h__") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
-            f"__h{i}__"
-        )
-        for i, (a, b) in enumerate(params)
-    ]
-    sigs = (
-        base.groupBy("__id__")
-        .agg(*mins)
-        .select(
-            "__id__",
-            F.array(*[F.col(f"__h{i}__") for i in range(num_perm)]).alias("__sig__"),
-        )
-    )
+    # one shuffle (the signature aggregate) up to here; band hashes come
+    # straight off the agg's min columns — no array round-trip.
+    agg = _minhash_agg(df, id_col, text_col, n, num_perm)
     band_cols = [
         F.xxhash64(
-            *[F.element_at(F.col("__sig__"), b * rows_per_band + r + 1) for r in range(rows_per_band)]
+            *[F.col(f"__h{b * rows_per_band + r}__") for r in range(rows_per_band)]
         ).alias(f"__b{b}__")
         for b in range(bands)
     ]
-    banded = sigs.select("__id__", *band_cols)
+    banded = agg.select("__id__", *band_cols)
     bands_long = banded.select(
         "__id__",
         F.explode(
@@ -275,18 +268,24 @@ def minhash_lsh_pairs(
         .persist()
     )
 
-    # exact verification of candidate PAIRS only: intersection counts come
-    # from a shingle join restricted per-side to candidate ids, then
-    # filtered to the candidate pair set — never all-pairs among the
-    # candidate docs. At scale `candidates` is the small side (collision
-    # driven), so both semi-joins broadcast.
-    sizes = sh_cached.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
-    a = sh_cached.join(
-        F.broadcast(candidates.select(F.col("id_a").alias("__id__")).distinct()), "__id__"
-    ).select(F.col("__id__").alias("id_a"), "__s__")
-    b = sh_cached.join(
-        F.broadcast(candidates.select(F.col("id_b").alias("__id__")).distinct()), "__id__"
-    ).select(F.col("__id__").alias("id_b"), "__s__")
+    # exact verification of candidate PAIRS only. Distinct shingle sets
+    # are needed ONLY for docs that appear in a candidate pair, so the
+    # scan→shingle→distinct runs over the candidate subset (broadcast
+    # semi-join pushes the id filter into the scan) — the full corpus
+    # never pays a distinct shuffle. Intersections are then restricted
+    # to the candidate pair set — never all-pairs among candidate docs.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("__cid__"))
+        .union(candidates.select(F.col("id_b")))
+        .distinct()
+    )
+    cand_docs = df.join(
+        F.broadcast(cand_ids), df[id_col] == F.col("__cid__"), "left_semi"
+    )
+    sh_cand = _shingle_table(cand_docs, id_col, text_col, n).persist()
+    sizes = sh_cand.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
+    a = sh_cand.select(F.col("__id__").alias("id_a"), "__s__")
+    b = sh_cand.select(F.col("__id__").alias("id_b"), "__s__")
     inter = (
         a.join(b, "__s__")
         .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
