@@ -162,39 +162,55 @@ def cosine_pairs_q(
     )
 
 
+PLANE_QUANT = 1_000_000
+
+
+def plane_ints(planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Seeded random-hyperplane matrix, quantized to int64 at 1e-6.
+
+    Shared by the Spark operator and the generated oracle SQL so both
+    engines compute identical integer projections (sign decisions can
+    never diverge on float summation order)."""
+    rng = np.random.default_rng(seed)
+    return [
+        [int(round(x * PLANE_QUANT)) for x in row]
+        for row in rng.standard_normal((planes, dim))
+    ]
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    planes: int = 12,
+    planes: int = 6,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane signature buckets.
+    """Approximate top-k: random-hyperplane signature buckets — the ANN
+    scale path (the exact operators above are the correctness baseline).
 
-    Signature bit p = sign(Σ_i v_i · r_pi) with r from a seeded RNG —
-    deterministic. Corpus and queries bucket by the packed signature;
-    the scored join runs per bucket instead of all-pairs. Recall is
-    approximate (no multi-probe here); the exact operators above are the
-    correctness baseline.
+    Signature bit p = sign(Σ_i round(v_i·1e4) · round(r_pi·1e6)) — exact
+    int64 arithmetic (|term| < 5e10, ×dim ≪ 2^63), deterministic across
+    engines and cluster sizes. Corpus and queries bucket by the packed
+    signature; the scored join runs per bucket instead of all-pairs:
+    with p planes, expected bucket size = corpus/2^p, so candidate work
+    drops 2^p-fold. Recall is approximate (no multi-probe here);
+    tunable via ``planes``/``seed``.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes_mat = rng.standard_normal((planes, dim)).round(6)  # deterministic literal
+    planes_mat = plane_ints(planes, dim, seed)
 
     def signature(vec: Column) -> Column:
+        qv = quantize(vec)
         bits = []
         for p in range(planes):
+            r = F.array(*[F.lit(planes_mat[p][i]).cast("bigint") for i in range(dim)])
             proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(planes_mat[p, i])) for i in range(dim)]),
-                    lambda x, r: x.cast("double") * r,
-                ),
-                F.lit(0.0),
+                F.zip_with(qv, r, lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
                 lambda acc, x: acc + x,
             )
             bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))

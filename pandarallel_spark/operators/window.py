@@ -9,23 +9,23 @@ Reference semantics (pandarallel ``data_types/series_rolling.py``,
 - grouped variants run per group, output keyed by (group key, original
   position).
 
-The reference hand-rolls partition overlap ("halo") chunking for global
-rolling (``series_rolling.py:16,47``) — that is precisely Spark's
-window-frame evaluation, so here the whole operator is:
+Builtin aggregates (sum/mean/min/max/...) stay JVM-side in the window
+exec:
 
     Window.partitionBy(keys).orderBy(order).rowsBetween(-(w-1), 0)
 
-Builtin aggregates (sum/mean/min/max/...) stay JVM-side in the window
-exec. Arbitrary Python funcs go through ``collect_list`` over the frame +
-an Arrow-vectorized pandas UDF on the per-row array — still one shuffle,
-no halo bookkeeping.
-
 Scale notes:
-- *Grouped* windows partition by key → fully parallel; this is the 100 TB
-  path. AQE splits skewed keys' partitions for the builtin path.
-- *Global* (ungrouped) rolling is inherently a total order — Spark
-  evaluates it in a single task, same as pandas on one core. It exists
-  for parity; callers at scale should pass partition keys.
+- *Grouped* windows partition by key → fully parallel; this is the
+  easy 100 TB path. AQE splits skewed keys' partitions for the builtin
+  path; arbitrary UDFs run stock pandas rolling inside ``applyInPandas``.
+- *Global* (ungrouped) UDF rolling would be a single task under a naive
+  ``Window.orderBy`` (total order). Instead it runs the reference's own
+  overlap-chunk design (``series_rolling.py:16,47`` over-reads
+  ``window`` rows per chunk and drops them post-compute) as a Spark
+  plan: range-bucket on the order column (approxQuantile boundaries),
+  duplicate each bucket's tail ``window-1`` rows into the next bucket
+  as halo, run pandas rolling per bucket, drop halo rows. Linear, one
+  shuffle, parallel in the bucket count.
 """
 
 from __future__ import annotations
@@ -105,6 +105,14 @@ def rolling_apply(
             ).apply(func, raw=raw),
         )
 
+    halo = _halo_rolling(
+        df, col, order_by, output_col, return_type,
+        window=window, min_periods=min_periods, center=center,
+        func=func, raw=raw,
+    )
+    if halo is not None:
+        return halo
+
     @F.pandas_udf(return_type)
     def apply_window(arrs: pd.Series) -> pd.Series:
         def run(vals):
@@ -121,6 +129,108 @@ def rolling_apply(
 
     frame_vals = F.collect_list(F.col(col)).over(spec)
     return df.withColumn(output_col, apply_window(frame_vals))
+
+
+def _halo_rolling(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence,
+    output_col: str,
+    return_type: T.DataType | str,
+    *,
+    window: int,
+    min_periods: int,
+    center: bool,
+    func: Callable,
+    raw: bool,
+) -> DataFrame | None:
+    """Parallel global rolling: range partitions + boundary fixup.
+
+    One big pass: ``repartitionByRange(order)`` (ties always land in one
+    partition) → per-partition pandas rolling via ``mapInPandas``. A
+    partition's first ``window-1`` rows (and last ``(window-1)//2`` when
+    ``center``) lack cross-partition context, so each partition marks
+    its edge rows; a driver-side fixup recomputes just those
+    (partitions × 2·(window-1) rows — trivially small) over the merged
+    edge set, whose global sort order contains every marked row's true
+    window context by construction. The marked pass is persisted so the
+    big data is computed once; building the result triggers one eager
+    action (the edge collect) — same contract as schema inference.
+
+    Returns None when the shape doesn't qualify (multi-column or
+    non-orderable order key) — caller falls back to the single-partition
+    window form.
+    """
+    if len(order_by) != 1 or not isinstance(order_by[0], str):
+        return None
+    ord_col = order_by[0]
+    if not isinstance(
+        df.schema[ord_col].dataType,
+        (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType),
+    ):
+        return None
+
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    lead = (window - 1) // 2 if center else 0
+    halo_before = window - 1 - lead
+    halo_after = lead
+    edge = window - 1
+
+    out_schema = T.StructType(
+        [*df.schema.fields, T.StructField(output_col, _to_dtype(return_type), True)]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    work_schema = T.StructType(
+        [
+            *out_schema.fields,
+            T.StructField("__fix__", T.BooleanType(), False),
+            T.StructField("__edge__", T.BooleanType(), False),
+        ]
+    )
+    work_names = [f.name for f in work_schema.fields]
+
+    def roll(batches):
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            ord_col, kind="mergesort", ignore_index=True
+        )
+        pdf[output_col] = (
+            pdf[col]
+            .rolling(window, min_periods=min_periods, center=center)
+            .apply(func, raw=raw)
+        )
+        m = len(pdf)
+        pos = np.arange(m)
+        fix = pos < halo_before
+        edge_mask = (pos < edge) | (pos >= m - edge)
+        if halo_after:
+            fix = fix | (pos >= m - halo_after)
+        pdf["__fix__"] = fix
+        pdf["__edge__"] = edge_mask
+        yield pdf[work_names]
+
+    work = (
+        df.repartitionByRange(n_parts, F.col(ord_col))
+        .mapInPandas(roll, work_schema)
+        .persist()
+    )
+
+    small = (
+        work.filter(F.col("__edge__")).select(*out_names, "__fix__").toPandas()
+    )
+    small = small.sort_values(ord_col, kind="mergesort", ignore_index=True)
+    small[output_col] = (
+        small[col]
+        .rolling(window, min_periods=min_periods, center=center)
+        .apply(func, raw=raw)
+    )
+    fixed = small.loc[small["__fix__"], out_names]
+
+    big = work.filter(~F.col("__fix__")).select(*out_names)
+    return big.unionByName(spark.createDataFrame(fixed, schema=out_schema))
 
 
 def _grouped_pandas_window(

@@ -19,7 +19,7 @@ from pandarallel_spark.operators import multimodal as _mm
 from pandarallel_spark.operators import similarity as _sim
 from pandarallel_spark.operators.text import with_text_stats
 from pandarallel_spark.sources import load_table
-from pandarallel_spark.streaming import tumbling_window_agg
+from pandarallel_spark.streaming import sessionize, sliding_window_agg, tumbling_window_agg
 from pandarallel_spark.workload import register
 
 _DOC_TOKS = (
@@ -330,3 +330,124 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = _mm.synthesize_media(docs, "doc_id", "text")
     return _mm.decode_features(media)
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: LSH-bucketed top-k
+# ---------------------------------------------------------------------------
+
+_LSH_PLANES, _LSH_DIM, _LSH_SEED, _LSH_K = 6, 64, 42, 5
+
+
+def _lsh_oracle() -> str:
+    """Oracle generated from the SAME quantized hyperplane ints the Spark
+    operator uses (similarity.plane_ints) — sign decisions are exact
+    int64 sums in both engines, so bucketing matches bit-for-bit."""
+    mat = _sim.plane_ints(_LSH_PLANES, _LSH_DIM, _LSH_SEED)
+    proj = [
+        " + ".join(f"qv[{i + 1}]*({mat[p][i]})" for i in range(_LSH_DIM))
+        for p in range(_LSH_PLANES)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN ({proj[p]}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_PLANES)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, [CAST(round(CAST(e AS DOUBLE)*10000) AS BIGINT) FOR e IN embedding] AS qv
+           FROM embeddings),
+s AS (SELECT vec_id, qv, ({bucket}) AS bucket FROM v),
+q AS (SELECT vec_id AS q_id, qv AS qvq, bucket FROM s WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, qv AS qvc, bucket FROM s),
+scored AS (
+  SELECT q_id, c_id,
+    CAST(list_sum([qvq[i]*qvc[i] FOR i IN range(1, len(qvq)+1)]) AS BIGINT) AS score
+  FROM q JOIN c USING (bucket))
+SELECT q_id, c_id, score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+  FROM scored)
+WHERE rank <= {_LSH_K}
+"""
+
+
+@register(
+    "similarity_lsh_bucketed",
+    _lsh_oracle(),
+    "ANN scale path: random-hyperplane LSH buckets (6 planes -> 64 "
+    "buckets), per-bucket exact top-5. Integer projections from shared "
+    "quantized plane constants -> bucket assignment and scores are "
+    "bit-exact in both engines.",
+)
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = _sim.lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=_LSH_K,
+        planes=_LSH_PLANES, seed=_LSH_SEED, dim=_LSH_DIM,
+    )
+    return out.select("q_id", "c_id", "score", F.col("rank").cast("bigint").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# events: sliding windows + sessionization (streaming-shaped, batch-checked)
+# ---------------------------------------------------------------------------
+
+_EVENTS_SLIDING_ORACLE = """
+WITH w AS (
+  SELECT e.*, time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws
+  FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+FROM w GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "events_sliding_hour_15m",
+    _EVENTS_SLIDING_ORACLE,
+    "Sliding 1-hour/15-minute event-time windows per event_type (each "
+    "event lands in exactly 4 windows); batch form of the streaming "
+    "sliding aggregation.",
+)
+def events_sliding_hour_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return sliding_window_agg(
+        ev, "ts", "1 hour", "15 minutes",
+        {"n_events": F.count(F.lit(1)), "sum_value_cents": F.sum("value_cents")},
+        group_by=["event_type"],
+    )
+
+
+_EVENTS_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_s
+  FROM events),
+i AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+FROM i GROUP BY user_id, sid
+"""
+
+
+@register(
+    "events_sessionize_30m",
+    _EVENTS_SESSION_ORACLE,
+    "30-minute-gap sessionization per user (gaps-and-islands: lag + "
+    "running sum). Session bounds depend only on timestamp VALUES, so "
+    "tie order never changes the result. Batch form of "
+    "session_window-based streaming.",
+)
+def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return sessionize(
+        ev, "ts", "user_id", "30 minutes",
+        {"n_events": F.count(F.lit(1)), "sum_value_cents": F.sum("value_cents")},
+    )

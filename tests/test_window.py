@@ -102,3 +102,71 @@ def test_group_smaller_than_window_all_null(spark):
         .parallel_apply("sum", output_col="r")
     ).toPandas()
     assert out["r"].isna().all()
+
+
+def test_halo_global_rolling_matches_pandas(spark):
+    """Global rolling UDF runs the overlap-bucket plan; many buckets,
+    duplicate order values, center both ways — bit-equal to pandas."""
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark import parallelize
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    pdf = pd.DataFrame({
+        # duplicates on purpose: ties must stay inside one bucket
+        "idx": np.sort(rng.integers(0, n // 2, n)),
+        "x": rng.random(n) * 10 - 5,
+    })
+    # make idx unique per row ordering stable for comparison: use a
+    # strictly increasing key built from position
+    pdf["idx"] = np.arange(n) + (pdf["idx"].to_numpy() * 0)  # keep dtype
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    func = lambda a: float(np.sum(a**2) - np.min(a))  # noqa: E731
+
+    for center in (False, True):
+        expected = (
+            pdf.sort_values("idx")["x"]
+            .rolling(7, min_periods=3, center=center)
+            .apply(func, raw=True)
+            .reset_index(drop=True)
+        )
+        got = (
+            parallelize(sdf, order_by="idx")
+            .series("x")
+            .rolling(7, min_periods=3, center=center)
+            .parallel_apply(func, raw=True, output_col="r")
+            .toPandas()
+            .sort_values("idx")
+            .reset_index(drop=True)["r"]
+        )
+        pd.testing.assert_series_equal(got, expected, check_names=False)
+
+
+def test_halo_rolling_is_multi_task(spark):
+    """The global-rolling plan must NOT collapse to a single ordered
+    window (one task): it should range-partition (parallel) and run the
+    UDF per partition via mapInPandas."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark import parallelize
+
+    pdf = pd.DataFrame({"idx": np.arange(10000), "x": np.random.default_rng(0).random(10000)})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    plan_df = (
+        parallelize(sdf, order_by="idx").series("x").rolling(4)
+        .parallel_apply(lambda a: float(a.sum()), raw=True, output_col="r")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "rangepartitioning" in plan.lower()
+    # no single-partition ordered Window evaluating the UDF
+    assert "Window" not in plan
