@@ -113,6 +113,14 @@ def get_spark(
     local_dir = _local_dir()
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # managed-table (bucketed) catalog artifacts belong in scratch, not
+    # the caller's cwd: warehouse + derby metastore are per-process temp
+    scratch = tempfile.mkdtemp(prefix="pandarallel_spark_cat_")
+    builder = builder.config(
+        "spark.sql.warehouse.dir", f"{scratch}/warehouse"
+    ).config(
+        "spark.driver.extraJavaOptions", f"-Dderby.system.home={scratch}/derby"
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

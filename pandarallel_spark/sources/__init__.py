@@ -9,6 +9,26 @@ pushdown and column pruning at 100 TB: `.explain` must show
 or projects.
 """
 
-from pandarallel_spark.sources.tables import TABLES, load_table, load_tables
+from pandarallel_spark.sources.tables import (
+    TABLES,
+    load_table,
+    load_tables,
+    read_csv,
+    read_json,
+    write_bucketed,
+    write_csv,
+    write_json,
+    write_parquet,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_json",
+    "write_parquet",
+    "write_csv",
+    "write_json",
+    "write_bucketed",
+]

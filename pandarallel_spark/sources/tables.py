@@ -65,3 +65,55 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` lays the data out as
+    ``key=value/`` directories so downstream scans get partition pruning
+    for free; ``max_records_per_file`` caps file size at 100 TB so no
+    single file becomes a straggler on re-read."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, *, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int,
+    *,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write time so every
+    later equi-join or aggregation on ``keys`` is co-located — Catalyst
+    plans SortMergeJoin with NO Exchange on either bucketed side. This
+    is the 100 TB answer for a fact table joined on the same key by
+    every query: pay the shuffle once, not per query.
+
+    (Parquet path-based tables can't carry bucket metadata; bucketing
+    requires ``saveAsTable`` through the session catalog.)
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(buckets, *keys)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -1,0 +1,72 @@
+"""Sinks + bucketed-table co-location: the write-side scale story.
+
+The bucketed-join test is the proof artifact for "pay the shuffle once":
+two tables bucketed on the join key must SortMergeJoin with no Exchange
+on either side.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from pandarallel_spark.sources import (
+    load_table,
+    read_csv,
+    read_json,
+    write_bucketed,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_by_region")
+    write_parquet(nation, out, partition_by=["n_regionkey"])
+    back = spark.read.parquet(out)
+    assert back.count() == nation.count()
+    # partition pruning: filtering on the layout key prunes at scan time
+    plan = _plan(back.filter("n_regionkey = 1"))
+    assert "PartitionFilters" in plan and "n_regionkey" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    write_csv(region, str(tmp_path / "r_csv"))
+    write_json(region, str(tmp_path / "r_json"))
+    c = read_csv(spark, str(tmp_path / "r_csv"), schema="r_regionkey bigint, r_name string")
+    j = read_json(spark, str(tmp_path / "r_json"), schema="r_regionkey bigint, r_name string")
+    assert sorted(r.r_name for r in c.collect()) == sorted(r.r_name for r in region.collect())
+    assert j.count() == region.count()
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8)
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], 8)
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+
+    # broadcast would hide the point at this scale — force SMJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: shuffle paid at write
+        n = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    assert n == lineitem.count()  # every lineitem has its order
