@@ -116,3 +116,21 @@ def with_text_stats(
         language_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# GPT-2-style pretokenizer, constrained to the regex subset shared by
+# Java (Spark) and RE2 (DuckDB): contraction suffixes, letter runs,
+# digit runs, non-space-symbol runs. No lookahead (RE2 lacks it), no
+# capturing groups. Verified to tokenize identically in both engines.
+BPE_PATTERN = r"'(?:ll|ve|re|[sdmt])|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pretokens (the unit an LLM tokenizer would split further).
+    Pure Column expression — regex runs inside codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col))

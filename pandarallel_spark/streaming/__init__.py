@@ -7,6 +7,7 @@ and as a real ``readStream`` → ``writeStream`` pipeline (tests use the
 file source with ``Trigger.AvailableNow`` semantics and a memory sink).
 """
 
+from pandarallel_spark.streaming.stateful import dedup_stream, running_counts
 from pandarallel_spark.streaming.windows import (
     sessionize,
     sliding_window_agg,
@@ -15,6 +16,8 @@ from pandarallel_spark.streaming.windows import (
 )
 
 __all__ = [
+    "dedup_stream",
+    "running_counts",
     "tumbling_window_agg",
     "sliding_window_agg",
     "sessionize",

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pandarallel_spark.operators import dedup as _dedup
 from pandarallel_spark.operators import multimodal as _mm
 from pandarallel_spark.operators import similarity as _sim
+from pandarallel_spark.operators import text as _text
 from pandarallel_spark.operators.text import with_text_stats
 from pandarallel_spark.sources import load_table
 from pandarallel_spark.streaming import sessionize, sliding_window_agg, tumbling_window_agg
@@ -450,4 +451,43 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(
         ev, "ts", "user_id", "30 minutes",
         {"n_events": F.count(F.lit(1)), "sum_value_cents": F.sum("value_cents")},
+    )
+
+
+# ---------------------------------------------------------------------------
+# text: BPE-ish token counting (training-cost estimation)
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(text), '{_text.BPE_PATTERN.replace("'", "''")}') AS bpe,
+    {_DOC_TOKS} AS ws
+  FROM documents)
+SELECT doc_id,
+  CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+  CAST(len(bpe) AS DOUBLE) / nullif(CAST(len(ws) AS BIGINT), 0) AS bpe_per_word
+FROM t
+"""
+
+
+@register(
+    "text_bpe_tokens",
+    _BPE_ORACLE,
+    "GPT-2-style pretoken counts per document (regex subset shared by "
+    "Java and RE2 -> identical tokenization both engines); the "
+    "bpe_per_word ratio is the standard training-cost estimator.",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _text.tokens("text")
+    return docs.select(
+        "doc_id",
+        _text.bpe_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        (
+            _text.bpe_token_count("text").cast("double")
+            / F.nullif(F.size(ws).cast("bigint"), F.lit(0))
+        ).alias("bpe_per_word"),
     )

@@ -62,3 +62,68 @@ def test_sessionize_batch(spark, sf_dir):
     assert (sessions.session_end >= sessions.session_start).all()
     # every event lands in exactly one session
     assert sessions.n_events.sum() == ev.count()
+
+
+def test_stateful_dedup_stream(spark, sf_dir, tmp_path):
+    """Cross-batch first-seen dedup via applyInPandasWithState: two
+    micro-batches with overlapping keys — each key emitted exactly once,
+    and the second batch's repeats dropped."""
+    from pandarallel_spark.streaming import dedup_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    src = str(tmp_path / "dedup_src")
+    chk = str(tmp_path / "dedup_chk")
+    # batch 1: half the users; batch 2: ALL users (so every batch-2 user
+    # already in batch 1 must be dropped)
+    half = ev.filter("user_id % 2 = 0")
+    half.coalesce(1).write.parquet(src)
+
+    sink = str(tmp_path / "dedup_sink")
+    schema = ev.schema
+
+    def run_wave():
+        # parquet sink: supports checkpoint recovery (memory sink doesn't)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            dedup_stream(stream, ["user_id"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).toPandas()
+
+    n_half_users = half.select("user_id").distinct().count()
+    got1 = run_wave()
+    assert len(got1) == n_half_users
+    assert got1.user_id.is_unique
+
+    # second wave of files → second run picks up from the checkpoint:
+    # every user seen in wave 1 must be dropped, new users emitted once
+    ev.coalesce(1).write.mode("append").parquet(src)
+    got2 = run_wave()
+    n_all_users = ev.select("user_id").distinct().count()
+    assert len(got2) == n_all_users
+    assert got2.user_id.is_unique
+
+
+def test_stateful_running_counts(spark, sf_dir, tmp_path):
+    from pandarallel_spark.streaming import running_counts
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    src = str(tmp_path / "rc_src")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = running_counts(stream, ["user_id"])
+    q = (
+        out.writeStream.format("memory").queryName("rc_out")
+        .option("checkpointLocation", str(tmp_path / "rc_chk"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("rc_out").toPandas().set_index("user_id")["n_events_total"]
+    expected = ev.groupBy("user_id").count().toPandas().set_index("user_id")["count"]
+    assert (got.sort_index() == expected.sort_index()).all()
