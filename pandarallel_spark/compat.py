@@ -1,0 +1,465 @@
+"""Drop-in pandarallel API shim: the reference's public surface, Spark
+execution underneath.
+
+A user of the reference (pandarallel v1.6.5) migrates by changing one
+import — everything else they run today keeps running:
+
+    # from pandarallel import pandarallel
+    from pandarallel_spark.compat import pandarallel
+    pandarallel.initialize(progress_bar=False, nb_workers=8)
+
+    df.parallel_apply(func, axis=1)          # pandas in, pandas out
+    df.groupby("k").parallel_apply(func)
+    s.rolling(4).parallel_apply(func)
+
+This mirrors the patch surface of reference ``core.py:522-556`` (all 8
+``parallel_*`` methods) with pandas-exact outputs: index/MultiIndex
+restoration, scalar→Series / frame→stacked-DataFrame groupby shapes,
+args/kwargs forwarding, and original exception types re-raised.
+
+Execution contract:
+- Data already lives in driver memory (that is the reference's model),
+  so the shim ships it through Arrow into Spark, computes distributed,
+  and reassembles pandas objects positionally (a ``__pos__`` column
+  reifies pandas row order — SURVEY.md §4 "deterministic order
+  reconstruction").
+- Inputs smaller than ``_LOCAL_THRESHOLD`` rows run stock pandas
+  directly: the reference's own empty/1-row special cases
+  (``utils.py:34-38``) exist because tiny inputs don't amortize a
+  scatter; neither do they amortize a Spark job.
+- Exceptions: Spark wraps worker errors in ``PythonException``; the
+  shim re-raises the original builtin exception type (reference
+  behavior, tested at ``tests/test_pandarallel.py:167-174``).
+"""
+
+from __future__ import annotations
+
+import builtins
+import re
+from collections.abc import Callable, Mapping
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+_LOCAL_THRESHOLD = 64
+_SPARK: SparkSession | None = None
+_IDX = "__idx__"
+_POS = "__pos__"
+_VAL = "__val__"
+
+
+def _require_spark() -> SparkSession:
+    if _SPARK is None:
+        raise RuntimeError("call pandarallel.initialize() first")
+    return _SPARK
+
+
+def _reraise_original(exc: Exception):
+    """Surface the worker's original builtin exception type, like the
+    reference does (driver re-raises via ``results_promise.get()``)."""
+    m = re.search(r"(\w+(?:Error|Exception|Warning|Interrupt))(?::| Traceback)", str(exc))
+    if m:
+        etype = getattr(builtins, m.group(1), None)
+        if etype is not None and issubclass(etype, BaseException):
+            raise etype(str(exc)) from exc
+    raise
+
+
+def _to_spark(pdf: pd.DataFrame, cols: list[str]):
+    """Ship (index, position, cols...) through Arrow; returns (sdf, index_name)."""
+    spark = _require_spark()
+    ship = pdf[cols].copy()
+    ship[_IDX] = pdf.index.to_numpy()
+    ship[_POS] = np.arange(len(pdf))
+    return spark.createDataFrame(ship), pdf.index.name
+
+
+def _collect_sorted(sdf) -> pd.DataFrame:
+    out = sdf.toPandas().sort_values(_POS, kind="mergesort").reset_index(drop=True)
+    return out
+
+
+class _Facade:
+    """`pandarallel.initialize()` — patches the 8 methods, like reference
+    ``core.py:522-556``, onto live pandas classes."""
+
+    @classmethod
+    def initialize(
+        cls,
+        shm_size_mb: int | None = None,
+        nb_workers: int | None = None,
+        progress_bar: bool = False,
+        verbose: int = 2,
+        use_memory_fs: bool | None = None,
+    ) -> None:
+        global _SPARK
+        _SPARK = _get_session(nb_workers)
+        if verbose >= 2:
+            n = _SPARK.sparkContext.defaultParallelism
+            print(f"INFO: Pandarallel (Spark engine) will run on {n} workers.")
+        _patch()
+
+
+def _get_session(nb_workers: int | None) -> SparkSession:
+    from pandarallel_spark.session import get_spark
+
+    return get_spark("pandarallel_compat", cpus=nb_workers)
+
+
+pandarallel = _Facade
+
+
+# ---------------------------------------------------------------------------
+# op implementations (pandas in, pandas out)
+# ---------------------------------------------------------------------------
+
+
+def _df_parallel_apply(self: pd.DataFrame, func, *args, **kwargs):
+    axis = kwargs.pop("axis", 0)
+    if len(self) <= _LOCAL_THRESHOLD or (axis in (0, "index") and len(self.columns) <= 4):
+        return self.apply(func, *args, axis=axis, **kwargs)
+    if axis in (1, "columns"):
+        return _row_apply(self, func, args, kwargs)
+    if axis in (0, "index"):
+        return _col_apply(self, func, args, kwargs)
+    raise ValueError(f"No axis named {axis} for object type DataFrame")
+
+
+def _row_apply(pdf: pd.DataFrame, func, args, kwargs):
+    sample = pdf.head(5).apply(func, *args, axis=1, **kwargs)
+    frame_out = isinstance(sample, pd.DataFrame)
+    sdf, idx_name = _to_spark(pdf, list(pdf.columns))
+    res_cols = list(sample.columns) if frame_out else ["__r__"]
+
+    in_names = list(pdf.columns)
+
+    def run(batches):
+        for b in batches:
+            res = b[in_names].apply(func, *args, axis=1, **kwargs)
+            out = res if frame_out else res.to_frame("__r__")
+            out = out.copy()
+            out[_IDX] = b[_IDX].to_numpy()
+            out[_POS] = b[_POS].to_numpy()
+            yield out
+
+    out_sample = (sample if frame_out else sample.to_frame("__r__")).copy()
+    schema = _infer_ddl(out_sample, extra={_IDX: pdf.index, _POS: None})
+    try:
+        got = _collect_sorted(sdf.mapInPandas(run, schema))
+    except Exception as e:  # noqa: BLE001
+        _reraise_original(e)
+    got = got.set_index(_IDX).drop(columns=[_POS])
+    got.index.name = idx_name
+    if frame_out:
+        return got[res_cols]
+    return got["__r__"].rename(None)
+
+
+def _col_apply(pdf: pd.DataFrame, func, args, kwargs):
+    """axis=0: whole columns to workers (reference chunks BY COLUMN,
+    ``data_types/dataframe.py:21-22``) — melt to (col, pos, value),
+    one group per column."""
+    sample_col = pdf.iloc[:, 0].rename(pdf.columns[0])
+    sample = func(sample_col, *args, **kwargs)
+    scalar_out = np.isscalar(sample) or sample is None
+
+    spark = _require_spark()
+    long = pdf.melt(var_name="__c__", value_name=_VAL, ignore_index=False)
+    long[_IDX] = long.index.to_numpy()
+    long[_POS] = np.tile(np.arange(len(pdf)), len(pdf.columns))
+    sdf = spark.createDataFrame(long.reset_index(drop=True))
+
+    col_order = {c: i for i, c in enumerate(pdf.columns)}
+
+    if scalar_out:
+        out_schema = "__c__ string, __r__ double"
+
+        def per_col(key, b):
+            s = b.sort_values(_POS)[_VAL].reset_index(drop=True).rename(key[0])
+            return pd.DataFrame({"__c__": [key[0]], "__r__": [float(func(s, *args, **kwargs))]})
+
+        try:
+            got = sdf.groupBy("__c__").applyInPandas(per_col, out_schema).toPandas()
+        except Exception as e:  # noqa: BLE001
+            _reraise_original(e)
+        got = got.sort_values("__c__", key=lambda s: s.map(col_order))
+        out = pd.Series(got["__r__"].to_numpy(), index=got["__c__"].to_numpy())
+        out.index.name = None
+        if isinstance(sample, (int, np.integer)):
+            out = out.astype("int64")  # pandas keeps int for int reductions
+        return out
+
+    out_schema = f"__c__ string, {_POS} bigint, {_IDX} double, __r__ double"
+
+    def per_col_t(key, b):
+        b = b.sort_values(_POS)
+        s = b[_VAL].reset_index(drop=True).rename(key[0])
+        r = func(s, *args, **kwargs)
+        return pd.DataFrame(
+            {
+                "__c__": key[0],
+                _POS: b[_POS].to_numpy(),
+                _IDX: b[_IDX].to_numpy(),
+                "__r__": np.asarray(r, dtype="float64"),
+            }
+        )
+
+    try:
+        got = sdf.groupBy("__c__").applyInPandas(per_col_t, out_schema).toPandas()
+    except Exception as e:  # noqa: BLE001
+        _reraise_original(e)
+    wide = got.pivot(index=_POS, columns="__c__", values="__r__").sort_index()
+    wide = wide[[c for c in pdf.columns]]
+    wide.index = pdf.index
+    wide.columns.name = None
+    return wide
+
+
+def _df_parallel_applymap(self: pd.DataFrame, func, **kwargs):
+    if len(self) <= _LOCAL_THRESHOLD:
+        return self.map(func)
+    sdf, idx_name = _to_spark(self, list(self.columns))
+    in_names = list(self.columns)
+    sample = self.head(5).map(func)
+    schema = _infer_ddl(sample, extra={_IDX: self.index, _POS: None})
+
+    def run(batches):
+        for b in batches:
+            out = b[in_names].map(func)
+            out[_IDX] = b[_IDX].to_numpy()
+            out[_POS] = b[_POS].to_numpy()
+            yield out
+
+    try:
+        got = _collect_sorted(sdf.mapInPandas(run, schema))
+    except Exception as e:  # noqa: BLE001
+        _reraise_original(e)
+    got = got.set_index(_IDX).drop(columns=[_POS])[in_names]
+    got.index.name = idx_name
+    return got
+
+
+def _series_parallel_apply(self: pd.Series, func, *args, **kwargs):
+    # reference signature passes args as a KEYWORD: parallel_apply(f, args=(2,), bias=3)
+    fargs = tuple(kwargs.pop("args", args))
+    if len(self) <= _LOCAL_THRESHOLD:
+        return self.apply(func, args=fargs, **kwargs)
+    pdf = self.to_frame(_VAL)
+    sdf, idx_name = _to_spark(pdf, [_VAL])
+    sample = self.head(5).apply(func, args=fargs, **kwargs)
+    schema = f"__r__ {_ddl_type(sample)}, {_IDX} {_ddl_of_index(self.index)}, {_POS} bigint"
+
+    def run(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "__r__": b[_VAL].apply(func, args=fargs, **kwargs),
+                    _IDX: b[_IDX].to_numpy(),
+                    _POS: b[_POS].to_numpy(),
+                }
+            )
+
+    try:
+        got = _collect_sorted(sdf.mapInPandas(run, schema))
+    except Exception as e:  # noqa: BLE001
+        _reraise_original(e)
+    out = pd.Series(got["__r__"].to_numpy(), index=got[_IDX].to_numpy(), name=self.name)
+    out.index.name = idx_name
+    return out
+
+
+def _series_parallel_map(self: pd.Series, arg):
+    if callable(arg) and not isinstance(arg, Mapping):
+        return _series_parallel_apply(self, arg)
+    # dict / Series lookup: delegate to pandas locally — a driver-memory
+    # lookup table maps to a broadcast join in the engine API
+    # (operators/series.py); here the data is already local
+    return self.map(arg)
+
+
+def _series_rolling_parallel_apply(self, func, *args, **kwargs):
+    obj = self.obj if isinstance(self.obj, pd.Series) else None
+    if obj is None or len(obj) <= _LOCAL_THRESHOLD:
+        return self.apply(func, *args, **kwargs)
+    raw = kwargs.pop("raw", False)
+    window = self.window
+    min_periods = self.min_periods
+    center = self.center
+    pdf = obj.to_frame(_VAL)
+    from pandarallel_spark import parallelize
+
+    sdf, idx_name = _to_spark(pdf, [_VAL])
+    try:
+        got = (
+            parallelize(sdf, order_by=_POS)
+            .series(_VAL)
+            .rolling(window, min_periods=min_periods, center=center)
+            .parallel_apply(func, raw=raw, output_col="__r__", return_type="double")
+            .toPandas()
+        )
+    except Exception as e:  # noqa: BLE001
+        _reraise_original(e)
+    got = got.sort_values(_POS, kind="mergesort")
+    out = pd.Series(got["__r__"].to_numpy(), index=got[_IDX].to_numpy(), name=obj.name)
+    out.index.name = idx_name
+    return out
+
+
+def _groupby_parallel_apply(self, func, *args, **kwargs):
+    pdf: pd.DataFrame = self.obj
+    keys = self.keys if isinstance(self.keys, list) else [self.keys]
+    if len(pdf) <= _LOCAL_THRESHOLD:
+        return self.apply(func, *args, **kwargs)
+
+    first_key = next(iter(self.groups))
+    sample_out = func(self.get_group(first_key), *args, **kwargs)
+    from pandarallel_spark.operators.groupby import grouped_apply
+
+    sdf, idx_name = _to_spark(pdf, list(pdf.columns))
+
+    if isinstance(sample_out, pd.DataFrame):
+        value_cols = [c for c in sample_out.columns]
+        schema_pdf = sample_out.copy()
+        schema_pdf[_IDX] = pdf.index[:len(schema_pdf)]
+        schema_pdf[_POS] = 0
+        ddl = _infer_ddl(schema_pdf, lead=keys, lead_src=pdf)
+
+        def gf(g):
+            r = func(g[list(pdf.columns)], *args, **kwargs)
+            r = r.copy()
+            r[_IDX] = g[_IDX].to_numpy()[: len(r)]
+            r[_POS] = g[_POS].to_numpy()[: len(r)]
+            return r
+
+        try:
+            got = (
+                grouped_apply(sdf, keys, gf, schema=ddl, mode="frame")
+                .toPandas()
+                .sort_values([*keys, _POS], kind="mergesort")
+            )
+        except Exception as e:  # noqa: BLE001
+            _reraise_original(e)
+        out = got.set_index(_IDX)[value_cols]
+        out.index.name = idx_name
+        return out
+
+    # scalar per group → Series indexed by key(s), keys sorted (pandas default)
+    key_fields = ", ".join(f"{k} {_ddl_type(pdf[k])}" for k in keys)
+    ddl = f"{key_fields}, __r__ double"
+
+    def gs(g):
+        return func(g[list(pdf.columns)], *args, **kwargs)
+
+    try:
+        got = (
+            grouped_apply(sdf, keys, gs, schema=ddl, mode="scalar", result_name="__r__")
+            .toPandas()
+            .sort_values(keys, kind="mergesort")
+        )
+    except Exception as e:  # noqa: BLE001
+        _reraise_original(e)
+    if len(keys) == 1:
+        idx = pd.Index(got[keys[0]].to_numpy(), name=keys[0])
+    else:
+        idx = pd.MultiIndex.from_frame(got[keys])
+    return pd.Series(got["__r__"].to_numpy(), index=idx)
+
+
+def _make_grouped_window_apply(kind: str):
+    def _apply(self, func, *args, **kwargs):
+        raw = kwargs.pop("raw", False)
+        grouper = self._grouper
+        obj = self.obj  # selection applied: the rolled Series (or frame)
+        if not isinstance(obj, pd.Series):
+            raise ValueError("shim supports single-column grouped windows")
+        col = obj.name or _VAL
+        keys = [g.name for g in grouper.groupings]
+        src = obj.to_frame(col)
+        for k, g in zip(keys, grouper.groupings):
+            src[k] = np.asarray(g.grouping_vector)
+        if len(src) <= _LOCAL_THRESHOLD:
+            return self.apply(func, raw=raw)
+
+        from pandarallel_spark import parallelize
+
+        sdf, idx_name = _to_spark(src, [*keys, col])
+        pf = parallelize(sdf, order_by=_POS).groupby(*keys).series(col)
+        wnd = (
+            pf.rolling(self.window, min_periods=self.min_periods, center=self.center)
+            if kind == "rolling"
+            else pf.expanding(min_periods=self.min_periods or 1)
+        )
+        try:
+            got = (
+                wnd.parallel_apply(func, raw=raw, output_col="__r__", return_type="double")
+                .toPandas()
+                .sort_values([*keys, _POS], kind="mergesort")
+            )
+        except Exception as e:  # noqa: BLE001
+            _reraise_original(e)
+        idx = pd.MultiIndex.from_arrays(
+            [got[k].to_numpy() for k in keys] + [got[_IDX].to_numpy()],
+            names=[*keys, idx_name],
+        )
+        return pd.Series(got["__r__"].to_numpy(), index=idx, name=col)
+
+    return _apply
+
+
+# ---------------------------------------------------------------------------
+# schema helpers
+# ---------------------------------------------------------------------------
+
+_DDL = {
+    "int64": "bigint", "int32": "int", "float64": "double", "float32": "float",
+    "bool": "boolean", "object": "string", "datetime64[ns]": "timestamp",
+}
+
+
+def _ddl_type(obj) -> str:
+    dt = str(obj.dtype) if hasattr(obj, "dtype") else str(pd.Series([obj]).dtype)
+    return _DDL.get(dt, "double" if dt.startswith("float") else "string")
+
+
+def _ddl_of_index(idx: pd.Index) -> str:
+    return _DDL.get(str(idx.dtype), "double")
+
+
+def _infer_ddl(sample: pd.DataFrame, extra: dict | None = None, lead: list[str] | None = None, lead_src: pd.DataFrame | None = None) -> str:
+    parts = []
+    for k in lead or []:
+        parts.append(f"{k} {_ddl_type(lead_src[k])}")
+    for c in sample.columns:
+        if lead and c in lead:
+            continue
+        if extra and c in extra:
+            continue
+        parts.append(f"{c} {_ddl_type(sample[c])}")
+    for name, src in (extra or {}).items():
+        if name == _POS:
+            parts.append(f"{_POS} bigint")
+        elif name == _IDX:
+            parts.append(f"{_IDX} {_ddl_of_index(src)}")
+    return ", ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# patching (reference core.py:522-556)
+# ---------------------------------------------------------------------------
+
+
+def _patch() -> None:
+    from pandas.core.groupby.groupby import GroupBy
+    from pandas.core.window.expanding import ExpandingGroupby
+    from pandas.core.window.rolling import Rolling, RollingGroupby
+
+    pd.DataFrame.parallel_apply = _df_parallel_apply
+    pd.DataFrame.parallel_applymap = _df_parallel_applymap
+    pd.Series.parallel_apply = _series_parallel_apply
+    pd.Series.parallel_map = _series_parallel_map
+    GroupBy.parallel_apply = _groupby_parallel_apply
+    Rolling.parallel_apply = _series_rolling_parallel_apply
+    RollingGroupby.parallel_apply = _make_grouped_window_apply("rolling")
+    ExpandingGroupby.parallel_apply = _make_grouped_window_apply("expanding")

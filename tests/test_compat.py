@@ -1,0 +1,178 @@
+"""Drop-in shim differential tests: the reference's OWN test method
+(``tests/test_pandarallel.py`` asserts ``res.equals(res_parallel)``)
+applied to ``pandarallel_spark.compat``. Workload shapes mirror the
+reference's: stdlib-math UDFs, 1000-row and tiny frames, lambdas,
+args/kwargs forwarding, multi-key groupby, exception transparency.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pandarallel_spark.compat import pandarallel
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _init(spark):
+    # reuse the test session; initialize() would build the same one
+    import pandarallel_spark.compat as compat
+
+    compat._SPARK = spark
+    compat._patch()
+    yield
+
+
+@pytest.fixture(params=[1000, 1])
+def df(request):
+    n = request.param
+    rng = np.random.default_rng(42)
+    return pd.DataFrame(
+        {
+            "a": rng.integers(1, 8, n),
+            "b": rng.random(n),
+            "c": rng.random(n) + 1,
+            "d": rng.random(n),
+            "e": rng.random(n),
+        }
+    )
+
+
+def test_df_apply_axis_1(df):
+    func = lambda row: math.sin(row.a**2) + math.sin(row.b**2)  # noqa: E731
+    assert df.apply(func, axis=1).equals(df.parallel_apply(func, axis=1))
+
+
+def test_df_apply_axis_1_frame_return(df):
+    def func(row):
+        return pd.Series({"s": row.b + row.c, "p": row.b * row.c})
+
+    assert df.apply(func, axis=1).equals(df.parallel_apply(func, axis=1))
+
+
+def test_df_apply_axis_0(df):
+    func = lambda x: x.max() - x.min()  # noqa: E731
+    res = df[["b", "c", "d", "e", "a"]].parallel_apply(func, axis=0)
+    expected = df[["b", "c", "d", "e", "a"]].apply(func, axis=0)
+    pd.testing.assert_series_equal(res, expected, check_dtype=False)
+
+
+def test_df_apply_invalid_axis(df):
+    with pytest.raises(ValueError):
+        df.parallel_apply(lambda r: r, axis=7)
+
+
+def test_df_applymap(df):
+    func = lambda x: math.sin(x**2) - math.cos(x**2)  # noqa: E731
+    assert df.map(func).equals(df.parallel_applymap(func))
+
+
+def test_series_apply_with_args_kwargs(df):
+    func = lambda x, power, bias=0: math.log10(math.sqrt(math.exp(x**power))) + bias  # noqa: E731
+    expected = df.c.apply(func, args=(2,), bias=3)
+    got = df.c.parallel_apply(func, args=(2,), bias=3)
+    assert expected.equals(got)
+
+
+def test_series_map(df):
+    func = lambda x: x * 2  # noqa: E731
+    assert df.b.map(func).equals(df.b.parallel_map(func))
+
+
+def test_series_map_dict():
+    s = pd.Series(["x", "y", "z", "x"] * 300)
+    mapping = {"x": 1, "y": 2}
+    assert s.map(mapping).equals(s.parallel_map(mapping))
+
+
+def test_series_rolling(df):
+    func = lambda x: x.iloc[0] + x.iloc[1] ** 2 + x.iloc[2] ** 3 + x.iloc[3] ** 4  # noqa: E731
+    if len(df) < 4:
+        pytest.skip("needs >= window rows")
+    expected = df.b.rolling(4).apply(func, raw=False)
+    got = df.b.rolling(4).parallel_apply(func, raw=False)
+    pd.testing.assert_series_equal(expected, got)
+
+
+def test_groupby_apply_scalar(df):
+    func = lambda g: g.b.sum() - g.c.max()  # noqa: E731
+    expected = df.groupby("a").apply(func)
+    got = df.groupby("a").parallel_apply(func)
+    pd.testing.assert_series_equal(expected, got, check_dtype=False)
+
+
+def test_groupby_apply_multikey():
+    rng = np.random.default_rng(0)
+    n = 1000
+    pdf = pd.DataFrame(
+        {
+            "a": rng.integers(0, 4, n),
+            "b": rng.integers(0, 3, n),
+            "x": rng.random(n),
+        }
+    )
+    func = lambda g: float(g.x.sum())  # noqa: E731
+    expected = pdf.groupby(["a", "b"]).apply(func)
+    got = pdf.groupby(["a", "b"]).parallel_apply(func)
+    pd.testing.assert_series_equal(expected, got, check_dtype=False)
+
+
+def test_groupby_apply_frame_return():
+    rng = np.random.default_rng(1)
+    n = 1200
+    pdf = pd.DataFrame({"a": rng.integers(0, 5, n), "x": rng.random(n)})
+
+    def func(g):
+        out = g.copy()
+        out["x2"] = out.x * 2
+        return out
+
+    expected = pdf.groupby("a").apply(func)
+    got = pdf.groupby("a").parallel_apply(func)
+    # pandas wraps with a (key, orig_idx) MultiIndex; the shim returns the
+    # stacked frame on the original index (reference "mutated" shape) —
+    # compare values on the sorted original index
+    exp_flat = expected.reset_index(drop=True).sort_values(["a", "x"]).reset_index(drop=True)
+    got_flat = got.reset_index(drop=True).sort_values(["a", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exp_flat, got_flat, check_dtype=False)
+
+
+def test_grouped_rolling():
+    rng = np.random.default_rng(2)
+    n = 2000
+    pdf = pd.DataFrame({"a": rng.integers(0, 7, n), "b": rng.random(n)})
+    func = lambda x: float(np.sum(x**2))  # noqa: E731
+    expected = pdf.groupby("a").b.rolling(4).apply(func, raw=True)
+    got = pdf.groupby("a").b.rolling(4).parallel_apply(func, raw=True)
+    pd.testing.assert_series_equal(expected, got)
+
+
+def test_grouped_expanding():
+    rng = np.random.default_rng(3)
+    n = 1500
+    pdf = pd.DataFrame({"a": rng.integers(0, 7, n), "b": rng.random(n)})
+    func = lambda x: float(np.mean(x))  # noqa: E731
+    expected = pdf.groupby("a").b.expanding(2).apply(func, raw=True)
+    got = pdf.groupby("a").b.expanding(2).parallel_apply(func, raw=True)
+    pd.testing.assert_series_equal(expected, got)
+
+
+def test_exception_transparency():
+    pdf = pd.DataFrame({"x": np.arange(1000, dtype="float64")})
+    with pytest.raises(ZeroDivisionError):
+        pdf.x.parallel_apply(lambda v: v / 0)
+
+
+def test_float_index_roundtrip():
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame({"x": rng.random(500)}, index=rng.random(500))
+    func = lambda v: math.sqrt(v)  # noqa: E731
+    assert pdf.x.apply(func).equals(pdf.x.parallel_apply(func))
+
+
+def test_empty_and_tiny():
+    empty = pd.DataFrame({"a": pd.Series(dtype="float64")})
+    assert empty.parallel_applymap(lambda x: x + 1).equals(empty.map(lambda x: x + 1))
+    one = pd.Series([2.0])
+    assert one.parallel_apply(lambda x: x * 3).equals(one.apply(lambda x: x * 3))
