@@ -34,8 +34,12 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "similarity_topk_numpy",
+    "similarity_lsh_bucketed",
     "join_revenue_per_nation",
     "events_tumbling_hour",
+    "events_sliding_hour_15m",
+    "events_sessionize_30m",
+    "text_bpe_tokens",
 ]
 
 

@@ -49,3 +49,25 @@ def test_grouped_rolling_single_shuffle(spark, sf_dir):
     # one exchange for the window partitioning; builtin agg stays in Window exec
     assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
     assert "ArrowEvalPython" not in plan
+
+
+def test_lsh_and_minhash_stay_jvm_side(spark, sf_dir):
+    for q in ("similarity_lsh_bucketed", "dedup_minhash_lsh"):
+        plan = _plan(spark, sf_dir, q)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
+        assert "MapInPandas" not in plan, q
+
+
+def test_bpe_tokens_pruned_scan_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_bpe_tokens")
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_sliding_window_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_sliding_hour_15m")
+    # expand(4 windows) then ONE exchange for the aggregation (formatted
+    # explain mentions each node twice: tree + detail section)
+    assert plan.count("Exchange") <= 2
+    assert plan.count("HashAggregate") >= 4  # partial + final
