@@ -59,8 +59,7 @@ def _require_spark() -> SparkSession:
 def _reraise_original(exc: Exception):
     """Surface the worker's original builtin exception type, like the
     reference does (driver re-raises via ``results_promise.get()``)."""
-    m = re.search(r"(\w+(?:Error|Exception|Warning|Interrupt))(?::| Traceback)", str(exc))
-    if m:
+    for m in re.finditer(r"(\w+(?:Error|Exception|Warning|Interrupt))(?::| Traceback)", str(exc)):
         etype = getattr(builtins, m.group(1), None)
         if etype is not None and issubclass(etype, BaseException):
             raise etype(str(exc)) from exc
@@ -160,14 +159,18 @@ def _row_apply(pdf: pd.DataFrame, func, args, kwargs):
 def _col_apply(pdf: pd.DataFrame, func, args, kwargs):
     """axis=0: whole columns to workers (reference chunks BY COLUMN,
     ``data_types/dataframe.py:21-22``) — melt to (col, pos, value),
-    one group per column."""
-    sample_col = pdf.iloc[:, 0].rename(pdf.columns[0])
+    one group per column. Only homogeneous-numeric frames distribute
+    (melt unifies dtypes); anything else runs stock pandas locally,
+    which is also what the tiny-input path does."""
+    if not all(np.issubdtype(d, np.number) for d in pdf.dtypes):
+        return pdf.apply(func, *args, axis=0, **kwargs)
+    sample_col = pdf.iloc[:256, 0].rename(pdf.columns[0])
     sample = func(sample_col, *args, **kwargs)
     scalar_out = np.isscalar(sample) or sample is None
 
     spark = _require_spark()
+    dtypes = {c: str(t) for c, t in pdf.dtypes.items()}
     long = pdf.melt(var_name="__c__", value_name=_VAL, ignore_index=False)
-    long[_IDX] = long.index.to_numpy()
     long[_POS] = np.tile(np.arange(len(pdf)), len(pdf.columns))
     sdf = spark.createDataFrame(long.reset_index(drop=True))
 
@@ -177,7 +180,12 @@ def _col_apply(pdf: pd.DataFrame, func, args, kwargs):
         out_schema = "__c__ string, __r__ double"
 
         def per_col(key, b):
-            s = b.sort_values(_POS)[_VAL].reset_index(drop=True).rename(key[0])
+            s = (
+                b.sort_values(_POS)[_VAL]
+                .reset_index(drop=True)
+                .astype(dtypes[key[0]])  # undo melt's upcast
+                .rename(key[0])
+            )
             return pd.DataFrame({"__c__": [key[0]], "__r__": [float(func(s, *args, **kwargs))]})
 
         try:
@@ -191,17 +199,16 @@ def _col_apply(pdf: pd.DataFrame, func, args, kwargs):
             out = out.astype("int64")  # pandas keeps int for int reductions
         return out
 
-    out_schema = f"__c__ string, {_POS} bigint, {_IDX} double, __r__ double"
+    out_schema = f"__c__ string, {_POS} bigint, __r__ double"
 
     def per_col_t(key, b):
         b = b.sort_values(_POS)
-        s = b[_VAL].reset_index(drop=True).rename(key[0])
+        s = b[_VAL].reset_index(drop=True).astype(dtypes[key[0]]).rename(key[0])
         r = func(s, *args, **kwargs)
         return pd.DataFrame(
             {
                 "__c__": key[0],
                 _POS: b[_POS].to_numpy(),
-                _IDX: b[_IDX].to_numpy(),
                 "__r__": np.asarray(r, dtype="float64"),
             }
         )
@@ -279,11 +286,24 @@ def _series_parallel_map(self: pd.Series, arg):
     return self.map(arg)
 
 
+def _wrap_window_func(func, args, kwargs):
+    """Forward extra positional/keyword args into the window UDF, the
+    way pandas rolling.apply(func, args=, kwargs=) does."""
+    fargs = tuple(kwargs.pop("args", None) or args)
+    fkwargs = dict(kwargs.pop("kwargs", None) or {})
+    fkwargs.update(kwargs)
+    kwargs.clear()
+    if not fargs and not fkwargs:
+        return func
+    return lambda x: func(x, *fargs, **fkwargs)
+
+
 def _series_rolling_parallel_apply(self, func, *args, **kwargs):
     obj = self.obj if isinstance(self.obj, pd.Series) else None
     if obj is None or len(obj) <= _LOCAL_THRESHOLD:
         return self.apply(func, *args, **kwargs)
     raw = kwargs.pop("raw", False)
+    func = _wrap_window_func(func, args, kwargs)
     window = self.window
     min_periods = self.min_periods
     center = self.center
@@ -314,7 +334,7 @@ def _groupby_parallel_apply(self, func, *args, **kwargs):
         return self.apply(func, *args, **kwargs)
 
     first_key = next(iter(self.groups))
-    sample_out = func(self.get_group(first_key), *args, **kwargs)
+    sample_out = func(self.get_group(first_key).head(256), *args, **kwargs)
     from pandarallel_spark.operators.groupby import grouped_apply
 
     sdf, idx_name = _to_spark(pdf, list(pdf.columns))
@@ -327,6 +347,7 @@ def _groupby_parallel_apply(self, func, *args, **kwargs):
         ddl = _infer_ddl(schema_pdf, lead=keys, lead_src=pdf)
 
         def gf(g):
+            g = g.sort_values(_POS, kind="mergesort")  # pandas group order
             r = func(g[list(pdf.columns)], *args, **kwargs)
             r = r.copy()
             r[_IDX] = g[_IDX].to_numpy()[: len(r)]
@@ -350,6 +371,7 @@ def _groupby_parallel_apply(self, func, *args, **kwargs):
     ddl = f"{key_fields}, __r__ double"
 
     def gs(g):
+        g = g.sort_values(_POS, kind="mergesort")  # pandas group order
         return func(g[list(pdf.columns)], *args, **kwargs)
 
     try:
@@ -370,6 +392,7 @@ def _groupby_parallel_apply(self, func, *args, **kwargs):
 def _make_grouped_window_apply(kind: str):
     def _apply(self, func, *args, **kwargs):
         raw = kwargs.pop("raw", False)
+        func = _wrap_window_func(func, args, kwargs)
         grouper = self._grouper
         obj = self.obj  # selection applied: the rolled Series (or frame)
         if not isinstance(obj, pd.Series):
@@ -412,19 +435,20 @@ def _make_grouped_window_apply(kind: str):
 # schema helpers
 # ---------------------------------------------------------------------------
 
-_DDL = {
-    "int64": "bigint", "int32": "int", "float64": "double", "float32": "float",
-    "bool": "boolean", "object": "string", "datetime64[ns]": "timestamp",
-}
-
-
 def _ddl_type(obj) -> str:
-    dt = str(obj.dtype) if hasattr(obj, "dtype") else str(pd.Series([obj]).dtype)
-    return _DDL.get(dt, "double" if dt.startswith("float") else "string")
+    from pandarallel_spark.plans.schema import pandas_dtype_to_spark
+
+    if hasattr(obj, "dtype"):
+        sample = obj.iloc[0] if hasattr(obj, "iloc") and len(obj) else None
+        return pandas_dtype_to_spark(obj.dtype, sample).simpleString()
+    return pandas_dtype_to_spark(pd.Series([obj]).dtype, obj).simpleString()
 
 
 def _ddl_of_index(idx: pd.Index) -> str:
-    return _DDL.get(str(idx.dtype), "double")
+    from pandarallel_spark.plans.schema import pandas_dtype_to_spark
+
+    sample = idx[0] if len(idx) else None
+    return pandas_dtype_to_spark(idx.dtype, sample).simpleString()
 
 
 def _infer_ddl(sample: pd.DataFrame, extra: dict | None = None, lead: list[str] | None = None, lead_src: pd.DataFrame | None = None) -> str:

@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_LAST_HALO_CACHE: list = []
+
 _BUILTIN_AGGS: dict[str, Callable[[Column], Column]] = {
     "sum": F.sum,
     "mean": F.avg,
@@ -217,6 +219,15 @@ def _halo_rolling(
         .mapInPandas(roll, work_schema)
         .persist()
     )
+    # bound the cache: one live marked pass per session — unpersist the
+    # previous call's (its consumer either already ran or recomputes)
+    prev = _LAST_HALO_CACHE.pop() if _LAST_HALO_CACHE else None
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 — session may be stopped
+            pass
+    _LAST_HALO_CACHE.append(work)
 
     small = (
         work.filter(F.col("__edge__")).select(*out_names, "__fix__").toPandas()
@@ -228,6 +239,16 @@ def _halo_rolling(
         .apply(func, raw=raw)
     )
     fixed = small.loc[small["__fix__"], out_names]
+    # toPandas turns null-bearing int/bool columns into float64+NaN;
+    # hand them back as object-with-None so the declared schema's
+    # integral types round-trip instead of casting NaN garbage
+    fixed = fixed.copy()
+    for f in out_schema.fields:
+        if isinstance(
+            f.dataType, (T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.BooleanType)
+        ) and str(fixed[f.name].dtype).startswith("float"):
+            vals = fixed[f.name]
+            fixed[f.name] = vals.astype(object).where(vals.notna(), None)
 
     big = work.filter(~F.col("__fix__")).select(*out_names)
     return big.unionByName(spark.createDataFrame(fixed, schema=out_schema))

@@ -176,3 +176,59 @@ def test_empty_and_tiny():
     assert empty.parallel_applymap(lambda x: x + 1).equals(empty.map(lambda x: x + 1))
     one = pd.Series([2.0])
     assert one.parallel_apply(lambda x: x * 3).equals(one.apply(lambda x: x * 3))
+
+
+def test_groupby_order_sensitive_func():
+    """Group rows must reach func in original pandas order (shuffle
+    arrival order is nondeterministic) — reviewed-bug regression."""
+    rng = np.random.default_rng(9)
+    n = 3000
+    pdf = pd.DataFrame({"a": rng.integers(0, 6, n), "x": rng.random(n)})
+    func = lambda g: float(g.x.iloc[-1] - g.x.iloc[0])  # noqa: E731  order-sensitive
+    expected = pdf.groupby("a").apply(func)
+    got = pdf.groupby("a").parallel_apply(func)
+    pd.testing.assert_series_equal(expected, got, check_dtype=False)
+
+
+def test_rolling_args_forwarded():
+    rng = np.random.default_rng(10)
+    s = pd.Series(rng.random(2000))
+    func = lambda x, p, bias=0: float(np.sum(x**p)) + bias  # noqa: E731
+    expected = s.rolling(4).apply(func, raw=True, args=(2,), kwargs={"bias": 3})
+    got = s.rolling(4).parallel_apply(func, raw=True, args=(2,), kwargs={"bias": 3})
+    pd.testing.assert_series_equal(expected, got)
+
+
+def test_axis0_mixed_dtype_falls_back():
+    rng = np.random.default_rng(11)
+    n = 1000
+    pdf = pd.DataFrame(
+        {
+            "s": ["t"] * n,
+            "b": rng.random(n),
+            "c": rng.random(n),
+            "d": rng.random(n),
+            "e": rng.random(n),
+        }
+    )
+    func = lambda col: col.iloc[0]  # noqa: E731
+    pd.testing.assert_series_equal(
+        pdf.parallel_apply(func, axis=0), pdf.apply(func, axis=0)
+    )
+
+
+def test_axis0_int_dtype_preserved_in_func():
+    """melt upcasts to float; the shim must hand func the original
+    int column, not a float cast — reviewed-bug regression."""
+    rng = np.random.default_rng(12)
+    n = 1000
+    pdf = pd.DataFrame({f"c{i}": rng.integers(0, 100, n) for i in range(6)})
+    func = lambda col: str(col.dtype)  # noqa: E731
+    # dtype probe via transform shape would break; use reduce shape with
+    # a dtype-sensitive computation instead
+    red = lambda col: float(col.max() - col.min()) if col.dtype == "int64" else -1.0  # noqa: E731
+    got = pdf.parallel_apply(red, axis=0)
+    expected = pdf.apply(red, axis=0)
+    pd.testing.assert_series_equal(got, expected, check_dtype=False)
+    assert (got >= 0).all()  # all columns saw int64
+    _ = func

@@ -114,34 +114,33 @@ def test_halo_global_rolling_matches_pandas(spark):
 
     rng = np.random.default_rng(7)
     n = 5000
-    pdf = pd.DataFrame({
-        # duplicates on purpose: ties must stay inside one bucket
-        "idx": np.sort(rng.integers(0, n // 2, n)),
-        "x": rng.random(n) * 10 - 5,
-    })
-    # make idx unique per row ordering stable for comparison: use a
-    # strictly increasing key built from position
-    pdf["idx"] = np.arange(n) + (pdf["idx"].to_numpy() * 0)  # keep dtype
+    # duplicate order values on purpose: the range partitioner must keep
+    # ties in one partition. x is a FUNCTION of idx so any tie order
+    # yields identical windows — the comparison stays deterministic
+    # while tie placement is genuinely exercised.
+    idx = np.sort(rng.integers(0, n // 2, n)).astype("int64")
+    pdf = pd.DataFrame({"idx": idx, "x": np.sin(idx.astype("float64"))})
     sdf = spark.createDataFrame(pdf).repartition(8)
     func = lambda a: float(np.sum(a**2) - np.min(a))  # noqa: E731
 
     for center in (False, True):
-        expected = (
-            pdf.sort_values("idx")["x"]
-            .rolling(7, min_periods=3, center=center)
-            .apply(func, raw=True)
-            .reset_index(drop=True)
+        exp_frame = pdf.sort_values("idx", kind="mergesort").reset_index(drop=True)
+        exp_frame["r"] = (
+            exp_frame["x"].rolling(7, min_periods=3, center=center).apply(func, raw=True)
         )
-        got = (
+        got_frame = (
             parallelize(sdf, order_by="idx")
             .series("x")
             .rolling(7, min_periods=3, center=center)
             .parallel_apply(func, raw=True, output_col="r")
             .toPandas()
-            .sort_values("idx")
-            .reset_index(drop=True)["r"]
         )
-        pd.testing.assert_series_equal(got, expected, check_names=False)
+        # rows inside a tie group receive the same MULTISET of window
+        # results in either engine, but tie order is unspecified — align
+        # by (idx, r) before comparing
+        exp = exp_frame.sort_values(["idx", "r"]).reset_index(drop=True)["r"]
+        got = got_frame.sort_values(["idx", "r"]).reset_index(drop=True)["r"]
+        pd.testing.assert_series_equal(got, exp, check_names=False)
 
 
 def test_halo_rolling_is_multi_task(spark):
@@ -170,3 +169,31 @@ def test_halo_rolling_is_multi_task(spark):
     assert "rangepartitioning" in plan.lower()
     # no single-partition ordered Window evaluating the UDF
     assert "Window" not in plan
+
+
+def test_halo_rolling_null_int_passthrough(spark):
+    """Edge rows round-trip through pandas in the driver fixup; a
+    null-bearing int passthrough column must survive (toPandas turns it
+    float64+NaN) — reviewed-bug regression."""
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark import parallelize
+
+    n = 4000
+    pdf = pd.DataFrame({
+        "idx": np.arange(n, dtype="int64"),
+        "x": np.random.default_rng(1).random(n),
+        "tag": pd.array([None if i % 7 == 0 else i for i in range(n)], dtype="Int64"),
+    })
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    out = (
+        parallelize(sdf, order_by="idx").series("x").rolling(5)
+        .parallel_apply(lambda a: float(a.mean()), raw=True, output_col="r")
+        .toPandas().sort_values("idx").reset_index(drop=True)
+    )
+    assert len(out) == n
+    # nulls exactly where they started; non-null values intact as ints
+    assert out.tag.isna().equals(pdf.tag.isna().astype(bool))
+    mask = pdf.tag.notna()
+    assert (out.tag[mask].astype("int64") == pdf.tag[mask].astype("int64")).all()
