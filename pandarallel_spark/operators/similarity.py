@@ -203,36 +203,48 @@ def lsh_bucketed_topk(
         dim = len(corpus.select(vec_col).first()[0])
     planes_mat = plane_ints(planes, dim, seed)
 
-    def signature(vec: Column) -> Column:
-        qv = quantize(vec)
+    def _q(col_sql: str, i: int) -> str:
+        return (
+            f"CAST(round(CAST(element_at({col_sql}, {i + 1}) AS DOUBLE)*{QUANT}) AS BIGINT)"
+        )
+
+    def signature(vec_sql: str) -> Column:
+        # one F.expr per signature, built as a SQL string: unrolled
+        # per-element arithmetic stays inside whole-stage codegen
+        # (aggregate/zip_with HOFs are interpreted — see dedup.py), and
+        # a single parsed string avoids the thousands of py4j calls that
+        # building planes×dim Column objects costs (~10 s of DRIVER time
+        # at 6×64 before any job starts).
         bits = []
         for p in range(planes):
-            r = F.array(*[F.lit(planes_mat[p][i]).cast("bigint") for i in range(dim)])
-            proj = F.aggregate(
-                F.zip_with(qv, r, lambda x, y: x * y),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
+            proj = " + ".join(
+                f"{_q(vec_sql, i)}*({planes_mat[p][i]}L)" for i in range(dim)
             )
-            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for bcol in bits[1:]:
-            out = out + bcol
-        return out.cast("bigint")
+            bits.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
+        return F.expr("CAST(" + " + ".join(bits) + " AS BIGINT)")
 
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        quantize(F.col(vec_col)).alias("__qv__"),
-        signature(F.col(vec_col)).alias("__sig__"),
+        F.col(vec_col).alias("__qvec__"),
+        signature(vec_col).alias("__sig__"),
     )
     c = corpus.select(
         F.col(id_col).alias("c_id"),
-        quantize(F.col(vec_col)).alias("__cv__"),
-        signature(F.col(vec_col)).alias("__sig__"),
+        F.col(vec_col).alias("__cvec__"),
+        signature(vec_col).alias("__sig__"),
     )
+
+    # unrolled quantized dot product on the raw vector columns, same
+    # single-expr-string form (the HOF dot_q is interpreted; a Column-op
+    # loop costs py4j round trips per term)
+    score = F.expr(
+        " + ".join(f"{_q('__qvec__', i)}*{_q('__cvec__', i)}" for i in range(dim))
+    )
+
     scored = (
         F.broadcast(q)
         .join(c, "__sig__")
-        .select("q_id", "c_id", dot_q(F.col("__qv__"), F.col("__cv__")).alias("score"))
+        .select("q_id", "c_id", score.alias("score"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
