@@ -337,6 +337,37 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
     return packed
 
 
+def _simhash_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __sh__ bigint) SimHash signatures via explode + ONE wide
+    codegen'd aggregate (64 SUM(CASE...) vote columns, map-side partial)
+    — the per-row ``simhash()`` expression form uses 64 interpreted
+    ``F.aggregate`` walks and costs ~11 s of fixed plan/compile time.
+    Aggregate expressions are built as SQL strings: 64 Column-object
+    trees would cost thousands of py4j round trips (see similarity.py).
+    Docs with no tokens produce no signature (vs. the expression form's
+    all-zero hash, which would spuriously pair every empty doc)."""
+    tok = df.select(
+        F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("__t__")
+    )
+    votes = [
+        F.expr(
+            f"SUM(CASE WHEN (shiftright(xxhash64(__t__), {b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END)"
+        ).alias(f"__v{b}__")
+        for b in range(64)
+    ]
+    packed_terms = [
+        f"(CASE WHEN __v{b}__ > 0 THEN {(1 << b) if b < 63 else -(1 << 63)}L "
+        f"ELSE 0L END)"
+        for b in range(64)
+    ]
+    return (
+        tok.groupBy("__id__")
+        .agg(*votes)
+        .select("__id__", F.expr(" + ".join(packed_terms)).alias("__sh__"))
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -355,7 +386,7 @@ def simhash_pairs(
     """
     width = 64 // chunks
     mask = (1 << width) - 1
-    sh = df.select(F.col(id_col).alias("__id__"), simhash(text_col).alias("__sh__"))
+    sh = _simhash_agg(df, id_col, text_col)
     chunk_structs = F.array(*[
         F.struct(
             F.lit(c).alias("c"),
