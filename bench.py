@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk_numpy",
     "similarity_lsh_bucketed",
+    "similarity_ivf_topk",
     "join_revenue_per_nation",
     "events_tumbling_hour",
     "events_sliding_hour_15m",

@@ -180,6 +180,117 @@ def cosine_pairs_q(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: partition the corpus into inverted
+    lists by nearest centroid, probe only the query's ``nprobe`` closest
+    lists, exact-rerank inside them.
+
+    Centroids here are the first ``n_centroids`` corpus vectors by id —
+    deterministic (so the DuckDB oracle reproduces the exact candidate
+    set); a production index would run k-means|| (`pyspark.ml.clustering
+    .KMeans`) over a sample and persist ``(centroid_id, vec)`` as a
+    bucketed table, but the query-time plan is identical.
+
+    Scale shape: assignment is a pure projection over the corpus scan
+    (no shuffle — each row scores ``n_centroids`` literal vectors inside
+    whole-stage codegen and takes an argmax); the probe table is
+    queries×nprobe rows, broadcast; the only shuffle is the final top-k
+    window over candidates (corpus/n_centroids × nprobe × queries rows),
+    never the corpus. At 100 TB the assignment would be precomputed once
+    at ingest and the probe join prunes by partition.
+
+    All scores are the exact int64 quantized dot product (see module
+    docstring) → bit-identical across engines. Ties: centroid assignment
+    → smaller centroid id; top-k → smaller candidate id.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    # (n_centroids, dim) int64; rows already in ascending centroid-id
+    # order, so np.argmax's first-occurrence tie-break = smallest id
+    c_mat = np.round(
+        np.array([list(r[vec_col]) for r in cent_rows], dtype="float64") * QUANT
+    ).astype("int64")
+    cent_ids = np.array([r[id_col] for r in cent_rows], dtype="int64")
+
+    # corpus → inverted-list id: one Arrow-batched int64 matmul per batch
+    # (batch × n_centroids) + argmax — a pure corpus scan, no shuffle.
+    # A 1024-term unrolled codegen expression was tried first: 9 MiB task
+    # binaries and ~20 s of Janino; the vectorized matmul is the honest
+    # form of this projection at any scale.
+    vec_type = dict(corpus.dtypes)[vec_col]
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b = np.round(
+                np.stack(pdf[vec_col].apply(np.asarray).to_numpy()).astype("float64")
+                * QUANT
+            ).astype("int64")
+            idx = np.argmax(b @ c_mat.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "c_id": pdf[id_col].to_numpy(),
+                    "__cvec__": pdf[vec_col],
+                    "__cid__": cent_ids[idx],
+                }
+            )
+
+    from pandarallel_spark.operators.apply import _widen
+
+    c = _widen(corpus.select(id_col, vec_col)).mapInPandas(
+        assign_batches, f"c_id bigint, __cvec__ {vec_type}, __cid__ bigint"
+    )
+
+    # queries → nprobe nearest lists, scored on the driver (queries are
+    # small by contract) and broadcast as (q_id, qvec, cid) probe rows
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_mat = np.round(
+        np.stack(qpdf[vec_col].apply(np.asarray).to_numpy()).astype("float64") * QUANT
+    ).astype("int64")
+    qs = q_mat @ c_mat.T  # (nq, n_centroids)
+    order = np.argsort(-qs, axis=1, kind="stable")[:, :nprobe]  # ties → smaller cid
+    probes = queries.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {
+                "q_id": np.repeat(qpdf[id_col].to_numpy(), order.shape[1]),
+                "__qvec__": [
+                    qpdf[vec_col].iloc[i]
+                    for i in range(len(qpdf))
+                    for _ in range(order.shape[1])
+                ],
+                "__cid__": cent_ids[order.ravel()],
+            }
+        ),
+        schema=f"q_id bigint, __qvec__ {vec_type}, __cid__ bigint",
+    )
+
+    # exact rerank inside probed lists: unrolled single-expr-string dot
+    # (64 terms — stays in whole-stage codegen; HOFs are interpreted)
+    score = F.expr(
+        " + ".join(f"{_qel_sql('__qvec__', i)}*{_qel_sql('__cvec__', i)}" for i in range(dim))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, "__cid__")
+        .select("q_id", "c_id", score.alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 PLANE_QUANT = 1_000_000
 
 

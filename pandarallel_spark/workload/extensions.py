@@ -217,6 +217,53 @@ def similarity_topk_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", "score", F.col("rank").cast("bigint").alias("rank"))
 
 
+_QL = "[CAST(round(CAST(e AS DOUBLE)*10000) AS BIGINT) FOR e IN embedding]"
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, {_QL} AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+v AS (SELECT vec_id, {_QL} AS qv FROM embeddings),
+cscore AS (
+  SELECT v.vec_id, c.cid,
+    CAST(list_sum([v.qv[i]*c.cv[i] FOR i IN range(1, len(v.qv)+1)]) AS BIGINT) AS s
+  FROM v, cent c),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM cscore) WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS q_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM cscore WHERE vec_id < 10) WHERE rn <= 4),
+scored AS (
+  SELECT p.q_id, a.vec_id AS c_id,
+    CAST(list_sum([q.qv[i]*c.qv[i] FOR i IN range(1, len(q.qv)+1)]) AS BIGINT) AS score
+  FROM probe p JOIN assign a USING (cid)
+  JOIN v q ON q.vec_id = p.q_id JOIN v c ON c.vec_id = a.vec_id)
+SELECT q_id, c_id, score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register(
+    "similarity_ivf_topk",
+    _IVF_ORACLE,
+    "IVF-Flat ANN top-5: corpus assigned to 16 inverted lists by nearest "
+    "centroid (pure projection, no shuffle), queries probe their 4 "
+    "closest lists, exact int64 rerank inside. Candidate work drops "
+    "n_centroids/nprobe-fold vs brute force; assignment would be "
+    "precomputed at ingest at scale.",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = _sim.ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, nprobe=4
+    )
+    return out.select("q_id", "c_id", "score", F.col("rank").cast("bigint").alias("rank"))
+
+
 _COS_PAIRS_ORACLE = """
 WITH v AS (SELECT vec_id, [CAST(round(CAST(e AS DOUBLE)*10000) AS BIGINT) FOR e IN embedding] AS qv
            FROM embeddings),
