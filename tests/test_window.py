@@ -197,3 +197,70 @@ def test_halo_rolling_null_int_passthrough(spark):
     assert out.tag.isna().equals(pdf.tag.isna().astype(bool))
     mask = pdf.tag.notna()
     assert (out.tag[mask].astype("int64") == pdf.tag[mask].astype("int64")).all()
+
+
+def test_vectorized_rolling_exactness_matrix():
+    """The strided fast path (operators/window.py:_vectorized_rolling)
+    must (a) bit-match pandas for elementwise +,-,*,/ UDFs, (b) reject
+    reductions/conditionals/math.* (shape/truth/type failures), and
+    (c) stay within 1 ulp of the scalar loop for pow-style UDFs, which
+    the ``vectorize=False`` escape hatch then makes bit-exact."""
+    import math
+
+    from pandarallel_spark.operators.window import (
+        _rolling_series,
+        _vectorized_rolling,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.random(500)
+    nanned = vals.copy()
+    nanned[::13] = np.nan
+
+    lin = lambda x: x[0] + 2 * x[1] - x[2] / 3  # noqa: E731
+    powf = lambda x: x[0] + x[1] ** 2 + x[2] ** 3  # noqa: E731
+
+    for data in (vals, nanned):
+        for w, mp, center in [(3, 3, False), (3, 3, True), (5, 5, False)]:
+            s = pd.Series(data)
+            exp = s.rolling(w, min_periods=mp, center=center).apply(lin, raw=True)
+            got = _rolling_series(s, w, mp, center, lin, raw=True)
+            assert exp.equals(got), (w, mp, center)
+
+    # rejections: wrong shape / array truth value / TypeError
+    assert _vectorized_rolling(vals, 3, 3, False, lambda x: np.sum(x)) is None
+    assert _vectorized_rolling(vals, 3, 3, False, lambda x: math.sin(x[0])) is None
+    assert (
+        _vectorized_rolling(vals, 3, 3, False, lambda x: x[0] if x[1] > 0 else 0.0)
+        is None
+    )
+
+    s = pd.Series(vals)
+    exp = s.rolling(3).apply(powf, raw=True)
+    fast = _rolling_series(s, 3, 3, False, powf, raw=True)
+    strict = _rolling_series(s, 3, 3, False, powf, raw=True, vectorize=False)
+    assert exp.equals(strict)  # escape hatch is bit-exact
+    np.testing.assert_allclose(fast.to_numpy(), exp.to_numpy(), rtol=1e-14)
+
+
+def test_halo_rolling_vectorize_false_bit_exact(spark):
+    """vectorize=False through the full halo plan reproduces pandas bits
+    even for pow UDFs (the compat shim's configuration)."""
+    n = 20_000
+    pdf = pd.DataFrame(
+        {"idx": np.arange(n, dtype="int64"), "x": np.random.default_rng(3).random(n)}
+    )
+    powf = lambda x: x[0] + x[1] ** 2 + x[2] ** 3 + x[3] ** 4  # noqa: E731
+    exp = pdf.x.rolling(4).apply(powf, raw=True)
+    got = (
+        parallelize(spark.createDataFrame(pdf).repartition(8), order_by="idx")
+        .series("x")
+        .rolling(4)
+        .parallel_apply(powf, raw=True, output_col="r", vectorize=False)
+        .toPandas()
+        .sort_values("idx", ignore_index=True)
+    )
+    g = got["r"].to_numpy()
+    e = exp.to_numpy()
+    assert np.array_equal(g[3:], e[3:])
+    assert np.isnan(g[:3]).all()
