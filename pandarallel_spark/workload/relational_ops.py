@@ -281,3 +281,28 @@ def set_ops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             y96.exceptAll(y95).select("o_custkey", F.lit("only_1996").alias("cohort"))
         )
     )
+
+
+@register(
+    "percentiles_price_per_flag",
+    """
+SELECT l_returnflag,
+  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) AS p50_cents,
+  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.9) AS p90_cents,
+  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.99) AS p99_cents
+FROM lineitem GROUP BY l_returnflag
+""",
+    "Exact interpolated percentiles (p50/p90/p99) of price per return "
+    "flag — SQL percentile over integer cents (linear interpolation is "
+    "bit-identical across engines). At 100 TB you'd swap in "
+    "approx_percentile's mergeable sketch; the exact form is the "
+    "correctness anchor.",
+)
+def percentiles_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(cents, 0.5).alias("p50_cents"),
+        F.percentile(cents, 0.9).alias("p90_cents"),
+        F.percentile(cents, 0.99).alias("p99_cents"),
+    )

@@ -71,3 +71,35 @@ def test_sliding_window_single_shuffle(spark, sf_dir):
     # explain mentions each node twice: tree + detail section)
     assert plan.count("Exchange") <= 2
     assert plan.count("HashAggregate") >= 4  # partial + final
+
+
+def test_ivf_broadcast_probes_no_corpus_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "similarity_ivf_topk")
+    # probe table broadcast into the candidate join; the corpus never
+    # hash-shuffles (only the final per-query top-k window exchanges
+    # candidate rows)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_are_semi_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "semi_anti_customers_per_nation")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # orders scan pruned to the join key only
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    assert "o_totalprice" not in plan.split("orders", 1)[1][:600]
+
+
+def test_cube_is_single_expand_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cube_order_status_priority")
+    # grouping sets expand map-side; no self-union of scans (formatted
+    # explain mentions the single scan node twice: tree + detail)
+    assert plan.count("Scan parquet") <= 2
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_lead_lag_single_window_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "lead_lag_order_gaps")
+    assert plan.count("Exchange") <= 2
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
