@@ -1,0 +1,116 @@
+"""Deterministic sampling, splitting, and sequence packing — the
+selection ops a training-data pipeline runs after dedup/quality
+filtering (SURVEY.md §2.3 family; the reference has no sampling surface
+at all — pandas users reach for ``df.sample``, which is neither
+reproducible across engines nor stable under repartitioning).
+
+Everything here is **content-hash deterministic**: assignment depends
+only on the row's id (plus an explicit seed), never on partitioning,
+task order, or cluster size — so a 100 TB rerun, a local[32] test, and
+the DuckDB oracle all agree bit-for-bit. The hash is the first 8 hex
+chars of md5, parsed as an integer: md5 is available and identical in
+every engine (Spark ``conv(substring(md5(x),1,8),16,10)`` ==
+DuckDB ``CAST('0x'||substr(md5(x),1,8) AS BIGINT)``).
+
+Scale shapes:
+- ``hash_split`` — pure projection, no shuffle: split assignment rides
+  the scan.
+- ``sample_per_group`` — one shuffle on the group key (ranking window).
+- ``pack_sequences`` — one shuffle on the shard key; packing is a
+  running-sum window *within* shards, so parallelism = shard count.
+  (A global pack order would be a single-task total order — the same
+  trap as global rolling; sharding is the documented contract.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_BUCKETS = 1_000_000
+
+
+def md5_bucket(col: Column | str, buckets: int, seed: int = 42) -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of (value, seed).
+
+    First 8 hex chars → 32-bit int → pmod. Uniform to ~2^-32; identical
+    in Spark and ANSI SQL engines (no xxhash64 dependency, which DuckDB
+    lacks)."""
+    key = F.concat(F.col(col).cast("string") if isinstance(col, str) else col.cast("string"),
+                   F.lit(f":{seed}"))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split ('train'/'val'/'test'/...) by
+    hash bucket, proportionally to ``weights`` (normalized). A pure
+    projection — no shuffle, no sampling pass, stable under reruns and
+    appends (a row's split never changes when other rows come and go,
+    unlike ``randomSplit``)."""
+    total = sum(weights.values())
+    b = md5_bucket(id_col, _HASH_BUCKETS, seed)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cut = int(round(acc * _HASH_BUCKETS))
+        clause = F.when(b < cut, F.lit(name))
+        expr = clause if expr is None else expr.when(b < cut, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def sample_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    n: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic n-per-group sample: rank rows inside each group by
+    (md5 bucket of id, id) and keep the first n. One shuffle on the
+    group key; reproducible across cluster sizes (vs ``sampleBy``'s
+    per-partition Bernoulli draws)."""
+    w = Window.partitionBy(*keys).orderBy(
+        md5_bucket(id_col, _HASH_BUCKETS, seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__rn__")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    shard_by: Sequence[str],
+    order_by: str,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Contiguous greedy sequence packing: within each shard, walk rows
+    in ``order_by`` order accumulating token counts; a row's pack is
+    ``floor(exclusive_prefix_sum / capacity)`` — the deterministic
+    streaming packer (documents may straddle a boundary; true bin
+    packing is NP-hard and order-dependent, this is the standard
+    LLM-pretraining compromise). One shuffle on the shard key; the
+    running sum is a JVM window, no Python."""
+    w = (
+        Window.partitionBy(*shard_by)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")
+    return df.withColumn(pack_col, F.floor(prefix / F.lit(capacity)).cast("bigint"))

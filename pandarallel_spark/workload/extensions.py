@@ -538,3 +538,89 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.size(ws).cast("bigint"), F.lit(0))
         ).alias("bpe_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splitting / packing (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_B = 1_000_000
+_H = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),1,8)) AS BIGINT) % {b}"
+
+
+@register(
+    "split_train_val_test",
+    f"""
+SELECT doc_id,
+  CASE WHEN ({_H.format(b=_B)}) < {int(0.8*_B)} THEN 'train'
+       WHEN ({_H.format(b=_B)}) < {int(0.9*_B)} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""",
+    "Deterministic 80/10/10 train/val/test split by md5 hash bucket — a "
+    "pure projection (no shuffle, no sampling pass); a row's split is "
+    "stable under reruns, appends, and cluster resizing, unlike "
+    "randomSplit's per-partition draws.",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@register(
+    "sample_3_docs_per_source",
+    f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY {_H.format(b=_B)}, doc_id) AS rn
+  FROM documents) WHERE rn <= 3
+""",
+    "Deterministic 3-docs-per-source sample: rank by hash-of-id inside "
+    "each group, keep the first 3 — one shuffle, reproducible across "
+    "engines and cluster sizes (vs sampleBy's Bernoulli draws).",
+)
+def sample_3_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.sampling import sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_per_group(docs, ["source"], 3, "doc_id")
+
+
+@register(
+    "pack_documents_2048",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_DOC_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(floor(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+      AS BIGINT) AS pack_id
+  FROM t)
+SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+FROM p GROUP BY lang, pack_id
+""",
+    "Sequence packing for LLM pretraining: greedy contiguous 2048-token "
+    "packs per language shard — exclusive-prefix-sum window (JVM, one "
+    "shuffle on the shard key; parallelism = shard count, never a "
+    "global total order).",
+)
+def pack_documents_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.sampling import pack_sequences
+    from pandarallel_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, "n_tokens", 2048, shard_by=["lang"], order_by="doc_id"
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
