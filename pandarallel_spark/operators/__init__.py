@@ -8,7 +8,10 @@ or a north-star extension (§2.3) onto Spark primitives:
 - ``window``     — rolling / expanding, global and grouped
 - ``groupby``    — DataFrameGroupBy.parallel_apply
 - ``dedup``      — exact / MinHash-LSH / SimHash / n-gram Jaccard dedup
-- ``similarity`` — embedding cosine top-k (brute force + LSH-bucketed)
+- ``similarity`` — embedding cosine top-k (brute force, LSH-bucketed, IVF-Flat)
 - ``text``       — language id, quality scoring, token counts, fingerprints
 - ``multimodal`` — binary media columns: schema + batch plumbing (decode stubbed)
+- ``join``       — as-of and range joins
+- ``relational`` — top-k per group, skew-safe distinct, rollup, set ops
+- ``sampling``   — deterministic hash split / per-group sample / sequence packing
 """

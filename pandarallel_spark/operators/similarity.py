@@ -327,45 +327,66 @@ def lsh_bucketed_topk(
     with p planes, expected bucket size = corpus/2^p, so candidate work
     drops 2^p-fold. Recall is approximate (no multi-probe here);
     tunable via ``planes``/``seed``.
+
+    The corpus signature is one Arrow-batched int64 matmul per batch
+    (batch × planes) — a pure scan projection, like IVF assignment. (A
+    fully-unrolled planes×dim codegen expression was tried first: the
+    ~10k-node tree cost ~2 s of Catalyst/Janino per action and ~5 s
+    cold, for work the matmul does in microseconds.) The exact rerank
+    dot stays a single unrolled JVM expression — at 64 terms it's
+    codegen-friendly and keeps the scored join Python-free.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes_mat = plane_ints(planes, dim, seed)
+    p_mat = np.asarray(plane_ints(planes, dim, seed), dtype="int64")  # (planes, dim)
+    pw2 = (1 << np.arange(planes)).astype("int64")
+
+    def _np_sig(mat: np.ndarray) -> np.ndarray:
+        qv = np.round(mat.astype("float64") * QUANT).astype("int64")
+        return ((qv @ p_mat.T) >= 0) @ pw2
+
+    vec_type = dict(corpus.dtypes)[vec_col]
+
+    def sign_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].apply(np.asarray).to_numpy())
+            yield pd.DataFrame(
+                {
+                    "c_id": pdf[id_col].to_numpy(),
+                    "__cvec__": pdf[vec_col],
+                    "__sig__": _np_sig(mat),
+                }
+            )
+
+    from pandarallel_spark.operators.apply import _widen
+
+    c = _widen(corpus.select(id_col, vec_col)).mapInPandas(
+        sign_batches, f"c_id bigint, __cvec__ {vec_type}, __sig__ bigint"
+    )
+
+    # queries are small by contract: signatures on the driver
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_sig = _np_sig(np.stack(qpdf[vec_col].apply(np.asarray).to_numpy()))
+    q = queries.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {
+                "q_id": qpdf[id_col].to_numpy(),
+                "__qvec__": qpdf[vec_col],
+                "__sig__": q_sig,
+            }
+        ),
+        schema=f"q_id bigint, __qvec__ {vec_type}, __sig__ bigint",
+    )
 
     def _q(col_sql: str, i: int) -> str:
         return (
             f"CAST(round(CAST(element_at({col_sql}, {i + 1}) AS DOUBLE)*{QUANT}) AS BIGINT)"
         )
 
-    def signature(vec_sql: str) -> Column:
-        # one F.expr per signature, built as a SQL string: unrolled
-        # per-element arithmetic stays inside whole-stage codegen
-        # (aggregate/zip_with HOFs are interpreted — see dedup.py), and
-        # a single parsed string avoids the thousands of py4j calls that
-        # building planes×dim Column objects costs (~10 s of DRIVER time
-        # at 6×64 before any job starts).
-        bits = []
-        for p in range(planes):
-            proj = " + ".join(
-                f"{_q(vec_sql, i)}*({planes_mat[p][i]}L)" for i in range(dim)
-            )
-            bits.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
-        return F.expr("CAST(" + " + ".join(bits) + " AS BIGINT)")
-
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("__qvec__"),
-        signature(vec_col).alias("__sig__"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("__cvec__"),
-        signature(vec_col).alias("__sig__"),
-    )
-
-    # unrolled quantized dot product on the raw vector columns, same
-    # single-expr-string form (the HOF dot_q is interpreted; a Column-op
-    # loop costs py4j round trips per term)
+    # unrolled quantized dot product on the raw vector columns (the HOF
+    # dot_q is interpreted; a Column-op loop costs py4j round trips)
     score = F.expr(
         " + ".join(f"{_q('__qvec__', i)}*{_q('__cvec__', i)}" for i in range(dim))
     )

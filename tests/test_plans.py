@@ -51,11 +51,20 @@ def test_grouped_rolling_single_shuffle(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
 
 
-def test_lsh_and_minhash_stay_jvm_side(spark, sf_dir):
-    for q in ("similarity_lsh_bucketed", "dedup_minhash_lsh"):
-        plan = _plan(spark, sf_dir, q)
-        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
-        assert "MapInPandas" not in plan, q
+def test_minhash_stays_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_lsh_no_row_at_a_time_python(spark, sf_dir):
+    # signatures ride one Arrow-batched matmul (MapInPandas is the
+    # intended scale shape, like IVF assignment); the scored join and
+    # rerank stay JVM-side — no per-row Python anywhere
+    plan = _plan(spark, sf_dir, "similarity_lsh_bucketed")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") <= 2  # tree + detail of the one pass
+    assert "BroadcastHashJoin" in plan
 
 
 def test_bpe_tokens_pruned_scan_no_python(spark, sf_dir):

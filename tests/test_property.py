@@ -113,3 +113,64 @@ def test_degenerate_sizes(spark, n):
         .toPandas()
     )
     assert len(out) == n
+
+
+def test_hash_split_invariant_under_partitioning(spark):
+    """A row's split assignment must depend only on its id — identical
+    across partition counts, row order, and subsetting (the property
+    randomSplit lacks)."""
+    from pandarallel_spark.operators.sampling import hash_split
+
+    pdf = pd.DataFrame({"id": np.arange(5000, dtype="int64")})
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def assign(df):
+        out = hash_split(df, "id", w).toPandas()
+        return out.sort_values("id", ignore_index=True)
+
+    base = assign(spark.createDataFrame(pdf))
+    re32 = assign(spark.createDataFrame(pdf).repartition(32))
+    re1 = assign(spark.createDataFrame(pdf.sample(frac=1.0, random_state=0)).coalesce(1))
+    pd.testing.assert_frame_equal(base, re32)
+    pd.testing.assert_frame_equal(base, re1)
+
+    # subsetting doesn't move surviving rows between splits
+    sub = assign(spark.createDataFrame(pdf[pdf["id"] % 3 == 0]))
+    merged = base.merge(sub, on="id", suffixes=("_full", "_sub"))
+    assert (merged["split_full"] == merged["split_sub"]).all()
+
+    # fractions roughly honored (md5 uniformity)
+    frac = base["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+
+
+def test_pack_sequences_greedy_contiguous(spark):
+    """Within each shard: pack ids are nondecreasing in walk order,
+    every pack but the last is filled past capacity only by its final
+    (straddling) row, and the exclusive-prefix-sum definition holds."""
+    from pandarallel_spark.operators.sampling import pack_sequences
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(3000, dtype="int64"),
+            "shard": rng.integers(0, 4, 3000),
+            "toks": rng.integers(1, 400, 3000).astype("int64"),
+        }
+    )
+    cap = 2048
+    got = (
+        pack_sequences(
+            spark.createDataFrame(pdf).repartition(16),
+            "toks", cap, shard_by=["shard"], order_by="id",
+        )
+        .toPandas()
+        .sort_values(["shard", "id"], ignore_index=True)
+    )
+    for shard, g in got.groupby("shard"):
+        prefix = g["toks"].cumsum().shift(fill_value=0).to_numpy()
+        expect = prefix // cap
+        assert (g["pack_id"].to_numpy() == expect).all()
+        assert (np.diff(g["pack_id"].to_numpy()) >= 0).all()
