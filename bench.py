@@ -235,8 +235,15 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] or sorted(qs)
     spark = get_spark("pandarallel_spark_bench")
 
-    # warm-up: session + parquet footer reads
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # warm-up: session + parquet footer reads + Python worker pool +
+    # Arrow serializer paths (BASELINE.md excludes fixed startup
+    # overhead; without this the first Python-UDF query pays ~1-2 s of
+    # worker fork/import that no steady-state run would see)
+    warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    warm.count()
+    warm.limit(32 * 64).repartition(32).mapInPandas(
+        lambda it: it, warm.schema
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:
