@@ -93,9 +93,13 @@ def _pandas_ratios(spark) -> dict[str, float]:
         return best
 
     def measure(name, pandas_call, build, warm_build=None):
-        t0 = time.perf_counter()
-        pandas_call()
-        t_pandas = time.perf_counter() - t0
+        # min-of-2 on BOTH sides — taking Spark's favorable noise tail
+        # against a single pandas draw would bias every ratio upward
+        t_pandas = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pandas_call()
+            t_pandas = min(t_pandas, time.perf_counter() - t0)
         ratios[name] = round(t_pandas / run_spark(build, warm_build), 2)
 
     # 1. df.parallel_apply(axis=1): sin(a²)+sin(b²) — notebook cells 4-7

@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 QUANT = 10000
 
 
+def _np_quant(mat: np.ndarray) -> np.ndarray:
+    """Quantize float vectors to int64 exactly like SQL ``round``:
+    half-AWAY-from-zero. ``np.round`` is half-to-even and would disagree
+    with the DuckDB oracles (and the JVM rerank expressions) on values
+    landing exactly on .5 — a flipped low bit there can move a vector to
+    a different LSH bucket or IVF list than the oracle computes."""
+    x = mat.astype("float64") * QUANT
+    return np.trunc(x + np.copysign(0.5, x)).astype("int64")
+
+
 def quantize(col: Column) -> Column:
     """array<float> → array<bigint> at 1e-4 resolution."""
     return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("bigint"))
@@ -86,20 +96,23 @@ def topk_numpy(
     global top-k window. Same output contract as ``topk_expr`` (exact
     integer scores → identical results)."""
     qpdf = spark_queries.select(id_col, vec_col).toPandas()
+    if qpdf.empty:
+        return spark_queries.sparkSession.createDataFrame(
+            [], "q_id bigint, c_id bigint, score bigint, rank integer"
+        )
     q_ids = qpdf[id_col].to_numpy()
-    q_mat = np.round(
-        np.stack(qpdf[vec_col].apply(np.asarray).to_numpy()).astype("float64") * QUANT
-    ).astype("int64")  # (nq, dim)
+    q_mat = _np_quant(
+        np.stack(qpdf[vec_col].apply(np.asarray).to_numpy())
+    )  # (nq, dim)
 
     def score_batches(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             c_ids = pdf[id_col].to_numpy()
-            c_mat = np.round(
-                np.stack(pdf[vec_col].apply(np.asarray).to_numpy()).astype("float64")
-                * QUANT
-            ).astype("int64")
+            c_mat = _np_quant(
+                np.stack(pdf[vec_col].apply(np.asarray).to_numpy())
+            )
             scores = q_mat @ c_mat.T  # (nq, nbatch) exact int64
             n_keep = min(k, scores.shape[1])
             # per-batch top-k per query: sort by (-score, c_id)
@@ -201,8 +214,8 @@ def ivf_topk(
     bucketed table, but the query-time plan is identical.
 
     Scale shape: assignment is a pure projection over the corpus scan
-    (no shuffle — each row scores ``n_centroids`` literal vectors inside
-    whole-stage codegen and takes an argmax); the probe table is
+    (no shuffle — one Arrow-batched int64 matmul against the centroid
+    matrix, then an argmax); the probe table is
     queries×nprobe rows, broadcast; the only shuffle is the final top-k
     window over candidates (corpus/n_centroids × nprobe × queries rows),
     never the corpus. At 100 TB the assignment would be precomputed once
@@ -213,15 +226,18 @@ def ivf_topk(
     → smaller centroid id; top-k → smaller candidate id.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        first = corpus.select(vec_col).first()
+        if first is None:
+            raise ValueError("ivf_topk: corpus is empty (pass dim= to skip inference)")
+        dim = len(first[0])
     cent_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
+    if not cent_rows:
+        raise ValueError("ivf_topk: corpus is empty")
     # (n_centroids, dim) int64; rows already in ascending centroid-id
     # order, so np.argmax's first-occurrence tie-break = smallest id
-    c_mat = np.round(
-        np.array([list(r[vec_col]) for r in cent_rows], dtype="float64") * QUANT
-    ).astype("int64")
+    c_mat = _np_quant(np.array([list(r[vec_col]) for r in cent_rows]))
     cent_ids = np.array([r[id_col] for r in cent_rows], dtype="int64")
 
     # corpus → inverted-list id: one Arrow-batched int64 matmul per batch
@@ -235,10 +251,7 @@ def ivf_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
-            b = np.round(
-                np.stack(pdf[vec_col].apply(np.asarray).to_numpy()).astype("float64")
-                * QUANT
-            ).astype("int64")
+            b = _np_quant(np.stack(pdf[vec_col].apply(np.asarray).to_numpy()))
             idx = np.argmax(b @ c_mat.T, axis=1)
             yield pd.DataFrame(
                 {
@@ -257,9 +270,11 @@ def ivf_topk(
     # queries → nprobe nearest lists, scored on the driver (queries are
     # small by contract) and broadcast as (q_id, qvec, cid) probe rows
     qpdf = queries.select(id_col, vec_col).toPandas()
-    q_mat = np.round(
-        np.stack(qpdf[vec_col].apply(np.asarray).to_numpy()).astype("float64") * QUANT
-    ).astype("int64")
+    if qpdf.empty:
+        return queries.sparkSession.createDataFrame(
+            [], "q_id bigint, c_id bigint, score bigint, rank integer"
+        )
+    q_mat = _np_quant(np.stack(qpdf[vec_col].apply(np.asarray).to_numpy()))
     qs = q_mat @ c_mat.T  # (nq, n_centroids)
     order = np.argsort(-qs, axis=1, kind="stable")[:, :nprobe]  # ties → smaller cid
     probes = queries.sparkSession.createDataFrame(
@@ -337,13 +352,17 @@ def lsh_bucketed_topk(
     codegen-friendly and keeps the scored join Python-free.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        first = corpus.select(vec_col).first()
+        if first is None:
+            raise ValueError(
+                "lsh_bucketed_topk: corpus is empty (pass dim= to skip inference)"
+            )
+        dim = len(first[0])
     p_mat = np.asarray(plane_ints(planes, dim, seed), dtype="int64")  # (planes, dim)
     pw2 = (1 << np.arange(planes)).astype("int64")
 
     def _np_sig(mat: np.ndarray) -> np.ndarray:
-        qv = np.round(mat.astype("float64") * QUANT).astype("int64")
-        return ((qv @ p_mat.T) >= 0) @ pw2
+        return ((_np_quant(mat) @ p_mat.T) >= 0) @ pw2
 
     vec_type = dict(corpus.dtypes)[vec_col]
 
@@ -368,6 +387,10 @@ def lsh_bucketed_topk(
 
     # queries are small by contract: signatures on the driver
     qpdf = queries.select(id_col, vec_col).toPandas()
+    if qpdf.empty:
+        return queries.sparkSession.createDataFrame(
+            [], "q_id bigint, c_id bigint, score bigint, rank integer"
+        )
     q_sig = _np_sig(np.stack(qpdf[vec_col].apply(np.asarray).to_numpy()))
     q = queries.sparkSession.createDataFrame(
         pd.DataFrame(
@@ -380,15 +403,12 @@ def lsh_bucketed_topk(
         schema=f"q_id bigint, __qvec__ {vec_type}, __sig__ bigint",
     )
 
-    def _q(col_sql: str, i: int) -> str:
-        return (
-            f"CAST(round(CAST(element_at({col_sql}, {i + 1}) AS DOUBLE)*{QUANT}) AS BIGINT)"
-        )
-
     # unrolled quantized dot product on the raw vector columns (the HOF
     # dot_q is interpreted; a Column-op loop costs py4j round trips)
     score = F.expr(
-        " + ".join(f"{_q('__qvec__', i)}*{_q('__cvec__', i)}" for i in range(dim))
+        " + ".join(
+            f"{_qel_sql('__qvec__', i)}*{_qel_sql('__cvec__', i)}" for i in range(dim)
+        )
     )
 
     scored = (

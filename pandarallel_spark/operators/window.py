@@ -69,16 +69,22 @@ def _vectorized_rolling(
     lead = (window - 1) // 2 if center else 0
     sw = np.lib.stride_tricks.sliding_window_view(vals, window)
     m = sw.shape[0]
-    k = min(8, m)
+    # validation sample: spread across the array, and insist on at least
+    # one window whose scalar result is non-NaN — an all-NaN sample
+    # (e.g. input whose head is the NaN run of an upstream rolling)
+    # would vacuously "match" any shape-(m,) function
+    idxs = np.unique(np.linspace(0, m - 1, num=min(16, m), dtype="int64"))
     try:
-        scalar = np.asarray([func(sw[i].copy()) for i in range(k)], dtype="float64")
+        scalar = np.asarray([func(sw[i].copy()) for i in idxs], dtype="float64")
         vec = np.asarray(func(sw.T))
         if vec.shape != (m,):
             return None
         vecf = vec.astype("float64")
     except Exception:  # noqa: BLE001 — any failure means "not vectorizable"
         return None
-    if not np.array_equal(vecf[:k], scalar, equal_nan=True):
+    if not np.isfinite(scalar).any():
+        return None
+    if not np.array_equal(vecf[idxs], scalar, equal_nan=True):
         return None
     out = np.full(n, np.nan)
     start = window - 1 - lead

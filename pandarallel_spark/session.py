@@ -105,9 +105,6 @@ def get_spark(
         # larger buys nothing). Still bounds worker memory: batches are
         # per-column Arrow buffers, so even 1 KB-wide rows stay ~64 MB.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        # persisted intermediates (halo rolling's marked pass) are
-        # read-once scratch: columnar-compression CPU buys nothing
-        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")

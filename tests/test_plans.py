@@ -94,9 +94,15 @@ def test_ivf_broadcast_probes_no_corpus_shuffle(spark, sf_dir):
 def test_semi_anti_are_semi_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semi_anti_customers_per_nation")
     assert "LeftSemi" in plan and "LeftAnti" in plan
-    # orders scan pruned to the join key only
-    read_schema = plan.split("ReadSchema", 1)[1][:300]
-    assert "o_totalprice" not in plan.split("orders", 1)[1][:600]
+    # every orders scan is pruned to the join key only
+    orders_schemas = [
+        seg.split("ReadSchema:", 1)[1].splitlines()[0]
+        for seg in plan.split("Location:")
+        if "orders" in seg.splitlines()[0] and "ReadSchema:" in seg
+    ]
+    assert orders_schemas, "no orders scan found in plan"
+    for rs in orders_schemas:
+        assert "o_custkey" in rs and "o_totalprice" not in rs
 
 
 def test_cube_is_single_expand_aggregate(spark, sf_dir):

@@ -242,6 +242,17 @@ def test_vectorized_rolling_exactness_matrix():
     assert exp.equals(strict)  # escape hatch is bit-exact
     np.testing.assert_allclose(fast.to_numpy(), exp.to_numpy(), rtol=1e-14)
 
+    # regression: a NaN run at the head must not make the sampled check
+    # vacuous — x.mean() here is a whole-matrix reduction that a naive
+    # first-k sample (all-NaN results) would wave through
+    head_nan = vals.copy()
+    head_nan[:40] = np.nan
+    demean = lambda x: x[-1] - x.mean()  # noqa: E731
+    s2 = pd.Series(head_nan)
+    exp2 = s2.rolling(8, min_periods=8).apply(demean, raw=True)
+    got2 = _rolling_series(s2, 8, 8, False, demean, raw=True)
+    assert exp2.equals(got2)
+
 
 def test_halo_rolling_vectorize_false_bit_exact(spark):
     """vectorize=False through the full halo plan reproduces pandas bits
