@@ -119,3 +119,24 @@ def test_frame_sample_plan(spark, docs):
     plan = multimodal.frame_sample_plan(media, every_n=10).toPandas()
     assert (plan.frame_idx % 10 == 0).all()
     assert plan.media_id.nunique() == 5
+
+
+def test_prefix_filter_lossless(spark, sf_dir):
+    """PPJoin prefix filtering must return exactly the full self-join's
+    pair set at any threshold (lemma + integer prefix-length guard)."""
+    from pandarallel_spark.operators.dedup import ngram_jaccard_pairs
+    from pandarallel_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.3, 0.5, 0.7):
+        on = set(
+            map(tuple, ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=t, prefix_filter=True
+            ).collect())
+        )
+        off = set(
+            map(tuple, ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=t, prefix_filter=False
+            ).collect())
+        )
+        assert on == off, f"threshold {t}: prefix={len(on)} full={len(off)}"
