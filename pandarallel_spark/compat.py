@@ -45,6 +45,7 @@ from pyspark.sql import SparkSession
 
 _LOCAL_THRESHOLD = 64
 _SPARK: SparkSession | None = None
+_PROGRESS = False
 _IDX = "__idx__"
 _POS = "__pos__"
 _VAL = "__val__"
@@ -75,8 +76,24 @@ def _to_spark(pdf: pd.DataFrame, cols: list[str]):
     return spark.createDataFrame(ship), pdf.index.name
 
 
+def _to_pandas(sdf) -> pd.DataFrame:
+    """Single funnel for shim actions: renders StatusTracker progress
+    when ``initialize(progress_bar=True)`` asked for it (the reference's
+    per-chunk bars, reborn as per-stage task bars — progress.py)."""
+    import contextlib
+
+    if _PROGRESS and _SPARK is not None:
+        from pandarallel_spark.progress import spark_progress
+
+        ctx = spark_progress(_SPARK)
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return sdf.toPandas()
+
+
 def _collect_sorted(sdf) -> pd.DataFrame:
-    out = sdf.toPandas().sort_values(_POS, kind="mergesort").reset_index(drop=True)
+    out = _to_pandas(sdf).sort_values(_POS, kind="mergesort").reset_index(drop=True)
     return out
 
 
@@ -93,8 +110,9 @@ class _Facade:
         verbose: int = 2,
         use_memory_fs: bool | None = None,
     ) -> None:
-        global _SPARK
+        global _SPARK, _PROGRESS
         _SPARK = _get_session(nb_workers)
+        _PROGRESS = bool(progress_bar)
         if verbose >= 2:
             n = _SPARK.sparkContext.defaultParallelism
             print(f"INFO: Pandarallel (Spark engine) will run on {n} workers.")
@@ -189,7 +207,7 @@ def _col_apply(pdf: pd.DataFrame, func, args, kwargs):
             return pd.DataFrame({"__c__": [key[0]], "__r__": [float(func(s, *args, **kwargs))]})
 
         try:
-            got = sdf.groupBy("__c__").applyInPandas(per_col, out_schema).toPandas()
+            got = _to_pandas(sdf.groupBy("__c__").applyInPandas(per_col, out_schema))
         except Exception as e:  # noqa: BLE001
             _reraise_original(e)
         got = got.sort_values("__c__", key=lambda s: s.map(col_order))
@@ -214,7 +232,7 @@ def _col_apply(pdf: pd.DataFrame, func, args, kwargs):
         )
 
     try:
-        got = sdf.groupBy("__c__").applyInPandas(per_col_t, out_schema).toPandas()
+        got = _to_pandas(sdf.groupBy("__c__").applyInPandas(per_col_t, out_schema))
     except Exception as e:  # noqa: BLE001
         _reraise_original(e)
     wide = got.pivot(index=_POS, columns="__c__", values="__r__").sort_index()
@@ -324,8 +342,8 @@ def _series_rolling_parallel_apply(self, func, *args, **kwargs):
                 func, raw=raw, output_col="__r__", return_type="double",
                 vectorize=False,
             )
-            .toPandas()
         )
+        got = _to_pandas(got)
     except Exception as e:  # noqa: BLE001
         _reraise_original(e)
     got = got.sort_values(_POS, kind="mergesort")
@@ -362,11 +380,9 @@ def _groupby_parallel_apply(self, func, *args, **kwargs):
             return r
 
         try:
-            got = (
+            got = _to_pandas(
                 grouped_apply(sdf, keys, gf, schema=ddl, mode="frame")
-                .toPandas()
-                .sort_values([*keys, _POS], kind="mergesort")
-            )
+            ).sort_values([*keys, _POS], kind="mergesort")
         except Exception as e:  # noqa: BLE001
             _reraise_original(e)
         out = got.set_index(_IDX)[value_cols]
@@ -382,11 +398,9 @@ def _groupby_parallel_apply(self, func, *args, **kwargs):
         return func(g[list(pdf.columns)], *args, **kwargs)
 
     try:
-        got = (
+        got = _to_pandas(
             grouped_apply(sdf, keys, gs, schema=ddl, mode="scalar", result_name="__r__")
-            .toPandas()
-            .sort_values(keys, kind="mergesort")
-        )
+        ).sort_values(keys, kind="mergesort")
     except Exception as e:  # noqa: BLE001
         _reraise_original(e)
     if len(keys) == 1:
@@ -425,13 +439,11 @@ def _make_grouped_window_apply(kind: str):
         # see _series_rolling_parallel_apply). Expanding has no fast path.
         extra = {"vectorize": False} if kind == "rolling" else {}
         try:
-            got = (
+            got = _to_pandas(
                 wnd.parallel_apply(
                     func, raw=raw, output_col="__r__", return_type="double", **extra
                 )
-                .toPandas()
-                .sort_values([*keys, _POS], kind="mergesort")
-            )
+            ).sort_values([*keys, _POS], kind="mergesort")
         except Exception as e:  # noqa: BLE001
             _reraise_original(e)
         idx = pd.MultiIndex.from_arrays(

@@ -232,3 +232,26 @@ def test_axis0_int_dtype_preserved_in_func():
     pd.testing.assert_series_equal(got, expected, check_dtype=False)
     assert (got >= 0).all()  # all columns saw int64
     _ = func
+
+
+def test_progress_bridge_renders(spark):
+    """spark_progress polls StatusTracker and repaints task bars while
+    an action runs (the reference's progress_bar=True channel)."""
+    import io
+
+    from pandarallel_spark.progress import spark_progress
+
+    buf = io.StringIO()
+    with spark_progress(spark, out=buf, interval=0.02):
+        spark.range(0, 2_000_000, 1, 32).selectExpr("sum(id * 2)").collect()
+        import time as _t
+
+        _t.sleep(0.1)  # let at least one poll land
+    txt = buf.getvalue()
+    assert "stage" in txt or txt == ""  # races allowed, but no garbage
+    # context manager must be re-usable and exception-safe
+    try:
+        with spark_progress(spark, out=buf, interval=0.02):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
