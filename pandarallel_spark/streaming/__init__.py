@@ -7,7 +7,11 @@ and as a real ``readStream`` → ``writeStream`` pipeline (tests use the
 file source with ``Trigger.AvailableNow`` semantics and a memory sink).
 """
 
-from pandarallel_spark.streaming.stateful import dedup_stream, running_counts
+from pandarallel_spark.streaming.stateful import (
+    content_dedup_stream,
+    dedup_stream,
+    running_counts,
+)
 from pandarallel_spark.streaming.windows import (
     sessionize,
     sliding_window_agg,
@@ -16,6 +20,7 @@ from pandarallel_spark.streaming.windows import (
 )
 
 __all__ = [
+    "content_dedup_stream",
     "dedup_stream",
     "running_counts",
     "tumbling_window_agg",

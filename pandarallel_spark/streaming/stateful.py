@@ -81,3 +81,20 @@ def running_counts(stream: DataFrame, key_cols: list[str]) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def content_dedup_stream(
+    stream: DataFrame, text_col: str, fp_col: str = "__fp__"
+) -> DataFrame:
+    """Streaming content dedup: the streaming twin of
+    ``operators/dedup.fingerprint_dedup``. The bag-of-words fingerprint
+    (sorted-distinct-token md5 — a pure Column expression, computed in
+    the scan) keys the same cross-batch first-seen state as
+    ``dedup_stream``: the first document with a given normalized content
+    is emitted, every later arrival (same batch or any future one) is
+    dropped. State holds one boolean per distinct fingerprint — bounded
+    by corpus vocabulary of contents, not stream volume."""
+    from pandarallel_spark.operators.text import fingerprint
+
+    with_fp = stream.withColumn(fp_col, fingerprint(text_col))
+    return dedup_stream(with_fp, [fp_col]).drop(fp_col)

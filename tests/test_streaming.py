@@ -127,3 +127,43 @@ def test_stateful_running_counts(spark, sf_dir, tmp_path):
     got = spark.table("rc_out").toPandas().set_index("user_id")["n_events_total"]
     expected = ev.groupBy("user_id").count().toPandas().set_index("user_id")["count"]
     assert (got.sort_index() == expected.sort_index()).all()
+
+
+def test_content_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming fingerprint dedup keeps exactly one doc per normalized
+    content — same survivor-set size as the batch fingerprint_dedup
+    (survivor identity differs: stream keeps first-SEEN, batch keeps
+    min-id), and re-sending the same files emits nothing new."""
+    from pandarallel_spark.operators.dedup import fingerprint_dedup
+    from pandarallel_spark.streaming import content_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "cd_src")
+    chk = str(tmp_path / "cd_chk")
+    sink = str(tmp_path / "cd_sink")
+    docs.coalesce(1).write.parquet(src)
+    schema = docs.schema
+
+    def run_wave():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            content_dedup_stream(stream, "text")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).toPandas()
+
+    n_batch = fingerprint_dedup(docs, "text", "doc_id").count()
+    got1 = run_wave()
+    assert len(got1) == n_batch
+    assert got1.doc_id.is_unique
+
+    # duplicate wave: every fingerprint already seen → nothing new
+    docs.coalesce(1).write.mode("append").parquet(src)
+    got2 = run_wave()
+    assert len(got2) == n_batch
