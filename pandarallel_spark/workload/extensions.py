@@ -624,3 +624,38 @@ def pack_documents_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE_BODY}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+@register(
+    "dedup_clusters_jaccard",
+    _CLUSTER_ORACLE,
+    "Transitive duplicate clusters over the exact-Jaccard pair graph "
+    "(a~b, b~c => one group): iterative min-label propagation, one "
+    "shuffle per round, rounds = cluster diameter (shallow for dedup). "
+    "cluster_id = min doc_id in the component — the canonical survivor.",
+)
+def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))

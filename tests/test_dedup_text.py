@@ -140,3 +140,30 @@ def test_prefix_filter_lossless(spark, sf_dir):
             ).collect())
         )
         assert on == off, f"threshold {t}: prefix={len(on)} full={len(off)}"
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, and disjoint pair — min-label propagation must
+    converge to min-id components across multi-hop chains."""
+    import pandas as pd
+
+    from pandarallel_spark.operators.graph import cluster_survivors, connected_components
+
+    # components: {1,2,3,4 chain}, {10,11,12 triangle}, {20,21}
+    edges = pd.DataFrame(
+        {
+            "id_a": [1, 2, 3, 10, 10, 11, 20],
+            "id_b": [2, 3, 4, 11, 12, 12, 21],
+        }
+    )
+    cc = (
+        connected_components(spark.createDataFrame(edges))
+        .toPandas()
+        .sort_values("node", ignore_index=True)
+    )
+    got = dict(zip(cc.node, cc.component))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    surv = cluster_survivors(spark.createDataFrame(edges)).toPandas()
+    assert sorted(surv.survivor) == [1, 10, 20]
+    assert (surv.component == surv.survivor).all()
