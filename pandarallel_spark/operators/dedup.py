@@ -154,11 +154,12 @@ def ngram_jaccard_pairs(
         w = Window.partitionBy("__id__").orderBy("__f__", "__s__")
         ranked = (
             sh.join(freq, "__s__")
+            .join(sizes, "__id__")  # reuse the aggregate, no second window pass
             .select(
                 "__id__",
                 "__s__",
                 F.row_number().over(w).alias("__rn__"),
-                F.count(F.lit(1)).over(Window.partitionBy("__id__")).alias("__sz__"),
+                "__sz__",
             )
         )
         # prefix length with INTEGER arithmetic: float ceil(sz*t) can
@@ -182,11 +183,27 @@ def ngram_jaccard_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
+            .persist()
         )
-        a = sh.select(F.col("__id__").alias("id_a"), "__s__")
-        b = sh.select(F.col("__id__").alias("id_b"), "__s__")
+        # verification must NOT re-pay the full self-join the prefix
+        # filter exists to avoid: Spark can't push a two-sided semi-join
+        # below the shingle join, so shrink each SIDE to candidate doc
+        # ids first (the minhash_lsh_pairs pattern) — the join then runs
+        # over candidate docs' shingles only, and the pair semi-join
+        # prunes the (still possible) non-candidate combinations
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("__cid__"))
+            .union(candidates.select(F.col("id_b")))
+            .distinct()
+        )
+        sh_cand = sh.join(
+            F.broadcast(cand_ids), sh["__id__"] == F.col("__cid__"), "left_semi"
+        )
+        a = sh_cand.select(F.col("__id__").alias("id_a"), "__s__")
+        b = sh_cand.select(F.col("__id__").alias("id_b"), "__s__")
         inter = (
             a.join(b, "__s__")
+            .filter(F.col("id_a") < F.col("id_b"))
             .join(candidates, ["id_a", "id_b"], "left_semi")
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("__inter__"))

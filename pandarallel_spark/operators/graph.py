@@ -38,42 +38,53 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.persist()
+    # each round is localCheckpoint'ed, not persisted: labels(t+1)
+    # references labels(t) TWICE (the neighbor aggregate and the join),
+    # so an unbroken lineage doubles the logical plan per round and
+    # Catalyst re-analysis OOMs the driver near ~12 rounds. Checkpointing
+    # materializes the round, truncates lineage, and the ContextCleaner
+    # frees a round's blocks when the next round drops the reference —
+    # nothing leaks to the caller.
     labels = (
         und.select(F.col("a").alias("n"))
         .distinct()
         .select("n", F.col("n").alias("component"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
 
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             und.join(labels, und.b == labels.n)
             .groupBy("a")
             .agg(F.min("component").alias("__nm__"))
         )
+        # carry the previous label so convergence is a filter over the
+        # checkpointed result, not an extra self-join per round
         new_labels = (
             labels.join(neigh_min, labels.n == neigh_min.a, "left")
             .select(
                 "n",
+                F.col("component").alias("__old__"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("__nm__"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("x")
-            .join(labels.alias("y"), F.col("x.n") == F.col("y.n"))
-            .filter(F.col("x.component") != F.col("y.component"))
-            .count()
-        )
-        labels.unpersist()
+        changed = new_labels.filter(F.col("component") != F.col("__old__")).count()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
 
     und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(graph diameter exceeds max_iter); raise max_iter or use a "
+            f"star-contraction variant for long-chain graphs"
+        )
     return labels.select(F.col("n").alias("node"), "component")
 
 
@@ -83,7 +94,10 @@ def cluster_survivors(
     dst: str = "id_b",
 ) -> DataFrame:
     """One row per duplicate cluster: (component, survivor) where the
-    survivor is the cluster's minimum id (== the component label, by
-    construction of ``connected_components``)."""
+    survivor is the cluster's minimum id — which IS the component label
+    by construction, so this is a distinct over components, not an
+    aggregate over nodes."""
     cc = connected_components(edges, src, dst)
-    return cc.groupBy("component").agg(F.min("node").alias("survivor"))
+    return cc.select("component").distinct().select(
+        "component", F.col("component").alias("survivor")
+    )

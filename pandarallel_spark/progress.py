@@ -41,6 +41,12 @@ class spark_progress:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._rendered = False
+        self._last: dict[int, int] = {}  # stage id → numTasks last seen active
+
+    @staticmethod
+    def _bar(done: int, total: int) -> str:
+        filled = int(done / total * _BAR_WIDTH)
+        return "#" * filled + "-" * (_BAR_WIDTH - filled)
 
     def _render_once(self) -> None:
         st = self._sc.statusTracker()
@@ -50,10 +56,8 @@ class spark_progress:
             if info is None or info.numTasks == 0:
                 continue
             done = info.numCompletedTasks
-            frac = done / info.numTasks
-            filled = int(frac * _BAR_WIDTH)
-            bar = "#" * filled + "-" * (_BAR_WIDTH - filled)
-            parts.append(f"stage {sid} |{bar}| {done}/{info.numTasks}")
+            self._last[sid] = info.numTasks
+            parts.append(f"stage {sid} |{self._bar(done, info.numTasks)}| {done}/{info.numTasks}")
         if parts:
             self._out.write("\r" + "  ".join(parts) + " " * 8)
             self._out.flush()
@@ -67,18 +71,26 @@ class spark_progress:
                 pass
 
     def __enter__(self) -> "spark_progress":
+        # fresh state per entry — the same instance may be reused
+        self._stop = threading.Event()
+        self._rendered = False
+        self._last = {}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self
 
-    def __exit__(self, *exc) -> None:
+    def __exit__(self, exc_type=None, *exc) -> None:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
-        try:
-            self._render_once()  # final repaint so the bar ends full
-        except Exception:  # noqa: BLE001
-            pass
+        if self._rendered and self._last and exc_type is None:
+            # stages we saw active have finished by now (the action
+            # returned): repaint them full rather than frozen mid-bar
+            parts = [
+                f"stage {sid} |{self._bar(n, n)}| {n}/{n}"
+                for sid, n in sorted(self._last.items())
+            ]
+            self._out.write("\r" + "  ".join(parts) + " " * 8)
         if self._rendered:
             self._out.write("\n")
             self._out.flush()

@@ -96,5 +96,10 @@ def content_dedup_stream(
     by corpus vocabulary of contents, not stream volume."""
     from pandarallel_spark.operators.text import fingerprint
 
+    if fp_col in stream.columns:
+        raise ValueError(
+            f"content_dedup_stream: input already has a column named "
+            f"{fp_col!r}; pass fp_col= to avoid clobbering it"
+        )
     with_fp = stream.withColumn(fp_col, fingerprint(text_col))
     return dedup_stream(with_fp, [fp_col]).drop(fp_col)

@@ -249,9 +249,18 @@ def test_progress_bridge_renders(spark):
         _t.sleep(0.1)  # let at least one poll land
     txt = buf.getvalue()
     assert "stage" in txt or txt == ""  # races allowed, but no garbage
-    # context manager must be re-usable and exception-safe
+    # the SAME instance must be re-usable and exception-safe
+    p = spark_progress(spark, out=io.StringIO(), interval=0.02)
+    with p:
+        spark.range(0, 500_000, 1, 16).selectExpr("sum(id)").collect()
+    first = p._rendered
+    buf2 = io.StringIO()
+    p._out = buf2
+    with p:
+        spark.range(0, 500_000, 1, 16).selectExpr("sum(id + 1)").collect()
+    assert p._rendered or not first  # second entry polls afresh
     try:
-        with spark_progress(spark, out=buf, interval=0.02):
+        with spark_progress(spark, out=io.StringIO(), interval=0.02):
             raise RuntimeError("boom")
     except RuntimeError:
         pass

@@ -167,3 +167,21 @@ def test_connected_components_shapes(spark):
     surv = cluster_survivors(spark.createDataFrame(edges)).toPandas()
     assert sorted(surv.survivor) == [1, 10, 20]
     assert (surv.component == surv.survivor).all()
+
+
+def test_connected_components_long_chain_raises_then_converges(spark):
+    """A path graph with diameter > max_iter must RAISE (silent wrong
+    clusters are the failure mode), and converge given enough rounds."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pandarallel_spark.operators.graph import connected_components
+
+    n = 12
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
+    cc = connected_components(edges, max_iter=n + 1).toPandas()
+    assert (cc.component == 0).all() and len(cc) == n
