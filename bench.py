@@ -41,6 +41,7 @@ HEADLINE = [
     "events_sliding_hour_15m",
     "events_sessionize_30m",
     "text_bpe_tokens",
+    "corpus_cleanup_pipeline",
 ]
 
 

@@ -659,3 +659,72 @@ def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     cc = connected_components(pairs, "id_a", "id_b")
     return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus cleanup (the whole pipeline in one declarative plan)
+# ---------------------------------------------------------------------------
+
+_CLEANUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_DOC_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      / nullif(CAST(len(toks) AS BIGINT), 0) AS avg_token_len,
+    CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+      / nullif(CAST(len(toks) AS BIGINT), 0) AS stopword_ratio,
+    len(list_filter(toks, x -> x IN ('the','a','and','of','fast','slow'))) AS en_c,
+    len(list_filter(toks, x -> x IN ('le','la','et','de','vite'))) AS fr_c,
+    len(list_filter(toks, x -> x IN ('der','die','und','von','schnell'))) AS de_c,
+    len(list_filter(toks, x -> x IN ('el','la','y','de','rapido'))) AS es_c,
+    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+  FROM t),
+scored AS (
+  SELECT doc_id, fp,
+    least(1.0, CAST(n_tokens AS DOUBLE)/100.0) * 0.5
+      + (1.0 - stopword_ratio) * 0.3
+      + least(1.0, avg_token_len/8.0) * 0.2 AS quality,
+    CASE
+      WHEN en_c > 0 AND en_c > fr_c AND en_c > de_c AND en_c > es_c THEN 'en'
+      WHEN fr_c > 0 AND fr_c > en_c AND fr_c > de_c AND fr_c > es_c THEN 'fr'
+      WHEN de_c > 0 AND de_c > en_c AND de_c > fr_c AND de_c > es_c THEN 'de'
+      WHEN es_c > 0 AND es_c > en_c AND es_c > fr_c AND es_c > de_c THEN 'es'
+      ELSE 'und' END AS lang_pred
+  FROM f),
+kept AS (
+  SELECT doc_id, quality, lang_pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM scored WHERE quality >= 0.5 AND lang_pred = 'en')
+  WHERE rn = 1)
+SELECT doc_id, lang_pred, quality,
+  CASE WHEN ({_H.format(b=_B)}) < {int(0.8*_B)} THEN 'train'
+       WHEN ({_H.format(b=_B)}) < {int(0.9*_B)} THEN 'val'
+       ELSE 'test' END AS split
+FROM kept
+"""
+
+
+@register(
+    "corpus_cleanup_pipeline",
+    _CLEANUP_ORACLE,
+    "The whole training-data pipeline as ONE declarative plan: quality "
+    "scoring + language id (pure expressions in the scan) -> filter -> "
+    "content dedup (fingerprint, min-id survivor) -> deterministic "
+    "80/10/10 split. One shuffle total (the dedup window); everything "
+    "else rides the scan, so Catalyst fuses the stages a hand-written "
+    "pipeline would run as separate jobs.",
+)
+def corpus_cleanup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.dedup import exact_dedup
+    from pandarallel_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_text_stats(docs, "text").select(
+        "doc_id", "fingerprint", "quality", "lang_pred"
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    deduped = exact_dedup(kept, ["fingerprint"], "doc_id").select(
+        "doc_id", "lang_pred", "quality"
+    )
+    return hash_split(deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})

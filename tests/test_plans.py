@@ -118,3 +118,14 @@ def test_lead_lag_single_window_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "lead_lag_order_gaps")
     assert plan.count("Exchange") <= 2
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_cleanup_pipeline_fused_single_shuffle(spark, sf_dir):
+    """The end-to-end cleanup (score -> filter -> dedup -> split) must
+    stay one fused plan: zero Python, one exchange (the dedup window),
+    and a scan reading only (doc_id, text)."""
+    plan = _plan(spark, sf_dir, "corpus_cleanup_pipeline")
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 2  # tree + detail of the one shuffle
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    assert "text" in read_schema and "source" not in read_schema
