@@ -410,6 +410,14 @@ def expanding_apply(
     pandas default ``min_periods=1``; the reference's expanding tests use
     ``expanding(min_periods)`` with a weighted-sum UDF
     (``tests/test_pandarallel.py:308-345``).
+
+    Scale note: the reference only patches *grouped* expanding
+    (``core.py:538-545``) — that path partitions by key and scales.
+    The ungrouped form with an opaque UDF is inherently a total order
+    whose every row depends on the full prefix (O(n²) work however
+    executed; pandas pays the same serially) — it runs as a
+    single-partition window here and is meant for builtin aggregates
+    (which stay linear, JVM-side) or small/medium data.
     """
     order_by = [order_by] if not isinstance(order_by, (list, tuple)) else list(order_by)
     output_col = output_col or f"{col}_expanding_{func if isinstance(func, str) else 'apply'}"
