@@ -80,12 +80,14 @@ class ParallelFrame:
         elementwise: bool = False,
         include_input: bool = True,
         result_name: str = "result",
+        vectorize: bool = True,
         **kwargs: Any,
     ) -> DataFrame:
         if axis in (1, "columns"):
             return _apply.apply_rows(
                 self.df, func, schema, args=args, kwargs=kwargs,
                 include_input=include_input, result_name=result_name,
+                vectorize=vectorize,
             )
         if axis in (0, "index"):
             return _apply.apply_columns(self.df, func, elementwise=elementwise)

@@ -70,6 +70,7 @@ def apply_rows(
     kwargs: dict | None = None,
     include_input: bool = True,
     result_name: str = "result",
+    vectorize: bool = True,
 ) -> DataFrame:
     """``df.parallel_apply(func, axis=1)``.
 
@@ -77,6 +78,15 @@ def apply_rows(
     ``select`` (JVM, codegen). Slow path: Python callable over rows via
     ``mapInPandas`` (Arrow batches; schema declared or inferred from a
     sampled prefix).
+
+    ``vectorize``: inside each Arrow batch, scalar-returning row UDFs
+    are first tried ONCE against the whole batch (a DataFrame quacks
+    like a row: ``row["c"]``/``row.c`` become column Series, so
+    elementwise arithmetic computes every row at once), validated
+    bit-exact against per-row calls on a spread sample, with automatic
+    per-row fallback — same design (and same last-ulp caveat for
+    pow/transcendentals) as the rolling fast path
+    (``operators/window.py:_vectorized_rolling``).
     """
     kwargs = kwargs or {}
     if isinstance(func, Column):
@@ -108,11 +118,39 @@ def apply_rows(
 
     out_names = [f.name for f in out_schema.fields]
 
+    def try_vectorized(pdf: pd.DataFrame) -> pd.Series | None:
+        import numpy as np
+
+        n = len(pdf)
+        idxs = np.unique(np.linspace(0, n - 1, num=min(8, n), dtype="int64"))
+        try:
+            scalar = np.asarray(
+                [func(pdf.iloc[int(i)], *args, **kwargs) for i in idxs],
+                dtype="float64",
+            )
+            vec = func(pdf, *args, **kwargs)
+            if not isinstance(vec, (pd.Series, np.ndarray)) or len(vec) != n:
+                return None
+            vecf = np.asarray(vec, dtype="float64")
+        except Exception:  # noqa: BLE001 — any failure means "not vectorizable"
+            return None
+        if not np.isfinite(scalar).any():
+            return None
+        if not np.array_equal(vecf[idxs], scalar, equal_nan=True):
+            return None
+        return pd.Series(vecf, index=pdf.index)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fallback = not vectorize  # sticky: one rejection stops retrying
         for pdf in batches:
             if pdf.empty:
                 continue
-            res = pdf.apply(lambda row: func(row, *args, **kwargs), axis=1)
+            res = None
+            if not fallback:
+                res = try_vectorized(pdf)
+                fallback = res is None
+            if res is None:
+                res = pdf.apply(lambda row: func(row, *args, **kwargs), axis=1)
             if isinstance(res, pd.DataFrame):
                 out = pd.concat([pdf, res], axis=1) if include_input else res
             else:

@@ -114,3 +114,53 @@ def test_exception_transparency(spark, sdf):
 
     with pytest.raises(Exception, match="ZeroDivisionError"):
         parallelize(sdf).parallel_apply(boom, axis=1, schema="a bigint, b double, result double").collect()
+
+
+def test_row_apply_vectorized_matches_per_row(spark):
+    """The batch-vectorized row-UDF fast path must agree with the
+    per-row loop for arithmetic funcs, reject non-elementwise funcs
+    (shape/exception), and honor vectorize=False."""
+    import math
+
+    import numpy as np
+
+    from pandarallel_spark import parallelize
+
+    n = 20_000
+    pdf = pd.DataFrame(
+        {"a": np.arange(n, dtype="int64"), "b": np.random.default_rng(2).random(n)}
+    )
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    schema = "a bigint, b double, result double"
+
+    arith = lambda row: round(row["b"] * 100) * (100 - row["a"] % 7) / 10000.0  # noqa: E731
+    exp = pdf.apply(arith, axis=1)
+    for flag in (True, False):
+        got = (
+            parallelize(sdf)
+            .parallel_apply(arith, axis=1, schema=schema, vectorize=flag)
+            .toPandas()
+            .sort_values("a", ignore_index=True)
+        )
+        assert np.array_equal(got["result"].to_numpy(), exp.to_numpy()), flag
+
+    # math.* raises on Series -> per-row fallback, still correct
+    mfunc = lambda row: math.sin(row["b"])  # noqa: E731
+    got = (
+        parallelize(sdf)
+        .parallel_apply(mfunc, axis=1, schema=schema)
+        .toPandas()
+        .sort_values("a", ignore_index=True)
+    )
+    assert np.array_equal(got["result"].to_numpy(), pdf.apply(mfunc, axis=1).to_numpy())
+
+    # whole-frame reduction returns a scalar -> wrong shape -> fallback
+    # (row-wise it's a row reduction, still a valid per-row scalar)
+    rfunc = lambda row: float(row.sum())  # noqa: E731
+    got = (
+        parallelize(sdf)
+        .parallel_apply(rfunc, axis=1, schema=schema)
+        .toPandas()
+        .sort_values("a", ignore_index=True)
+    )
+    assert np.allclose(got["result"].to_numpy(), pdf.apply(rfunc, axis=1).to_numpy(), rtol=0, atol=0)
