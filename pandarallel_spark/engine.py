@@ -122,11 +122,12 @@ class ParallelSeries:
     def parallel_apply(
         self, func: Callable | Column, *, args: tuple = (),
         output_col: str | None = None, return_type: T.DataType | str | None = None,
+        vectorize: bool = True,
         **kwargs: Any,
     ) -> DataFrame:
         return _series.series_apply(
             self.frame.df, self.col, func, args=args, kwargs=kwargs,
-            output_col=output_col, return_type=return_type,
+            output_col=output_col, return_type=return_type, vectorize=vectorize,
         )
 
     # -- reference op #5 (core.py:551) ---------------------------------------

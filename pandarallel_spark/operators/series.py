@@ -46,8 +46,15 @@ def series_apply(
     kwargs: dict | None = None,
     output_col: str | None = None,
     return_type: T.DataType | str | None = None,
+    vectorize: bool = True,
 ) -> DataFrame:
-    """``s.parallel_apply(func, *args, **kwargs)`` on column ``col``."""
+    """``s.parallel_apply(func, *args, **kwargs)`` on column ``col``.
+
+    ``vectorize``: elementwise-arithmetic funcs are tried once against
+    the whole Arrow batch (one call instead of len(batch)), validated
+    bit-exact on a spread sample with automatic per-element fallback —
+    same design and last-ulp caveat as ``operators/window.py``'s rolling
+    fast path."""
     kwargs = kwargs or {}
     output_col = output_col or f"{col}_applied"
     if isinstance(func, Column):
@@ -61,9 +68,42 @@ def series_apply(
             res.dtype, non_null.iloc[0] if len(non_null) else None
         )
 
-    udf = F.pandas_udf(
-        lambda s: s.apply(func, args=args, **kwargs), returnType=return_type
-    )
+    def try_vectorized(s: pd.Series) -> pd.Series | None:
+        import numpy as np
+
+        n = len(s)
+        if n == 0:
+            return None
+        idxs = np.unique(np.linspace(0, n - 1, num=min(8, n), dtype="int64"))
+        try:
+            scalar = np.asarray(
+                [func(s.iloc[int(i)], *args, **kwargs) for i in idxs],
+                dtype="float64",
+            )
+            vec = func(s, *args, **kwargs)
+            if not isinstance(vec, (pd.Series, np.ndarray)) or len(vec) != n:
+                return None
+            vecf = np.asarray(vec, dtype="float64")
+        except Exception:  # noqa: BLE001
+            return None
+        if not np.isfinite(scalar).any():
+            return None
+        if not np.array_equal(vecf[idxs], scalar, equal_nan=True):
+            return None
+        return pd.Series(vecf, index=s.index)
+
+    state = {"fallback": not vectorize}  # sticky across batches per worker
+
+    def batch_fn(s: pd.Series) -> pd.Series:
+        res = None
+        if not state["fallback"]:
+            res = try_vectorized(s)
+            state["fallback"] = res is None
+        if res is None:
+            res = s.apply(func, args=args, **kwargs)
+        return res
+
+    udf = F.pandas_udf(batch_fn, returnType=return_type)
     return df.withColumn(output_col, udf(F.col(col)))
 
 

@@ -86,3 +86,46 @@ def test_series_map_empty_series(spark):
     sdf = spark.createDataFrame(pd.DataFrame({"a": [1.0]})).filter("a > 99")
     got = parallelize(sdf).series("a").parallel_map({1.0: 2.0}, output_col="r").toPandas()
     assert len(got) == 0
+
+
+def test_series_apply_vectorized_matches_per_element(spark):
+    """Batch-vectorized series UDFs must agree with the per-element loop
+    for arithmetic funcs and fall back for math.* / non-elementwise."""
+    import math
+
+    import numpy as np
+
+    from pandarallel_spark import parallelize
+
+    n = 20_000
+    pdf = pd.DataFrame({"x": np.random.default_rng(4).random(n) + 1})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    arith = lambda v, a=2, bias=0: v * a + bias + (v * 100) // 7  # noqa: E731
+    exp = pdf.x.apply(arith, args=(3,), bias=1.5)
+    for flag in (True, False):
+        got = (
+            parallelize(sdf).series("x")
+            .parallel_apply(arith, args=(3,), bias=1.5, output_col="r",
+                            return_type="double", vectorize=flag)
+            .toPandas()["r"]
+        )
+        assert np.array_equal(np.sort(got.to_numpy()), np.sort(exp.to_numpy())), flag
+
+    mfunc = lambda v: math.log10(math.sqrt(math.exp(v)))  # noqa: E731
+    got = (
+        parallelize(sdf).series("x")
+        .parallel_apply(mfunc, output_col="r", return_type="double")
+        .toPandas()["r"]
+    )
+    exp = pdf.x.apply(mfunc)
+    assert np.array_equal(np.sort(got.to_numpy()), np.sort(exp.to_numpy()))
+
+    sfunc = lambda v: float(np.sum(v))  # noqa: E731  — whole-series reduction
+    got = (
+        parallelize(sdf).series("x")
+        .parallel_apply(sfunc, output_col="r", return_type="double")
+        .toPandas()["r"]
+    )
+    exp = pdf.x.apply(sfunc)
+    assert np.array_equal(np.sort(got.to_numpy()), np.sort(exp.to_numpy()))
