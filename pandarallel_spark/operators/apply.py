@@ -118,27 +118,23 @@ def apply_rows(
 
     out_names = [f.name for f in out_schema.fields]
 
-    def try_vectorized(pdf: pd.DataFrame) -> pd.Series | None:
-        import numpy as np
+    integral_out = isinstance(
+        out_schema[out_names[-1]].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
 
-        n = len(pdf)
-        idxs = np.unique(np.linspace(0, n - 1, num=min(8, n), dtype="int64"))
-        try:
-            scalar = np.asarray(
-                [func(pdf.iloc[int(i)], *args, **kwargs) for i in idxs],
-                dtype="float64",
-            )
-            vec = func(pdf, *args, **kwargs)
-            if not isinstance(vec, (pd.Series, np.ndarray)) or len(vec) != n:
-                return None
-            vecf = np.asarray(vec, dtype="float64")
-        except Exception:  # noqa: BLE001 — any failure means "not vectorizable"
-            return None
-        if not np.isfinite(scalar).any():
-            return None
-        if not np.array_equal(vecf[idxs], scalar, equal_nan=True):
-            return None
-        return pd.Series(vecf, index=pdf.index)
+    def try_vectorized(pdf: pd.DataFrame) -> pd.Series | None:
+        from pandarallel_spark.operators._vectorize import validated_vectorized
+
+        vecf = validated_vectorized(
+            len(pdf),
+            # copies everywhere: a mutating UDF must not corrupt the
+            # batch we emit as passthrough or hand to the fallback
+            lambda i: func(pdf.iloc[i].copy(), *args, **kwargs),
+            lambda: func(pdf.copy(), *args, **kwargs),
+            integral_out=integral_out,
+        )
+        return None if vecf is None else pd.Series(vecf, index=pdf.index)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fallback = not vectorize  # sticky: one rejection stops retrying

@@ -68,33 +68,31 @@ def series_apply(
             res.dtype, non_null.iloc[0] if len(non_null) else None
         )
 
-    def try_vectorized(s: pd.Series) -> pd.Series | None:
-        import numpy as np
+    integral_out = isinstance(
+        T.StructType.fromDDL(f"x {return_type}")[0].dataType
+        if isinstance(return_type, str)
+        else return_type,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
 
-        n = len(s)
-        if n == 0:
-            return None
-        idxs = np.unique(np.linspace(0, n - 1, num=min(8, n), dtype="int64"))
-        try:
-            scalar = np.asarray(
-                [func(s.iloc[int(i)], *args, **kwargs) for i in idxs],
-                dtype="float64",
-            )
-            vec = func(s, *args, **kwargs)
-            if not isinstance(vec, (pd.Series, np.ndarray)) or len(vec) != n:
-                return None
-            vecf = np.asarray(vec, dtype="float64")
-        except Exception:  # noqa: BLE001
-            return None
-        if not np.isfinite(scalar).any():
-            return None
-        if not np.array_equal(vecf[idxs], scalar, equal_nan=True):
-            return None
-        return pd.Series(vecf, index=s.index)
+    def try_vectorized(s: pd.Series) -> pd.Series | None:
+        from pandarallel_spark.operators._vectorize import validated_vectorized
+
+        vecf = validated_vectorized(
+            len(s),
+            # scalar elements are immutable, but the batch call gets a
+            # private copy so a mutating UDF can't poison the fallback
+            lambda i: func(s.iloc[i], *args, **kwargs),
+            lambda: func(s.copy(), *args, **kwargs),
+            integral_out=integral_out,
+        )
+        return None if vecf is None else pd.Series(vecf, index=s.index)
 
     state = {"fallback": not vectorize}  # sticky across batches per worker
 
     def batch_fn(s: pd.Series) -> pd.Series:
+        if len(s) == 0:  # don't let an empty batch decide anything
+            return s.apply(func, args=args, **kwargs)
         res = None
         if not state["fallback"]:
             res = try_vectorized(s)
@@ -114,15 +112,19 @@ def series_map(
     *,
     output_col: str | None = None,
     return_type: T.DataType | str | None = None,
+    vectorize: bool = True,
 ) -> DataFrame:
     """``s.parallel_map(arg)`` on column ``col``.
 
     dict / pd.Series → broadcast lookup (builtin, JVM-side); callable →
-    ``series_apply``.
+    ``series_apply`` (including its ``vectorize`` fast path / opt-out).
     """
     output_col = output_col or f"{col}_mapped"
     if callable(arg) and not isinstance(arg, Mapping):
-        return series_apply(df, col, arg, output_col=output_col, return_type=return_type)
+        return series_apply(
+            df, col, arg, output_col=output_col, return_type=return_type,
+            vectorize=vectorize,
+        )
 
     mapping = dict(arg.items()) if isinstance(arg, pd.Series) else dict(arg)
     if not mapping:

@@ -67,13 +67,42 @@ def _vectorized_rolling(
     if n < window:
         return None
     lead = (window - 1) // 2 if center else 0
+    start = window - 1 - lead
+
+    # everything derived from pristine vals happens BEFORE the batch
+    # call: vals is this function's private copy, but a mutating UDF
+    # handed the strided view could otherwise corrupt these
+    if np.isnan(vals).any():
+        # pandas skips windows with < min_periods non-NaN values
+        cnt = np.lib.stride_tricks.sliding_window_view(
+            (~np.isnan(vals)).astype("int64"), window
+        ).sum(axis=1)
+    else:
+        cnt = None
+    head = (
+        pd.Series(vals[: window - 1].copy())
+        .rolling(window, min_periods=min_periods, center=center)
+        .apply(func, raw=True)
+        .to_numpy()
+        if start
+        else None
+    )
+    tail = (
+        pd.Series(vals[-(window - 1):].copy())
+        .rolling(window, min_periods=min_periods, center=center)
+        .apply(func, raw=True)
+        .to_numpy()
+        if lead
+        else None
+    )
+
     sw = np.lib.stride_tricks.sliding_window_view(vals, window)
     m = sw.shape[0]
-    # validation sample: spread across the array, and insist on at least
-    # one window whose scalar result is non-NaN — an all-NaN sample
-    # (e.g. input whose head is the NaN run of an upstream rolling)
+    from pandarallel_spark.operators._vectorize import sample_indices
+
+    # spread sample + finite requirement: a head-only or all-NaN sample
     # would vacuously "match" any shape-(m,) function
-    idxs = np.unique(np.linspace(0, m - 1, num=min(16, m), dtype="int64"))
+    idxs = sample_indices(m, 16)
     try:
         scalar = np.asarray([func(sw[i].copy()) for i in idxs], dtype="float64")
         vec = np.asarray(func(sw.T))
@@ -87,31 +116,14 @@ def _vectorized_rolling(
     if not np.array_equal(vecf[idxs], scalar, equal_nan=True):
         return None
     out = np.full(n, np.nan)
-    start = window - 1 - lead
     out[start : start + m] = vecf
-    if np.isnan(vals).any():
-        # pandas skips windows with < min_periods non-NaN values
-        cnt = np.lib.stride_tricks.sliding_window_view(
-            (~np.isnan(vals)).astype("int64"), window
-        ).sum(axis=1)
+    if cnt is not None:
         out[start : start + m] = np.where(cnt < min_periods, np.nan, out[start : start + m])
-    # edge positions with truncated frames: delegate the few of them to
-    # pandas on the boundary slice (frames there only see those rows)
-    if start:
-        head = (
-            pd.Series(vals[: window - 1])
-            .rolling(window, min_periods=min_periods, center=center)
-            .apply(func, raw=True)
-            .to_numpy()
-        )
+    # edge positions with truncated frames, precomputed above from
+    # pristine vals (frames there only see those boundary rows)
+    if head is not None:
         out[:start] = head[:start]
-    if lead:
-        tail = (
-            pd.Series(vals[-(window - 1):])
-            .rolling(window, min_periods=min_periods, center=center)
-            .apply(func, raw=True)
-            .to_numpy()
-        )
+    if tail is not None:
         out[-lead:] = tail[-lead:]
     return out
 
@@ -134,7 +146,10 @@ def _rolling_series(
     parity (the compat shim) turn it off.
     """
     if raw and vectorize:
-        vals = s.to_numpy(dtype="float64")
+        # private copy: to_numpy may hand back a view of the Arrow
+        # buffer, and _vectorized_rolling exposes strided views of vals
+        # to the UDF
+        vals = np.array(s.to_numpy(dtype="float64"), dtype="float64")
         fast = _vectorized_rolling(vals, window, min_periods, center, func)
         if fast is not None:
             return pd.Series(fast, index=s.index)

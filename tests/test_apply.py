@@ -164,3 +164,79 @@ def test_row_apply_vectorized_matches_per_row(spark):
         .sort_values("a", ignore_index=True)
     )
     assert np.allclose(got["result"].to_numpy(), pdf.apply(rfunc, axis=1).to_numpy(), rtol=0, atol=0)
+
+
+def test_row_apply_vectorized_actually_engages(spark):
+    """A sentinel UDF that refuses to run per-row more than the sampled
+    handful proves the batch path executed (output equality alone stays
+    green when the fast path silently dies)."""
+    import numpy as np
+
+    from pandarallel_spark import parallelize
+
+    n = 20_000
+    pdf = pd.DataFrame({"a": np.arange(n, dtype="int64"), "b": np.arange(n) * 0.5})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    def guarded(row, _counter=[]):
+        if isinstance(row, pd.Series):  # per-row (scalar) call
+            _counter.append(1)
+            assert len(_counter) <= 100, "fast path did not engage"
+        return row["b"] * 2 + 1
+
+    got = (
+        parallelize(sdf)
+        .parallel_apply(guarded, axis=1, schema="a bigint, b double, result double")
+        .toPandas()
+        .sort_values("a", ignore_index=True)
+    )
+    assert np.array_equal(got["result"].to_numpy(), (pdf["b"] * 2 + 1).to_numpy())
+
+
+def test_row_apply_mutating_udf_cannot_corrupt_passthrough(spark):
+    """A UDF that mutates its argument must not corrupt the passthrough
+    columns (batch call gets a private copy)."""
+    import numpy as np
+
+    from pandarallel_spark import parallelize
+
+    n = 10_000
+    pdf = pd.DataFrame({"a": np.arange(n, dtype="int64"), "b": np.ones(n)})
+    sdf = spark.createDataFrame(pdf).repartition(4)
+
+    def mutator(row):
+        row["b"] = row["b"] * 2  # mutation: UB in pandas, must stay contained
+        return row["b"] + 1.0
+
+    got = (
+        parallelize(sdf)
+        .parallel_apply(mutator, axis=1, schema="a bigint, b double, result double")
+        .toPandas()
+        .sort_values("a", ignore_index=True)
+    )
+    assert (got["b"] == 1.0).all()  # passthrough column untouched
+    assert (got["result"] == 3.0).all()
+
+
+def test_row_apply_big_int_rejects_vectorization(spark):
+    """Integral outputs beyond 2^53 must not silently lose precision on
+    the float64-validated fast path — vectorize=True and =False agree."""
+    import numpy as np
+
+    from pandarallel_spark import parallelize
+
+    base = (1 << 60) + 1
+    pdf = pd.DataFrame({"a": np.arange(1000, dtype="int64") + base})
+    sdf = spark.createDataFrame(pdf).repartition(2)
+    f = lambda row: row["a"] + 1  # noqa: E731
+    outs = {}
+    for flag in (True, False):
+        outs[flag] = (
+            parallelize(sdf)
+            .parallel_apply(f, axis=1, schema="a bigint, result bigint", vectorize=flag)
+            .toPandas()
+            .sort_values("a", ignore_index=True)["result"]
+            .to_numpy()
+        )
+    assert np.array_equal(outs[True], outs[False])
+    assert outs[True][0] == base + 1
