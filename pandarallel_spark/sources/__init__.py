@@ -14,9 +14,11 @@ from pandarallel_spark.sources.tables import (
     load_table,
     load_tables,
     read_csv,
+    read_orc,
     read_json,
     write_bucketed,
     write_csv,
+    write_orc,
     write_json,
     write_parquet,
 )
@@ -26,9 +28,11 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_csv",
+    "read_orc",
     "read_json",
     "write_parquet",
     "write_csv",
+    "write_orc",
     "write_json",
     "write_bucketed",
 ]

@@ -87,6 +87,25 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — columnar like parquet (predicate pushdown, column
+    pruning, vectorized read all apply); common in Hive-lineage lakes."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, *, header: bool = True, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 

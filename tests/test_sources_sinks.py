@@ -70,3 +70,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
     assert n == lineitem.count()  # every lineitem has its order
+
+
+def test_orc_round_trip_with_partition_pruning(spark, sf_dir, tmp_path):
+    """ORC sink + source round-trips values; a key=value partitioned
+    layout prunes partitions on re-read like parquet."""
+    from pandarallel_spark.sources import load_table, read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"doc_id", "lang", "source"}
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.filter(back.lang == "en").explain("formatted")
+    # partition filter reaches the scan (pruned layout, not a full read)
+    assert "PartitionFilters" in buf.getvalue()
+    got = back.filter(back.lang == "en").count()
+    exp = docs.filter(docs.lang == "en").count()
+    assert got == exp
