@@ -96,9 +96,11 @@ class ParallelFrame:
     # -- reference op #3 (core.py:526-530) -----------------------------------
     def parallel_applymap(
         self, func: Callable, columns: list[str] | None = None,
-        schema: T.StructType | None = None,
+        schema: T.StructType | None = None, vectorize: bool = True,
     ) -> DataFrame:
-        return _apply.applymap(self.df, func, columns=columns, schema=schema)
+        return _apply.applymap(
+            self.df, func, columns=columns, schema=schema, vectorize=vectorize
+        )
 
     # -- reference op #7 (core.py:533-535) -----------------------------------
     def groupby(self, *keys: str) -> "ParallelGroupBy":

@@ -216,6 +216,7 @@ def applymap(
     func: Callable[[Any], Any],
     columns: list[str] | None = None,
     schema: T.StructType | None = None,
+    vectorize: bool = True,
 ) -> DataFrame:
     """``df.parallel_applymap(func)`` — elementwise over every cell
     (reference ``data_types/dataframe.py:53-75``).
@@ -223,7 +224,9 @@ def applymap(
     One ``mapInPandas`` pass using ``pandas.DataFrame.map``; elementwise by
     contract, so batch execution is exact. Prefer Column expressions via
     ``apply_rows`` when the func is expressible — that path never leaves
-    the JVM.
+    the JVM. ``vectorize``: arithmetic cell funcs are tried once per
+    whole column with sampled bit-exact validation and per-cell fallback
+    (``operators/_vectorize.py``).
     """
     columns = columns or list(df.columns)
     passthrough = [c for c in df.columns if c not in columns]
@@ -241,12 +244,36 @@ def applymap(
         out_schema = schema
     out_names = [f.name for f in out_schema.fields]
 
+    integral_cols = {
+        f.name
+        for f in out_schema.fields
+        if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    }
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pandarallel_spark.operators._vectorize import validated_vectorized
+
+        fallback = {c: not vectorize for c in columns}  # sticky per column
         for pdf in batches:
             if pdf.empty:
                 continue
             out = pdf.copy()
-            out[columns] = pdf[columns].map(func)
+            for c in columns:
+                res = None
+                if not fallback[c]:
+                    s = pdf[c]
+                    vecf = validated_vectorized(
+                        len(s),
+                        lambda i, _s=s: func(_s.iloc[i]),
+                        lambda _s=s: func(_s.copy()),
+                        integral_out=c in integral_cols,
+                    )
+                    fallback[c] = vecf is None
+                    if vecf is not None:
+                        res = pd.Series(vecf, index=s.index)
+                if res is None:
+                    res = pdf[c].map(func)
+                out[c] = res
             yield out[out_names]
 
     _ = passthrough

@@ -240,3 +240,44 @@ def test_row_apply_big_int_rejects_vectorization(spark):
         )
     assert np.array_equal(outs[True], outs[False])
     assert outs[True][0] == base + 1
+
+
+def test_applymap_vectorized_engages_and_matches(spark):
+    """Per-column batch evaluation for applymap: sentinel proves the
+    fast path ran; math.* funcs still fall back correctly."""
+    import math
+
+    import numpy as np
+
+    from pandarallel_spark import parallelize
+
+    n = 20_000
+    pdf = pd.DataFrame({"a": np.arange(n) * 0.25, "b": np.arange(n) * 0.5})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    def guarded(x, _counter=[]):
+        if np.isscalar(x) or isinstance(x, float):
+            _counter.append(1)
+            assert len(_counter) <= 100, "applymap fast path did not engage"
+        return x * 2 + 1
+
+    from pyspark.sql import types as T
+
+    # explicit schema: driver-side inference would run the func on a
+    # sample and ship the polluted _counter default inside the pickle
+    got = (
+        parallelize(sdf)
+        .parallel_applymap(guarded, schema=T.StructType.fromDDL("a double, b double"))
+        .toPandas().sort_values("a", ignore_index=True)
+    )
+    assert np.array_equal(got["a"].to_numpy(), (pdf["a"] * 2 + 1).to_numpy())
+    assert np.array_equal(got["b"].to_numpy(), (pdf["b"] * 2 + 1).to_numpy())
+
+    mfunc = lambda x: math.sin(x * x) - math.cos(x * x)  # noqa: E731
+    got = (
+        parallelize(sdf).parallel_applymap(mfunc)
+        .toPandas().sort_values(["a", "b"], ignore_index=True)
+    )
+    exp = pdf.map(mfunc).sort_values(["a", "b"], ignore_index=True)
+    assert np.array_equal(got["a"].to_numpy(), exp["a"].to_numpy())
+    assert np.array_equal(got["b"].to_numpy(), exp["b"].to_numpy())
