@@ -66,6 +66,10 @@ def _pandas_ratios(spark) -> dict[str, float]:
 
     rng = np.random.default_rng(0)
     ratios: dict[str, float] = {}
+    # the headline queries leave the JVM with GC debt (unpersisted RDD
+    # carcasses, codegen caches); collect once so the first ratio
+    # workloads aren't taxed for it
+    spark.sparkContext._jvm.System.gc()
     tmp = tempfile.mkdtemp(prefix="bench_ratio_")
 
     def spark_input(pdf: pd.DataFrame, name: str):
@@ -85,7 +89,7 @@ def _pandas_ratios(spark) -> dict[str, float]:
         never a cache read."""
         (warm_build or build)().write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):  # min-of-2: single runs swing ±30% on this box
+        for _ in range(3):  # min-of-3: single runs swing ±30% on this box
             if warm_build is not None:
                 spark.catalog.clearCache()
             t0 = time.perf_counter()
@@ -94,10 +98,10 @@ def _pandas_ratios(spark) -> dict[str, float]:
         return best
 
     def measure(name, pandas_call, build, warm_build=None):
-        # min-of-2 on BOTH sides — taking Spark's favorable noise tail
-        # against a single pandas draw would bias every ratio upward
+        # min-of-3 on BOTH sides — taking Spark's favorable noise tail
+        # against fewer pandas draws would bias every ratio upward
         t_pandas = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             pandas_call()
             t_pandas = min(t_pandas, time.perf_counter() - t0)
@@ -230,6 +234,23 @@ def _pandas_ratios(spark) -> dict[str, float]:
         lambda: pdf.x.rolling(4).apply(wfunc, raw=True),
         lambda: _roll_build(sdf),
         warm_build=lambda: _roll_build(sdf.filter("idx % 10 = 0")),
+    )
+
+    # --- engine extras (NOT reference rows): the same operators with
+    # pure-arithmetic UDFs, where the express-or-fallback layer
+    # (operators/_vectorize.py) evaluates the UDF once per batch instead
+    # of per row. The reference's math.*-based workloads above fall back
+    # to the stock loop by design; these show the fast path's headroom.
+    n = 500_000
+    pdf = pd.DataFrame({"a": rng.integers(1, 8, n), "b": rng.random(n)})
+    afunc = lambda row: row.a * 2 + row.b / 3 - 1  # noqa: E731
+    sdf = spark_input(pdf, "row_apply_arith")
+    measure(
+        "row_apply_arith_vs_pandas",
+        lambda: pdf.apply(afunc, axis=1),
+        lambda: parallelize(sdf).parallel_apply(
+            afunc, axis=1, schema="a bigint, b double, result double"
+        ),
     )
 
     return ratios
