@@ -18,8 +18,9 @@ Design rules (see SURVEY.md §4):
 """
 
 from pandarallel_spark.engine import Engine, parallelize
+from pandarallel_spark.progress import spark_progress
 from pandarallel_spark.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["Engine", "parallelize", "get_spark", "__version__"]
+__all__ = ["Engine", "parallelize", "get_spark", "spark_progress", "__version__"]
