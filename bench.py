@@ -3,11 +3,12 @@
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Methodology: one warm-up action to absorb JVM/session startup (BASELINE.md
-excludes fixed overhead), then each query timed as plan-build + execute to
-a count/collect-free materialization (``df.write.format("noop")`` is not
-in OSS pyspark; we use ``count()`` on the final plan, which executes the
-full query).
+Methodology: warm-up actions absorb JVM/session/Python-worker startup
+(BASELINE.md excludes fixed overhead). Headline queries are timed once,
+cold-ish, as plan-build + ``count()`` (executes the full query). The
+vs-pandas ratio section measures steady state: min-of-3 on both engines,
+``noop``-format writes (full execution, no result materialization), and
+cache-defeating warm builds for operators that persist internally.
 """
 
 from __future__ import annotations
