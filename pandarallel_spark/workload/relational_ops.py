@@ -306,3 +306,35 @@ def percentiles_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(cents, 0.9).alias("p90_cents"),
         F.percentile(cents, 0.99).alias("p99_cents"),
     )
+
+
+@register(
+    "percentiles_approx_price_per_flag",
+    None,  # t-digest sketch: engine-specific interpolation → rows-only
+    "The 100 TB form of percentiles_price_per_flag: approx_percentile's "
+    "mergeable sketch (map-side partial, fixed memory) instead of the "
+    "exact sort-based aggregate. The exact twin is the oracle-checked "
+    "correctness anchor; this registers the scale path itself.",
+)
+def percentiles_approx_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(cents, 0.5, 10000).alias("p50_cents"),
+        F.percentile_approx(cents, 0.9, 10000).alias("p90_cents"),
+        F.percentile_approx(cents, 0.99, 10000).alias("p99_cents"),
+    )
+
+
+@register(
+    "approx_distinct_parts_per_supplier",
+    None,  # HyperLogLog++ estimate: engine-specific → rows-only
+    "HLL++ sketch twin of count_distinct_parts_per_supplier: fixed "
+    "per-key memory and one mergeable pass — the distinct-count any "
+    "100 TB pipeline actually runs; the exact twin anchors correctness.",
+)
+def approx_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("l_partkey_distinct_approx")
+    )
