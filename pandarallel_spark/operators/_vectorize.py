@@ -31,6 +31,24 @@ import pandas as pd
 _EXACT_F64 = float(1 << 53)
 
 
+def fast_path_type(dtype) -> tuple[bool, bool]:
+    """(eligible, integral) for a declared output Spark type.
+
+    The fast path produces a float64 array, so it can only serve
+    float/double, the int family (range-guarded), and boolean. Decimal
+    (exactness beyond float64), string/binary, temporal, and nested
+    types must always take the stock per-element loop."""
+    from pyspark.sql import types as T
+
+    integral = isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    eligible = integral or isinstance(
+        dtype, (T.FloatType, T.DoubleType, T.BooleanType)
+    )
+    return eligible, integral
+
+
 def sample_indices(n: int, k: int = 8) -> np.ndarray:
     """Up to k indices spread across [0, n) — head-only samples go
     vacuous when the head is a NaN run (e.g. downstream of a rolling)."""
@@ -42,6 +60,7 @@ def validated_vectorized(
     scalar_at: Callable[[int], object],
     call_batch: Callable[[], object],
     integral_out: bool = False,
+    exact_out: bool = False,
 ) -> np.ndarray | None:
     """Run ``call_batch`` once and return its float64 result iff it has
     shape (n,) and bit-matches ``scalar_at(i)`` on a spread sample.
@@ -52,8 +71,10 @@ def validated_vectorized(
     ``integral_out``: the declared output type is integral — reject
     results outside float64's exact-integer range (the validation
     cannot distinguish them, but the final Arrow cast would).
+    ``exact_out``: the declared output type demands exactness float64
+    can't carry at all (DecimalType) — never vectorize.
     """
-    if n == 0:
+    if n == 0 or exact_out:
         return None
     idxs = sample_indices(n)
     try:

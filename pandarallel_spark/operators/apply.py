@@ -118,10 +118,9 @@ def apply_rows(
 
     out_names = [f.name for f in out_schema.fields]
 
-    integral_out = isinstance(
-        out_schema[out_names[-1]].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
-    )
+    from pandarallel_spark.operators._vectorize import fast_path_type
+
+    eligible_out, integral_out = fast_path_type(out_schema[out_names[-1]].dataType)
 
     def try_vectorized(pdf: pd.DataFrame) -> pd.Series | None:
         from pandarallel_spark.operators._vectorize import validated_vectorized
@@ -133,6 +132,7 @@ def apply_rows(
             lambda i: func(pdf.iloc[i].copy(), *args, **kwargs),
             lambda: func(pdf.copy(), *args, **kwargs),
             integral_out=integral_out,
+            exact_out=not eligible_out,
         )
         return None if vecf is None else pd.Series(vecf, index=pdf.index)
 
@@ -244,11 +244,11 @@ def applymap(
         out_schema = schema
     out_names = [f.name for f in out_schema.fields]
 
-    integral_cols = {
-        f.name
-        for f in out_schema.fields
-        if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
-    }
+    from pandarallel_spark.operators._vectorize import fast_path_type
+
+    _fpt = {f.name: fast_path_type(f.dataType) for f in out_schema.fields}
+    integral_cols = {n for n, (_, integ) in _fpt.items() if integ}
+    ineligible_cols = {n for n, (elig, _) in _fpt.items() if not elig}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pandarallel_spark.operators._vectorize import validated_vectorized
@@ -261,12 +261,17 @@ def applymap(
             for c in columns:
                 res = None
                 if not fallback[c]:
+                    import copy as _copy
+
                     s = pdf[c]
                     vecf = validated_vectorized(
                         len(s),
-                        lambda i, _s=s: func(_s.iloc[i]),
+                        # copy the sampled cell: a mutating UDF must not
+                        # pre-mutate cells the fallback then maps again
+                        lambda i, _s=s: func(_copy.copy(_s.iloc[i])),
                         lambda _s=s: func(_s.copy()),
                         integral_out=c in integral_cols,
+                        exact_out=c in ineligible_cols,
                     )
                     fallback[c] = vecf is None
                     if vecf is not None:

@@ -68,23 +68,29 @@ def series_apply(
             res.dtype, non_null.iloc[0] if len(non_null) else None
         )
 
-    integral_out = isinstance(
+    from pandarallel_spark.operators._vectorize import fast_path_type
+
+    _rt = (
         T.StructType.fromDDL(f"x {return_type}")[0].dataType
         if isinstance(return_type, str)
-        else return_type,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        else return_type
     )
+    _eligible, integral_out = fast_path_type(_rt)
+    exact_out = not _eligible
 
     def try_vectorized(s: pd.Series) -> pd.Series | None:
         from pandarallel_spark.operators._vectorize import validated_vectorized
 
+        import copy as _copy
+
         vecf = validated_vectorized(
             len(s),
-            # scalar elements are immutable, but the batch call gets a
-            # private copy so a mutating UDF can't poison the fallback
-            lambda i: func(s.iloc[i], *args, **kwargs),
+            # copies on both: object cells are references, and a
+            # mutating UDF must not poison the fallback's input
+            lambda i: func(_copy.copy(s.iloc[i]), *args, **kwargs),
             lambda: func(s.copy(), *args, **kwargs),
             integral_out=integral_out,
+            exact_out=exact_out,
         )
         return None if vecf is None else pd.Series(vecf, index=s.index)
 

@@ -54,8 +54,14 @@ def pandas_dtype_to_spark(dtype: Any, sample: Any = None) -> T.DataType:
 
 
 def _python_value_to_spark(value: Any) -> T.DataType:
+    import decimal
+
     if isinstance(value, bool) or isinstance(value, np.bool_):
         return T.BooleanType()
+    if isinstance(value, decimal.Decimal):
+        # widest Spark decimal that still keeps 18 fractional digits;
+        # callers needing an exact precision pass an explicit schema
+        return T.DecimalType(38, 18)
     if isinstance(value, (int, np.integer)):
         return T.LongType()
     if isinstance(value, (float, np.floating)):

@@ -319,10 +319,14 @@ def percentiles_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentiles_approx_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(cents, 0.5, 10000).alias("p50_cents"),
-        F.percentile_approx(cents, 0.9, 10000).alias("p90_cents"),
-        F.percentile_approx(cents, 0.99, 10000).alias("p99_cents"),
+    # ONE sketch queried at three percentages — three separate
+    # percentile_approx calls would build and merge three sketches
+    sk = F.percentile_approx(cents, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000))
+    return li.groupBy("l_returnflag").agg(sk.alias("__p__")).select(
+        "l_returnflag",
+        F.element_at("__p__", 1).alias("p50_cents"),
+        F.element_at("__p__", 2).alias("p90_cents"),
+        F.element_at("__p__", 3).alias("p99_cents"),
     )
 
 

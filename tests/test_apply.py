@@ -281,3 +281,29 @@ def test_applymap_vectorized_engages_and_matches(spark):
     exp = pdf.map(mfunc).sort_values(["a", "b"], ignore_index=True)
     assert np.array_equal(got["a"].to_numpy(), exp["a"].to_numpy())
     assert np.array_equal(got["b"].to_numpy(), exp["b"].to_numpy())
+
+
+def test_decimal_outputs_never_vectorize(spark):
+    """DecimalType outputs demand exactness float64 can't carry — the
+    fast path must reject them so vectorize=True == vectorize=False
+    (review regression: 17-sig-digit decimals were silently rounded)."""
+    from decimal import Decimal
+
+    from pandarallel_spark import parallelize
+
+    from pyspark.sql import types as T
+
+    rows = [(Decimal("12345678901234567.89"),), (Decimal("0.01"),)]
+    sdf = spark.createDataFrame(rows, "d decimal(38,2)").repartition(2)
+    f = lambda x: x * 2  # noqa: E731
+    schema = T.StructType.fromDDL("d decimal(38,2)")
+    outs = {}
+    for flag in (True, False):
+        outs[flag] = sorted(
+            r["d"]
+            for r in parallelize(sdf)
+            .parallel_applymap(f, schema=schema, vectorize=flag)
+            .collect()
+        )
+    assert outs[True] == outs[False]
+    assert outs[True][1] == Decimal("24691357802469135.78")
