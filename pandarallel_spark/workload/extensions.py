@@ -298,7 +298,7 @@ SELECT date_trunc('hour', ts) AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -444,7 +444,7 @@ WITH w AS (
   FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
 SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM w GROUP BY 1, 2, 3
 """
 
@@ -478,7 +478,7 @@ i AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                                  ROWS UNBOUNDED PRECEDING) AS sid FROM o)
 SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM i GROUP BY user_id, sid
 """
 
@@ -602,7 +602,8 @@ p AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
       AS BIGINT) AS pack_id
   FROM t)
-SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+SELECT lang, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
 FROM p GROUP BY lang, pack_id
 """,
     "Sequence packing for LLM pretraining: greedy contiguous 2048-token "

@@ -137,7 +137,7 @@ def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_quantity",
     """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
@@ -201,7 +201,7 @@ def semi_anti_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFram
     """
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,
-       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     "CUBE grouping sets: totals for every (status, priority) combination "

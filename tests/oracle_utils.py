@@ -2,11 +2,19 @@
 query and the DuckDB oracle on the same parquet, sort columns by name,
 sort rows, compare values exactly. If this passes at a given sf, the
 driver's order-insensitive value-hash will too.
+
+The comparison is dtype-faithful: the driver's value-hash is sensitive
+to pandas dtype drift (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64 vs
+Spark int64 — the round-1 failure class), so ``compare`` asserts dtype
+equality per column instead of normalizing dtypes away.  The one
+normalization kept is datetime64 unit (DuckDB returns us, Spark ns) —
+empirically the driver hash treats those as equal.
 """
 
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = (
@@ -32,6 +40,17 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return conn
 
 
+def _has_sequence_cells(s: pd.Series) -> bool:
+    """True if any (sampled) cell is list-like.  Checks a prefix *and*
+    scans for the first non-null cell so a leading-NULL column is still
+    detected (ADVICE r1: iloc[0]-only detection misses those)."""
+    if s.dtype != object or not len(s):
+        return False
+    non_null = s.dropna()
+    head = non_null.iloc[: min(len(non_null), 100)]
+    return any(isinstance(v, (list, tuple, np.ndarray)) for v in head)
+
+
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pdf[sorted(pdf.columns)].copy()
     for c in out.columns:
@@ -41,8 +60,10 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
                 s = s.dt.tz_localize(None)
             out[c] = s.astype("datetime64[ns]")
         # list-valued cells can't be sorted on; stringify for comparison
-        if out[c].dtype == object and len(out) and isinstance(out[c].iloc[0], (list, tuple)):
-            out[c] = out[c].apply(lambda v: str(list(v)))
+        if _has_sequence_cells(out[c]):
+            out[c] = out[c].apply(
+                lambda v: v if v is None else str(list(v))
+            )
     return out.sort_values(list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -55,4 +76,10 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
         conn.close()
     assert list(got.columns) == list(exp.columns), f"columns {got.columns} != {exp.columns}"
     assert len(got) == len(exp), f"rowcount {len(got)} != {len(exp)}"
-    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+    for c in got.columns:
+        assert got[c].dtype == exp[c].dtype, (
+            f"dtype drift on {c!r}: spark={got[c].dtype} oracle={exp[c].dtype} "
+            "(the driver value-hash is dtype-sensitive — align the oracle SQL "
+            "cast or the Spark output type)"
+        )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True, check_exact=True)
