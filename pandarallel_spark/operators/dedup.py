@@ -8,9 +8,11 @@ Four tiers, each a different cost/recall point at 100 TB:
   distinct token set, ``text.fingerprint``) — catches word-order
   permutations for the cost of exact dedup.
 - ``ngram_jaccard_pairs`` — exact n-gram-set Jaccard via a shingle
-  self-join. Quadratic in docs-per-shingle; the scale lever is
-  ``max_shingle_freq`` (drop shingles occurring in more than N docs —
-  they contribute candidates, not discrimination).
+  self-join. Quadratic in docs-per-shingle; a cheap frequency aggregate
+  auto-enables the lossless PPJoin prefix filter on heavy-tailed
+  corpora (``_should_prefix_filter``), and ``max_shingle_freq`` remains
+  as an explicit lossy lever (drop shingles occurring in more than N
+  docs — they contribute candidates, not discrimination).
 - ``minhash_lsh_pairs``  — MinHash signatures + LSH banding: candidates
   from band-bucket joins (linear-ish), then *exact* Jaccard verification
   of candidates only. The standard 100 TB near-dup design
@@ -103,6 +105,73 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     return _shingle_rows(df, id_col, text_col, n).distinct()
 
 
+def _should_prefix_filter(sh: DataFrame, blowup_factor: float = 8.0) -> bool:
+    """Measure, don't guess: ONE cheap aggregate over the shingle table
+    decides whether the plain shingle self-join is safe. The join emits
+    Σ_s f_s·(f_s−1)/2 intersection rows (f_s = docs containing shingle
+    s) — quadratic in the hottest buckets. When that estimate exceeds
+    ``blowup_factor ×`` the shingle-row count, the corpus is heavy-tailed
+    and the (lossless) prefix filter pays for itself. The aggregate is
+    map-side partial (count per shingle, then three scalars), so its
+    cost is one scan+shuffle of (shingle, count) pairs — negligible next
+    to the join it protects against."""
+    row = (
+        sh.groupBy("__s__")
+        .agg(F.count(F.lit(1)).alias("__f__"))
+        .agg(
+            F.sum("__f__").alias("rows"),
+            F.sum(F.col("__f__") * F.col("__f__")).alias("sumsq"),
+        )
+        .first()
+    )
+    if row is None or not row["rows"]:
+        return False
+    join_rows = (row["sumsq"] - row["rows"]) / 2
+    return join_rows > blowup_factor * row["rows"]
+
+
+def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin candidate pairs: join each doc's rare-first prefix
+    (the first ``|x| − ceil(t·|x|) + 1`` shingles under the global
+    ascending-frequency order) against all other prefixes. Any pair with
+    J ≥ t must collide here (prefix-filtering lemma), and hot shingles
+    rank last so they land in almost no prefixes — the join's hot
+    buckets vanish. Output: distinct (id_a, id_b), id_a < id_b."""
+    sizes = sh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
+    freq = sh.groupBy("__s__").agg(F.count(F.lit(1)).alias("__f__"))
+    w = Window.partitionBy("__id__").orderBy("__f__", "__s__")
+    ranked = (
+        sh.join(freq, "__s__")
+        .join(sizes, "__id__")
+        .select(
+            "__id__",
+            "__s__",
+            F.row_number().over(w).alias("__rn__"),
+            "__sz__",
+        )
+    )
+    # prefix length with INTEGER arithmetic: float ceil(sz*t) can
+    # round up on values like 10*0.3=3.0000000000000004, shortening
+    # the prefix and silently losing pairs. Under-approximate t at
+    # 1e-6 resolution instead — a too-long prefix only admits extra
+    # candidates, which exact verification then rejects.
+    import math
+
+    tq = math.floor(threshold * 1_000_000)
+    prefix = ranked.filter(
+        F.col("__rn__")
+        <= F.col("__sz__") - F.expr(f"(__sz__ * {tq}L + 999999) DIV 1000000") + 1
+    ).select("__id__", "__s__")
+    pa = prefix.select(F.col("__id__").alias("id_a"), "__s__")
+    pb = prefix.select(F.col("__id__").alias("id_b"), "__s__")
+    return (
+        pa.join(pb, "__s__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -110,7 +179,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | None = None,
+    protect_blowup: float = 8.0,
 ) -> DataFrame:
     """Exact Jaccard over distinct word-n-gram sets, for all pairs with
     jaccard ≥ threshold. Output: (id_a, id_b, jaccard), id_a < id_b.
@@ -129,15 +199,20 @@ def ngram_jaccard_pairs(
     land in almost no prefixes. At t=0.5 the prefix join touches ~½ of
     rows per side before skew savings.
 
-    Default OFF: on corpora whose shingles are mostly unique (this
-    repo's testdata) the extra freq-agg + ranking-window stages cost
-    more than the join they save (measured 3.8 s vs 2.2 s at sf0.1).
-    Turn it on when the shingle frequency distribution is heavy-tailed —
-    web-scale text — where the full self-join's hot buckets are the
-    bottleneck; it is lossless at any threshold either way
-    (differential-tested in tests/test_dedup_text.py).
+    ``prefix_filter=None`` (default) auto-decides per corpus via
+    ``_should_prefix_filter``: a heavy-tailed shingle distribution (one
+    hot shingle in half the docs would make the plain join quadratic)
+    flips the prefix path on; mostly-unique corpora (this repo's
+    testdata) keep the cheaper plain join, whose extra freq-agg +
+    ranking-window stages would cost more than they save there
+    (measured 3.8 s vs 2.2 s at sf0.1). Results are identical either
+    way — the filter is lossless at any threshold (differential-tested
+    in tests/test_dedup_text.py, including a 50%-hot-shingle corpus).
+    Explicit True/False skips the measurement job.
     """
     sh = _shingle_table(df, id_col, text_col, n)
+    if prefix_filter is None:
+        prefix_filter = _should_prefix_filter(sh, protect_blowup)
     if max_shingle_freq is not None:
         freq_ok = (
             sh.groupBy("__s__")
@@ -150,41 +225,7 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
 
     if prefix_filter:
-        freq = sh.groupBy("__s__").agg(F.count(F.lit(1)).alias("__f__"))
-        w = Window.partitionBy("__id__").orderBy("__f__", "__s__")
-        ranked = (
-            sh.join(freq, "__s__")
-            .join(sizes, "__id__")  # reuse the aggregate, no second window pass
-            .select(
-                "__id__",
-                "__s__",
-                F.row_number().over(w).alias("__rn__"),
-                "__sz__",
-            )
-        )
-        # prefix length with INTEGER arithmetic: float ceil(sz*t) can
-        # round up on values like 10*0.3=3.0000000000000004, shortening
-        # the prefix and silently losing pairs. Under-approximate t at
-        # 1e-6 resolution instead — a too-long prefix only admits extra
-        # candidates, which exact verification then rejects.
-        import math
-
-        tq = math.floor(threshold * 1_000_000)
-        prefix = ranked.filter(
-            F.col("__rn__")
-            <= F.col("__sz__")
-            - F.expr(f"(__sz__ * {tq}L + 999999) DIV 1000000")
-            + 1
-        ).select("__id__", "__s__")
-        pa = prefix.select(F.col("__id__").alias("id_a"), "__s__")
-        pb = prefix.select(F.col("__id__").alias("id_b"), "__s__")
-        candidates = (
-            pa.join(pb, "__s__")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-            .persist()
-        )
+        candidates = _prefix_candidates(sh, threshold).persist()
         # verification must NOT re-pay the full self-join the prefix
         # filter exists to avoid: Spark can't push a two-sided semi-join
         # below the shingle join, so shrink each SIDE to candidate doc

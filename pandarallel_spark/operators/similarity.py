@@ -193,6 +193,111 @@ def cosine_pairs_q(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    bands: int = 16,
+    planes_per_band: int = 4,
+    seed: int = 202,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs, the scale path: banded sign-bit LSH
+    candidate generation + exact quantized-cosine verification. Same
+    output contract as ``cosine_pairs_q`` (id_a < id_b, cosine double)
+    restricted to candidate pairs that collide in ≥1 band.
+
+    Shape (the reason this replaces the all-pairs crossJoin): the corpus
+    is scanned twice — once for ``bands × planes_per_band`` sign bits
+    (one Arrow-batched int64 matmul per batch, packed to one ``bigint``
+    signature per band), once for the (id, vec, norm²) verify table via
+    pure JVM expressions. Candidates come from a self-join on
+    ``(band, signature)`` — a hash shuffle whose cost is Σ bucket²,
+    never n² — then two id-joins attach vectors for the exact unrolled
+    int64 cosine. No CartesianProduct / BroadcastNestedLoopJoin
+    anywhere in the plan.
+
+    Recall tuning (hyperplane LSH collision: P = (1 − θ/π)^r per band):
+    near-dup thresholds ≥0.8 want r = 8–16 with 16–32 bands (strong
+    candidate pruning); loose thresholds like the 0.4 used on the
+    synthetic testdata (max pairwise cosine there is ~0.51) need small
+    r — pruning is weak at such low similarity, which is a property of
+    the threshold, not the operator. All sign decisions are exact int64
+    sums over shared ``plane_ints`` constants, so a generated SQL oracle
+    reproduces the candidate set and values bit-for-bit.
+    """
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("cosine_pairs_lsh: input is empty (pass dim=)")
+        dim = len(first[0])
+    r = planes_per_band
+    p_mat = np.asarray(plane_ints(bands * r, dim, seed), dtype="int64")
+    pw = (1 << np.arange(r)).astype("int64")
+
+    def sig_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qm = _np_quant(np.stack(pdf[vec_col].apply(np.asarray).to_numpy()))
+            bits = (qm @ p_mat.T) >= 0  # (n, bands*r)
+            sigs = bits.reshape(len(pdf), bands, r) @ pw  # (n, bands)
+            yield pd.DataFrame(
+                {"__id__": pdf[id_col].to_numpy(), "__sigs__": list(sigs)}
+            )
+
+    from pandarallel_spark.operators.apply import _widen
+
+    sigs = (
+        _widen(df.select(id_col, vec_col))
+        .mapInPandas(sig_batches, "__id__ bigint, __sigs__ array<bigint>")
+        .select("__id__", F.posexplode("__sigs__").alias("__band__", "__sig__"))
+    )
+    a = sigs.select(F.col("__id__").alias("id_a"), "__band__", "__sig__")
+    b = sigs.select(F.col("__id__").alias("id_b"), "__band__", "__sig__")
+    pairs = (
+        a.join(b, ["__band__", "__sig__"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # verify table: JVM-side quantized norm² (unrolled expr stays in
+    # whole-stage codegen); vectors carried raw for the exact dot
+    v = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(vec_col).alias("__v__"),
+        F.expr(_dot_sql(vec_col, vec_col, dim)).alias("__n2__"),
+    )
+    va = v.select(
+        F.col("__id__").alias("id_a"),
+        F.col("__v__").alias("__va__"),
+        F.col("__n2__").alias("__na__"),
+    )
+    vb = v.select(
+        F.col("__id__").alias("id_b"),
+        F.col("__v__").alias("__vb__"),
+        F.col("__n2__").alias("__nb__"),
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.expr(_dot_sql("__va__", "__vb__", dim)).cast("double")
+                / (
+                    F.sqrt(F.col("__na__").cast("double"))
+                    * F.sqrt(F.col("__nb__").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

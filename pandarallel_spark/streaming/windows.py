@@ -100,6 +100,10 @@ def stream_events(
     (tests use format("memory") + availableNow trigger)."""
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)
+    # Parquet round-trips may infer TIMESTAMP_NTZ (Spark 4 default when the
+    # file lacks a tz marker); withWatermark requires TimestampType (LTZ), so
+    # normalize before declaring event time.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window(F.col("ts"), duration), F.col("event_type"))

@@ -264,29 +264,58 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "c_id", "score", F.col("rank").cast("bigint").alias("rank"))
 
 
-_COS_PAIRS_ORACLE = """
+_CPL_BANDS, _CPL_R, _CPL_SEED, _CPL_DIM, _CPL_THRESH = 16, 4, 202, 64, 0.4
+
+
+def _cos_pairs_lsh_oracle() -> str:
+    """Oracle generated from the SAME quantized hyperplane ints the Spark
+    operator uses (similarity.plane_ints) — per-band signatures, the
+    candidate self-join, and the exact int64 cosine all reproduce
+    bit-for-bit, so the approximate operator is value-oracled exactly."""
+    mat = _sim.plane_ints(_CPL_BANDS * _CPL_R, _CPL_DIM, _CPL_SEED)
+    rows = ", ".join(f"({p}, {mat[p]})" for p in range(len(mat)))
+    return f"""
 WITH v AS (SELECT vec_id, [CAST(round(CAST(e AS DOUBLE)*10000) AS BIGINT) FOR e IN embedding] AS qv
            FROM embeddings),
+planes AS (SELECT * FROM (VALUES {rows}) t(pid, pv)),
+bits AS (
+  SELECT v.vec_id, p.pid // {_CPL_R} AS band, p.pid % {_CPL_R} AS pos,
+         CASE WHEN list_sum([v.qv[i]*p.pv[i] FOR i IN range(1, {_CPL_DIM + 1})]) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM v CROSS JOIN planes p),
+s AS (SELECT vec_id, band, SUM(bit * (1 << pos)) AS sig FROM bits GROUP BY vec_id, band),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
 n AS (SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM v)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1, len(a.qv)+1)]) AS DOUBLE)
-    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
-FROM n a, n b
-WHERE a.vec_id < b.vec_id
-  AND CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1, len(a.qv)+1)]) AS DOUBLE)
-    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4
-""".replace("\n  AND", "\n AND")
+SELECT * FROM (
+  SELECT c.id_a, c.id_b,
+    CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1, len(a.qv)+1)]) AS DOUBLE)
+      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+  FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b)
+WHERE cosine >= {_CPL_THRESH}
+"""
 
 
 @register(
     "embedding_cosine_pairs",
-    _COS_PAIRS_ORACLE,
-    "Embedding near-dup: all pairs with quantized cosine ≥ 0.4. Integer "
-    "numerator/norms + one sqrt/div → deterministic doubles both engines.",
+    _cos_pairs_lsh_oracle(),
+    "Embedding near-dup, scale path: banded sign-bit LSH candidates "
+    "(16 bands × 4 planes) + exact int64 cosine verify ≥ 0.4 — no "
+    "all-pairs crossJoin anywhere in the plan. Oracle reproduces the "
+    "same bands/signatures from shared plane constants. The all-pairs "
+    "form (similarity.cosine_pairs_q) stays as the test-scale recall "
+    "anchor in tests/test_plans.py + tests/test_dedup_text.py.",
 )
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return _sim.cosine_pairs_q(emb, threshold=0.4)
+    return _sim.cosine_pairs_lsh(
+        emb,
+        threshold=_CPL_THRESH,
+        bands=_CPL_BANDS,
+        planes_per_band=_CPL_R,
+        seed=_CPL_SEED,
+        dim=_CPL_DIM,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -372,12 +401,24 @@ def join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # fake features are sha256-seeded — not SQL-expressible
     "Binary media column plumbing: synthesize binary content from text, "
     "decode→features via mapInPandas (codec stubbed deterministically; "
-    "schema/batching/partitioning real). Rows-only check.",
+    "schema/batching/partitioning real). Rows-only check. The registered "
+    "projection digests the array<float> into a sortable md5 scalar so "
+    "the driver canonicalizer can sort rows; API users call "
+    "multimodal.decode_features directly for the raw vectors.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = _mm.synthesize_media(docs, "doc_id", "text")
-    return _mm.decode_features(media)
+    feats = _mm.decode_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("features", lambda x: F.format_number(x, 6))
+            )
+        ).alias("features_digest"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,26 @@ def test_lsh_topk_self_hit(spark, sf_dir):
     assert (rank1.q_id.to_numpy() == rank1.c_id.to_numpy()).all()
 
 
+def test_cosine_pairs_lsh_subset_of_exact(spark, sf_dir):
+    """The banded-LSH near-dup pairs must be a subset of the all-pairs
+    result with identical cosine values (exact verify), and recall must
+    clear the band-math expectation at the test threshold."""
+    from pandarallel_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_pairs_q(emb, threshold=0.4).toPandas()
+    lsh = similarity.cosine_pairs_lsh(
+        emb, threshold=0.4, bands=16, planes_per_band=4, seed=202
+    ).toPandas()
+    e = exact.set_index(["id_a", "id_b"]).cosine
+    l = lsh.set_index(["id_a", "id_b"]).cosine
+    assert set(l.index) <= set(e.index)
+    pd.testing.assert_series_equal(l.sort_index(), e.loc[l.index].sort_index())
+    # P(collide in ≥1 band) ≈ 1-(1-(1-θ/π)^4)^16 ≥ 0.87 at cos=0.4;
+    # assert a loose floor so seed drift can't silently crater recall
+    assert len(l) >= 0.75 * len(e)
+
+
 def test_multimodal_plumbing(spark, docs):
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     feats = multimodal.decode_features(media, out_dim=8).toPandas()
@@ -140,6 +160,74 @@ def test_prefix_filter_lossless(spark, sf_dir):
             ).collect())
         )
         assert on == off, f"threshold {t}: prefix={len(on)} full={len(off)}"
+
+
+def test_auto_protect_hot_shingles(spark):
+    """A heavy-tailed corpus (one boilerplate 3-gram in 50% of docs)
+    must flip the auto prefix filter ON, bound the candidate join, and
+    return exactly the unprotected pair set (losslessness)."""
+    import pandas as pd
+
+    from pandarallel_spark.operators.dedup import (
+        _shingle_table,
+        _should_prefix_filter,
+        ngram_jaccard_pairs,
+    )
+
+    n_docs = 400
+    hot = "click here now"
+    rows = []
+    for i in range(n_docs):
+        body = f"unique{i}a token{i}b word{i}c filler{i}d tail{i}e"
+        rows.append((i, f"{hot} {body}" if i % 2 == 0 else body))
+    # two genuine near-dups sharing most of their shingles
+    rows.append((900, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((901, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+    sh = _shingle_table(docs, "doc_id", "text", 3)
+    assert _should_prefix_filter(sh), "hot shingle must trigger protection"
+    # uniform corpus: plain join stays chosen
+    uni = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(n_docs)],
+            columns=["doc_id", "text"],
+        )
+    )
+    assert not _should_prefix_filter(_shingle_table(uni, "doc_id", "text", 3))
+
+    auto = set(
+        map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect())
+    )
+    plain = set(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5, prefix_filter=False
+            ).collect(),
+        )
+    )
+    assert auto == plain and (900, 901) in {(a, b) for a, b, _ in auto}
+
+    # bounded candidates: the hot shingle (f=200 → ~20k pair slots in
+    # the plain join) must land in almost no prefixes — the prefix
+    # join's intersection row count stays linear-ish in docs
+    from pyspark.sql import functions as F
+
+    freq = sh.groupBy("__s__").agg(F.count(F.lit(1)).alias("__f__"))
+    plain_rows = freq.agg(
+        F.sum(F.col("__f__") * (F.col("__f__") - 1) / 2)
+    ).first()[0]
+    assert plain_rows > 4000  # the skew is real
+    # with rare-first ordering the hot shingle is never in a prefix of
+    # these 8-shingle docs (prefix length = |x| - ceil(0.5|x|) + 1 = 4 of
+    # 8 ranks, hot ranks last) → candidate pairs ≈ true near-dups only
+    from pandarallel_spark.operators.dedup import _prefix_candidates
+
+    cand = _prefix_candidates(sh, threshold=0.5).count()
+    assert cand < 50, f"prefix candidates not bounded: {cand}"
 
 
 def test_connected_components_shapes(spark):

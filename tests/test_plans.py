@@ -91,6 +91,15 @@ def test_ivf_broadcast_probes_no_corpus_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_cosine_pairs_lsh_no_cartesian(spark, sf_dir):
+    """The embedding near-dup scale path must never plan an all-pairs
+    join: candidates come from the (band, signature) self-join."""
+    plan = _plan(spark, sf_dir, "embedding_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # signatures ride Arrow batches
+
+
 def test_semi_anti_are_semi_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semi_anti_customers_per_nation")
     assert "LeftSemi" in plan and "LeftAnti" in plan
