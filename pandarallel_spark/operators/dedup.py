@@ -20,8 +20,10 @@ Four tiers, each a different cost/recall point at 100 TB:
 - ``simhash_pairs``      — 64-bit SimHash + chunk-blocking + Hamming
   distance ≤ k. Cheapest signature; catches small edits.
 
-Hash determinism: signatures use ``xxhash64`` with fixed per-permutation
-seeds, so results are reproducible run-to-run and across cluster sizes.
+Hash determinism: MinHash permutations use ``xxhash64`` with fixed
+per-permutation seeds; SimHash bits derive from md5 halves (ANSI-SQL-
+expressible, so the oracle reproduces signatures exactly). Both are
+reproducible run-to-run and across cluster sizes.
 """
 
 from __future__ import annotations
@@ -439,16 +441,25 @@ def minhash_lsh_pairs(
 
 def simhash(col: Column | str, bits: int = 64) -> Column:
     """64-bit SimHash over the token multiset, as pure expressions:
-    per-token xxhash64 → per-bit ±1 votes → sign → packed bits.
-    All JVM-side; no Python."""
+    per-token md5-derived bits → per-bit ±1 votes → sign → packed bits.
+    All JVM-side; no Python. The 64 hash bits are the first 16 hex chars
+    of md5(token) read as two 32-bit halves — md5 is identical in every
+    engine (see sampling.md5_bucket), so signatures are SQL-oracleable."""
     toks = tokens(col)
 
     def vote_merge(bit: int):
         # PySpark introspects higher-order-function lambdas and requires
         # exactly (acc, x) — bind the bit index via this factory instead
         # of a defaulted third parameter.
+        start = 1 if bit < 32 else 9
+        shift = bit % 32
         return lambda acc, t: acc + F.when(
-            F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            F.shiftright(
+                F.conv(F.substring(F.md5(t), start, 8), 16, 10).cast("bigint"),
+                shift,
+            ).bitwiseAND(F.lit(1))
+            == 1,
+            F.lit(1),
         ).otherwise(F.lit(-1))
 
     packed = F.lit(0).cast("bigint")
@@ -468,13 +479,23 @@ def _simhash_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Aggregate expressions are built as SQL strings: 64 Column-object
     trees would cost thousands of py4j round trips (see similarity.py).
     Docs with no tokens produce no signature (vs. the expression form's
-    all-zero hash, which would spuriously pair every empty doc)."""
+    all-zero hash, which would spuriously pair every empty doc).
+
+    Hash bits come from md5 (two 32-bit halves of the first 16 hex
+    chars), computed ONCE per token row in the projection below the
+    aggregate — not xxhash64, so a DuckDB oracle reproduces signatures
+    bit-for-bit (arithmetic >> and & agree between the JVM and DuckDB,
+    probed in the workload oracle)."""
     tok = df.select(
         F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("__t__")
+    ).select(
+        "__id__",
+        F.expr("CAST(conv(substring(md5(__t__), 1, 8), 16, 10) AS BIGINT)").alias("__h1__"),
+        F.expr("CAST(conv(substring(md5(__t__), 9, 8), 16, 10) AS BIGINT)").alias("__h2__"),
     )
     votes = [
         F.expr(
-            f"SUM(CASE WHEN (shiftright(xxhash64(__t__), {b}) & 1) = 1 "
+            f"SUM(CASE WHEN (shiftright(__h{1 if b < 32 else 2}__, {b % 32}) & 1) = 1 "
             f"THEN 1 ELSE -1 END)"
         ).alias(f"__v{b}__")
         for b in range(64)
@@ -533,7 +554,9 @@ def simhash_pairs(
         .select(
             "id_a",
             "id_b",
-            F.bit_count(F.col("__sha__").bitwiseXOR(F.col("__shb__"))).alias("hamming"),
+            F.bit_count(F.col("__sha__").bitwiseXOR(F.col("__shb__")))
+            .cast("bigint")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

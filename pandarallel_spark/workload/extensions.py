@@ -161,11 +161,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle() -> str:
+    """Full SimHash pipeline in DuckDB SQL: md5-half hash bits (same
+    scheme as dedup._simhash_agg), ±1 votes, packed 64-bit signature,
+    16-bit-chunk blocking, exact Hamming ≤ 8. Arithmetic ``>>`` and
+    ``&`` agree between the JVM and DuckDB on negative bigints, so
+    signatures and chunk values match bit-for-bit."""
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN ((h{1 if b < 32 else 2} >> {b % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN "
+        f"{(1 << b) if b < 63 else '(-9223372036854775807 - 1)'} ELSE 0 END)"
+        for b in range(64)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_DOC_TOKS}) AS t FROM documents),
+h AS (SELECT doc_id,
+        CAST('0x'||substr(md5(t),1,8) AS BIGINT) AS h1,
+        CAST('0x'||substr(md5(t),9,8) AS BIGINT) AS h2
+      FROM tok),
+votes AS (SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {packed} AS sh FROM votes),
+ch AS (SELECT doc_id, sh, ci, (sh >> (ci*16)) & 65535 AS cv
+       FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS ci))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 8
+"""
+
+
 @register(
     "dedup_simhash",
-    None,  # signature bits depend on xxhash64 — not ANSI-SQL-expressible
+    _simhash_oracle(),
     "SimHash(64-bit) near-dup pairs, Hamming ≤ 8, 16-bit-chunk blocking. "
-    "Deterministic (fixed seeds) but hash-defined → rows-only check.",
+    "Hash bits from md5 halves → the full signature/blocking/Hamming "
+    "pipeline is reproduced in SQL and value-checked.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
