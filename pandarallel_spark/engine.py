@@ -77,7 +77,7 @@ class ParallelFrame:
         *,
         args: tuple = (),
         schema: T.StructType | str | None = None,
-        elementwise: bool = False,
+        elementwise: bool | None = None,
         include_input: bool = True,
         result_name: str = "result",
         vectorize: bool = True,

@@ -16,8 +16,9 @@ Spark-first mapping (SURVEY.md §2.1 #1-#3):
   reference's scatter, minus the driver round-trip.
 - Black-box axis=0 is *whole-column* semantics: a reducing func uses a
   grouped-agg pandas UDF (column gathered to one worker — same data
-  movement the reference does); an elementwise transform should pass
-  ``elementwise=True`` to stay batch-parallel.
+  movement the reference does); a transform func (sniffed from a sampled
+  same-length Series result, like the reference's reduce-time check)
+  runs as a scalar pandas UDF per column, batch-parallel.
 """
 
 from __future__ import annotations
@@ -166,7 +167,7 @@ def apply_columns(
     func: Callable[[pd.Series], Any],
     columns: list[str] | None = None,
     *,
-    elementwise: bool = False,
+    elementwise: bool | None = None,
     schema: T.StructType | None = None,
 ) -> DataFrame:
     """``df.parallel_apply(func, axis=0)`` — func sees each whole column.
@@ -176,14 +177,30 @@ def apply_columns(
     computed with a grouped-agg pandas UDF per column; Spark evaluates all
     column aggregates in a single pass, so column-parallelism is free.
 
-    Transform func (column → same-length column) with ``elementwise=True``
-    → scalar pandas UDF per column, batch-parallel (correct whenever the
-    func is elementwise or batch-stable, which covers every reference
-    test). Whole-column non-elementwise transforms don't shard by
-    definition; callers needing them should restructure as grouped apply.
+    Transform func (column → same-length column) → scalar pandas UDF per
+    column, batch-parallel (correct whenever the func is elementwise or
+    batch-stable, which covers every reference test). Whole-column
+    non-elementwise transforms don't shard by definition; callers
+    needing them should restructure as grouped apply.
+
+    ``elementwise=None`` (default) auto-detects transform-vs-reduce the
+    way the reference does at reduce time (``data_types/dataframe.py:
+    44-51`` picks the concat axis from the sampled result type): the
+    func runs on a sampled prefix of the first column, and a same-length
+    Series result means transform, anything else reduce. Pass
+    ``True``/``False`` to pin the mode (e.g. a transform whose output
+    length coincidentally differs on the 100-row sample is impossible,
+    but a reduce returning a same-length Series is — pin it then).
     """
     columns = columns or list(df.columns)
     sample = _sample_pdf(df.select(*columns))
+
+    if elementwise is None:
+        if len(sample):
+            probe = func(sample[columns[0]])
+            elementwise = isinstance(probe, pd.Series) and len(probe) == len(sample)
+        else:
+            elementwise = False
 
     if elementwise:
         out_cols = []

@@ -31,16 +31,36 @@ def asof_join(
     tolerance: Column | None = None,
     suffix: str = "_asof",
 ) -> DataFrame:
-    """``pd.merge_asof``-shaped join: for each left row, the latest right
-    row with ``right_ts <= left_ts`` per key (direction="backward"; ties
-    at equal ts match). ``tolerance`` (e.g. ``F.expr("INTERVAL 1 HOUR")``)
-    nulls out matches older than ``left_ts - tolerance``.
+    """``pd.merge_asof``-shaped join. Per left row and key:
+
+    - ``direction="backward"`` — the latest right row with
+      ``right_ts <= left_ts`` (ties at equal ts match);
+    - ``direction="forward"`` — the earliest right row with
+      ``right_ts >= left_ts``;
+    - ``direction="nearest"`` — whichever of the two is closest in
+      absolute distance; ties prefer the backward match (pandas rule).
+
+    ``tolerance`` (e.g. ``F.expr("INTERVAL 1 HOUR")``) nulls out matches
+    farther than the tolerance in the search direction; for "nearest" it
+    bounds each side independently before the closest eligible match is
+    chosen — exactly ``pd.merge_asof`` semantics (differential-tested in
+    tests/test_join.py).
+
+    All three directions stay the union + keyed-window design (one
+    shuffle on the key, no range explosion): backward is a
+    ``last(ignorenulls)`` over (unbounded-preceding, current), forward a
+    ``first(ignorenulls)`` over (current, unbounded-following) with the
+    side tag sorted so equal-ts right rows land inside the frame;
+    nearest evaluates both frames over the same shuffle and picks
+    per row with plain expressions.
 
     Right rows must be unique per (key, ts) for deterministic output —
     the same contract pandas merge_asof imposes ("left" keeps the last).
     """
-    if direction != "backward":
-        raise NotImplementedError("only direction='backward' is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward | forward | nearest, got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     value_cols = value_cols or [
@@ -73,30 +93,69 @@ def asof_join(
         F.col(right_ts).alias(out_ts),
     )
 
-    # right rows sort before left rows at equal ts → "<=" match semantics
-    w = (
+    # backward: right rows (side=0) sort BEFORE left at equal ts → the
+    # (unbounded-preceding, current) frame includes rt == lt ("<=").
+    # forward: sort side DESC so right rows land AFTER left at equal ts
+    # → the (current, unbounded-following) frame includes rt == lt.
+    w_b = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__t__"), F.col("__side__"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    unioned = l_tagged.unionByName(r_tagged)
-    filled = unioned.select(
-        "*",
-        *[F.last(v, ignorenulls=True).over(w).alias(f"__f_{v}__") for v in out_vals],
-        F.last(out_ts, ignorenulls=True).over(w).alias("__f_ts__"),
+    w_f = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t__"), F.col("__side__").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
     )
-    out = filled.filter(F.col("__side__") == 1)
+    unioned = l_tagged.unionByName(r_tagged)
 
-    matched_ts = F.col("__f_ts__")
-    if tolerance is not None:
-        in_tol = matched_ts >= (F.col("__t__") - tolerance)
-        val_sel = [
-            F.when(in_tol, F.col(f"__f_{v}__")).alias(v) for v in out_vals
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills += [
+            F.last(v, ignorenulls=True).over(w_b).alias(f"__b_{v}__")
+            for v in out_vals
         ]
-        ts_sel = F.when(in_tol, matched_ts).alias(out_ts)
-    else:
-        val_sel = [F.col(f"__f_{v}__").alias(v) for v in out_vals]
-        ts_sel = matched_ts.alias(out_ts)
+        fills.append(F.last(out_ts, ignorenulls=True).over(w_b).alias("__b_ts__"))
+    if direction in ("forward", "nearest"):
+        fills += [
+            F.first(v, ignorenulls=True).over(w_f).alias(f"__q_{v}__")
+            for v in out_vals
+        ]
+        fills.append(F.first(out_ts, ignorenulls=True).over(w_f).alias("__q_ts__"))
+    out = unioned.select("*", *fills).filter(F.col("__side__") == 1)
+
+    lt = F.col("__t__")
+    if direction == "backward":
+        ts_m, pref = F.col("__b_ts__"), "__b_"
+        elig = ts_m.isNotNull()
+        if tolerance is not None:
+            elig = elig & (ts_m >= lt - tolerance)
+        val_sel = [F.when(elig, F.col(f"{pref}{v}__")).alias(v) for v in out_vals]
+        ts_sel = F.when(elig, ts_m).alias(out_ts)
+    elif direction == "forward":
+        ts_m, pref = F.col("__q_ts__"), "__q_"
+        elig = ts_m.isNotNull()
+        if tolerance is not None:
+            elig = elig & (ts_m <= lt + tolerance)
+        val_sel = [F.when(elig, F.col(f"{pref}{v}__")).alias(v) for v in out_vals]
+        ts_sel = F.when(elig, ts_m).alias(out_ts)
+    else:  # nearest — tolerance bounds each side, then closest wins
+        ts_b, ts_f = F.col("__b_ts__"), F.col("__q_ts__")
+        elig_b = ts_b.isNotNull()
+        elig_f = ts_f.isNotNull()
+        if tolerance is not None:
+            elig_b = elig_b & (ts_b >= lt - tolerance)
+            elig_f = elig_f & (ts_f <= lt + tolerance)
+        # ties (equal distance) prefer backward, matching pandas
+        use_b = elig_b & (~elig_f | ((lt - ts_b) <= (ts_f - lt)))
+        use_f = elig_f & ~use_b
+        val_sel = [
+            F.when(use_b, F.col(f"__b_{v}__"))
+            .when(use_f, F.col(f"__q_{v}__"))
+            .alias(v)
+            for v in out_vals
+        ]
+        ts_sel = F.when(use_b, ts_b).when(use_f, ts_f).alias(out_ts)
 
     return out.select(
         *keys,

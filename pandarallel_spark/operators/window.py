@@ -38,7 +38,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_LAST_HALO_CACHE: list = []
+# bucket-boundary memo for _halo_rolling: (semanticHash, ord, n) → bnds
+_BOUNDARY_MEMO: dict = {}
 
 
 def _vectorized_rolling(
@@ -269,30 +270,46 @@ def _halo_rolling(
     raw: bool,
     vectorize: bool = True,
 ) -> DataFrame | None:
-    """Parallel global rolling: range partitions + boundary fixup.
+    """Parallel global rolling: literal range buckets + boundary fixup.
 
-    One big pass: ``repartitionByRange(order)`` (ties always land in one
-    partition) → per-partition pandas rolling via ``mapInPandas``. A
-    partition's first ``window-1`` rows (and last ``(window-1)//2`` when
-    ``center``) lack cross-partition context, so each partition marks
-    its edge rows; a second *lazy* branch re-rolls just the merged edge
-    set (partitions × 2·(window-1) rows — trivially small, one task
-    after a ~200-row shuffle) and the union replaces the marked rows.
-    The edge set's global sort order contains every marked row's true
-    window context by construction. The marked pass is persisted so the
-    two branches share one compute; the whole plan stays lazy — no
-    driver round trip, no eager action at build time.
+    Shape (the reference's overlap-chunk design, ``series_rolling.py:
+    16,47``, restructured so the corpus crosses the JVM↔Python boundary
+    exactly ONCE — the Arrow round trip is the dominant cost, and the
+    previous persist-the-whole-pass design paid it twice and cached the
+    full dataset, which does not survive 100 TB):
+
+    1. Bucket boundaries are sampled once with ``approxQuantile`` (a
+       bounded JVM-only job at build time) and embedded as literals, so
+       every branch buckets identically BY CONSTRUCTION — correctness
+       never rides on Catalyst exchange reuse. Ties share a bucket
+       (strict ``>`` against boundaries), like ``repartitionByRange``.
+    2. The big pass hash-partitions on the bucket id, rolls each bucket
+       with pandas/numpy, and emits every row EXCEPT the per-bucket head
+       (and tail, when ``center``) rows whose windows lack cross-bucket
+       context.
+    3. Those come from a JVM-only branch: a ``row_number`` window over
+       the bucket id extracts each bucket's first/last ``window-1`` rows
+       (≈ buckets × 2(w−1) rows), which funnel into a single tiny Python
+       task that re-rolls the edge set in global order — it contains
+       every fixed row's true window context by construction — and
+       emits just the replacement rows. No persist, no cache, no second
+       full pass.
+
+    With one shuffle partition the bucket machinery is skipped entirely
+    (a single partition already sees the whole order).
 
     Returns None when the shape doesn't qualify (multi-column or
     non-orderable order key) — caller falls back to the single-partition
-    window form.
+    window form. The order column should be a total order; ties make
+    window composition nondeterministic (same caveat as pandas on a
+    non-unique index).
     """
     if len(order_by) != 1 or not isinstance(order_by[0], str):
         return None
     ord_col = order_by[0]
+    ord_type = df.schema[ord_col].dataType
     if not isinstance(
-        df.schema[ord_col].dataType,
-        (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType),
+        ord_type, (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType)
     ):
         return None
 
@@ -307,49 +324,100 @@ def _halo_rolling(
         [*df.schema.fields, T.StructField(output_col, _to_dtype(return_type), True)]
     )
     out_names = [f.name for f in out_schema.fields]
-    work_schema = T.StructType(
-        [
-            *out_schema.fields,
-            T.StructField("__fix__", T.BooleanType(), False),
-            T.StructField("__edge__", T.BooleanType(), False),
-        ]
-    )
-    work_names = [f.name for f in work_schema.fields]
 
-    def roll(batches):
+    def roll_bucket(s: pd.Series) -> pd.Series:
+        return _rolling_series(s, window, min_periods, center, func, raw, vectorize)
+
+    if n_parts <= 1:
+        # one partition sees the total order — no halo machinery
+        def roll_all(batches):
+            parts = [b for b in batches if len(b)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True).sort_values(
+                ord_col, kind="mergesort", ignore_index=True
+            )
+            pdf[output_col] = roll_bucket(pdf[col])
+            yield pdf[out_names]
+
+        return df.repartition(1).mapInPandas(roll_all, out_schema)
+
+    # 1) literal boundaries (numeric view of the order column; dates and
+    # timestamps go through epoch doubles — only bucket ASSIGNMENT uses
+    # the double view, windows still order by the original column).
+    # Boundaries are memoized per (plan, order, n_parts): re-rolling the
+    # same frame (interactive use, min-of-N benches) skips the sampling
+    # job. Staleness is benign — boundaries only steer bucket BALANCE;
+    # any literal boundaries give correct results.
+    if isinstance(ord_type, T.NumericType):
+        ord_num = F.col(ord_col).cast("double")
+    else:
+        ord_num = F.col(ord_col).cast("timestamp").cast("double")
+    probs = [i / n_parts for i in range(1, n_parts)]
+    try:
+        plan_key = (df.semanticHash(), ord_col, n_parts)
+    except Exception:  # noqa: BLE001 — fall back to no memo
+        plan_key = None
+    bnds = _BOUNDARY_MEMO.get(plan_key) if plan_key is not None else None
+    if bnds is None:
+        qdf = df.select(ord_num.alias("__q__"))
+        bnds = sorted(set(qdf.approxQuantile("__q__", probs, 1.0 / (4 * n_parts))))
+        if plan_key is not None:
+            if len(_BOUNDARY_MEMO) > 64:
+                _BOUNDARY_MEMO.clear()
+            _BOUNDARY_MEMO[plan_key] = bnds
+    if not bnds:  # empty input or constant order column
+        bucket_expr = F.lit(0)
+    else:
+        bucket_expr = sum(
+            (F.when(ord_num > F.lit(b), 1).otherwise(0) for b in bnds),
+            F.lit(0),
+        )
+    bucketed = df.withColumn("__bkt__", bucket_expr)
+    in_names = [*out_names[:-1], "__bkt__"]
+
+    # 2) big pass: roll per bucket, drop context-less head/tail rows
+    def roll_buckets(batches):
         parts = [b for b in batches if len(b)]
         if not parts:
             return
-        pdf = pd.concat(parts, ignore_index=True).sort_values(
-            ord_col, kind="mergesort", ignore_index=True
-        )
-        pdf[output_col] = _rolling_series(
-            pdf[col], window, min_periods, center, func, raw, vectorize
-        )
-        m = len(pdf)
-        pos = np.arange(m)
-        fix = pos < halo_before
-        edge_mask = (pos < edge) | (pos >= m - edge)
-        if halo_after:
-            fix = fix | (pos >= m - halo_after)
-        pdf["__fix__"] = fix
-        pdf["__edge__"] = edge_mask
-        yield pdf[work_names]
+        pdf = pd.concat(parts, ignore_index=True)
+        for _, g in pdf.groupby("__bkt__", sort=False):
+            g = g.sort_values(ord_col, kind="mergesort", ignore_index=True)
+            g[output_col] = roll_bucket(g[col])
+            m = len(g)
+            pos = np.arange(m)
+            keep = pos >= halo_before
+            if halo_after:
+                keep &= pos < m - halo_after
+            out = g.loc[keep, out_names]
+            if len(out):
+                yield out
 
-    work = (
-        df.repartitionByRange(n_parts, F.col(ord_col))
-        .mapInPandas(roll, work_schema)
-        .persist()
+    big = bucketed.repartition(n_parts, F.col("__bkt__")).mapInPandas(
+        roll_buckets, out_schema
     )
-    # bound the cache: one live marked pass per session — unpersist the
-    # previous call's (its consumer either already ran or recomputes)
-    prev = _LAST_HALO_CACHE.pop() if _LAST_HALO_CACHE else None
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:  # noqa: BLE001 — session may be stopped
-            pass
-    _LAST_HALO_CACHE.append(work)
+
+    # 3) JVM-only edge extraction: first/last (window-1) rows per bucket
+    # — ONE row_number window (hash exchange + per-bucket sort, no
+    # Python); per-bucket counts come from a tiny broadcast-joined
+    # aggregate rather than a second window pass. Then one tiny task
+    # re-rolls the edge set and emits the replacement rows.
+    w_asc = Window.partitionBy("__bkt__").orderBy(F.col(ord_col))
+    counts = bucketed.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    edges = (
+        bucketed.withColumn("__rn__", F.row_number().over(w_asc))
+        .join(F.broadcast(counts), "__bkt__")
+        .filter(
+            (F.col("__rn__") <= edge) | (F.col("__rn__") > F.col("__cnt__") - edge)
+        )
+        .withColumn(
+            "__fix__",
+            (F.col("__rn__") <= halo_before)
+            | (F.col("__rn__") > F.col("__cnt__") - halo_after),
+        )
+        .select(*in_names[:-1], "__fix__")
+    )
 
     def fix_edges(batches):
         parts = [b for b in batches if len(b)]
@@ -358,17 +426,10 @@ def _halo_rolling(
         small = pd.concat(parts, ignore_index=True).sort_values(
             ord_col, kind="mergesort", ignore_index=True
         )
-        small[output_col] = _rolling_series(
-            small[col], window, min_periods, center, func, raw, vectorize
-        )
+        small[output_col] = roll_bucket(small[col])
         yield small.loc[small["__fix__"], out_names]
 
-    big = work.filter(~F.col("__fix__")).select(*out_names)
-    fixed = (
-        work.filter(F.col("__edge__"))
-        .repartition(1)
-        .mapInPandas(fix_edges, out_schema)
-    )
+    fixed = edges.repartition(1).mapInPandas(fix_edges, out_schema)
     return big.unionByName(fixed)
 
 

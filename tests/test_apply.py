@@ -76,6 +76,19 @@ def test_apply_columns_transform(spark, pdf, sdf):
     pdt.assert_frame_equal(_sorted(got, ["a", "b"]), _sorted(expected, ["a", "b"]))
 
 
+def test_apply_columns_transform_autodetected(spark, pdf, sdf):
+    """Reference auto-sniffs transform-vs-reduce at reduce time
+    (data_types/dataframe.py:44-51; transform test shapes
+    tests/test_pandarallel.py:145-157) — no elementwise flag needed."""
+    func = lambda col: col * 2  # noqa: E731
+    expected = pdf.apply(func, axis=0)
+    got = parallelize(sdf).parallel_apply(func, axis=0).toPandas()
+    pdt.assert_frame_equal(_sorted(got, ["a", "b"]), _sorted(expected, ["a", "b"]))
+    # identity transform (reference :151-157)
+    ident = parallelize(sdf).parallel_apply(lambda col: col, axis=0).toPandas()
+    pdt.assert_frame_equal(_sorted(ident, ["a", "b"]), _sorted(pdf, ["a", "b"]))
+
+
 def test_applymap(spark, pdf, sdf):
     func = lambda x: x**2 - x  # noqa: E731  (reference :229-237 shape)
     expected = pdf.map(func)

@@ -77,6 +77,51 @@ def test_asof_tolerance(spark, trades_quotes):
     pd.testing.assert_series_equal(g["px"], e["px"], check_names=False)
 
 
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+@pytest.mark.parametrize("tol", [None, 50])
+def test_asof_directions_match_pandas(spark, trades_quotes, direction, tol):
+    trades, quotes = trades_quotes
+    expected = pd.merge_asof(
+        trades.sort_values("t", kind="mergesort"),
+        quotes.sort_values("t", kind="mergesort"),
+        on="t",
+        by="sym",
+        direction=direction,
+        tolerance=tol,
+    )
+    got = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        on="sym",
+        left_ts="t",
+        value_cols=["px"],
+        direction=direction,
+        tolerance=None if tol is None else F.lit(tol),
+        suffix="",
+    ).toPandas()
+    key = ["sym", "t", "qty"]
+    e = expected.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_series_equal(g["px"], e["px"], check_names=False)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": ["x"], "t": [10], "v": [1]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["x", "x"], "t": [5, 15], "px": [1.0, 2.0]})
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", value_cols=["px"], direction="nearest"
+    ).toPandas()
+    assert out["px_asof"].iloc[0] == 1.0
+
+
+def test_asof_bad_direction_raises(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": ["x"], "t": [5]}))
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, on="k", left_ts="t", direction="sideways")
+
+
 def test_asof_no_match_is_null(spark):
     left = spark.createDataFrame(pd.DataFrame({"k": ["x"], "t": [5], "v": [1]}))
     right = spark.createDataFrame(pd.DataFrame({"k": ["x"], "t": [10], "px": [2.0]}))

@@ -145,8 +145,11 @@ def test_halo_global_rolling_matches_pandas(spark):
 
 def test_halo_rolling_is_multi_task(spark):
     """The global-rolling plan must NOT collapse to a single ordered
-    window (one task): it should range-partition (parallel) and run the
-    UDF per partition via mapInPandas."""
+    window (one task): it should bucket on literal range boundaries
+    (hash exchange on the bucket id, parallel) and run the UDF per
+    bucket via mapInPandas; the only Window node is the JVM-side
+    per-bucket row_number for edge extraction — never an ungrouped
+    (single-partition) window."""
     import io
     from contextlib import redirect_stdout
 
@@ -166,9 +169,13 @@ def test_halo_rolling_is_multi_task(spark):
         plan_df.explain("formatted")
     plan = buf.getvalue()
     assert "MapInPandas" in plan
-    assert "rangepartitioning" in plan.lower()
-    # no single-partition ordered Window evaluating the UDF
-    assert "Window" not in plan
+    assert "hashpartitioning(__bkt__" in plan
+    # every Window partitions by the bucket id — an empty partition spec
+    # would serialize the whole order through one task
+    for seg in plan.split("Arguments: ")[1:]:
+        head = seg.splitlines()[0]
+        if "windowspecdefinition" in head.lower():
+            assert "__bkt__" in head
 
 
 def test_halo_rolling_null_int_passthrough(spark):
