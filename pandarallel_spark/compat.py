@@ -325,6 +325,10 @@ def _series_rolling_parallel_apply(self, func, *args, **kwargs):
     window = self.window
     min_periods = self.min_periods
     center = self.center
+    # full attribute replay (reference series_rolling.py:22-28): closed
+    # forwards; weighted windows reject loudly in the engine
+    closed = getattr(self, "closed", None)
+    win_type = getattr(self, "win_type", None)
     pdf = obj.to_frame(_VAL)
     from pandarallel_spark import parallelize
 
@@ -333,14 +337,17 @@ def _series_rolling_parallel_apply(self, func, *args, **kwargs):
         got = (
             parallelize(sdf, order_by=_POS)
             .series(_VAL)
-            .rolling(window, min_periods=min_periods, center=center)
+            .rolling(
+                window, min_periods=min_periods, center=center,
+                closed=closed, win_type=win_type,
+            )
             # vectorize=False: the shim's contract is bit-parity with the
             # stock pandas loop (the reference's own differential tests
             # assert res.equals), which the SIMD fast path can't promise
             # for pow/transcendental UDFs
             .parallel_apply(
-                func, raw=raw, output_col="__r__", return_type="double",
-                vectorize=False,
+                func, raw=raw, index_col=_IDX, output_col="__r__",
+                return_type="double", vectorize=False,
             )
         )
         got = _to_pandas(got)
@@ -431,12 +438,18 @@ def _make_grouped_window_apply(kind: str):
         sdf, idx_name = _to_spark(src, [*keys, col])
         pf = parallelize(sdf, order_by=_POS).groupby(*keys).series(col)
         wnd = (
-            pf.rolling(self.window, min_periods=self.min_periods, center=self.center)
+            pf.rolling(
+                self.window, min_periods=self.min_periods, center=self.center,
+                closed=getattr(self, "closed", None),
+                win_type=getattr(self, "win_type", None),
+            )
             if kind == "rolling"
             else pf.expanding(min_periods=self.min_periods or 1)
         )
         # rolling only: force the stock pandas loop (bit-parity contract;
         # see _series_rolling_parallel_apply). Expanding has no fast path.
+        # No index_col: pandas GroupBy.rolling hands raw=False UDFs a
+        # group-positional RangeIndex, which is the engine default.
         extra = {"vectorize": False} if kind == "rolling" else {}
         try:
             got = _to_pandas(

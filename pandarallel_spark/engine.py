@@ -145,9 +145,14 @@ class ParallelSeries:
 
     # -- reference ops #6/#8 (core.py:538-556) -------------------------------
     def rolling(
-        self, window: int, min_periods: int | None = None, center: bool = False
+        self,
+        window: int,
+        min_periods: int | None = None,
+        center: bool = False,
+        closed: str | None = None,
+        win_type: str | None = None,
     ) -> "ParallelRolling":
-        return ParallelRolling(self, window, min_periods, center)
+        return ParallelRolling(self, window, min_periods, center, closed, win_type)
 
     def expanding(self, min_periods: int = 1) -> "ParallelExpanding":
         return ParallelExpanding(self, min_periods)
@@ -156,15 +161,19 @@ class ParallelSeries:
 class ParallelRolling:
     def __init__(
         self, series: ParallelSeries, window: int, min_periods: int | None,
-        center: bool = False,
+        center: bool = False, closed: str | None = None,
+        win_type: str | None = None,
     ):
         self.series = series
         self.window = window
         self.min_periods = min_periods
         self.center = center
+        self.closed = closed
+        self.win_type = win_type
 
     def parallel_apply(
         self, func: str | Callable, *, raw: bool = True,
+        index_col: str | None = None,
         output_col: str | None = None, return_type: T.DataType | str = "double",
         vectorize: bool = True,
     ) -> DataFrame:
@@ -172,7 +181,8 @@ class ParallelRolling:
         return _window.rolling_apply(
             df, self.series.col, self.window, func, order,
             partition_by=self.series.partition_by, min_periods=self.min_periods,
-            center=self.center, raw=raw, output_col=output_col,
+            center=self.center, closed=self.closed, win_type=self.win_type,
+            raw=raw, index_col=index_col, output_col=output_col,
             return_type=return_type, vectorize=vectorize,
         )
 

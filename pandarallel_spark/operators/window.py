@@ -129,6 +129,23 @@ def _vectorized_rolling(
     return out
 
 
+def _frame_bounds(window: int, center: bool, closed: str | None) -> tuple[int, int]:
+    """pandas fixed-window frame offsets (inclusive rowsBetween bounds)
+    for a given ``closed``: 'right' (default) = [-(w-1-lead), lead];
+    'left' shifts both bounds by −1, 'both' extends the left bound,
+    'neither' trims the right — matching pandas' FixedWindowIndexer
+    (differentially verified in tests/test_window.py)."""
+    lead = (window - 1) // 2 if center else 0
+    lo, hi = -(window - 1 - lead), lead
+    if closed == "left":
+        lo, hi = lo - 1, hi - 1
+    elif closed == "both":
+        lo -= 1
+    elif closed == "neither":
+        hi -= 1
+    return lo, hi
+
+
 def _rolling_series(
     s: pd.Series,
     window: int,
@@ -137,6 +154,7 @@ def _rolling_series(
     func: Callable,
     raw: bool,
     vectorize: bool = True,
+    closed: str | None = None,
 ) -> pd.Series:
     """Rolling-apply a Series: vectorized fast path, pandas fallback.
 
@@ -144,9 +162,11 @@ def _rolling_series(
     path is elementwise-identical for +,-,*,/ but ``**`` and
     transcendentals may differ from the scalar loop in the last ulp
     (numpy's SIMD pow vs scalar pow) — callers that promise pandas bit
-    parity (the compat shim) turn it off.
+    parity (the compat shim) turn it off. Non-default ``closed`` frames
+    always take the pandas path (the strided fast path assumes
+    right-closed windows).
     """
-    if raw and vectorize:
+    if raw and vectorize and closed in (None, "right"):
         # private copy: to_numpy may hand back a view of the Arrow
         # buffer, and _vectorized_rolling exposes strided views of vals
         # to the UDF
@@ -154,7 +174,9 @@ def _rolling_series(
         fast = _vectorized_rolling(vals, window, min_periods, center, func)
         if fast is not None:
             return pd.Series(fast, index=s.index)
-    return s.rolling(window, min_periods=min_periods, center=center).apply(func, raw=raw)
+    return s.rolling(
+        window, min_periods=min_periods, center=center, closed=closed
+    ).apply(func, raw=raw)
 
 _BUILTIN_AGGS: dict[str, Callable[[Column], Column]] = {
     "sum": F.sum,
@@ -183,7 +205,10 @@ def rolling_apply(
     partition_by: Sequence[str] = (),
     min_periods: int | None = None,
     center: bool = False,
+    closed: str | None = None,
+    win_type: str | None = None,
     raw: bool = True,
+    index_col: str | None = None,
     output_col: str | None = None,
     return_type: T.DataType | str = "double",
     vectorize: bool = True,
@@ -197,22 +222,36 @@ def rolling_apply(
     pandas ``rolling.apply(raw=...)``). ``center=True`` matches pandas:
     the frame spans ``[-(w-1-(w-1)//2), +(w-1)//2]`` around each row.
 
+    ``closed`` ('right'|'left'|'both'|'neither') replays pandas frame
+    endpoint semantics (reference replays full rolling ``_attributes``,
+    ``series_rolling.py:22-28``). ``win_type`` (weighted windows) is NOT
+    implemented — rejected loudly rather than silently ignored.
+
+    ``index_col``: for ``raw=False`` UDFs, the column whose values index
+    the window Series handed to the UDF (pandas UDFs read ``.index``);
+    defaults to the order column. ``raw=True`` windows are plain numpy
+    arrays either way.
+
     ``vectorize`` (raw funcs only): evaluate the UDF once over the
     strided window matrix when a sampled bit-exact check admits it —
     ~50× on arithmetic UDFs; ``**``/transcendentals may differ from the
     pandas scalar loop in the last ulp. Set False for strict pandas bit
     parity.
     """
+    if win_type is not None:
+        raise NotImplementedError(
+            f"win_type={win_type!r} (weighted windows) is not implemented; "
+            "pandas evaluates weighted aggregations, not rolling.apply UDFs, "
+            "under win_type — use a builtin agg or drop win_type"
+        )
+    if closed not in (None, "right", "left", "both", "neither"):
+        raise ValueError(f"closed must be right|left|both|neither, got {closed!r}")
     if min_periods is None:
         min_periods = window  # pandas rolling default
     order_by = [order_by] if not isinstance(order_by, (list, tuple)) else list(order_by)
     output_col = output_col or f"{col}_rolling_{func if isinstance(func, str) else 'apply'}"
 
-    if center:
-        lead = (window - 1) // 2
-        frame = (-(window - 1 - lead), lead)
-    else:
-        frame = (-(window - 1), 0)
+    frame = _frame_bounds(window, center, closed)
     spec = _window_spec(order_by, partition_by).rowsBetween(*frame)
     cnt = F.count(F.col(col)).over(spec)
 
@@ -226,17 +265,25 @@ def rolling_apply(
         return _grouped_pandas_window(
             df, col, order_by, partition_by, output_col, return_type,
             lambda s: _rolling_series(
-                s, window, min_periods, center, func, raw, vectorize
+                s, window, min_periods, center, func, raw, vectorize, closed
             ),
+            index_col=None if raw else index_col,
         )
 
     halo = _halo_rolling(
         df, col, order_by, output_col, return_type,
-        window=window, min_periods=min_periods, center=center,
+        window=window, min_periods=min_periods, center=center, closed=closed,
         func=func, raw=raw, vectorize=vectorize,
+        index_col=None if raw else index_col,
     )
     if halo is not None:
         return halo
+
+    idx_expr = None
+    if not raw:
+        idx_expr = F.col(index_col) if index_col else (
+            F.col(order_by[0]) if isinstance(order_by[0], str) else order_by[0]
+        )
 
     @F.pandas_udf(return_type)
     def apply_window(arrs: pd.Series) -> pd.Series:
@@ -247,12 +294,23 @@ def rolling_apply(
             # (Spark does not short-circuit conditional UDF branches).
             if vals is None or len(vals) < min_periods:
                 return None
-            x = np.asarray(vals, dtype="float64")
-            return func(x if raw else pd.Series(x))
+            if raw:
+                return func(np.asarray(vals, dtype="float64"))
+            return func(
+                pd.Series(
+                    np.asarray([v["v"] for v in vals], dtype="float64"),
+                    index=[v["i"] for v in vals],
+                )
+            )
 
         return arrs.apply(run)
 
-    frame_vals = F.collect_list(F.col(col)).over(spec)
+    if raw:
+        frame_vals = F.collect_list(F.col(col)).over(spec)
+    else:
+        frame_vals = F.collect_list(
+            F.struct(idx_expr.alias("i"), F.col(col).alias("v"))
+        ).over(spec)
     return df.withColumn(output_col, apply_window(frame_vals))
 
 
@@ -269,6 +327,8 @@ def _halo_rolling(
     func: Callable,
     raw: bool,
     vectorize: bool = True,
+    closed: str | None = None,
+    index_col: str | None = None,
 ) -> DataFrame | None:
     """Parallel global rolling: literal range buckets + boundary fixup.
 
@@ -315,18 +375,22 @@ def _halo_rolling(
 
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    lead = (window - 1) // 2 if center else 0
-    halo_before = window - 1 - lead
-    halo_after = lead
-    edge = window - 1
+    lo, hi = _frame_bounds(window, center, closed)
+    halo_before = -lo  # rows whose frame reaches into the previous bucket
+    halo_after = max(hi, 0)
+    edge = halo_before + halo_after  # context rows needed per boundary
 
     out_schema = T.StructType(
         [*df.schema.fields, T.StructField(output_col, _to_dtype(return_type), True)]
     )
     out_names = [f.name for f in out_schema.fields]
+    ix = index_col if (index_col and not raw) else ord_col
 
-    def roll_bucket(s: pd.Series) -> pd.Series:
-        return _rolling_series(s, window, min_periods, center, func, raw, vectorize)
+    def roll_bucket(g: pd.DataFrame) -> np.ndarray:
+        s = pd.Series(g[col].to_numpy(), index=g[ix].to_numpy())
+        return _rolling_series(
+            s, window, min_periods, center, func, raw, vectorize, closed
+        ).to_numpy()
 
     if n_parts <= 1:
         # one partition sees the total order — no halo machinery
@@ -337,7 +401,7 @@ def _halo_rolling(
             pdf = pd.concat(parts, ignore_index=True).sort_values(
                 ord_col, kind="mergesort", ignore_index=True
             )
-            pdf[output_col] = roll_bucket(pdf[col])
+            pdf[output_col] = roll_bucket(pdf)
             yield pdf[out_names]
 
         return df.repartition(1).mapInPandas(roll_all, out_schema)
@@ -384,7 +448,7 @@ def _halo_rolling(
         pdf = pd.concat(parts, ignore_index=True)
         for _, g in pdf.groupby("__bkt__", sort=False):
             g = g.sort_values(ord_col, kind="mergesort", ignore_index=True)
-            g[output_col] = roll_bucket(g[col])
+            g[output_col] = roll_bucket(g)
             m = len(g)
             pos = np.arange(m)
             keep = pos >= halo_before
@@ -426,7 +490,7 @@ def _halo_rolling(
         small = pd.concat(parts, ignore_index=True).sort_values(
             ord_col, kind="mergesort", ignore_index=True
         )
-        small[output_col] = roll_bucket(small[col])
+        small[output_col] = roll_bucket(small)
         yield small.loc[small["__fix__"], out_names]
 
     fixed = edges.repartition(1).mapInPandas(fix_edges, out_schema)
@@ -441,6 +505,7 @@ def _grouped_pandas_window(
     output_col: str,
     return_type: T.DataType | str,
     pandas_op,
+    index_col: str | None = None,
 ) -> DataFrame:
     """Arbitrary-UDF grouped window via ``applyInPandas``: run the stock
     pandas rolling/expanding op inside each group — the exact semantics
@@ -448,6 +513,12 @@ def _grouped_pandas_window(
     with linear state instead of ``collect_list``'s O(frame) arrays per
     row. One shuffle on the group key; each group is one task, which is
     the same parallelism profile as the reference's whole-group chunks.
+
+    ``index_col``: values to use as the rolled Series' index. Default
+    (None) is a group-positional RangeIndex — which is exactly what
+    pandas ``GroupBy.rolling`` hands ``raw=False`` UDFs (verified
+    differentially: pandas re-indexes each group positionally before
+    rolling, regardless of the frame's index).
     """
     order_cols = [c if isinstance(c, str) else c._jc.toString() for c in order_by]
     out_schema = T.StructType(
@@ -457,7 +528,13 @@ def _grouped_pandas_window(
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        pdf[output_col] = pandas_op(pdf[col])
+        idx = (
+            pdf[index_col].to_numpy()
+            if index_col is not None
+            else np.arange(len(pdf))
+        )
+        s = pd.Series(pdf[col].to_numpy(), index=idx)
+        pdf[output_col] = pandas_op(s).to_numpy()
         return pdf[out_names]
 
     return df.groupBy(*partition_by).applyInPandas(per_group, out_schema)

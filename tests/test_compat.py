@@ -95,6 +95,29 @@ def test_series_rolling(df):
     pd.testing.assert_series_equal(expected, got)
 
 
+def test_series_rolling_closed_left(df):
+    """Rolling attribute replay: closed= must forward (reference replays
+    full _attributes, series_rolling.py:22-28)."""
+    if len(df) < 5:
+        pytest.skip("needs >= window rows")
+    func = lambda x: float(x.sum())  # noqa: E731
+    expected = df.b.rolling(4, min_periods=2, closed="left").apply(func, raw=True)
+    got = df.b.rolling(4, min_periods=2, closed="left").parallel_apply(func, raw=True)
+    pd.testing.assert_series_equal(expected, got)
+
+
+def test_series_rolling_index_reading_udf():
+    """raw=False UDFs must see the ORIGINAL index slice through the
+    shim, like stock pandas rolling (float index, reference test
+    shapes :190)."""
+    rng = np.random.default_rng(5)
+    s = pd.Series(rng.random(500), index=np.arange(500) * 0.5)
+    func = lambda w: float(w.index.max()) + float(w.iloc[-1])  # noqa: E731
+    expected = s.rolling(3).apply(func, raw=False)
+    got = s.rolling(3).parallel_apply(func, raw=False)
+    pd.testing.assert_series_equal(expected, got)
+
+
 def test_groupby_apply_scalar(df):
     func = lambda g: g.b.sum() - g.c.max()  # noqa: E731
     expected = df.groupby("a").apply(func)

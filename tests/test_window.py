@@ -52,6 +52,97 @@ def test_rolling_global_udf(spark, pdf, sdf):
     pd.testing.assert_series_equal(_got(out, "r"), expected, check_names=False)
 
 
+@pytest.mark.parametrize("closed", ["right", "left", "both", "neither"])
+def test_rolling_closed_matches_pandas(spark, pdf, sdf, closed):
+    """closed= replays pandas frame endpoint semantics on the builtin,
+    halo-UDF, and grouped-UDF paths (reference replays full rolling
+    _attributes, series_rolling.py:22-28)."""
+    func = lambda a: float(a.sum())  # noqa: E731
+    # builtin path
+    exp = (
+        pdf.sort_values("idx").b
+        .rolling(4, min_periods=2, closed=closed).sum().reset_index(drop=True)
+    )
+    out = (
+        parallelize(sdf, order_by="idx").series("b")
+        .rolling(4, min_periods=2, closed=closed).parallel_apply("sum", output_col="r")
+    )
+    pd.testing.assert_series_equal(_got(out, "r"), exp, check_names=False)
+    # global UDF (halo) path
+    exp_u = (
+        pdf.sort_values("idx").b
+        .rolling(4, min_periods=2, closed=closed)
+        .apply(func, raw=True).reset_index(drop=True)
+    )
+    out_u = (
+        parallelize(sdf, order_by="idx").series("b")
+        .rolling(4, min_periods=2, closed=closed)
+        .parallel_apply(func, raw=True, output_col="r")
+    )
+    pd.testing.assert_series_equal(_got(out_u, "r"), exp_u, check_names=False)
+    # grouped UDF path
+    exp_g = (
+        pdf.sort_values("idx").groupby("a").b
+        .rolling(4, min_periods=2, closed=closed)
+        .apply(func, raw=True)
+        .reset_index(level=0, drop=True).sort_index().reset_index(drop=True)
+    )
+    out_g = (
+        parallelize(sdf, order_by="idx").groupby("a").series("b")
+        .rolling(4, min_periods=2, closed=closed)
+        .parallel_apply(func, raw=True, output_col="r")
+    )
+    pd.testing.assert_series_equal(_got(out_g, "r"), exp_g, check_names=False)
+
+
+def test_rolling_win_type_rejected(spark, sdf):
+    with pytest.raises(NotImplementedError, match="win_type"):
+        (
+            parallelize(sdf, order_by="idx").series("b")
+            .rolling(4, win_type="triang").parallel_apply("sum")
+        )
+
+
+def test_rolling_raw_false_sees_index(spark, pdf, sdf):
+    """raw=False UDFs must see the true index slice (order-column
+    values by default), like pandas rolling — reference runs true
+    pandas rolling per chunk (series_rolling.py:39-47)."""
+    func = lambda w: float(w.index.max()) + float(w.iloc[-1])  # noqa: E731
+    base = pdf.sort_values("idx").set_index("idx")
+    exp = base.b.rolling(3).apply(func, raw=False).reset_index(drop=True)
+    # global (halo) path
+    out = (
+        parallelize(sdf, order_by="idx").series("b").rolling(3)
+        .parallel_apply(func, raw=False, output_col="r")
+    )
+    pd.testing.assert_series_equal(_got(out, "r"), exp, check_names=False)
+    # grouped path contract: a group-LOCAL RangeIndex (0..len(g)-1).
+    # pandas uses positions within the group-concatenated frame — a
+    # global offset whose replication would cost an extra distributed
+    # pass for a value no portable UDF should read; VALUES must still
+    # match pandas exactly (index-insensitive check below).
+    vfunc = lambda w: float(w.iloc[0] - w.iloc[-1])  # noqa: E731
+    exp_g = (
+        base.groupby("a").b.rolling(3).apply(vfunc, raw=False)
+        .reset_index(level=0, drop=True).sort_index().reset_index(drop=True)
+    )
+    out_g = (
+        parallelize(sdf, order_by="idx").groupby("a").series("b").rolling(3)
+        .parallel_apply(vfunc, raw=False, output_col="r")
+    )
+    pd.testing.assert_series_equal(_got(out_g, "r"), exp_g, check_names=False)
+    # and the documented group-local index: last window of each group
+    # ends at position len(group)-1
+    ifunc = lambda w: float(w.index.max())  # noqa: E731
+    out_i = (
+        parallelize(sdf, order_by="idx").groupby("a").series("b").rolling(3)
+        .parallel_apply(ifunc, raw=False, output_col="r")
+    ).toPandas().sort_values("idx")
+    last_per_group = out_i.groupby("a").r.max()
+    sizes = pdf.groupby("a").size()
+    assert (last_per_group == (sizes - 1).astype(float)).all()
+
+
 def test_rolling_min_periods(spark, pdf, sdf):
     expected = pdf.sort_values("idx").b.rolling(4, min_periods=2).mean().reset_index(drop=True)
     out = (
