@@ -41,14 +41,15 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _has_sequence_cells(s: pd.Series) -> bool:
-    """True if any (sampled) cell is list-like.  Checks a prefix *and*
-    scans for the first non-null cell so a leading-NULL column is still
-    detected (ADVICE r1: iloc[0]-only detection misses those)."""
+    """True if any cell is list-like. Lazily scans ALL non-null cells
+    (stops at the first hit), so a column whose first list appears after
+    a long scalar prefix is still detected (ADVICE r1/r2; the all-scalar
+    worst case is a linear scan of a test-scale result set)."""
     if s.dtype != object or not len(s):
         return False
-    non_null = s.dropna()
-    head = non_null.iloc[: min(len(non_null), 100)]
-    return any(isinstance(v, (list, tuple, np.ndarray)) for v in head)
+    return any(
+        isinstance(v, (list, tuple, np.ndarray)) for v in s.dropna()
+    )
 
 
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -59,10 +60,16 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             if getattr(s.dt, "tz", None) is not None:
                 s = s.dt.tz_localize(None)
             out[c] = s.astype("datetime64[ns]")
-        # list-valued cells can't be sorted on; stringify for comparison
+        # list-valued cells can't be sorted on; stringify for comparison.
+        # Only list-LIKE cells convert (None/NaN/scalars pass through
+        # unchanged — a NaN would raise on list()); np.asarray().tolist()
+        # yields Python scalars so numpy>=2's 'np.float64(1.0)' reprs
+        # can't diverge between the Spark and DuckDB sides (ADVICE r2).
         if _has_sequence_cells(out[c]):
             out[c] = out[c].apply(
-                lambda v: v if v is None else str(list(v))
+                lambda v: str(np.asarray(v).tolist())
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
             )
     return out.sort_values(list(out.columns), kind="mergesort").reset_index(drop=True)
 
