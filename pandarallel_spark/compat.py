@@ -367,6 +367,12 @@ def _groupby_parallel_apply(self, func, *args, **kwargs):
 
     first_key = next(iter(self.groups))
     sample_out = func(self.get_group(first_key).head(256), *args, **kwargs)
+    if sample_out is None:
+        # pandas: None-returning funcs (incl. in-place mutators) yield an
+        # empty result — run stock pandas locally, exact by definition
+        # (reference mutation detection dataframe_groupby.py:37 existed
+        # for pandas 1.x assembly conventions)
+        return self.apply(func, *args, **kwargs)
     from pandarallel_spark.operators.groupby import grouped_apply
 
     sdf, idx_name = _to_spark(pdf, list(pdf.columns))

@@ -80,7 +80,26 @@ def grouped_apply(
             raise ValueError(
                 "cannot infer grouped_apply output on an empty frame; pass schema= and mode="
             )
+        before = sample.copy(deep=True)
         out = func(sample, *args, **kwargs)
+        if out is None:
+            # pandas semantics: a None-returning func yields an EMPTY
+            # result even if it mutated the group in place (verified on
+            # pandas 2.x; the reference's mutated-group machinery,
+            # dataframe_groupby.py:37 + utils.py:61-85, served pandas
+            # 1.x conventions that no longer exist). Mutating UDFs must
+            # return the frame — fail loudly instead of emitting junk.
+            mutated = not sample.equals(before)
+            raise ValueError(
+                "grouped_apply func returned None on the sampled group"
+                + (
+                    " after mutating it in place — in-place mutation without "
+                    "returning the frame produces an EMPTY result in pandas; "
+                    "return the mutated frame instead"
+                    if mutated
+                    else "; pass schema= and mode= if this is intentional"
+                )
+            )
         if isinstance(out, pd.DataFrame):
             mode = "frame"
             inferred = infer_schema_from_pandas(out)

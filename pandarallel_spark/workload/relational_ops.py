@@ -53,6 +53,39 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_next_purchase_after_click",
+    f"""
+WITH c AS (SELECT event_id, user_id, {_TS_US.format('ts')} AS ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, {_TS_US.format('ts')} AS ts,
+             CAST(round(value*100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+j AS (SELECT c.event_id, c.user_id, c.ts, p.ts AS mts, p.cents AS mcents
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+SELECT event_id, user_id, ts,
+  CASE WHEN mts <= ts + INTERVAL 1 HOUR THEN mts END AS ts_asof,
+  CASE WHEN mts <= ts + INTERVAL 1 HOUR THEN mcents END AS cents_asof
+FROM j
+""",
+    "Forward as-of join with tolerance: the EARLIEST purchase at-or-"
+    "after each click per user, nulled beyond 1 hour — merge_asof "
+    "direction='forward' semantics via the same union + keyed "
+    "first(ignorenulls) window (one shuffle, no range explosion).",
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["cents"], direction="forward",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    ).select("event_id", "user_id", "ts", "ts_asof", "cents_asof")
+
+
+@register(
     "range_purchases_after_error",
     f"""
 WITH e AS (SELECT event_id AS error_id, user_id, {_TS_US.format('ts')} AS error_ts

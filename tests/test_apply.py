@@ -320,3 +320,22 @@ def test_decimal_outputs_never_vectorize(spark):
         )
     assert outs[True] == outs[False]
     assert outs[True][1] == Decimal("24691357802469135.78")
+
+
+def test_apply_columns_builtin_routes_to_jvm_agg(spark, pdf, sdf):
+    """String builtins skip the column gather entirely: map-side partial
+    aggregation, no Python (VERDICT r2 #5)."""
+    got = parallelize(sdf).parallel_apply("max", axis=0).toPandas()
+    assert got["a"].iloc[0] == pdf.a.max()
+    assert got["b"].iloc[0] == pytest.approx(pdf.b.max())
+    import io
+    from contextlib import redirect_stdout
+
+    from pandarallel_spark.operators.apply import apply_columns
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        apply_columns(sdf, "max").explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "AggregateInPandas" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan

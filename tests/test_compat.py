@@ -287,3 +287,17 @@ def test_progress_bridge_renders(spark):
             raise RuntimeError("boom")
     except RuntimeError:
         pass
+
+
+def test_groupby_none_returning_mutator_matches_pandas():
+    """None-returning (in-place mutating) group funcs: pandas yields an
+    empty result; the shim must match, not crash or emit junk."""
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({"a": rng.integers(0, 5, 300), "b": rng.random(300)})
+
+    def mutate_in_place(g):
+        g["b2"] = g.b * 2
+
+    expected = pdf.groupby("a").apply(mutate_in_place)
+    got = pdf.groupby("a").parallel_apply(mutate_in_place)
+    assert len(got) == len(expected) == 0

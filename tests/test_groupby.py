@@ -128,3 +128,17 @@ def test_explicit_schema_skips_inference(spark, sdf):
         .count()
     )
     assert got == 99 or got > 0
+
+
+def test_none_returning_mutator_raises_clearly(spark, sdf):
+    """pandas yields an EMPTY result for None-returning (in-place
+    mutating) funcs; the engine fails loudly with the fix spelled out
+    instead of emitting junk (reference mutation detection,
+    dataframe_groupby.py:37, served pandas 1.x conventions)."""
+    import pytest as _pytest
+
+    def mutate_in_place(g):
+        g["b2"] = g.b * 2
+
+    with _pytest.raises(ValueError, match="mutating it in place"):
+        parallelize(sdf).groupby("a").parallel_apply(mutate_in_place)
