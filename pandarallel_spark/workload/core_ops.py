@@ -321,6 +321,36 @@ def rolling_sum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "value_cents_rolling_sum")
 
 
+_ROLLING_CLOSED_LEFT_ORACLE = f"""
+SELECT event_id,
+  CASE WHEN COUNT({_EVENTS_CENTS}) OVER w >= 2
+       THEN SUM({_EVENTS_CENTS}) OVER w END AS cents_rolling_left
+FROM events
+WINDOW w AS (ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+"""
+
+
+@register(
+    "rolling_sum_closed_left",
+    _ROLLING_CLOSED_LEFT_ORACLE,
+    "Rolling attribute fidelity: closed='left' excludes the current row "
+    "(pandas frame [i-w, i-1]) — replayed as a shifted JVM window frame "
+    "(reference replays full _attributes, series_rolling.py:22-28).",
+)
+def rolling_sum_closed_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", _cents("value").alias("cents"))
+    )
+    out = (
+        parallelize(ev, order_by="event_id")
+        .series("cents")
+        .rolling(4, min_periods=2, closed="left")
+        .parallel_apply("sum", output_col="cents_rolling_left")
+    )
+    return out.select("event_id", "cents_rolling_left")
+
+
 # ---------------------------------------------------------------------------
 # op #8 — grouped rolling / expanding
 # ---------------------------------------------------------------------------
