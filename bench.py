@@ -99,6 +99,11 @@ def _pandas_ratios(spark) -> dict[str, float]:
         return best
 
     def measure(name, pandas_call, build, warm_build=None):
+        # per-workload GC: the big workloads (16M-row groupby) leave JVM
+        # old-gen debt that would tax every LATER workload's measurement
+        # — collect between workloads so each ratio reflects the
+        # operator, not its position in the run order
+        spark.sparkContext._jvm.System.gc()
         # min-of-3 on BOTH sides — taking Spark's favorable noise tail
         # against fewer pandas draws would bias every ratio upward
         t_pandas = float("inf")

@@ -285,6 +285,44 @@ def ngram_jaccard_pairs(
     return out
 
 
+def contamination_hits(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: count word-``n``-gram overlaps between
+    each corpus document and a benchmark/eval set — the standard
+    pretraining-hygiene pass (drop or down-weight docs that leak eval
+    data).
+
+    Scale shape: the benchmark side is SMALL by definition (eval suites
+    are KBs against a 100 TB corpus) — its distinct shingles broadcast,
+    so the corpus side is one scan + shuffle-free broadcast join; the
+    only shuffle is the final per-doc count aggregate (map-side
+    partial). Output: (id, n_hits) for documents with ≥1 shared
+    shingle; join back ``left_anti`` to drop them.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_sh = (
+        _shingle_rows(benchmark, id_col, bench_text_col, n)
+        .select("__s__")
+        .distinct()
+    )
+    # corpus shingles stay a multiset (no corpus-wide distinct shuffle);
+    # the hit rows surviving the broadcast join are tiny, so the
+    # per-doc DISTINCT count dedups only matches
+    doc_sh = _shingle_rows(df, id_col, text_col, n)
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "__s__")
+        .groupBy("__id__")
+        .agg(F.count_distinct(F.col("__s__")).alias("n_hits"))
+        .select(F.col("__id__").alias(id_col), "n_hits")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -208,6 +208,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
+_DECONTAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+                              FOR i IN range(1, len(toks)-1)]) AS s
+       FROM toks WHERE len(toks) >= 3),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_hits
+FROM sh JOIN bench USING (s)
+WHERE doc_id >= 5
+GROUP BY doc_id
+"""
+
+
+@register(
+    "decontaminate_ngram_hits",
+    _DECONTAM_ORACLE,
+    "Benchmark decontamination: per-document count of word-3-grams "
+    "shared with a (small, broadcast) eval set — docs 0-4 stand in for "
+    "the benchmark. Corpus side is one scan + broadcast join; only the "
+    "matching rows shuffle for the per-doc distinct count.",
+)
+def decontaminate_ngram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    return _dedup.contamination_hits(corpus, bench, "doc_id", "text", n=3)
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH m AS (SELECT doc_id AS media_id,
+                  CAST(octet_length(encode(text)) // 1000 AS INT) + 1 AS n_frames
+           FROM documents)
+SELECT media_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
+FROM m
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    _FRAME_SAMPLE_ORACLE,
+    "Video-style frame-sampling plan: every-10th-frame (media_id, "
+    "frame_idx) fan-out via explode(sequence(...)) sized from binary "
+    "metadata — pure JVM expressions, no codec touched.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = _mm.synthesize_media(docs, "doc_id", "text")
+    return _mm.frame_sample_plan(media, every_n=10)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
