@@ -16,6 +16,7 @@ from pandarallel_spark.streaming.windows import (
     sessionize,
     sliding_window_agg,
     stream_events,
+    stream_sessions,
     tumbling_window_agg,
 )
 
@@ -27,4 +28,5 @@ __all__ = [
     "sliding_window_agg",
     "sessionize",
     "stream_events",
+    "stream_sessions",
 ]

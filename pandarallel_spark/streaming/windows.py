@@ -89,6 +89,33 @@ def sessionize(
     )
 
 
+def stream_sessions(
+    spark: SparkSession,
+    path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization: ``F.session_window`` merges events
+    within ``gap`` of each other per user; the watermark closes sessions
+    whose window end falls behind it, so state stays bounded on an
+    unbounded stream (the batch ``sessionize`` above is the oracle twin
+    — same gap semantics via lag + cumulative sum)."""
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def stream_events(
     spark: SparkSession,
     path: str,

@@ -52,6 +52,52 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
     )
 
 
+def test_stream_sessions_match_batch(spark, sf_dir, tmp_path):
+    """F.session_window streaming sessionization must produce the batch
+    gap-island sessionization's (user, session_start, n_events) —
+    session_end differs by construction (streaming end = last ts + gap,
+    batch end = last ts)."""
+    from pandarallel_spark.streaming import sessionize, stream_sessions
+
+    batch_src = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_sessions")
+    batch_src.write.parquet(src)
+
+    q = (
+        stream_sessions(spark, src, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("ev_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.table("ev_sessions")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        sessionize(
+            batch_src.withColumn("ts", F.col("ts").cast("timestamp")),
+            "ts",
+            "user_id",
+            "30 minutes",
+            {"n_events": F.count(F.lit(1))},
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected) > 0
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_start", "n_events"]],
+        expected[["user_id", "session_start", "n_events"]],
+    )
+
+
 def test_sessionize_batch(spark, sf_dir):
     from pandarallel_spark.streaming import sessionize
 
