@@ -134,3 +134,124 @@ def bpe_tokens(col: Column | str) -> Column:
 
 def bpe_token_count(col: Column | str) -> Column:
     return F.size(bpe_tokens(col))
+
+
+def _word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams WITH duplicates (the multiset) — the repetition
+    signals need total vs distinct counts, unlike dedup's distinct
+    shingle sets."""
+    toks = tokens(col)
+    size = F.size(toks)
+    idx = F.when(size >= n, F.sequence(F.lit(0), size - F.lit(n))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j) + 1).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def repetition_signals(col: Column | str, n: int = 3) -> dict[str, Column]:
+    """Gopher-style internal-repetition quality signals (Rae et al. '21
+    repetition filters), as pure Column expressions:
+
+    - ``n_lines`` / ``dup_line_frac`` — duplicate newline-delimited
+      lines over total lines;
+    - ``n_ngrams`` / ``dup_ngram_frac`` — duplicate word ``n``-grams
+      over the doc's n-gram multiset.
+
+    Fractions are one exact-int division each (deterministic IEEE →
+    DuckDB-oracle-able); empty docs yield 0.0. Boilerplate-heavy and
+    looping documents score high — the standard pretraining drop rule.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != F.lit(""))
+    n_lines = F.size(lines)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    grams = _word_ngrams(c, n)
+    n_grams = F.size(grams)
+    dup_grams = n_grams - F.size(F.array_distinct(grams))
+    frac = lambda dup, tot: F.when(  # noqa: E731
+        tot > 0, dup.cast("double") / tot.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_lines": n_lines.cast("bigint"),
+        "dup_line_frac": frac(dup_lines, n_lines),
+        "n_ngrams": n_grams.cast("bigint"),
+        "dup_ngram_frac": frac(dup_grams, n_grams),
+    }
+
+
+def bm25_scores(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-style retrieval scoring of a fixed term set over the corpus,
+    fully declarative (zero Python):
+
+    - per-doc term frequencies: ``size(filter(tokens, = term))``;
+    - corpus stats (N, avgdl) via one tiny aggregate, broadcast;
+    - per-term document frequencies via one aggregate over the scan,
+      broadcast;
+    - score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+
+    ``idf`` uses the rational Robertson form WITHOUT the logarithm —
+    ``(N − df + 0.5)/(df + 0.5) + 1`` — because ``ln`` is not an IEEE
+    correctly-rounded op and differs across engines' libms, which would
+    break the bit-exact oracle contract; the transform is monotone, so
+    rankings match log-BM25 for single-term queries and closely track it
+    for short queries. The summation is an explicit fixed expression
+    tree (not an aggregate), so both engines add in the same order.
+
+    Scale shape: two tiny broadcast aggregates + a pure projection over
+    the corpus scan; the only shuffle is whatever the caller adds (e.g.
+    a top-k window). Output: (id, dl, tf_0.., score).
+    """
+    toks = tokens(text_col)
+
+    def _is_term(term):
+        # PySpark introspects HOF lambda arity — a defaulted second
+        # param would be bound to the element INDEX; bind via factory
+        return lambda t: t == F.lit(term)
+
+    base = corpus.select(
+        F.col(id_col),
+        F.size(toks).alias("__dl__"),
+        *[
+            F.size(F.filter(toks, _is_term(term))).alias(f"__tf{i}__")
+            for i, term in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum("__dl__").alias("__sumdl__"),
+        *[
+            F.sum((F.col(f"__tf{i}__") > 0).cast("long")).alias(f"__df{i}__")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumdl__").cast("double") / F.col("__n__").cast("double")
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("__dl__").cast("double") / avgdl)
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}__").cast("double")
+        df_ = F.col(f"__df{i}__").cast("double")
+        idf = (F.col("__n__").cast("double") - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)) + F.lit(1.0)
+        term_score = idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm)
+        score = term_score if score is None else score + term_score
+    return scored.select(
+        id_col,
+        F.col("__dl__").cast("bigint").alias("dl"),
+        *[
+            F.col(f"__tf{i}__").cast("bigint").alias(f"tf_{i}")
+            for i in range(len(terms))
+        ],
+        score.alias("score"),
+    )

@@ -208,6 +208,107 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
+_REPETITION_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_DOC_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines,
+    CASE WHEN len(toks) >= 3
+         THEN [toks[i]||' '||toks[i+1]||' '||toks[i+2] FOR i IN range(1, len(toks)-1)]
+         ELSE [] END AS grams
+  FROM t)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CASE WHEN len(lines) > 0
+       THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+       ELSE 0.0 END AS dup_line_frac,
+  CAST(len(grams) AS BIGINT) AS n_ngrams,
+  CASE WHEN len(grams) > 0
+       THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+       ELSE 0.0 END AS dup_ngram_frac
+FROM f
+"""
+
+
+@register(
+    "text_repetition",
+    _REPETITION_ORACLE,
+    "Gopher-style internal-repetition quality signals (duplicate-line "
+    "and duplicate-3-gram fractions) as pure expressions in the scan — "
+    "the standard boilerplate/looping-document drop rule.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _text.repetition_signals("text", n=3)
+    return docs.select("doc_id", *[c.alias(n) for n, c in sigs.items()])
+
+
+_BM25_TERMS = ["the", "fast", "data"]
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n    ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"(((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+        f" * (CAST(tf{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *"
+        f" (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_out = ", ".join(
+        f"CAST(tf{i} AS BIGINT) AS tf_{i}" for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+    {tf_cols}
+  FROM t),
+stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, {df_cols} FROM base),
+scored AS (
+  SELECT doc_id, CAST(dl AS BIGINT) AS dl, {tf_out},
+    {terms} AS score
+  FROM base CROSS JOIN stats)
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored WHERE score > 0)
+WHERE rank <= 50
+"""
+
+
+@register(
+    "bm25_topk",
+    _bm25_oracle(),
+    "BM25-style retrieval scoring (rational Robertson idf — no ln, "
+    "which is not correctly-rounded IEEE and would break cross-engine "
+    "bit-exactness) over a fixed 3-term query: tf/df/N/avgdl from two "
+    "tiny broadcast aggregates + a pure projection; top-50 window.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _text.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+    # global top-k via orderBy+limit → TakeOrderedAndProject (per-
+    # partition partial top-k, no full sort); the rank window then runs
+    # over 50 rows only
+    top = (
+        scored.filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
 _DECONTAM_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, unnest([toks[i]||' '||toks[i+1]||' '||toks[i+2]
