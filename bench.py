@@ -43,6 +43,10 @@ HEADLINE = [
     "events_sessionize_30m",
     "text_bpe_tokens",
     "corpus_cleanup_pipeline",
+    "embedding_cosine_pairs",
+    "decontaminate_ngram_hits",
+    "text_repetition",
+    "bm25_topk",
 ]
 
 

@@ -135,6 +135,10 @@ pandarallel = _Facade
 
 def _df_parallel_apply(self: pd.DataFrame, func, *args, **kwargs):
     axis = kwargs.pop("axis", 0)
+    if not callable(func):
+        # pandas accepts string/list aggregation specs; those are
+        # metadata-cheap locally — no distribution value
+        return self.apply(func, *args, axis=axis, **kwargs)
     if len(self) <= _LOCAL_THRESHOLD or (axis in (0, "index") and len(self.columns) <= 4):
         return self.apply(func, *args, axis=axis, **kwargs)
     if axis in (1, "columns"):

@@ -100,6 +100,24 @@ def test_cosine_pairs_lsh_no_cartesian(spark, sf_dir):
     assert "BatchEvalPython" not in plan  # signatures ride Arrow batches
 
 
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The eval-set side must broadcast (it is tiny by definition); the
+    corpus side must never shuffle its shingles before the join."""
+    plan = _plan(spark, sf_dir, "decontaminate_ngram_hits")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bm25_no_python_partial_topk(spark, sf_dir):
+    """BM25 is pure expressions + broadcast stats; the top-50 must plan
+    as TakeOrderedAndProject (per-partition partial top-k), not a global
+    sort."""
+    plan = _plan(spark, sf_dir, "bm25_topk")
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_semi_anti_are_semi_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semi_anti_customers_per_nation")
     assert "LeftSemi" in plan and "LeftAnti" in plan
