@@ -174,3 +174,90 @@ def test_pack_sequences_greedy_contiguous(spark):
         expect = prefix // cap
         assert (g["pack_id"].to_numpy() == expect).all()
         assert (np.diff(g["pack_id"].to_numpy()) >= 0).all()
+
+
+@given(
+    pdf=frames(),
+    w=st.integers(1, 6),
+    mp=st.integers(1, 4),
+    center=st.booleans(),
+    closed=st.sampled_from(["right", "left", "both", "neither"]),
+)
+@settings(**_SETTINGS)
+def test_global_rolling_closed_matches_pandas(spark, pdf, w, mp, center, closed):
+    """Every (window, min_periods, center, closed) combination of the
+    global halo-rolling path must bit-match pandas (frame-bound replay +
+    bucket boundary fixup under random sizes incl. n < w)."""
+    pdf = pdf.reset_index().rename(columns={"index": "idx"})
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    mp = min(mp, w)
+    func = lambda a: float(np.sum(a)) if len(a) else 0.0  # noqa: E731
+    expected = (
+        pdf.sort_values("idx").y
+        .rolling(w, min_periods=mp, center=center, closed=closed)
+        .apply(func, raw=True)
+        .reset_index(drop=True)
+    )
+    got = (
+        parallelize(sdf, order_by="idx")
+        .series("y")
+        .rolling(w, min_periods=mp, center=center, closed=closed)
+        .parallel_apply(func, raw=True, output_col="r", vectorize=False)
+        .toPandas()
+        .sort_values("idx")
+        .reset_index(drop=True)["r"]
+    )
+    pd.testing.assert_series_equal(got, expected, check_names=False)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.sampled_from([None, 3, 25]),
+)
+@settings(**_SETTINGS)
+def test_asof_property_matches_merge_asof(spark, seed, direction, tol):
+    """Random keyed event sets through every direction × tolerance must
+    match pd.merge_asof exactly."""
+    from pyspark.sql import functions as F
+
+    from pandarallel_spark.operators.join import asof_join
+
+    rng = np.random.default_rng(seed)
+    nl, nr = rng.integers(1, 80), rng.integers(1, 80)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], nl),
+            "t": np.sort(rng.choice(np.arange(0, 500), nl, replace=False)),
+            "v": np.arange(nl),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], nr),
+            "t": np.sort(rng.choice(np.arange(0, 500), nr, replace=False)),
+            "px": rng.random(nr).round(4),
+        }
+    ).drop_duplicates(["k", "t"])
+    expected = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort"),
+        on="t",
+        by="k",
+        direction=direction,
+        tolerance=tol,
+    )
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="t",
+        value_cols=["px"],
+        direction=direction,
+        tolerance=None if tol is None else F.lit(tol),
+        suffix="",
+    ).toPandas()
+    key = ["k", "t", "v"]
+    e = expected.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_series_equal(g["px"], e["px"], check_names=False)
