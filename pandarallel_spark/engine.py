@@ -90,7 +90,9 @@ class ParallelFrame:
                 vectorize=vectorize,
             )
         if axis in (0, "index"):
-            return _apply.apply_columns(self.df, func, elementwise=elementwise)
+            return _apply.apply_columns(
+                self.df, func, args=args, kwargs=kwargs, elementwise=elementwise
+            )
         raise ValueError(f"invalid axis {axis!r}")  # reference: utils.py:93-99
 
     # -- reference op #3 (core.py:526-530) -----------------------------------

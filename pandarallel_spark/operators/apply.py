@@ -179,6 +179,8 @@ def apply_columns(
     func: Callable[[pd.Series], Any] | str,
     columns: list[str] | None = None,
     *,
+    args: tuple = (),
+    kwargs: dict | None = None,
     elementwise: bool | None = None,
     schema: T.StructType | None = None,
 ) -> DataFrame:
@@ -218,6 +220,11 @@ def apply_columns(
                 f"unknown builtin reduction {func!r}; one of {sorted(_COLUMN_AGGS)}"
             )
         return df.agg(*[_COLUMN_AGGS[func](F.col(c)).alias(c) for c in columns])
+
+    if args or kwargs:
+        # args/kwargs forwarding, reference core.py:212-213
+        _inner, _a, _k = func, tuple(args), dict(kwargs or {})
+        func = lambda s: _inner(s, *_a, **_k)  # noqa: E731
 
     sample = _sample_pdf(df.select(*columns))
 

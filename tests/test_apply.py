@@ -339,3 +339,12 @@ def test_apply_columns_builtin_routes_to_jvm_agg(spark, pdf, sdf):
     plan = buf.getvalue()
     assert "ArrowEvalPython" not in plan and "AggregateInPandas" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_apply_columns_args_kwargs_forwarded(spark, pdf, sdf):
+    """args/kwargs forwarding on axis=0, reference core.py:212-213."""
+    func = lambda col, p, bias=0: col.max() ** p + bias  # noqa: E731
+    expected = pdf.apply(func, axis=0, args=(2,), bias=3)
+    got = parallelize(sdf).parallel_apply(func, axis=0, args=(2,), bias=3).toPandas()
+    assert got["a"].iloc[0] == expected["a"]
+    assert got["b"].iloc[0] == pytest.approx(expected["b"])

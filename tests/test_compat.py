@@ -301,3 +301,16 @@ def test_groupby_none_returning_mutator_matches_pandas():
     expected = pdf.groupby("a").apply(mutate_in_place)
     got = pdf.groupby("a").parallel_apply(mutate_in_place)
     assert len(got) == len(expected) == 0
+
+
+def test_df_apply_axis_0_transform_through_shim():
+    """Reference transform shapes (tests/test_pandarallel.py:145-157):
+    column -> same-length column through the shim, no flags."""
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({c: rng.random(500) for c in "abcde"})
+    func = lambda col: col * 2  # noqa: E731
+    expected = pdf.apply(func, axis=0)
+    got = pdf.parallel_apply(func, axis=0)
+    pd.testing.assert_frame_equal(expected, got, check_dtype=False)
+    ident = pdf.parallel_apply(lambda col: col, axis=0)
+    pd.testing.assert_frame_equal(pdf, ident, check_dtype=False)
