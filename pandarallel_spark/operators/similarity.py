@@ -208,15 +208,19 @@ def cosine_pairs_lsh(
     output contract as ``cosine_pairs_q`` (id_a < id_b, cosine double)
     restricted to candidate pairs that collide in ≥1 band.
 
-    Shape (the reason this replaces the all-pairs crossJoin): the corpus
-    is scanned twice — once for ``bands × planes_per_band`` sign bits
-    (one Arrow-batched int64 matmul per batch, packed to one ``bigint``
-    signature per band), once for the (id, vec, norm²) verify table via
-    pure JVM expressions. Candidates come from a self-join on
-    ``(band, signature)`` — a hash shuffle whose cost is Σ bucket²,
-    never n² — then two id-joins attach vectors for the exact unrolled
-    int64 cosine. No CartesianProduct / BroadcastNestedLoopJoin
-    anywhere in the plan.
+    Shape (the reason this replaces the all-pairs crossJoin): one pass
+    computes ``bands × planes_per_band`` sign bits per vector (one
+    Arrow-batched int64 matmul per batch, packed to one ``bigint``
+    signature per band) plus the exact int64 norm²; pre-quantized
+    vectors ride the band explode (``bands ×`` duplication of the
+    corpus — rows, not pairs), and each (band, signature) BUCKET
+    verifies itself with one exact int64 matmul inside
+    ``applyInPandas``, filtering by the threshold before anything else
+    moves. The distinct (a pair may collide in several bands) runs on
+    the post-threshold survivors — tiny — never on the raw candidate
+    set, whose vector-carrying re-join would otherwise dominate. Work
+    is Σ bucket² dot products, never n²; no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in the plan.
 
     Recall tuning (hyperplane LSH collision: P = (1 − θ/π)^r per band):
     near-dup thresholds ≥0.8 want r = 8–16 with 16–32 bands (strong
@@ -244,57 +248,60 @@ def cosine_pairs_lsh(
             bits = (qm @ p_mat.T) >= 0  # (n, bands*r)
             sigs = bits.reshape(len(pdf), bands, r) @ pw  # (n, bands)
             yield pd.DataFrame(
-                {"__id__": pdf[id_col].to_numpy(), "__sigs__": list(sigs)}
+                {
+                    "__id__": pdf[id_col].to_numpy(),
+                    # pre-quantized ints: the verify dot then needs one
+                    # multiply per term, not two cast-round-cast chains
+                    "__qv__": list(qm),
+                    "__n2__": (qm * qm).sum(axis=1),
+                    "__sigs__": list(sigs),
+                }
             )
 
     from pandarallel_spark.operators.apply import _widen
 
     sigs = (
         _widen(df.select(id_col, vec_col))
-        .mapInPandas(sig_batches, "__id__ bigint, __sigs__ array<bigint>")
-        .select("__id__", F.posexplode("__sigs__").alias("__band__", "__sig__"))
-    )
-    a = sigs.select(F.col("__id__").alias("id_a"), "__band__", "__sig__")
-    b = sigs.select(F.col("__id__").alias("id_b"), "__band__", "__sig__")
-    pairs = (
-        a.join(b, ["__band__", "__sig__"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-
-    # verify table: JVM-side quantized norm² (unrolled expr stays in
-    # whole-stage codegen); vectors carried raw for the exact dot
-    v = df.select(
-        F.col(id_col).alias("__id__"),
-        F.col(vec_col).alias("__v__"),
-        F.expr(_dot_sql(vec_col, vec_col, dim)).alias("__n2__"),
-    )
-    va = v.select(
-        F.col("__id__").alias("id_a"),
-        F.col("__v__").alias("__va__"),
-        F.col("__n2__").alias("__na__"),
-    )
-    vb = v.select(
-        F.col("__id__").alias("id_b"),
-        F.col("__v__").alias("__vb__"),
-        F.col("__n2__").alias("__nb__"),
-    )
-    return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.expr(_dot_sql("__va__", "__vb__", dim)).cast("double")
-                / (
-                    F.sqrt(F.col("__na__").cast("double"))
-                    * F.sqrt(F.col("__nb__").cast("double"))
-                )
-            ).alias("cosine"),
+        .mapInPandas(
+            sig_batches,
+            "__id__ bigint, __qv__ array<bigint>, __n2__ bigint, __sigs__ array<bigint>",
         )
-        .filter(F.col("cosine") >= threshold)
+        .select(
+            "__id__", "__qv__", "__n2__",
+            F.posexplode("__sigs__").alias("__band__", "__sig__"),
+        )
+    )
+    # per-bucket verification: one exact int64 matmul per (band, sig)
+    # group instead of an unrolled per-pair expression — BLAS does the
+    # bucket's size² × dim MACs in microseconds where per-row codegen
+    # pays ~128 element_at calls per pair (measured 8.6 s → ~1 s at
+    # sf0.1). cosine = exact-int dot / (sqrt·sqrt) with the same IEEE
+    # tree as the SQL oracle → bit-identical doubles.
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["__id__"].to_numpy()
+        q = np.stack(pdf["__qv__"].apply(np.asarray).to_numpy()).astype("int64")
+        n2 = pdf["__n2__"].to_numpy().astype("int64")
+        dots = q @ q.T  # exact int64
+        norms = np.sqrt(n2.astype("float64"))
+        cos = dots.astype("float64") / (norms[:, None] * norms[None, :])
+        ia, ib = np.triu_indices(m, k=1)
+        # id_a < id_b contract regardless of row order in the bucket
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": lo[keep], "id_b": hi[keep], "cosine": cos[ia, ib][keep]}
+        )
+
+    return (
+        sigs.groupBy("__band__", "__sig__")
+        .applyInPandas(bucket_pairs, "id_a bigint, id_b bigint, cosine double")
+        .distinct()
     )
 
 
