@@ -219,6 +219,11 @@ def apply_columns(
             raise ValueError(
                 f"unknown builtin reduction {func!r}; one of {sorted(_COLUMN_AGGS)}"
             )
+        if args or kwargs:
+            raise ValueError(
+                f"builtin reduction {func!r} does not forward args/kwargs "
+                "(e.g. ddof) — pass a callable for parameterized reductions"
+            )
         return df.agg(*[_COLUMN_AGGS[func](F.col(c)).alias(c) for c in columns])
 
     if args or kwargs:
@@ -232,6 +237,31 @@ def apply_columns(
         if len(sample):
             probe = func(sample[columns[0]])
             elementwise = isinstance(probe, pd.Series) and len(probe) == len(sample)
+            if elementwise and len(sample) >= 2:
+                # batch-stability probe: the transform runs per Arrow
+                # batch, so func(suffix) must equal the suffix of
+                # func(whole) — order-dependent transforms (cumsum,
+                # diff, rank) restart at batch boundaries and would
+                # return plausible-looking WRONG data; fail loudly
+                # instead (review finding r3).
+                k = len(sample) // 2
+                tail = func(sample[columns[0]].iloc[k:])
+                stable = (
+                    isinstance(tail, pd.Series)
+                    and len(tail) == len(sample) - k
+                    and tail.reset_index(drop=True).equals(
+                        probe.iloc[k:].reset_index(drop=True)
+                    )
+                )
+                if not stable:
+                    raise ValueError(
+                        "axis=0 transform is not batch-stable (func(suffix) != "
+                        "suffix of func(whole) on the sampled column — e.g. "
+                        "cumsum/diff/rank): a per-batch evaluation would "
+                        "silently restart at every Arrow batch. Restructure as "
+                        "a window/grouped operation, or pass elementwise=True "
+                        "to override if the func is genuinely elementwise."
+                    )
         else:
             elementwise = False
 

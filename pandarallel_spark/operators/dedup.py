@@ -122,7 +122,11 @@ def _should_prefix_filter(sh: DataFrame, blowup_factor: float = 8.0) -> bool:
         .agg(F.count(F.lit(1)).alias("__f__"))
         .agg(
             F.sum("__f__").alias("rows"),
-            F.sum(F.col("__f__") * F.col("__f__")).alias("sumsq"),
+            # f² sums as DOUBLE: at the 100 TB design point a handful of
+            # ~1e9-doc stopword shingles would wrap an int64 sum negative
+            # and silently DISABLE protection exactly where it matters;
+            # double precision is ample for an 8×-blowup heuristic
+            F.sum(F.col("__f__").cast("double") * F.col("__f__")).alias("sumsq"),
         )
         .first()
     )
@@ -132,14 +136,19 @@ def _should_prefix_filter(sh: DataFrame, blowup_factor: float = 8.0) -> bool:
     return join_rows > blowup_factor * row["rows"]
 
 
-def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+def _prefix_candidates(
+    sh: DataFrame, threshold: float, sizes: DataFrame | None = None
+) -> DataFrame:
     """PPJoin candidate pairs: join each doc's rare-first prefix
     (the first ``|x| − ceil(t·|x|) + 1`` shingles under the global
     ascending-frequency order) against all other prefixes. Any pair with
     J ≥ t must collide here (prefix-filtering lemma), and hot shingles
     rank last so they land in almost no prefixes — the join's hot
-    buckets vanish. Output: distinct (id_a, id_b), id_a < id_b."""
-    sizes = sh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
+    buckets vanish. ``sizes`` (per-doc shingle counts) is accepted from
+    the caller so the aggregate isn't computed twice per run.
+    Output: distinct (id_a, id_b), id_a < id_b."""
+    if sizes is None:
+        sizes = sh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
     freq = sh.groupBy("__s__").agg(F.count(F.lit(1)).alias("__f__"))
     w = Window.partitionBy("__id__").orderBy("__f__", "__s__")
     ranked = (
@@ -233,7 +242,7 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
 
     if prefix_filter:
-        candidates = _prefix_candidates(sh, threshold).persist()
+        candidates = _prefix_candidates(sh, threshold, sizes=sizes).persist()
         # verification must NOT re-pay the full self-join the prefix
         # filter exists to avoid: Spark can't push a two-sided semi-join
         # below the shingle join, so shrink each SIDE to candidate doc

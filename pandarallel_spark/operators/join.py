@@ -109,20 +109,33 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    # fill the matched right row as ONE struct (non-null for every right
+    # row), then extract fields: per-column ignorenulls fills would skip
+    # a matched row's NULL value and pair the matched ts with a value
+    # from an OLDER right row — pd.merge_asof keeps the matched row's
+    # NULL (review finding r3).
+    right_row = F.when(
+        F.col("__side__") == 0,
+        F.struct(F.col(out_ts).alias("ts"), *[F.col(v).alias(v) for v in out_vals]),
+    )
     fills = []
     if direction in ("backward", "nearest"):
-        fills += [
-            F.last(v, ignorenulls=True).over(w_b).alias(f"__b_{v}__")
-            for v in out_vals
-        ]
-        fills.append(F.last(out_ts, ignorenulls=True).over(w_b).alias("__b_ts__"))
+        fills.append(F.last(right_row, ignorenulls=True).over(w_b).alias("__b__"))
     if direction in ("forward", "nearest"):
-        fills += [
-            F.first(v, ignorenulls=True).over(w_f).alias(f"__q_{v}__")
-            for v in out_vals
-        ]
-        fills.append(F.first(out_ts, ignorenulls=True).over(w_f).alias("__q_ts__"))
+        fills.append(F.first(right_row, ignorenulls=True).over(w_f).alias("__q__"))
     out = unioned.select("*", *fills).filter(F.col("__side__") == 1)
+    if direction in ("backward", "nearest"):
+        out = out.select(
+            "*",
+            F.col("__b__.ts").alias("__b_ts__"),
+            *[F.col(f"__b__.{v}").alias(f"__b_{v}__") for v in out_vals],
+        )
+    if direction in ("forward", "nearest"):
+        out = out.select(
+            "*",
+            F.col("__q__.ts").alias("__q_ts__"),
+            *[F.col(f"__q__.{v}").alias(f"__q_{v}__") for v in out_vals],
+        )
 
     lt = F.col("__t__")
     if direction == "backward":

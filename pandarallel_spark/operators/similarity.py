@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 QUANT = 10000
 
@@ -204,9 +205,11 @@ def cosine_pairs_lsh(
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs, the scale path: banded sign-bit LSH
-    candidate generation + exact quantized-cosine verification. Same
-    output contract as ``cosine_pairs_q`` (id_a < id_b, cosine double)
-    restricted to candidate pairs that collide in ≥1 band.
+    candidate generation + exact quantized-cosine verification. Output
+    contract as ``cosine_pairs_q`` (id_a < id_b, cosine double)
+    restricted to candidate pairs that collide in ≥1 band; unlike the
+    all-pairs form, the id column must be integral (bigint rides the
+    Arrow signature pass).
 
     Shape (the reason this replaces the all-pairs crossJoin): one pass
     computes ``bands × planes_per_band`` sign bits per vector (one
@@ -231,6 +234,13 @@ def cosine_pairs_lsh(
     sums over shared ``plane_ints`` constants, so a generated SQL oracle
     reproduces the candidate set and values bit-for-bit.
     """
+    if not isinstance(df.schema[id_col].dataType, T.IntegralType):
+        raise TypeError(
+            f"cosine_pairs_lsh requires an integral id column, got "
+            f"{df.schema[id_col].dataType.simpleString()} — use "
+            "cosine_pairs_q or add a surrogate bigint id (e.g. "
+            "monotonically_increasing_id + join back)"
+        )
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:

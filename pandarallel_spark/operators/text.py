@@ -213,6 +213,8 @@ def bm25_scores(
     the corpus scan; the only shuffle is whatever the caller adds (e.g.
     a top-k window). Output: (id, dl, tf_0.., score).
     """
+    if not terms:
+        raise ValueError("bm25_scores requires at least one query term")
     toks = tokens(text_col)
 
     def _is_term(term):

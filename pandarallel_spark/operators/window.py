@@ -279,38 +279,32 @@ def rolling_apply(
     if halo is not None:
         return halo
 
-    idx_expr = None
-    if not raw:
-        idx_expr = F.col(index_col) if index_col else (
-            F.col(order_by[0]) if isinstance(order_by[0], str) else order_by[0]
-        )
+    idx_expr = F.col(index_col) if index_col else (
+        F.col(order_by[0]) if isinstance(order_by[0], str) else order_by[0]
+    )
 
     @F.pandas_udf(return_type)
     def apply_window(arrs: pd.Series) -> pd.Series:
         def run(vals):
             # pandas only invokes the func once the window holds
-            # min_periods values; Spark evaluates every row's frame, so
-            # the guard lives here rather than in a WHEN around the UDF
-            # (Spark does not short-circuit conditional UDF branches).
-            if vals is None or len(vals) < min_periods:
+            # min_periods NON-NULL observations (and hands it the window
+            # WITH its NaN slots); Spark evaluates every row's frame, so
+            # both guards live here — struct collection keeps null rows
+            # that a bare collect_list would silently drop.
+            if vals is None:
+                return None
+            x = np.asarray([v["v"] for v in vals], dtype="float64")
+            if np.count_nonzero(~np.isnan(x)) < min_periods:
                 return None
             if raw:
-                return func(np.asarray(vals, dtype="float64"))
-            return func(
-                pd.Series(
-                    np.asarray([v["v"] for v in vals], dtype="float64"),
-                    index=[v["i"] for v in vals],
-                )
-            )
+                return func(x)
+            return func(pd.Series(x, index=[v["i"] for v in vals]))
 
         return arrs.apply(run)
 
-    if raw:
-        frame_vals = F.collect_list(F.col(col)).over(spec)
-    else:
-        frame_vals = F.collect_list(
-            F.struct(idx_expr.alias("i"), F.col(col).alias("v"))
-        ).over(spec)
+    frame_vals = F.collect_list(
+        F.struct(idx_expr.alias("i"), F.col(col).alias("v"))
+    ).over(spec)
     return df.withColumn(output_col, apply_window(frame_vals))
 
 
@@ -347,9 +341,11 @@ def _halo_rolling(
        with pandas/numpy, and emits every row EXCEPT the per-bucket head
        (and tail, when ``center``) rows whose windows lack cross-bucket
        context.
-    3. Those come from a JVM-only branch: a ``row_number`` window over
-       the bucket id extracts each bucket's first/last ``window-1`` rows
-       (≈ buckets × 2(w−1) rows), which funnel into a single tiny Python
+    3. Those come from a JVM-only branch: a ``rank`` window over the
+       bucket id extracts each bucket's first/last ``window-1``
+       value-ranks (≈ buckets × 2(w−1) rows, tie groups included as
+       units so the drop/fix multisets agree with the big pass under
+       ANY physical tie order), which funnel into a single tiny Python
        task that re-rolls the edge set in global order — it contains
        every fixed row's true window context by construction — and
        emits just the replacement rows. No persist, no cache, no second
@@ -440,6 +436,16 @@ def _halo_rolling(
     bucketed = df.withColumn("__bkt__", bucket_expr)
     in_names = [*out_names[:-1], "__bkt__"]
 
+    # Drop/fix membership is defined by VALUE RANK (SQL RANK == pandas
+    # rank(method='min')), never by physical row position: the big pass
+    # and the JVM edge extraction see ties in different physical orders
+    # after their respective shuffles, and positional cuts could drop a
+    # row in one branch while the other re-emits a different tied row —
+    # losing one and duplicating the other. Rank-based cuts make the
+    # selected multiset identical in both branches by construction (a
+    # tie group is in or out as a unit); window VALUES on tied rows
+    # remain order-dependent, the documented pandas caveat.
+
     # 2) big pass: roll per bucket, drop context-less head/tail rows
     def roll_buckets(batches):
         parts = [b for b in batches if len(b)]
@@ -449,11 +455,11 @@ def _halo_rolling(
         for _, g in pdf.groupby("__bkt__", sort=False):
             g = g.sort_values(ord_col, kind="mergesort", ignore_index=True)
             g[output_col] = roll_bucket(g)
-            m = len(g)
-            pos = np.arange(m)
-            keep = pos >= halo_before
+            r_asc = g[ord_col].rank(method="min").to_numpy()
+            keep = r_asc > halo_before
             if halo_after:
-                keep &= pos < m - halo_after
+                r_desc = g[ord_col].rank(method="min", ascending=False).to_numpy()
+                keep &= r_desc > halo_after
             out = g.loc[keep, out_names]
             if len(out):
                 yield out
@@ -462,23 +468,39 @@ def _halo_rolling(
         roll_buckets, out_schema
     )
 
-    # 3) JVM-only edge extraction: first/last (window-1) rows per bucket
-    # — ONE row_number window (hash exchange + per-bucket sort, no
-    # Python); per-bucket counts come from a tiny broadcast-joined
-    # aggregate rather than a second window pass. Then one tiny task
-    # re-rolls the edge set and emits the replacement rows.
-    w_asc = Window.partitionBy("__bkt__").orderBy(F.col(ord_col))
-    counts = bucketed.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    # 3) JVM-only edge extraction (hash exchange + two per-bucket sorts,
+    # no Python): fix rows by value rank; the edge set additionally
+    # takes ``edge`` POSITIONAL neighbors beyond the (possibly
+    # tie-extended) fix region — per-bucket fix counts come from an
+    # unordered window over the same exchange, so every fix row's
+    # window context is present even when a large tie group straddles
+    # the cut. One tiny task then re-rolls the edge set and emits
+    # replacement rows.
+    w_a = Window.partitionBy("__bkt__").orderBy(F.col(ord_col))
+    w_d = Window.partitionBy("__bkt__").orderBy(F.col(ord_col).desc())
+    w_u = Window.partitionBy("__bkt__")
+    fhead = F.coalesce(
+        F.max(F.when(F.col("__ra__") <= halo_before, F.col("__na__"))).over(w_u),
+        F.lit(0),
+    )
+    ftail = F.coalesce(
+        F.max(F.when(F.col("__rd__") <= halo_after, F.col("__nd__"))).over(w_u),
+        F.lit(0),
+    )
     edges = (
-        bucketed.withColumn("__rn__", F.row_number().over(w_asc))
-        .join(F.broadcast(counts), "__bkt__")
+        bucketed.withColumn("__ra__", F.rank().over(w_a))
+        .withColumn("__na__", F.row_number().over(w_a))
+        .withColumn("__rd__", F.rank().over(w_d))
+        .withColumn("__nd__", F.row_number().over(w_d))
+        .withColumn("__fh__", fhead)
+        .withColumn("__ft__", ftail)
         .filter(
-            (F.col("__rn__") <= edge) | (F.col("__rn__") > F.col("__cnt__") - edge)
+            (F.col("__na__") <= F.col("__fh__") + edge)
+            | (F.col("__nd__") <= F.col("__ft__") + edge)
         )
         .withColumn(
             "__fix__",
-            (F.col("__rn__") <= halo_before)
-            | (F.col("__rn__") > F.col("__cnt__") - halo_after),
+            (F.col("__ra__") <= halo_before) | (F.col("__rd__") <= halo_after),
         )
         .select(*in_names[:-1], "__fix__")
     )
@@ -590,15 +612,24 @@ def expanding_apply(
             lambda s: s.expanding(min_periods=min_periods).apply(func, raw=raw),
         )
 
+    idx_expr = F.col(order_by[0]) if isinstance(order_by[0], str) else order_by[0]
+
     @F.pandas_udf(return_type)
     def apply_window(arrs: pd.Series) -> pd.Series:
         def run(vals):
-            if vals is None or len(vals) < min_periods:
+            # min_periods counts NON-NULL observations and the window
+            # keeps its NaN slots, like pandas (struct collection — a
+            # bare collect_list would drop null rows)
+            if vals is None:
                 return None
-            x = np.asarray(vals, dtype="float64")
-            return func(x if raw else pd.Series(x))
+            x = np.asarray([v["v"] for v in vals], dtype="float64")
+            if np.count_nonzero(~np.isnan(x)) < min_periods:
+                return None
+            return func(x if raw else pd.Series(x, index=[v["i"] for v in vals]))
 
         return arrs.apply(run)
 
-    frame_vals = F.collect_list(F.col(col)).over(spec)
+    frame_vals = F.collect_list(
+        F.struct(idx_expr.alias("i"), F.col(col).alias("v"))
+    ).over(spec)
     return df.withColumn(output_col, apply_window(frame_vals))

@@ -348,3 +348,11 @@ def test_apply_columns_args_kwargs_forwarded(spark, pdf, sdf):
     got = parallelize(sdf).parallel_apply(func, axis=0, args=(2,), bias=3).toPandas()
     assert got["a"].iloc[0] == expected["a"]
     assert got["b"].iloc[0] == pytest.approx(expected["b"])
+
+
+def test_apply_columns_order_dependent_transform_rejected(spark, sdf):
+    """cumsum-style transforms would silently restart at Arrow batch
+    boundaries under per-batch evaluation — auto-detection must reject
+    them loudly (review regression)."""
+    with pytest.raises(ValueError, match="batch-stable"):
+        parallelize(sdf).parallel_apply(lambda col: col.cumsum(), axis=0)

@@ -150,3 +150,30 @@ def test_range_join(spark):
         condition=(F.col("t2") >= F.col("t")) & (F.col("t2") <= F.col("t") + 10),
     ).toPandas()
     assert set(zip(out.lid, out.rid)) == {(1, 10)}
+
+
+def test_asof_matched_null_value_stays_null(spark):
+    """A matched right row with a NULL value column must yield NULL (the
+    matched row's value), not an earlier/later row's value — per-column
+    ignorenulls fills would skip it (review regression)."""
+    left = spark.createDataFrame(pd.DataFrame({"k": ["x", "x"], "t": [0, 3], "v": [1, 2]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["x", "x"], "t": [1, 2], "px": [7.0, np.nan]})
+    )
+    fwd = asof_join(
+        left, right, on="k", left_ts="t", value_cols=["px"], direction="forward"
+    ).toPandas().set_index("t")
+    # left t=0 matches right t=1 (px=7); left t=3 has no forward match
+    assert fwd.loc[0, "t_asof"] == 1 and fwd.loc[0, "px_asof"] == 7.0
+    assert pd.isna(fwd.loc[3, "t_asof"])
+
+    back = asof_join(
+        left, right, on="k", left_ts="t", value_cols=["px"], direction="backward"
+    ).toPandas().set_index("t")
+    # left t=3 matches right t=2 whose px is NULL — must stay NULL with ts_asof=2
+    assert back.loc[3, "t_asof"] == 2 and pd.isna(back.loc[3, "px_asof"])
+
+    near = asof_join(
+        left, right, on="k", left_ts="t", value_cols=["px"], direction="nearest"
+    ).toPandas().set_index("t")
+    assert near.loc[3, "t_asof"] == 2 and pd.isna(near.loc[3, "px_asof"])

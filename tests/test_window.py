@@ -373,3 +373,62 @@ def test_halo_rolling_vectorize_false_bit_exact(spark):
     e = exp.to_numpy()
     assert np.array_equal(g[3:], e[3:])
     assert np.isnan(g[:3]).all()
+
+
+def test_halo_rolling_ties_preserve_rows(spark):
+    """Order-column ties straddling bucket halo cuts must never lose or
+    duplicate rows: drop/fix membership is value-rank-based in BOTH
+    branches (review regression — positional cuts could disagree on
+    which tied row to drop vs re-emit)."""
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark import parallelize
+
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "ord": np.arange(n) // 3,  # every value tied 3 deep
+            "x": np.random.default_rng(7).random(n),
+        }
+    )
+    out = (
+        parallelize(spark.createDataFrame(pdf).repartition(16), order_by="ord")
+        .series("x")
+        .rolling(4)
+        .parallel_apply(lambda a: float(a.sum()), raw=True, output_col="r")
+        .toPandas()
+    )
+    assert len(out) == n
+    got = out[["ord", "x"]].sort_values(["ord", "x"], ignore_index=True)
+    exp = pdf[["ord", "x"]].sort_values(["ord", "x"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_rolling_nulls_min_periods_matches_pandas(spark):
+    """Null values: min_periods counts non-NaN observations and the UDF
+    sees the window WITH its NaN slots, like pandas (review regression
+    for the collect_list fallback path — multi-column order key forces
+    it)."""
+    pdf = pd.DataFrame(
+        {
+            "i1": np.zeros(8, dtype="int64"),
+            "i2": np.arange(8, dtype="int64"),
+            "x": [1.0, np.nan, 2.0, 3.0, np.nan, np.nan, 4.0, 5.0],
+        }
+    )
+    from pandarallel_spark.operators.window import rolling_apply
+
+    func = lambda a: float(np.nansum(a)) + float(len(a)) / 100.0  # noqa: E731
+    exp = pdf.x.rolling(3, min_periods=2).apply(func, raw=True).to_numpy()
+    # two-column order key → collect_list fallback path
+    out = (
+        rolling_apply(
+            spark.createDataFrame(pdf), "x", 3, func, ["i1", "i2"],
+            min_periods=2, raw=True, output_col="r",
+        )
+        .toPandas()
+        .sort_values("i2")["r"]
+        .to_numpy()
+    )
+    assert np.array_equal(out, exp, equal_nan=True)
