@@ -343,35 +343,96 @@ def percentiles_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "percentiles_approx_price_per_flag",
-    None,  # t-digest sketch: engine-specific interpolation → rows-only
+    """
+SELECT l_returnflag,
+  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) AS p50_cents,
+  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.9) AS p90_cents,
+  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.99) AS p99_cents,
+  TRUE AS approx_within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
     "The 100 TB form of percentiles_price_per_flag: approx_percentile's "
-    "mergeable sketch (map-side partial, fixed memory) instead of the "
-    "exact sort-based aggregate. The exact twin is the oracle-checked "
-    "correctness anchor; this registers the scale path itself.",
+    "mergeable t-digest-style sketch (map-side partial, fixed memory) "
+    "instead of the exact sort-based aggregate. Sketch values are "
+    "engine-specific, so the oracle checks the sketch's published "
+    "CONTRACT instead of its bits: the output carries the exact "
+    "percentiles plus approx_within_bound, a Spark-side boolean that "
+    "every sketch estimate lies inside the GK rank-error envelope "
+    "(accuracy=10000 → rank error ≤ 1e-4·N; checked against exact "
+    "quantiles at p±10/accuracy). DuckDB asserts the exact values and "
+    "literal TRUE — a sketch regression breaks the value hash. The "
+    "exact columns are the verification harness; production keeps only "
+    "the sketch.",
 )
 def percentiles_approx_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     # ONE sketch queried at three percentages — three separate
     # percentile_approx calls would build and merge three sketches
-    sk = F.percentile_approx(cents, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000))
-    return li.groupBy("l_returnflag").agg(sk.alias("__p__")).select(
+    sk = F.percentile_approx(
+        cents, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+    )
+    # contract envelope: percentile_approx returns an actual element
+    # whose rank is within N/accuracy of p·N; the exact continuous
+    # quantiles at p ± 10/accuracy bound any such element's value
+    eps = 10.0 / 10000
+    agg = li.groupBy("l_returnflag").agg(
+        sk.alias("__p__"),
+        *[
+            F.percentile(cents, p).alias(f"__x{i}__")
+            for i, p in enumerate((0.5, 0.9, 0.99))
+        ],
+        *[
+            F.percentile(cents, max(0.0, p - eps)).alias(f"__lo{i}__")
+            for i, p in enumerate((0.5, 0.9, 0.99))
+        ],
+        *[
+            F.percentile(cents, min(1.0, p + eps)).alias(f"__hi{i}__")
+            for i, p in enumerate((0.5, 0.9, 0.99))
+        ],
+    )
+    ok = None
+    for i in range(3):
+        a = F.element_at("__p__", i + 1)
+        c = (a >= F.floor(F.col(f"__lo{i}__"))) & (a <= F.ceil(F.col(f"__hi{i}__")))
+        ok = c if ok is None else (ok & c)
+    return agg.select(
         "l_returnflag",
-        F.element_at("__p__", 1).alias("p50_cents"),
-        F.element_at("__p__", 2).alias("p90_cents"),
-        F.element_at("__p__", 3).alias("p99_cents"),
+        F.col("__x0__").alias("p50_cents"),
+        F.col("__x1__").alias("p90_cents"),
+        F.col("__x2__").alias("p99_cents"),
+        ok.alias("approx_within_bound"),
     )
 
 
 @register(
     "approx_distinct_parts_per_supplier",
-    None,  # HyperLogLog++ estimate: engine-specific → rows-only
+    """
+SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS l_partkey_distinct,
+       TRUE AS approx_within_bound
+FROM lineitem GROUP BY l_suppkey
+""",
     "HLL++ sketch twin of count_distinct_parts_per_supplier: fixed "
     "per-key memory and one mergeable pass — the distinct-count any "
-    "100 TB pipeline actually runs; the exact twin anchors correctness.",
+    "100 TB pipeline actually runs. HLL estimates are engine-specific, "
+    "so the oracle checks the sketch's published error CONTRACT: the "
+    "output carries the exact distinct count plus approx_within_bound, "
+    "a Spark-side boolean that |approx − exact| ≤ max(5·rsd·exact, 2) "
+    "(rsd=0.01 → 5σ; HLL++ is deterministic per dataset, so the "
+    "boolean is hash-stable). DuckDB asserts the exact counts and "
+    "literal TRUE. The exact column is the verification harness; "
+    "production keeps only the sketch.",
 )
 def approx_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_suppkey").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("l_partkey_distinct_approx")
+    agg = li.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("__a__"),
+        F.count_distinct("l_partkey").alias("l_partkey_distinct"),
+    )
+    exact = F.col("l_partkey_distinct")
+    bound = F.greatest(F.ceil(exact * F.lit(5 * 0.01)), F.lit(2))
+    return agg.select(
+        "l_suppkey",
+        exact,
+        (F.abs(F.col("__a__") - exact) <= bound).alias("approx_within_bound"),
     )
