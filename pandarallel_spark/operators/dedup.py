@@ -107,18 +107,28 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     return _shingle_rows(df, id_col, text_col, n).distinct()
 
 
+# protection-decision memo: (input semanticHash, shingle n, blowup
+# factor) → bool. The measurement is an EAGER Spark job at plan-build
+# time; repeated builds of the same dedup over the same input (interactive
+# reruns, bench steady-state, retried pipelines) should pay it once.
+# Bounded FIFO, session-scoped like window.py's plan-fragment memos.
+_PROTECT_MEMO: dict = {}
+
+
 def _should_prefix_filter(sh: DataFrame, blowup_factor: float = 8.0) -> bool:
     """Measure, don't guess: ONE cheap aggregate over the shingle table
     decides whether the plain shingle self-join is safe. The join emits
     Σ_s f_s·(f_s−1)/2 intersection rows (f_s = docs containing shingle
     s) — quadratic in the hottest buckets. When that estimate exceeds
     ``blowup_factor ×`` the shingle-row count, the corpus is heavy-tailed
-    and the (lossless) prefix filter pays for itself. The aggregate is
-    map-side partial (count per shingle, then three scalars), so its
-    cost is one scan+shuffle of (shingle, count) pairs — negligible next
-    to the join it protects against."""
+    and the (lossless) prefix filter pays for itself. The aggregate
+    groups by ``xxhash64(shingle)`` instead of the string — the shuffle
+    carries longs, and a 64-bit collision only merges two counts, which
+    OVER-estimates the blowup (the safe direction). Map-side partial
+    count, then two scalars — one scan, negligible next to the join it
+    protects against."""
     row = (
-        sh.groupBy("__s__")
+        sh.groupBy(F.xxhash64("__s__").alias("__sh64__"))
         .agg(F.count(F.lit(1)).alias("__f__"))
         .agg(
             F.sum("__f__").alias("rows"),
@@ -219,17 +229,35 @@ def ngram_jaccard_pairs(
     (measured 3.8 s vs 2.2 s at sf0.1). Results are identical either
     way — the filter is lossless at any threshold (differential-tested
     in tests/test_dedup_text.py, including a 50%-hot-shingle corpus).
-    Explicit True/False skips the measurement job. The measurement runs
-    on the pre-distinct shingle rows (multiset counts ≥ distinct doc
+
+    LAZINESS CAVEAT: ``prefix_filter=None`` runs the measurement as an
+    EAGER Spark job at plan-BUILD time (the plan's shape depends on the
+    decision), unlike the otherwise fully-lazy builder. Pipelines that
+    construct plans ahead of execution, or against a session that must
+    stay idle, should pass ``prefix_filter=True/False`` explicitly. The
+    decision is memoized per (input plan, n, blowup): re-building the
+    same dedup reuses it without a job. The measurement runs on the
+    pre-distinct shingle rows (multiset counts ≥ distinct doc
     frequencies → the blowup is only ever OVER-estimated, which can only
     enable the lossless filter early), so it never pays the distinct
-    shuffle — one scan + a map-side partial count.
+    shuffle — one scan + a map-side partial count over hashed shingles.
     """
     sh = _shingle_table(df, id_col, text_col, n)
     if prefix_filter is None:
-        prefix_filter = _should_prefix_filter(
-            _shingle_rows(df, id_col, text_col, n), protect_blowup
-        )
+        try:
+            mkey = (df.semanticHash(), id_col, text_col, n, protect_blowup)
+        except Exception:  # noqa: BLE001 — unhashable plan: measure every time
+            mkey = None
+        if mkey is not None and mkey in _PROTECT_MEMO:
+            prefix_filter = _PROTECT_MEMO[mkey]
+        else:
+            prefix_filter = _should_prefix_filter(
+                _shingle_rows(df, id_col, text_col, n), protect_blowup
+            )
+            if mkey is not None:
+                while len(_PROTECT_MEMO) >= 64:
+                    _PROTECT_MEMO.pop(next(iter(_PROTECT_MEMO)))
+                _PROTECT_MEMO[mkey] = prefix_filter
     if max_shingle_freq is not None:
         freq_ok = (
             sh.groupBy("__s__")
