@@ -178,12 +178,16 @@ class ParallelRolling:
         index_col: str | None = None,
         output_col: str | None = None, return_type: T.DataType | str = "double",
         vectorize: bool = True,
+        win_args: dict | None = None,
     ) -> DataFrame:
+        # win_args: shape kwargs for win_type windows (pandas passes them
+        # to the agg call, e.g. rolling(win_type="gaussian").mean(std=2))
         df, order = self.series.frame._ordered()
         return _window.rolling_apply(
             df, self.series.col, self.window, func, order,
             partition_by=self.series.partition_by, min_periods=self.min_periods,
             center=self.center, closed=self.closed, win_type=self.win_type,
+            win_args=win_args,
             raw=raw, index_col=index_col, output_col=output_col,
             return_type=return_type, vectorize=vectorize,
         )

@@ -291,6 +291,129 @@ def _rolling_series(
         window, min_periods=min_periods, center=center, closed=closed
     ).apply(func, raw=raw)
 
+# Weight generators for pandas ``win_type`` weighted windows. Formulas
+# are the public symmetric window definitions (scipy.signal.windows /
+# numpy); hamming/hann/blackman/bartlett/kaiser delegate to numpy's own
+# implementations so the shapes are independently maintained.
+def _w_gaussian(M: int, std: float) -> np.ndarray:
+    n = np.arange(M) - (M - 1) / 2
+    return np.exp(-0.5 * (n / std) ** 2)
+
+
+def _w_triang(M: int) -> np.ndarray:
+    n = np.arange(1, (M + 1) // 2 + 1)
+    if M % 2 == 0:
+        w = (2 * n - 1.0) / M
+        return np.concatenate([w, w[::-1]])
+    w = 2 * n / (M + 1.0)
+    return np.concatenate([w, w[-2::-1]])
+
+
+def _w_exponential(M: int, tau: float = 1.0, center: float | None = None) -> np.ndarray:
+    c = (M - 1) / 2 if center is None else center
+    return np.exp(-np.abs(np.arange(M) - c) / tau)
+
+
+WEIGHT_GENERATORS: dict[str, Callable[..., np.ndarray]] = {
+    "boxcar": lambda M: np.ones(M),
+    "triang": _w_triang,
+    "bartlett": lambda M: np.bartlett(M),
+    "hamming": lambda M: np.hamming(M),
+    "hann": lambda M: np.hanning(M),
+    "blackman": lambda M: np.blackman(M),
+    "kaiser": lambda M, beta: np.kaiser(M, beta),
+    "gaussian": _w_gaussian,
+    "exponential": _w_exponential,
+}
+
+
+def weighted_rolling_agg(
+    df: DataFrame,
+    col: str,
+    window: int,
+    agg: str,
+    win_type: str,
+    order_by: Sequence[str | Column],
+    *,
+    partition_by: Sequence[str] = (),
+    min_periods: int | None = None,
+    center: bool = False,
+    win_args: dict | None = None,
+    output_col: str | None = None,
+) -> DataFrame:
+    """pandas ``rolling(win_type=...).sum()/.mean()`` as a pure JVM
+    window expression (reference replays ``win_type`` through rolling
+    ``_attributes``, ``data_types/series_rolling.py:22-28``).
+
+    Exact pandas weighted semantics (differentially tested against
+    pandas' own cython path in tests/test_window.py): weight ``w[j]``
+    multiplies the value at frame offset ``j`` counted from the OLDEST
+    row; leading truncated windows use the TAIL of the weight vector
+    (missing slots contribute nothing); NaN/null values are skipped,
+    with the mean renormalized by the weights of surviving slots only;
+    ``min_periods`` (default ``window``, floor 1) counts surviving
+    slots; ``center=True`` shifts the frame forward by ``(w-1)//2``.
+
+    Plan shape: ``window`` lag/lead slot expressions over ONE window
+    spec — whole-stage codegen, no Python workers, no collect_list.
+    Grouped (``partition_by``) scales per key; the global form is a
+    total-order window (single sort task — fine for builtin aggs on
+    small/medium data, same caveat as the unweighted builtin path).
+    Windows wider than 512 slots are rejected (the expression tree and
+    codegen cost grow linearly; use a grouped UDF path at that width).
+    """
+    if agg not in ("sum", "mean"):
+        raise NotImplementedError(
+            f"weighted windows support sum/mean, got {agg!r} "
+            "(pandas win_type aggregations are sum/mean/var/std; "
+            "var/std are not implemented here)"
+        )
+    if win_type not in WEIGHT_GENERATORS:
+        raise NotImplementedError(
+            f"win_type={win_type!r} not implemented; available: "
+            f"{sorted(WEIGHT_GENERATORS)}"
+        )
+    if window > 512:
+        raise NotImplementedError(
+            f"weighted window of {window} slots would generate a "
+            f"{window}-term codegen expression; widen in a grouped "
+            "pandas UDF instead"
+        )
+    wt = np.asarray(
+        WEIGHT_GENERATORS[win_type](window, **(win_args or {})), dtype="float64"
+    )
+    minp = max(min_periods if min_periods is not None else window, 1)
+    offset = (window - 1) // 2 if center else 0
+    order_by = [order_by] if not isinstance(order_by, (list, tuple)) else list(order_by)
+    output_col = output_col or f"{col}_rolling_{agg}"
+    ws = _window_spec(order_by, partition_by)
+    col_d = F.col(col).cast("double")
+
+    slots = []
+    for j in range(window):
+        k = (window - 1) - j - offset
+        c = F.lag(col_d, k) if k >= 0 else F.lead(col_d, -k)
+        slots.append(c.over(ws))
+    valid = [s.isNotNull() & ~F.isnan(s) for s in slots]
+    zero = F.lit(0.0)
+    wsum = sum(
+        (F.when(v, F.lit(float(wt[j])) * s).otherwise(zero)
+         for j, (s, v) in enumerate(zip(slots, valid))),
+        zero,
+    )
+    cnt = sum((F.when(v, 1).otherwise(0) for v in valid), F.lit(0))
+    if agg == "sum":
+        res = F.when(cnt >= minp, wsum)
+    else:
+        totw = sum(
+            (F.when(v, F.lit(float(wt[j]))).otherwise(zero)
+             for j, v in enumerate(valid)),
+            zero,
+        )
+        res = F.when((cnt >= minp) & (totw != 0), wsum / totw)
+    return df.withColumn(output_col, res)
+
+
 _BUILTIN_AGGS: dict[str, Callable[[Column], Column]] = {
     "sum": F.sum,
     "mean": F.avg,
@@ -320,6 +443,7 @@ def rolling_apply(
     center: bool = False,
     closed: str | None = None,
     win_type: str | None = None,
+    win_args: dict | None = None,
     raw: bool = True,
     index_col: str | None = None,
     output_col: str | None = None,
@@ -337,8 +461,11 @@ def rolling_apply(
 
     ``closed`` ('right'|'left'|'both'|'neither') replays pandas frame
     endpoint semantics (reference replays full rolling ``_attributes``,
-    ``series_rolling.py:22-28``). ``win_type`` (weighted windows) is NOT
-    implemented — rejected loudly rather than silently ignored.
+    ``series_rolling.py:22-28``). ``win_type`` (weighted windows) routes
+    builtin "sum"/"mean" to ``weighted_rolling_agg`` (pure JVM lag
+    expressions, pandas-differential-tested; ``win_args`` carries the
+    scipy-style shape kwargs like ``std=``); UDFs under ``win_type``
+    are rejected loudly — pandas itself refuses ``rolling.apply`` there.
 
     ``index_col``: for ``raw=False`` UDFs, the column whose values index
     the window Series handed to the UDF (pandas UDFs read ``.index``);
@@ -360,10 +487,22 @@ def rolling_apply(
     nulls sort.
     """
     if win_type is not None:
+        if isinstance(func, str):
+            if closed is not None:
+                raise NotImplementedError(
+                    "closed= is not supported with win_type (pandas "
+                    "weighted windows have no closed parameter)"
+                )
+            return weighted_rolling_agg(
+                df, col, window, func, win_type, order_by,
+                partition_by=partition_by, min_periods=min_periods,
+                center=center, win_args=win_args, output_col=output_col
+                or f"{col}_rolling_{func}",
+            )
         raise NotImplementedError(
-            f"win_type={win_type!r} (weighted windows) is not implemented; "
-            "pandas evaluates weighted aggregations, not rolling.apply UDFs, "
-            "under win_type — use a builtin agg or drop win_type"
+            f"win_type={win_type!r} with a rolling UDF is not supported; "
+            "pandas evaluates weighted aggregations, not rolling.apply "
+            "UDFs, under win_type — use func='sum'/'mean' or drop win_type"
         )
     if closed not in (None, "right", "left", "both", "neither"):
         raise ValueError(f"closed must be right|left|both|neither, got {closed!r}")

@@ -156,3 +156,39 @@ def test_cleanup_pipeline_fused_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 2  # tree + detail of the one shuffle
     read_schema = plan.split("ReadSchema", 1)[1][:300]
     assert "text" in read_schema and "source" not in read_schema
+
+
+def test_weighted_rolling_stays_jvm_side(spark):
+    """win_type weighted aggs are lag/lead slot expressions — whole-stage
+    codegen, no Python workers, and (grouped) a single key shuffle."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark import parallelize
+
+    pdf = pd.DataFrame(
+        {
+            "idx": np.arange(500, dtype="int64"),
+            "k": np.arange(500, dtype="int64") % 5,
+            "x": np.arange(500, dtype="float64"),
+        }
+    )
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    out = (
+        parallelize(sdf, order_by="idx")
+        .groupby("k")
+        .series("x")
+        .rolling(5, win_type="gaussian")
+        .parallel_apply("mean", win_args={"std": 2.0}, output_col="r")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # formatted explain repeats nodes in the detail section — count the
+    # "(n) Exchange" detail headers: input repartition + the key shuffle
+    assert plan.count(") Exchange") <= 2

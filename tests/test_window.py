@@ -95,11 +95,14 @@ def test_rolling_closed_matches_pandas(spark, pdf, sdf, closed):
     pd.testing.assert_series_equal(_got(out_g, "r"), exp_g, check_names=False)
 
 
-def test_rolling_win_type_rejected(spark, sdf):
+def test_rolling_win_type_udf_rejected(spark, sdf):
+    # builtin aggs under win_type route to weighted_rolling_agg (tested
+    # below); UDFs stay rejected — pandas itself refuses rolling.apply
+    # on a win_type window
     with pytest.raises(NotImplementedError, match="win_type"):
         (
             parallelize(sdf, order_by="idx").series("b")
-            .rolling(4, win_type="triang").parallel_apply("sum")
+            .rolling(4, win_type="triang").parallel_apply(lambda a: a.sum())
         )
 
 
@@ -453,3 +456,139 @@ def test_halo_rolling_null_order_key_raises(spark):
             .rolling(4)
             .parallel_apply(lambda a: float(a.sum()), raw=True, output_col="r")
         )
+
+
+# ---------------------------------------------------------------------------
+# win_type weighted windows (reference replays win_type through rolling
+# _attributes, data_types/series_rolling.py:22-28)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def fake_scipy(monkeypatch):
+    """Let stock pandas evaluate win_type windows without scipy: pandas
+    only imports scipy.signal.windows to GENERATE weights — the weighted
+    aggregation semantics (NaN skip + mean renormalization, truncated
+    leading windows, min_periods, center shift) live in pandas' own
+    cython. Backing the stub with our WEIGHT_GENERATORS makes pandas a
+    true differential oracle for the aggregation mechanics; the weight
+    shapes themselves are independently covered by numpy's own
+    hamming/hann/blackman/bartlett/kaiser and the formula test below.
+    """
+    import sys
+    import types
+
+    from pandarallel_spark.operators.window import WEIGHT_GENERATORS
+
+    windows = types.ModuleType("scipy.signal.windows")
+    for name, fn in WEIGHT_GENERATORS.items():
+        setattr(windows, name, (lambda f: lambda M, **kw: f(M, **kw))(fn))
+    signal = types.ModuleType("scipy.signal")
+    signal.windows = windows
+    scipy = types.ModuleType("scipy")
+    scipy.signal = signal
+    scipy.__version__ = "1.11.4"
+    monkeypatch.setitem(sys.modules, "scipy", scipy)
+    monkeypatch.setitem(sys.modules, "scipy.signal", signal)
+    monkeypatch.setitem(sys.modules, "scipy.signal.windows", windows)
+
+
+def test_weight_formulas():
+    """Pin the non-numpy weight shapes against hand-computed values."""
+    from pandarallel_spark.operators.window import WEIGHT_GENERATORS
+
+    g = WEIGHT_GENERATORS["gaussian"](5, std=2.0)
+    n = np.arange(5) - 2.0
+    assert np.allclose(g, np.exp(-0.5 * (n / 2.0) ** 2))
+    t_odd = WEIGHT_GENERATORS["triang"](5)
+    assert np.allclose(t_odd, [1 / 3, 2 / 3, 1.0, 2 / 3, 1 / 3])
+    t_even = WEIGHT_GENERATORS["triang"](4)
+    assert np.allclose(t_even, [0.25, 0.75, 0.75, 0.25])
+    e = WEIGHT_GENERATORS["exponential"](5, tau=3.0)
+    assert np.allclose(e, np.exp(-np.abs(np.arange(5) - 2.0) / 3.0))
+    assert np.allclose(WEIGHT_GENERATORS["boxcar"](4), np.ones(4))
+
+
+@pytest.mark.parametrize(
+    "win_type,win_args,agg",
+    [
+        ("gaussian", {"std": 1.5}, "sum"),
+        ("gaussian", {"std": 1.5}, "mean"),
+        ("triang", {}, "mean"),
+        ("hamming", {}, "sum"),
+        ("exponential", {"tau": 2.0}, "mean"),
+    ],
+)
+def test_weighted_rolling_vs_pandas(spark, fake_scipy, win_type, win_args, agg):
+    """Global weighted rolling must match stock pandas across NaNs,
+    min_periods (incl. truncated leading windows), and center."""
+    rng = np.random.default_rng(7)
+    vals = rng.standard_normal(400)
+    vals[rng.integers(0, 400, 25)] = np.nan
+    pdf = pd.DataFrame({"idx": np.arange(400, dtype="int64"), "x": vals})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    for mp, center in [(None, False), (1, False), (3, False), (2, True)]:
+        r = pdf.x.rolling(5, win_type=win_type, min_periods=mp, center=center)
+        exp = getattr(r, agg)(**win_args).to_numpy()
+        out = (
+            parallelize(sdf, order_by="idx")
+            .series("x")
+            .rolling(5, min_periods=mp, center=center, win_type=win_type)
+            .parallel_apply(agg, win_args=win_args, output_col="r")
+            .toPandas()
+            .sort_values("idx")["r"]
+            .to_numpy(dtype="float64")
+        )
+        assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True), (
+            f"{win_type}/{agg} mp={mp} center={center}"
+        )
+
+
+def test_weighted_rolling_grouped_vs_pandas(spark, fake_scipy):
+    """Grouped weighted rolling (partition_by key) — our extension
+    beyond pandas, whose GroupBy.rolling silently ignores win_type
+    (returns a plain Rolling). Expected = per-group stock pandas
+    Series.rolling(win_type=...), the semantics a user would mean."""
+    rng = np.random.default_rng(13)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "idx": np.arange(n, dtype="int64"),
+            "k": rng.integers(0, 7, n),
+            "x": rng.standard_normal(n),
+        }
+    )
+    pdf.loc[rng.integers(0, n, 30), "x"] = np.nan
+    exp = (
+        pdf.groupby("k")["x"]
+        .transform(
+            lambda s: s.rolling(4, win_type="gaussian", min_periods=2).mean(std=2.0)
+        )
+        .to_numpy()
+    )
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    out = (
+        parallelize(sdf, order_by="idx")
+        .groupby("k")
+        .series("x")
+        .rolling(4, min_periods=2, win_type="gaussian")
+        .parallel_apply("mean", win_args={"std": 2.0}, output_col="r")
+        .toPandas()
+        .sort_values("idx")["r"]
+        .to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_weighted_rolling_rejections(spark):
+    pdf = pd.DataFrame({"idx": np.arange(10, dtype="int64"), "x": np.arange(10.0)})
+    sdf = spark.createDataFrame(pdf)
+    roll = parallelize(sdf, order_by="idx").series("x").rolling(3, win_type="gaussian")
+    with pytest.raises(NotImplementedError, match="UDF"):
+        roll.parallel_apply(lambda a: a.sum(), output_col="r")
+    with pytest.raises(NotImplementedError, match="sum/mean"):
+        roll.parallel_apply("std", win_args={"std": 1.0}, output_col="r")
+    with pytest.raises(NotImplementedError, match="win_type"):
+        parallelize(sdf, order_by="idx").series("x").rolling(
+            3, win_type="nosuchwindow"
+        ).parallel_apply("sum", output_col="r")
