@@ -130,8 +130,93 @@ def test_multimodal_plumbing(spark, docs):
     f1 = feats.set_index("media_id").loc[1, "features"]
     f5 = feats.set_index("media_id").loc[5, "features"]
     assert list(f1) == list(f5)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_features(media, require_real_codec=True)
+    # synthesized text payloads aren't decodable PPM/BMP → the honest
+    # production mode fails at execution with the payload named
+    with pytest.raises(Exception, match="not a decodable"):
+        multimodal.decode_features(media, require_real_codec=True).count()
+
+
+def _ppm_bytes(img):
+    import numpy as np
+
+    h, w, _ = img.shape
+    return b"P6\n# test comment\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img
+    ).tobytes()
+
+
+def _bmp_bytes(img):
+    """Uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER)."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in img[::-1]:  # bottom-up
+        raster += row[:, ::-1].tobytes()  # RGB → BGR
+        raster += b"\x00" * (stride - w * 3)
+    off = 14 + 40
+    size = off + len(raster)
+    hdr = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(hdr) + bytes(raster)
+
+
+def test_real_image_decode_roundtrip():
+    """decode_image must recover the exact pixel grid from real PPM and
+    BMP byte payloads (row order, channel order, stride padding)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)  # odd width → padding
+    out_ppm = multimodal.decode_image(_ppm_bytes(img))
+    assert out_ppm is not None and np.array_equal(out_ppm, img)
+    out_bmp = multimodal.decode_image(_bmp_bytes(img))
+    assert out_bmp is not None and np.array_equal(out_bmp, img)
+    # non-images and truncated payloads are refused, not misread
+    assert multimodal.decode_image(b"hello world") is None
+    assert multimodal.decode_image(_ppm_bytes(img)[:-10]) is None
+    assert multimodal.decode_image(_bmp_bytes(img)[:40]) is None
+
+
+def test_real_codec_features_through_spark(spark):
+    """End-to-end: real PPM/BMP payloads through the distributed decode
+    stage under require_real_codec=True, features = hand-computed luma
+    grid of the decoded pixels."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, (6, 6, 3), dtype=np.uint8) for _ in range(4)]
+    payloads = [
+        _ppm_bytes(imgs[0]), _bmp_bytes(imgs[1]), _ppm_bytes(imgs[2]), _bmp_bytes(imgs[3]),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0, 1, 2, 3], "content": payloads}),
+        "media_id bigint, content binary",
+    )
+    out = (
+        multimodal.decode_features(media, out_dim=9, require_real_codec=True)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    for i, img in enumerate(imgs):
+        exp = multimodal.image_features(img, 9)
+        assert np.allclose(np.array(out.loc[i, "features"]), exp)
+        assert out.loc[i, "n_bytes"] == len(payloads[i])
 
 
 def test_frame_sample_plan(spark, docs):
