@@ -203,6 +203,7 @@ def cosine_pairs_lsh(
     planes_per_band: int = 4,
     seed: int = 202,
     dim: int | None = None,
+    verify_block: int = 1024,
 ) -> DataFrame:
     """Embedding near-dup pairs, the scale path: banded sign-bit LSH
     candidate generation + exact quantized-cosine verification. Output
@@ -287,26 +288,52 @@ def cosine_pairs_lsh(
     # pays ~128 element_at calls per pair (measured 8.6 s → ~1 s at
     # sf0.1). cosine = exact-int dot / (sqrt·sqrt) with the same IEEE
     # tree as the SQL oracle → bit-identical doubles.
+    # block-pair tiling bounds per-task memory at BLOCK² doubles
+    # (~8 MB) no matter how hot a (band, signature) bucket gets —
+    # low-entropy or duplicate-heavy embeddings can land millions of
+    # rows in one bucket, and an m×m matrix there would OOM the
+    # executor. Same exact int64 dots, same Σ bucket² work; only the
+    # matmul is chunked. (verify_block is exposed mainly so tests can
+    # exercise multi-block tiling on small buckets.)
+    BLOCK = max(int(verify_block), 2)
+
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
         if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
+            return empty
         ids = pdf["__id__"].to_numpy()
         q = np.stack(pdf["__qv__"].apply(np.asarray).to_numpy()).astype("int64")
-        n2 = pdf["__n2__"].to_numpy().astype("int64")
-        dots = q @ q.T  # exact int64
-        norms = np.sqrt(n2.astype("float64"))
-        cos = dots.astype("float64") / (norms[:, None] * norms[None, :])
-        ia, ib = np.triu_indices(m, k=1)
-        # id_a < id_b contract regardless of row order in the bucket
-        lo = np.minimum(ids[ia], ids[ib])
-        hi = np.maximum(ids[ia], ids[ib])
-        keep = cos[ia, ib] >= threshold
-        return pd.DataFrame(
-            {"id_a": lo[keep], "id_b": hi[keep], "cosine": cos[ia, ib][keep]}
-        )
+        norms = np.sqrt(pdf["__n2__"].to_numpy().astype("float64"))
+        parts = []
+        for i0 in range(0, m, BLOCK):
+            i1 = min(i0 + BLOCK, m)
+            for j0 in range(i0, m, BLOCK):
+                j1 = min(j0 + BLOCK, m)
+                dots = q[i0:i1] @ q[j0:j1].T  # exact int64
+                cos = dots.astype("float64") / (
+                    norms[i0:i1, None] * norms[None, j0:j1]
+                )
+                keep = cos >= threshold
+                if i0 == j0:
+                    keep &= np.triu(np.ones(keep.shape, dtype=bool), k=1)
+                ia, ib = np.nonzero(keep)
+                if len(ia) == 0:
+                    continue
+                ga, gb = ids[ia + i0], ids[ib + j0]
+                # id_a < id_b contract regardless of bucket row order
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(ga, gb),
+                            "id_b": np.maximum(ga, gb),
+                            "cosine": cos[ia, ib],
+                        }
+                    )
+                )
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     return (
         sigs.groupBy("__band__", "__sig__")

@@ -358,3 +358,20 @@ def test_connected_components_long_chain_raises_then_converges(spark):
         connected_components(edges, max_iter=3)
     cc = connected_components(edges, max_iter=n + 1).toPandas()
     assert (cc.component == 0).all() and len(cc) == n
+
+
+def test_cosine_lsh_bucket_tiling_exact(spark, sf_dir):
+    """Block-pair tiling of the bucket verify (per-task memory bound for
+    hot buckets) must emit exactly the untiled pair set — including
+    duplicate-heavy buckets where every row shares one signature."""
+    from pandarallel_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(threshold=0.4, bands=8, planes_per_band=4, seed=202)
+    tiled = similarity.cosine_pairs_lsh(emb, verify_block=3, **kw).toPandas()
+    whole = similarity.cosine_pairs_lsh(emb, verify_block=1 << 20, **kw).toPandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        tiled.sort_values(key).reset_index(drop=True),
+        whole.sort_values(key).reset_index(drop=True),
+    )
