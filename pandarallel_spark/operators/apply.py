@@ -207,11 +207,22 @@ def apply_columns(
     ``elementwise=None`` (default) auto-detects transform-vs-reduce the
     way the reference does at reduce time (``data_types/dataframe.py:
     44-51`` picks the concat axis from the sampled result type): the
-    func runs on a sampled prefix of the first column, and a same-length
-    Series result means transform, anything else reduce. Pass
-    ``True``/``False`` to pin the mode (e.g. a transform whose output
-    length coincidentally differs on the 100-row sample is impossible,
-    but a reduce returning a same-length Series is — pin it then).
+    func runs on a sampled prefix of EVERY selected column (dtype-
+    dependent behavior is caught per column, not guessed from the
+    first), and a same-length Series result means transform, anything
+    else reduce. Columns that disagree raise — Spark output is one
+    relation, so a mixed transform/reduce apply has no single schema;
+    split the columns into two calls. Pass ``True``/``False`` to pin
+    the mode (e.g. a transform whose output length coincidentally
+    differs on the 100-row sample is impossible, but a reduce returning
+    a same-length Series is — pin it then).
+
+    PROBE CAVEAT: plan construction executes ``func`` up to three times
+    per column on sampled data (mode probe, batch-stability probe,
+    output-dtype inference — the dtype run is skipped when ``schema=``
+    pins it). Side-effecting funcs should treat these extra sample-time
+    invocations as part of the contract; a func that raises on some
+    column's dtype fails at build time with the column named.
     """
     columns = columns or list(df.columns)
     if isinstance(func, str):
@@ -233,42 +244,77 @@ def apply_columns(
 
     sample = _sample_pdf(df.select(*columns))
 
+    _probes: dict[str, Any] = {}
+
+    def _probe(c: str):
+        """func on column c's sample, memoized — probe results feed both
+        mode detection and dtype inference without re-invoking func."""
+        if c not in _probes:
+            try:
+                _probes[c] = func(sample[c])
+            except Exception as exc:  # noqa: BLE001 — reframe with context
+                raise ValueError(
+                    f"axis=0 probe of column {c!r} raised "
+                    f"{type(exc).__name__}: {exc}. The func is executed on "
+                    "a sampled prefix of every selected column at plan-build "
+                    "time to infer transform-vs-reduce and output dtypes; "
+                    "pass elementwise=True/False (and schema= for reduce "
+                    "dtypes) to pin what the probe can't learn, or restrict "
+                    "columns= to the dtypes the func accepts"
+                ) from exc
+        return _probes[c]
+
     if elementwise is None:
         if len(sample):
-            probe = func(sample[columns[0]])
-            elementwise = isinstance(probe, pd.Series) and len(probe) == len(sample)
+            modes = {
+                c: isinstance(p, pd.Series) and len(p) == len(sample)
+                for c in columns
+                for p in [_probe(c)]
+            }
+            if len(set(modes.values())) > 1:
+                t_cols = [c for c in columns if modes[c]]
+                r_cols = [c for c in columns if not modes[c]]
+                raise ValueError(
+                    f"axis=0 func is a transform on {t_cols} but a reduce on "
+                    f"{r_cols} (probed on sampled data): one relation can't "
+                    "hold both shapes — split into two apply_columns calls, "
+                    "or pin elementwise=True/False"
+                )
+            elementwise = next(iter(modes.values()))
             if elementwise and len(sample) >= 2:
-                # batch-stability probe: the transform runs per Arrow
-                # batch, so func(suffix) must equal the suffix of
-                # func(whole) — order-dependent transforms (cumsum,
+                # batch-stability probe (per column): the transform runs
+                # per Arrow batch, so func(suffix) must equal the suffix
+                # of func(whole) — order-dependent transforms (cumsum,
                 # diff, rank) restart at batch boundaries and would
                 # return plausible-looking WRONG data; fail loudly
                 # instead (review finding r3).
                 k = len(sample) // 2
-                tail = func(sample[columns[0]].iloc[k:])
-                stable = (
-                    isinstance(tail, pd.Series)
-                    and len(tail) == len(sample) - k
-                    and tail.reset_index(drop=True).equals(
-                        probe.iloc[k:].reset_index(drop=True)
+                for c in columns:
+                    tail = func(sample[c].iloc[k:])
+                    stable = (
+                        isinstance(tail, pd.Series)
+                        and len(tail) == len(sample) - k
+                        and tail.reset_index(drop=True).equals(
+                            _probe(c).iloc[k:].reset_index(drop=True)
+                        )
                     )
-                )
-                if not stable:
-                    raise ValueError(
-                        "axis=0 transform is not batch-stable (func(suffix) != "
-                        "suffix of func(whole) on the sampled column — e.g. "
-                        "cumsum/diff/rank): a per-batch evaluation would "
-                        "silently restart at every Arrow batch. Restructure as "
-                        "a window/grouped operation, or pass elementwise=True "
-                        "to override if the func is genuinely elementwise."
-                    )
+                    if not stable:
+                        raise ValueError(
+                            f"axis=0 transform is not batch-stable on column "
+                            f"{c!r} (func(suffix) != suffix of func(whole) on "
+                            "the sampled column — e.g. cumsum/diff/rank): a "
+                            "per-batch evaluation would silently restart at "
+                            "every Arrow batch. Restructure as a window/"
+                            "grouped operation, or pass elementwise=True to "
+                            "override if the func is genuinely elementwise."
+                        )
         else:
             elementwise = False
 
     if elementwise:
         out_cols = []
         for c in columns:
-            res = func(sample[c]) if len(sample) else pd.Series(dtype="float64")
+            res = _probe(c) if len(sample) else pd.Series(dtype="float64")
             out_t = pandas_dtype_to_spark(
                 res.dtype, res.dropna().iloc[0] if len(res.dropna()) else None
             )
@@ -282,7 +328,7 @@ def apply_columns(
         if schema is not None:
             out_t = schema[c].dataType
         else:
-            val = func(sample[c]) if len(sample) else None
+            val = _probe(c) if len(sample) else None
             out_t = pandas_dtype_to_spark(getattr(val, "dtype", type(val)), val)
         udf = F.pandas_udf(
             lambda s, _f=func: _f(s), returnType=out_t, functionType=F.PandasUDFType.GROUPED_AGG

@@ -356,3 +356,33 @@ def test_apply_columns_order_dependent_transform_rejected(spark, sdf):
     them loudly (review regression)."""
     with pytest.raises(ValueError, match="batch-stable"):
         parallelize(sdf).parallel_apply(lambda col: col.cumsum(), axis=0)
+
+
+def test_apply_columns_mixed_mode_rejected(spark):
+    """A func that transforms one column but reduces another (dtype-
+    dependent behavior) must be caught per column, not guessed from
+    columns[0] (review finding r3)."""
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {"a": np.arange(50, dtype="int64"), "b": np.arange(50, dtype="float64")}
+    )
+    sdf2 = spark.createDataFrame(pdf)
+    from pandarallel_spark.operators.apply import apply_columns
+
+    def dtype_dependent(s):
+        return s * 2 if s.dtype.kind == "i" else float(s.sum())
+
+    with pytest.raises(ValueError, match="transform on .* reduce on"):
+        apply_columns(sdf2, dtype_dependent)
+
+
+def test_apply_columns_probe_error_names_column(spark):
+    """A func that raises on one column's dtype fails at build time with
+    the column named and guidance toward elementwise=/columns=."""
+    pdf = pd.DataFrame({"num": [1.0, 2.0], "txt": ["x", "y"]})
+    sdf2 = spark.createDataFrame(pdf)
+    from pandarallel_spark.operators.apply import apply_columns
+
+    with pytest.raises(ValueError, match="column 'txt'.*elementwise"):
+        apply_columns(sdf2, lambda s: s * 2.5)
