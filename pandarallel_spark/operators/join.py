@@ -29,6 +29,7 @@ def asof_join(
     *,
     direction: str = "backward",
     tolerance: Column | None = None,
+    allow_exact_matches: bool = True,
     suffix: str = "_asof",
 ) -> DataFrame:
     """``pd.merge_asof``-shaped join. Per left row and key:
@@ -39,6 +40,11 @@ def asof_join(
       ``right_ts >= left_ts``;
     - ``direction="nearest"`` — whichever of the two is closest in
       absolute distance; ties prefer the backward match (pandas rule).
+
+    ``allow_exact_matches=False`` makes the comparisons strict
+    (``<`` / ``>``), exactly pandas — implemented purely by flipping
+    the side-tag sort inside the same window (equal-ts right rows land
+    outside the frame), so the plan shape and cost don't change.
 
     ``tolerance`` (e.g. ``F.expr("INTERVAL 1 HOUR")``) nulls out matches
     farther than the tolerance in the search direction; for "nearest" it
@@ -97,14 +103,18 @@ def asof_join(
     # (unbounded-preceding, current) frame includes rt == lt ("<=").
     # forward: sort side DESC so right rows land AFTER left at equal ts
     # → the (current, unbounded-following) frame includes rt == lt.
+    # allow_exact_matches=False flips each side sort, pushing equal-ts
+    # right rows OUT of the frame → strict "<" / ">".
+    side = F.col("__side__")
+    b_tie, f_tie = (side, side.desc()) if allow_exact_matches else (side.desc(), side)
     w_b = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t__"), F.col("__side__"))
+        .orderBy(F.col("__t__"), b_tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_f = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t__"), F.col("__side__").desc())
+        .orderBy(F.col("__t__"), f_tie)
         .rowsBetween(0, Window.unboundedFollowing)
     )
     unioned = l_tagged.unionByName(r_tagged)

@@ -214,11 +214,12 @@ def test_global_rolling_closed_matches_pandas(spark, pdf, w, mp, center, closed)
     seed=st.integers(0, 2**31 - 1),
     direction=st.sampled_from(["backward", "forward", "nearest"]),
     tol=st.sampled_from([None, 3, 25]),
+    exact=st.booleans(),
 )
 @settings(**_SETTINGS)
-def test_asof_property_matches_merge_asof(spark, seed, direction, tol):
-    """Random keyed event sets through every direction × tolerance must
-    match pd.merge_asof exactly."""
+def test_asof_property_matches_merge_asof(spark, seed, direction, tol, exact):
+    """Random keyed event sets through every direction × tolerance ×
+    allow_exact_matches must match pd.merge_asof exactly."""
     from pyspark.sql import functions as F
 
     from pandarallel_spark.operators.join import asof_join
@@ -246,6 +247,7 @@ def test_asof_property_matches_merge_asof(spark, seed, direction, tol):
         by="k",
         direction=direction,
         tolerance=tol,
+        allow_exact_matches=exact,
     )
     got = asof_join(
         spark.createDataFrame(left),
@@ -255,6 +257,7 @@ def test_asof_property_matches_merge_asof(spark, seed, direction, tol):
         value_cols=["px"],
         direction=direction,
         tolerance=None if tol is None else F.lit(tol),
+        allow_exact_matches=exact,
         suffix="",
     ).toPandas()
     key = ["k", "t", "v"]
