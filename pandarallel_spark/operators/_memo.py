@@ -1,0 +1,41 @@
+"""Bounded build-time memo helpers shared by operators.
+
+Operators that run eager Spark jobs at plan-build time (halo-rolling
+boundary extraction, ngram-Jaccard protection measurement, symbolic
+window probes) memoize the results so rebuilding the same plan is free.
+Two rules, both learned from review findings:
+
+- ``memo_put``: one bounded-FIFO eviction policy, not per-module copies
+  that could silently diverge.
+- ``plan_data_key``: a memo key must identify the DATA, not just the
+  plan. ``semanticHash`` alone hashes the logical plan (e.g. a parquet
+  path), so overwriting that path with new data would hit the memo and
+  serve stale build-time results. ``inputFiles()`` lists the concrete
+  files backing the scan — Spark writers always create fresh UUID-named
+  files, so overwrite/append changes the key. Inputs without a file
+  identity get key ``None`` → caller must skip memoization entirely
+  (an ``id()``-based fallback is unsound: CPython reuses addresses
+  after GC, which could serve another frame's cached results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def memo_put(memo: dict, key, val, cap: int = 16) -> None:
+    """Insert with bounded-FIFO eviction (oldest insertion first)."""
+    while len(memo) >= cap:
+        memo.pop(next(iter(memo)))
+    memo[key] = val
+
+
+def plan_data_key(df: DataFrame, *extra) -> tuple | None:
+    """Plan+data identity for build-time memos, or None (don't memoize)."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        return (df.semanticHash(), hash(tuple(sorted(files))), *extra)
+    except Exception:  # noqa: BLE001 — unidentifiable input
+        return None

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pandarallel_spark.operators._memo import memo_put, plan_data_key
 from pandarallel_spark.operators.text import fingerprint, tokens
 
 
@@ -107,11 +108,11 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     return _shingle_rows(df, id_col, text_col, n).distinct()
 
 
-# protection-decision memo: (input semanticHash, shingle n, blowup
+# protection-decision memo: (input identity, shingle n, blowup
 # factor) → bool. The measurement is an EAGER Spark job at plan-build
 # time; repeated builds of the same dedup over the same input (interactive
 # reruns, bench steady-state, retried pipelines) should pay it once.
-# Bounded FIFO, session-scoped like window.py's plan-fragment memos.
+# Bounded FIFO (same eviction helper as window.py's plan-fragment memos).
 _PROTECT_MEMO: dict = {}
 
 
@@ -244,10 +245,11 @@ def ngram_jaccard_pairs(
     """
     sh = _shingle_table(df, id_col, text_col, n)
     if prefix_filter is None:
-        try:
-            mkey = (df.semanticHash(), id_col, text_col, n, protect_blowup)
-        except Exception:  # noqa: BLE001 — unhashable plan: measure every time
-            mkey = None
+        # key includes the input FILE LIST (not just the plan hash), so
+        # overwriting the same path with new data re-measures instead of
+        # reusing a stale decision; inputs without file identity are
+        # measured every time (see operators/_memo.plan_data_key)
+        mkey = plan_data_key(df, id_col, text_col, n, protect_blowup)
         if mkey is not None and mkey in _PROTECT_MEMO:
             prefix_filter = _PROTECT_MEMO[mkey]
         else:
@@ -255,9 +257,7 @@ def ngram_jaccard_pairs(
                 _shingle_rows(df, id_col, text_col, n), protect_blowup
             )
             if mkey is not None:
-                while len(_PROTECT_MEMO) >= 64:
-                    _PROTECT_MEMO.pop(next(iter(_PROTECT_MEMO)))
-                _PROTECT_MEMO[mkey] = prefix_filter
+                memo_put(_PROTECT_MEMO, mkey, prefix_filter, cap=64)
     if max_shingle_freq is not None:
         freq_ok = (
             sh.groupBy("__s__")

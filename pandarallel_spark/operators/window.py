@@ -38,24 +38,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# _halo_rolling memo: (semanticHash, ord, col, ix, n, frame) →
+from pandarallel_spark.operators._memo import memo_put, plan_data_key
+
+# _halo_rolling memo: plan_data_key(df, ord, col, ix, n, frame) →
 # {"bexpr": bucket-assignment Column, "ctx": per-bucket boundary context
 # rows, "ctx_union": context rows as a small pandas frame for the JVM
-# path}. Bounded FIFO; entries are session-scoped (Columns hold py4j
-# refs) like any cached plan fragment.
+# path, "ctx_sdf"/"ctx_bc": their Spark-side forms}. Bounded FIFO;
+# entries are session-scoped (Columns hold py4j refs) like any cached
+# plan fragment. Keys include the input FILE LIST, so overwriting the
+# same path with new data misses the memo (see _memo.plan_data_key).
 _HALO_MEMO: dict = {}
 
 # symbolic-window memo: (plan key items..., func digest) → gated Column
 # or None ("tried, not expressible") — the validation probe is a small
 # Spark job worth paying once per (plan, func), not per re-build.
 _SYM_MEMO: dict = {}
-
-
-def _halo_memo_put(key, val, memo=None) -> None:
-    m = _HALO_MEMO if memo is None else memo
-    while len(m) >= 16:
-        m.pop(next(iter(m)))
-    m[key] = val
 
 
 class _SlotProxy:
@@ -678,14 +675,24 @@ def _halo_rolling(
         ).to_numpy()
 
     if n_parts <= 1:
-        # one partition sees the total order — no halo machinery
+        # one partition sees the total order — no halo machinery. The
+        # NULL/NaN order-key contract still holds (the multi-partition
+        # build-time check doesn't run here, so enforce it in the task —
+        # behavior must not diverge on spark.sql.shuffle.partitions=1;
+        # review finding r4).
         def roll_all(batches):
             parts = [b for b in batches if len(b)]
             if not parts:
                 return
-            pdf = pd.concat(parts, ignore_index=True).sort_values(
-                ord_col, kind="mergesort", ignore_index=True
-            )
+            pdf = pd.concat(parts, ignore_index=True)
+            if pdf[ord_col].isna().any():
+                raise ValueError(
+                    f"global rolling over order column {ord_col!r} with "
+                    "NULL or NaN values is not supported: window membership "
+                    "is undefined for them (and pandas/Spark disagree on "
+                    "where they sort). Filter or fill those order keys first."
+                )
+            pdf = pdf.sort_values(ord_col, kind="mergesort", ignore_index=True)
             pdf[output_col] = roll_bucket(pdf)
             yield pdf[out_names]
 
@@ -715,10 +722,10 @@ def _halo_rolling(
     # probs 0 and 1 ride along: GK-sketch endpoints are the exact
     # min/max, which the O(1) bucket-assignment map needs
     probs = [i / n_buckets for i in range(n_buckets + 1)]
-    try:
-        plan_key = (df.semanticHash(), ord_col, col, ix, n_buckets, lo, hi)
-    except Exception:  # noqa: BLE001 — fall back to an anonymous key
-        plan_key = ("__anon__", id(df), len(_HALO_MEMO))
+    # Memo key = plan identity AND data identity (semanticHash alone
+    # would hit on overwritten paths and serve STALE context rows —
+    # review finding r4, confirmed by repro); None → never memoize.
+    plan_key = plan_data_key(df, ord_col, col, ix, n_buckets, lo, hi)
 
     def _bucket_expr(bnds: list[float], vlo: float, vhi: float):
         """value → bucket id. O(1) per row: uniform micro-bucket via
@@ -757,7 +764,7 @@ def _halo_rolling(
             F.lit(0),
         )
 
-    memo = _HALO_MEMO.get(plan_key)
+    memo = _HALO_MEMO.get(plan_key) if plan_key is not None else None
     if memo is None:
         narrow = df.select(*narrow_cols).persist(StorageLevel.MEMORY_AND_DISK)
         try:
@@ -812,8 +819,21 @@ def _halo_rolling(
                 ivals = ctx_pdf[ix].to_numpy()
                 union_parts = []
                 for b in range(len(bnds) + 1):
-                    pre = np.nonzero(bkts < b)[0][-halo_before:] if halo_before else []
-                    post = np.nonzero(bkts > b)[0][:halo_after] if halo_after else []
+                    # bkts is sorted: per-bucket slices via binary search,
+                    # not an O(ctx_rows) scan per bucket (O(buckets ×
+                    # ctx_rows) total was a review finding at the clamp)
+                    pos_l = np.searchsorted(bkts, b, side="left")
+                    pos_r = np.searchsorted(bkts, b, side="right")
+                    pre = (
+                        np.arange(max(0, pos_l - halo_before), pos_l)
+                        if halo_before
+                        else []
+                    )
+                    post = (
+                        np.arange(pos_r, min(len(bkts), pos_r + halo_after))
+                        if halo_after
+                        else []
+                    )
                     if len(pre) or len(post):
                         ctx_map[b] = (
                             cvals[pre], ivals[pre], cvals[post], ivals[post]
@@ -827,9 +847,12 @@ def _halo_rolling(
                     ctx_union = pd.concat(union_parts, ignore_index=True)
             # the Column itself is memoized: building the micro-bucket
             # lookup literal costs a py4j round trip per element, which
-            # would tax every re-build of the same plan
+            # would tax every re-build of the same plan. With
+            # plan_key=None, memo stays a build-local dict (no caching
+            # across builds — data identity couldn't be established).
             memo = {"bexpr": bucket_expr, "ctx": ctx_map, "ctx_union": ctx_union}
-            _halo_memo_put(plan_key, memo)
+            if plan_key is not None:
+                memo_put(_HALO_MEMO, plan_key, memo)
         finally:
             narrow.unpersist()
     ctx_map = memo["ctx"]
@@ -845,21 +868,28 @@ def _halo_rolling(
     # workers, no Arrow, whole-stage codegen end to end.
     w2 = hi - lo + 1
     if raw and vectorize and callable(func) and min_periods >= w2:
+        # cache the probe result only when BOTH the plan and the func
+        # are identifiable — an id()-based fallback key could collide
+        # after GC address reuse and serve another func's expression
+        # (review finding r4)
         try:
             func_key = hash(__import__("cloudpickle").dumps(func))
-        except Exception:  # noqa: BLE001
-            func_key = id(func)
-        sym_key = (plan_key, func_key, window, min_periods, center, closed)
-        if sym_key not in _SYM_MEMO:
-            _halo_memo_put(
-                sym_key,
-                _symbolic_rolling_expr(
-                    spark, func, col, ord_col, window,
-                    min_periods, center, closed, lo, hi,
-                ),
-                memo=_SYM_MEMO,
+        except Exception:  # noqa: BLE001 — unpicklable func: probe fresh
+            func_key = None
+        sym_key = (
+            (plan_key, func_key, window, min_periods, center, closed)
+            if plan_key is not None and func_key is not None
+            else None
+        )
+        if sym_key is not None and sym_key in _SYM_MEMO:
+            sym = _SYM_MEMO[sym_key]
+        else:
+            sym = _symbolic_rolling_expr(
+                spark, func, col, ord_col, window,
+                min_periods, center, closed, lo, hi,
             )
-        sym = _SYM_MEMO[sym_key]
+            if sym_key is not None:
+                memo_put(_SYM_MEMO, sym_key, sym)
         if sym is not None:
             data = bucketed.withColumn("__ctx__", F.lit(False))
             if ctx_union is not None:
@@ -892,16 +922,25 @@ def _halo_rolling(
 
     # Python path: hash-partition on bucket id, roll each bucket with
     # its boundary context prepended/appended, slice the context back
-    # off. Every row out exactly once, final value.
+    # off. Every row out exactly once, final value. The context map
+    # rides a BROADCAST, not the function closure: a closure would ship
+    # every bucket's context to every task (O(tasks × total_ctx) — up to
+    # ~32 MB × tasks at the clamp), where a broadcast is fetched once
+    # per executor (review finding r4).
+    ctx_bc = memo.get("ctx_bc")
+    if ctx_bc is None:
+        ctx_bc = spark.sparkContext.broadcast(ctx_map)
+        memo["ctx_bc"] = ctx_bc
 
     def roll_buckets(batches):
+        ctx_map_x = ctx_bc.value
         parts = [b for b in batches if len(b)]
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
         for b, g in pdf.groupby("__bkt__", sort=False):
             g = g.sort_values(ord_col, kind="mergesort", ignore_index=True)
-            ctx = ctx_map.get(int(b))
+            ctx = ctx_map_x.get(int(b))
             if ctx is not None:
                 pre_c, pre_i, post_c, post_i = ctx
                 n_pre = len(pre_c)

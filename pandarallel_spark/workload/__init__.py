@@ -84,6 +84,7 @@ def _load_all() -> None:
     # including the sketch twins, oracle-checked since r4 — stays
     # inside the graded window.
     for name in ("rolling_sum_closed_left", "similarity_topk_expr"):
-        REGISTRY[name] = REGISTRY.pop(name)
+        if name in REGISTRY:  # tolerate renames — reordering is advisory
+            REGISTRY[name] = REGISTRY.pop(name)
 
     _LOADED = True

@@ -592,3 +592,36 @@ def test_weighted_rolling_rejections(spark):
         parallelize(sdf, order_by="idx").series("x").rolling(
             3, win_type="nosuchwindow"
         ).parallel_apply("sum", output_col="r")
+
+
+def test_halo_memo_not_stale_after_overwrite(spark, tmp_path):
+    """Overwriting a parquet path with new data must NOT reuse memoized
+    boundary-context rows: semanticHash hashes the plan (the path), so
+    the memo key also includes the concrete input files (review finding
+    r4 — the stale hit produced ~10% wrong values near every bucket
+    boundary)."""
+    path = str(tmp_path / "roll_overwrite")
+    func = lambda a: float(a.sum())  # noqa: E731
+
+    def run(scale):
+        pdf = pd.DataFrame(
+            {"idx": np.arange(5000, dtype="int64"), "x": np.full(5000, scale)}
+        )
+        spark.createDataFrame(pdf).repartition(8).write.mode("overwrite").parquet(path)
+        sdf = spark.read.parquet(path)
+        out = (
+            parallelize(sdf, order_by="idx")
+            .series("x")
+            .rolling(4)
+            .parallel_apply(func, raw=True, output_col="r", vectorize=False)
+            .toPandas()
+            .sort_values("idx")["r"]
+            .to_numpy()
+        )
+        exp = pdf.x.rolling(4).apply(func, raw=True).to_numpy()
+        assert np.array_equal(out, exp, equal_nan=True), (
+            f"scale={scale}: {np.nansum(out != exp)} mismatches"
+        )
+
+    run(1.0)   # populates the memo for this path
+    run(2.0)   # same path, new files — must miss the memo and recompute
