@@ -74,13 +74,23 @@ def asof_join(
     ]
 
     left_payload = [c for c in left.columns if c not in keys and c != left_ts]
-    out_ts = f"{right_ts}{suffix}"
-    if out_ts == left_ts or out_ts in left_payload:
-        out_ts = f"{right_ts}_asof"
-    out_vals = [
-        f"{c}{suffix}" if f"{c}{suffix}" not in (left_ts, *left_payload) else f"{c}_asof"
-        for c in value_cols
-    ]
+
+    # output names must be unique against keys, the left ts, the left
+    # payload, AND each other; the old fallback re-appended '_asof',
+    # which is a no-op for the default suffix and never checked keys —
+    # duplicate column names then blew up in unionByName (review
+    # finding r4). Keep appending the suffix until the name is free.
+    taken = set(keys) | {left_ts, *left_payload}
+
+    def out_name(base: str) -> str:
+        cand = f"{base}{suffix}"
+        while cand in taken:  # suffix may be '' — always append non-empty
+            cand += suffix or "_asof"
+        taken.add(cand)
+        return cand
+
+    out_ts = out_name(right_ts)
+    out_vals = [out_name(c) for c in value_cols]
 
     l_tagged = left.select(
         *keys,

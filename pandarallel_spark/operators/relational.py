@@ -41,12 +41,21 @@ def skew_safe_count_distinct(
     — the classic fix for COUNT(DISTINCT) skew. (Spark's built-in
     count_distinct expands internally to the same shape; this form lets
     you salt stage one explicitly if a single (key, value) pair is hot.)
+
+    NULL semantics match ``COUNT(DISTINCT col)``: NULL values don't
+    count, and a key whose values are all NULL still appears with count
+    0 (stage two counts only non-null value groups, review finding r4 —
+    the previous form counted NULL as its own distinct value).
     """
     return (
         df.groupBy(*keys, col)
         .agg(F.lit(1).alias("__one__"))
         .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias(f"{col}_distinct"))
+        .agg(
+            F.count(F.when(F.col(col).isNotNull(), F.lit(1))).alias(
+                f"{col}_distinct"
+            )
+        )
     )
 
 
@@ -69,4 +78,9 @@ def intersect_rows(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def except_rows(a: DataFrame, b: DataFrame) -> DataFrame:
-    return a.exceptAll(b).distinct()
+    """SQL EXCEPT (set difference, distinct output): rows of ``a`` that
+    appear nowhere in ``b``. ``subtract`` is Spark's set-EXCEPT; the
+    previous ``exceptAll().distinct()`` kept any row whose multiplicity
+    in ``a`` exceeded its multiplicity in ``b`` — wrong whenever both
+    sides hold duplicates of a shared row (review finding r4)."""
+    return a.subtract(b)

@@ -55,7 +55,14 @@ def hash_split(
     hash bucket, proportionally to ``weights`` (normalized). A pure
     projection — no shuffle, no sampling pass, stable under reruns and
     appends (a row's split never changes when other rows come and go,
-    unlike ``randomSplit``)."""
+    unlike ``randomSplit``).
+
+    NULL ids get a NULL split, never a silent assignment: md5(NULL) is
+    NULL, and before r4 the CASE fell through ``otherwise`` into the
+    LAST split name — a dataset with 5% NULL ids silently skewed the
+    test split by +5% (review finding). A NULL split is visible to (and
+    excluded by) every downstream equality filter; validate/repair ids
+    upstream if NULLs are possible."""
     total = sum(weights.values())
     b = md5_bucket(id_col, _HASH_BUCKETS, seed)
     expr: Column | None = None
@@ -66,7 +73,7 @@ def hash_split(
         cut = int(round(acc * _HASH_BUCKETS))
         clause = F.when(b < cut, F.lit(name))
         expr = clause if expr is None else expr.when(b < cut, F.lit(name))
-    last = F.lit(names[-1])
+    last = F.when(F.col(id_col).isNotNull(), F.lit(names[-1]))
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
 
@@ -81,9 +88,13 @@ def sample_per_group(
     """Deterministic n-per-group sample: rank rows inside each group by
     (md5 bucket of id, id) and keep the first n. One shuffle on the
     group key; reproducible across cluster sizes (vs ``sampleBy``'s
-    per-partition Bernoulli draws)."""
+    per-partition Bernoulli draws). NULL ids rank LAST (their md5
+    bucket is NULL, which would otherwise sort first and always win the
+    sample — review finding r4); they're chosen only when a group has
+    fewer than n non-null rows."""
     w = Window.partitionBy(*keys).orderBy(
-        md5_bucket(id_col, _HASH_BUCKETS, seed), F.col(id_col)
+        md5_bucket(id_col, _HASH_BUCKETS, seed).asc_nulls_last(),
+        F.col(id_col).asc_nulls_last(),
     )
     return (
         df.withColumn("__rn__", F.row_number().over(w))
@@ -99,6 +110,7 @@ def pack_sequences(
     shard_by: Sequence[str],
     order_by: str,
     pack_col: str = "pack_id",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Contiguous greedy sequence packing: within each shard, walk rows
     in ``order_by`` order accumulating token counts; a row's pack is
@@ -106,10 +118,17 @@ def pack_sequences(
     streaming packer (documents may straddle a boundary; true bin
     packing is NP-hard and order-dependent, this is the standard
     LLM-pretraining compromise). One shuffle on the shard key; the
-    running sum is a JVM window, no Python."""
+    running sum is a JVM window, no Python.
+
+    Determinism requires a TOTAL order within each shard: when
+    ``order_by`` can tie, pass ``tiebreak`` columns (e.g. the doc id) —
+    tied rows otherwise take whatever relative order the partitioning
+    produced, and their pack ids can differ between runs/cluster sizes
+    (review finding r4; the module's bit-for-bit guarantee only holds
+    for total orders)."""
     w = (
         Window.partitionBy(*shard_by)
-        .orderBy(order_by)
+        .orderBy(order_by, *[F.col(c) for c in tiebreak])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")

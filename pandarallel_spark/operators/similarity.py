@@ -86,6 +86,22 @@ def topk_expr(
     )
 
 
+def _require_integral_ids(op: str, id_col: str, *dfs: DataFrame) -> None:
+    """The numpy scale paths emit ids through a declared bigint Arrow
+    schema; a non-integral id would die deep in an executor with a
+    cryptic cast failure — fail at build time with guidance instead
+    (review finding r4; cosine_pairs_lsh always had this guard)."""
+    for df in dfs:
+        if not isinstance(df.schema[id_col].dataType, T.IntegralType):
+            raise TypeError(
+                f"{op} requires an integral id column, got "
+                f"{df.schema[id_col].dataType.simpleString()} for {id_col!r}"
+                " — use the expression form (topk_expr/cosine_pairs_q) or"
+                " add a surrogate bigint id (monotonically_increasing_id"
+                " + join back)"
+            )
+
+
 def topk_numpy(
     spark_queries: DataFrame,
     corpus: DataFrame,
@@ -95,7 +111,9 @@ def topk_numpy(
 ) -> DataFrame:
     """Scale-path top-k: int64 matmul per Arrow batch, per-batch top-k,
     global top-k window. Same output contract as ``topk_expr`` (exact
-    integer scores → identical results)."""
+    integer scores → identical results); integral ids required (the
+    Arrow schema declares bigint)."""
+    _require_integral_ids("topk_numpy", id_col, spark_queries, corpus)
     qpdf = spark_queries.select(id_col, vec_col).toPandas()
     if qpdf.empty:
         return spark_queries.sparkSession.createDataFrame(
@@ -167,7 +185,10 @@ def cosine_pairs_q(
     (and a Column-op loop would pay a py4j round trip per term).
     Output: (id_a, id_b, cosine double)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("cosine_pairs_q: input is empty (pass dim=)")
+        dim = len(first[0])
     v = df.select(
         F.col(id_col).alias("__id__"),
         F.col(vec_col).alias("__v__"),
@@ -374,6 +395,7 @@ def ivf_topk(
     docstring) → bit-identical across engines. Ties: centroid assignment
     → smaller centroid id; top-k → smaller candidate id.
     """
+    _require_integral_ids("ivf_topk", id_col, queries, corpus)
     if dim is None:
         first = corpus.select(vec_col).first()
         if first is None:
@@ -507,6 +529,7 @@ def lsh_bucketed_topk(
                 "lsh_bucketed_topk: corpus is empty (pass dim= to skip inference)"
             )
         dim = len(first[0])
+    _require_integral_ids("lsh_bucketed_topk", id_col, queries, corpus)
     p_mat = np.asarray(plane_ints(planes, dim, seed), dtype="int64")  # (planes, dim)
     pw2 = (1 << np.arange(planes)).astype("int64")
 

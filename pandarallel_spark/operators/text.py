@@ -82,13 +82,17 @@ def quality_features(col: Column | str, stopwords: tuple[str, ...] = DEFAULT_STO
 
 def quality_score(col: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
     """Deterministic [0,1] heuristic: enough tokens, not stopword soup,
-    reasonable word lengths. Fixed expression tree → oracle-exact."""
+    reasonable word lengths. Fixed expression tree → oracle-exact.
+    Empty/whitespace-only text scores 0.0, never NULL — a NULL quality
+    made ``quality >= cutoff`` and ``NOT (quality < cutoff)`` disagree
+    on empty docs (review finding r4)."""
     f = quality_features(col, stopwords)
     length_part = F.least(F.lit(1.0), f["n_tokens"].cast("double") / F.lit(100.0))
     stop_part = F.lit(1.0) - f["stopword_ratio"]
     wordlen_part = F.least(F.lit(1.0), f["avg_token_len"] / F.lit(8.0))
-    return (
-        length_part * F.lit(0.5) + stop_part * F.lit(0.3) + wordlen_part * F.lit(0.2)
+    return F.coalesce(
+        length_part * F.lit(0.5) + stop_part * F.lit(0.3) + wordlen_part * F.lit(0.2),
+        F.lit(0.0),
     )
 
 

@@ -48,9 +48,9 @@ f AS (
     md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
   FROM t)
 SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
-  least(1.0, CAST(n_tokens AS DOUBLE)/100.0) * 0.5
+  coalesce(least(1.0, CAST(n_tokens AS DOUBLE)/100.0) * 0.5
     + (1.0 - stopword_ratio) * 0.3
-    + least(1.0, avg_token_len/8.0) * 0.2 AS quality,
+    + least(1.0, avg_token_len/8.0) * 0.2, 0.0) AS quality,
   CASE
     WHEN en_c > 0 AND en_c > fr_c AND en_c > de_c AND en_c > es_c THEN 'en'
     WHEN fr_c > 0 AND fr_c > en_c AND fr_c > de_c AND fr_c > es_c THEN 'fr'
@@ -911,9 +911,9 @@ f AS (
   FROM t),
 scored AS (
   SELECT doc_id, fp,
-    least(1.0, CAST(n_tokens AS DOUBLE)/100.0) * 0.5
+    coalesce(least(1.0, CAST(n_tokens AS DOUBLE)/100.0) * 0.5
       + (1.0 - stopword_ratio) * 0.3
-      + least(1.0, avg_token_len/8.0) * 0.2 AS quality,
+      + least(1.0, avg_token_len/8.0) * 0.2, 0.0) AS quality,
     CASE
       WHEN en_c > 0 AND en_c > fr_c AND en_c > de_c AND en_c > es_c THEN 'en'
       WHEN fr_c > 0 AND fr_c > en_c AND fr_c > de_c AND fr_c > es_c THEN 'fr'
