@@ -133,13 +133,25 @@ pandarallel = _Facade
 # ---------------------------------------------------------------------------
 
 
+def _local_only(index: pd.Index) -> bool:
+    """MultiIndexed inputs run stock pandas: a tuple-labeled index has no
+    faithful single-column Arrow shipping (review finding r4 — the old
+    path mis-typed the tuples and crashed in createDataFrame). Exact by
+    definition, just not distributed."""
+    return isinstance(index, pd.MultiIndex)
+
+
 def _df_parallel_apply(self: pd.DataFrame, func, *args, **kwargs):
     axis = kwargs.pop("axis", 0)
     if not callable(func):
         # pandas accepts string/list aggregation specs; those are
         # metadata-cheap locally — no distribution value
         return self.apply(func, *args, axis=axis, **kwargs)
-    if len(self) <= _LOCAL_THRESHOLD or (axis in (0, "index") and len(self.columns) <= 4):
+    if (
+        len(self) <= _LOCAL_THRESHOLD
+        or _local_only(self.index)
+        or (axis in (0, "index") and len(self.columns) <= 4)
+    ):
         return self.apply(func, *args, axis=axis, **kwargs)
     if axis in (1, "columns"):
         return _row_apply(self, func, args, kwargs)
@@ -183,55 +195,80 @@ def _col_apply(pdf: pd.DataFrame, func, args, kwargs):
     ``data_types/dataframe.py:21-22``) — melt to (col, pos, value),
     one group per column. Only homogeneous-numeric frames distribute
     (melt unifies dtypes); anything else runs stock pandas locally,
-    which is also what the tiny-input path does."""
+    which is also what the tiny-input path does.
+
+    Column labels ride ``__c__`` stringified (the declared field is
+    string; integer-labeled frames — the pandas default RangeIndex
+    columns — previously crashed on Arrow int→string, review finding
+    r4) and map back to the originals on assembly. Result dtypes come
+    from a per-column local sample, not a hardcoded double: pandas
+    keeps int reductions int (a forced float corrupted int64 sums past
+    2^53) and per-column transform dtypes are restored after the pivot.
+    """
     if not all(np.issubdtype(d, np.number) for d in pdf.dtypes):
         return pdf.apply(func, *args, axis=0, **kwargs)
-    sample_col = pdf.iloc[:256, 0].rename(pdf.columns[0])
-    sample = func(sample_col, *args, **kwargs)
-    scalar_out = np.isscalar(sample) or sample is None
+    # sample EVERY column on a short prefix: the unified result dtype
+    # (what pd.concat of the per-column results would produce) is the
+    # shipping type; 256 rows × n_cols locally is noise next to the
+    # distributed pass this path exists for (>4 columns)
+    samples = {
+        c: func(pdf[c].iloc[:256].rename(c), *args, **kwargs) for c in pdf.columns
+    }
+    first = next(iter(samples.values()))
+    scalar_out = np.isscalar(first) or first is None
 
     spark = _require_spark()
-    dtypes = {c: str(t) for c, t in pdf.dtypes.items()}
+    dtypes = {str(c): str(t) for c, t in pdf.dtypes.items()}
+    orig_of = {str(c): c for c in pdf.columns}
     long = pdf.melt(var_name="__c__", value_name=_VAL, ignore_index=False)
+    long["__c__"] = long["__c__"].astype(str)
     long[_POS] = np.tile(np.arange(len(pdf)), len(pdf.columns))
     sdf = spark.createDataFrame(long.reset_index(drop=True))
 
-    col_order = {c: i for i, c in enumerate(pdf.columns)}
+    col_order = {str(c): i for i, c in enumerate(pdf.columns)}
 
     if scalar_out:
-        out_schema = "__c__ string, __r__ double"
+        unified = pd.Series(list(samples.values()))
+        out_schema = f"__c__ string, __r__ {_ddl_type(unified)}"
 
         def per_col(key, b):
             s = (
                 b.sort_values(_POS)[_VAL]
                 .reset_index(drop=True)
                 .astype(dtypes[key[0]])  # undo melt's upcast
-                .rename(key[0])
+                .rename(orig_of.get(key[0], key[0]))
             )
-            return pd.DataFrame({"__c__": [key[0]], "__r__": [float(func(s, *args, **kwargs))]})
+            return pd.DataFrame({"__c__": [key[0]], "__r__": [func(s, *args, **kwargs)]})
 
         try:
             got = _to_pandas(sdf.groupBy("__c__").applyInPandas(per_col, out_schema))
         except Exception as e:  # noqa: BLE001
             _reraise_original(e)
         got = got.sort_values("__c__", key=lambda s: s.map(col_order))
-        out = pd.Series(got["__r__"].to_numpy(), index=got["__c__"].to_numpy())
+        out = pd.Series(
+            got["__r__"].to_numpy(),
+            index=[orig_of[c] for c in got["__c__"]],
+        ).astype(unified.dtype)
         out.index.name = None
-        if isinstance(sample, (int, np.integer)):
-            out = out.astype("int64")  # pandas keeps int for int reductions
         return out
 
-    out_schema = f"__c__ string, {_POS} bigint, __r__ double"
+    unified = pd.concat([pd.Series(v) for v in samples.values()])
+    out_schema = f"__c__ string, {_POS} bigint, __r__ {_ddl_type(unified)}"
+    ship_dtype = unified.to_numpy().dtype
 
     def per_col_t(key, b):
         b = b.sort_values(_POS)
-        s = b[_VAL].reset_index(drop=True).astype(dtypes[key[0]]).rename(key[0])
+        s = (
+            b[_VAL].reset_index(drop=True)
+            .astype(dtypes[key[0]])
+            .rename(orig_of.get(key[0], key[0]))
+        )
         r = func(s, *args, **kwargs)
         return pd.DataFrame(
             {
                 "__c__": key[0],
                 _POS: b[_POS].to_numpy(),
-                "__r__": np.asarray(r, dtype="float64"),
+                "__r__": np.asarray(r, dtype=ship_dtype),
             }
         )
 
@@ -240,23 +277,30 @@ def _col_apply(pdf: pd.DataFrame, func, args, kwargs):
     except Exception as e:  # noqa: BLE001
         _reraise_original(e)
     wide = got.pivot(index=_POS, columns="__c__", values="__r__").sort_index()
-    wide = wide[[c for c in pdf.columns]]
+    wide = wide[[str(c) for c in pdf.columns]]
+    wide.columns = list(pdf.columns)
+    # restore pandas' per-column result dtypes (the shuffle shipped the
+    # unified type)
+    for c in pdf.columns:
+        wide[c] = wide[c].astype(samples[c].dtype)
     wide.index = pdf.index
     wide.columns.name = None
     return wide
 
 
-def _df_parallel_applymap(self: pd.DataFrame, func, **kwargs):
-    if len(self) <= _LOCAL_THRESHOLD:
-        return self.map(func)
+def _df_parallel_applymap(self: pd.DataFrame, func, na_action=None, **kwargs):
+    # na_action and **kwargs forward to the func exactly like pandas
+    # DataFrame.map (review finding r4: they were silently dropped)
+    if len(self) <= _LOCAL_THRESHOLD or _local_only(self.index):
+        return self.map(func, na_action=na_action, **kwargs)
     sdf, idx_name = _to_spark(self, list(self.columns))
     in_names = list(self.columns)
-    sample = self.head(5).map(func)
+    sample = self.head(5).map(func, na_action=na_action, **kwargs)
     schema = _infer_ddl(sample, extra={_IDX: self.index, _POS: None})
 
     def run(batches):
         for b in batches:
-            out = b[in_names].map(func)
+            out = b[in_names].map(func, na_action=na_action, **kwargs)
             out[_IDX] = b[_IDX].to_numpy()
             out[_POS] = b[_POS].to_numpy()
             yield out
@@ -273,7 +317,7 @@ def _df_parallel_applymap(self: pd.DataFrame, func, **kwargs):
 def _series_parallel_apply(self: pd.Series, func, *args, **kwargs):
     # reference signature passes args as a KEYWORD: parallel_apply(f, args=(2,), bias=3)
     fargs = tuple(kwargs.pop("args", args))
-    if len(self) <= _LOCAL_THRESHOLD:
+    if len(self) <= _LOCAL_THRESHOLD or _local_only(self.index):
         return self.apply(func, args=fargs, **kwargs)
     pdf = self.to_frame(_VAL)
     sdf, idx_name = _to_spark(pdf, [_VAL])
@@ -322,7 +366,7 @@ def _wrap_window_func(func, args, kwargs):
 
 def _series_rolling_parallel_apply(self, func, *args, **kwargs):
     obj = self.obj if isinstance(self.obj, pd.Series) else None
-    if obj is None or len(obj) <= _LOCAL_THRESHOLD:
+    if obj is None or len(obj) <= _LOCAL_THRESHOLD or _local_only(obj.index):
         return self.apply(func, *args, **kwargs)
     raw = kwargs.pop("raw", False)
     func = _wrap_window_func(func, args, kwargs)
@@ -366,11 +410,12 @@ def _series_rolling_parallel_apply(self, func, *args, **kwargs):
 def _groupby_parallel_apply(self, func, *args, **kwargs):
     pdf: pd.DataFrame = self.obj
     keys = self.keys if isinstance(self.keys, list) else [self.keys]
-    if len(pdf) <= _LOCAL_THRESHOLD:
+    if len(pdf) <= _LOCAL_THRESHOLD or _local_only(pdf.index):
         return self.apply(func, *args, **kwargs)
 
     first_key = next(iter(self.groups))
-    sample_out = func(self.get_group(first_key).head(256), *args, **kwargs)
+    sample_grp = self.get_group(first_key).head(256)
+    sample_out = func(sample_grp, *args, **kwargs)
     if sample_out is None:
         # pandas: None-returning funcs (incl. in-place mutators) yield an
         # empty result — run stock pandas locally, exact by definition
@@ -383,17 +428,30 @@ def _groupby_parallel_apply(self, func, *args, **kwargs):
 
     if isinstance(sample_out, pd.DataFrame):
         value_cols = [c for c in sample_out.columns]
-        schema_pdf = sample_out.copy()
-        schema_pdf[_IDX] = pdf.index[:len(schema_pdf)]
-        schema_pdf[_POS] = 0
+        # pandas shape rule: a transform-like result (index == group
+        # index) keeps the original labels; anything else (row subsets,
+        # reorders, aggregated indexes) stacks under a
+        # (key..., result_label) MultiIndex. The worker reports each
+        # result row's ACTUAL label — the old first-len(r) positional
+        # reattachment silently mislabeled subset/reordered results
+        # (review finding r4).
+        transform_like = len(sample_out) == len(sample_grp) and (
+            sample_out.index.equals(sample_grp.index)
+        )
+        schema_pdf = sample_out.reset_index(drop=True).copy()
+        schema_pdf[_IDX] = sample_out.index.to_numpy()
+        schema_pdf[_POS] = np.int64(0)
         ddl = _infer_ddl(schema_pdf, lead=keys, lead_src=pdf)
 
         def gf(g):
             g = g.sort_values(_POS, kind="mergesort")  # pandas group order
-            r = func(g[list(pdf.columns)], *args, **kwargs)
-            r = r.copy()
-            r[_IDX] = g[_IDX].to_numpy()[: len(r)]
-            r[_POS] = g[_POS].to_numpy()[: len(r)]
+            body = g[list(pdf.columns)].copy()
+            # func must see the group's true pandas labels, not the
+            # Arrow batch's RangeIndex
+            body.index = pd.Index(g[_IDX].to_numpy())
+            r = func(body, *args, **kwargs).copy()
+            r[_IDX] = r.index.to_numpy()
+            r[_POS] = np.arange(len(r), dtype="int64")  # func's row order
             return r
 
         try:
@@ -402,17 +460,61 @@ def _groupby_parallel_apply(self, func, *args, **kwargs):
             ).sort_values([*keys, _POS], kind="mergesort")
         except Exception as e:  # noqa: BLE001
             _reraise_original(e)
-        out = got.set_index(_IDX)[value_cols]
-        out.index.name = idx_name
+        if transform_like:
+            out = got.set_index(_IDX)[value_cols]
+            out.index.name = idx_name
+        else:
+            out = got[value_cols].copy()
+            out.index = pd.MultiIndex.from_arrays(
+                [got[k].to_numpy() for k in keys] + [got[_IDX].to_numpy()],
+                names=[*keys, idx_name],
+            )
         return out
 
-    # scalar per group → Series indexed by key(s), keys sorted (pandas default)
+    if isinstance(sample_out, pd.Series):
+        # pandas: Series-per-group → DataFrame whose columns are the
+        # Series labels, indexed by the group key(s) (the old code fell
+        # into the scalar path and shipped a whole Series in one double
+        # cell — review finding r4)
+        res_labels = list(sample_out.index)
+        str_labels = [f"__s{i}__" for i in range(len(res_labels))]
+        key_fields = ", ".join(f"{k} {_ddl_type(pdf[k])}" for k in keys)
+        vtype = _ddl_type(sample_out)
+        ddl = f"{key_fields}, " + ", ".join(f"{n} {vtype}" for n in str_labels)
+
+        def gv(g):
+            g = g.sort_values(_POS, kind="mergesort")
+            body = g[list(pdf.columns)].copy()
+            body.index = pd.Index(g[_IDX].to_numpy())
+            s = func(body, *args, **kwargs)
+            return pd.DataFrame([list(s.to_numpy())], columns=str_labels)
+
+        try:
+            got = _to_pandas(
+                grouped_apply(sdf, keys, gv, schema=ddl, mode="frame")
+            ).sort_values(keys, kind="mergesort")
+        except Exception as e:  # noqa: BLE001
+            _reraise_original(e)
+        if len(keys) == 1:
+            idx = pd.Index(got[keys[0]].to_numpy(), name=keys[0])
+        else:
+            idx = pd.MultiIndex.from_frame(got[keys])
+        out = pd.DataFrame(
+            got[str_labels].to_numpy(), index=idx, columns=res_labels
+        )
+        out.columns.name = sample_out.index.name
+        return out
+
+    # scalar per group → Series indexed by key(s), keys sorted (pandas
+    # default); result type from the sampled scalar, not a forced double
     key_fields = ", ".join(f"{k} {_ddl_type(pdf[k])}" for k in keys)
-    ddl = f"{key_fields}, __r__ double"
+    ddl = f"{key_fields}, __r__ {_ddl_type(sample_out)}"
 
     def gs(g):
         g = g.sort_values(_POS, kind="mergesort")  # pandas group order
-        return func(g[list(pdf.columns)], *args, **kwargs)
+        body = g[list(pdf.columns)].copy()
+        body.index = pd.Index(g[_IDX].to_numpy())
+        return func(body, *args, **kwargs)
 
     try:
         got = _to_pandas(
@@ -440,7 +542,7 @@ def _make_grouped_window_apply(kind: str):
         src = obj.to_frame(col)
         for k, g in zip(keys, grouper.groupings):
             src[k] = np.asarray(g.grouping_vector)
-        if len(src) <= _LOCAL_THRESHOLD:
+        if len(src) <= _LOCAL_THRESHOLD or _local_only(src.index):
             return self.apply(func, raw=raw)
 
         from pandarallel_spark import parallelize

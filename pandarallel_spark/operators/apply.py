@@ -90,12 +90,19 @@ def apply_rows(
     (``operators/window.py:_vectorized_rolling``).
     """
     kwargs = kwargs or {}
+    # include_input: result columns SHADOW same-named input columns
+    # (pandas ``df.apply(axis=1)`` returns only the result; carrying the
+    # input alongside is this engine's extension, and a duplicate name
+    # must resolve result-wins rather than produce a two-`a` schema that
+    # blows up in mapInPandas — review finding r4)
     if isinstance(func, Column):
-        cols = [*df.columns, func.alias(result_name)] if include_input else [func.alias(result_name)]
+        keep = [c for c in df.columns if c != result_name]
+        cols = [*keep, func.alias(result_name)] if include_input else [func.alias(result_name)]
         return df.select(*cols)
     if isinstance(func, Mapping):
         exprs = [c.alias(n) for n, c in func.items()]
-        return df.select(*df.columns, *exprs) if include_input else df.select(*exprs)
+        keep = [c for c in df.columns if c not in func]
+        return df.select(*keep, *exprs) if include_input else df.select(*exprs)
 
     in_cols = list(df.columns)
     if schema is None:
@@ -112,7 +119,11 @@ def apply_rows(
             )
             result_frame = False
         if include_input:
-            out_schema = T.StructType([*df.schema.fields, *out_schema.fields])
+            res_names = {f.name for f in out_schema.fields}
+            out_schema = T.StructType(
+                [f for f in df.schema.fields if f.name not in res_names]
+                + list(out_schema.fields)
+            )
     else:
         out_schema = T.StructType(schema) if not isinstance(schema, str) else T.StructType.fromDDL(schema)
         result_frame = None  # decided per batch
@@ -149,7 +160,11 @@ def apply_rows(
             if res is None:
                 res = pdf.apply(lambda row: func(row, *args, **kwargs), axis=1)
             if isinstance(res, pd.DataFrame):
-                out = pd.concat([pdf, res], axis=1) if include_input else res
+                if include_input:
+                    shadowed = [c for c in res.columns if c in pdf.columns]
+                    out = pd.concat([pdf.drop(columns=shadowed), res], axis=1)
+                else:
+                    out = res
             else:
                 if include_input:
                     out = pdf.copy()

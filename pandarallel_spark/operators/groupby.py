@@ -74,7 +74,11 @@ def grouped_apply(
     kwargs = kwargs or {}
     key_fields = [df.schema[k] for k in keys]
 
-    if mode is None or (schema is None and mode != "frame"):
+    # infer when either the mode or the schema is missing (review
+    # finding r4: mode="frame" with schema=None previously skipped the
+    # block and crashed on schema.fields; a PINNED mode was also
+    # silently overwritten by the sampled shape)
+    if mode is None or schema is None:
         sample = _sample_group(df, keys)
         if sample.empty:
             raise ValueError(
@@ -101,17 +105,25 @@ def grouped_apply(
                 )
             )
         if isinstance(out, pd.DataFrame):
-            mode = "frame"
+            inf_mode = "frame"
             inferred = infer_schema_from_pandas(out)
         elif isinstance(out, pd.Series):
-            mode = "series"
+            inf_mode = "series"
             inferred = T.StructType(
                 [T.StructField(str(i), _python_value_to_spark(v), True) for i, v in out.items()]
             )
         else:
-            mode = "scalar"
+            inf_mode = "scalar"
             inferred = T.StructType([T.StructField(result_name, _python_value_to_spark(out), True)])
+        if mode is None:
+            mode = inf_mode
         if schema is None:
+            if mode != inf_mode:
+                raise ValueError(
+                    f"pinned mode={mode!r} but the sampled group returned a "
+                    f"{inf_mode}-shaped result; the inferred schema would not "
+                    "fit — pass schema= alongside the pinned mode"
+                )
             extra = [f for f in inferred.fields if f.name not in keys]
             schema = T.StructType([*key_fields, *extra])
 

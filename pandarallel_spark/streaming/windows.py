@@ -61,7 +61,13 @@ def sessionize(
 ) -> DataFrame:
     """Session windows: ``F.session_window`` in streaming; here the batch
     equivalent via a gap-based island computation (lag + cumulative sum)
-    so the DuckDB oracle can express the same thing."""
+    so the DuckDB oracle can express the same thing.
+
+    Gap comparison is strict ``>``: ``F.session_window`` MERGES an event
+    at exactly ``last_event + gap`` into the session (inclusive
+    boundary — verified empirically in
+    tests/test_review_fixes.py::test_sessionize_exact_gap_matches_session_window;
+    a review suggestion to use ``>=`` was checked and refuted there)."""
     from pyspark.sql import Window
 
     gap_expr = F.expr(f"INTERVAL {gap}")

@@ -156,3 +156,152 @@ def test_pack_sequences_tiebreak_total_order(spark):
     assert outs[0] == outs[1]
     # greedy by (ord, doc): prefix sums 0,3,6,... → pack = prefix // 4
     assert outs[0] == [0, 0, 1, 2, 3, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# compat-shim parity fixes (round 4 review, second pass)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def shim():
+    from pandarallel_spark.compat import pandarallel
+
+    pandarallel.initialize(progress_bar=False, verbose=0)
+    return pandarallel
+
+
+def test_shim_groupby_row_subset_matches_pandas(spark, shim):
+    """Row-subset results (nlargest) must carry the selected rows' REAL
+    labels under a (key, label) MultiIndex, exactly like pandas — not
+    the group's first labels."""
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame(
+        {"k": rng.integers(0, 5, 300), "x": rng.random(300)},
+        index=rng.permutation(np.arange(1000, 1300)),
+    )
+    expected = pdf.groupby("k").apply(lambda g: g.nlargest(2, "x"), include_groups=True)
+    got = pdf.groupby("k").parallel_apply(lambda g: g.nlargest(2, "x"))
+    pd.testing.assert_frame_equal(got, expected)
+
+
+def test_shim_groupby_series_result_matches_pandas(spark, shim):
+    """Series-per-group results widen into a DataFrame with the Series
+    labels as columns, like pandas — not a Series stuffed in a double."""
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame({"k": rng.integers(0, 4, 200), "x": rng.random(200)})
+    f = lambda g: pd.Series(  # noqa: E731
+        {"lo": float(g.x.min()), "hi": float(g.x.max())}
+    )
+    expected = pdf.groupby("k").apply(f, include_groups=True)
+    got = pdf.groupby("k").parallel_apply(f)
+    pd.testing.assert_frame_equal(got, expected)
+
+
+def test_shim_col_apply_int_labels_and_int_dtypes(spark, shim):
+    """Default integer column labels (RangeIndex columns) must survive
+    the axis=0 distribution, and int reductions stay int64 — including
+    values past 2^53, which a forced double round-trip corrupts."""
+    big = (1 << 55) + 3
+    pdf = pd.DataFrame(
+        np.ones((200, 6), dtype="int64"), columns=range(6)
+    )
+    pdf.iloc[0, :] = big
+    f = lambda s: s.max()  # noqa: E731
+    expected = pdf.apply(f, axis=0)
+    got = pdf.parallel_apply(f, axis=0)
+    pd.testing.assert_series_equal(got, expected)
+    assert got.dtype == np.dtype("int64") and got.iloc[0] == big
+    # transform with int labels: pivot path must map labels back
+    t = lambda s: s * 2  # noqa: E731
+    pd.testing.assert_frame_equal(
+        pdf.parallel_apply(t, axis=0), pdf.apply(t, axis=0)
+    )
+
+
+def test_shim_applymap_kwargs_and_na_action(spark, shim):
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame({"a": rng.random(200), "b": rng.random(200)})
+    pdf.iloc[3, 0] = np.nan
+    f = lambda x, k: x * k  # noqa: E731
+    expected = pdf.map(f, na_action="ignore", k=3.0)
+    got = pdf.parallel_applymap(f, na_action="ignore", k=3.0)
+    pd.testing.assert_frame_equal(got, expected)
+
+
+def test_shim_multiindex_inputs_fall_back_exactly(spark, shim):
+    """MultiIndexed inputs have no faithful Arrow shipping — they must
+    run stock pandas (exact), not crash in createDataFrame."""
+    idx = pd.MultiIndex.from_product([["a", "b"], range(100)], names=["g", "i"])
+    pdf = pd.DataFrame({"x": np.arange(200, dtype="float64")}, index=idx)
+    f = lambda row: row.x * 2  # noqa: E731
+    pd.testing.assert_series_equal(
+        pdf.parallel_apply(f, axis=1), pdf.apply(f, axis=1)
+    )
+    s = pdf["x"]
+    pd.testing.assert_series_equal(
+        s.parallel_apply(lambda v: v + 1), s.apply(lambda v: v + 1)
+    )
+
+
+def test_apply_rows_result_shadows_input_column(spark):
+    """include_input=True with a result that reuses input names must
+    resolve result-wins (single occurrence per name), not emit a
+    duplicate-name schema that dies in mapInPandas."""
+    from pandarallel_spark.operators.apply import apply_rows
+
+    pdf = pd.DataFrame({"a": np.arange(100, dtype="float64"), "b": np.ones(100)})
+    sdf = spark.createDataFrame(pdf)
+    out = apply_rows(sdf, lambda row: row * 2)
+    assert sorted(out.columns) == ["a", "b"]
+    got = out.toPandas().sort_values("a").reset_index(drop=True)
+    assert got["a"].tolist() == (pdf["a"] * 2).tolist()
+
+
+def test_grouped_apply_frame_mode_without_schema(spark):
+    """mode='frame' with schema=None must infer, and a pinned mode that
+    contradicts the sampled shape must raise, not be overwritten."""
+    from pandarallel_spark.operators.groupby import grouped_apply
+
+    pdf = pd.DataFrame({"k": [1, 1, 2, 2], "x": [1.0, 2.0, 3.0, 4.0]})
+    sdf = spark.createDataFrame(pdf)
+    out = grouped_apply(
+        sdf, ["k"], lambda g: g.assign(y=g.x * 2), mode="frame"
+    ).toPandas()
+    assert "y" in out.columns and len(out) == 4
+    with pytest.raises(ValueError, match="pinned mode"):
+        grouped_apply(sdf, ["k"], lambda g: g.assign(y=g.x * 2), mode="scalar")
+
+
+def test_sessionize_exact_gap_matches_session_window(spark):
+    """An event at exactly prev+gap MERGES into the session:
+    F.session_window's boundary is inclusive (verified here — a review
+    suggestion claimed half-open [start, last+gap) and was refuted), so
+    the batch twin's strict '>' gap test is the correct mirror."""
+    from pandarallel_spark.streaming import sessionize
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 12:00:00",
+                    "2024-01-01 12:30:00",  # exactly prev+gap → merges
+                    "2024-01-01 12:45:00",
+                    "2024-01-01 13:15:00.000001",  # 1µs past gap → new
+                ],
+                format="ISO8601",
+            ),
+        }
+    )
+    ev = spark.createDataFrame(pdf)
+    batch = sessionize(
+        ev, "ts", "user_id", "30 minutes", {"n": F.count(F.lit(1))}
+    ).toPandas()
+    sw = (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    assert len(batch) == len(sw) == 2
+    assert sorted(batch["n"]) == sorted(sw["n"]) == [1, 3]
