@@ -3,13 +3,11 @@
 from pandarallel_spark.plans.ordering import with_row_id
 from pandarallel_spark.plans.schema import (
     infer_schema_from_pandas,
-    infer_udf_output,
     pandas_dtype_to_spark,
 )
 
 __all__ = [
     "with_row_id",
     "infer_schema_from_pandas",
-    "infer_udf_output",
     "pandas_dtype_to_spark",
 ]

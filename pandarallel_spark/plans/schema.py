@@ -28,7 +28,10 @@ _NUMPY_TO_SPARK: dict[str, T.DataType] = {
     "uint8": T.ShortType(),
     "uint16": T.IntegerType(),
     "uint32": T.LongType(),
-    "uint64": T.LongType(),
+    # uint64 deliberately absent: it has no lossless signed home —
+    # declaring bigint silently corrupted values above 2^63-1 (hash
+    # outputs routinely live there; review finding r4). Handled below
+    # with an explicit error.
     "float32": T.FloatType(),
     "float64": T.DoubleType(),
     "datetime64[ns]": T.TimestampType(),
@@ -45,6 +48,12 @@ def pandas_dtype_to_spark(dtype: Any, sample: Any = None) -> T.DataType:
     name = str(dtype)
     if name in _NUMPY_TO_SPARK and name != "object":
         return _NUMPY_TO_SPARK[name]
+    if name == "uint64":
+        raise TypeError(
+            "uint64 output has no lossless Spark type (bigint is signed; "
+            "values ≥ 2^63 — e.g. 64-bit hashes — would corrupt silently): "
+            "cast to int64 if the values fit, or to string/decimal"
+        )
     if name.startswith("datetime64"):
         return T.TimestampType()
     # object dtype: look at a concrete value
@@ -95,29 +104,7 @@ def infer_schema_from_pandas(pdf: pd.DataFrame) -> T.StructType:
     return T.StructType(fields)
 
 
-def infer_udf_output(sample_pdf: pd.DataFrame, func, *args, **kwargs):
-    """Run ``func`` on a sampled pandas frame and classify its output.
-
-    Returns ``(kind, schema)`` where kind is one of:
-      - ``"scalar"``  — func(frame) returned a scalar (grouped-agg shape)
-      - ``"series"``  — func returned a pd.Series
-      - ``"frame"``   — func returned a pd.DataFrame
-
-    Mirrors the reference's runtime sniffing (``data_types/
-    dataframe_groupby.py:48-81``) but *before* execution, on a sample,
-    so the distributed plan has a declared schema.
-    """
-    out = func(sample_pdf, *args, **kwargs)
-    if isinstance(out, pd.DataFrame):
-        return "frame", infer_schema_from_pandas(out)
-    if isinstance(out, pd.Series):
-        pdf = out.to_frame().T if out.index.nlevels == 1 else out.to_frame()
-        schema = T.StructType(
-            [
-                T.StructField(str(i), _python_value_to_spark(v), True)
-                for i, v in out.items()
-            ]
-        )
-        _ = pdf
-        return "series", schema
-    return "scalar", T.StructType([T.StructField("result", _python_value_to_spark(out), True)])
+# (A standalone infer_udf_output(sample, func) helper used to live here;
+# operators/groupby.grouped_apply inlines the same frame/series/scalar
+# classification with extra None-result and pinned-mode handling, and
+# the unused copy had drifted — removed rather than kept as dead code.)

@@ -59,7 +59,12 @@ class spark_progress:
             self._last[sid] = info.numTasks
             parts.append(f"stage {sid} |{self._bar(done, info.numTasks)}| {done}/{info.numTasks}")
         if parts:
-            self._out.write("\r" + "  ".join(parts) + " " * 8)
+            line = "  ".join(parts)
+            # pad to the longest line written so far: when the active
+            # stage set shrinks, a short repaint would otherwise leave
+            # the old line's tail visible (review finding r4)
+            self._width = max(getattr(self, "_width", 0), len(line))
+            self._out.write("\r" + line.ljust(self._width))
             self._out.flush()
             self._rendered = True
 
@@ -75,6 +80,7 @@ class spark_progress:
         self._stop = threading.Event()
         self._rendered = False
         self._last = {}
+        self._width = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self
@@ -90,7 +96,9 @@ class spark_progress:
                 f"stage {sid} |{self._bar(n, n)}| {n}/{n}"
                 for sid, n in sorted(self._last.items())
             ]
-            self._out.write("\r" + "  ".join(parts) + " " * 8)
+            line = "  ".join(parts)
+            width = max(getattr(self, "_width", 0), len(line))
+            self._out.write("\r" + line.ljust(width))
         if self._rendered:
             self._out.write("\n")
             self._out.flush()

@@ -49,7 +49,7 @@ def _local_dir() -> str | None:
     return None
 
 _PKG_ZIP: str | None = None
-_SHIPPED_CONTEXTS: set[int] = set()
+_SHIPPED_CONTEXTS: set[str] = set()
 
 
 def _package_zip() -> str:
@@ -76,11 +76,21 @@ def ensure_shipped(spark: SparkSession) -> None:
     regardless of the driver's cwd/PYTHONPATH.
     """
     sc = spark.sparkContext
-    key = id(sc)
-    if key in _SHIPPED_CONTEXTS:
+    # key on applicationId, never id(sc): a stop()/rebuild cycle can
+    # hand the new context the old object's address, which would skip
+    # addPyFile and strand executors without the package (review finding
+    # r4 — same stale-id class as the operator memos). applicationId is
+    # fresh per context; old entries are dropped so the set stays small.
+    try:
+        key = sc.applicationId
+    except Exception:  # noqa: BLE001 — context in teardown: ship anyway
+        key = None
+    if key is not None and key in _SHIPPED_CONTEXTS:
         return
     sc.addPyFile(_package_zip())
-    _SHIPPED_CONTEXTS.add(key)
+    if key is not None:
+        _SHIPPED_CONTEXTS.clear()  # one live context per process
+        _SHIPPED_CONTEXTS.add(key)
 
 
 def get_spark(
@@ -89,7 +99,31 @@ def get_spark(
     driver_memory: str = "48g",
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or reuse) a SparkSession with engine defaults."""
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    When a session already exists in this JVM, ``getOrCreate`` would
+    silently ignore every requested setting — so an active session is
+    returned up front (with runtime confs applied via ``configure``),
+    before any scratch state is allocated, and a warning names the
+    settings being ignored (review finding r4: each extra call also
+    leaked an empty catalog scratch dir)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        explicit = {
+            "cpus": cpus,
+            "driver_memory": driver_memory if driver_memory != "48g" else None,
+            "extra_conf": extra_conf or None,
+        }
+        asked = [k for k, v in explicit.items() if v is not None]
+        if asked:
+            import warnings
+
+            warnings.warn(
+                f"get_spark: a SparkSession already exists; ignoring {asked} "
+                "(stop the session first to apply construction-time settings)",
+                stacklevel=2,
+            )
+        return configure(active)
     cpus = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

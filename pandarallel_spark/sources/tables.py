@@ -27,12 +27,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as int64 (legacy conf) and convert.
-        # DuckDB reads the same column natively at ns precision; truncating
-        # to micros matches because the generator's values are µs-grained.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # events.ts is parquet TIMESTAMP(NANOS). Older Spark vectorized
+        # readers reject it unless the legacy conf reads nanos as int64
+        # (then converted below); Spark 4.x reads NANOS natively as
+        # TIMESTAMP_NTZ and the conversion no-ops. The conf is RESTORED
+        # after schema resolution — flipping it permanently changed how
+        # every later parquet read in the caller's session handled NANOS
+        # columns (review finding r4; deferred execution of this df does
+        # not re-consult the conf — probed on 4.1.2).
+        # DuckDB reads the same column natively at ns precision;
+        # truncating to micros matches because the generator's values
+        # are µs-grained.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 

@@ -305,3 +305,14 @@ def test_sessionize_exact_gap_matches_session_window(spark):
     )
     assert len(batch) == len(sw) == 2
     assert sorted(batch["n"]) == sorted(sw["n"]) == [1, 3]
+
+
+def test_uint64_schema_inference_rejected():
+    """uint64 has no lossless signed Spark type — inference must raise,
+    not silently declare bigint (hash outputs live above 2^63)."""
+    from pandarallel_spark.plans.schema import pandas_dtype_to_spark
+
+    with pytest.raises(TypeError, match="uint64"):
+        pandas_dtype_to_spark(np.dtype("uint64"))
+    # the other unsigned widths still widen losslessly
+    assert pandas_dtype_to_spark(np.dtype("uint32")).simpleString() == "bigint"
