@@ -133,3 +133,35 @@ def pack_sequences(
     )
     prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")
     return df.withColumn(pack_col, F.floor(prefix / F.lit(capacity)).cast("bigint"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing primitive
+    (up/down-weight sources/domains when composing a training mix).
+    Keep each row iff its md5 bucket falls under its stratum's cut; a
+    stratum absent from ``fractions`` uses ``default_fraction``.
+
+    Pure filter over the scan — no shuffle, no sampling pass — and
+    hash-deterministic like everything in this module: reruns, appends,
+    and cluster-size changes never change a kept row's fate (unlike
+    ``DataFrame.sampleBy``'s per-partition Bernoulli draws). Rows with
+    NULL ids are dropped (their bucket is NULL → no cut comparison can
+    admit them), consistent with ``hash_split``'s NULL policy.
+    """
+    b = md5_bucket(id_col, _HASH_BUCKETS, seed)
+    cut = None
+    for name, frac in fractions.items():
+        c = F.lit(int(round(frac * _HASH_BUCKETS)))
+        cut = F.when(F.col(strata_col) == name, c) if cut is None else cut.when(
+            F.col(strata_col) == name, c
+        )
+    default_cut = F.lit(int(round(default_fraction * _HASH_BUCKETS)))
+    cut = default_cut if cut is None else cut.otherwise(default_cut)
+    return df.filter(b < cut)

@@ -261,3 +261,94 @@ def bm25_scores(
         ],
         score.alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pretraining-hygiene pass)
+# ---------------------------------------------------------------------------
+
+# (category, pattern, replacement) applied IN ORDER. Patterns restrict
+# to the regex subset Java (Spark) and RE2 (DuckDB/Go) evaluate
+# identically: no lookaround, no backrefs, ASCII \d and \b only — so a
+# SQL oracle reproduces the redaction bit-for-bit.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails / SSNs / phone numbers / IPv4s with typed tags —
+    chained ``regexp_replace`` (JVM regex, zero Python; one projection,
+    no shuffle — the 100 TB shape of a scrubbing pass). Order matters
+    and is part of the contract: each pattern sees the previous
+    pattern's output."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-category match counts, evaluated on the SAME chained inputs
+    the redaction sees (category k counts matches in the text after
+    categories 1..k-1 were redacted), so counts and replacements agree
+    exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    for name, pat, repl in PII_PATTERNS:
+        out[f"n_{name}"] = F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        c = F.regexp_replace(c, pat, repl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency scoring (unigram-LM-ish quality signal)
+# ---------------------------------------------------------------------------
+
+
+def token_docfreq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(token, doc_freq) over the corpus: in how many documents does
+    each token appear. One explode + distinct + count — all map-side
+    partial except the distinct shuffle. The vocabulary table this
+    yields is the substrate for df/idf-style scoring."""
+    return (
+        df.select(F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("__t__"))
+        .distinct()
+        .groupBy("__t__")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .select(F.col("__t__").alias("token"), "doc_freq")
+    )
+
+
+def with_mean_token_docfreq(
+    df: DataFrame, id_col: str, text_col: str, docfreq: DataFrame | None = None
+) -> DataFrame:
+    """Attach ``mean_token_docfreq``: the mean corpus document-frequency
+    of the document's token multiset — a cheap unigram quality signal
+    (boilerplate/common-word documents score high, gibberish scores ~1).
+    Exact integer sum ÷ count, one division at the end → oracle-exact.
+
+    Scale shape: the docfreq table is vocabulary-sized (≪ corpus);
+    Spark broadcasts it when small, hash-joins otherwise. Passing a
+    precomputed ``docfreq`` (e.g. from a previous corpus pass) skips
+    recomputation.
+    """
+    dfreq = docfreq if docfreq is not None else token_docfreq(df, id_col, text_col)
+    toks = df.select(
+        F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("token")
+    )
+    scored = (
+        toks.join(dfreq, "token")
+        .groupBy("__id__")
+        .agg(
+            (
+                F.sum("doc_freq").cast("double") / F.count(F.lit(1))
+            ).alias("mean_token_docfreq")
+        )
+    )
+    return df.join(
+        scored, df[id_col] == scored["__id__"], "left"
+    ).select(*df.columns, "mean_token_docfreq")

@@ -957,3 +957,112 @@ def corpus_cleanup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang_pred", "quality"
     )
     return hash_split(deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + data-mixing stratified sampling (r4)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic PII per doc (the corpus itself is clean word
+# soup): every row gets an email, an SSN-shaped, a phone-shaped, and an
+# IPv4 token derived from doc_id, so redaction is exercised on EVERY
+# row and the oracle reconstructs the identical input. Fixed-width
+# arithmetic (e.g. doc_id%900+100 is always 3 digits) avoids lpad
+# differences across engines.
+_PII_SYNTH_SPARK = None  # built inside the query (needs F)
+_PII_SYNTH_SQL = (
+    "'contact user' || CAST(doc_id AS VARCHAR) || '@example.com call 555-' || "
+    "CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || "
+    "' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || "
+    "CAST(doc_id % 90 + 10 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || "
+    "' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || "
+    "' ' || text"
+)
+
+
+def _pii_oracle_sql() -> str:
+    """Chained-CTE oracle mirroring redact_pii/pii_counts exactly: each
+    category counts matches in (and redacts) the PREVIOUS category's
+    output, using the same shared PII_PATTERNS strings (the regex subset
+    Java and RE2 evaluate identically)."""
+    from pandarallel_spark.operators.text import PII_PATTERNS
+
+    sql = f"WITH r0 AS (SELECT doc_id, {_PII_SYNTH_SQL} AS t FROM documents)"
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        prev = f"r{i}"
+        cols = ", ".join(["doc_id", *carried]) + (", " if True else "")
+        sql += (
+            f", r{i+1} AS (SELECT {cols}"
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM {prev})"
+        )
+        carried.append(f"n_{name}")
+    count_cols = ", ".join(carried)
+    sql += (
+        f" SELECT doc_id, {count_cols}, substr(t, 1, 90) AS redacted_head "
+        f"FROM r{len(PII_PATTERNS)}"
+    )
+    return sql
+
+
+@register(
+    "pii_redact_docs",
+    _pii_oracle_sql(),
+    "PII scrubbing (pretraining hygiene): chained regexp_replace for "
+    "emails/SSNs/phones/IPv4s with per-category match counts — pure JVM "
+    "expressions, one projection, no shuffle (the 100 TB shape of a "
+    "scrub pass). Patterns restrict to the Java∩RE2 regex subset so the "
+    "SQL oracle reproduces redaction and counts bit-for-bit; synthetic "
+    "per-doc PII makes every row exercise every pattern.",
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    v = lambda c: c.cast("string")  # noqa: E731
+    synth = F.concat(
+        F.lit("contact user"), v(did), F.lit("@example.com call 555-"),
+        v(did % 900 + 100), F.lit("-"), v(did % 9000 + 1000),
+        F.lit(" ssn "), v(did % 900 + 100), F.lit("-"), v(did % 90 + 10),
+        F.lit("-"), v(did % 9000 + 1000),
+        F.lit(" ip 10."), v(did % 256), F.lit("."), v(did % 256),
+        F.lit("."), v(did % 100), F.lit(" "), F.col("text"),
+    )
+    base = docs.select("doc_id", synth.alias("__t__"))
+    counts = pii_counts("__t__")
+    return base.select(
+        "doc_id",
+        *[c.cast("bigint").alias(n) for n, c in counts.items()],
+        F.substring(redact_pii("__t__"), 1, 90).alias("redacted_head"),
+    )
+
+
+@register(
+    "stratified_sample_sources",
+    f"""
+SELECT doc_id, source FROM documents
+WHERE ({_H.format(b=_B)}) <
+  CASE WHEN source IN ('src0','src1') THEN {int(round(0.9 * _B))}
+       WHEN source IN ('src2','src3','src4') THEN {int(round(0.5 * _B))}
+       ELSE {int(round(0.1 * _B))} END
+""",
+    "Data-mixing stratified sample: keep 90% of two premium sources, "
+    "50% of three mid sources, 10% of the rest — per-stratum "
+    "deterministic hash sampling (operators/sampling.py), a pure filter "
+    "over the scan (no shuffle, no sampling pass), stable under reruns/"
+    "appends/cluster resizing unlike sampleBy's per-partition draws.",
+)
+def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(
+        docs,
+        "source",
+        {"src0": 0.9, "src1": 0.9, "src2": 0.5, "src3": 0.5, "src4": 0.5},
+        "doc_id",
+        default_fraction=0.1,
+    )

@@ -375,3 +375,80 @@ def test_cosine_lsh_bucket_tiling_exact(spark, sf_dir):
         tiled.sort_values(key).reset_index(drop=True),
         whole.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_pii_redaction_semantics(spark):
+    """Each category redacts with its tag; counts reflect the chained
+    inputs; clean text passes through untouched."""
+    from pandarallel_spark.operators.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "ssn 123-45-6789 phone 555-123-4567"),
+        (3, "server at 192.168.0.1 port"),
+        (4, "clean text with nothing sensitive"),
+        (5, "two mails a@b.io c@d.co and ip 10.0.0.7"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "t"]))
+    out = (
+        df.select("id", redact_pii("t").alias("r"), *[
+            c.alias(n) for n, c in pii_counts("t").items()
+        ])
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert out.loc[1, "r"] == "mail <EMAIL> now" and out.loc[1, "n_email"] == 1
+    assert out.loc[2, "r"] == "ssn <SSN> phone <PHONE>"
+    assert out.loc[2, "n_ssn"] == 1 and out.loc[2, "n_phone"] == 1
+    assert out.loc[3, "r"] == "server at <IP> port" and out.loc[3, "n_ipv4"] == 1
+    assert out.loc[4, "r"] == rows[3][1]
+    assert (out.loc[4, ["n_email", "n_ssn", "n_phone", "n_ipv4"]] == 0).all()
+    assert out.loc[5, "r"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+    assert out.loc[5, "n_email"] == 2
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    """Per-stratum keep rates land near the requested fractions, the
+    kept set is identical across partitionings, and NULL ids drop."""
+    from pandarallel_spark.operators.sampling import stratified_sample
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "id": pd.array(
+                [None if i % 997 == 0 else i for i in range(n)], dtype="Int64"
+            ),
+            "src": ["a" if i % 2 == 0 else "b" for i in range(n)],
+        }
+    )
+    fr = {"a": 0.8, "b": 0.2}
+    kept = []
+    for parts in (2, 13):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        out = stratified_sample(df, "src", fr, "id").toPandas()
+        kept.append(set(out["id"].dropna().astype(int)))
+        assert out["id"].notna().all()  # NULL ids never kept
+        rates = out.groupby("src").size() / pdf.groupby("src").size()
+        assert abs(rates["a"] - 0.8) < 0.05 and abs(rates["b"] - 0.2) < 0.05
+    assert kept[0] == kept[1]
+
+
+def test_token_docfreq_hand_computed(spark):
+    from pandarallel_spark.operators.text import token_docfreq, with_mean_token_docfreq
+
+    rows = [(1, "cat dog"), (2, "cat cat bird"), (3, "cat fish")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "t"]))
+    dfreq = {
+        r.token: r.doc_freq for r in token_docfreq(df, "id", "t").collect()
+    }
+    assert dfreq == {"cat": 3, "dog": 1, "bird": 1, "fish": 1}
+    scored = (
+        with_mean_token_docfreq(df, "id", "t")
+        .toPandas()
+        .set_index("id")["mean_token_docfreq"]
+    )
+    # doc 2 token multiset: cat,cat,bird → (3+3+1)/3
+    assert scored.loc[1] == (3 + 1) / 2
+    assert scored.loc[2] == (3 + 3 + 1) / 3
+    assert scored.loc[3] == (3 + 1) / 2
