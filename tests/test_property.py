@@ -264,3 +264,71 @@ def test_asof_property_matches_merge_asof(spark, seed, direction, tol, exact):
     e = expected.sort_values(key).reset_index(drop=True)
     g = got.sort_values(key).reset_index(drop=True)
     pd.testing.assert_series_equal(g["px"], e["px"], check_names=False)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    win_type=st.sampled_from(["boxcar", "triang", "hamming", "gaussian", "exponential"]),
+    agg=st.sampled_from(["sum", "mean"]),
+    w=st.integers(2, 7),
+    mp=st.sampled_from([None, 1, 2]),
+    center=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_weighted_rolling_property_matches_pandas(
+    spark, seed, win_type, agg, w, mp, center
+):
+    """Random win_type × agg × window × min_periods × center × NaN
+    patterns must match stock pandas weighted rolling exactly (pandas
+    runs via the scipy-free weight stub; see tests/test_window.py)."""
+    import sys
+    import types
+
+    from pandarallel_spark.operators.window import WEIGHT_GENERATORS
+
+    # install the fake scipy inline (function-scoped monkeypatch doesn't
+    # compose with @given)
+    windows_mod = types.ModuleType("scipy.signal.windows")
+    for name, fn in WEIGHT_GENERATORS.items():
+        setattr(windows_mod, name, (lambda f: lambda M, **kw: f(M, **kw))(fn))
+    signal = types.ModuleType("scipy.signal")
+    signal.windows = windows_mod
+    scipy = types.ModuleType("scipy")
+    scipy.signal = signal
+    scipy.__version__ = "1.11.4"
+    saved = {k: sys.modules.get(k) for k in ("scipy", "scipy.signal", "scipy.signal.windows")}
+    sys.modules.update(
+        {"scipy": scipy, "scipy.signal": signal, "scipy.signal.windows": windows_mod}
+    )
+    try:
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(10, 120))
+        vals = rng.standard_normal(n)
+        nan_idx = rng.integers(0, n, max(1, n // 10))
+        vals[nan_idx] = np.nan
+        pdf = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "v": vals})
+        win_args = (
+            {"std": float(rng.uniform(0.5, 3.0))}
+            if win_type == "gaussian"
+            else {"tau": float(rng.uniform(0.5, 3.0))}
+            if win_type == "exponential"
+            else {}
+        )
+        r = pdf.v.rolling(w, win_type=win_type, min_periods=mp, center=center)
+        expected = getattr(r, agg)(**win_args).to_numpy()
+        got = (
+            parallelize(spark.createDataFrame(pdf).repartition(4), order_by="idx")
+            .series("v")
+            .rolling(w, min_periods=mp, center=center, win_type=win_type)
+            .parallel_apply(agg, win_args=win_args, output_col="r")
+            .toPandas()
+            .sort_values("idx")["r"]
+            .to_numpy(dtype="float64")
+        )
+        assert np.allclose(got, expected, rtol=1e-12, atol=1e-12, equal_nan=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
