@@ -22,6 +22,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+STRICT_LAZY_CONF = "spark.pandarallel_spark.strictLazy"
+
+
+def eager_build_guard(spark, what: str, skip_hint: str) -> None:
+    """Raise under strict-lazy mode instead of running a build-time job.
+
+    Some operators run small, bounded, memoized Spark jobs while the
+    plan is being BUILT (halo-rolling boundary context, ngram-Jaccard
+    protection measurement, similarity dim inference, global as-of
+    bucket boundaries). That is the right engineering for interactive
+    use, but a pipeline that constructs plans against a busy or stopped
+    session should be able to forbid surprise cluster work: set
+    ``spark.conf.set("spark.pandarallel_spark.strictLazy", "true")``
+    and every such site raises ``RuntimeError`` naming the job and the
+    explicit argument that skips it. Memo HITS never trigger the guard
+    (nothing runs); only a build that would actually launch a job does.
+    """
+    try:
+        flag = spark.conf.get(STRICT_LAZY_CONF, "false")
+    except Exception:  # noqa: BLE001 — unreadable conf: not strict
+        return
+    if str(flag).lower() == "true":
+        raise RuntimeError(
+            f"strictLazy is set and building this plan would run an eager "
+            f"Spark job ({what}). {skip_hint}"
+        )
+
 
 def memo_put(memo: dict, key, val, cap: int = 16) -> None:
     """Insert with bounded-FIFO eviction (oldest insertion first)."""

@@ -17,12 +17,23 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandarallel_spark.operators._memo import (
+    eager_build_guard,
+    memo_put,
+    plan_data_key,
+)
+
+# global (key-less) as-of: memoized bucket boundaries per (plan, data)
+# identity — same contract as the halo-rolling memo (operators/_memo.py)
+_ASOF_MEMO: dict = {}
 
 
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str | list[str],
+    on: str | list[str] | None,
     left_ts: str,
     right_ts: str | None = None,
     value_cols: list[str] | None = None,
@@ -62,12 +73,30 @@ def asof_join(
 
     Right rows must be unique per (key, ts) for deterministic output —
     the same contract pandas merge_asof imposes ("left" keeps the last).
+
+    ``on=None`` (or ``[]``) is the GLOBAL as-of — ``pd.merge_asof``
+    without ``by=``, the most common pandas call shape. A naive keyed
+    window would run single-partition; instead the union is
+    range-bucketed on the timestamp (literal ``approxQuantile``
+    boundaries, same machinery as the halo rolling in
+    operators/window.py) and each bucket's cross-boundary match is a
+    per-bucket CARRY row: the last/first right row of the preceding/
+    following buckets, computed with one tiny spine aggregation (one
+    row per bucket — no driver collect) and broadcast-joined back. The
+    windows then partition by the bucket id — fully parallel, still one
+    main shuffle. NULL (and float NaN) left timestamps get NULL matches;
+    NULL-timestamp right rows never match (pandas rejects NaN keys
+    outright). Boundary sampling is one bounded build-time job, memoized
+    per (plan, data) and guarded by the strictLazy conf.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward | forward | nearest, got {direction!r}"
         )
-    keys = [on] if isinstance(on, str) else list(on)
+    if on is None:
+        keys = []
+    else:
+        keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     value_cols = value_cols or [
         c for c in right.columns if c not in keys and c != right_ts
@@ -117,17 +146,24 @@ def asof_join(
     # right rows OUT of the frame → strict "<" / ">".
     side = F.col("__side__")
     b_tie, f_tie = (side, side.desc()) if allow_exact_matches else (side.desc(), side)
+    unioned = l_tagged.unionByName(r_tagged)
+
+    part_cols: list = list(keys)
+    has_carry = False
+    if not keys:
+        unioned, has_carry = _global_asof_buckets(unioned, out_ts, out_vals)
+        if has_carry:
+            part_cols = ["__bkt__"]
     w_b = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("__t__"), b_tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_f = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("__t__"), f_tie)
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    unioned = l_tagged.unionByName(r_tagged)
 
     # fill the matched right row as ONE struct (non-null for every right
     # row), then extract fields: per-column ignorenulls fills would skip
@@ -140,9 +176,19 @@ def asof_join(
     )
     fills = []
     if direction in ("backward", "nearest"):
-        fills.append(F.last(right_row, ignorenulls=True).over(w_b).alias("__b__"))
+        fb = F.last(right_row, ignorenulls=True).over(w_b)
+        if has_carry:
+            # no in-bucket match → the latest right row of EARLIER
+            # buckets (strictly earlier in ts: ties always share a
+            # bucket, so carry rows are eligible for both exact-match
+            # modes)
+            fb = F.coalesce(fb, F.col("__carry_b__"))
+        fills.append(fb.alias("__b__"))
     if direction in ("forward", "nearest"):
-        fills.append(F.first(right_row, ignorenulls=True).over(w_f).alias("__q__"))
+        fq = F.first(right_row, ignorenulls=True).over(w_f)
+        if has_carry:
+            fq = F.coalesce(fq, F.col("__carry_f__"))
+        fills.append(fq.alias("__q__"))
     out = unioned.select("*", *fills).filter(F.col("__side__") == 1)
     if direction in ("backward", "nearest"):
         out = out.select(
@@ -197,6 +243,107 @@ def asof_join(
         ts_sel,
         *val_sel,
     )
+
+
+def _global_asof_buckets(
+    unioned: DataFrame, out_ts: str, out_vals: list[str]
+) -> tuple[DataFrame, bool]:
+    """Range-bucket the key-less as-of union and attach per-bucket carry.
+
+    Returns ``(unioned', has_carry)``. When ``has_carry`` the frame
+    carries three extra columns:
+
+    - ``__bkt__`` — range-bucket id from literal ``approxQuantile``
+      boundaries over the timestamp (``bucket_assignment_expr``, shared
+      with the halo rolling). NULL/NaN left timestamps route to bucket
+      ``-1`` (→ NULL match); NULL/NaN right timestamps are dropped.
+      Ties always share a bucket (monotone map), so cross-bucket carry
+      rows are strictly earlier/later in ts than every row they serve.
+    - ``__carry_b__`` / ``__carry_f__`` — the latest right-row struct of
+      all EARLIER buckets / earliest of all LATER buckets, computed by a
+      per-bucket ``max_by``/``min_by`` aggregation joined to a
+      ``spark.range`` spine (one row per bucket — empty buckets chain
+      through the spine's running fill) and broadcast back. No driver
+      collect; the spine window sorts ≤1024 rows.
+
+    Only the boundary sampling runs at build time (bounded, memoized per
+    plan+data, strictLazy-guarded). With one shuffle partition — or a
+    non-orderable timestamp type — the quantile job is skipped and a
+    single bucket keeps exact single-partition semantics (bucket ``-1``
+    still routes undefined timestamps).
+    """
+    spark = unioned.sparkSession
+    ts_type = unioned.schema["__t__"].dataType
+    t = F.col("__t__")
+    orderable = isinstance(
+        ts_type, (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType)
+    )
+    is_float = isinstance(ts_type, (T.DoubleType, T.FloatType))
+    bad = t.isNull() | (F.isnan(t) if is_float else F.lit(False))
+    unioned = unioned.filter((F.col("__side__") == 1) | ~bad)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    if orderable and n_parts > 1:
+        if isinstance(ts_type, T.NumericType):
+            t_num = t.cast("double")
+        else:
+            t_num = t.cast("timestamp").cast("double")
+        n_buckets = max(2, min(1024, n_parts * 8))
+        key = plan_data_key(unioned, "__global_asof__", n_buckets)
+        memo = _ASOF_MEMO.get(key) if key is not None else None
+        if memo is None:
+            eager_build_guard(
+                spark,
+                "global as-of bucket boundary sampling (one approxQuantile job)",
+                "Pass equi-keys via on=, set spark.sql.shuffle.partitions=1 "
+                "for the single-partition path, or build this join once "
+                "outside strict-lazy scope (boundaries are memoized per "
+                "plan+data).",
+            )
+            probs = [i / n_buckets for i in range(n_buckets + 1)]
+            qs = (
+                unioned.filter(~bad)
+                .select(t_num.alias("__q__"))
+                .approxQuantile("__q__", probs, 1.0 / (4 * n_buckets))
+            )
+            vlo, vhi = (qs[0], qs[-1]) if qs else (float("nan"), float("nan"))
+            memo = {"bnds": sorted(set(qs[1:-1])), "vlo": vlo, "vhi": vhi}
+            if key is not None:
+                memo_put(_ASOF_MEMO, key, memo)
+        from pandarallel_spark.operators.window import bucket_assignment_expr
+
+        bnds = memo["bnds"]
+        bexpr = bucket_assignment_expr(t_num, bnds, memo["vlo"], memo["vhi"])
+    else:
+        bnds, bexpr = [], F.lit(0)
+
+    u = unioned.withColumn(
+        "__bkt__", F.when(~bad, bexpr).otherwise(F.lit(-1)).cast("int")
+    )
+    # identical construction to the fill's right_row struct → identical
+    # struct type, so COALESCE(window fill, carry) analyzes cleanly
+    rstruct = F.struct(
+        F.col(out_ts).alias("ts"), *[F.col(v).alias(v) for v in out_vals]
+    )
+    summ = (
+        u.filter(F.col("__side__") == 0)
+        .groupBy("__bkt__")
+        .agg(
+            F.max_by(rstruct, t).alias("__last_r__"),
+            F.min_by(rstruct, t).alias("__first_r__"),
+        )
+    )
+    spine = spark.range(len(bnds) + 1).select(
+        F.col("id").cast("int").alias("__bkt__")
+    )
+    w_prev = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.orderBy("__bkt__").rowsBetween(1, Window.unboundedFollowing)
+    carry = spine.join(summ, "__bkt__", "left").select(
+        "__bkt__",
+        F.last("__last_r__", ignorenulls=True).over(w_prev).alias("__carry_b__"),
+        F.first("__first_r__", ignorenulls=True).over(w_next).alias("__carry_f__"),
+    )
+    return u.join(F.broadcast(carry), "__bkt__", "left"), True
 
 
 def range_join(

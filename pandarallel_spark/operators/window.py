@@ -38,7 +38,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pandarallel_spark.operators._memo import memo_put, plan_data_key
+from pandarallel_spark.operators._memo import (
+    eager_build_guard,
+    memo_put,
+    plan_data_key,
+)
 
 # _halo_rolling memo: plan_data_key(df, ord, col, ix, n, frame) →
 # {"bexpr": bucket-assignment Column, "ctx": per-bucket boundary context
@@ -350,10 +354,11 @@ def weighted_rolling_agg(
     center: bool = False,
     win_args: dict | None = None,
     output_col: str | None = None,
+    ddof: int = 1,
 ) -> DataFrame:
-    """pandas ``rolling(win_type=...).sum()/.mean()`` as a pure JVM
-    window expression (reference replays ``win_type`` through rolling
-    ``_attributes``, ``data_types/series_rolling.py:22-28``).
+    """pandas ``rolling(win_type=...).sum()/.mean()/.var()/.std()`` as a
+    pure JVM window expression (reference replays ``win_type`` through
+    rolling ``_attributes``, ``data_types/series_rolling.py:22-28``).
 
     Exact pandas weighted semantics (differentially tested against
     pandas' own cython path in tests/test_window.py): weight ``w[j]``
@@ -364,6 +369,13 @@ def weighted_rolling_agg(
     ``min_periods`` (default ``window``, floor 1) counts surviving
     slots; ``center=True`` shifts the frame forward by ``(w-1)//2``.
 
+    ``var``/``std`` replicate pandas ``roll_weighted_var`` exactly,
+    including its quirk that the weight paired with a value is indexed
+    by the value's ABSOLUTE row position mod ``window`` (rotating
+    alignment — different from sum/mean's frame-relative alignment),
+    its ``nobs > ddof`` gate, and ``nobs == 1 → 0.0``. ``ddof``
+    defaults to 1 like pandas.
+
     Plan shape: ``window`` lag/lead slot expressions over ONE window
     spec — whole-stage codegen, no Python workers, no collect_list.
     Grouped (``partition_by``) scales per key; the global form is a
@@ -372,11 +384,10 @@ def weighted_rolling_agg(
     Windows wider than 512 slots are rejected (the expression tree and
     codegen cost grow linearly; use a grouped UDF path at that width).
     """
-    if agg not in ("sum", "mean"):
+    if agg not in ("sum", "mean", "var", "std"):
         raise NotImplementedError(
-            f"weighted windows support sum/mean, got {agg!r} "
-            "(pandas win_type aggregations are sum/mean/var/std; "
-            "var/std are not implemented here)"
+            f"weighted windows support sum/mean/var/std, got {agg!r} "
+            "(the full pandas win_type aggregation surface)"
         )
     if win_type not in WEIGHT_GENERATORS:
         raise NotImplementedError(
@@ -406,21 +417,67 @@ def weighted_rolling_agg(
         slots.append(c.over(ws))
     valid = [s.isNotNull() & ~F.isnan(s) for s in slots]
     zero = F.lit(0.0)
-    wsum = sum(
-        (F.when(v, F.lit(float(wt[j])) * s).otherwise(zero)
-         for j, (s, v) in enumerate(zip(slots, valid))),
-        zero,
-    )
     cnt = sum((F.when(v, 1).otherwise(0) for v in valid), F.lit(0))
     if agg == "sum":
+        wsum = sum(
+            (F.when(v, F.lit(float(wt[j])) * s).otherwise(zero)
+             for j, (s, v) in enumerate(zip(slots, valid))),
+            zero,
+        )
         res = F.when(cnt >= minp, wsum)
-    else:
+    elif agg == "mean":
+        wsum = sum(
+            (F.when(v, F.lit(float(wt[j])) * s).otherwise(zero)
+             for j, (s, v) in enumerate(zip(slots, valid))),
+            zero,
+        )
         totw = sum(
             (F.when(v, F.lit(float(wt[j]))).otherwise(zero)
              for j, v in enumerate(valid)),
             zero,
         )
         res = F.when((cnt >= minp) & (totw != 0), wsum / totw)
+    else:  # var / std — pandas roll_weighted_var semantics, faithfully
+        # pandas pairs the value at ABSOLUTE index m with
+        # ``weights[m % window]`` (aggregations.pyx roll_weighted_var's
+        # add/remove both index ``weights[i % win_n]``), so the
+        # weight-to-slot alignment ROTATES with the row position —
+        # unlike sum/mean's frame-relative alignment. Replicated here
+        # with a literal weight array indexed by pmod(m, window); the
+        # variance itself is the algebraic two-moment form
+        # t = Σw·x² − (Σw·x)²/Σw, scaled by pandas' calc_weighted_var
+        # factor win·t/((win−ddof)·Σw), with nobs==1 → 0 and the
+        # nobs > ddof gate.
+        wt_arr = F.lit([float(x) for x in wt])
+        # slot j's value has absolute 0-based index m = rn − (w−1) + j
+        # + offset where rn = row_number − 1
+        base = F.row_number().over(ws) - F.lit(window - offset)
+        wcols = [
+            F.element_at(
+                wt_arr, (F.pmod(base + F.lit(j), F.lit(window)) + 1).cast("int")
+            )
+            for j in range(window)
+        ]
+        totw = sum(
+            (F.when(v, wc).otherwise(zero) for v, wc in zip(valid, wcols)), zero
+        )
+        wx = sum(
+            (F.when(v, wc * s).otherwise(zero)
+             for s, v, wc in zip(slots, valid, wcols)),
+            zero,
+        )
+        wx2 = sum(
+            (F.when(v, wc * s * s).otherwise(zero)
+             for s, v, wc in zip(slots, valid, wcols)),
+            zero,
+        )
+        t_dev = wx2 - (wx * wx) / totw
+        var_e = t_dev * F.lit(float(window)) / (F.lit(float(window - ddof)) * totw)
+        var_e = F.when(cnt == 1, zero).otherwise(var_e)
+        res = F.when(
+            (cnt >= minp) & (cnt > ddof),
+            F.sqrt(var_e) if agg == "std" else var_e,
+        )
     return df.withColumn(output_col, res)
 
 
@@ -472,10 +529,11 @@ def rolling_apply(
     ``closed`` ('right'|'left'|'both'|'neither') replays pandas frame
     endpoint semantics (reference replays full rolling ``_attributes``,
     ``series_rolling.py:22-28``). ``win_type`` (weighted windows) routes
-    builtin "sum"/"mean" to ``weighted_rolling_agg`` (pure JVM lag
-    expressions, pandas-differential-tested; ``win_args`` carries the
-    scipy-style shape kwargs like ``std=``); UDFs under ``win_type``
-    are rejected loudly — pandas itself refuses ``rolling.apply`` there.
+    builtin "sum"/"mean"/"var"/"std" to ``weighted_rolling_agg`` (pure
+    JVM lag expressions, pandas-differential-tested; ``win_args``
+    carries the scipy-style shape kwargs like ``std=`` plus pandas'
+    ``ddof=`` for var/std); UDFs under ``win_type`` are rejected
+    loudly — pandas itself refuses ``rolling.apply`` there.
 
     ``index_col``: for ``raw=False`` UDFs, the column whose values index
     the window Series handed to the UDF (pandas UDFs read ``.index``);
@@ -503,16 +561,20 @@ def rolling_apply(
                     "closed= is not supported with win_type (pandas "
                     "weighted windows have no closed parameter)"
                 )
+            wa = dict(win_args or {})
+            ddof = wa.pop("ddof", 1)  # pandas Window.var/std kwarg; the
+            # rest are scipy-style shape kwargs for the weight generator
             return weighted_rolling_agg(
                 df, col, window, func, win_type, order_by,
                 partition_by=partition_by, min_periods=min_periods,
-                center=center, win_args=win_args, output_col=output_col
-                or f"{col}_rolling_{func}",
+                center=center, win_args=wa, output_col=output_col
+                or f"{col}_rolling_{func}", ddof=ddof,
             )
         raise NotImplementedError(
             f"win_type={win_type!r} with a rolling UDF is not supported; "
             "pandas evaluates weighted aggregations, not rolling.apply "
-            "UDFs, under win_type — use func='sum'/'mean' or drop win_type"
+            "UDFs, under win_type — use func='sum'/'mean'/'var'/'std' "
+            "or drop win_type"
         )
     if closed not in (None, "right", "left", "both", "neither"):
         raise ValueError(f"closed must be right|left|both|neither, got {closed!r}")
@@ -576,6 +638,54 @@ def rolling_apply(
         F.struct(idx_expr.alias("i"), F.col(col).alias("v"))
     ).over(spec)
     return df.withColumn(output_col, apply_window(frame_vals))
+
+
+def bucket_assignment_expr(
+    ord_num: Column, bnds: list[float], vlo: float, vhi: float
+) -> Column:
+    """value → range-bucket id. O(1) per row: uniform micro-bucket via
+    ``width_bucket`` + a constant-folded literal lookup array mapping
+    micro → quantile-coarse bucket (a chained CASE WHEN over the
+    boundaries is O(boundaries) per row and measured ~6× the entire
+    rest of the pipeline at 4M rows). Any monotone value→bucket map
+    is CORRECT (ties always share a micro bucket); the quantile
+    boundaries only steer balance, and the micro quantization moves
+    at most 1/8192 of the value range per boundary. Falls back to
+    the chained form when the value range is degenerate/non-finite.
+
+    Shared by the halo-rolling build and the global (key-less) as-of
+    join (operators/join.py) — both range-bucket a numeric view of an
+    order column with literal boundaries so every consumer buckets
+    identically BY CONSTRUCTION.
+    """
+    import bisect
+    import math
+
+    if not bnds:
+        return F.lit(0)
+    if (
+        math.isfinite(vlo)
+        and math.isfinite(vhi)
+        and vhi > vlo
+        and len(bnds) < 4096
+    ):
+        k = min(8192, max(1024, 32 * len(bnds)))
+        w = (vhi - vlo) / k
+        lut = [
+            bisect.bisect_right(bnds, vlo + (m + 0.5) * w) for m in range(k)
+        ]
+        micro = F.least(
+            F.lit(k),
+            F.greatest(
+                F.lit(1),
+                F.width_bucket(ord_num, F.lit(vlo), F.lit(vhi), F.lit(k)),
+            ),
+        ).cast("int")
+        return F.element_at(F.lit(lut), micro)
+    return sum(
+        (F.when(ord_num > F.lit(b), 1).otherwise(0) for b in bnds),
+        F.lit(0),
+    )
 
 
 def _halo_rolling(
@@ -699,9 +809,6 @@ def _halo_rolling(
         return df.repartition(1).mapInPandas(roll_all, out_schema)
 
     # ---- BUILD time (memoized): boundaries, null check, context rows
-    import bisect
-    import math
-
     from pyspark import StorageLevel
 
     # more buckets than partitions (16×) so hash collisions on the
@@ -727,45 +834,15 @@ def _halo_rolling(
     # review finding r4, confirmed by repro); None → never memoize.
     plan_key = plan_data_key(df, ord_col, col, ix, n_buckets, lo, hi)
 
-    def _bucket_expr(bnds: list[float], vlo: float, vhi: float):
-        """value → bucket id. O(1) per row: uniform micro-bucket via
-        ``width_bucket`` + a constant-folded literal lookup array mapping
-        micro → quantile-coarse bucket (a chained CASE WHEN over the
-        boundaries is O(boundaries) per row and measured ~6× the entire
-        rest of the pipeline at 4M rows). Any monotone value→bucket map
-        is CORRECT (ties always share a micro bucket); the quantile
-        boundaries only steer balance, and the micro quantization moves
-        at most 1/8192 of the value range per boundary. Falls back to
-        the chained form when the value range is degenerate/non-finite.
-        """
-        if not bnds:
-            return F.lit(0)
-        if (
-            math.isfinite(vlo)
-            and math.isfinite(vhi)
-            and vhi > vlo
-            and len(bnds) < 4096
-        ):
-            k = min(8192, max(1024, 32 * len(bnds)))
-            w = (vhi - vlo) / k
-            lut = [
-                bisect.bisect_right(bnds, vlo + (m + 0.5) * w) for m in range(k)
-            ]
-            micro = F.least(
-                F.lit(k),
-                F.greatest(
-                    F.lit(1),
-                    F.width_bucket(ord_num, F.lit(vlo), F.lit(vhi), F.lit(k)),
-                ),
-            ).cast("int")
-            return F.element_at(F.lit(lut), micro)
-        return sum(
-            (F.when(ord_num > F.lit(b), 1).otherwise(0) for b in bnds),
-            F.lit(0),
-        )
-
     memo = _HALO_MEMO.get(plan_key) if plan_key is not None else None
     if memo is None:
+        eager_build_guard(
+            spark,
+            "global-rolling bucket boundaries + boundary context (3 bounded jobs)",
+            "Set spark.sql.shuffle.partitions=1 for the single-partition "
+            "path, or pre-build this rolling once outside strict-lazy scope "
+            "(the result is memoized per plan+data).",
+        )
         narrow = df.select(*narrow_cols).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             # boundaries: numeric view of the order column (dates and
@@ -788,7 +865,7 @@ def _halo_rolling(
                     "undefined for them (and pandas/Spark disagree on where "
                     "they sort). Filter or fill those order keys first."
                 )
-            bucket_expr = _bucket_expr(bnds, vlo, vhi)
+            bucket_expr = bucket_assignment_expr(ord_num, bnds, vlo, vhi)
             # per-bucket boundary context rows → driver. A bucket's tail
             # ``halo_before`` rows serve every LATER bucket's
             # before-context (chained when buckets are smaller than the

@@ -136,6 +136,115 @@ def test_asof_equal_ts_matches(spark):
     assert out["px_asof"].iloc[0] == 2.0
 
 
+@pytest.fixture(scope="module")
+def global_trades_quotes():
+    """Key-less frames: enough rows to span many range buckets (tests
+    run 8 shuffle partitions → 64 buckets), with tied and duplicate
+    LEFT timestamps; right timestamps unique (the documented as-of
+    contract). Sparse right side so many buckets have no right row and
+    the carry must chain across empty buckets."""
+    rng = np.random.default_rng(7)
+    trades = pd.DataFrame(
+        {
+            "t": np.sort(rng.integers(0, 100_000, 2_000)),
+            "qty": rng.integers(1, 100, 2_000),
+        }
+    )
+    quotes = pd.DataFrame(
+        {
+            "t": np.sort(
+                rng.choice(np.arange(0, 100_000, 7), 120, replace=False)
+            ),
+            "px": rng.random(120).round(4) * 100,
+        }
+    )
+    return trades, quotes
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_asof_global_matches_pandas(spark, global_trades_quotes, direction, exact):
+    """on=None (pd.merge_asof without by=) — the range-bucketed global
+    path with cross-bucket carry rows must match pandas exactly."""
+    trades, quotes = global_trades_quotes
+    expected = pd.merge_asof(
+        trades, quotes, on="t", direction=direction, allow_exact_matches=exact
+    )
+    got = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        on=None,
+        left_ts="t",
+        value_cols=["px"],
+        direction=direction,
+        allow_exact_matches=exact,
+        suffix="",
+    ).toPandas()
+    key = ["t", "qty"]
+    e = expected.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_series_equal(g["px"], e["px"], check_names=False)
+
+
+def test_asof_global_tolerance(spark, global_trades_quotes):
+    trades, quotes = global_trades_quotes
+    expected = pd.merge_asof(trades, quotes, on="t", tolerance=40)
+    got = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        on=None,
+        left_ts="t",
+        value_cols=["px"],
+        tolerance=F.lit(40),
+        suffix="",
+    ).toPandas()
+    key = ["t", "qty"]
+    e = expected.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_series_equal(g["px"], e["px"], check_names=False)
+
+
+def test_asof_global_parallel_plan(spark, global_trades_quotes):
+    """The global path must NOT be a single-partition window: the window
+    partitions by the range-bucket id."""
+    trades, quotes = global_trades_quotes
+    out = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        on=None,
+        left_ts="t",
+        value_cols=["px"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt__" in plan
+
+
+def test_asof_global_null_ts_routing(spark):
+    """NULL left timestamps → NULL match (never a window over Spark's
+    nulls-first sort); NULL right timestamps never match anything."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"t": pd.array([5, None, 20], dtype="Int64"), "v": [1, 2, 3]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"t": pd.array([1, None, 10], dtype="Int64"), "px": [1.0, 9.0, 2.0]})
+    )
+    for direction in ("backward", "forward", "nearest"):
+        out = (
+            asof_join(
+                left, right, on=None, left_ts="t", value_cols=["px"],
+                direction=direction,
+            )
+            .toPandas()
+            .set_index("v")
+        )
+        assert pd.isna(out.loc[2, "px_asof"]), direction
+        assert not (out["px_asof"] == 9.0).any(), direction
+    back = asof_join(
+        left, right, on=None, left_ts="t", value_cols=["px"]
+    ).toPandas().set_index("v")
+    assert back.loc[1, "px_asof"] == 1.0 and back.loc[3, "px_asof"] == 2.0
+
+
 def test_range_join(spark):
     left = spark.createDataFrame(
         pd.DataFrame({"k": ["a", "a", "b"], "t": [0, 100, 0], "lid": [1, 2, 3]})

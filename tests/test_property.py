@@ -215,11 +215,13 @@ def test_global_rolling_closed_matches_pandas(spark, pdf, w, mp, center, closed)
     direction=st.sampled_from(["backward", "forward", "nearest"]),
     tol=st.sampled_from([None, 3, 25]),
     exact=st.booleans(),
+    keyed=st.booleans(),
 )
 @settings(**_SETTINGS)
-def test_asof_property_matches_merge_asof(spark, seed, direction, tol, exact):
-    """Random keyed event sets through every direction × tolerance ×
-    allow_exact_matches must match pd.merge_asof exactly."""
+def test_asof_property_matches_merge_asof(spark, seed, direction, tol, exact, keyed):
+    """Random event sets through every direction × tolerance ×
+    allow_exact_matches must match pd.merge_asof exactly — both the
+    keyed (by=) path and the global on=None range-bucketed path."""
     from pyspark.sql import functions as F
 
     from pandarallel_spark.operators.join import asof_join
@@ -244,7 +246,7 @@ def test_asof_property_matches_merge_asof(spark, seed, direction, tol, exact):
         left.sort_values("t", kind="mergesort"),
         right.sort_values("t", kind="mergesort"),
         on="t",
-        by="k",
+        by="k" if keyed else None,
         direction=direction,
         tolerance=tol,
         allow_exact_matches=exact,
@@ -252,7 +254,7 @@ def test_asof_property_matches_merge_asof(spark, seed, direction, tol, exact):
     got = asof_join(
         spark.createDataFrame(left),
         spark.createDataFrame(right),
-        on="k",
+        on="k" if keyed else None,
         left_ts="t",
         value_cols=["px"],
         direction=direction,
@@ -260,7 +262,7 @@ def test_asof_property_matches_merge_asof(spark, seed, direction, tol, exact):
         allow_exact_matches=exact,
         suffix="",
     ).toPandas()
-    key = ["k", "t", "v"]
+    key = ["k", "t", "v"] if keyed else ["t", "v"]
     e = expected.sort_values(key).reset_index(drop=True)
     g = got.sort_values(key).reset_index(drop=True)
     pd.testing.assert_series_equal(g["px"], e["px"], check_names=False)
@@ -269,14 +271,15 @@ def test_asof_property_matches_merge_asof(spark, seed, direction, tol, exact):
 @given(
     seed=st.integers(0, 2**31 - 1),
     win_type=st.sampled_from(["boxcar", "triang", "hamming", "gaussian", "exponential"]),
-    agg=st.sampled_from(["sum", "mean"]),
+    agg=st.sampled_from(["sum", "mean", "var", "std"]),
     w=st.integers(2, 7),
     mp=st.sampled_from([None, 1, 2]),
     center=st.booleans(),
+    ddof=st.sampled_from([0, 1]),
 )
 @settings(**_SETTINGS)
 def test_weighted_rolling_property_matches_pandas(
-    spark, seed, win_type, agg, w, mp, center
+    spark, seed, win_type, agg, w, mp, center, ddof
 ):
     """Random win_type × agg × window × min_periods × center × NaN
     patterns must match stock pandas weighted rolling exactly (pandas
@@ -315,17 +318,27 @@ def test_weighted_rolling_property_matches_pandas(
             else {}
         )
         r = pdf.v.rolling(w, win_type=win_type, min_periods=mp, center=center)
-        expected = getattr(r, agg)(**win_args).to_numpy()
+        pandas_kwargs = dict(win_args)
+        spark_win_args = dict(win_args)
+        if agg in ("var", "std"):
+            pandas_kwargs["ddof"] = ddof
+            spark_win_args["ddof"] = ddof
+        expected = getattr(r, agg)(**pandas_kwargs).to_numpy()
         got = (
             parallelize(spark.createDataFrame(pdf).repartition(4), order_by="idx")
             .series("v")
             .rolling(w, min_periods=mp, center=center, win_type=win_type)
-            .parallel_apply(agg, win_args=win_args, output_col="r")
+            .parallel_apply(agg, win_args=spark_win_args, output_col="r")
             .toPandas()
             .sort_values("idx")["r"]
             .to_numpy(dtype="float64")
         )
-        assert np.allclose(got, expected, rtol=1e-12, atol=1e-12, equal_nan=True)
+        # var/std: pandas runs West's incremental update, we run the
+        # algebraic two-moment form — identical math, last-ulp drift
+        tol = dict(rtol=1e-9, atol=1e-9) if agg in ("var", "std") else dict(
+            rtol=1e-12, atol=1e-12
+        )
+        assert np.allclose(got, expected, equal_nan=True, **tol)
     finally:
         for k, v in saved.items():
             if v is None:
