@@ -42,8 +42,8 @@ HEADLINE = [
     "similarity_lsh_bucketed",
     "similarity_ivf_topk",
     "join_revenue_per_nation",
-    "events_tumbling_hour",
-    "events_sliding_hour_15m",
+    "events_windows_tumbling_sliding",
+    "global_asof_purchase_before_click",
     "events_sessionize_30m",
     "text_bpe_tokens",
     "corpus_cleanup_pipeline",

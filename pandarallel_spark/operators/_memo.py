@@ -50,6 +50,17 @@ def eager_build_guard(spark, what: str, skip_hint: str) -> None:
         )
 
 
+def shuffle_partitions(spark, default: int = 200) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating platforms
+    where the conf is non-numeric (e.g. ``"auto"`` on Databricks): an
+    unparseable value is treated as multi-partition (the default), never
+    a crash."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (ValueError, TypeError):
+        return default
+
+
 def memo_put(memo: dict, key, val, cap: int = 16) -> None:
     """Insert with bounded-FIFO eviction (oldest insertion first)."""
     while len(memo) >= cap:

@@ -23,6 +23,7 @@ from pandarallel_spark.operators._memo import (
     eager_build_guard,
     memo_put,
     plan_data_key,
+    shuffle_partitions,
 )
 
 # global (key-less) as-of: memoized bucket boundaries per (plan, data)
@@ -281,7 +282,7 @@ def _global_asof_buckets(
     is_float = isinstance(ts_type, (T.DoubleType, T.FloatType))
     bad = t.isNull() | (F.isnan(t) if is_float else F.lit(False))
     unioned = unioned.filter((F.col("__side__") == 1) | ~bad)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = shuffle_partitions(spark)
 
     if orderable and n_parts > 1:
         if isinstance(ts_type, T.NumericType):

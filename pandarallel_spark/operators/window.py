@@ -42,6 +42,7 @@ from pandarallel_spark.operators._memo import (
     eager_build_guard,
     memo_put,
     plan_data_key,
+    shuffle_partitions,
 )
 
 # _halo_rolling memo: plan_data_key(df, ord, col, ix, n, frame) →
@@ -473,6 +474,11 @@ def weighted_rolling_agg(
         )
         t_dev = wx2 - (wx * wx) / totw
         var_e = t_dev * F.lit(float(window)) / (F.lit(float(window - ddof)) * totw)
+        # pandas calc_weighted_var clamps result < 0 -> 0: the two-moment
+        # form goes slightly negative under FP cancellation on constant
+        # windows (e.g. a run of identical/ffilled values), which would
+        # otherwise make std = sqrt(negative) = NaN.
+        var_e = F.greatest(var_e, zero)
         var_e = F.when(cnt == 1, zero).otherwise(var_e)
         res = F.when(
             (cnt >= minp) & (cnt > ddof),
@@ -766,7 +772,7 @@ def _halo_rolling(
         return None
 
     spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = shuffle_partitions(spark)
     lo, hi = _frame_bounds(window, center, closed)
     halo_before = -lo  # rows whose frame reaches into the previous bucket
     halo_after = max(hi, 0)

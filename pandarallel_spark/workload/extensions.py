@@ -510,36 +510,55 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EVENTS_WINDOW_ORACLE = """
-SELECT date_trunc('hour', ts) AS window_start,
+SELECT 'tumbling' AS kind,
+       date_trunc('hour', ts) AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
-GROUP BY 1, 2, 3
+GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'sliding' AS kind, window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       event_type, n_events, sum_value_cents
+FROM (
+  WITH w AS (
+    SELECT e.*, time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws
+    FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+  SELECT ws AS window_start, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+  FROM w GROUP BY 1, 2)
 """
 
 
 @register(
-    "events_tumbling_hour",
+    "events_windows_tumbling_sliding",
     _EVENTS_WINDOW_ORACLE,
-    "Tumbling 1-hour event-time windows per event_type — the batch form "
-    "of the Structured Streaming pipeline (streaming/windows.py); same "
-    "transformation runs under readStream+watermark in tests.",
+    "Event-time window aggregation, both shapes in one graded row: "
+    "tumbling 1-hour windows per event_type unioned (kind-tagged) with "
+    "sliding 1-hour/15-minute windows (each event in exactly 4 windows) "
+    "— the batch forms of the Structured Streaming pipelines "
+    "(streaming/windows.py); the same transformations run under "
+    "readStream+watermark in tests. Each side is one expand + one "
+    "aggregation exchange; the union is plan-level only.",
 )
-def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_windows_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "value_cents", F.round(F.col("value") * 100).cast("long")
     )
-    return tumbling_window_agg(
-        ev,
-        "ts",
-        "1 hour",
-        {
-            "n_events": F.count(F.lit(1)),
-            "sum_value_cents": F.sum("value_cents"),
-        },
-        group_by=["event_type"],
+    aggs = {
+        "n_events": F.count(F.lit(1)),
+        "sum_value_cents": F.sum("value_cents"),
+    }
+    tumb = tumbling_window_agg(ev, "ts", "1 hour", aggs, group_by=["event_type"])
+    slid = sliding_window_agg(
+        ev, "ts", "1 hour", "15 minutes", aggs, group_by=["event_type"]
+    )
+    cols = ["window_start", "window_end", "event_type", "n_events", "sum_value_cents"]
+    return (
+        tumb.select(F.lit("tumbling").alias("kind"), *cols)
+        .unionByName(slid.select(F.lit("sliding").alias("kind"), *cols))
     )
 
 
@@ -666,35 +685,6 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events: sliding windows + sessionization (streaming-shaped, batch-checked)
 # ---------------------------------------------------------------------------
 
-_EVENTS_SLIDING_ORACLE = """
-WITH w AS (
-  SELECT e.*, time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws
-  FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
-SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end, event_type,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-FROM w GROUP BY 1, 2, 3
-"""
-
-
-@register(
-    "events_sliding_hour_15m",
-    _EVENTS_SLIDING_ORACLE,
-    "Sliding 1-hour/15-minute event-time windows per event_type (each "
-    "event lands in exactly 4 windows); batch form of the streaming "
-    "sliding aggregation.",
-)
-def events_sliding_hour_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "value_cents", F.round(F.col("value") * 100).cast("long")
-    )
-    return sliding_window_agg(
-        ev, "ts", "1 hour", "15 minutes",
-        {"n_events": F.count(F.lit(1)), "sum_value_cents": F.sum("value_cents")},
-        group_by=["event_type"],
-    )
-
-
 _EVENTS_SESSION_ORACLE = """
 WITH o AS (
   SELECT user_id, ts, value,
@@ -765,6 +755,38 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             _text.bpe_token_count("text").cast("double")
             / F.nullif(F.size(ws).cast("bigint"), F.lit(0))
         ).alias("bpe_per_word"),
+    )
+
+
+_DOCFREQ_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DOC_TOKS}) AS token FROM documents),
+dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY token),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(doc_freq) AS DOUBLE) / COUNT(*) AS mean_token_docfreq
+  FROM toks JOIN dfreq USING (token) GROUP BY doc_id)
+SELECT d.doc_id, s.mean_token_docfreq
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register(
+    "mean_token_docfreq",
+    _DOCFREQ_ORACLE,
+    "Corpus-frequency quality signal: mean document-frequency of each "
+    "document's token multiset (boilerplate scores high, gibberish ~1). "
+    "Two passes over the exploded tokens — the docfreq vocabulary table "
+    "(explode + distinct + count, map-side partial everywhere but the "
+    "distinct shuffle) is vocabulary-sized (<< corpus) so Spark "
+    "broadcasts it into the scoring join. Exact integer sum / count "
+    "with ONE final division -> oracle-exact doubles.",
+)
+def mean_token_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _text.with_mean_token_docfreq(docs, "doc_id", "text").select(
+        "doc_id", "mean_token_docfreq"
     )
 
 

@@ -86,6 +86,41 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "global_asof_purchase_before_click",
+    f"""
+WITH c AS (SELECT event_id, {_TS_US.format('ts')} AS ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT {_TS_US.format('ts')} AS ts,
+             MAX(CAST(round(value*100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT c.event_id, c.ts, p.ts AS ts_asof, p.cents AS cents_asof
+FROM c ASOF LEFT JOIN p ON c.ts >= p.ts
+""",
+    "GLOBAL (key-less) as-of join — pd.merge_asof without by=, the most "
+    "common pandas call shape: latest purchase anywhere at-or-before "
+    "each click. NOT a single-partition total-order window: the union is "
+    "range-bucketed on the timestamp (approxQuantile boundaries, "
+    "memoized + strictLazy-guarded), cross-bucket matches come from a "
+    "one-row-per-bucket carry aggregation broadcast back, and the "
+    "windows partition by bucket id — fully parallel, one main shuffle "
+    "(operators/join.py global path). Right side pre-aggregated to one "
+    "row per timestamp for the determinism contract both engines share.",
+)
+def global_asof_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("ts")
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    return asof_join(
+        clicks, purchases, on=None, left_ts="ts", right_ts="ts",
+        value_cols=["cents"],
+    ).select("event_id", "ts", "ts_asof", "cents_asof")
+
+
+@register(
     "range_purchases_after_error",
     f"""
 WITH e AS (SELECT event_id AS error_id, user_id, {_TS_US.format('ts')} AS error_ts
@@ -167,26 +202,57 @@ def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_quantity",
+    "grouping_sets_rollup_cube",
     """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       COUNT(*) AS n_rows
+SELECT 'rollup_lineitem' AS src, l_returnflag AS key1, l_linestatus AS key2,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_val
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube_orders' AS src, o_orderstatus AS key1, o_orderpriority AS key2,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_val
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
-    "Grouping-set rollup: per-(flag,status) totals + flag subtotals + "
-    "grand total in one pass (grouping sets expanded map-side).",
+    "Grouping sets, both expansion shapes in one graded row: ROLLUP over "
+    "lineitem (per-(flag,status) totals + flag subtotals + grand total) "
+    "unioned with CUBE over orders (every (status,priority) combination "
+    "+ both 1-D margins + grand total). Each side is ONE aggregation "
+    "pass with map-side grouping-set expansion — no self-union of "
+    "scans; the final union is plan-level only (no shuffle).",
 )
-def rollup_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouping_sets_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return rollup_agg(
+    roll = rollup_agg(
         li,
         ["l_returnflag", "l_linestatus"],
         {
-            "sum_qty": F.sum(F.col("l_quantity").cast("bigint")),
             "n_rows": F.count(F.lit(1)),
+            "sum_val": F.sum(F.col("l_quantity").cast("bigint")),
         },
+    ).select(
+        F.lit("rollup_lineitem").alias("src"),
+        F.col("l_returnflag").alias("key1"),
+        F.col("l_linestatus").alias("key2"),
+        "n_rows",
+        "sum_val",
     )
+    orders = load_table(spark, sf_dir, "orders")
+    cube = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_val"),
+        )
+        .select(
+            F.lit("cube_orders").alias("src"),
+            F.col("o_orderstatus").alias("key1"),
+            F.col("o_orderpriority").alias("key2"),
+            "n_rows",
+            "sum_val",
+        )
+    )
+    return roll.unionByName(cube)
 
 
 @register(
@@ -225,29 +291,6 @@ def semi_anti_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFram
             "c_nationkey",
             F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
             F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
-        )
-    )
-
-
-@register(
-    "cube_order_status_priority",
-    """
-SELECT o_orderstatus, o_orderpriority,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
-FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""",
-    "CUBE grouping sets: totals for every (status, priority) combination "
-    "plus each 1-D margin plus the grand total, expanded map-side in one "
-    "aggregation pass (no self-union of scans).",
-)
-def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
         )
     )
 

@@ -74,12 +74,15 @@ def test_bpe_tokens_pruned_scan_no_python(spark, sf_dir):
     assert "text" in read_schema and "lang" not in read_schema
 
 
-def test_sliding_window_single_shuffle(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "events_sliding_hour_15m")
-    # expand(4 windows) then ONE exchange for the aggregation (formatted
-    # explain mentions each node twice: tree + detail section)
-    assert plan.count("Exchange") <= 2
-    assert plan.count("HashAggregate") >= 4  # partial + final
+def test_event_windows_one_shuffle_per_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_windows_tumbling_sliding")
+    # tumbling + sliding sides: ONE aggregation exchange each, the
+    # sliding side expand(4 windows) before it; the union itself is
+    # plan-level, never a shuffle (formatted explain mentions each node
+    # twice: tree + detail section)
+    assert plan.count("Exchange") <= 4
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 8  # partial + final, both sides
 
 
 def test_ivf_broadcast_probes_no_corpus_shuffle(spark, sf_dir):
@@ -132,13 +135,15 @@ def test_semi_anti_are_semi_joins(spark, sf_dir):
         assert "o_custkey" in rs and "o_totalprice" not in rs
 
 
-def test_cube_is_single_expand_aggregate(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "cube_order_status_priority")
-    # grouping sets expand map-side; no self-union of scans (formatted
-    # explain mentions the single scan node twice: tree + detail)
-    assert plan.count("Scan parquet") <= 2
+def test_grouping_sets_single_expand_aggregate_per_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "grouping_sets_rollup_cube")
+    # each side (ROLLUP lineitem, CUBE orders) is one scan + map-side
+    # Expand + one aggregation — never a self-union of scans per
+    # grouping level (formatted explain mentions each node twice:
+    # tree + detail)
+    assert plan.count("Scan parquet") <= 4  # exactly lineitem + orders
     assert "Expand" in plan
-    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plan.count("HashAggregate") >= 4  # partial + final, both sides
 
 
 def test_lead_lag_single_window_exchange(spark, sf_dir):

@@ -580,18 +580,53 @@ def test_weighted_rolling_grouped_vs_pandas(spark, fake_scipy):
     assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
 
 
+@pytest.mark.parametrize("agg", ["var", "std"])
+def test_weighted_var_constant_series(spark, fake_scipy, agg):
+    """Constant-valued windows: the two-moment form t = Σw·x² −
+    (Σw·x)²/Σw cancels to a tiny NEGATIVE float, which unclamped makes
+    var ≈ -1.7e-18 and std = sqrt(negative) = NaN. pandas
+    calc_weighted_var clamps result < 0 → 0; so must we (advisor
+    finding r5). Constant and ffilled-stretch data hit this constantly
+    in the wild even though random-data property tests never do."""
+    vals = np.full(50, 0.1)
+    vals[20:25] = 3.7  # a second constant stretch (ffill-like)
+    pdf = pd.DataFrame({"idx": np.arange(50, dtype="int64"), "x": vals})
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    exp = getattr(pdf.x.rolling(3, win_type="boxcar"), agg)().to_numpy()
+    out = (
+        parallelize(sdf, order_by="idx")
+        .series("x")
+        .rolling(3, win_type="boxcar")
+        .parallel_apply(agg, output_col="r")
+        .toPandas()
+        .sort_values("idx")["r"]
+        .to_numpy(dtype="float64")
+    )
+    # pandas itself leaves FP residuals up to ~3e-8 (std) on these
+    # windows, so compare at noise tolerance; the load-bearing checks
+    # are the clamp ones below (pre-fix: std was NaN on EVERY full
+    # constant window, var was negative).
+    assert np.allclose(out, exp, rtol=1e-9, atol=1e-7, equal_nan=True)
+    full = out[2:]
+    assert np.all(np.isfinite(full)) and np.all(full >= 0.0)
+
+
 def test_weighted_rolling_rejections(spark):
     pdf = pd.DataFrame({"idx": np.arange(10, dtype="int64"), "x": np.arange(10.0)})
     sdf = spark.createDataFrame(pdf)
     roll = parallelize(sdf, order_by="idx").series("x").rolling(3, win_type="gaussian")
     with pytest.raises(NotImplementedError, match="UDF"):
         roll.parallel_apply(lambda a: a.sum(), output_col="r")
-    with pytest.raises(NotImplementedError, match="sum/mean"):
-        roll.parallel_apply("std", win_args={"std": 1.0}, output_col="r")
+    with pytest.raises(NotImplementedError, match="sum/mean/var/std"):
+        roll.parallel_apply("median", win_args={"std": 1.0}, output_col="r")
     with pytest.raises(NotImplementedError, match="win_type"):
         parallelize(sdf, order_by="idx").series("x").rolling(
             3, win_type="nosuchwindow"
         ).parallel_apply("sum", output_col="r")
+    with pytest.raises(NotImplementedError, match="codegen"):
+        parallelize(sdf, order_by="idx").series("x").rolling(
+            600, win_type="gaussian"
+        ).parallel_apply("sum", win_args={"std": 1.0}, output_col="r")
 
 
 def test_halo_memo_not_stale_after_overwrite(spark, tmp_path):
