@@ -305,7 +305,7 @@ def _global_asof_buckets(
             qs = (
                 unioned.filter(~bad)
                 .select(t_num.alias("__q__"))
-                .approxQuantile("__q__", probs, 1.0 / (4 * n_buckets))
+                .approxQuantile("__q__", probs, 1.0 / n_buckets)
             )
             vlo, vhi = (qs[0], qs[-1]) if qs else (float("nan"), float("nan"))
             memo = {"bnds": sorted(set(qs[1:-1])), "vlo": vlo, "vhi": vhi}

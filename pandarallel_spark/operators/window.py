@@ -449,7 +449,7 @@ def weighted_rolling_agg(
         # t = Σw·x² − (Σw·x)²/Σw, scaled by pandas' calc_weighted_var
         # factor win·t/((win−ddof)·Σw), with nobs==1 → 0 and the
         # nobs > ddof gate.
-        wt_arr = F.lit([float(x) for x in wt])
+        wt_arr = literal_array([float(x) for x in wt])
         # slot j's value has absolute 0-based index m = rn − (w−1) + j
         # + offset where rn = row_number − 1
         base = F.row_number().over(ws) - F.lit(window - offset)
@@ -646,6 +646,21 @@ def rolling_apply(
     return df.withColumn(output_col, apply_window(frame_vals))
 
 
+def literal_array(vals: Sequence) -> Column:
+    """Literal int/double array in ONE py4j round trip. ``F.lit(list)``
+    makes a gateway call PER ELEMENT (~0.7 ms each — an 8192-entry
+    bucket LUT cost ~6 s of driver time per plan build, measured r6);
+    a single parsed SQL ``array(...)`` is one call and constant-folds
+    identically. Ints emit as int literals, floats with the ``D``
+    suffix (plain decimals would parse as DECIMAL, not DOUBLE);
+    ``repr(float)`` round-trips exactly through the parser."""
+    if all(isinstance(v, (int, np.integer)) for v in vals):
+        body = ",".join(str(int(v)) for v in vals)
+    else:
+        body = ",".join(f"{float(v)!r}D" for v in vals)
+    return F.expr(f"array({body})")
+
+
 def bucket_assignment_expr(
     ord_num: Column, bnds: list[float], vlo: float, vhi: float
 ) -> Column:
@@ -687,7 +702,7 @@ def bucket_assignment_expr(
                 F.width_bucket(ord_num, F.lit(vlo), F.lit(vhi), F.lit(k)),
             ),
         ).cast("int")
-        return F.element_at(F.lit(lut), micro)
+        return F.element_at(literal_array(lut), micro)
     return sum(
         (F.when(ord_num > F.lit(b), 1).otherwise(0) for b in bnds),
         F.lit(0),
@@ -857,7 +872,7 @@ def _halo_rolling(
             # column. Staleness on memo hits is benign: boundaries only
             # steer bucket BALANCE.
             qs = narrow.select(ord_num.alias("__q__")).approxQuantile(
-                "__q__", probs, 1.0 / (4 * n_buckets)
+                "__q__", probs, 1.0 / n_buckets
             )
             vlo, vhi = (qs[0], qs[-1]) if qs else (float("nan"), float("nan"))
             bnds = sorted(set(qs[1:-1]))
