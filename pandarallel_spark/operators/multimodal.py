@@ -148,6 +148,7 @@ def decode_features(
     id_col: str = "media_id",
     out_dim: int = 16,
     require_real_codec: bool = False,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Binary → fixed-length feature vector via ``mapInPandas``.
 
@@ -156,18 +157,24 @@ def decode_features(
     payloads get the deterministic sha256 stub so the distributed
     plumbing stays testable against arbitrary bytes. With
     ``require_real_codec=True``, undecodable payloads raise ``ValueError``
-    (the honest production behavior) instead of falling back.
-    Output: (media_id, n_bytes, features array<float>).
+    (the honest production behavior) instead of falling back. A
+    ``decoded`` boolean reports which path served each row.
+    ``passthrough`` columns (already-computed, e.g. a JVM-side digest)
+    ride the Arrow batch unchanged — cheaper than a post-hoc join back
+    on media_id, which would add a shuffle at scale.
+    Output: (media_id, n_bytes, decoded, features, *passthrough).
     """
+    passthrough = list(passthrough or [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = []
+            feats, decoded = [], []
             for c in pdf[content_col]:
                 raw = bytes(c)
                 img = decode_image(raw)
+                decoded.append(img is not None)
                 if img is not None:
                     feats.append(image_features(img, out_dim).tolist())
                 elif require_real_codec:
@@ -177,16 +184,23 @@ def decode_features(
                     )
                 else:
                     feats.append(_fake_decode(raw, out_dim).tolist())
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].to_numpy(),
-                    "n_bytes": pdf[content_col].apply(len).astype("int64"),
-                    "features": feats,
-                }
-            )
+            out = {
+                "media_id": pdf[id_col].to_numpy(),
+                "n_bytes": pdf[content_col].apply(len).astype("int64"),
+                "decoded": decoded,
+                "features": feats,
+            }
+            for p in passthrough:
+                out[p] = pdf[p].to_numpy()
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(
-        run, "media_id bigint, n_bytes bigint, features array<float>"
+    extra_ddl = "".join(
+        f", {p} {df.schema[p].dataType.simpleString()}" for p in passthrough
+    )
+    return df.select(id_col, content_col, *passthrough).mapInPandas(
+        run,
+        "media_id bigint, n_bytes bigint, decoded boolean, "
+        f"features array<float>{extra_ddl}",
     )
 
 

@@ -602,28 +602,118 @@ def join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# constructed 4x4 constant-pixel images exercise the REAL numpy decode
+# path inside the graded row: pixel value v = doc_id % 126 + 1 (1..126,
+# single-byte in UTF-8 so DuckDB can rebuild the exact payload bytes as
+# a VARCHAR and sha256 them). 11-byte PPM header; 54-byte BMP header
+# (BITMAPINFOHEADER, 24bpp, bottom-up, stride 12 = no padding).
+_PPM_HEADER = b"P6\n4 4\n255\n"
+_BMP_HEADER = bytes.fromhex(
+    "424d660000000000000036000000280000000400000004000000010018000000"
+    "000030000000130b0000130b00000000000000000000"
+)
+_PPM_OFF, _BMP_OFF = 10_000_000, 20_000_000
+
+_MM_ORACLE = """
+WITH d AS (SELECT doc_id, text, CAST(doc_id % 126 + 1 AS INT) AS v FROM documents)
+SELECT doc_id AS media_id, 'text' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha256,
+       TRUE AS features_ok
+FROM d
+UNION ALL
+SELECT doc_id + 10000000 AS media_id, 'ppm' AS kind,
+       CAST(59 AS BIGINT) AS n_bytes,
+       sha256('P6' || chr(10) || '4 4' || chr(10) || '255' || chr(10)
+              || repeat(chr(v), 48)) AS content_sha256,
+       TRUE AS features_ok
+FROM d
+UNION ALL
+SELECT doc_id + 20000000 AS media_id, 'bmp' AS kind,
+       CAST(102 AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS content_sha256,
+       TRUE AS features_ok
+FROM d
+"""
+
+
 @register(
     "multimodal_features",
-    None,  # fake features are sha256-seeded — not SQL-expressible
-    "Binary media column plumbing: synthesize binary content from text, "
-    "decode→features via mapInPandas (codec stubbed deterministically; "
-    "schema/batching/partitioning real). Rows-only check. The registered "
-    "projection digests the array<float> into a sortable md5 scalar so "
-    "the driver canonicalizer can sort rows; API users call "
-    "multimodal.decode_features directly for the raw vectors.",
+    _MM_ORACLE,
+    "Binary media plumbing with a HARD oracle (error-contract pattern, "
+    "like the sketch queries): three media kinds per document — utf-8 "
+    "text payloads plus constructed constant-pixel PPM and BMP images "
+    "(pixel value doc_id%126+1) that the REAL numpy decoder must parse. "
+    "DuckDB rebuilds the exact text/PPM payload bytes and checks "
+    "sha256 (proves the binary column rides synthesize->mapInPandas "
+    "untouched) plus n_bytes; features_ok is a Spark-side contract "
+    "boolean asserted literal TRUE: image rows decoded for real, all "
+    "16 feature slots equal, and equal to the analytically known luma "
+    "value v*(0.299+0.587+0.114)/255; text rows NOT image-decodable "
+    "with finite stub features. BMP headers contain NUL bytes DuckDB "
+    "VARCHARs can't hold, so their sha256 is NULL both sides; their "
+    "decode correctness rides the contract boolean. The digest is "
+    "computed JVM-side and rides the Arrow batch as a passthrough "
+    "column - no join back on media_id.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    media = _mm.synthesize_media(docs, "doc_id", "text")
-    feats = _mm.decode_features(media)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    txt = _mm.synthesize_media(docs, "doc_id", "text")
+    v = (F.pmod(F.col("doc_id"), F.lit(126)) + 1).cast("int")
+    pix = F.encode(F.repeat(F.char(v), 48), "UTF-8")
+
+    def img_media(header: bytes, mtype: str, offset: int) -> DataFrame:
+        content = F.concat(F.lit(header), pix)
+        return docs.select(
+            (F.col("doc_id") + offset).alias("media_id"),
+            F.lit(mtype).alias("media_type"),
+            content.alias("content"),
+            F.struct(
+                F.lit(4).alias("orig_width"),
+                F.lit(4).alias("orig_height"),
+                F.length(content).cast("bigint").alias("n_bytes"),
+            ).alias("meta"),
+        )
+
+    media = (
+        txt.unionByName(img_media(_PPM_HEADER, "image/ppm", _PPM_OFF))
+        .unionByName(img_media(_BMP_HEADER, "image/bmp", _BMP_OFF))
+        .withColumn(
+            "content_sha256",
+            F.when(F.col("media_id") < _BMP_OFF, F.sha2(F.col("content"), 256)),
+        )
+    )
+    feats = _mm.decode_features(media, passthrough=["content_sha256"])
+    mid = F.col("media_id")
+    kind = (
+        F.when(mid >= _BMP_OFF, F.lit("bmp"))
+        .when(mid >= _PPM_OFF, F.lit("ppm"))
+        .otherwise(F.lit("text"))
+    )
+    base_id = F.when(mid >= _BMP_OFF, mid - _BMP_OFF).otherwise(mid - _PPM_OFF)
+    vv = (F.pmod(base_id, F.lit(126)) + 1).cast("double")
+    # mirror image_features' float64 op order exactly, then the float32
+    # cast; compare at 1e-6 to stay robust to any platform rounding
+    expected = ((F.lit(0.299) * vv + F.lit(0.587) * vv) + F.lit(0.114) * vv) / F.lit(255.0)
+    first = F.element_at("features", 1)
+    finite = F.forall("features", lambda x: x.isNotNull() & ~F.isnan(x))
+    const = F.forall("features", lambda x: x == first)
+    img_ok = (
+        F.col("decoded")
+        & const
+        & (F.abs(first.cast("double") - expected) < F.lit(1e-6))
+    )
+    features_ok = (
+        (F.size("features") == 16)
+        & finite
+        & F.when(mid >= _PPM_OFF, img_ok).otherwise(~F.col("decoded"))
+    )
     return feats.select(
         "media_id",
+        kind.alias("kind"),
         "n_bytes",
-        F.md5(
-            F.concat_ws(
-                ",", F.transform("features", lambda x: F.format_number(x, 6))
-            )
-        ).alias("features_digest"),
+        "content_sha256",
+        features_ok.alias("features_ok"),
     )
 
 
