@@ -248,14 +248,15 @@ def _ratio_workloads() -> dict:
     return wl
 
 
-def _measure_ratio(spark, setup) -> float:
+def _measure_ratio(spark, setup) -> dict:
     """min-of-2 on BOTH engines (equal draws — taking Spark's favorable
     noise tail against fewer pandas draws would bias the ratio upward;
     two draws keeps the whole 9-JVM ratio section inside the round's
     bench budget); Spark side gets one warm build first (Python-worker /
     Arrow / codegen startup — BASELINE.md excludes fixed overhead) and a
     System.gc() between runs, and executes via noop-format writes (full
-    compute, no result materialization)."""
+    compute, no result materialization). Returns the ratio plus every
+    raw draw so the emitted JSON carries variance bands."""
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="bench_ratio_")
@@ -270,25 +271,30 @@ def _measure_ratio(spark, setup) -> float:
 
     pandas_call, build = setup(spark_input)
     build().write.format("noop").mode("overwrite").save()  # warm
-    t_spark = float("inf")
+    spark_draws = []
     for _ in range(2):
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         build().write.format("noop").mode("overwrite").save()
-        t_spark = min(t_spark, time.perf_counter() - t0)
-    t_pandas = float("inf")
+        spark_draws.append(round(time.perf_counter() - t0, 4))
+    pandas_draws = []
     for _ in range(2):
         t0 = time.perf_counter()
         pandas_call()
-        t_pandas = min(t_pandas, time.perf_counter() - t0)
-    return round(t_pandas / t_spark, 2)
+        pandas_draws.append(round(time.perf_counter() - t0, 4))
+    return {
+        "ratio": round(min(pandas_draws) / min(spark_draws), 2),
+        "spark_draws": spark_draws,
+        "pandas_draws": pandas_draws,
+    }
 
 
 def _ratio_child_main(name: str) -> None:
     """Child-process entry: ONE ratio workload in a fresh JVM."""
     spark = get_spark(f"bench_ratio_{name}")
     setup = _ratio_workloads()[name]
-    print(json.dumps({name: _measure_ratio(spark, setup)}))
+    m = _measure_ratio(spark, setup)
+    print(json.dumps({name: m["ratio"], "_bands": {name: m}}))
 
 
 def main() -> None:
@@ -318,17 +324,20 @@ def main() -> None:
     # "uniform drift"). The first run still pays plan build + codegen;
     # the second is steady-state; min reports the query, not its luck.
     timings: dict[str, float] = {}
+    query_bands: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
+        draws = []
         for _ in range(2):
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            draws.append(round(time.perf_counter() - t0, 4))
+        timings[name] = min(draws)
+        query_bands[name] = draws
 
     ratios: dict[str, float] = {}
+    ratio_bands: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_RATIOS", "1") != "0":
         # one fresh-JVM child per workload (see module docstring); stop
         # the headline session first so JVMs never compete for cores
@@ -343,7 +352,9 @@ def main() -> None:
                 capture_output=True, text=True, env=env, check=False,
             )
             try:
-                ratios.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+                payload = json.loads(proc.stdout.strip().splitlines()[-1])
+                ratio_bands.update(payload.pop("_bands", {}))
+                ratios.update(payload)
             except Exception:  # noqa: BLE001 — surface the child's noise
                 ratios[name] = None
                 ratios[f"{name}_error"] = (proc.stderr or proc.stdout)[-300:]
@@ -358,12 +369,17 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "vs_pandas_speedup": ratios,
+                "variance": {
+                    "query_draws_sec": query_bands,
+                    "ratio_draws_sec": ratio_bands,
+                },
                 "methodology": (
                     "headline: min-of-2 per query (build+count), System.gc() "
                     "between, one shared session; ratios: one fresh-JVM "
                     "process per workload (reference forks a fresh pool per "
                     "call; reused-worker pollution measured 2x on applymap), "
-                    "min-of-3 both engines, noop writes; run the bench alone"
+                    "min-of-2 both engines, noop writes; all raw draws in "
+                    "'variance'; run the bench alone"
                 ),
             }
         )
