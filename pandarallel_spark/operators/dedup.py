@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pandarallel_spark.operators._memo import memo_put, plan_data_key
+from pandarallel_spark.operators._memo import (
+    eager_build_guard,
+    memo_put,
+    plan_data_key,
+)
 from pandarallel_spark.operators.text import fingerprint, tokens
 
 
@@ -235,7 +239,10 @@ def ngram_jaccard_pairs(
     EAGER Spark job at plan-BUILD time (the plan's shape depends on the
     decision), unlike the otherwise fully-lazy builder. Pipelines that
     construct plans ahead of execution, or against a session that must
-    stay idle, should pass ``prefix_filter=True/False`` explicitly. The
+    stay idle, should pass ``prefix_filter=True/False`` explicitly; the
+    ``spark.pandarallel_spark.strictLazy`` conf turns a would-be
+    measurement job into a RuntimeError naming that escape hatch (memo
+    hits never trigger it). The
     decision is memoized per (input plan, n, blowup): re-building the
     same dedup reuses it without a job. The measurement runs on the
     pre-distinct shingle rows (multiset counts ≥ distinct doc
@@ -253,6 +260,13 @@ def ngram_jaccard_pairs(
         if mkey is not None and mkey in _PROTECT_MEMO:
             prefix_filter = _PROTECT_MEMO[mkey]
         else:
+            eager_build_guard(
+                df.sparkSession,
+                "ngram-Jaccard prefix-filter protection measurement "
+                "(one scan + map-side partial count)",
+                "Pass prefix_filter=True/False explicitly to skip the "
+                "measurement job (the decision is memoized per plan+data).",
+            )
             prefix_filter = _should_prefix_filter(
                 _shingle_rows(df, id_col, text_col, n), protect_blowup
             )

@@ -32,6 +32,37 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pandarallel_spark.operators._memo import (
+    eager_build_guard,
+    memo_put,
+    plan_data_key,
+)
+
+# vector-width inference memo: plan_data_key(df, vec_col) → int
+_DIM_MEMO: dict = {}
+
+
+def _infer_dim(df: DataFrame, vec_col: str, what: str) -> int:
+    """Vector width from the first row — a bounded (one-row) build-time
+    job, memoized per (plan, data) and guarded by the strictLazy conf
+    like every other eager build site. Pass ``dim=`` to skip entirely."""
+    key = plan_data_key(df, "__dim__", vec_col)
+    if key is not None and key in _DIM_MEMO:
+        return _DIM_MEMO[key]
+    eager_build_guard(
+        df.sparkSession,
+        f"{what} vector-width inference (one-row first())",
+        "Pass dim= explicitly to skip the inference job.",
+    )
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError(f"{what}: input is empty (pass dim= to skip inference)")
+    d = len(first[0])
+    if key is not None:
+        memo_put(_DIM_MEMO, key, d, cap=64)
+    return d
+
+
 QUANT = 10000
 
 
@@ -185,10 +216,7 @@ def cosine_pairs_q(
     (and a Column-op loop would pay a py4j round trip per term).
     Output: (id_a, id_b, cosine double)."""
     if dim is None:
-        first = df.select(vec_col).first()
-        if first is None:
-            raise ValueError("cosine_pairs_q: input is empty (pass dim=)")
-        dim = len(first[0])
+        dim = _infer_dim(df, vec_col, "cosine_pairs_q")
     v = df.select(
         F.col(id_col).alias("__id__"),
         F.col(vec_col).alias("__v__"),
@@ -264,10 +292,7 @@ def cosine_pairs_lsh(
             "monotonically_increasing_id + join back)"
         )
     if dim is None:
-        first = df.select(vec_col).first()
-        if first is None:
-            raise ValueError("cosine_pairs_lsh: input is empty (pass dim=)")
-        dim = len(first[0])
+        dim = _infer_dim(df, vec_col, "cosine_pairs_lsh")
     r = planes_per_band
     p_mat = np.asarray(plane_ints(bands * r, dim, seed), dtype="int64")
     pw = (1 << np.arange(r)).astype("int64")
@@ -397,10 +422,7 @@ def ivf_topk(
     """
     _require_integral_ids("ivf_topk", id_col, queries, corpus)
     if dim is None:
-        first = corpus.select(vec_col).first()
-        if first is None:
-            raise ValueError("ivf_topk: corpus is empty (pass dim= to skip inference)")
-        dim = len(first[0])
+        dim = _infer_dim(corpus, vec_col, "ivf_topk")
     cent_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
@@ -523,12 +545,7 @@ def lsh_bucketed_topk(
     codegen-friendly and keeps the scored join Python-free.
     """
     if dim is None:
-        first = corpus.select(vec_col).first()
-        if first is None:
-            raise ValueError(
-                "lsh_bucketed_topk: corpus is empty (pass dim= to skip inference)"
-            )
-        dim = len(first[0])
+        dim = _infer_dim(corpus, vec_col, "lsh_bucketed_topk")
     _require_integral_ids("lsh_bucketed_topk", id_col, queries, corpus)
     p_mat = np.asarray(plane_ints(planes, dim, seed), dtype="int64")  # (planes, dim)
     pw2 = (1 << np.arange(planes)).astype("int64")

@@ -979,8 +979,23 @@ def _halo_rolling(
             if plan_key is not None and func_key is not None
             else None
         )
+        from pandarallel_spark.operators._memo import STRICT_LAZY_CONF
+
+        try:
+            strict = (
+                str(spark.conf.get(STRICT_LAZY_CONF, "false")).lower() == "true"
+            )
+        except Exception:  # noqa: BLE001 — unreadable conf: not strict
+            strict = False
         if sym_key is not None and sym_key in _SYM_MEMO:
             sym = _SYM_MEMO[sym_key]
+        elif strict:
+            # the validation probe is a (tiny, local-relation) Spark job
+            # — under strictLazy skip it WITHOUT memoizing, falling back
+            # to the pandas halo path, which is bit-exact: same
+            # semantics, no job. Reachable only on a boundary-memo hit
+            # (a cold boundary build already raised upstream).
+            sym = None
         else:
             sym = _symbolic_rolling_expr(
                 spark, func, col, ord_col, window,

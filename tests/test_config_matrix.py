@@ -68,3 +68,112 @@ def test_rolling_center(spark):
             .reset_index(drop=True)["r"]
         )
         pd.testing.assert_series_equal(got, expected, check_names=False)
+
+
+# ---------------------------------------------------------------------------
+# strictLazy: every eager build-time job site must raise (not run) under
+# spark.pandarallel_spark.strictLazy=true, and every site's documented
+# escape hatch must build cleanly under the same flag.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def strict(spark):
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
+def _parquet(spark, tmp_path, name, pdf):
+    path = str(tmp_path / name)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_strict_lazy_halo_rolling(strict, tmp_path):
+    import numpy as np
+
+    pdf = pd.DataFrame({"idx": np.arange(400, dtype="int64"), "b": np.random.default_rng(0).random(400)})
+    sdf = _parquet(strict, tmp_path, "roll", pdf)
+    roll = parallelize(sdf, order_by="idx").series("b").rolling(4)
+    with pytest.raises(RuntimeError, match="strictLazy.*boundaries"):
+        roll.parallel_apply(lambda a: float(a.sum()), output_col="r")
+    # escape hatch: builtin agg stays fully lazy (pure window expr)
+    roll.parallel_apply("sum", output_col="r")
+    # memo hit never triggers the guard: build once outside strict
+    # scope, then rebuild the SAME plan under the flag
+    strict.conf.set("spark.pandarallel_spark.strictLazy", "false")
+    f = lambda a: float(a.sum())  # noqa: E731 — one object, stable memo key
+    parallelize(sdf, order_by="idx").series("b").rolling(4).parallel_apply(
+        f, output_col="r"
+    )
+    strict.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    parallelize(sdf, order_by="idx").series("b").rolling(4).parallel_apply(
+        f, output_col="r"
+    )
+
+
+def test_strict_lazy_global_asof(strict, tmp_path):
+    import numpy as np
+
+    from pandarallel_spark.operators.join import asof_join
+
+    rng = np.random.default_rng(1)
+    left = _parquet(
+        strict, tmp_path, "asof_l",
+        pd.DataFrame({"t": np.sort(rng.random(200)), "x": rng.random(200)}),
+    )
+    right = _parquet(
+        strict, tmp_path, "asof_r",
+        pd.DataFrame({"t": np.sort(rng.random(100)), "px": rng.random(100)}),
+    )
+    with pytest.raises(RuntimeError, match="strictLazy.*as-of"):
+        asof_join(left, right, on=None, left_ts="t", value_cols=["px"])
+    # escape hatch named in the error: single-partition path skips the
+    # quantile job entirely
+    saved = strict.conf.get("spark.sql.shuffle.partitions")
+    try:
+        strict.conf.set("spark.sql.shuffle.partitions", "1")
+        asof_join(left, right, on=None, left_ts="t", value_cols=["px"])
+    finally:
+        strict.conf.set("spark.sql.shuffle.partitions", saved)
+    # keyed as-of never had a build-time job: builds clean under strict
+    left2 = left.withColumn("k", left.t * 0)
+    right2 = right.withColumn("k", right.t * 0)
+    asof_join(left2, right2, on="k", left_ts="t", value_cols=["px"])
+
+
+def test_strict_lazy_ngram_measurement(strict, tmp_path):
+    from pandarallel_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _parquet(
+        strict, tmp_path, "docs",
+        pd.DataFrame({
+            "doc_id": range(6),
+            "text": ["alpha beta gamma delta epsilon zeta eta"] * 3
+                    + ["one two three four five six seven"] * 3,
+        }),
+    )
+    with pytest.raises(RuntimeError, match="strictLazy.*prefix-filter"):
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    # escape hatch: explicit decision skips the measurement
+    ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=False)
+    ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=True)
+
+
+def test_strict_lazy_dim_inference(strict, tmp_path):
+    from pandarallel_spark.operators.similarity import cosine_pairs_q
+
+    vecs = _parquet(
+        strict, tmp_path, "vecs",
+        pd.DataFrame({
+            "vec_id": range(4),
+            "embedding": [[0.1, 0.2, 0.3]] * 4,
+        }),
+    )
+    with pytest.raises(RuntimeError, match="strictLazy.*vector-width"):
+        cosine_pairs_q(vecs, threshold=0.5)
+    # escape hatch named in the error: pass dim= explicitly
+    cosine_pairs_q(vecs, threshold=0.5, dim=3)
