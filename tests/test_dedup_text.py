@@ -56,6 +56,41 @@ def test_simhash_identical_distance_zero(spark, docs):
     assert (1, 5) in set(zip(pairs.id_a, pairs.id_b))
 
 
+def test_simhash_hot_bucket_clique_and_tiling(spark):
+    """Skewed corpus: a large identical-text clique lands EVERY member
+    in the same (chunk, value) bucket for all 4 chunks — the hot-bucket
+    worst case the per-bucket tiled verify exists for. With
+    verify_block=7 (forcing multi-block tiling incl. ragged edges and
+    cross-block diagonal handling), the output must be exactly the
+    clique's C(n,2) pairs at hamming 0, each pair once, id_a < id_b."""
+    import numpy as np
+
+    n_clique = 40
+    texts = ["the exact same boilerplate text repeated everywhere"] * n_clique + [
+        f"unique document number {i} with its own words entirely {i * 7}"
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"), "text": texts})
+    )
+    pairs = dedup.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=0, verify_block=7
+    ).toPandas()
+    clique = pairs[(pairs.id_a < n_clique) & (pairs.id_b < n_clique)]
+    assert len(clique) == n_clique * (n_clique - 1) // 2
+    assert (clique.hamming == 0).all()
+    assert (clique.id_a < clique.id_b).all()
+    assert not clique.duplicated(["id_a", "id_b"]).any()
+
+
+def test_simhash_rejects_non_integral_ids(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b"], "text": ["x y z", "x y w"]})
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        dedup.simhash_pairs(docs, "doc_id", "text")
+
+
 def test_token_count_and_langid(spark):
     df = spark.createDataFrame(
         pd.DataFrame(
