@@ -230,6 +230,7 @@ def _col_apply(pdf: pd.DataFrame, func, args, kwargs):
     if scalar_out:
         unified = pd.Series(list(samples.values()))
         out_schema = f"__c__ string, __r__ {_ddl_type(unified)}"
+        ship_scalar = unified.to_numpy().dtype
 
         def per_col(key, b):
             s = (
@@ -238,7 +239,11 @@ def _col_apply(pdf: pd.DataFrame, func, args, kwargs):
                 .astype(dtypes[key[0]])  # undo melt's upcast
                 .rename(orig_of.get(key[0], key[0]))
             )
-            return pd.DataFrame({"__c__": [key[0]], "__r__": [func(s, *args, **kwargs)]})
+            r = _fit_dtype(
+                [func(s, *args, **kwargs)], ship_scalar,
+                f"parallel_apply(axis=0) column {key[0]!r}",
+            )
+            return pd.DataFrame({"__c__": [key[0]], "__r__": r})
 
         try:
             got = _to_pandas(sdf.groupBy("__c__").applyInPandas(per_col, out_schema))
@@ -268,7 +273,10 @@ def _col_apply(pdf: pd.DataFrame, func, args, kwargs):
             {
                 "__c__": key[0],
                 _POS: b[_POS].to_numpy(),
-                "__r__": np.asarray(r, dtype=ship_dtype),
+                "__r__": _fit_dtype(
+                    r, ship_dtype,
+                    f"parallel_apply(axis=0) column {key[0]!r}",
+                ),
             }
         )
 
@@ -280,9 +288,16 @@ def _col_apply(pdf: pd.DataFrame, func, args, kwargs):
     wide = wide[[str(c) for c in pdf.columns]]
     wide.columns = list(pdf.columns)
     # restore pandas' per-column result dtypes (the shuffle shipped the
-    # unified type)
+    # unified type); guarded — a full column whose values outgrew the
+    # prefix-sampled dtype must fail loudly, not truncate
     for c in pdf.columns:
-        wide[c] = wide[c].astype(samples[c].dtype)
+        wide[c] = pd.Series(
+            _fit_dtype(
+                wide[c].to_numpy(), samples[c].dtype,
+                f"parallel_apply(axis=0) column {c!r}",
+            ),
+            index=wide.index,
+        )
     wide.index = pdf.index
     wide.columns.name = None
     return wide
@@ -479,15 +494,25 @@ def _groupby_parallel_apply(self, func, *args, **kwargs):
         res_labels = list(sample_out.index)
         str_labels = [f"__s{i}__" for i in range(len(res_labels))]
         key_fields = ", ".join(f"{k} {_ddl_type(pdf[k])}" for k in keys)
-        vtype = _ddl_type(sample_out)
-        ddl = f"{key_fields}, " + ", ".join(f"{n} {vtype}" for n in str_labels)
+        # per-LABEL types: a describe-like Series mixes an int count
+        # with float stats (or a string mode) — one whole-Series type
+        # would mis-cast or fail at the Arrow boundary (ADVICE r5).
+        # Homogeneous Series get the same types as before.
+        ddl = f"{key_fields}, " + ", ".join(
+            f"{n} {_ddl_type(sample_out.iloc[i])}"
+            for i, n in enumerate(str_labels)
+        )
 
         def gv(g):
             g = g.sort_values(_POS, kind="mergesort")
             body = g[list(pdf.columns)].copy()
             body.index = pd.Index(g[_IDX].to_numpy())
             s = func(body, *args, **kwargs)
-            return pd.DataFrame([list(s.to_numpy())], columns=str_labels)
+            # one column per label so each keeps its natural dtype
+            # (a single row of a mixed list would ship as object)
+            return pd.DataFrame(
+                {n: [v] for n, v in zip(str_labels, s.to_numpy())}
+            )
 
         try:
             got = _to_pandas(
@@ -499,9 +524,11 @@ def _groupby_parallel_apply(self, func, *args, **kwargs):
             idx = pd.Index(got[keys[0]].to_numpy(), name=keys[0])
         else:
             idx = pd.MultiIndex.from_frame(got[keys])
-        out = pd.DataFrame(
-            got[str_labels].to_numpy(), index=idx, columns=res_labels
-        )
+        # keep per-label dtypes (a .to_numpy() round trip would smear a
+        # mixed result to one object/float matrix)
+        out = got[str_labels].copy()
+        out.columns = res_labels
+        out.index = idx
         out.columns.name = sample_out.index.name
         return out
 
@@ -583,6 +610,38 @@ def _make_grouped_window_apply(kind: str):
 # ---------------------------------------------------------------------------
 # schema helpers
 # ---------------------------------------------------------------------------
+
+def _fit_dtype(arr, dtype, what: str) -> np.ndarray:
+    """Cast to the sampled shipping dtype ONLY when value-preserving.
+
+    axis=0 result dtypes are inferred from a 256-row prefix; a full
+    column whose natural result dtype differs (float where the prefix
+    looked int, int64 past 2^53 riding a float unified type) would
+    otherwise be coerced SILENTLY (ADVICE r5). A cast that doesn't
+    round-trip raises with the column named instead of corrupting."""
+    arr = np.asarray(arr)
+    if dtype == object or arr.dtype == dtype:
+        return arr
+    try:
+        cast = arr.astype(dtype)
+        back = cast.astype(arr.dtype)
+    except (ValueError, TypeError) as e:
+        raise ValueError(
+            f"{what}: result dtype {arr.dtype} does not fit the dtype "
+            f"{dtype} inferred from the 256-row sample prefix ({e}); make "
+            "the function return a consistent dtype across the whole column"
+        ) from None
+    with np.errstate(invalid="ignore"):
+        same = (back == arr) | (pd.isna(back) & pd.isna(arr))
+    if not bool(np.all(same)):
+        raise ValueError(
+            f"{what}: result values of dtype {arr.dtype} would be changed "
+            f"by casting to the dtype {dtype} inferred from the 256-row "
+            "sample prefix; make the function return a consistent dtype "
+            "across the whole column"
+        )
+    return cast
+
 
 def _ddl_type(obj) -> str:
     from pandarallel_spark.plans.schema import pandas_dtype_to_spark

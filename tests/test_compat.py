@@ -314,3 +314,65 @@ def test_df_apply_axis_0_transform_through_shim():
     pd.testing.assert_frame_equal(expected, got, check_dtype=False)
     ident = pdf.parallel_apply(lambda col: col, axis=0)
     pd.testing.assert_frame_equal(pdf, ident, check_dtype=False)
+
+
+def test_groupby_apply_mixed_dtype_series_return():
+    """describe-like Series per group: an int count, a float mean, and a
+    string mode in ONE result Series. The old single-type schema derived
+    from the whole (object) Series mis-cast or failed at the Arrow
+    boundary (ADVICE r5); per-label types must reproduce stock pandas
+    column dtypes exactly."""
+    rng = np.random.default_rng(5)
+    n = 900
+    pdf = pd.DataFrame(
+        {
+            "a": rng.integers(0, 6, n),
+            "x": rng.random(n),
+            "tag": rng.choice(["red", "green", "blue"], n),
+        }
+    )
+
+    def func(g):
+        return pd.Series(
+            {
+                "n": int(len(g)),
+                "mean_x": float(g.x.mean()),
+                "top_tag": g.tag.mode().iloc[0],
+            }
+        )
+
+    expected = pdf.groupby("a").apply(func)
+    got = pdf.groupby("a").parallel_apply(func)
+    pd.testing.assert_frame_equal(expected, got)
+    assert str(got["n"].dtype) == str(expected["n"].dtype)
+    assert str(got["top_tag"].dtype) == str(expected["top_tag"].dtype)
+
+
+def test_axis0_prefix_dtype_widening_guarded():
+    """axis=0 result dtypes are inferred from a 256-row prefix; a func
+    whose full-column result widens past that inference (here: floats
+    appear only when a value beyond the prefix is present) must raise,
+    never silently truncate (ADVICE r5). A value-PRESERVING widening
+    (whole floats back to the sampled int) still passes through."""
+    rng = np.random.default_rng(7)
+    n = 2000
+    pdf = pd.DataFrame(
+        {c: rng.integers(0, 100, n).astype("int64") for c in "abcde"}
+    )
+    pdf.loc[n - 1, "c"] = 100_001  # beyond every 256-row prefix
+
+    def widening(s):
+        # int column -> int result on the prefix, float result (with
+        # real fractional values) once the big value is in scope
+        return s / 2 if (s > 100_000).any() else s
+
+    with pytest.raises(Exception, match="sample prefix"):
+        pdf.parallel_apply(widening, axis=0)
+
+    def preserving(s):
+        # float result whose values are all whole -> fits sampled int64
+        return (s * 2).astype("float64") if (s > 100_000).any() else s * 2
+
+    expected = pdf.apply(preserving, axis=0)
+    got = pdf.parallel_apply(preserving, axis=0)
+    pd.testing.assert_frame_equal(expected, got, check_dtype=False)
