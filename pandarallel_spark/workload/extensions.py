@@ -658,26 +658,31 @@ FROM d
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    txt = _mm.synthesize_media(docs, "doc_id", "text")
     v = (F.pmod(F.col("doc_id"), F.lit(126)) + 1).cast("int")
     pix = F.encode(F.repeat(F.char(v), 48), "UTF-8")
+    did = F.col("doc_id")
 
-    def img_media(header: bytes, mtype: str, offset: int) -> DataFrame:
-        content = F.concat(F.lit(header), pix)
-        return docs.select(
-            (F.col("doc_id") + offset).alias("media_id"),
+    def entry(media_id, mtype: str, content):
+        return F.struct(
+            media_id.cast("long").alias("media_id"),
             F.lit(mtype).alias("media_type"),
             content.alias("content"),
-            F.struct(
-                F.lit(4).alias("orig_width"),
-                F.lit(4).alias("orig_height"),
-                F.length(content).cast("bigint").alias("n_bytes"),
-            ).alias("meta"),
         )
 
+    # ONE scan of documents fanning out to the three media kinds via
+    # explode — a per-kind union would scan the table three times
+    # (3× IO at 100 TB for identical rows)
     media = (
-        txt.unionByName(img_media(_PPM_HEADER, "image/ppm", _PPM_OFF))
-        .unionByName(img_media(_BMP_HEADER, "image/bmp", _BMP_OFF))
+        docs.select(
+            F.explode(
+                F.array(
+                    entry(did, "image/fake", F.encode(F.col("text"), "UTF-8")),
+                    entry(did + _PPM_OFF, "image/ppm", F.concat(F.lit(_PPM_HEADER), pix)),
+                    entry(did + _BMP_OFF, "image/bmp", F.concat(F.lit(_BMP_HEADER), pix)),
+                )
+            ).alias("m")
+        )
+        .select("m.*")
         .withColumn(
             "content_sha256",
             F.when(F.col("media_id") < _BMP_OFF, F.sha2(F.col("content"), 256)),

@@ -197,3 +197,14 @@ def test_weighted_rolling_stays_jvm_side(spark):
     # formatted explain repeats nodes in the detail section — count the
     # "(n) Exchange" detail headers: input repartition + the key shuffle
     assert plan.count(") Exchange") <= 2
+
+
+def test_multimodal_single_scan_explode_fanout(spark, sf_dir):
+    """The three media kinds fan out of ONE documents scan via explode —
+    a per-kind union would read the table three times (3x IO at scale).
+    The sha digest is JVM-side; only the decode stage is Python."""
+    plan = _plan(spark, sf_dir, "multimodal_features")
+    assert plan.count("Scan parquet") <= 2  # tree + detail of one scan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("MapInPandas") <= 2  # the decode stage only
+    assert "BatchEvalPython" not in plan
