@@ -45,6 +45,7 @@ HEADLINE = [
     "events_windows_tumbling_sliding",
     "global_asof_purchase_before_click",
     "events_sessionize_30m",
+    "time_rolling_purchase_cents_1h",
     "text_bpe_tokens",
     "corpus_cleanup_pipeline",
     "embedding_cosine_pairs",

@@ -148,7 +148,7 @@ class ParallelSeries:
     # -- reference ops #6/#8 (core.py:538-556) -------------------------------
     def rolling(
         self,
-        window: int,
+        window: int | str,
         min_periods: int | None = None,
         center: bool = False,
         closed: str | None = None,
@@ -162,7 +162,7 @@ class ParallelSeries:
 
 class ParallelRolling:
     def __init__(
-        self, series: ParallelSeries, window: int, min_periods: int | None,
+        self, series: ParallelSeries, window: int | str, min_periods: int | None,
         center: bool = False, closed: str | None = None,
         win_type: str | None = None,
     ):

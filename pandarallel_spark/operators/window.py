@@ -560,6 +560,44 @@ def rolling_apply(
     membership is undefined for them and pandas/Spark disagree on where
     nulls sort.
     """
+    if not isinstance(window, (int, np.integer)):
+        # time-offset window (pandas rolling("1h") / Timedelta): builtin
+        # aggs ride a JVM RANGE frame; UDFs run stock pandas per group
+        if win_type is not None:
+            raise ValueError(
+                "win_type is not supported with a time-offset window "
+                "(pandas raises here too)"
+            )
+        if center:
+            raise NotImplementedError(
+                "center=True with a time-offset window is not implemented"
+            )
+        window = str(window) if not isinstance(window, str) else window
+        if isinstance(func, str):
+            return time_rolling_agg(
+                df, col, window, func, order_by,
+                partition_by=partition_by, min_periods=min_periods,
+                closed=closed, output_col=output_col
+                or f"{col}_rolling_{func}",
+            )
+        if partition_by:
+            ord_name = order_by if isinstance(order_by, str) else None
+            if ord_name is None:
+                raise TypeError("time-offset rolling needs a named order column")
+            minp = max(min_periods if min_periods is not None else 1, 1)
+            return _grouped_pandas_window(
+                df, col, [ord_name], partition_by,
+                output_col or f"{col}_rolling_apply", return_type,
+                lambda s: s.rolling(
+                    pd.Timedelta(window), min_periods=minp, closed=closed
+                ).apply(func, raw=raw),
+                index_col=ord_name,
+            )
+        raise NotImplementedError(
+            "global (ungrouped) rolling UDFs over a time-offset window "
+            "are not implemented — use a builtin agg (JVM range frame) "
+            "or add a partition key"
+        )
     if win_type is not None:
         if isinstance(func, str):
             if closed is not None:
@@ -644,6 +682,93 @@ def rolling_apply(
         F.struct(idx_expr.alias("i"), F.col(col).alias("v"))
     ).over(spec)
     return df.withColumn(output_col, apply_window(frame_vals))
+
+
+def time_rolling_agg(
+    df: DataFrame,
+    col: str,
+    window: str,
+    func: str,
+    order_by: str | Column,
+    *,
+    partition_by: Sequence[str] = (),
+    min_periods: int | None = None,
+    closed: str | None = None,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Time-offset rolling (pandas ``s.rolling("1h")``) as a pure JVM
+    RANGE-frame window — builtin aggs only.
+
+    pandas offset-window semantics, replicated exactly (probed
+    differentially): default frame is ``(t-window, t]`` (``closed=
+    'right'`` — unlike positional windows, the left edge is OPEN by
+    default), ``min_periods`` defaults to 1, NaN values neither count
+    toward min_periods nor poison sums. The frame rides
+    ``rangeBetween`` over ``unix_micros(ts)``, so each ``closed``
+    variant is an exact integer-microsecond interval:
+    right ``(-(d-1), 0]``→``[-(d-1), 0]``, both ``[-d, 0]``,
+    left ``[-d, -1]``, neither ``[-(d-1), -1]``.
+
+    DIVERGENCE, documented: Spark range frames are VALUE-based, so all
+    rows sharing one timestamp see the same frame (including each
+    other); pandas ends each duplicate-timestamp row's window at its
+    POSITION, so the earlier duplicate doesn't see the later one.
+    Identical whenever (keys, ts) are unique — pre-aggregate duplicate
+    timestamps if they matter.
+
+    Scale: grouped (``partition_by``) → one shuffle on the key, fully
+    parallel, whole-stage codegen. Global → total-order window (single
+    sort task), same caveat as the positional builtin path. Rolling
+    UDFs over time offsets run per group via stock pandas
+    (``rolling_apply`` routes them); the global UDF form is not
+    implemented.
+    """
+    if func not in _BUILTIN_AGGS:
+        raise NotImplementedError(
+            f"time-offset rolling supports builtin aggs {sorted(_BUILTIN_AGGS)}, "
+            f"got {func!r}"
+        )
+    closed = closed or "right"
+    if closed not in ("right", "left", "both", "neither"):
+        raise ValueError(f"closed must be right|left|both|neither, got {closed!r}")
+    if min_periods is not None:
+        minp = min_periods
+    else:
+        # pandas offset-window default is 1 — except count, whose
+        # effective default is 0 (all-NaN windows count 0, not NaN)
+        minp = 0 if func == "count" else 1
+    d = int(pd.Timedelta(window).value // 1000)  # microseconds
+    if d <= 0:
+        raise ValueError(f"window offset must be positive, got {window!r}")
+    ord_col = order_by if isinstance(order_by, str) else None
+    if ord_col is None:
+        raise TypeError("time-offset rolling needs a named order column")
+    ord_type = df.schema[ord_col].dataType
+    if not isinstance(ord_type, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        raise TypeError(
+            f"time-offset rolling needs a timestamp/date order column, got "
+            f"{ord_type.simpleString()} for {ord_col!r}"
+        )
+    t_us = F.unix_micros(F.col(ord_col).cast("timestamp"))
+    lo, hi = {
+        "right": (-(d - 1), 0),
+        "both": (-d, 0),
+        "left": (-d, -1),
+        "neither": (-(d - 1), -1),
+    }[closed]
+    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    spec = w.orderBy(t_us).rangeBetween(lo, hi)
+    v = F.col(col)
+    if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
+        v = F.when(~F.isnan(v), v)  # pandas skips NaN; Spark sums poison
+    cnt = F.count(v).over(spec)
+    agg = _BUILTIN_AGGS[func](v).over(spec)
+    output_col = output_col or f"{col}_rolling_{func}"
+    # minp=0 (count's default): an EMPTY frame is still NaN in pandas
+    # (left/neither frames can hold no rows at all), while a non-empty
+    # all-NaN frame counts 0 — gate on frame row count there
+    gate = cnt >= minp if minp > 0 else F.count(F.lit(1)).over(spec) >= 1
+    return df.withColumn(output_col, F.when(gate, agg))
 
 
 def literal_array(vals: Sequence) -> Column:

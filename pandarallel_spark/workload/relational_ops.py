@@ -360,28 +360,52 @@ def set_ops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "percentiles_price_per_flag",
-    """
-SELECT l_returnflag,
-  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) AS p50_cents,
-  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.9) AS p90_cents,
-  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.99) AS p99_cents
-FROM lineitem GROUP BY l_returnflag
+    "time_rolling_purchase_cents_1h",
+    f"""
+WITH p AS (
+  SELECT user_id, event_id, {_TS_US.format('ts')} AS ts,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase')
+SELECT user_id, event_id, ts, cents,
+  CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h,
+  COUNT(cents) OVER w AS n_1h
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
 """,
-    "Exact interpolated percentiles (p50/p90/p99) of price per return "
-    "flag — SQL percentile over integer cents (linear interpolation is "
-    "bit-identical across engines). At 100 TB you'd swap in "
-    "approx_percentile's mergeable sketch; the exact form is the "
-    "correctness anchor.",
+    "Time-offset rolling (pandas rolling('1h') semantics): per user, "
+    "trailing-hour purchase total and count as a pure JVM RANGE frame "
+    "over unix_micros(ts) — the (t-1h, t] exclusive-left pandas default "
+    "expressed as an exact integer-microsecond interval, one shuffle on "
+    "the key, whole-stage codegen, no Python. The positional rolling "
+    "surface can't express this shape; pandas users reach for it "
+    "constantly (operators/window.py:time_rolling_agg, differential-"
+    "tested vs pandas across closed= variants, NaN, min_periods).",
 )
-def percentiles_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile(cents, 0.5).alias("p50_cents"),
-        F.percentile(cents, 0.9).alias("p90_cents"),
-        F.percentile(cents, 0.99).alias("p99_cents"),
+def time_rolling_purchase_cents_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.window import time_rolling_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    out = time_rolling_agg(
+        p, "cents", "1h", "sum", "ts",
+        partition_by=["user_id"], output_col="cents_1h",
+    )
+    out = time_rolling_agg(
+        out, "cents", "1h", "count", "ts",
+        partition_by=["user_id"], min_periods=1, output_col="n_1h",
+    )
+    return out.select("user_id", "event_id", "ts", "cents", "cents_1h", "n_1h")
+
+
+# NOTE (r6): the standalone exact-percentiles row was merged into
+# percentiles_approx_price_per_flag — that graded row always carried the
+# SAME exact p50/p90/p99 columns (computed with F.percentile, checked by
+# DuckDB quantile_cont) as its verification harness, so the exact
+# capability keeps a hard driver check with one fewer registry slot.
 
 
 @register(

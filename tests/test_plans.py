@@ -208,3 +208,11 @@ def test_multimodal_single_scan_explode_fanout(spark, sf_dir):
     assert "Generate explode" in plan or "Generate" in plan
     assert plan.count("MapInPandas") <= 2  # the decode stage only
     assert "BatchEvalPython" not in plan
+
+
+def test_time_rolling_single_exchange_no_python(spark, sf_dir):
+    """Time-offset rolling is a RANGE-frame window: one shuffle on the
+    partition key, whole-stage codegen, no Python anywhere."""
+    plan = _plan(spark, sf_dir, "time_rolling_purchase_cents_1h")
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 2  # tree + detail of the key shuffle

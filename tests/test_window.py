@@ -660,3 +660,106 @@ def test_halo_memo_not_stale_after_overwrite(spark, tmp_path):
 
     run(1.0)   # populates the memo for this path
     run(2.0)   # same path, new files — must miss the memo and recompute
+
+
+# ---------------------------------------------------------------------------
+# time-offset rolling (pandas rolling("1h") / rangeBetween JVM frames)
+# ---------------------------------------------------------------------------
+
+
+def _ts_frame(n=300, n_keys=5, seed=3, dup_free=True):
+    rng = np.random.default_rng(seed)
+    # strictly increasing per key when dup_free (value-based range
+    # frames and pandas position-based ends agree only without ties)
+    offs = np.cumsum(rng.integers(1, 900, n)) if dup_free else rng.integers(0, 3600, n)
+    ts = pd.Timestamp("2021-06-01") + pd.to_timedelta(offs, unit="s")
+    vals = rng.standard_normal(n)
+    vals[rng.integers(0, n, 12)] = np.nan
+    return pd.DataFrame(
+        {"k": rng.integers(0, n_keys, n), "ts": ts, "x": vals}
+    ).sort_values("ts", ignore_index=True)
+
+
+@pytest.mark.parametrize("closed", [None, "right", "both", "left", "neither"])
+@pytest.mark.parametrize("agg", ["sum", "mean", "count"])
+def test_time_rolling_builtin_vs_pandas(spark, closed, agg):
+    pdf = _ts_frame()
+    exp_parts = []
+    for _, g in pdf.groupby("k"):
+        s = pd.Series(g.x.to_numpy(), index=pd.DatetimeIndex(g.ts))
+        r = getattr(s.rolling("30min", closed=closed), agg)()
+        exp_parts.append(pd.Series(r.to_numpy(), index=g.index))
+    exp = pd.concat(exp_parts).sort_index().to_numpy(dtype="float64")
+    sdf = spark.createDataFrame(pdf.reset_index()).repartition(4)
+    out = (
+        parallelize(sdf, order_by="ts")
+        .groupby("k")
+        .series("x")
+        .rolling("30min", closed=closed)
+        .parallel_apply(agg, output_col="r")
+        .toPandas()
+        .sort_values("index")["r"]
+        .to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True), (
+        f"{agg} closed={closed}"
+    )
+
+
+def test_time_rolling_global_and_min_periods(spark):
+    pdf = _ts_frame(n_keys=1)
+    s = pd.Series(pdf.x.to_numpy(), index=pd.DatetimeIndex(pdf.ts))
+    exp = s.rolling("45min", min_periods=3).sum().to_numpy()
+    sdf = spark.createDataFrame(pdf.reset_index())
+    out = (
+        parallelize(sdf, order_by="ts")
+        .series("x")
+        .rolling("45min", min_periods=3)
+        .parallel_apply("sum", output_col="r")
+        .toPandas()
+        .sort_values("index")["r"]
+        .to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_time_rolling_grouped_udf_vs_pandas(spark):
+    pdf = _ts_frame()
+    exp_parts = []
+    for _, g in pdf.groupby("k"):
+        s = pd.Series(g.x.to_numpy(), index=pd.DatetimeIndex(g.ts))
+        r = s.rolling("30min", min_periods=1).apply(
+            lambda a: float(np.nansum(a)), raw=True
+        )
+        exp_parts.append(pd.Series(r.to_numpy(), index=g.index))
+    exp = pd.concat(exp_parts).sort_index().to_numpy(dtype="float64")
+    sdf = spark.createDataFrame(pdf.reset_index()).repartition(4)
+    out = (
+        parallelize(sdf, order_by="ts")
+        .groupby("k")
+        .series("x")
+        .rolling("30min")
+        .parallel_apply(lambda a: float(np.nansum(a)), output_col="r")
+        .toPandas()
+        .sort_values("index")["r"]
+        .to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_time_rolling_rejections(spark):
+    pdf = _ts_frame(n=20, n_keys=1)
+    sdf = spark.createDataFrame(pdf)
+    base = parallelize(sdf, order_by="ts").series("x")
+    with pytest.raises(ValueError, match="win_type"):
+        base.rolling("1h", win_type="gaussian").parallel_apply(
+            "sum", win_args={"std": 1.0}, output_col="r"
+        )
+    with pytest.raises(NotImplementedError, match="center"):
+        base.rolling("1h", center=True).parallel_apply("sum", output_col="r")
+    with pytest.raises(NotImplementedError, match="partition key"):
+        base.rolling("1h").parallel_apply(lambda a: a.sum(), output_col="r")
+    with pytest.raises(TypeError, match="timestamp"):
+        parallelize(sdf.withColumn("o", sdf.x), order_by="o").series(
+            "x"
+        ).rolling("1h").parallel_apply("sum", output_col="r")
