@@ -345,3 +345,50 @@ def test_weighted_rolling_property_matches_pandas(
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    agg=st.sampled_from(["sum", "mean", "min", "max", "count", "std"]),
+    window=st.sampled_from(["7min", "30min", "2h"]),
+    closed=st.sampled_from([None, "right", "left", "both", "neither"]),
+    mp=st.sampled_from([None, 1, 3]),
+    grouped=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_time_rolling_property_matches_pandas(
+    spark, seed, agg, window, closed, mp, grouped
+):
+    """Random agg × offset × closed × min_periods × NaN × grouping must
+    match stock pandas time-offset rolling exactly. Timestamps are
+    strictly increasing per key — duplicate timestamps are the
+    documented value-based-vs-positional divergence and excluded."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 120))
+    # strictly increasing (gaps 1s..40min straddle every window width)
+    offs = np.cumsum(rng.integers(1, 2400, n))
+    ts = pd.Timestamp("2022-03-01") + pd.to_timedelta(offs, unit="s")
+    vals = rng.standard_normal(n)
+    vals[rng.integers(0, n, max(1, n // 8))] = np.nan
+    keys = rng.integers(0, 3, n) if grouped else np.zeros(n, dtype="int64")
+    pdf = pd.DataFrame({"i": np.arange(n, dtype="int64"), "k": keys, "ts": ts, "x": vals})
+
+    exp_parts = []
+    for _, g in pdf.groupby("k"):
+        s = pd.Series(g.x.to_numpy(), index=pd.DatetimeIndex(g.ts))
+        r = getattr(s.rolling(window, min_periods=mp, closed=closed), agg)()
+        exp_parts.append(pd.Series(r.to_numpy(), index=g.index))
+    exp = pd.concat(exp_parts).sort_index().to_numpy(dtype="float64")
+
+    base = parallelize(spark.createDataFrame(pdf).repartition(3), order_by="ts")
+    if grouped:
+        base = base.groupby("k")
+    got = (
+        base.series("x")
+        .rolling(window, min_periods=mp, closed=closed)
+        .parallel_apply(agg, output_col="r")
+        .toPandas()
+        .sort_values("i")["r"]
+        .to_numpy(dtype="float64")
+    )
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
