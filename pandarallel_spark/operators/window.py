@@ -632,8 +632,20 @@ def rolling_apply(
     cnt = F.count(F.col(col)).over(spec)
 
     if isinstance(func, str):
-        agg = _BUILTIN_AGGS[func](F.col(col)).over(spec)
-        return df.withColumn(output_col, F.when(cnt >= min_periods, agg))
+        # pandas NaN semantics (probed, pandas 2.2): the aggregate SKIPS
+        # NaN (a NaN in frame must not poison a Spark SUM/AVG), the
+        # min_periods gate counts NON-NaN observations — except count,
+        # whose gate counts frame rows including NaN
+        v = F.col(col)
+        if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
+            v = F.when(~F.isnan(v), v)
+        nobs = F.count(v).over(spec)
+        agg = _BUILTIN_AGGS[func](v).over(spec)
+        # count's gate counts frame ROWS (pandas counts NaN rows toward
+        # min_periods there; NaN/NULL are one missing concept here)
+        nrows = F.count(F.lit(1)).over(spec)
+        gate = (nrows if func == "count" else nobs) >= min_periods
+        return df.withColumn(output_col, F.when(gate, agg))
 
     if partition_by:
         # grouped UDF windows: stock pandas rolling per group (exact
@@ -1286,8 +1298,18 @@ def expanding_apply(
     cnt = F.count(F.col(col)).over(spec)
 
     if isinstance(func, str):
-        agg = _BUILTIN_AGGS[func](F.col(col)).over(spec)
-        return df.withColumn(output_col, F.when(cnt >= min_periods, agg))
+        # same pandas NaN semantics as the rolling builtin path: skip
+        # NaN in the aggregate, gate non-count aggs on non-NaN obs
+        v = F.col(col)
+        if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
+            v = F.when(~F.isnan(v), v)
+        nobs = F.count(v).over(spec)
+        agg = _BUILTIN_AGGS[func](v).over(spec)
+        # count's gate counts frame ROWS (pandas counts NaN rows toward
+        # min_periods there; NaN/NULL are one missing concept here)
+        nrows = F.count(F.lit(1)).over(spec)
+        gate = (nrows if func == "count" else nobs) >= min_periods
+        return df.withColumn(output_col, F.when(gate, agg))
 
     if partition_by:
         # collect_list over an expanding frame is O(n²) state per group;

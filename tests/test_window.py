@@ -763,3 +763,55 @@ def test_time_rolling_rejections(spark):
         parallelize(sdf.withColumn("o", sdf.x), order_by="o").series(
             "x"
         ).rolling("1h").parallel_apply("sum", output_col="r")
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean", "max", "count", "std"])
+def test_positional_builtin_rolling_nan_matches_pandas(spark, agg):
+    """NaN in the window must not poison builtin aggs (pandas skips
+    NaN), and the min_periods gate must count NON-NaN observations —
+    except count, which gates on frame rows including NaN (probed
+    pandas 2.2 semantics). Pre-fix, a NaN poisoned Spark SUM/AVG and
+    counted toward every gate."""
+    rng = np.random.default_rng(17)
+    n = 200
+    vals = rng.standard_normal(n)
+    vals[rng.integers(0, n, 30)] = np.nan
+    pdf = pd.DataFrame(
+        {"idx": np.arange(n, dtype="int64"), "k": rng.integers(0, 4, n), "x": vals}
+    )
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    for mp in (None, 1, 2):
+        # global
+        exp = getattr(pdf.x.rolling(3, min_periods=mp), agg)().to_numpy()
+        out = (
+            parallelize(sdf, order_by="idx").series("x")
+            .rolling(3, min_periods=mp)
+            .parallel_apply(agg, output_col="r")
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True), (
+            f"global {agg} mp={mp}"
+        )
+        # grouped
+        exp_g = (
+            pdf.groupby("k").x.rolling(3, min_periods=mp)
+            .agg(agg)
+            .reset_index(level=0, drop=True).sort_index().to_numpy()
+        )
+        out_g = (
+            parallelize(sdf, order_by="idx").groupby("k").series("x")
+            .rolling(3, min_periods=mp)
+            .parallel_apply(agg, output_col="r")
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(out_g, exp_g, rtol=1e-12, atol=1e-12, equal_nan=True), (
+            f"grouped {agg} mp={mp}"
+        )
+    # expanding, same semantics
+    exp_e = getattr(pdf.x.expanding(2), agg)().to_numpy()
+    out_e = (
+        parallelize(sdf, order_by="idx").series("x").expanding(2)
+        .parallel_apply(agg, output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out_e, exp_e, rtol=1e-12, atol=1e-12, equal_nan=True)
