@@ -498,6 +498,47 @@ _BUILTIN_AGGS: dict[str, Callable[[Column], Column]] = {
     "var": F.var_samp,
 }
 
+# everything servable as a JVM window aggregate, incl. median and the
+# two moment aggs that need composition on top (see _builtin_over)
+BUILTIN_WINDOW_FUNCS = frozenset(_BUILTIN_AGGS) | {"median", "skew", "kurt"}
+
+
+def _builtin_over(func: str, v: Column, spec) -> Column:
+    """Builtin aggregate over a window spec, replicating pandas'
+    bias-corrected moments: pandas ``rolling.skew`` is the adjusted
+    Fisher-Pearson G1 = g1·√(n(n−1))/(n−2) over Spark's population
+    skewness g1, ``rolling.kurt`` the bias-corrected excess
+    G2 = ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3)) over Spark's excess
+    kurtosis g2 (standard public formulas, verified numerically in
+    tests/test_window.py). pandas conventions on degenerate windows,
+    probed on 2.2: skew needs ≥3 non-NaN obs and is 0.0 on a
+    zero-variance window; kurt needs ≥4 and is −3.0 there."""
+    if func == "median":
+        # Spark's median/percentile aggregates reject window FRAMES
+        # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC) — sort the frame's
+        # non-null values and interpolate like pandas. O(w log w) per
+        # row; fine for the moderate windows rolling medians live on.
+        arr = F.array_sort(F.collect_list(v.cast("double")).over(spec))
+        m = F.size(arr)
+        mid = F.element_at(arr, ((m + 1) / 2).cast("int"))
+        lo_e = F.element_at(arr, (m / 2).cast("int"))
+        hi_e = F.element_at(arr, (m / 2 + 1).cast("int"))
+        return F.when(m > 0, F.when(m % 2 == 1, mid).otherwise((lo_e + hi_e) / 2.0))
+    if func in ("skew", "kurt"):
+        nobs = F.count(v).over(spec)
+        n = nobs.cast("double")
+        flat = F.var_pop(v).over(spec) == 0
+        if func == "skew":
+            corrected = F.skewness(v).over(spec) * F.sqrt(n * (n - 1.0)) / (n - 2.0)
+            return F.when(nobs >= 3, F.when(flat, F.lit(0.0)).otherwise(corrected))
+        corrected = (
+            ((n + 1.0) * F.kurtosis(v).over(spec) + 6.0)
+            * (n - 1.0)
+            / ((n - 2.0) * (n - 3.0))
+        )
+        return F.when(nobs >= 4, F.when(flat, F.lit(-3.0)).otherwise(corrected))
+    return _BUILTIN_AGGS[func](v).over(spec)
+
 
 def _window_spec(order_by: Sequence[str | Column], partition_by: Sequence[str | Column]):
     w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
@@ -640,7 +681,7 @@ def rolling_apply(
         if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
             v = F.when(~F.isnan(v), v)
         nobs = F.count(v).over(spec)
-        agg = _BUILTIN_AGGS[func](v).over(spec)
+        agg = _builtin_over(func, v, spec)
         # count's gate counts frame ROWS (pandas counts NaN rows toward
         # min_periods there; NaN/NULL are one missing concept here)
         nrows = F.count(F.lit(1)).over(spec)
@@ -735,10 +776,10 @@ def time_rolling_agg(
     (``rolling_apply`` routes them); the global UDF form is not
     implemented.
     """
-    if func not in _BUILTIN_AGGS:
+    if func not in BUILTIN_WINDOW_FUNCS:
         raise NotImplementedError(
-            f"time-offset rolling supports builtin aggs {sorted(_BUILTIN_AGGS)}, "
-            f"got {func!r}"
+            f"time-offset rolling supports builtin aggs "
+            f"{sorted(BUILTIN_WINDOW_FUNCS)}, got {func!r}"
         )
     closed = closed or "right"
     if closed not in ("right", "left", "both", "neither"):
@@ -774,7 +815,7 @@ def time_rolling_agg(
     if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
         v = F.when(~F.isnan(v), v)  # pandas skips NaN; Spark sums poison
     cnt = F.count(v).over(spec)
-    agg = _BUILTIN_AGGS[func](v).over(spec)
+    agg = _builtin_over(func, v, spec)
     output_col = output_col or f"{col}_rolling_{func}"
     # minp=0 (count's default): an EMPTY frame is still NaN in pandas
     # (left/neither frames can hold no rows at all), while a non-empty
@@ -1304,7 +1345,7 @@ def expanding_apply(
         if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
             v = F.when(~F.isnan(v), v)
         nobs = F.count(v).over(spec)
-        agg = _BUILTIN_AGGS[func](v).over(spec)
+        agg = _builtin_over(func, v, spec)
         # count's gate counts frame ROWS (pandas counts NaN rows toward
         # min_periods there; NaN/NULL are one missing concept here)
         nrows = F.count(F.lit(1)).over(spec)

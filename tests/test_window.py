@@ -815,3 +815,59 @@ def test_positional_builtin_rolling_nan_matches_pandas(spark, agg):
         .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
     )
     assert np.allclose(out_e, exp_e, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+@pytest.mark.parametrize("agg", ["median", "skew", "kurt"])
+def test_rolling_median_skew_kurt_vs_pandas(spark, agg):
+    """pandas' remaining builtin rolling aggs: median (JVM F.median),
+    skew/kurt via Spark's population moments with the standard bias
+    corrections G1 = g1*sqrt(n(n-1))/(n-2), G2 = ((n+1)g2+6)(n-1)/
+    ((n-2)(n-3)) — including pandas' degenerate conventions (skew 0.0,
+    kurt -3.0 on zero-variance windows; NaN below 3/4 obs)."""
+    rng = np.random.default_rng(23)
+    n = 160
+    vals = rng.standard_normal(n)
+    vals[rng.integers(0, n, 20)] = np.nan
+    vals[40:50] = 2.5  # constant stretch → zero-variance windows
+    pdf = pd.DataFrame(
+        {"idx": np.arange(n, dtype="int64"), "k": rng.integers(0, 3, n), "x": vals}
+    )
+    sdf = spark.createDataFrame(pdf).repartition(3)
+    for w, mp in ((6, None), (5, 2)):
+        exp = getattr(pdf.x.rolling(w, min_periods=mp), agg)().to_numpy()
+        out = (
+            parallelize(sdf, order_by="idx").series("x")
+            .rolling(w, min_periods=mp)
+            .parallel_apply(agg, output_col="r")
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(out, exp, rtol=1e-9, atol=1e-9, equal_nan=True), (
+            f"global {agg} w={w} mp={mp}"
+        )
+        exp_g = (
+            pdf.groupby("k").x.rolling(w, min_periods=mp).agg(agg)
+            .reset_index(level=0, drop=True).sort_index().to_numpy()
+        )
+        out_g = (
+            parallelize(sdf, order_by="idx").groupby("k").series("x")
+            .rolling(w, min_periods=mp)
+            .parallel_apply(agg, output_col="r")
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(out_g, exp_g, rtol=1e-9, atol=1e-9, equal_nan=True), (
+            f"grouped {agg} w={w} mp={mp}"
+        )
+    # time-offset form rides the same expressions
+    ts = pd.Timestamp("2022-01-01") + pd.to_timedelta(
+        np.cumsum(rng.integers(1, 600, n)), unit="s"
+    )
+    tdf = pd.DataFrame({"i": np.arange(n, dtype="int64"), "ts": ts, "x": vals})
+    s = pd.Series(tdf.x.to_numpy(), index=pd.DatetimeIndex(tdf.ts))
+    exp_t = getattr(s.rolling("20min"), agg)().to_numpy()
+    out_t = (
+        parallelize(spark.createDataFrame(tdf), order_by="ts").series("x")
+        .rolling("20min")
+        .parallel_apply(agg, output_col="r")
+        .toPandas().sort_values("i")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out_t, exp_t, rtol=1e-9, atol=1e-9, equal_nan=True)
