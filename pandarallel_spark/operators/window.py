@@ -498,12 +498,14 @@ _BUILTIN_AGGS: dict[str, Callable[[Column], Column]] = {
     "var": F.var_samp,
 }
 
-# everything servable as a JVM window aggregate, incl. median and the
-# two moment aggs that need composition on top (see _builtin_over)
-BUILTIN_WINDOW_FUNCS = frozenset(_BUILTIN_AGGS) | {"median", "skew", "kurt"}
+# everything servable as a JVM window aggregate, incl. the order
+# statistics and moment aggs that need composition (see _builtin_over)
+BUILTIN_WINDOW_FUNCS = frozenset(_BUILTIN_AGGS) | {
+    "median", "skew", "kurt", "quantile", "rank",
+}
 
 
-def _builtin_over(func: str, v: Column, spec) -> Column:
+def _builtin_over(func: str, v: Column, spec, args: dict | None = None) -> Column:
     """Builtin aggregate over a window spec, replicating pandas'
     bias-corrected moments: pandas ``rolling.skew`` is the adjusted
     Fisher-Pearson G1 = g1·√(n(n−1))/(n−2) over Spark's population
@@ -513,17 +515,51 @@ def _builtin_over(func: str, v: Column, spec) -> Column:
     tests/test_window.py). pandas conventions on degenerate windows,
     probed on 2.2: skew needs ≥3 non-NaN obs and is 0.0 on a
     zero-variance window; kurt needs ≥4 and is −3.0 there."""
-    if func == "median":
+    args = args or {}
+    if func in ("median", "quantile"):
         # Spark's median/percentile aggregates reject window FRAMES
         # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC) — sort the frame's
-        # non-null values and interpolate like pandas. O(w log w) per
-        # row; fine for the moderate windows rolling medians live on.
+        # non-null values and interpolate like pandas (linear, the
+        # pandas default). O(w log w) per row; fine for the moderate
+        # windows rolling order statistics live on.
+        if func == "quantile":
+            if "q" not in args:
+                raise ValueError(
+                    'rolling quantile needs the quantile in win_args, e.g. '
+                    'parallel_apply("quantile", win_args={"q": 0.75})'
+                )
+            q = float(args["q"])
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"quantile q must be in [0, 1], got {q}")
+        else:
+            q = 0.5
         arr = F.array_sort(F.collect_list(v.cast("double")).over(spec))
         m = F.size(arr)
-        mid = F.element_at(arr, ((m + 1) / 2).cast("int"))
-        lo_e = F.element_at(arr, (m / 2).cast("int"))
-        hi_e = F.element_at(arr, (m / 2 + 1).cast("int"))
-        return F.when(m > 0, F.when(m % 2 == 1, mid).otherwise((lo_e + hi_e) / 2.0))
+        pos = (m - 1).cast("double") * F.lit(q)
+        frac = pos - F.floor(pos)
+        lo_e = F.element_at(arr, (F.floor(pos) + 1).cast("int"))
+        hi_e = F.element_at(arr, (F.ceil(pos) + 1).cast("int"))
+        return F.when(m > 0, lo_e * (F.lit(1.0) - frac) + hi_e * frac)
+    if func == "rank":
+        # pandas rolling.rank: rank of the CURRENT value among the
+        # frame's non-NaN values; method average|min|max, pct divides
+        # by the frame's non-NaN count. NaN current value → NaN (the
+        # scrubbed v is null there, gated below).
+        method = args.get("method", "average")
+        if method not in ("average", "min", "max"):
+            raise ValueError(f"rank method must be average|min|max, got {method!r}")
+        arr = F.collect_list(v.cast("double")).over(spec)
+        cur = v.cast("double")
+        cnt_lt = F.size(F.filter(arr, lambda e: e < cur))
+        cnt_le = F.size(F.filter(arr, lambda e: e <= cur))
+        rank = {
+            "average": (cnt_lt + cnt_le + 1).cast("double") / 2.0,
+            "min": (cnt_lt + 1).cast("double"),
+            "max": cnt_le.cast("double"),
+        }[method]
+        if args.get("pct", False):
+            rank = rank / F.size(arr)
+        return F.when(cur.isNotNull(), rank)
     if func in ("skew", "kurt"):
         nobs = F.count(v).over(spec)
         n = nobs.cast("double")
@@ -620,6 +656,7 @@ def rolling_apply(
                 partition_by=partition_by, min_periods=min_periods,
                 closed=closed, output_col=output_col
                 or f"{col}_rolling_{func}",
+                agg_args=win_args,
             )
         if partition_by:
             ord_name = order_by if isinstance(order_by, str) else None
@@ -681,7 +718,7 @@ def rolling_apply(
         if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
             v = F.when(~F.isnan(v), v)
         nobs = F.count(v).over(spec)
-        agg = _builtin_over(func, v, spec)
+        agg = _builtin_over(func, v, spec, win_args)
         # count's gate counts frame ROWS (pandas counts NaN rows toward
         # min_periods there; NaN/NULL are one missing concept here)
         nrows = F.count(F.lit(1)).over(spec)
@@ -748,6 +785,7 @@ def time_rolling_agg(
     min_periods: int | None = None,
     closed: str | None = None,
     output_col: str | None = None,
+    agg_args: dict | None = None,
 ) -> DataFrame:
     """Time-offset rolling (pandas ``s.rolling("1h")``) as a pure JVM
     RANGE-frame window — builtin aggs only.
@@ -815,7 +853,7 @@ def time_rolling_agg(
     if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
         v = F.when(~F.isnan(v), v)  # pandas skips NaN; Spark sums poison
     cnt = F.count(v).over(spec)
-    agg = _builtin_over(func, v, spec)
+    agg = _builtin_over(func, v, spec, agg_args)
     output_col = output_col or f"{col}_rolling_{func}"
     # minp=0 (count's default): an EMPTY frame is still NaN in pandas
     # (left/neither frames can hold no rows at all), while a non-empty

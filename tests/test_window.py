@@ -871,3 +871,55 @@ def test_rolling_median_skew_kurt_vs_pandas(spark, agg):
         .toPandas().sort_values("i")["r"].to_numpy(dtype="float64")
     )
     assert np.allclose(out_t, exp_t, rtol=1e-9, atol=1e-9, equal_nan=True)
+
+
+def test_rolling_quantile_rank_vs_pandas(spark):
+    """pandas rolling.quantile(q) (linear interpolation) and
+    rolling.rank (average|min|max, pct) — the current value ranked
+    among the frame's non-NaN values; NaN current rows stay NaN."""
+    rng = np.random.default_rng(29)
+    n = 150
+    vals = rng.standard_normal(n)
+    vals[rng.integers(0, n, 18)] = np.nan
+    pdf = pd.DataFrame(
+        {"idx": np.arange(n, dtype="int64"), "k": rng.integers(0, 3, n), "x": vals}
+    )
+    sdf = spark.createDataFrame(pdf).repartition(3)
+    for q in (0.0, 0.25, 0.75, 1.0):
+        exp = pdf.x.rolling(5, min_periods=2).quantile(q).to_numpy()
+        out = (
+            parallelize(sdf, order_by="idx").series("x")
+            .rolling(5, min_periods=2)
+            .parallel_apply("quantile", win_args={"q": q}, output_col="r")
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True), f"q={q}"
+    for method, pct in (("average", False), ("min", False), ("max", False), ("average", True)):
+        exp = pdf.x.rolling(5, min_periods=2).rank(method=method, pct=pct).to_numpy()
+        out = (
+            parallelize(sdf, order_by="idx").series("x")
+            .rolling(5, min_periods=2)
+            .parallel_apply(
+                "rank", win_args={"method": method, "pct": pct}, output_col="r"
+            )
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True), (
+            f"rank {method} pct={pct}"
+        )
+    # grouped + time-offset forms ride the same expressions
+    exp_g = (
+        pdf.groupby("k").x.rolling(4, min_periods=2).quantile(0.6)
+        .reset_index(level=0, drop=True).sort_index().to_numpy()
+    )
+    out_g = (
+        parallelize(sdf, order_by="idx").groupby("k").series("x")
+        .rolling(4, min_periods=2)
+        .parallel_apply("quantile", win_args={"q": 0.6}, output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out_g, exp_g, rtol=1e-12, atol=1e-12, equal_nan=True)
+    with pytest.raises(ValueError, match="win_args"):
+        parallelize(sdf, order_by="idx").series("x").rolling(5).parallel_apply(
+            "quantile", output_col="r"
+        )
