@@ -159,6 +159,21 @@ class ParallelSeries:
     def expanding(self, min_periods: int = 1) -> "ParallelExpanding":
         return ParallelExpanding(self, min_periods)
 
+    def ewm(
+        self,
+        com: float | None = None,
+        span: float | None = None,
+        halflife: float | None = None,
+        alpha: float | None = None,
+        min_periods: int = 0,
+        adjust: bool = True,
+        ignore_na: bool = False,
+    ) -> "ParallelEwm":
+        return ParallelEwm(
+            self, com=com, span=span, halflife=halflife, alpha=alpha,
+            min_periods=min_periods, adjust=adjust, ignore_na=ignore_na,
+        )
+
 
 class ParallelRolling:
     def __init__(
@@ -191,6 +206,32 @@ class ParallelRolling:
             raw=raw, index_col=index_col, output_col=output_col,
             return_type=return_type, vectorize=vectorize,
         )
+
+
+class ParallelEwm:
+    def __init__(self, series: ParallelSeries, **kwargs):
+        self.series = series
+        self.kwargs = kwargs
+
+    def parallel_apply(
+        self, func: str = "mean", *, output_col: str | None = None
+    ) -> DataFrame:
+        if func != "mean":
+            raise NotImplementedError(
+                f"ewm supports 'mean' (got {func!r}); var/std would need "
+                "a second (sum-of-squares) scan — use the grouped pandas "
+                "UDF path for them"
+            )
+        df, order = self.series.frame._ordered()
+        return _window.ewm_mean(
+            df, self.series.col, order,
+            partition_by=self.series.partition_by,
+            output_col=output_col, **self.kwargs,
+        )
+
+    def mean(self, *, output_col: str | None = None) -> DataFrame:
+        """pandas-style alias for ``parallel_apply("mean")``."""
+        return self.parallel_apply("mean", output_col=output_col)
 
 
 class ParallelExpanding:

@@ -1419,3 +1419,352 @@ def expanding_apply(
         F.struct(idx_expr.alias("i"), F.col(col).alias("v"))
     ).over(spec)
     return df.withColumn(output_col, apply_window(frame_vals))
+
+
+# ewm bucket-carry memo: plan_data_key(...) → per-bucket carry seeds
+_EWM_MEMO: dict = {}
+
+
+def resolve_ewm_alpha(
+    com: float | None = None,
+    span: float | None = None,
+    halflife: float | None = None,
+    alpha: float | None = None,
+) -> float:
+    """pandas' decay parameterizations, one resolved alpha (exactly the
+    published formulas): com → 1/(1+com), span → 2/(span+1),
+    halflife → 1 − exp(ln(0.5)/halflife)."""
+    import math
+
+    given = [p is not None for p in (com, span, halflife, alpha)]
+    if sum(given) != 1:
+        raise ValueError("pass exactly one of com, span, halflife, alpha")
+    if alpha is not None:
+        a = float(alpha)
+    elif com is not None:
+        a = 1.0 / (1.0 + float(com))
+    elif span is not None:
+        a = 2.0 / (float(span) + 1.0)
+    else:
+        a = 1.0 - math.exp(math.log(0.5) / float(halflife))
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {a}")
+    return a
+
+
+def _ewm_scan(
+    vals: np.ndarray,
+    alpha: float,
+    adjust: bool,
+    ignore_na: bool,
+    seed: dict | None = None,
+) -> tuple[np.ndarray, dict]:
+    """Sequential ewm-mean scan for one chunk, mirroring pandas ewm.pyx
+    (verified differentially): per observation, the carried weight
+    decays by (1−α)^δ — δ = positions since the previous observation
+    for ignore_na=False (NaN rows keep decaying), 1 for ignore_na=True —
+    then mean' = (old_wt·mean + new_wt·x)/(old_wt + new_wt) with
+    new_wt = 1 (adjust) or α; adjust accumulates old_wt += new_wt,
+    non-adjust renormalizes old_wt back to 1. NaN rows re-emit the
+    running mean. ``seed`` carries the scan state across chunks:
+    {w, old_wt, obs, pend} (pend = rows since the last observation at
+    the chunk boundary). Returns (means, end_state)."""
+    one_minus = 1.0 - alpha
+    new_wt = 1.0 if adjust else alpha
+    s = seed or {}
+    w = float(s.get("w", np.nan))
+    old_wt = float(s.get("old_wt", 1.0))
+    obs = int(s.get("obs", 0))
+    pend = int(s.get("pend", 0))
+    out = np.empty(len(vals), dtype="float64")
+    for j, x in enumerate(vals):
+        if np.isnan(x):
+            if not ignore_na:
+                pend += 1
+            out[j] = w if obs else np.nan
+            continue
+        if obs == 0:
+            w, old_wt = float(x), 1.0
+        else:
+            delta = (pend + 1) if not ignore_na else 1
+            old_wt *= one_minus**delta
+            w = (old_wt * w + new_wt * x) / (old_wt + new_wt)
+            old_wt = (old_wt + new_wt) if adjust else 1.0
+        obs += 1
+        pend = 0
+        out[j] = w
+    return out, {"w": w, "old_wt": old_wt, "obs": obs, "pend": pend}
+
+
+def _ewm_bucket_summary(
+    vals: np.ndarray, alpha: float, adjust: bool, ignore_na: bool
+) -> dict:
+    """Per-bucket facts pass 1 ships to the driver so chunk scans chain
+    EXACTLY without seeing each other's rows. The state map of a whole
+    bucket is closed-form in the incoming state:
+
+    - adjust=True — (num, den) = (w·old_wt, old_wt) accumulate linearly:
+      incoming state decays by (1−α)^D (D = the bucket's rows for
+      ignore_na=False, observations for True) and the bucket's local
+      unseeded (num, den) adds on.
+    - adjust=False — old_wt renormalizes to 1 after every observation,
+      so the bucket acts on the incoming MEAN as a composition of
+      affines w ← a_i·w + b_i, one per observation, with
+      a_i = f_i/(f_i+α), b_i = α·x_i/(f_i+α), f_i = (1−α)^{δ_i}. Only
+      the FIRST observation's δ depends on the incoming pending gap, so
+      it ships raw (x_first, leading_gap) and the driver composes it
+      with the pre-composed (A_rest, B_rest) of observations 2..k.
+    """
+    obs_mask = ~np.isnan(vals)
+    nobs = int(obs_mask.sum())
+    d: dict = {"rows": len(vals), "nobs": nobs}
+    # unseeded local scan: the truth for the bucket holding the global
+    # first observation
+    means, end = _ewm_scan(vals, alpha, adjust, ignore_na)
+    d["end_w"], d["end_old_wt"], d["end_pend"] = (
+        end["w"], end["old_wt"], end["pend"],
+    )
+    if not nobs:
+        return d
+    one_minus = 1.0 - alpha
+    idx = np.nonzero(obs_mask)[0]
+    d["lead_gap"] = int(idx[0]) if not ignore_na else 0
+    d["x_first"] = float(vals[idx[0]])
+    if adjust:
+        return d
+    # affine composition of observations 2..k (local deltas are known)
+    A, B = 1.0, 0.0
+    prev = idx[0]
+    for i in idx[1:]:
+        delta = int(i - prev) if not ignore_na else 1
+        f = one_minus**delta
+        a_i = f / (f + alpha)
+        b_i = alpha * float(vals[i]) / (f + alpha)
+        A, B = a_i * A, a_i * B + b_i
+        prev = i
+    d["A_rest"], d["B_rest"] = A, B
+    return d
+
+
+def ewm_mean(
+    df: DataFrame,
+    col: str,
+    order_by: str | Column,
+    *,
+    partition_by: Sequence[str] = (),
+    com: float | None = None,
+    span: float | None = None,
+    halflife: float | None = None,
+    alpha: float | None = None,
+    adjust: bool = True,
+    ignore_na: bool = False,
+    min_periods: int = 0,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted mean, pandas ``s.ewm(...).mean()``.
+
+    Grouped (``partition_by``): stock pandas ewm inside each group —
+    bit-exact reference semantics, one shuffle on the key, fully
+    parallel (the 100 TB path, like the reference's grouped windows).
+
+    Global: ewm is a SCAN (every row depends on the full prefix), which
+    a naive implementation runs single-partition. Instead: range-bucket
+    the order column (approxQuantile boundaries, memoized per plan+data
+    and strictLazy-guarded — the same machinery as the halo rolling and
+    global as-of), summarize each bucket's state map in ONE bounded row
+    (≤1024 collected, by construction), chain the seeds on the driver
+    in exact sequential order — linear (num, den) algebra for
+    adjust=True, affine mean composition for adjust=False (see
+    ``_ewm_bucket_summary``) — and broadcast each bucket's seed into a
+    second per-bucket pass. Two linear passes, parallel in the bucket
+    count. Within a bucket the float op order matches pandas'
+    sequential recurrence; the seed folds re-associate the same sums,
+    so results can differ from single-core pandas in the last few ulps
+    (differential tests assert rtol 1e-9).
+
+    NULL/NaN order keys raise (scan position undefined); NaN VALUES
+    follow pandas: they emit the running mean and, for the default
+    ``ignore_na=False``, still decay the weights by their row position.
+    ``min_periods`` gates on cumulative observation count. Duplicate
+    order-key values make the within-tie scan order arbitrary (same
+    caveat as pandas on an unsorted index).
+    """
+    a = resolve_ewm_alpha(com, span, halflife, alpha)
+    output_col = output_col or f"{col}_ewm_mean"
+
+    if partition_by:
+        return _grouped_pandas_window(
+            df, col, [order_by if isinstance(order_by, str) else order_by],
+            partition_by, output_col, "double",
+            lambda s: s.ewm(
+                alpha=a, adjust=adjust, ignore_na=ignore_na,
+                min_periods=min_periods,
+            ).mean(),
+        )
+
+    ord_col = order_by if isinstance(order_by, str) else None
+    if ord_col is None:
+        raise TypeError("global ewm needs a named order column")
+    spark = df.sparkSession
+    ord_type = df.schema[ord_col].dataType
+    if isinstance(ord_type, T.NumericType):
+        ord_num = F.col(ord_col).cast("double")
+    elif isinstance(ord_type, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        ord_num = F.col(ord_col).cast("timestamp").cast("double")
+    else:
+        raise TypeError(
+            f"global ewm needs a numeric/timestamp order column, got "
+            f"{ord_type.simpleString()}"
+        )
+
+    n_parts = shuffle_partitions(spark)
+    out_schema = T.StructType(
+        [*df.schema.fields, T.StructField(output_col, T.DoubleType(), True)]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    in_names = [f.name for f in df.schema.fields]
+
+    def run_single(pdf_iter):
+        parts = [b for b in pdf_iter if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if pdf[ord_col].isna().any():
+            raise ValueError(
+                f"ewm over order column {ord_col!r} with NULL/NaN values "
+                "is not supported: scan position is undefined for them"
+            )
+        pdf = pdf.sort_values(ord_col, kind="mergesort", ignore_index=True)
+        pdf[output_col] = (
+            pdf[col].ewm(alpha=a, adjust=adjust, ignore_na=ignore_na,
+                         min_periods=min_periods).mean().to_numpy()
+        )
+        yield pdf[out_names]
+
+    if n_parts <= 1:
+        # single-partition semantics requested: stock pandas, one task
+        return df.repartition(1).mapInPandas(run_single, out_schema)
+
+    # ---- BUILD (memoized, strictLazy-guarded): boundaries + seeds
+    n_buckets = max(2, min(1024, n_parts * 8))
+    key = plan_data_key(
+        df, "__ewm__", ord_col, col, n_buckets, a, adjust, ignore_na
+    )
+    memo = _EWM_MEMO.get(key) if key is not None else None
+    if memo is None:
+        eager_build_guard(
+            spark,
+            "global ewm bucket boundaries + per-bucket carry seeds "
+            "(two bounded jobs)",
+            "Add a partition key for the fully-lazy grouped path, set "
+            "spark.sql.shuffle.partitions=1 for the single-partition "
+            "path, or build once outside strict-lazy scope (seeds are "
+            "memoized per plan+data).",
+        )
+        probs = [i / n_buckets for i in range(n_buckets + 1)]
+        narrow = df.select(ord_num.alias("__q__"), F.col(col).alias("__v__"))
+        bad = F.col("__q__").isNull() | F.isnan("__q__")
+        if narrow.filter(bad).limit(1).count():
+            raise ValueError(
+                f"ewm over order column {ord_col!r} with NULL/NaN values "
+                "is not supported: scan position is undefined for them"
+            )
+        qs = narrow.approxQuantile("__q__", probs, 1.0 / n_buckets)
+        vlo, vhi = (qs[0], qs[-1]) if qs else (float("nan"), float("nan"))
+        bnds = sorted(set(qs[1:-1]))
+
+        def bucket_summary(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__q__", kind="mergesort")
+            d = _ewm_bucket_summary(
+                pdf["__v__"].to_numpy(dtype="float64"), a, adjust, ignore_na
+            )
+            d["__bkt__"] = int(pdf["__bkt__"].iloc[0])
+            defaults = {
+                "lead_gap": 0, "x_first": float("nan"),
+                "A_rest": 1.0, "B_rest": 0.0,
+            }
+            return pd.DataFrame([{**defaults, **d}])
+
+        summ = (
+            narrow.withColumn(
+                "__bkt__",
+                bucket_assignment_expr(F.col("__q__"), bnds, vlo, vhi).cast("int"),
+            )
+            .groupBy("__bkt__")
+            .applyInPandas(
+                bucket_summary,
+                "rows bigint, nobs bigint, end_w double, end_old_wt double, "
+                "end_pend bigint, lead_gap bigint, x_first double, "
+                "A_rest double, B_rest double, __bkt__ int",
+            )
+            .collect()  # bounded: ≤ n_buckets ≤ 1024 rows by construction
+        )
+        # chain seeds in bucket order: seed of bucket b = scan state at
+        # the end of buckets < b
+        one_minus = 1.0 - a
+        seeds: dict[int, dict] = {}
+        st = {"w": float("nan"), "old_wt": 1.0, "obs": 0, "pend": 0}
+        for row in sorted(summ, key=lambda r: r["__bkt__"]):
+            seeds[int(row["__bkt__"])] = dict(st)
+            if row["nobs"] == 0:
+                if not ignore_na:
+                    st["pend"] += int(row["rows"])
+                continue
+            if st["obs"] == 0:
+                # bucket holds the global first obs: its unseeded end
+                # state is the truth
+                st = {
+                    "w": row["end_w"], "old_wt": row["end_old_wt"],
+                    "obs": int(row["nobs"]), "pend": int(row["end_pend"]),
+                }
+                continue
+            delta1 = (st["pend"] + int(row["lead_gap"]) + 1) if not ignore_na else 1
+            f1 = one_minus**delta1
+            if adjust:
+                # linear (num, den) fold: the incoming state decays once
+                # per row (ignore_na=False) or per observation (True)
+                # from ITS last observation to the bucket's LAST
+                # observation — trailing NaN rows stay deferred in
+                # end_pend, exactly like the sequential recurrence
+                total_decay = (
+                    int(row["rows"]) - int(row["end_pend"])
+                    if not ignore_na
+                    else int(row["nobs"])
+                )
+                dec = one_minus ** (st["pend"] + total_decay)
+                num = row["end_w"] * row["end_old_wt"] + st["w"] * st["old_wt"] * dec
+                den = row["end_old_wt"] + st["old_wt"] * dec
+                st = {
+                    "w": num / den, "old_wt": den,
+                    "obs": st["obs"] + int(row["nobs"]),
+                    "pend": int(row["end_pend"]),
+                }
+            else:
+                w1 = (f1 * st["w"] + a * row["x_first"]) / (f1 + a)
+                w_end = row["A_rest"] * w1 + row["B_rest"]
+                st = {
+                    "w": w_end, "old_wt": 1.0,
+                    "obs": st["obs"] + int(row["nobs"]),
+                    "pend": int(row["end_pend"]),
+                }
+        memo = {"bnds": bnds, "vlo": vlo, "vhi": vhi, "seeds": seeds}
+        if key is not None:
+            memo_put(_EWM_MEMO, key, memo)
+    seeds = memo["seeds"]
+    bexpr = bucket_assignment_expr(ord_num, memo["bnds"], memo["vlo"], memo["vhi"])
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_col, kind="mergesort")
+        b = int(pdf["__bkt__"].iloc[0])
+        seed = seeds.get(b)
+        vals = pdf[col].to_numpy(dtype="float64")
+        means, _ = _ewm_scan(vals, a, adjust, ignore_na, seed)
+        s_obs = int(seed["obs"]) if seed else 0
+        cum_obs = s_obs + np.cumsum(~np.isnan(vals))
+        means = np.where(cum_obs >= max(min_periods, 1), means, np.nan)
+        out = pdf[in_names].copy()
+        out[output_col] = means
+        return out[out_names]
+
+    bucketed = df.withColumn("__bkt__", bexpr.cast("int"))
+    return bucketed.groupBy("__bkt__").applyInPandas(per_bucket, out_schema)

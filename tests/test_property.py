@@ -392,3 +392,31 @@ def test_time_rolling_property_matches_pandas(
         .to_numpy(dtype="float64")
     )
     assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    alpha=st.floats(0.05, 0.95),
+    adjust=st.booleans(),
+    ignore_na=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_ewm_mean_property_matches_pandas(spark, seed, alpha, adjust, ignore_na):
+    """Random alpha × adjust × ignore_na × NaN patterns: the global
+    bucket-carry ewm must match single-core pandas to float
+    re-association tolerance (the chained-seed algebra is exact; only
+    FP op order differs at bucket boundaries)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 200))
+    vals = rng.standard_normal(n)
+    vals[rng.integers(0, n, max(1, n // 6))] = np.nan
+    pdf = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "x": vals})
+    exp = pdf.x.ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na).mean().to_numpy()
+    got = (
+        parallelize(spark.createDataFrame(pdf).repartition(5), order_by="idx")
+        .series("x")
+        .ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na)
+        .mean(output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)

@@ -923,3 +923,71 @@ def test_rolling_quantile_rank_vs_pandas(spark):
         parallelize(sdf, order_by="idx").series("x").rolling(5).parallel_apply(
             "quantile", output_col="r"
         )
+
+
+# ---------------------------------------------------------------------------
+# ewm (exponentially weighted mean): grouped exact, global bucket-carry
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("adjust", [True, False])
+@pytest.mark.parametrize("ignore_na", [False, True])
+def test_ewm_mean_global_vs_pandas(spark, adjust, ignore_na):
+    """Global ewm is a scan run as per-bucket recurrences chained by
+    carried (num, den) seeds — must match single-core pandas to float
+    re-association tolerance across NaN patterns, both adjust modes,
+    both ignore_na modes, and min_periods."""
+    rng = np.random.default_rng(31)
+    n = 400
+    vals = rng.standard_normal(n)
+    vals[rng.integers(0, n, 40)] = np.nan
+    pdf = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "x": vals})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    for mp in (0, 3):
+        exp = (
+            pdf.x.ewm(alpha=0.3, adjust=adjust, ignore_na=ignore_na, min_periods=mp)
+            .mean().to_numpy()
+        )
+        out = (
+            parallelize(sdf, order_by="idx").series("x")
+            .ewm(alpha=0.3, adjust=adjust, ignore_na=ignore_na, min_periods=mp)
+            .mean(output_col="r")
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(out, exp, rtol=1e-9, atol=1e-12, equal_nan=True), (
+            f"adjust={adjust} ignore_na={ignore_na} mp={mp}"
+        )
+
+
+def test_ewm_mean_grouped_and_param_forms(spark):
+    rng = np.random.default_rng(37)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "idx": np.arange(n, dtype="int64"),
+            "k": rng.integers(0, 6, n),
+            "x": rng.standard_normal(n),
+        }
+    )
+    pdf.loc[rng.integers(0, n, 30), "x"] = np.nan
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    # grouped: bit-exact stock pandas per group; span= parameterization
+    exp = (
+        pdf.groupby("k").x.apply(lambda s: s.ewm(span=5).mean())
+        .reset_index(level=0, drop=True).sort_index().to_numpy()
+    )
+    out = (
+        parallelize(sdf, order_by="idx").groupby("k").series("x")
+        .ewm(span=5).mean(output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
+    # com / halflife resolve to pandas' alphas
+    from pandarallel_spark.operators.window import resolve_ewm_alpha
+
+    assert resolve_ewm_alpha(com=3.0) == 0.25
+    assert abs(resolve_ewm_alpha(halflife=1.0) - 0.5) < 1e-15
+    with pytest.raises(ValueError, match="exactly one"):
+        resolve_ewm_alpha(com=1.0, span=2.0)
+    with pytest.raises(NotImplementedError, match="mean"):
+        parallelize(sdf, order_by="idx").series("x").ewm(alpha=0.5).parallel_apply("var")
