@@ -177,3 +177,27 @@ def test_strict_lazy_dim_inference(strict, tmp_path):
         cosine_pairs_q(vecs, threshold=0.5)
     # escape hatch named in the error: pass dim= explicitly
     cosine_pairs_q(vecs, threshold=0.5, dim=3)
+
+
+def test_strict_lazy_global_ewm(strict, tmp_path):
+    import numpy as np
+
+    from pandarallel_spark.operators.window import ewm_mean
+
+    pdf = pd.DataFrame(
+        {"idx": np.arange(300, dtype="int64"),
+         "x": np.random.default_rng(3).random(300)}
+    )
+    sdf = _parquet(strict, tmp_path, "ewm", pdf)
+    with pytest.raises(RuntimeError, match="strictLazy.*ewm"):
+        ewm_mean(sdf, "x", "idx", alpha=0.4)
+    # escape hatches named in the error: grouped path is fully lazy;
+    # single-partition path skips the build jobs
+    ewm_mean(sdf.withColumn("k", sdf.idx % 3), "x", "idx",
+             alpha=0.4, partition_by=["k"])
+    saved = strict.conf.get("spark.sql.shuffle.partitions")
+    try:
+        strict.conf.set("spark.sql.shuffle.partitions", "1")
+        ewm_mean(sdf, "x", "idx", alpha=0.4)
+    finally:
+        strict.conf.set("spark.sql.shuffle.partitions", saved)
