@@ -327,6 +327,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     query_bands: dict[str, list[float]] = {}
     for name in names:
+        # drop the PREVIOUS query's persisted intermediates (several
+        # dedup/similarity plans persist candidate sets): accumulated
+        # caches turn into old-gen GC debt that lands on whichever
+        # heavy query runs next — measured 30-50% run-over-run swings
+        # on dedup_minhash_lsh. Within a query's two draws caches stay,
+        # matching steady-state reuse.
+        spark.catalog.clearCache()
         draws = []
         for _ in range(2):
             spark.sparkContext._jvm.System.gc()
