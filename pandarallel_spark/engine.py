@@ -242,12 +242,14 @@ class ParallelExpanding:
     def parallel_apply(
         self, func: str | Callable, *, raw: bool = True,
         output_col: str | None = None, return_type: T.DataType | str = "double",
+        win_args: dict | None = None,
     ) -> DataFrame:
         df, order = self.series.frame._ordered()
         return _window.expanding_apply(
             df, self.series.col, func, order,
             partition_by=self.series.partition_by, min_periods=self.min_periods,
             raw=raw, output_col=output_col, return_type=return_type,
+            win_args=win_args,
         )
 
 

@@ -501,7 +501,7 @@ _BUILTIN_AGGS: dict[str, Callable[[Column], Column]] = {
 # everything servable as a JVM window aggregate, incl. the order
 # statistics and moment aggs that need composition (see _builtin_over)
 BUILTIN_WINDOW_FUNCS = frozenset(_BUILTIN_AGGS) | {
-    "median", "skew", "kurt", "quantile", "rank",
+    "median", "skew", "kurt", "quantile", "rank", "sem",
 }
 
 
@@ -560,6 +560,12 @@ def _builtin_over(func: str, v: Column, spec, args: dict | None = None) -> Colum
         if args.get("pct", False):
             rank = rank / F.size(arr)
         return F.when(cur.isNotNull(), rank)
+    if func == "sem":
+        # pandas rolling.sem (probed, 2.2): ALWAYS the sample std,
+        # divided by sqrt(nobs − ddof), ddof default 1
+        ddof = int(args.get("ddof", 1))
+        nobs = F.count(v).over(spec).cast("double")
+        return F.stddev_samp(v).over(spec) / F.sqrt(nobs - F.lit(float(ddof)))
     if func in ("skew", "kurt"):
         nobs = F.count(v).over(spec)
         n = nobs.cast("double")
@@ -1355,6 +1361,7 @@ def expanding_apply(
     raw: bool = True,
     output_col: str | None = None,
     return_type: T.DataType | str = "double",
+    win_args: dict | None = None,
 ) -> DataFrame:
     """Expanding (cumulative) window: unboundedPreceding → current row.
 
@@ -1383,7 +1390,7 @@ def expanding_apply(
         if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
             v = F.when(~F.isnan(v), v)
         nobs = F.count(v).over(spec)
-        agg = _builtin_over(func, v, spec)
+        agg = _builtin_over(func, v, spec, win_args)
         # count's gate counts frame ROWS (pandas counts NaN rows toward
         # min_periods there; NaN/NULL are one missing concept here)
         nrows = F.count(F.lit(1)).over(spec)

@@ -991,3 +991,35 @@ def test_ewm_mean_grouped_and_param_forms(spark):
         resolve_ewm_alpha(com=1.0, span=2.0)
     with pytest.raises(NotImplementedError, match="mean"):
         parallelize(sdf, order_by="idx").series("x").ewm(alpha=0.5).parallel_apply("var")
+
+
+def test_rolling_sem_and_expanding_order_stats_vs_pandas(spark):
+    """sem = sample std / sqrt(nobs - ddof) (probed pandas 2.2), and the
+    order-statistic builtins thread through expanding windows too."""
+    rng = np.random.default_rng(41)
+    n = 120
+    vals = rng.standard_normal(n)
+    vals[rng.integers(0, n, 14)] = np.nan
+    pdf = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "x": vals})
+    sdf = spark.createDataFrame(pdf).repartition(3)
+    base = parallelize(sdf, order_by="idx").series("x")
+    for ddof in (1, 0):
+        exp = pdf.x.rolling(5, min_periods=3).sem(ddof=ddof).to_numpy()
+        out = (
+            base.rolling(5, min_periods=3)
+            .parallel_apply("sem", win_args={"ddof": ddof}, output_col="r")
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True), ddof
+    for agg, kw, pkw in (
+        ("median", {}, {}),
+        ("quantile", {"win_args": {"q": 0.3}}, {"q": 0.3}),
+        ("sem", {}, {}),
+    ):
+        exp = getattr(pdf.x.expanding(2), agg)(**pkw).to_numpy()
+        out = (
+            base.expanding(2)
+            .parallel_apply(agg, output_col="r", **kw)
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True), agg
