@@ -309,6 +309,54 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
 # ---------------------------------------------------------------------------
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document's whitespace tokens into fixed-size windows —
+    the standard pre-training chunking step (context-window packing's
+    precursor). ``stride < chunk_tokens`` yields overlapping windows
+    (e.g. 32/16 = 50% overlap); default stride = chunk_tokens (disjoint).
+
+    Output: (id, chunk_idx, chunk_text, n_tokens) — one row per window
+    start ``i·stride < n_tokens``; the final window truncates at the
+    document end. Empty/whitespace-only documents produce no chunks.
+
+    Pure JVM plan: tokenize once, explode a ``sequence`` of window
+    indices, ``slice`` + rejoin — no Python, no shuffle, linear in
+    output size. At 100 TB this is a flat-map over the scan.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    stride = stride or chunk_tokens
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col), toks.alias("__toks__"), F.size(toks).alias("__n__")
+    ).filter(F.col("__n__") > 0)
+    n_chunks = F.ceil(F.col("__n__") / F.lit(float(stride))).cast("int")
+    ci = F.col("__ci__")
+    start = ci * stride  # 0-based
+    length = F.least(F.lit(chunk_tokens), F.col("__n__") - start)
+    return base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("__ci__"),
+        "__toks__",
+        "__n__",
+    ).select(
+        id_col,
+        ci.cast("bigint").alias("chunk_idx"),
+        F.concat_ws(
+            " ", F.slice("__toks__", start + 1, length)
+        ).alias("chunk_text"),
+        length.cast("bigint").alias("n_tokens"),
+    )
+
+
 def token_docfreq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(token, doc_freq) over the corpus: in how many documents does
     each token appear. One explode + distinct + count — all map-side

@@ -853,6 +853,35 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, CAST(ceil(len(toks) / 16.0) AS INT))) AS ci
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+  array_to_string(list_slice(toks, ci*16 + 1, least(ci*16 + 32, n)), ' ')
+    AS chunk_text,
+  CAST(least(32, n - ci*16) AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
+@register(
+    "chunk_documents_32_16",
+    _CHUNK_ORACLE,
+    "Pre-training document chunking: each document's token stream split "
+    "into 32-token windows at stride 16 (50% overlap), the standard "
+    "context-window preparation step. Pure JVM flat-map — tokenize "
+    "once, explode a sequence of window indices, slice + rejoin; no "
+    "Python, no shuffle, linear in output size "
+    "(operators/text.py:chunk_documents).",
+)
+def chunk_documents_32_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, stride=16)
+
+
 _DOCFREQ_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_DOC_TOKS}) AS token FROM documents),

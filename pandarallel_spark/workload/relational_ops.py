@@ -186,19 +186,10 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "count_distinct_parts_per_supplier",
-    """
-SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS l_partkey_distinct
-FROM lineitem GROUP BY l_suppkey
-""",
-    "Exact distinct count per key in two mergeable stages — duplicates "
-    "of a hot key collapse map-side before the shuffle (COUNT(DISTINCT) "
-    "skew pattern).",
-)
-def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return skew_safe_count_distinct(li, ["l_suppkey"], "l_partkey")
+# NOTE (r6): the standalone exact distinct-count row merged into
+# approx_distinct_parts_per_supplier, which now computes its exact
+# column VIA skew_safe_count_distinct — the two-stage skew-safe
+# operator keeps its graded exercise with one fewer registry slot.
 
 
 @register(
@@ -479,26 +470,27 @@ SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS l_partkey_distinct,
        TRUE AS approx_within_bound
 FROM lineitem GROUP BY l_suppkey
 """,
-    "HLL++ sketch twin of count_distinct_parts_per_supplier: fixed "
-    "per-key memory and one mergeable pass — the distinct-count any "
-    "100 TB pipeline actually runs. HLL estimates are engine-specific, "
-    "so the oracle checks the sketch's published error CONTRACT: the "
-    "output carries the exact distinct count plus approx_within_bound, "
-    "a Spark-side boolean that |approx − exact| ≤ max(5·rsd·exact, 2) "
-    "(rsd=0.01 → 5σ; HLL++ is deterministic per dataset, so the "
-    "boolean is hash-stable). DuckDB asserts the exact counts and "
-    "literal TRUE. The exact column is the verification harness; "
-    "production keeps only the sketch.",
+    "Exact + HLL++ distinct count per key in ONE graded row (r6 merge): "
+    "the exact column comes from skew_safe_count_distinct's two "
+    "mergeable stages (a hot key's duplicates collapse map-side before "
+    "the shuffle — the COUNT(DISTINCT) skew pattern), joined to the "
+    "HLL++ sketch any 100 TB pipeline actually runs. HLL estimates are "
+    "engine-specific, so the oracle checks the sketch's published "
+    "error CONTRACT: approx_within_bound asserts |approx − exact| ≤ "
+    "max(5·rsd·exact, 2) (rsd=0.01 → 5σ; HLL++ is deterministic per "
+    "dataset, so the boolean is hash-stable). DuckDB asserts the exact "
+    "counts and literal TRUE. The join runs on the already-aggregated "
+    "per-key frames (key-cardinality-sized, broadcastable).",
 )
 def approx_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_suppkey").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("__a__"),
-        F.count_distinct("l_partkey").alias("l_partkey_distinct"),
+    exact_df = skew_safe_count_distinct(li, ["l_suppkey"], "l_partkey")
+    approx_df = li.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("__a__")
     )
     exact = F.col("l_partkey_distinct")
     bound = F.greatest(F.ceil(exact * F.lit(5 * 0.01)), F.lit(2))
-    return agg.select(
+    return exact_df.join(approx_df, "l_suppkey").select(
         "l_suppkey",
         exact,
         (F.abs(F.col("__a__") - exact) <= bound).alias("approx_within_bound"),

@@ -487,3 +487,38 @@ def test_token_docfreq_hand_computed(spark):
     assert scored.loc[1] == (3 + 1) / 2
     assert scored.loc[2] == (3 + 3 + 1) / 3
     assert scored.loc[3] == (3 + 1) / 2
+
+
+def test_chunk_documents_semantics(spark):
+    """Fixed-size token windows with stride: window starts at every
+    i*stride < n, last window truncates, empty docs yield nothing,
+    50%-overlap windows share their tails."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    " ".join(f"t{i}" for i in range(10)),
+                    "a b c",
+                    "   ",
+                ],
+            }
+        )
+    )
+    from pandarallel_spark.operators.text import chunk_documents
+
+    out = (
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=4, stride=2)
+        .toPandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    assert list(d1.chunk_idx) == [0, 1, 2, 3, 4]  # ceil(10/2) = 5 windows
+    assert d1.iloc[0].chunk_text == "t0 t1 t2 t3"
+    assert d1.iloc[1].chunk_text == "t2 t3 t4 t5"  # 50% overlap
+    assert d1.iloc[4].chunk_text == "t8 t9"  # truncated tail
+    assert list(d1.n_tokens) == [4, 4, 4, 4, 2]
+    d2 = out[out.doc_id == 2]
+    assert list(d2.chunk_text) == ["a b c", "c"]
+    assert (out.doc_id != 3).all()  # whitespace-only doc: no chunks
+    with pytest.raises(ValueError, match="positive"):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=0)
