@@ -1023,3 +1023,33 @@ def test_rolling_sem_and_expanding_order_stats_vs_pandas(spark):
             .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
         )
         assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True), agg
+
+
+def test_new_ops_empty_input(spark):
+    """Empty frames through every operator added this round: right
+    schema, zero rows, no crash (classic breaker: sequence/explode/
+    collect on nothing)."""
+    import pandas as pd
+
+    from pandarallel_spark.operators.join import asof_join
+    from pandarallel_spark.operators.text import chunk_documents
+    from pandarallel_spark.operators.window import ewm_mean, time_rolling_agg
+
+    empty_ts = spark.createDataFrame([], "k bigint, ts timestamp, x double")
+    out = time_rolling_agg(
+        empty_ts, "x", "1h", "sum", "ts", partition_by=["k"], output_col="r"
+    )
+    assert out.count() == 0 and "r" in out.columns
+    out = ewm_mean(empty_ts, "x", "ts", alpha=0.5, partition_by=["k"])
+    assert out.count() == 0
+    # global ewm on an empty frame: quantile job sees no rows
+    out = ewm_mean(empty_ts.drop("k"), "x", "ts", alpha=0.5)
+    assert out.count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert chunk_documents(empty_docs, "doc_id", "text", 8, 4).count() == 0
+    left = spark.createDataFrame([], "t double, v double")
+    right = spark.createDataFrame(
+        pd.DataFrame({"t": [1.0], "px": [2.0]})
+    )
+    out = asof_join(left, right, on=None, left_ts="t", value_cols=["px"])
+    assert out.count() == 0
