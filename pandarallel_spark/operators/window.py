@@ -861,10 +861,16 @@ def time_rolling_agg(
     cnt = F.count(v).over(spec)
     agg = _builtin_over(func, v, spec, agg_args)
     output_col = output_col or f"{col}_rolling_{func}"
-    # minp=0 (count's default): an EMPTY frame is still NaN in pandas
-    # (left/neither frames can hold no rows at all), while a non-empty
-    # all-NaN frame counts 0 — gate on frame row count there
-    gate = cnt >= minp if minp > 0 else F.count(F.lit(1)).over(spec) >= 1
+    # count's gate counts frame ROWS including NaN (probed: explicit
+    # min_periods=1 over an all-NaN window is 0.0, not NaN — same rule
+    # as the positional builtin path), with an effective floor of 1 so
+    # the default minp=0 still maps empty frames (possible under
+    # left/neither) to NaN while non-empty all-NaN frames count 0
+    nrows = F.count(F.lit(1)).over(spec)
+    if func == "count":
+        gate = nrows >= max(minp, 1)
+    else:
+        gate = cnt >= minp if minp > 0 else nrows >= 1
     return df.withColumn(output_col, F.when(gate, agg))
 
 

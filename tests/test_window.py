@@ -723,6 +723,33 @@ def test_time_rolling_global_and_min_periods(spark):
     assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
 
 
+def test_time_rolling_count_gate_counts_nan_rows(spark):
+    """pandas time-offset rolling ``count`` gates min_periods on frame
+    ROWS including NaN (probed: explicit min_periods over an all-NaN
+    window returns 0.0, not NaN) — caught by the hypothesis sweep at
+    seed 0 and pinned here."""
+    ts = pd.to_datetime(
+        ["2022-03-01 00:00:00", "2022-03-01 00:01:00", "2022-03-01 00:20:00"]
+    )
+    pdf = pd.DataFrame({"i": [0, 1, 2], "ts": ts, "x": [np.nan, np.nan, 1.0]})
+    sdf = spark.createDataFrame(pdf)
+    for mp, exp in [
+        (1, [0.0, 0.0, 1.0]),
+        (2, [np.nan, 0.0, np.nan]),
+        (None, [0.0, 0.0, 1.0]),
+    ]:
+        out = (
+            parallelize(sdf, order_by="ts")
+            .series("x")
+            .rolling("7min", min_periods=mp)
+            .parallel_apply("count", output_col="r")
+            .toPandas()
+            .sort_values("i")["r"]
+            .to_numpy(dtype="float64")
+        )
+        assert np.allclose(out, exp, equal_nan=True), (mp, out.tolist())
+
+
 def test_time_rolling_grouped_udf_vs_pandas(spark):
     pdf = _ts_frame()
     exp_parts = []
