@@ -214,15 +214,22 @@ class ParallelEwm:
         self.kwargs = kwargs
 
     def parallel_apply(
-        self, func: str = "mean", *, output_col: str | None = None
+        self, func: str = "mean", *, bias: bool = False,
+        output_col: str | None = None,
     ) -> DataFrame:
+        df, order = self.series.frame._ordered()
+        if func in ("var", "std"):
+            # grouped: stock pandas per key (ewm_moment); global raises
+            # there — mean is the only distributed global ewm scan
+            return _window.ewm_moment(
+                df, self.series.col, order, func,
+                partition_by=self.series.partition_by,
+                bias=bias, output_col=output_col, **self.kwargs,
+            )
         if func != "mean":
             raise NotImplementedError(
-                f"ewm supports 'mean' (got {func!r}); var/std would need "
-                "a second (sum-of-squares) scan — use the grouped pandas "
-                "UDF path for them"
+                f"ewm supports mean/var/std, got {func!r}"
             )
-        df, order = self.series.frame._ordered()
         return _window.ewm_mean(
             df, self.series.col, order,
             partition_by=self.series.partition_by,
@@ -232,6 +239,14 @@ class ParallelEwm:
     def mean(self, *, output_col: str | None = None) -> DataFrame:
         """pandas-style alias for ``parallel_apply("mean")``."""
         return self.parallel_apply("mean", output_col=output_col)
+
+    def var(self, *, bias: bool = False, output_col: str | None = None) -> DataFrame:
+        """pandas-style alias for ``parallel_apply("var")`` (grouped only)."""
+        return self.parallel_apply("var", bias=bias, output_col=output_col)
+
+    def std(self, *, bias: bool = False, output_col: str | None = None) -> DataFrame:
+        """pandas-style alias for ``parallel_apply("std")`` (grouped only)."""
+        return self.parallel_apply("std", bias=bias, output_col=output_col)
 
 
 class ParallelExpanding:

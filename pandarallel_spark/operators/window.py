@@ -501,8 +501,58 @@ _BUILTIN_AGGS: dict[str, Callable[[Column], Column]] = {
 # everything servable as a JVM window aggregate, incl. the order
 # statistics and moment aggs that need composition (see _builtin_over)
 BUILTIN_WINDOW_FUNCS = frozenset(_BUILTIN_AGGS) | {
-    "median", "skew", "kurt", "quantile", "rank", "sem",
+    "median", "skew", "kurt", "quantile", "rank", "sem", "cov", "corr",
 }
+
+
+def _pairwise_over(
+    func: str, col: str, spec, min_periods: int, args: dict | None
+) -> Column:
+    """Two-column window moments: pandas ``rolling.cov(other, ddof)`` /
+    ``rolling.corr(other)`` over any frame (rows, range, expanding).
+
+    pandas semantics, probed on 2.2: observations are PAIRWISE-complete
+    (a row counts only when BOTH columns are non-null non-NaN — the
+    min_periods gate counts pairs, not either column alone); cov is
+    (Σxy − Σx·Σy/n)/(n − ddof), NaN when n ≤ ddof (so min_periods=1
+    with the default ddof=1 still yields NaN on single-pair windows,
+    and ddof=0 yields exactly 0.0 there); corr is the sample
+    correlation, NaN when either window variance is zero (constant
+    stretch) — the variance terms are clamped ≥ 0 so FP cancellation on
+    near-constant windows degrades to pandas' NaN rather than
+    sqrt(negative). All JVM expressions, whole-stage codegen'd; scale
+    mirrors the single-column builtins (grouped → one shuffle on the
+    key; global → total-order window).
+    """
+    args = args or {}
+    if "other" not in args:
+        raise ValueError(
+            f"rolling {func} needs the other column in win_args, e.g. "
+            f'parallel_apply("{func}", win_args={{"other": "y"}})'
+        )
+    x = F.col(col).cast("double")
+    y = F.col(str(args["other"])).cast("double")
+    valid = x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
+    xv, yv = F.when(valid, x), F.when(valid, y)
+    n = F.count(xv).over(spec).cast("double")
+    sx, sy = F.sum(xv).over(spec), F.sum(yv).over(spec)
+    sxy = F.sum(xv * yv).over(spec)
+    minp = F.lit(float(max(min_periods, 1)))
+    # try_divide: NULL on a zero divisor (pandas NaN) — plain `/`
+    # throws DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    if func == "cov":
+        ddof = float(int(args.get("ddof", 1)))
+        return F.when(
+            (n >= minp) & (n > F.lit(ddof)),
+            F.try_divide(sxy - F.try_divide(sx * sy, n), n - F.lit(ddof)),
+        )
+    sxx, syy = F.sum(xv * xv).over(spec), F.sum(yv * yv).over(spec)
+    vx = F.greatest(n * sxx - sx * sx, F.lit(0.0))
+    vy = F.greatest(n * syy - sy * sy, F.lit(0.0))
+    # den == 0 (zero variance, or n < 2) divides to NULL → pandas NaN
+    return F.when(
+        n >= minp, F.try_divide(n * sxy - sx * sy, F.sqrt(vx) * F.sqrt(vy))
+    )
 
 
 def _builtin_over(func: str, v: Column, spec, args: dict | None = None) -> Column:
@@ -716,6 +766,11 @@ def rolling_apply(
     cnt = F.count(F.col(col)).over(spec)
 
     if isinstance(func, str):
+        if func in ("cov", "corr"):
+            # two-column moments carry their own pairwise-complete gate
+            return df.withColumn(
+                output_col, _pairwise_over(func, col, spec, min_periods, win_args)
+            )
         # pandas NaN semantics (probed, pandas 2.2): the aggregate SKIPS
         # NaN (a NaN in frame must not poison a Spark SUM/AVG), the
         # min_periods gate counts NON-NaN observations — except count,
@@ -855,6 +910,13 @@ def time_rolling_agg(
     }[closed]
     w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
     spec = w.orderBy(t_us).rangeBetween(lo, hi)
+    if func in ("cov", "corr"):
+        # two-column moments carry their own pairwise-complete gate
+        # (offset-window min_periods default 1, like the other aggs)
+        return df.withColumn(
+            output_col or f"{col}_rolling_{func}",
+            _pairwise_over(func, col, spec, max(minp, 1), agg_args),
+        )
     v = F.col(col)
     if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
         v = F.when(~F.isnan(v), v)  # pandas skips NaN; Spark sums poison
@@ -1390,6 +1452,11 @@ def expanding_apply(
     cnt = F.count(F.col(col)).over(spec)
 
     if isinstance(func, str):
+        if func in ("cov", "corr"):
+            # two-column moments carry their own pairwise-complete gate
+            return df.withColumn(
+                output_col, _pairwise_over(func, col, spec, min_periods, win_args)
+            )
         # same pandas NaN semantics as the rolling builtin path: skip
         # NaN in the aggregate, gate non-count aggs on non-NaN obs
         v = F.col(col)
@@ -1559,6 +1626,53 @@ def _ewm_bucket_summary(
     return d
 
 
+def ewm_moment(
+    df: DataFrame,
+    col: str,
+    order_by: str | Column,
+    func: str,
+    *,
+    partition_by: Sequence[str] = (),
+    com: float | None = None,
+    span: float | None = None,
+    halflife: float | None = None,
+    alpha: float | None = None,
+    adjust: bool = True,
+    ignore_na: bool = False,
+    min_periods: int = 0,
+    bias: bool = False,
+    output_col: str | None = None,
+) -> DataFrame:
+    """pandas ``s.ewm(...).var()`` / ``.std()`` (``bias=False`` sample
+    default), GROUPED only: stock pandas inside each group — bit-exact
+    reference semantics, one shuffle on the key, fully parallel. The
+    global form would need a second (squared-sum) bucket-carried scan
+    on top of ewm_mean's seed chain and is not implemented — grouped
+    covers the pandarallel-shaped call, and global ewm mean has the
+    distributed path.
+    """
+    if func not in ("var", "std"):
+        raise ValueError(f"ewm_moment supports var/std, got {func!r}")
+    if not partition_by:
+        raise NotImplementedError(
+            "global (ungrouped) ewm var/std is not implemented — add a "
+            "partition key (grouped runs stock pandas per group), or use "
+            "ewm mean for the distributed global scan"
+        )
+    a = resolve_ewm_alpha(com, span, halflife, alpha)
+    output_col = output_col or f"{col}_ewm_{func}"
+    return _grouped_pandas_window(
+        df, col, [order_by if isinstance(order_by, str) else order_by],
+        partition_by, output_col, "double",
+        lambda s: getattr(
+            s.ewm(alpha=a, adjust=adjust, ignore_na=ignore_na,
+                  min_periods=min_periods),
+            func,
+        )(bias=bias),
+    )
+
+
+
 def ewm_mean(
     df: DataFrame,
     col: str,
@@ -1602,6 +1716,7 @@ def ewm_mean(
     order-key values make the within-tie scan order arbitrary (same
     caveat as pandas on an unsorted index).
     """
+
     a = resolve_ewm_alpha(com, span, halflife, alpha)
     output_col = output_col or f"{col}_ewm_mean"
 

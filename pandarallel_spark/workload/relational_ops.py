@@ -24,65 +24,61 @@ _TS_US = "date_trunc('microseconds', {})"
 
 
 @register(
-    "asof_last_purchase_before_click",
-    f"""
-WITH c AS (SELECT event_id, user_id, {_TS_US.format('ts')} AS ts
-           FROM events WHERE event_type = 'click'),
-p AS (SELECT user_id, {_TS_US.format('ts')} AS ts,
-             CAST(round(value*100) AS BIGINT) AS cents
-      FROM events WHERE event_type = 'purchase')
-SELECT c.event_id, c.user_id, c.ts,
-       p.ts AS ts_asof, p.cents AS cents_asof
-FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
-""",
-    "As-of (point-in-time) join: latest purchase at-or-before each click "
-    "per user — union + keyed last(ignorenulls) window, one shuffle, no "
-    "range explosion. The reference has no joins at all; pandas users "
-    "know this as merge_asof.",
-)
-def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
-    )
-    return asof_join(
-        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
-        value_cols=["cents"],
-    ).select("event_id", "user_id", "ts", "ts_asof", "cents_asof")
-
-
-@register(
-    "asof_next_purchase_after_click",
+    "asof_purchases_around_click",
     f"""
 WITH c AS (SELECT event_id, user_id, {_TS_US.format('ts')} AS ts
            FROM events WHERE event_type = 'click'),
 p AS (SELECT user_id, {_TS_US.format('ts')} AS ts,
              CAST(round(value*100) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase'),
-j AS (SELECT c.event_id, c.user_id, c.ts, p.ts AS mts, p.cents AS mcents
+b AS (SELECT c.event_id, c.user_id, c.ts,
+             p.ts AS ts_before, p.cents AS cents_before
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+f AS (SELECT c.event_id, p.ts AS mts, p.cents AS mcents
       FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
-SELECT event_id, user_id, ts,
-  CASE WHEN mts <= ts + INTERVAL 1 HOUR THEN mts END AS ts_asof,
-  CASE WHEN mts <= ts + INTERVAL 1 HOUR THEN mcents END AS cents_asof
-FROM j
+SELECT b.event_id, b.user_id, b.ts, b.ts_before, b.cents_before,
+  CASE WHEN f.mts <= b.ts + INTERVAL 1 HOUR THEN f.mts END AS ts_after,
+  CASE WHEN f.mts <= b.ts + INTERVAL 1 HOUR THEN f.mcents END AS cents_after
+FROM b JOIN f ON b.event_id = f.event_id
 """,
-    "Forward as-of join with tolerance: the EARLIEST purchase at-or-"
-    "after each click per user, nulled beyond 1 hour — merge_asof "
-    "direction='forward' semantics via the same union + keyed "
-    "first(ignorenulls) window (one shuffle, no range explosion).",
+    "Keyed as-of (point-in-time) join, BOTH directions in one row per "
+    "click: the latest purchase at-or-before (merge_asof backward, no "
+    "tolerance) and the earliest at-or-after nulled beyond 1 hour "
+    "(direction='forward' + tolerance) — each a union + keyed "
+    "last/first(ignorenulls) window, one shuffle, no range explosion. "
+    "The reference has no joins at all. (Merged from the r5 rows "
+    "asof_last_purchase_before_click + asof_next_purchase_after_click "
+    "to free a graded-registry slot; both operator paths still run.)",
 )
-def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+def asof_purchases_around_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    return asof_join(
+    back = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["cents"],
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("ts_asof").alias("ts_before"),
+        F.col("cents_asof").alias("cents_before"),
+    )
+    fwd = asof_join(
         clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
         value_cols=["cents"], direction="forward",
         tolerance=F.expr("INTERVAL 1 HOUR"),
-    ).select("event_id", "user_id", "ts", "ts_asof", "cents_asof")
+    ).select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("ts_asof").alias("ts_after"),
+        F.col("cents_asof").alias("cents_after"),
+    )
+    return back.join(
+        fwd, back.event_id == fwd.f_event_id, "inner"
+    ).select(
+        "event_id", "user_id", "ts",
+        "ts_before", "cents_before", "ts_after", "cents_after",
+    )
 
 
 @register(
@@ -495,3 +491,74 @@ def approx_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> Data
         exact,
         (F.abs(F.col("__a__") - exact) <= bound).alias("approx_within_bound"),
     )
+
+
+@register(
+    "rolling_corr_qty_price",
+    """
+WITH t AS (SELECT l_suppkey,
+                  lpad(CAST(l_orderkey AS VARCHAR), 7, '0')
+                  || CAST(l_linenumber AS VARCHAR)
+                  || lpad(CAST(l_partkey AS VARCHAR), 6, '0')
+                  || lpad(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), 2, '0')
+                  || lpad(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               AS VARCHAR), 8, '0') AS idx,
+                  CAST(l_quantity AS DOUBLE) AS x,
+                  CAST(round(l_extendedprice * 100) AS DOUBLE) AS y
+           FROM lineitem),
+w AS (SELECT l_suppkey, idx,
+             CAST(COUNT(*) OVER win AS DOUBLE) AS n,
+             SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+             SUM(x * y) OVER win AS sxy,
+             SUM(x * x) OVER win AS sxx, SUM(y * y) OVER win AS syy
+      FROM t
+      WINDOW win AS (PARTITION BY l_suppkey ORDER BY idx
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+SELECT l_suppkey, idx,
+       CASE WHEN n >= 3 THEN
+         (n * sxy - sx * sy)
+         / NULLIF(sqrt(greatest(n * sxx - sx * sx, 0.0))
+                  * sqrt(greatest(n * syy - sy * sy, 0.0)), 0.0)
+       END AS corr_qty_price
+FROM w
+""",
+    "Grouped rolling correlation (pandas rolling.corr(other)) between "
+    "quantity and price cents per supplier — the two-column window "
+    "moment path (operators/window.py _pairwise_over): pairwise-"
+    "complete observations, min_periods gate on pair count, NULL on "
+    "zero-variance windows. Pure JVM window expressions partitioned by "
+    "the group key (one shuffle, whole-stage codegen — the 100 TB "
+    "shape). Hash-exact vs the oracle because every window sum is "
+    "exact integer arithmetic in double (cents ≤ 1.05e7 keeps all "
+    "moments under 2^53) and BOTH engines evaluate the same explicit "
+    "two-moment formula — DuckDB's own corr() aggregate uses a "
+    "different update order and would differ in the last ulp. The "
+    "order key is a zero-padded composite string (orderkey, "
+    "linenumber, partkey, qty, cents) because (l_orderkey, "
+    "l_linenumber) is NOT unique in this synthetic data — both "
+    "engines sort strings bytewise, so frames are identical.",
+)
+def rolling_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark import parallelize
+
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.concat(
+            F.lpad(F.col("l_orderkey").cast("string"), 7, "0"),
+            F.col("l_linenumber").cast("string"),
+            F.lpad(F.col("l_partkey").cast("string"), 6, "0"),
+            F.lpad(F.col("l_quantity").cast("long").cast("string"), 2, "0"),
+            F.lpad(cents.cast("string"), 8, "0"),
+        ).alias("idx"),
+        F.col("l_quantity").cast("double").alias("x"),
+        cents.cast("double").alias("y"),
+    )
+    out = (
+        parallelize(li, order_by="idx")
+        .groupby("l_suppkey")
+        .series("x")
+        .rolling(5, min_periods=3)
+        .parallel_apply("corr", win_args={"other": "y"}, output_col="corr_qty_price")
+    )
+    return out.select("l_suppkey", "idx", "corr_qty_price")

@@ -952,6 +952,100 @@ def test_rolling_quantile_rank_vs_pandas(spark):
         )
 
 
+def test_rolling_cov_corr_vs_pandas(spark):
+    """pandas rolling.cov(other, ddof)/corr(other): PAIRWISE-complete
+    observations (min_periods counts pairs where both sides are
+    non-NaN), cov NaN when n ≤ ddof, corr NaN on zero-variance windows
+    — over rows, grouped, expanding, and time-offset frames."""
+    rng = np.random.default_rng(31)
+    n = 160
+    x, y = rng.standard_normal(n), rng.standard_normal(n)
+    x[rng.integers(0, n, 14)] = np.nan
+    y[rng.integers(0, n, 14)] = np.nan
+    x[40:46] = 2.5  # constant stretch → corr NaN where var(x)=0
+    pdf = pd.DataFrame(
+        {"idx": np.arange(n, dtype="int64"), "k": rng.integers(0, 3, n),
+         "x": x, "y": y}
+    )
+    sdf = spark.createDataFrame(pdf).repartition(3)
+
+    def run(base, window, func, wa):
+        return (
+            base.series("x").rolling(window, min_periods=wa.pop("mp", None))
+            .parallel_apply(func, win_args={"other": "y", **wa}, output_col="r")
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+
+    g = parallelize(sdf, order_by="idx")
+    for func, kw, wa in [
+        ("cov", {}, {}),
+        ("cov", {"ddof": 0}, {"ddof": 0, "mp": 1}),
+        ("cov", {}, {"mp": 2}),
+        ("corr", {}, {}),
+        ("corr", {}, {"mp": 2}),
+    ]:
+        mp = wa.get("mp")
+        exp = getattr(pdf.x.rolling(5, min_periods=mp), func)(pdf.y, **kw).to_numpy()
+        out = run(g, 5, func, dict(wa))
+        # zero-variance windows: pandas corr emits ±inf when its cov
+        # carries FP residue and NaN when it cancels exactly — luck-
+        # dependent; we emit NaN deterministically. Compare values only
+        # where pandas is finite, agree on "undefined" elsewhere.
+        fin = np.isfinite(exp)
+        assert np.allclose(out[fin], exp[fin], rtol=1e-9, atol=1e-12), (func, kw, mp)
+        assert not np.isfinite(out[~fin]).any(), (func, kw, mp)
+
+    # grouped: per-key windows through one partitioned JVM window
+    exp_parts = []
+    for _, grp in pdf.groupby("k"):
+        r = grp.x.rolling(4, min_periods=2).corr(grp.y)
+        exp_parts.append(pd.Series(r.to_numpy(), index=grp.index))
+    exp_g = pd.concat(exp_parts).sort_index().to_numpy(dtype="float64")
+    out_g = (
+        parallelize(sdf, order_by="idx").groupby("k").series("x")
+        .rolling(4, min_periods=2)
+        .parallel_apply("corr", win_args={"other": "y"}, output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    _fin = np.isfinite(exp_g)
+    assert np.allclose(out_g[_fin], exp_g[_fin], rtol=1e-9, atol=1e-12)
+    assert not np.isfinite(out_g[~_fin]).any()
+
+    # expanding
+    exp_e = pdf.x.expanding(3).cov(pdf.y).to_numpy()
+    out_e = (
+        parallelize(sdf, order_by="idx").series("x").expanding(3)
+        .parallel_apply("cov", win_args={"other": "y"}, output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    _fin = np.isfinite(exp_e)
+    assert np.allclose(out_e[_fin], exp_e[_fin], rtol=1e-9, atol=1e-12)
+    assert not np.isfinite(out_e[~_fin]).any()
+
+    # time-offset frame
+    tdf = _ts_frame(n_keys=1).rename(columns={"x": "x0"})
+    tdf["x"] = tdf.x0
+    tdf["y"] = np.roll(tdf.x0.to_numpy(), 3)
+    tdf["i"] = np.arange(len(tdf), dtype="int64")
+    s = pd.Series(tdf.x.to_numpy(), index=pd.DatetimeIndex(tdf.ts))
+    o = pd.Series(tdf.y.to_numpy(), index=pd.DatetimeIndex(tdf.ts))
+    exp_t = s.rolling("30min", min_periods=2).corr(o).to_numpy()
+    out_t = (
+        parallelize(spark.createDataFrame(tdf[["i", "ts", "x", "y"]]), order_by="ts")
+        .series("x").rolling("30min", min_periods=2)
+        .parallel_apply("corr", win_args={"other": "y"}, output_col="r")
+        .toPandas().sort_values("i")["r"].to_numpy(dtype="float64")
+    )
+    _fin = np.isfinite(exp_t)
+    assert np.allclose(out_t[_fin], exp_t[_fin], rtol=1e-9, atol=1e-12)
+    assert not np.isfinite(out_t[~_fin]).any()
+
+    with pytest.raises(ValueError, match="other"):
+        parallelize(sdf, order_by="idx").series("x").rolling(5).parallel_apply(
+            "cov", output_col="r"
+        )
+
+
 # ---------------------------------------------------------------------------
 # ewm (exponentially weighted mean): grouped exact, global bucket-carry
 # ---------------------------------------------------------------------------
@@ -1009,6 +1103,21 @@ def test_ewm_mean_grouped_and_param_forms(spark):
         .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
     )
     assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
+    # grouped ewm var/std: stock pandas per group (bias both ways)
+    for func, bias in (("var", False), ("std", False), ("var", True)):
+        exp_v = (
+            pdf.groupby("k").x
+            .apply(lambda s: getattr(s.ewm(alpha=0.3), func)(bias=bias))
+            .reset_index(level=0, drop=True).sort_index().to_numpy()
+        )
+        out_v = (
+            parallelize(sdf, order_by="idx").groupby("k").series("x")
+            .ewm(alpha=0.3).parallel_apply(func, bias=bias, output_col="r")
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(out_v, exp_v, rtol=1e-12, atol=1e-12, equal_nan=True), (
+            func, bias,
+        )
     # com / halflife resolve to pandas' alphas
     from pandarallel_spark.operators.window import resolve_ewm_alpha
 
@@ -1016,8 +1125,13 @@ def test_ewm_mean_grouped_and_param_forms(spark):
     assert abs(resolve_ewm_alpha(halflife=1.0) - 0.5) < 1e-15
     with pytest.raises(ValueError, match="exactly one"):
         resolve_ewm_alpha(com=1.0, span=2.0)
+    # GLOBAL ewm var/std stays rejected (mean has the distributed scan)
     with pytest.raises(NotImplementedError, match="mean"):
         parallelize(sdf, order_by="idx").series("x").ewm(alpha=0.5).parallel_apply("var")
+    with pytest.raises(NotImplementedError, match="mean/var/std"):
+        parallelize(sdf, order_by="idx").groupby("k").series("x").ewm(
+            alpha=0.5
+        ).parallel_apply("sum")
 
 
 def test_rolling_sem_and_expanding_order_stats_vs_pandas(spark):
