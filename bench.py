@@ -44,6 +44,7 @@ HEADLINE = [
     "join_revenue_per_nation",
     "events_windows_tumbling_sliding",
     "global_asof_purchase_before_click",
+    "rolling_corr_qty_price",
     "events_sessionize_30m",
     "time_rolling_purchase_cents_1h",
     "text_bpe_tokens",

@@ -31,6 +31,22 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from pandarallel_spark.operators import apply as _apply
+
+
+def _bind_udf_args(func, args: tuple, kwargs: dict | None):
+    """Close extra UDF arguments over a window callable, pandas
+    ``rolling.apply(func, args=, kwargs=)`` style. Builtin agg NAMES
+    take ``win_args`` instead — extra args on a string are a user
+    error worth raising on, not silently dropping."""
+    if not args and not kwargs:
+        return func
+    if not callable(func):
+        raise TypeError(
+            "args/kwargs bind to callable funcs; builtin aggregate names "
+            "take their parameters via win_args (e.g. win_args={'q': 0.5})"
+        )
+    base, kw = func, kwargs or {}
+    return lambda w: base(w, *args, **kw)
 from pandarallel_spark.operators import groupby as _groupby
 from pandarallel_spark.operators import series as _series
 from pandarallel_spark.operators import window as _window
@@ -190,13 +206,19 @@ class ParallelRolling:
 
     def parallel_apply(
         self, func: str | Callable, *, raw: bool = True,
+        args: tuple = (),
         index_col: str | None = None,
         output_col: str | None = None, return_type: T.DataType | str = "double",
         vectorize: bool = True,
         win_args: dict | None = None,
+        **kwargs: Any,
     ) -> DataFrame:
         # win_args: shape kwargs for win_type windows (pandas passes them
-        # to the agg call, e.g. rolling(win_type="gaussian").mean(std=2))
+        # to the agg call, e.g. rolling(win_type="gaussian").mean(std=2));
+        # args/kwargs: extra UDF arguments, pandas rolling.apply(func,
+        # args=, kwargs=) — the reference forwards them through its
+        # worker call (data_types/series_rolling.py:34-44)
+        func = _bind_udf_args(func, args, kwargs)
         df, order = self.series.frame._ordered()
         return _window.rolling_apply(
             df, self.series.col, self.window, func, order,
@@ -256,9 +278,12 @@ class ParallelExpanding:
 
     def parallel_apply(
         self, func: str | Callable, *, raw: bool = True,
+        args: tuple = (),
         output_col: str | None = None, return_type: T.DataType | str = "double",
         win_args: dict | None = None,
+        **kwargs: Any,
     ) -> DataFrame:
+        func = _bind_udf_args(func, args, kwargs)
         df, order = self.series.frame._ordered()
         return _window.expanding_apply(
             df, self.series.col, func, order,

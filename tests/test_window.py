@@ -952,6 +952,35 @@ def test_rolling_quantile_rank_vs_pandas(spark):
         )
 
 
+def test_rolling_expanding_udf_args_kwargs(spark):
+    """pandas rolling/expanding.apply(func, args=, kwargs=) threading —
+    the reference forwards extra UDF arguments through its worker call
+    (data_types/series_rolling.py:34-44); builtin names reject them."""
+    rng = np.random.default_rng(53)
+    n = 80
+    pdf = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "x": rng.standard_normal(n)})
+    sdf = spark.createDataFrame(pdf).repartition(3)
+    f = lambda w, m, c=0.0: float(np.sum(w)) * m + c  # noqa: E731
+    exp = pdf.x.rolling(4, min_periods=2).apply(f, raw=True, args=(2.0,), kwargs={"c": 1.5}).to_numpy()
+    out = (
+        parallelize(sdf, order_by="idx").series("x").rolling(4, min_periods=2)
+        .parallel_apply(f, raw=True, args=(2.0,), c=1.5, output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+    exp_e = pdf.x.expanding(2).apply(f, raw=True, args=(3.0,)).to_numpy()
+    out_e = (
+        parallelize(sdf, order_by="idx").series("x").expanding(2)
+        .parallel_apply(f, raw=True, args=(3.0,), output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out_e, exp_e, rtol=1e-9, atol=1e-12, equal_nan=True)
+    with pytest.raises(TypeError, match="win_args"):
+        parallelize(sdf, order_by="idx").series("x").rolling(4).parallel_apply(
+            "sum", args=(1,), output_col="r"
+        )
+
+
 def test_rolling_cov_corr_vs_pandas(spark):
     """pandas rolling.cov(other, ddof)/corr(other): PAIRWISE-complete
     observations (min_periods counts pairs where both sides are
