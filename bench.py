@@ -111,7 +111,9 @@ def _ratio_workloads() -> dict:
     # group. 16M rows: the Spark side carries ~3s of fixed shuffle/Arrow
     # cost, so smaller sizes understate the ratio (8M measured 1.98×
     # vs 2.6-2.7× here) — the pandas side's ~16s/draw is the price of
-    # measuring the operator, not its overhead.
+    # measuring the operator, not its overhead. Two consecutive clean
+    # full-bench runs at this size measured 2.99× and 2.30× (r6),
+    # both clear of the ≥2.0× bar.
     @workload("groupby_apply_vs_pandas")
     def w_groupby(spark_input):
         rng = np.random.default_rng(2)

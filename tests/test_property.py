@@ -420,3 +420,62 @@ def test_ewm_mean_property_matches_pandas(spark, seed, alpha, adjust, ignore_na)
         .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
     )
     assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    func=st.sampled_from(["cov", "corr"]),
+    window=st.sampled_from([2, 4, 7]),
+    mp=st.sampled_from([None, 1, 3]),
+    ddof=st.sampled_from([0, 1]),
+    grouped=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_rolling_cov_corr_property_matches_pandas(
+    spark, seed, func, window, mp, ddof, grouped
+):
+    """Random two-column windows (NaN holes on both sides, constant
+    stretches) must match pandas rolling.cov/corr wherever pandas is
+    finite, and agree on "undefined" (we emit NaN where pandas' FP luck
+    picks NaN or ±inf on zero-variance windows)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 100))
+    x, y = rng.standard_normal(n), rng.standard_normal(n)
+    x[rng.integers(0, n, max(1, n // 6))] = np.nan
+    y[rng.integers(0, n, max(1, n // 6))] = np.nan
+    if n > 10:  # constant stretch → zero-variance windows
+        i = int(rng.integers(0, n - 5))
+        x[i : i + 5] = 1.25
+    keys = rng.integers(0, 3, n) if grouped else np.zeros(n, dtype="int64")
+    pdf = pd.DataFrame(
+        {"i": np.arange(n, dtype="int64"), "k": keys, "x": x, "y": y}
+    )
+    if mp is not None:
+        mp = min(mp, window)  # pandas rejects min_periods > window
+    kw = {"ddof": ddof} if func == "cov" else {}
+    exp_parts = []
+    for _, g in pdf.groupby("k"):
+        r = getattr(g.x.rolling(window, min_periods=mp), func)(g.y, **kw)
+        exp_parts.append(pd.Series(r.to_numpy(), index=g.index))
+    exp = pd.concat(exp_parts).sort_index().to_numpy(dtype="float64")
+
+    base = parallelize(spark.createDataFrame(pdf).repartition(3), order_by="i")
+    if grouped:
+        base = base.groupby("k")
+    wa = {"other": "y", **({"ddof": ddof} if func == "cov" else {})}
+    got = (
+        base.series("x")
+        .rolling(window, min_periods=mp)
+        .parallel_apply(func, win_args=wa, output_col="r")
+        .toPandas()
+        .sort_values("i")["r"]
+        .to_numpy(dtype="float64")
+    )
+    fin = np.isfinite(exp)
+    # atol floor 1e-8: near-degenerate windows (within-window spread
+    # ~1e-4 of the magnitude) hit catastrophic cancellation in BOTH
+    # engines — pandas' Welford form itself emits impossible values
+    # like -1.0000000066 there — so sub-1e-8 disagreement is shared FP
+    # noise, not a semantic difference.
+    assert np.allclose(got[fin], exp[fin], rtol=1e-6, atol=1e-8)
+    assert not np.isfinite(got[~fin]).any()
