@@ -771,6 +771,20 @@ def rolling_apply(
             return df.withColumn(
                 output_col, _pairwise_over(func, col, spec, min_periods, win_args)
             )
+        if not partition_by:
+            # GLOBAL builtin: not a single-partition total-order window —
+            # ride the range-bucket + boundary-context machinery as a
+            # bucket-partitioned JVM window (falls back below when the
+            # shape doesn't qualify: multi-column order, one shuffle
+            # partition, non-orderable key)
+            halo = _halo_rolling(
+                df, col, order_by, output_col, "double",
+                window=window, min_periods=min_periods, center=center,
+                closed=closed, func=func, raw=True, vectorize=False,
+                win_args=win_args,
+            )
+            if halo is not None:
+                return halo
         # pandas NaN semantics (probed, pandas 2.2): the aggregate SKIPS
         # NaN (a NaN in frame must not poison a Spark SUM/AVG), the
         # min_periods gate counts NON-NaN observations — except count,
@@ -1009,11 +1023,12 @@ def _halo_rolling(
     window: int,
     min_periods: int,
     center: bool,
-    func: Callable,
+    func: Callable | str,
     raw: bool,
     vectorize: bool = True,
     closed: str | None = None,
     index_col: str | None = None,
+    win_args: dict | None = None,
 ) -> DataFrame | None:
     """Parallel global rolling: literal range buckets + boundary fixup.
 
@@ -1095,6 +1110,11 @@ def _halo_rolling(
             s, window, min_periods, center, func, raw, vectorize, closed
         ).to_numpy()
 
+    if isinstance(func, str) and n_parts <= 1:
+        # builtin agg with one shuffle partition: the caller's plain
+        # unpartitioned window IS the right plan — no halo machinery
+        return None
+
     if n_parts <= 1:
         # one partition sees the total order — no halo machinery. The
         # NULL/NaN order-key contract still holds (the multi-partition
@@ -1147,6 +1167,17 @@ def _halo_rolling(
 
     memo = _HALO_MEMO.get(plan_key) if plan_key is not None else None
     if memo is None:
+        if isinstance(func, str):
+            # builtin aggs have a correct zero-build-job fallback (the
+            # caller's single-partition window) — under strictLazy take
+            # it instead of raising, trading parallelism for laziness
+            from pandarallel_spark.operators._memo import STRICT_LAZY_CONF
+
+            try:
+                if str(spark.conf.get(STRICT_LAZY_CONF, "false")).lower() == "true":
+                    return None
+            except Exception:  # noqa: BLE001 — unreadable conf: not strict
+                pass
         eager_build_guard(
             spark,
             "global-rolling bucket boundaries + boundary context (3 bounded jobs)",
@@ -1250,6 +1281,58 @@ def _halo_rolling(
     # ---- EXECUTE
     bucketed = df.withColumn("__bkt__", bucket_expr.cast("int"))
 
+    def _with_ctx(data: DataFrame) -> DataFrame:
+        """Union the boundary-context rows in as tagged extra rows so
+        frames reach across bucket boundaries (they filter back out
+        after the window). The context DataFrame is memoized alongside
+        the plan fragments: re-building the same rolling otherwise pays
+        a driver-side createDataFrame (~0.15 s at 128 buckets) per
+        build."""
+        if ctx_union is None:
+            return data
+        ctx_sdf = memo.get("ctx_sdf")
+        if ctx_sdf is None:
+            ctx_sdf = (
+                spark.createDataFrame(ctx_union)
+                .withColumn(ord_col, F.col(ord_col).cast(ord_type))
+                .withColumn(col, F.col(col).cast(df.schema[col].dataType))
+                .withColumn("__bkt__", F.col("__bkt__").cast("int"))
+                .withColumn("__ctx__", F.lit(True))
+            )
+            memo["ctx_sdf"] = ctx_sdf
+        return data.unionByName(ctx_sdf, allowMissingColumns=True)
+
+    if isinstance(func, str):
+        # builtin agg: the single-partition total-order window becomes a
+        # bucket-partitioned JVM window — same agg/gate expressions as
+        # the unpartitioned form (pandas NaN-skip, count's row gate),
+        # frames completed across boundaries by the context rows. One
+        # shuffle on the bucket id, whole-stage codegen, no Python.
+        data = _with_ctx(bucketed.withColumn("__ctx__", F.lit(False)))
+        spec = (
+            Window.partitionBy("__bkt__")
+            .orderBy(F.col(ord_col))
+            .rowsBetween(lo, hi)
+        )
+        v = F.col(col)
+        if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
+            v = F.when(~F.isnan(v), v)
+        nobs = F.count(v).over(spec)
+        agg = _builtin_over(func, v, spec, win_args)
+        nrows = F.count(F.lit(1)).over(spec)
+        gate = (nrows if func == "count" else nobs) >= min_periods
+        keep = (
+            df.columns
+            if output_col in df.columns  # withColumn-replace semantics
+            else [*df.columns, output_col]
+        )
+        return (
+            data.repartition(n_parts, F.col("__bkt__"))
+            .withColumn(output_col, F.when(gate, agg))
+            .filter(~F.col("__ctx__"))
+            .select(*keep)
+        )
+
     # JVM path first: slot-arithmetic UDFs become a bucketed window
     # expression — context rows union in as tagged extra rows so frames
     # reach across bucket boundaries, then drop back out. No Python
@@ -1294,23 +1377,7 @@ def _halo_rolling(
             if sym_key is not None:
                 memo_put(_SYM_MEMO, sym_key, sym)
         if sym is not None:
-            data = bucketed.withColumn("__ctx__", F.lit(False))
-            if ctx_union is not None:
-                # the context DataFrame is memoized alongside the plan
-                # fragments: re-building the same rolling otherwise pays
-                # a driver-side createDataFrame (~0.15 s at 128 buckets)
-                # per build
-                ctx_sdf = memo.get("ctx_sdf")
-                if ctx_sdf is None:
-                    ctx_sdf = (
-                        spark.createDataFrame(ctx_union)
-                        .withColumn(ord_col, F.col(ord_col).cast(ord_type))
-                        .withColumn(col, F.col(col).cast(df.schema[col].dataType))
-                        .withColumn("__bkt__", F.col("__bkt__").cast("int"))
-                        .withColumn("__ctx__", F.lit(True))
-                    )
-                    memo["ctx_sdf"] = ctx_sdf
-                data = data.unionByName(ctx_sdf, allowMissingColumns=True)
+            data = _with_ctx(bucketed.withColumn("__ctx__", F.lit(False)))
             # explicit repartition: the window's own exchange would be
             # AQE-coalesced toward the advisory partition size (few
             # partitions for narrow data), strangling sort parallelism;

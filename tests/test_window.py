@@ -272,6 +272,42 @@ def test_halo_rolling_is_multi_task(spark):
             assert "__bkt__" in head
 
 
+def test_global_builtin_rolling_is_bucketed_jvm(spark):
+    """Global BUILTIN rolling must also ride the bucket machinery — a
+    bucket-partitioned JVM window, never the single-partition
+    total-order WindowExec, and with no Python (MapInPandas) stage."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark import parallelize
+
+    pdf = pd.DataFrame(
+        {"idx": np.arange(10000), "x": np.random.default_rng(0).random(10000)}
+    )
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    plan_df = (
+        parallelize(sdf, order_by="idx").series("x").rolling(4)
+        .parallel_apply("sum", output_col="r")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning(__bkt__" in plan
+    assert "MapInPandas" not in plan  # pure JVM
+    for seg in plan.split("Arguments: ")[1:]:
+        head = seg.splitlines()[0]
+        if "windowspecdefinition" in head.lower():
+            assert "__bkt__" in head
+    # and the result still matches pandas end to end
+    exp = pdf.x.rolling(4).sum().to_numpy()
+    got = plan_df.toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    assert np.allclose(got, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
 def test_halo_rolling_null_int_passthrough(spark):
     """Edge rows round-trip through pandas in the driver fixup; a
     null-bearing int passthrough column must survive (toPandas turns it
