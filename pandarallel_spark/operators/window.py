@@ -1436,6 +1436,149 @@ def _halo_rolling(
     )
 
 
+_EXPANDING_COMPOSABLE = frozenset({"sum", "count", "mean", "avg", "min", "max"})
+# bucketed-expanding build memo: (plan+data key) → bucket expression
+_EXPB_MEMO: dict = {}
+
+
+def _bucketed_expanding(
+    df: DataFrame, col: str, ord_col: str, func: str,
+    min_periods: int, output_col: str,
+) -> DataFrame | None:
+    """Distributed exact GLOBAL expanding for composable builtin aggs.
+
+    An expanding aggregate is a prefix scan; for aggs whose state
+    composes (sum/count/min/max, mean from sum+count) it needs no
+    total-order window: bucket rows on literal range boundaries (the
+    same ``bucket_assignment_expr`` machinery as halo rolling and the
+    global as-of join), run the expanding agg per bucket as a
+    bucket-partitioned JVM window, and fold in each bucket's CARRY —
+    the aggregate of all earlier buckets, from a per-bucket totals
+    frame (≤ n_buckets rows) whose own prefix scan is a window over
+    that tiny frame — broadcast-joined back on the bucket id. All JVM,
+    one main shuffle plus one narrow totals scan. Integer sums compose
+    exactly; float sums re-associate (last-ulp drift vs a sequential
+    scan, same contract as the global ewm seed folds).
+
+    The cancellation-sensitive std/var and the non-decomposable order
+    statistics (median/quantile/rank/sem/skew/kurt) keep the
+    single-partition form. Under strictLazy a cold build returns None
+    (the single-partition window is correct and fully lazy). NULL/NaN
+    order keys are rejected, as in halo rolling.
+
+    Returns None when the shape doesn't qualify.
+    """
+    spark = df.sparkSession
+    n_parts = shuffle_partitions(spark)
+    if n_parts <= 1:
+        return None
+    ord_type = df.schema[ord_col].dataType
+    if not isinstance(
+        ord_type, (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType)
+    ):
+        return None
+    if isinstance(ord_type, T.NumericType):
+        ord_num = F.col(ord_col).cast("double")
+    else:
+        ord_num = F.col(ord_col).cast("timestamp").cast("double")
+    is_float_ord = isinstance(ord_type, (T.DoubleType, T.FloatType))
+    n_buckets = n_parts * 16
+    plan_key = plan_data_key(df, "expanding", ord_col, col, n_buckets)
+    memo = _EXPB_MEMO.get(plan_key) if plan_key is not None else None
+    if memo is None:
+        from pandarallel_spark.operators._memo import STRICT_LAZY_CONF
+
+        try:
+            if str(spark.conf.get(STRICT_LAZY_CONF, "false")).lower() == "true":
+                return None
+        except Exception:  # noqa: BLE001 — unreadable conf: not strict
+            pass
+        from pyspark import StorageLevel
+
+        probs = [i / n_buckets for i in range(n_buckets + 1)]
+        narrow = df.select(ord_col).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            qs = narrow.select(ord_num.alias("__q__")).approxQuantile(
+                "__q__", probs, 1.0 / n_buckets
+            )
+            vlo, vhi = (qs[0], qs[-1]) if qs else (float("nan"), float("nan"))
+            bnds = sorted(set(qs[1:-1]))
+            bad_ord = F.col(ord_col).isNull()
+            if is_float_ord:
+                bad_ord = bad_ord | F.isnan(F.col(ord_col))
+            if narrow.filter(bad_ord).limit(1).count():
+                raise ValueError(
+                    f"global expanding over order column {ord_col!r} with "
+                    "NULL or NaN values is not supported: scan position is "
+                    "undefined for them. Filter or fill those order keys "
+                    "first."
+                )
+            memo = {"bexpr": bucket_assignment_expr(ord_num, bnds, vlo, vhi)}
+            if plan_key is not None:
+                memo_put(_EXPB_MEMO, plan_key, memo)
+        finally:
+            narrow.unpersist()
+
+    v = F.col(col)
+    if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
+        v = F.when(~F.isnan(v), v)
+    data = df.withColumn("__bkt__", memo["bexpr"].cast("int"))
+    wb = (
+        Window.partitionBy("__bkt__")
+        .orderBy(F.col(ord_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = data.groupBy("__bkt__").agg(
+        F.count(v).alias("__n__"),
+        F.count(F.lit(1)).alias("__rows__"),
+        F.sum(v).alias("__s__"),
+        F.min(v).alias("__mn__"),
+        F.max(v).alias("__mx__"),
+    )
+    # prefix carry over the tiny totals frame (≤ n_buckets rows — the
+    # one intentionally single-partition window here)
+    wc = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    carry = tot.select(
+        "__bkt__",
+        F.sum("__n__").over(wc).alias("__cn__"),
+        F.sum("__rows__").over(wc).alias("__crows__"),
+        F.sum("__s__").over(wc).alias("__cs__"),
+        F.min("__mn__").over(wc).alias("__cmn__"),
+        F.max("__mx__").over(wc).alias("__cmx__"),
+    )
+    data = data.join(F.broadcast(carry), "__bkt__", "left")
+    n_tot = F.coalesce(F.col("__cn__"), F.lit(0)) + F.count(v).over(wb)
+    rows_tot = F.coalesce(F.col("__crows__"), F.lit(0)) + F.count(F.lit(1)).over(wb)
+
+    def _add_keep_null(a: Column, b: Column) -> Column:
+        # NULL-skipping sum composition that preserves the agg dtype
+        # (coalesce-to-0.0 would silently widen integer sums)
+        return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(a + b)
+
+    if func == "count":
+        val = n_tot
+    elif func == "sum":
+        val = _add_keep_null(F.col("__cs__"), F.sum(v).over(wb))
+    elif func in ("mean", "avg"):
+        s_tot = _add_keep_null(F.col("__cs__"), F.sum(v).over(wb))
+        val = F.try_divide(s_tot.cast("double"), n_tot.cast("double"))
+    elif func == "min":
+        val = F.least(F.col("__cmn__"), F.min(v).over(wb))
+    else:  # max
+        val = F.greatest(F.col("__cmx__"), F.max(v).over(wb))
+    gate = (rows_tot if func == "count" else n_tot) >= F.lit(min_periods)
+    keep = (
+        df.columns
+        if output_col in df.columns  # withColumn-replace semantics
+        else [*df.columns, output_col]
+    )
+    return (
+        data.repartition(n_parts, F.col("__bkt__"))
+        .withColumn(output_col, F.when(gate, val))
+        .select(*keep)
+    )
+
+
 def _grouped_pandas_window(
     df: DataFrame,
     col: str,
@@ -1524,6 +1667,20 @@ def expanding_apply(
             return df.withColumn(
                 output_col, _pairwise_over(func, col, spec, min_periods, win_args)
             )
+        if (
+            not partition_by
+            and func in _EXPANDING_COMPOSABLE
+            and len(order_by) == 1
+            and isinstance(order_by[0], str)
+        ):
+            # GLOBAL composable builtin: bucket + carry instead of a
+            # single-partition total-order window (falls back below
+            # when the shape doesn't qualify or under strictLazy)
+            out = _bucketed_expanding(
+                df, col, order_by[0], func, min_periods, output_col
+            )
+            if out is not None:
+                return out
         # same pandas NaN semantics as the rolling builtin path: skip
         # NaN in the aggregate, gate non-count aggs on non-NaN obs
         v = F.col(col)

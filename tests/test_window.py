@@ -308,6 +308,57 @@ def test_global_builtin_rolling_is_bucketed_jvm(spark):
     assert np.allclose(got, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
 
 
+def test_global_expanding_builtin_bucket_carry(spark):
+    """Composable GLOBAL expanding builtins (sum/count/mean/min/max)
+    run as bucket-partitioned windows + a broadcast carry — exact vs
+    pandas across NaN holes and min_periods, with the big-side window
+    partitioned by the bucket id."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark import parallelize
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    vals = rng.standard_normal(n)
+    vals[rng.integers(0, n, 400)] = np.nan
+    pdf = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "x": vals})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    for agg, mp in (("sum", 1), ("count", 3), ("mean", 2), ("min", 1), ("max", 4)):
+        exp = getattr(pdf.x.expanding(mp), agg)().to_numpy()
+        out_df = (
+            parallelize(sdf, order_by="idx").series("x").expanding(mp)
+            .parallel_apply(agg, output_col="r")
+        )
+        got = out_df.toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True), agg
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        (
+            parallelize(sdf, order_by="idx").series("x").expanding(2)
+            .parallel_apply("sum", output_col="r")
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning(__bkt__" in plan
+    assert "MapInPandas" not in plan
+    # integer sums compose exactly — dtype must stay bigint
+    idf = spark.createDataFrame(
+        pd.DataFrame({"idx": np.arange(100, dtype="int64"),
+                      "k": np.arange(100, dtype="int64") % 7})
+    ).repartition(4)
+    out_i = (
+        parallelize(idf, order_by="idx").series("k").expanding(1)
+        .parallel_apply("sum", output_col="r")
+    )
+    assert dict(out_i.dtypes)["r"] == "bigint"
+    exp_i = pd.Series(np.arange(100) % 7).expanding(1).sum().to_numpy()
+    got_i = out_i.toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    assert np.allclose(got_i, exp_i)
+
+
 def test_halo_rolling_null_int_passthrough(spark):
     """Edge rows round-trip through pandas in the driver fixup; a
     null-bearing int passthrough column must survive (toPandas turns it
