@@ -767,6 +767,18 @@ def rolling_apply(
 
     if isinstance(func, str):
         if func in ("cov", "corr"):
+            other = (win_args or {}).get("other")
+            if not partition_by and isinstance(other, str) and other in df.columns:
+                # GLOBAL two-column moments ride the bucket machinery
+                # too — context rows carry BOTH value columns
+                halo = _halo_rolling(
+                    df, col, order_by, output_col, "double",
+                    window=window, min_periods=min_periods, center=center,
+                    closed=closed, func=func, raw=True, vectorize=False,
+                    win_args=win_args, pair_col=other,
+                )
+                if halo is not None:
+                    return halo
             # two-column moments carry their own pairwise-complete gate
             return df.withColumn(
                 output_col, _pairwise_over(func, col, spec, min_periods, win_args)
@@ -922,6 +934,22 @@ def time_rolling_agg(
         "left": (-d, -1),
         "neither": (-(d - 1), -1),
     }[closed]
+    if not partition_by:
+        # GLOBAL: not a single-partition total-order range window — each
+        # row explodes into every range bucket whose frames its
+        # timestamp can reach (bucket_of(t) .. bucket_of(t+d), O(1)
+        # assignments over shared literal boundaries; typically 1-2
+        # copies since quantile buckets are far wider than the window),
+        # the agg runs per target bucket as a JVM RANGE window, and the
+        # duplicates filter back out. Falls back below when the shape
+        # doesn't qualify or under strictLazy.
+        out = _bucketed_time_rolling(
+            df, col, func, ord_col, t_us, d, lo, hi, minp, agg_args,
+            output_col or f"{col}_rolling_{func}",
+        )
+        if out is not None:
+            return out
+
     w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
     spec = w.orderBy(t_us).rangeBetween(lo, hi)
     if func in ("cov", "corr"):
@@ -948,6 +976,96 @@ def time_rolling_agg(
     else:
         gate = cnt >= minp if minp > 0 else nrows >= 1
     return df.withColumn(output_col, F.when(gate, agg))
+
+
+def _bucketed_time_rolling(
+    df: DataFrame,
+    col: str,
+    func: str,
+    ord_col: str,
+    t_us: Column,
+    d: int,
+    lo: int,
+    hi: int,
+    minp: int,
+    agg_args: dict | None,
+    output_col: str,
+) -> DataFrame | None:
+    """Distributed global time-offset rolling: explode-to-reachable-
+    buckets instead of a single-partition total-order RANGE window.
+
+    Time frames only look BACK (hi ≤ 0 for every ``closed`` variant), so
+    a row at time t participates only in frames of rows in
+    ``[t, t + d]`` — whose buckets span ``bucket_of(t) ..
+    bucket_of(t + d)``, both O(1) literal-boundary assignments
+    (monotone, so the span is a contiguous ``sequence``). Each row
+    duplicates into that span (whole-row copies, so two-column cov/corr
+    work too), the agg evaluates per target bucket as a JVM RANGE
+    window (frames complete by construction), and rows keep only their
+    own-bucket copy. One shuffle on the target bucket; the duplicate
+    factor is ≈1 + window/bucket-span (quantile buckets are normally
+    far wider than the window; dense bursts shrink buckets and spread
+    the copies across tasks). NULL order keys are rejected at build,
+    and a cold build under strictLazy returns None — the caller's
+    single-partition window is correct and lazy.
+    """
+    spark = df.sparkSession
+    n_parts = shuffle_partitions(spark)
+    if n_parts <= 1:
+        return None
+    n_buckets = n_parts * 16
+    memo = _range_bucket_build(
+        df, ord_col, t_us.cast("double"), False, n_buckets,
+        tag=("time_rolling",),
+        null_msg=(
+            f"global time-offset rolling over order column {ord_col!r} "
+            "with NULL values is not supported: window membership is "
+            "undefined for them. Filter or fill those order keys first."
+        ),
+    )
+    if memo is None:
+        return None
+    src_b = memo["bexpr"].cast("int")
+    fwd = memo.get(f"fwd_{d}")
+    if fwd is None:
+        # shifted assignment over the SAME stored boundaries (the LUT
+        # literal costs one py4j round trip — memoized per offset)
+        fwd = bucket_assignment_expr(
+            (t_us + F.lit(d)).cast("double"),
+            memo["bnds"], memo["vlo"], memo["vhi"],
+        ).cast("int")
+        memo[f"fwd_{d}"] = fwd
+    data = df.withColumn("__src__", src_b).withColumn(
+        "__tgt__", F.explode(F.sequence(F.col("__src__"), fwd))
+    )
+    spec = (
+        Window.partitionBy("__tgt__").orderBy(t_us).rangeBetween(lo, hi)
+    )
+    if func in ("cov", "corr"):
+        res = _pairwise_over(func, col, spec, max(minp, 1), agg_args)
+    else:
+        v = F.col(col)
+        if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
+            v = F.when(~F.isnan(v), v)
+        cnt = F.count(v).over(spec)
+        agg = _builtin_over(func, v, spec, agg_args)
+        nrows = F.count(F.lit(1)).over(spec)
+        if func == "count":
+            gate = nrows >= max(minp, 1)
+        else:
+            gate = cnt >= minp if minp > 0 else nrows >= 1
+        res = F.when(gate, agg)
+    keep = (
+        df.columns
+        if output_col in df.columns  # withColumn-replace semantics
+        else [*df.columns, output_col]
+    )
+    return (
+        data.repartition(n_parts, F.col("__tgt__"))
+        .withColumn(output_col, res)
+        .filter(F.col("__tgt__") == F.col("__src__"))
+        .select(*keep)
+    )
 
 
 def literal_array(vals: Sequence) -> Column:
@@ -1029,6 +1147,7 @@ def _halo_rolling(
     closed: str | None = None,
     index_col: str | None = None,
     win_args: dict | None = None,
+    pair_col: str | None = None,
 ) -> DataFrame | None:
     """Parallel global rolling: literal range buckets + boundary fixup.
 
@@ -1151,7 +1270,11 @@ def _halo_rolling(
     n_buckets = n_parts * 16
     if edge:
         n_buckets = max(2, min(n_buckets, 2_000_000 // (2 * edge)))
-    narrow_cols = list(dict.fromkeys([ord_col, col, ix]))
+    narrow_cols = list(
+        dict.fromkeys(
+            [ord_col, col, ix] + ([pair_col] if pair_col else [])
+        )
+    )
     if isinstance(ord_type, T.NumericType):
         ord_num = F.col(ord_col).cast("double")
     else:
@@ -1163,7 +1286,7 @@ def _halo_rolling(
     # Memo key = plan identity AND data identity (semanticHash alone
     # would hit on overwritten paths and serve STALE context rows —
     # review finding r4, confirmed by repro); None → never memoize.
-    plan_key = plan_data_key(df, ord_col, col, ix, n_buckets, lo, hi)
+    plan_key = plan_data_key(df, ord_col, col, ix, pair_col, n_buckets, lo, hi)
 
     memo = _HALO_MEMO.get(plan_key) if plan_key is not None else None
     if memo is None:
@@ -1259,6 +1382,7 @@ def _halo_rolling(
                         )
                         sel = ctx_pdf.iloc[list(pre) + list(post)][
                             [ord_col, col]
+                            + ([pair_col] if pair_col else [])
                         ].copy()
                         sel["__bkt__"] = b
                         union_parts.append(sel)
@@ -1299,6 +1423,10 @@ def _halo_rolling(
                 .withColumn("__bkt__", F.col("__bkt__").cast("int"))
                 .withColumn("__ctx__", F.lit(True))
             )
+            if pair_col:
+                ctx_sdf = ctx_sdf.withColumn(
+                    pair_col, F.col(pair_col).cast(df.schema[pair_col].dataType)
+                )
             memo["ctx_sdf"] = ctx_sdf
         return data.unionByName(ctx_sdf, allowMissingColumns=True)
 
@@ -1314,13 +1442,17 @@ def _halo_rolling(
             .orderBy(F.col(ord_col))
             .rowsBetween(lo, hi)
         )
-        v = F.col(col)
-        if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
-            v = F.when(~F.isnan(v), v)
-        nobs = F.count(v).over(spec)
-        agg = _builtin_over(func, v, spec, win_args)
-        nrows = F.count(F.lit(1)).over(spec)
-        gate = (nrows if func == "count" else nobs) >= min_periods
+        if func in ("cov", "corr"):
+            res = _pairwise_over(func, col, spec, min_periods, win_args)
+        else:
+            v = F.col(col)
+            if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
+                v = F.when(~F.isnan(v), v)
+            nobs = F.count(v).over(spec)
+            agg = _builtin_over(func, v, spec, win_args)
+            nrows = F.count(F.lit(1)).over(spec)
+            gate = (nrows if func == "count" else nobs) >= min_periods
+            res = F.when(gate, agg)
         keep = (
             df.columns
             if output_col in df.columns  # withColumn-replace semantics
@@ -1328,7 +1460,7 @@ def _halo_rolling(
         )
         return (
             data.repartition(n_parts, F.col("__bkt__"))
-            .withColumn(output_col, F.when(gate, agg))
+            .withColumn(output_col, res)
             .filter(~F.col("__ctx__"))
             .select(*keep)
         )
@@ -1436,9 +1568,70 @@ def _halo_rolling(
     )
 
 
-_EXPANDING_COMPOSABLE = frozenset({"sum", "count", "mean", "avg", "min", "max"})
-# bucketed-expanding build memo: (plan+data key) → bucket expression
+_EXPANDING_COMPOSABLE = frozenset(
+    {"sum", "count", "mean", "avg", "min", "max", "std", "var"}
+)
+# range-bucket boundary build memo: (plan+data key, tag) → boundaries
 _EXPB_MEMO: dict = {}
+
+
+def _range_bucket_build(
+    df: DataFrame,
+    ord_col: str,
+    ord_num: Column,
+    is_float_ord: bool,
+    n_buckets: int,
+    *,
+    tag: tuple,
+    null_msg: str,
+) -> dict | None:
+    """Shared boundaries build for the bucketed global scans (expanding
+    carry, global time rolling): approxQuantile boundaries over a
+    numeric view of the order column plus the NULL/NaN order-key
+    rejection, memoized per plan+data+tag. Returns
+    ``{"bnds", "vlo", "vhi", "bexpr"}`` — ``bexpr`` is the O(1)
+    bucket-assignment Column for ``ord_num`` itself; callers needing a
+    shifted assignment (e.g. ``bucket_of(t + d)``) build it from the
+    stored boundaries via ``bucket_assignment_expr``. Under strictLazy
+    a cold build returns None (callers fall back to the lazy
+    single-partition form); memo hits never run jobs.
+    """
+    spark = df.sparkSession
+    plan_key = plan_data_key(df, *tag, ord_col, n_buckets)
+    memo = _EXPB_MEMO.get(plan_key) if plan_key is not None else None
+    if memo is not None:
+        return memo
+    from pandarallel_spark.operators._memo import STRICT_LAZY_CONF
+
+    try:
+        if str(spark.conf.get(STRICT_LAZY_CONF, "false")).lower() == "true":
+            return None
+    except Exception:  # noqa: BLE001 — unreadable conf: not strict
+        pass
+    from pyspark import StorageLevel
+
+    probs = [i / n_buckets for i in range(n_buckets + 1)]
+    narrow = df.select(ord_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        qs = narrow.select(ord_num.alias("__q__")).approxQuantile(
+            "__q__", probs, 1.0 / n_buckets
+        )
+        vlo, vhi = (qs[0], qs[-1]) if qs else (float("nan"), float("nan"))
+        bnds = sorted(set(qs[1:-1]))
+        bad_ord = F.col(ord_col).isNull()
+        if is_float_ord:
+            bad_ord = bad_ord | F.isnan(F.col(ord_col))
+        if narrow.filter(bad_ord).limit(1).count():
+            raise ValueError(null_msg)
+        memo = {
+            "bnds": bnds, "vlo": vlo, "vhi": vhi,
+            "bexpr": bucket_assignment_expr(ord_num, bnds, vlo, vhi),
+        }
+        if plan_key is not None:
+            memo_put(_EXPB_MEMO, plan_key, memo)
+        return memo
+    finally:
+        narrow.unpersist()
 
 
 def _bucketed_expanding(
@@ -1460,11 +1653,16 @@ def _bucketed_expanding(
     exactly; float sums re-associate (last-ulp drift vs a sequential
     scan, same contract as the global ewm seed folds).
 
-    The cancellation-sensitive std/var and the non-decomposable order
-    statistics (median/quantile/rank/sem/skew/kurt) keep the
-    single-partition form. Under strictLazy a cold build returns None
-    (the single-partition window is correct and fully lazy). NULL/NaN
-    order keys are rejected, as in halo rolling.
+    std/var (ddof=1, like the single-partition F.var_samp form) also
+    ride the buckets, but NOT via the cancellation-prone Σx² sums:
+    per-bucket (n, mean, M2) fold into seeds on the driver with Chan's
+    parallel-variance merge (≤ n_buckets rows collected at build,
+    memoized — the ewm seed-chain pattern), and each row does one
+    expression-level Chan step: seed ⊕ within-bucket prefix. The
+    non-decomposable order statistics (median/quantile/rank/sem/
+    skew/kurt) keep the single-partition form. Under strictLazy a cold
+    build returns None (the single-partition window is correct and
+    fully lazy). NULL/NaN order keys are rejected, as in halo rolling.
 
     Returns None when the shape doesn't qualify.
     """
@@ -1483,41 +1681,17 @@ def _bucketed_expanding(
         ord_num = F.col(ord_col).cast("timestamp").cast("double")
     is_float_ord = isinstance(ord_type, (T.DoubleType, T.FloatType))
     n_buckets = n_parts * 16
-    plan_key = plan_data_key(df, "expanding", ord_col, col, n_buckets)
-    memo = _EXPB_MEMO.get(plan_key) if plan_key is not None else None
+    memo = _range_bucket_build(
+        df, ord_col, ord_num, is_float_ord, n_buckets,
+        tag=("expanding", col),
+        null_msg=(
+            f"global expanding over order column {ord_col!r} with NULL or "
+            "NaN values is not supported: scan position is undefined for "
+            "them. Filter or fill those order keys first."
+        ),
+    )
     if memo is None:
-        from pandarallel_spark.operators._memo import STRICT_LAZY_CONF
-
-        try:
-            if str(spark.conf.get(STRICT_LAZY_CONF, "false")).lower() == "true":
-                return None
-        except Exception:  # noqa: BLE001 — unreadable conf: not strict
-            pass
-        from pyspark import StorageLevel
-
-        probs = [i / n_buckets for i in range(n_buckets + 1)]
-        narrow = df.select(ord_col).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            qs = narrow.select(ord_num.alias("__q__")).approxQuantile(
-                "__q__", probs, 1.0 / n_buckets
-            )
-            vlo, vhi = (qs[0], qs[-1]) if qs else (float("nan"), float("nan"))
-            bnds = sorted(set(qs[1:-1]))
-            bad_ord = F.col(ord_col).isNull()
-            if is_float_ord:
-                bad_ord = bad_ord | F.isnan(F.col(ord_col))
-            if narrow.filter(bad_ord).limit(1).count():
-                raise ValueError(
-                    f"global expanding over order column {ord_col!r} with "
-                    "NULL or NaN values is not supported: scan position is "
-                    "undefined for them. Filter or fill those order keys "
-                    "first."
-                )
-            memo = {"bexpr": bucket_assignment_expr(ord_num, bnds, vlo, vhi)}
-            if plan_key is not None:
-                memo_put(_EXPB_MEMO, plan_key, memo)
-        finally:
-            narrow.unpersist()
+        return None
 
     v = F.col(col)
     if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType)):
@@ -1528,6 +1702,85 @@ def _bucketed_expanding(
         .orderBy(F.col(ord_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    keep = (
+        df.columns
+        if output_col in df.columns  # withColumn-replace semantics
+        else [*df.columns, output_col]
+    )
+    if func in ("std", "var"):
+        # moments don't compose as plain window sums without the
+        # cancellation-prone Σx² form — instead fold each bucket's
+        # (n, mean, M2) into per-bucket SEEDS on the driver with Chan's
+        # parallel-variance merge (numerically stable; ≤ n_buckets rows
+        # collected, the ewm seed-chain pattern), ship them as literal
+        # lookup arrays, and do ONE Chan step per row in expressions:
+        # seed ⊕ within-bucket expanding prefix.
+        seeds_key = plan_data_key(df, "expanding_moments", ord_col, col, n_buckets)
+        seeds = _EXPB_MEMO.get(seeds_key) if seeds_key is not None else None
+        if seeds is None:
+            from pandarallel_spark.operators._memo import STRICT_LAZY_CONF
+
+            try:
+                if str(spark.conf.get(STRICT_LAZY_CONF, "false")).lower() == "true":
+                    return None
+            except Exception:  # noqa: BLE001 — unreadable conf: not strict
+                pass
+            rows = (
+                data.groupBy("__bkt__")
+                .agg(
+                    F.count(v).alias("n"),
+                    F.avg(v).alias("m"),
+                    F.var_pop(v).alias("vp"),
+                )
+                .collect()  # bounded: ≤ n_buckets rows by construction
+            )
+            per = {int(r["__bkt__"]): r for r in rows}
+            n0, m0, M0 = 0.0, 0.0, 0.0
+            max_b = max(per) if per else 0
+            ns, ms, m2s = [], [], []
+            for b in range(max_b + 2):  # seed for bucket b = state BEFORE b
+                ns.append(n0)
+                ms.append(m0)
+                m2s.append(M0)
+                r = per.get(b)
+                if r is None or not r["n"]:
+                    continue
+                nb, mb = float(r["n"]), float(r["m"])
+                m2b = float(r["vp"] or 0.0) * nb
+                tot_n = n0 + nb
+                delta = mb - m0
+                M0 = M0 + m2b + delta * delta * n0 * nb / tot_n
+                m0 = m0 + delta * nb / tot_n
+                n0 = tot_n
+            seeds = {"ns": ns, "ms": ms, "m2s": m2s}
+            if seeds_key is not None:
+                memo_put(_EXPB_MEMO, seeds_key, seeds)
+        bi = (F.col("__bkt__") + 1).cast("int")
+        s_n = F.element_at(literal_array(seeds["ns"]), bi)
+        s_m = F.element_at(literal_array(seeds["ms"]), bi)
+        s_m2 = F.element_at(literal_array(seeds["m2s"]), bi)
+        n_w = F.count(v).over(wb).cast("double")
+        m_w = F.avg(v).over(wb)
+        m2_w = F.coalesce(F.var_pop(v).over(wb), F.lit(0.0)) * n_w
+        n_t = s_n + n_w
+        delta = m_w - s_m
+        chan = s_m2 + m2_w + F.try_divide(delta * delta * s_n * n_w, n_t)
+        m2_t = (
+            F.when(s_n == 0, m2_w)
+            .when(n_w == 0, s_m2)
+            .otherwise(chan)
+        )
+        var_e = F.try_divide(m2_t, n_t - F.lit(1.0))  # ddof=1, as the
+        # single-partition F.var_samp/stddev_samp form (n=1 → NULL)
+        res = F.when(
+            n_t >= F.lit(float(max(min_periods, 1))),
+            F.sqrt(var_e) if func == "std" else var_e,
+        )
+        return (
+            data.repartition(n_parts, F.col("__bkt__"))
+            .withColumn(output_col, res)
+            .select(*keep)
+        )
     tot = data.groupBy("__bkt__").agg(
         F.count(v).alias("__n__"),
         F.count(F.lit(1)).alias("__rows__"),
@@ -1567,11 +1820,6 @@ def _bucketed_expanding(
     else:  # max
         val = F.greatest(F.col("__cmx__"), F.max(v).over(wb))
     gate = (rows_tot if func == "count" else n_tot) >= F.lit(min_periods)
-    keep = (
-        df.columns
-        if output_col in df.columns  # withColumn-replace semantics
-        else [*df.columns, output_col]
-    )
     return (
         data.repartition(n_parts, F.col("__bkt__"))
         .withColumn(output_col, F.when(gate, val))

@@ -306,6 +306,58 @@ def test_global_builtin_rolling_is_bucketed_jvm(spark):
     exp = pdf.x.rolling(4).sum().to_numpy()
     got = plan_df.toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
     assert np.allclose(got, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
+    # global cov/corr ride the same machinery (context carries BOTH cols)
+    pdf["y"] = np.random.default_rng(1).random(len(pdf))
+    sdf2 = spark.createDataFrame(pdf).repartition(8)
+    corr_df = (
+        parallelize(sdf2, order_by="idx").series("x").rolling(5, min_periods=3)
+        .parallel_apply("corr", win_args={"other": "y"}, output_col="r")
+    )
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        corr_df.explain("formatted")
+    assert "hashpartitioning(__bkt__" in buf2.getvalue()
+    exp_c = pdf.x.rolling(5, min_periods=3).corr(pdf.y).to_numpy()
+    got_c = corr_df.toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    fin = np.isfinite(exp_c)
+    assert np.allclose(got_c[fin], exp_c[fin], rtol=1e-6, atol=1e-8)
+    assert not np.isfinite(got_c[~fin]).any()
+
+
+def test_global_time_rolling_is_bucketed_jvm(spark):
+    """Global time-offset rolling must explode rows into their
+    reachable range buckets and window per bucket — never a
+    single-partition total-order RANGE window — while matching pandas
+    exactly."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark import parallelize
+
+    pdf = _ts_frame(n=2000, n_keys=1)
+    pdf["i"] = np.arange(len(pdf), dtype="int64")
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    out_df = (
+        parallelize(sdf, order_by="ts").series("x")
+        .rolling("30min", min_periods=2).parallel_apply("sum", output_col="r")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning(__tgt__" in plan
+    assert "MapInPandas" not in plan
+    for seg in plan.split("Arguments: ")[1:]:
+        head = seg.splitlines()[0]
+        if "windowspecdefinition" in head.lower():
+            assert "__tgt__" in head
+    s = pd.Series(pdf.x.to_numpy(), index=pd.DatetimeIndex(pdf.ts))
+    exp = s.rolling("30min", min_periods=2).sum().to_numpy()
+    got = out_df.toPandas().sort_values("i")["r"].to_numpy(dtype="float64")
+    assert np.allclose(got, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
 
 
 def test_global_expanding_builtin_bucket_carry(spark):
@@ -323,11 +375,16 @@ def test_global_expanding_builtin_bucket_carry(spark):
 
     rng = np.random.default_rng(17)
     n = 5000
-    vals = rng.standard_normal(n)
+    vals = rng.standard_normal(n) + 100.0  # offset mean stresses the
+    # variance merge: the naive Σx² form loses ~4 digits here
     vals[rng.integers(0, n, 400)] = np.nan
+    vals[1000:1200] = 100.5  # constant stretch
     pdf = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "x": vals})
     sdf = spark.createDataFrame(pdf).repartition(8)
-    for agg, mp in (("sum", 1), ("count", 3), ("mean", 2), ("min", 1), ("max", 4)):
+    for agg, mp in (
+        ("sum", 1), ("count", 3), ("mean", 2), ("min", 1), ("max", 4),
+        ("std", 2), ("var", 1),
+    ):
         exp = getattr(pdf.x.expanding(mp), agg)().to_numpy()
         out_df = (
             parallelize(sdf, order_by="idx").series("x").expanding(mp)
