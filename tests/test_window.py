@@ -360,6 +360,45 @@ def test_global_time_rolling_is_bucketed_jvm(spark):
     assert np.allclose(got, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
 
 
+def test_global_time_rolling_ties_match_lazy_path(spark):
+    """On duplicate timestamps the documented contract is RANGE
+    semantics (ties share every frame — window.py's time_rolling_agg
+    docstring), NOT pandas' position-bounded tie handling. The bucketed
+    explode path must agree bit-for-bit with the lazy single-partition
+    RANGE window it replaces, ties and NaNs included."""
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark import parallelize
+    from pandarallel_spark.operators._memo import STRICT_LAZY_CONF
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    # heavy ties: ~1500 rows over 1200 distinct seconds
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 1200, n)), unit="s"
+    )
+    x = rng.standard_normal(n)
+    x[rng.integers(0, n, 75)] = np.nan
+    pdf = pd.DataFrame({"i": np.arange(n, dtype="int64"), "ts": ts, "x": x})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    def run():
+        return (
+            parallelize(sdf, order_by="ts").series("x")
+            .rolling("90s", min_periods=2)
+            .parallel_apply("sum", output_col="r")
+        ).toPandas().sort_values("i")["r"].to_numpy(dtype="float64")
+
+    bucketed = run()
+    spark.conf.set(STRICT_LAZY_CONF, "true")
+    try:
+        lazy = run()
+    finally:
+        spark.conf.set(STRICT_LAZY_CONF, "false")
+    assert np.allclose(bucketed, lazy, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
 def test_global_expanding_builtin_bucket_carry(spark):
     """Composable GLOBAL expanding builtins (sum/count/mean/min/max)
     run as bucket-partitioned windows + a broadcast carry — exact vs
