@@ -111,9 +111,10 @@ def _ratio_workloads() -> dict:
     # group. 16M rows: the Spark side carries ~3s of fixed shuffle/Arrow
     # cost, so smaller sizes understate the ratio (8M measured 1.98×
     # vs 2.6-2.7× here) — the pandas side's ~16s/draw is the price of
-    # measuring the operator, not its overhead. Two consecutive clean
-    # full-bench runs at this size measured 2.99× and 2.30× (r6),
-    # both clear of the ≥2.0× bar.
+    # measuring the operator, not its overhead. At this size the r6
+    # driver recorded 2.67×, and the two clean full-bench runs in
+    # SURVEY.md's r6 ratio-stability note measured 2.31× / 2.48× —
+    # all clear of the ≥2.0× bar.
     @workload("groupby_apply_vs_pandas")
     def w_groupby(spark_input):
         rng = np.random.default_rng(2)
@@ -259,8 +260,14 @@ def _measure_ratio(spark, setup) -> dict:
     bench budget); Spark side gets one warm build first (Python-worker /
     Arrow / codegen startup — BASELINE.md excludes fixed overhead) and a
     System.gc() between runs, and executes via noop-format writes (full
-    compute, no result materialization). Returns the ratio plus every
-    raw draw so the emitted JSON carries variance bands."""
+    compute, no result materialization). Contention guard (r7): when the
+    two draws of the SAME engine differ by >2x, the box was contended
+    during one of them (r6 recorded pandas 18.0 s then 5.0 s
+    back-to-back on groupby-apply — no workload change explains a 3.6x
+    same-engine swing) — keep drawing, up to 5 per engine, until the
+    two best draws agree within 2x; min still reports the workload.
+    Returns the ratio plus every raw draw so the full record (written to
+    BENCH_LOCAL.json by the parent) carries variance bands."""
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="bench_ratio_")
@@ -275,21 +282,37 @@ def _measure_ratio(spark, setup) -> dict:
 
     pandas_call, build = setup(spark_input)
     build().write.format("noop").mode("overwrite").save()  # warm
-    spark_draws = []
-    for _ in range(2):
+
+    def steady(draws: list[float]) -> bool:
+        best = sorted(draws)[:2]
+        return len(best) >= 2 and best[1] <= 2.0 * best[0]
+
+    def draw_spark() -> None:
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         build().write.format("noop").mode("overwrite").save()
         spark_draws.append(round(time.perf_counter() - t0, 4))
-    pandas_draws = []
-    for _ in range(2):
+
+    def draw_pandas() -> None:
         t0 = time.perf_counter()
         pandas_call()
         pandas_draws.append(round(time.perf_counter() - t0, 4))
+
+    spark_draws: list[float] = []
+    pandas_draws: list[float] = []
+    for _ in range(2):
+        draw_spark()
+    while not steady(spark_draws) and len(spark_draws) < 5:
+        draw_spark()
+    for _ in range(2):
+        draw_pandas()
+    while not steady(pandas_draws) and len(pandas_draws) < 5:
+        draw_pandas()
     return {
         "ratio": round(min(pandas_draws) / min(spark_draws), 2),
         "spark_draws": spark_draws,
         "pandas_draws": pandas_draws,
+        "contended": not (steady(spark_draws) and steady(pandas_draws)),
     }
 
 
@@ -371,30 +394,43 @@ def main() -> None:
                 ratios[f"{name}_error"] = (proc.stderr or proc.stdout)[-300:]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "vs_pandas_speedup": ratios,
-                "variance": {
-                    "query_draws_sec": query_bands,
-                    "ratio_draws_sec": ratio_bands,
-                },
-                "methodology": (
-                    "headline: min-of-2 per query (build+count), System.gc() "
-                    "between, one shared session; ratios: one fresh-JVM "
-                    "process per workload (reference forks a fresh pool per "
-                    "call; reused-worker pollution measured 2x on applymap), "
-                    "min-of-2 both engines, noop writes; all raw draws in "
-                    "'variance'; run the bench alone"
-                ),
-            }
-        )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": float(sf),
+        "vs_pandas_speedup": ratios,
+    }
+    # Full record (variance bands, methodology, exact timings) goes to a
+    # FILE — r6's single fat JSON line outgrew the driver's stdout-tail
+    # capture and the round's headline total was lost (BENCH_r06.json
+    # "parsed": null). stdout gets ONE compact summary line, printed
+    # LAST, sized well inside the tail window.
+    full = dict(
+        summary,
+        queries_exact=timings,
+        variance={
+            "query_draws_sec": query_bands,
+            "ratio_draws_sec": ratio_bands,
+        },
+        methodology=(
+            "headline: min-of-2 per query (build+count), System.gc() "
+            "between, one shared session; ratios: one fresh-JVM "
+            "process per workload (reference forks a fresh pool per "
+            "call; reused-worker pollution measured 2x on applymap), "
+            "min-of-2 both engines with a >2x same-engine draw-variance "
+            "retry (up to 5 draws), noop writes; run the bench alone"
+        ),
     )
+    try:
+        local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "BENCH_LOCAL.json")
+        with open(local_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: the summary line still carries the result
+    print(json.dumps(summary))
     _ = REGISTRY
 
 
