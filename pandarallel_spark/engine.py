@@ -31,6 +31,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from pandarallel_spark.operators import apply as _apply
+from pandarallel_spark.operators import groupby as _groupby
+from pandarallel_spark.operators import series as _series
+from pandarallel_spark.operators import window as _window
+from pandarallel_spark.plans.ordering import with_row_id
+from pandarallel_spark.session import configure
 
 
 def _bind_udf_args(func, args: tuple, kwargs: dict | None):
@@ -47,11 +52,6 @@ def _bind_udf_args(func, args: tuple, kwargs: dict | None):
         )
     base, kw = func, kwargs or {}
     return lambda w: base(w, *args, **kw)
-from pandarallel_spark.operators import groupby as _groupby
-from pandarallel_spark.operators import series as _series
-from pandarallel_spark.operators import window as _window
-from pandarallel_spark.plans.ordering import with_row_id
-from pandarallel_spark.session import configure
 
 
 class Engine:
@@ -207,17 +207,20 @@ class ParallelRolling:
     def parallel_apply(
         self, func: str | Callable, *, raw: bool = True,
         args: tuple = (),
+        kwargs: dict | None = None,
         index_col: str | None = None,
         output_col: str | None = None, return_type: T.DataType | str = "double",
         vectorize: bool = True,
         win_args: dict | None = None,
-        **kwargs: Any,
     ) -> DataFrame:
         # win_args: shape kwargs for win_type windows (pandas passes them
         # to the agg call, e.g. rolling(win_type="gaussian").mean(std=2));
         # args/kwargs: extra UDF arguments, pandas rolling.apply(func,
-        # args=, kwargs=) — the reference forwards them through its
-        # worker call (data_types/series_rolling.py:34-44)
+        # args=, kwargs=) — an EXPLICIT dict like pandas', not a
+        # **kwargs catch-all (a misspelled option would silently bind as
+        # a UDF kwarg and only fail at executor time). The reference
+        # forwards them through its worker call
+        # (data_types/series_rolling.py:34-44)
         func = _bind_udf_args(func, args, kwargs)
         df, order = self.series.frame._ordered()
         return _window.rolling_apply(
@@ -279,9 +282,9 @@ class ParallelExpanding:
     def parallel_apply(
         self, func: str | Callable, *, raw: bool = True,
         args: tuple = (),
+        kwargs: dict | None = None,
         output_col: str | None = None, return_type: T.DataType | str = "double",
         win_args: dict | None = None,
-        **kwargs: Any,
     ) -> DataFrame:
         func = _bind_udf_args(func, args, kwargs)
         df, order = self.series.frame._ordered()

@@ -637,6 +637,19 @@ def _window_spec(order_by: Sequence[str | Column], partition_by: Sequence[str | 
     return w.orderBy(*order_by)
 
 
+def _minp0_sum_fix(result: Column, func, min_periods) -> Column:
+    """pandas rolling/expanding/time-rolling ``sum`` with an EXPLICIT
+    ``min_periods=0`` returns 0.0 on zero-observation windows (all-NaN
+    frames and empty frames alike — probed, pandas 2.2); the gated Spark
+    aggregate yields NULL there. Only sum has this identity-element
+    behavior (mean stays NaN: 0/0). Defaults never hit this branch.
+    The zero is an INT literal so coalesce's type coercion preserves the
+    aggregate's own dtype (a 0.0 would widen integer sums)."""
+    if func == "sum" and min_periods == 0:
+        return F.coalesce(result, F.lit(0))
+    return result
+
+
 def rolling_apply(
     df: DataFrame,
     col: str,
@@ -810,7 +823,9 @@ def rolling_apply(
         # min_periods there; NaN/NULL are one missing concept here)
         nrows = F.count(F.lit(1)).over(spec)
         gate = (nrows if func == "count" else nobs) >= min_periods
-        return df.withColumn(output_col, F.when(gate, agg))
+        return df.withColumn(
+            output_col, _minp0_sum_fix(F.when(gate, agg), func, min_periods)
+        )
 
     if partition_by:
         # grouped UDF windows: stock pandas rolling per group (exact
@@ -975,7 +990,9 @@ def time_rolling_agg(
         gate = nrows >= max(minp, 1)
     else:
         gate = cnt >= minp if minp > 0 else nrows >= 1
-    return df.withColumn(output_col, F.when(gate, agg))
+    return df.withColumn(
+        output_col, _minp0_sum_fix(F.when(gate, agg), func, min_periods)
+    )
 
 
 def _bucketed_time_rolling(
@@ -1054,7 +1071,9 @@ def _bucketed_time_rolling(
             gate = nrows >= max(minp, 1)
         else:
             gate = cnt >= minp if minp > 0 else nrows >= 1
-        res = F.when(gate, agg)
+        # minp==0 for sum only via an explicit min_periods=0 (the None
+        # default resolves to 1 for non-count aggs)
+        res = _minp0_sum_fix(F.when(gate, agg), func, minp)
     keep = (
         df.columns
         if output_col in df.columns  # withColumn-replace semantics
@@ -1075,11 +1094,22 @@ def literal_array(vals: Sequence) -> Column:
     a single parsed SQL ``array(...)`` is one call and constant-folds
     identically. Ints emit as int literals, floats with the ``D``
     suffix (plain decimals would parse as DECIMAL, not DOUBLE);
-    ``repr(float)`` round-trips exactly through the parser."""
+    ``repr(float)`` round-trips exactly through the parser. Non-finite
+    floats need CAST tokens — ``repr()+'D'`` would emit unparseable
+    ``infD``/``nanD`` (e.g. extreme win_type weight parameters)."""
+    import math
+
     if all(isinstance(v, (int, np.integer)) for v in vals):
         body = ",".join(str(int(v)) for v in vals)
     else:
-        body = ",".join(f"{float(v)!r}D" for v in vals)
+        def tok(v: float) -> str:
+            if math.isfinite(v):
+                return f"{v!r}D"
+            if math.isnan(v):
+                return "CAST('NaN' AS DOUBLE)"
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+
+        body = ",".join(tok(float(v)) for v in vals)
     return F.expr(f"array({body})")
 
 
@@ -1452,7 +1482,7 @@ def _halo_rolling(
             agg = _builtin_over(func, v, spec, win_args)
             nrows = F.count(F.lit(1)).over(spec)
             gate = (nrows if func == "count" else nobs) >= min_periods
-            res = F.when(gate, agg)
+            res = _minp0_sum_fix(F.when(gate, agg), func, min_periods)
         keep = (
             df.columns
             if output_col in df.columns  # withColumn-replace semantics
@@ -1822,7 +1852,7 @@ def _bucketed_expanding(
     gate = (rows_tot if func == "count" else n_tot) >= F.lit(min_periods)
     return (
         data.repartition(n_parts, F.col("__bkt__"))
-        .withColumn(output_col, F.when(gate, val))
+        .withColumn(output_col, _minp0_sum_fix(F.when(gate, val), func, min_periods))
         .select(*keep)
     )
 
@@ -1940,7 +1970,9 @@ def expanding_apply(
         # min_periods there; NaN/NULL are one missing concept here)
         nrows = F.count(F.lit(1)).over(spec)
         gate = (nrows if func == "count" else nobs) >= min_periods
-        return df.withColumn(output_col, F.when(gate, agg))
+        return df.withColumn(
+            output_col, _minp0_sum_fix(F.when(gate, agg), func, min_periods)
+        )
 
     if partition_by:
         # collect_list over an expanding frame is O(n²) state per group;

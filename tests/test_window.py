@@ -1147,7 +1147,7 @@ def test_rolling_expanding_udf_args_kwargs(spark):
     exp = pdf.x.rolling(4, min_periods=2).apply(f, raw=True, args=(2.0,), kwargs={"c": 1.5}).to_numpy()
     out = (
         parallelize(sdf, order_by="idx").series("x").rolling(4, min_periods=2)
-        .parallel_apply(f, raw=True, args=(2.0,), c=1.5, output_col="r")
+        .parallel_apply(f, raw=True, args=(2.0,), kwargs={"c": 1.5}, output_col="r")
         .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
     )
     assert np.allclose(out, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
@@ -1406,3 +1406,79 @@ def test_new_ops_empty_input(spark):
     )
     out = asof_join(left, right, on=None, left_ts="t", value_cols=["px"])
     assert out.count() == 0
+
+
+def test_min_periods_zero_sum_matches_pandas(spark):
+    """Explicit min_periods=0: pandas sum returns 0.0 on zero-observation
+    windows (all-NaN and EMPTY frames alike); mean stays NaN. ADVICE r6 —
+    covers the positional, time-offset, and expanding gates (both the
+    bucketed and lazy plans run depending on session shape)."""
+    pdf = pd.DataFrame(
+        {
+            "idx": np.arange(6, dtype="int64"),
+            "x": [np.nan, np.nan, 1.0, 2.0, np.nan, 3.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf).repartition(3)
+    base = parallelize(sdf, order_by="idx").series("x")
+
+    exp = pdf.x.rolling(2, min_periods=0).sum().to_numpy()
+    out = (
+        base.rolling(2, min_periods=0).parallel_apply("sum", output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, equal_nan=True), (out, exp)
+
+    # empty frames via closed='neither' with window=1
+    exp = pdf.x.rolling(1, min_periods=0, closed="neither").sum().to_numpy()
+    out = (
+        base.rolling(1, min_periods=0, closed="neither")
+        .parallel_apply("sum", output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, equal_nan=True), (out, exp)
+
+    exp = pdf.x.expanding(min_periods=0).sum().to_numpy()
+    out = (
+        base.expanding(0).parallel_apply("sum", output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, equal_nan=True), (out, exp)
+
+    # mean must NOT be coalesced
+    exp = pdf.x.rolling(2, min_periods=0).mean().to_numpy()
+    out = (
+        base.rolling(2, min_periods=0).parallel_apply("mean", output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, equal_nan=True), (out, exp)
+
+    # time-offset: leading all-NaN window
+    tpdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2020-01-01 00:00", "2020-01-01 00:30", "2020-01-01 03:00"]
+            ),
+            "x": [np.nan, np.nan, 5.0],
+        }
+    )
+    exp = tpdf.set_index("ts").x.rolling("1h", min_periods=0).sum().to_numpy()
+    tsdf = spark.createDataFrame(tpdf).repartition(2)
+    out = (
+        parallelize(tsdf, order_by="ts").series("x")
+        .rolling("1h", min_periods=0).parallel_apply("sum", output_col="r")
+        .toPandas().sort_values("ts")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, equal_nan=True), (out, exp)
+
+
+def test_literal_array_non_finite(spark):
+    """literal_array must emit parseable tokens for inf/-inf/nan — the
+    repr()+'D' form produced unparseable SQL (ADVICE r6)."""
+    from pandarallel_spark.operators.window import literal_array
+
+    arr = literal_array([1.5, float("inf"), float("-inf"), float("nan")])
+    row = spark.range(1).select(arr.alias("a")).collect()[0]
+    got = row["a"]
+    assert got[0] == 1.5 and got[1] == float("inf") and got[2] == float("-inf")
+    assert np.isnan(got[3])
