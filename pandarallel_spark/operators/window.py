@@ -740,11 +740,64 @@ def rolling_apply(
                 ).apply(func, raw=raw),
                 index_col=ord_name,
             )
-        raise NotImplementedError(
-            "global (ungrouped) rolling UDFs over a time-offset window "
-            "are not implemented — use a builtin agg (JVM range frame) "
-            "or add a partition key"
+        # GLOBAL time-offset rolling UDF: explode-to-reachable-buckets
+        # with stock pandas per target bucket; lazy single-partition
+        # scan when the bucketed shape doesn't qualify (strictLazy cold
+        # build, one shuffle partition, span ≲ one window)
+        ord_name = order_by if isinstance(order_by, str) else None
+        if ord_name is None:
+            raise TypeError("time-offset rolling needs a named order column")
+        ord_dtype = df.schema[ord_name].dataType
+        if not isinstance(
+            ord_dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        ):
+            raise TypeError(
+                f"time-offset rolling needs a timestamp/date order column, "
+                f"got {ord_dtype.simpleString()} for {ord_name!r}"
+            )
+        minp = max(min_periods if min_periods is not None else 1, 1)
+        out_col = output_col or f"{col}_rolling_apply"
+        d = int(pd.Timedelta(window).value // 1000)  # microseconds
+        if d <= 0:
+            raise ValueError(f"window offset must be positive, got {window!r}")
+        t_us = F.unix_micros(F.col(ord_name).cast("timestamp"))
+        out = _bucketed_time_rolling_udf(
+            df, col, window, func, ord_name, t_us, d, minp, closed, raw,
+            out_col, return_type,
         )
+        if out is not None:
+            return out
+        out_schema = T.StructType(
+            [*df.schema.fields, T.StructField(out_col, _to_dtype(return_type), True)]
+        )
+        out_names = [f.name for f in out_schema.fields]
+        td = pd.Timedelta(window)
+
+        def roll_all_time(batches):
+            parts = [b for b in batches if len(b)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            if pdf[ord_name].isna().any():
+                raise ValueError(
+                    f"global time-offset rolling over order column "
+                    f"{ord_name!r} with NULL values is not supported: "
+                    "window membership is undefined for them. Filter or "
+                    "fill those order keys first."
+                )
+            pdf = pdf.sort_values(ord_name, kind="mergesort", ignore_index=True)
+            s = pd.Series(
+                np.asarray(pdf[col].to_numpy(), dtype="float64"),
+                index=pd.DatetimeIndex(pdf[ord_name]),
+            )
+            pdf[out_col] = (
+                s.rolling(td, min_periods=minp, closed=closed)
+                .apply(func, raw=raw)
+                .to_numpy()
+            )
+            yield pdf[out_names]
+
+        return df.repartition(1).mapInPandas(roll_all_time, out_schema)
     if win_type is not None:
         if isinstance(func, str):
             if closed is not None:
@@ -1042,16 +1095,10 @@ def _bucketed_time_rolling(
     )
     if memo is None:
         return None
-    src_b = memo["bexpr"].cast("int")
-    fwd = memo.get(f"fwd_{d}")
-    if fwd is None:
-        # shifted assignment over the SAME stored boundaries (the LUT
-        # literal costs one py4j round trip — memoized per offset)
-        fwd = bucket_assignment_expr(
-            (t_us + F.lit(d)).cast("double"),
-            memo["bnds"], memo["vlo"], memo["vhi"],
-        ).cast("int")
-        memo[f"fwd_{d}"] = fwd
+    exprs = _offset_bucket_exprs(memo, t_us, d)
+    if exprs is None:
+        return None
+    src_b, fwd = exprs
     data = df.withColumn("__src__", src_b).withColumn(
         "__tgt__", F.explode(F.sequence(F.col("__src__"), fwd))
     )
@@ -1085,6 +1132,118 @@ def _bucketed_time_rolling(
         .filter(F.col("__tgt__") == F.col("__src__"))
         .select(*keep)
     )
+
+
+def _offset_bucket_exprs(memo: dict, t_us: Column, d: int):
+    """Source/forward bucket assignments for a lookback time offset of
+    ``d`` microseconds, with the explode duplicate factor CAPPED
+    (ADVICE r6): when the offset spans multiple quantile buckets (dense
+    bursts, wide windows), every row would fan out into
+    O(window/bucket-span) copies. Coarsen by subsampling every k-th
+    boundary — still quantiles, so load stays balanced, no extra job —
+    so the coarse bucket span is ≥ the offset and the per-row fan-out is
+    ≤ 2. Returns ``(src_expr, fwd_expr)``, memoized per offset, or
+    ``None`` when the coarsened span has < 2 buckets (the whole data
+    span is ≲ one window — every frame covers most of the data, and the
+    caller's lazy single-partition RANGE window is the honest plan)."""
+    ck = f"offset_{d}"
+    cached = memo.get(ck)
+    if cached is not None:
+        return None if cached == "fallback" else cached
+    bnds, vlo, vhi = memo["bnds"], memo["vlo"], memo["vhi"]
+    widths = np.diff(np.r_[vlo, bnds, vhi]) if bnds else np.array([])
+    med = float(np.median(widths)) if widths.size else 0.0
+    if bnds and med > 0 and d > med:
+        k = int(np.ceil(d / med))
+        coarse = list(bnds[k - 1 :: k])
+        if not coarse:
+            memo[ck] = "fallback"
+            return None
+        src = bucket_assignment_expr(
+            t_us.cast("double"), coarse, vlo, vhi
+        ).cast("int")
+        fwd = bucket_assignment_expr(
+            (t_us + F.lit(d)).cast("double"), coarse, vlo, vhi
+        ).cast("int")
+    else:
+        src = memo["bexpr"].cast("int")
+        # shifted assignment over the SAME stored boundaries (the LUT
+        # literal costs one py4j round trip — memoized per offset)
+        fwd = bucket_assignment_expr(
+            (t_us + F.lit(d)).cast("double"), bnds, vlo, vhi
+        ).cast("int")
+    memo[ck] = (src, fwd)
+    return (src, fwd)
+
+
+def _bucketed_time_rolling_udf(
+    df: DataFrame,
+    col: str,
+    window: str,
+    func: Callable,
+    ord_col: str,
+    t_us: Column,
+    d: int,
+    minp: int,
+    closed: str | None,
+    raw: bool,
+    output_col: str,
+    return_type: T.DataType | str,
+) -> DataFrame | None:
+    """Distributed GLOBAL time-offset rolling UDF: the same
+    explode-to-reachable-buckets shape as the builtin
+    ``_bucketed_time_rolling`` (frames only look back, so a row at t
+    serves frames of rows in ``[t, t+d]`` — a contiguous bucket span),
+    but each target bucket runs STOCK pandas
+    ``rolling(Timedelta).apply`` over its sorted slice — exactly how
+    grouped time-offset UDFs run stock pandas per group (reference
+    op #6 is UDF-first, ``series_rolling.py:10-51``). Frames are
+    complete by construction; halo copies compute throwaway values and
+    filter out. One shuffle on the target bucket; duplicate factor ≤ 2
+    via the coarsening cap. Returns None (caller falls back to the lazy
+    single-partition scan) under strictLazy cold builds, one shuffle
+    partition, or a data span within ~one window."""
+    spark = df.sparkSession
+    n_parts = shuffle_partitions(spark)
+    if n_parts <= 1:
+        return None
+    n_buckets = n_parts * 16
+    memo = _range_bucket_build(
+        df, ord_col, t_us.cast("double"), False, n_buckets,
+        tag=("time_rolling",),
+        null_msg=(
+            f"global time-offset rolling over order column {ord_col!r} "
+            "with NULL values is not supported: window membership is "
+            "undefined for them. Filter or fill those order keys first."
+        ),
+    )
+    if memo is None:
+        return None
+    exprs = _offset_bucket_exprs(memo, t_us, d)
+    if exprs is None:
+        return None
+    src, fwd = exprs
+    data = df.withColumn("__src__", src).withColumn(
+        "__tgt__", F.explode(F.sequence(F.col("__src__"), fwd))
+    )
+    out_schema = T.StructType(
+        [*df.schema.fields, T.StructField(output_col, _to_dtype(return_type), True)]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    td = pd.Timedelta(window)
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_col, kind="mergesort", ignore_index=True)
+        s = pd.Series(
+            np.asarray(pdf[col].to_numpy(), dtype="float64"),
+            index=pd.DatetimeIndex(pdf[ord_col]),
+        )
+        res = s.rolling(td, min_periods=minp, closed=closed).apply(func, raw=raw)
+        pdf[output_col] = res.to_numpy()
+        keep = pdf[pdf["__src__"] == pdf["__tgt__"]]
+        return keep[out_names]
+
+    return data.groupBy("__tgt__").applyInPandas(per_bucket, out_schema)
 
 
 def literal_array(vals: Sequence) -> Column:

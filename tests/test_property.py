@@ -479,3 +479,49 @@ def test_rolling_cov_corr_property_matches_pandas(
     # noise, not a semantic difference.
     assert np.allclose(got[fin], exp[fin], rtol=1e-6, atol=1e-8)
     assert not np.isfinite(got[~fin]).any()
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    window=st.sampled_from(["7min", "30min", "2h"]),
+    closed=st.sampled_from([None, "right", "left", "both", "neither"]),
+    mp=st.sampled_from([None, 1, 3]),
+    raw=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_global_time_rolling_udf_matches_pandas(spark, seed, window, closed, mp, raw):
+    """GLOBAL (ungrouped) time-offset rolling UDF — the r7 closure of the
+    last rolling NotImplementedError — must match stock pandas
+    ``rolling("1h").apply`` across offset × closed × min_periods × NaN ×
+    raw. Runs the explode-to-reachable-buckets plan (per-bucket stock
+    pandas); duplicate timestamps excluded (same tie caveat as the
+    builtin bucketed path)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 120))
+    offs = np.cumsum(rng.integers(1, 2400, n))
+    ts = pd.Timestamp("2022-03-01") + pd.to_timedelta(offs, unit="s")
+    vals = rng.standard_normal(n)
+    vals[rng.integers(0, n, max(1, n // 8))] = np.nan
+
+    def f(w):
+        arr = np.asarray(w, dtype="float64")
+        arr = arr[~np.isnan(arr)]
+        return float(arr.max() - arr.min()) if len(arr) else np.nan
+
+    pdf = pd.DataFrame({"i": np.arange(n, dtype="int64"), "ts": ts, "x": vals})
+    s = pd.Series(pdf.x.to_numpy(), index=pd.DatetimeIndex(pdf.ts))
+    exp = (
+        s.rolling(window, min_periods=mp if mp is not None else 1, closed=closed)
+        .apply(f, raw=raw)
+        .to_numpy(dtype="float64")
+    )
+    got = (
+        parallelize(spark.createDataFrame(pdf).repartition(3), order_by="ts")
+        .series("x")
+        .rolling(window, min_periods=mp, closed=closed)
+        .parallel_apply(f, raw=raw, output_col="r")
+        .toPandas()
+        .sort_values("i")["r"]
+        .to_numpy(dtype="float64")
+    )
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)

@@ -967,8 +967,20 @@ def test_time_rolling_rejections(spark):
         )
     with pytest.raises(NotImplementedError, match="center"):
         base.rolling("1h", center=True).parallel_apply("sum", output_col="r")
-    with pytest.raises(NotImplementedError, match="partition key"):
-        base.rolling("1h").parallel_apply(lambda a: a.sum(), output_col="r")
+    # global time-offset UDFs are implemented as of r7 (bucketed stock
+    # pandas) — sanity: matches the builtin on a sum-shaped UDF
+    exp = (
+        base.rolling("1h").parallel_apply("sum", output_col="r")
+        .toPandas().sort_values("ts")["r"].to_numpy(dtype="float64")
+    )
+    got = (
+        base.rolling("1h").parallel_apply(
+            lambda a: float(np.nansum(a)) if len(a) else np.nan,
+            output_col="r",
+        )
+        .toPandas().sort_values("ts")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
     with pytest.raises(TypeError, match="timestamp"):
         parallelize(sdf.withColumn("o", sdf.x), order_by="o").series(
             "x"
@@ -1482,3 +1494,60 @@ def test_literal_array_non_finite(spark):
     got = row["a"]
     assert got[0] == 1.5 and got[1] == float("inf") and got[2] == float("-inf")
     assert np.isnan(got[3])
+
+
+def test_time_rolling_wide_window_fanout_capped(spark):
+    """ADVICE r6: when the offset spans many quantile buckets (dense
+    data, wide window), the explode fan-out must be capped by boundary
+    coarsening — and results must still match pandas, for both the
+    builtin agg and the UDF path."""
+    from pandarallel_spark.operators.window import (
+        _offset_bucket_exprs,
+        _range_bucket_build,
+    )
+
+    rng = np.random.default_rng(77)
+    n = 4000
+    # 1-second spacing; a 30-minute window spans ~1800 rows — many
+    # quantile buckets at the default 16x-partitions bucket count
+    offs = np.cumsum(rng.integers(1, 3, n))
+    ts = pd.Timestamp("2023-05-01") + pd.to_timedelta(offs, unit="s")
+    pdf = pd.DataFrame({"i": np.arange(n, dtype="int64"), "ts": ts,
+                        "x": rng.standard_normal(n)})
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    s = pd.Series(pdf.x.to_numpy(), index=pd.DatetimeIndex(pdf.ts))
+
+    base = parallelize(sdf, order_by="ts").series("x")
+    exp = s.rolling("30min").sum().to_numpy()
+    got = (
+        base.rolling("30min").parallel_apply("sum", output_col="r")
+        .toPandas().sort_values("i")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-9, equal_nan=True)
+
+    f = lambda w: float(np.nansum(w))  # noqa: E731
+    got_u = (
+        base.rolling("30min").parallel_apply(f, raw=True, output_col="r")
+        .toPandas().sort_values("i")["r"].to_numpy(dtype="float64")
+    )
+    # pandas .apply skips all-NaN windows per min_periods; data has no NaN
+    assert np.allclose(got_u, exp, rtol=1e-9, atol=1e-9, equal_nan=True)
+
+    # fan-out bound: with coarsened boundaries the exploded row count
+    # stays ≤ 2x the input (plus a small tail allowance)
+    from pyspark.sql import functions as F
+
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = int(pd.Timedelta("30min").value // 1000)
+    from pandarallel_spark.operators._memo import shuffle_partitions
+    memo = _range_bucket_build(
+        sdf, "ts", t_us.cast("double"), False,
+        shuffle_partitions(spark) * 16, tag=("time_rolling",), null_msg="x",
+    )
+    src, fwd = _offset_bucket_exprs(memo, t_us, d)
+    fan = (
+        sdf.withColumn("__src__", src)
+        .withColumn("__tgt__", F.explode(F.sequence(F.col("__src__"), fwd)))
+        .count()
+    )
+    assert fan <= 2.2 * n, f"fan-out {fan} rows for {n} inputs"
