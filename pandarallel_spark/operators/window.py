@@ -2202,16 +2202,23 @@ def _ewm_scan(
     ignore_na: bool,
     seed: dict | None = None,
 ) -> tuple[np.ndarray, dict]:
-    """Sequential ewm-mean scan for one chunk, mirroring pandas ewm.pyx
-    (verified differentially): per observation, the carried weight
-    decays by (1−α)^δ — δ = positions since the previous observation
-    for ignore_na=False (NaN rows keep decaying), 1 for ignore_na=True —
+    """ewm-mean scan for one chunk, mirroring pandas ewm.pyx (verified
+    differentially): per observation, the carried weight decays by
+    (1−α)^δ — δ = positions since the previous observation for
+    ignore_na=False (NaN rows keep decaying), 1 for ignore_na=True —
     then mean' = (old_wt·mean + new_wt·x)/(old_wt + new_wt) with
     new_wt = 1 (adjust) or α; adjust accumulates old_wt += new_wt,
     non-adjust renormalizes old_wt back to 1. NaN rows re-emit the
     running mean. ``seed`` carries the scan state across chunks:
     {w, old_wt, obs, pend} (pend = rows since the last observation at
-    the chunk boundary). Returns (means, end_state)."""
+    the chunk boundary). Returns (means, end_state).
+
+    adjust=True (the pandas default) runs VECTORIZED — the per-row
+    Python loop dominated the executor scan at scale (VERDICT r6) —
+    via ``_ewm_scan_adjust_vec``; the loop below serves adjust=False,
+    whose renormalizing recurrence isn't a linear fold."""
+    if adjust:
+        return _ewm_scan_adjust_vec(vals, alpha, ignore_na, seed)
     one_minus = 1.0 - alpha
     new_wt = 1.0 if adjust else alpha
     s = seed or {}
@@ -2237,6 +2244,114 @@ def _ewm_scan(
         pend = 0
         out[j] = w
     return out, {"w": w, "old_wt": old_wt, "obs": obs, "pend": pend}
+
+
+def _ewm_decay_cutoff(alpha: float) -> int:
+    """Steps after which (1−α)^s underflows to EXACTLY 0.0 in float64
+    (smallest denormal ≈ 5e-324, −ln ≈ 745): beyond this, a carried
+    seed contributes bit-exact nothing to the scan."""
+    import math
+
+    return int(np.ceil(745.0 / -math.log1p(-alpha)))
+
+
+def _ewm_scan_adjust_vec(
+    vals: np.ndarray,
+    alpha: float,
+    ignore_na: bool,
+    seed: dict | None = None,
+) -> tuple[np.ndarray, dict]:
+    """adjust=True chunk scan with no per-row Python loop (VERDICT r6):
+    the seeded mean at observation i is an affine correction of the
+    UNSEEDED scan, mean_i = (num_u(i) + M·W·dec_i)/(den_u(i) + W·dec_i),
+    with (num_u, den_u) the unnormalized numerator/denominator of the
+    unseeded recurrence, (M, W) the incoming seed's (mean, old_wt), and
+    dec_i = (1−α)^(pend + p_i + 1) the seed's decay to observation i
+    (observation COUNT exponent for ignore_na=True). dec underflows to
+    exactly 0.0 past ``_ewm_decay_cutoff`` steps, so the correction is
+    computed only on that prefix (pandas' C ``ewm.sum`` over the slice);
+    the rest of the chunk IS pandas' C ``ewm.mean`` — the whole scan
+    costs one pandas ewm pass regardless of chunk size. Re-associates
+    the same sums as the sequential recurrence — agreement to float
+    ulps (differential tests pin rtol 1e-9). NaN rows forward-fill;
+    rows before the first local observation emit the seed mean."""
+    n = len(vals)
+    s = seed or {}
+    W = float(s.get("old_wt", 1.0))
+    M = float(s.get("w", np.nan))
+    sobs = int(s.get("obs", 0))
+    pend = int(s.get("pend", 0))
+    if n == 0:
+        return np.empty(0, dtype="float64"), {
+            "w": M, "old_wt": W, "obs": sobs, "pend": pend,
+        }
+    isnan = np.isnan(vals)
+    obs_idx = np.nonzero(~isnan)[0]
+    nobs = len(obs_idx)
+    if nobs == 0:
+        out = np.full(n, M if sobs else np.nan)
+        if not ignore_na:
+            pend += n
+        return out, {"w": M, "old_wt": W, "obs": sobs, "pend": pend}
+    kw = dict(alpha=alpha, adjust=True, ignore_na=ignore_na)
+    one_minus = 1.0 - alpha
+    cutoff = _ewm_decay_cutoff(alpha)
+    end_pend = (n - 1 - int(obs_idx[-1])) if not ignore_na else 0
+    # den_u at the LAST observation via the suffix that hasn't
+    # underflown (terms beyond cutoff are exactly 0.0)
+    if ignore_na:
+        tail = min(nobs, cutoff + 1)
+        d_last = float(np.sum(one_minus ** np.arange(tail, dtype="float64")))
+    else:
+        p_last = int(obs_idx[-1])
+        tail_idx = obs_idx[obs_idx >= p_last - cutoff]
+        d_last = float(
+            np.sum(one_minus ** (p_last - tail_idx).astype("float64"))
+        )
+    out = pd.Series(vals).ewm(**kw).mean().to_numpy()
+    if sobs == 0:
+        # unseeded: pandas' own mean IS the scan (bit-exact C recurrence)
+        return out, {
+            "w": float(out[obs_idx[-1]]),
+            "old_wt": d_last,
+            "obs": nobs,
+            "pend": end_pend,
+        }
+    # prefix where the seed still contributes: steps_i ≤ cutoff
+    if ignore_na:
+        k = min(nobs, max(0, cutoff))
+        steps_p = np.arange(1, k + 1, dtype="float64")
+    else:
+        k = int(np.searchsorted(obs_idx, cutoff - 1 - pend, side="right"))
+        steps_p = (obs_idx[:k] + 1 + pend).astype("float64")
+    dec_last = 0.0
+    if k:
+        pe = int(obs_idx[k - 1])
+        pre = vals[: pe + 1]
+        n_u_p = pd.Series(pre).ewm(**kw).sum().to_numpy()[obs_idx[:k]]
+        d_u_p = (
+            pd.Series(np.where(np.isnan(pre), np.nan, 1.0))
+            .ewm(**kw)
+            .sum()
+            .to_numpy()[obs_idx[:k]]
+        )
+        dec_p = one_minus**steps_p
+        sm_p = (n_u_p + M * W * dec_p) / (d_u_p + W * dec_p)
+        filled = np.full(pe + 1, np.nan)
+        filled[obs_idx[:k]] = sm_p
+        out[: pe + 1] = pd.Series(filled).ffill().to_numpy()
+        # NaN rows after the last corrected obs carry ITS seeded value
+        nxt = int(obs_idx[k]) if k < nobs else n
+        out[pe + 1 : nxt] = sm_p[-1]
+        if k == nobs:
+            dec_last = float(dec_p[-1])
+    out[: obs_idx[0]] = M
+    return out, {
+        "w": float(out[obs_idx[-1]]),
+        "old_wt": d_last + W * dec_last,
+        "obs": sobs + nobs,
+        "pend": end_pend,
+    }
 
 
 def _ewm_bucket_summary(
