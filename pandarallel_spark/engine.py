@@ -244,8 +244,9 @@ class ParallelEwm:
     ) -> DataFrame:
         df, order = self.series.frame._ordered()
         if func in ("var", "std"):
-            # grouped: stock pandas per key (ewm_moment); global raises
-            # there — mean is the only distributed global ewm scan
+            # grouped: stock pandas per key; global adjust=True: the
+            # distributed four-moment bucket carry; global adjust=False:
+            # one-partition stock pandas (ewm_moment routes all three)
             return _window.ewm_moment(
                 df, self.series.col, order, func,
                 partition_by=self.series.partition_by,
@@ -266,11 +267,11 @@ class ParallelEwm:
         return self.parallel_apply("mean", output_col=output_col)
 
     def var(self, *, bias: bool = False, output_col: str | None = None) -> DataFrame:
-        """pandas-style alias for ``parallel_apply("var")`` (grouped only)."""
+        """pandas-style alias for ``parallel_apply("var")``."""
         return self.parallel_apply("var", bias=bias, output_col=output_col)
 
     def std(self, *, bias: bool = False, output_col: str | None = None) -> DataFrame:
-        """pandas-style alias for ``parallel_apply("std")`` (grouped only)."""
+        """pandas-style alias for ``parallel_apply("std")``."""
         return self.parallel_apply("std", bias=bias, output_col=output_col)
 
 

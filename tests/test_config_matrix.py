@@ -191,13 +191,23 @@ def test_strict_lazy_global_ewm(strict, tmp_path):
     sdf = _parquet(strict, tmp_path, "ewm", pdf)
     with pytest.raises(RuntimeError, match="strictLazy.*ewm"):
         ewm_mean(sdf, "x", "idx", alpha=0.4)
+    # global ewm var (r7): same guard on its moment-seed build; the
+    # adjust=False form never builds (single-partition scan)
+    from pandarallel_spark.operators.window import ewm_moment
+
+    with pytest.raises(RuntimeError, match="strictLazy.*ewm var"):
+        ewm_moment(sdf, "x", "idx", "var", alpha=0.4)
+    ewm_moment(sdf, "x", "idx", "var", alpha=0.4, adjust=False)
     # escape hatches named in the error: grouped path is fully lazy;
     # single-partition path skips the build jobs
     ewm_mean(sdf.withColumn("k", sdf.idx % 3), "x", "idx",
              alpha=0.4, partition_by=["k"])
+    ewm_moment(sdf.withColumn("k", sdf.idx % 3), "x", "idx", "std",
+               alpha=0.4, partition_by=["k"])
     saved = strict.conf.get("spark.sql.shuffle.partitions")
     try:
         strict.conf.set("spark.sql.shuffle.partitions", "1")
         ewm_mean(sdf, "x", "idx", alpha=0.4)
+        ewm_moment(sdf, "x", "idx", "var", alpha=0.4)
     finally:
         strict.conf.set("spark.sql.shuffle.partitions", saved)

@@ -1349,13 +1349,57 @@ def test_ewm_mean_grouped_and_param_forms(spark):
     assert abs(resolve_ewm_alpha(halflife=1.0) - 0.5) < 1e-15
     with pytest.raises(ValueError, match="exactly one"):
         resolve_ewm_alpha(com=1.0, span=2.0)
-    # GLOBAL ewm var/std stays rejected (mean has the distributed scan)
-    with pytest.raises(NotImplementedError, match="mean"):
-        parallelize(sdf, order_by="idx").series("x").ewm(alpha=0.5).parallel_apply("var")
     with pytest.raises(NotImplementedError, match="mean/var/std"):
         parallelize(sdf, order_by="idx").groupby("k").series("x").ewm(
             alpha=0.5
         ).parallel_apply("sum")
+
+
+def test_global_ewm_var_std_vs_pandas(spark):
+    """GLOBAL ewm var/std (r7): adjust=True runs the distributed
+    four-moment bucket carry; adjust=False the one-partition stock
+    pandas scan. Both must match s.ewm(...).var()/std() across bias /
+    ignore_na / min_periods / NaN. Known divergence (documented in
+    ewm_moment): bias=False NaN rows while only ONE observation has
+    been seen — pandas' float recurrence drifts its exactly-zero debias
+    denominator and emits artifact 0.0 there; comparison starts at the
+    second observation."""
+    rng = np.random.default_rng(91)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "idx": np.arange(n, dtype="int64"),
+            # large offset: exercises the shift-by-first-obs centering
+            # (raw sum-of-squares would cancel catastrophically)
+            "x": rng.standard_normal(n) + 1e6,
+        }
+    )
+    pdf.loc[rng.integers(0, n, n // 10), "x"] = np.nan
+    sdf = spark.createDataFrame(pdf).repartition(5)
+    base = parallelize(sdf, order_by="idx").series("x")
+    second_obs = np.nonzero(~pdf.x.isna().to_numpy())[0][1]
+    for func, bias, ig, adjust, mp in (
+        ("var", False, False, True, 0),
+        ("var", True, False, True, 0),
+        ("std", False, True, True, 5),
+        ("var", False, True, True, 0),
+        ("std", True, False, True, 0),
+        ("var", False, False, False, 0),
+        ("std", False, True, False, 3),
+    ):
+        exp = getattr(
+            pdf.x.ewm(alpha=0.3, adjust=adjust, ignore_na=ig, min_periods=mp),
+            func,
+        )(bias=bias).to_numpy()
+        out = (
+            base.ewm(alpha=0.3, adjust=adjust, ignore_na=ig, min_periods=mp)
+            .parallel_apply(func, bias=bias, output_col="r")
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(
+            out[second_obs:], exp[second_obs:],
+            rtol=1e-7, atol=1e-10, equal_nan=True,
+        ), (func, bias, ig, adjust, mp)
 
 
 def test_rolling_sem_and_expanding_order_stats_vs_pandas(spark):
