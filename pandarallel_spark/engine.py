@@ -68,13 +68,20 @@ class Engine:
         return ParallelFrame(self.spark.read.parquet(path), order_by=order_by)
 
 
-def parallelize(df: DataFrame, order_by: str | None = None) -> "ParallelFrame":
-    """Wrap a Spark DataFrame with the pandarallel-shaped API."""
+def parallelize(
+    df: DataFrame, order_by: str | Sequence[str] | None = None
+) -> "ParallelFrame":
+    """Wrap a Spark DataFrame with the pandarallel-shaped API.
+
+    ``order_by`` names the column(s) standing in for the pandas row
+    index in window operators. A LIST of columns orders windows by the
+    lexicographic tuple (global rolling buckets on the first column;
+    ewm requires a single column)."""
     return ParallelFrame(df, order_by=order_by)
 
 
 class ParallelFrame:
-    def __init__(self, df: DataFrame, order_by: str | None = None):
+    def __init__(self, df: DataFrame, order_by: str | Sequence[str] | None = None):
         self.df = df
         self.order_by = order_by
 

@@ -853,7 +853,7 @@ def rolling_apply(
             # GLOBAL builtin: not a single-partition total-order window —
             # ride the range-bucket + boundary-context machinery as a
             # bucket-partitioned JVM window (falls back below when the
-            # shape doesn't qualify: multi-column order, one shuffle
+            # shape doesn't qualify: non-orderable first order column, one shuffle
             # partition, non-orderable key)
             halo = _halo_rolling(
                 df, col, order_by, output_col, "double",
@@ -1382,20 +1382,35 @@ def _halo_rolling(
     With one shuffle partition the bucket machinery is skipped entirely
     (a single partition already sees the whole order).
 
-    Returns None when the shape doesn't qualify (multi-column or
-    non-orderable order key) — caller falls back to the single-partition
-    window form. The order column should be a total order; ties make
-    window composition nondeterministic (same caveat as pandas on a
-    non-unique index) — which tied rows land in a boundary context set
-    is likewise arbitrary, affecting window VALUES on ties only, never
-    row membership.
+    MULTI-COLUMN order keys (r7): buckets are assigned from the FIRST
+    order column alone — bucket-of-first-column is monotone under the
+    lexicographic order because ties on the first column always share a
+    bucket (strict ``>`` against boundaries) — while every sort (window
+    specs, context extraction, per-bucket pandas) uses the full tuple.
+    The first column must be numeric/date/timestamp (it feeds
+    ``approxQuantile``); later columns may be any atomic orderable
+    type. A constant first column degenerates to one bucket — correct,
+    effectively single-partition.
+
+    Returns None when the shape doesn't qualify (non-orderable first
+    order column) — caller falls back to the single-partition window
+    form. The order tuple should be a total order; ties make window
+    composition nondeterministic (same caveat as pandas on a non-unique
+    index) — which tied rows land in a boundary context set is likewise
+    arbitrary, affecting window VALUES on ties only, never row
+    membership.
     """
-    if len(order_by) != 1 or not isinstance(order_by[0], str):
+    if not order_by or not all(isinstance(c, str) for c in order_by):
         return None
     ord_col = order_by[0]
+    order_cols = list(order_by)
     ord_type = df.schema[ord_col].dataType
     if not isinstance(
         ord_type, (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType)
+    ):
+        return None
+    if not all(
+        isinstance(df.schema[c].dataType, T.AtomicType) for c in order_cols[1:]
     ):
         return None
 
@@ -1434,14 +1449,14 @@ def _halo_rolling(
             if not parts:
                 return
             pdf = pd.concat(parts, ignore_index=True)
-            if pdf[ord_col].isna().any():
+            if pdf[order_cols].isna().any().any():
                 raise ValueError(
-                    f"global rolling over order column {ord_col!r} with "
+                    f"global rolling over order columns {order_cols!r} with "
                     "NULL or NaN values is not supported: window membership "
                     "is undefined for them (and pandas/Spark disagree on "
                     "where they sort). Filter or fill those order keys first."
                 )
-            pdf = pdf.sort_values(ord_col, kind="mergesort", ignore_index=True)
+            pdf = pdf.sort_values(order_cols, kind="mergesort", ignore_index=True)
             pdf[output_col] = roll_bucket(pdf)
             yield pdf[out_names]
 
@@ -1461,7 +1476,7 @@ def _halo_rolling(
         n_buckets = max(2, min(n_buckets, 2_000_000 // (2 * edge)))
     narrow_cols = list(
         dict.fromkeys(
-            [ord_col, col, ix] + ([pair_col] if pair_col else [])
+            [*order_cols, col, ix] + ([pair_col] if pair_col else [])
         )
     )
     if isinstance(ord_type, T.NumericType):
@@ -1475,7 +1490,9 @@ def _halo_rolling(
     # Memo key = plan identity AND data identity (semanticHash alone
     # would hit on overwritten paths and serve STALE context rows —
     # review finding r4, confirmed by repro); None → never memoize.
-    plan_key = plan_data_key(df, ord_col, col, ix, pair_col, n_buckets, lo, hi)
+    plan_key = plan_data_key(
+        df, tuple(order_cols), col, ix, pair_col, n_buckets, lo, hi
+    )
 
     memo = _HALO_MEMO.get(plan_key) if plan_key is not None else None
     if memo is None:
@@ -1509,15 +1526,18 @@ def _halo_rolling(
             )
             vlo, vhi = (qs[0], qs[-1]) if qs else (float("nan"), float("nan"))
             bnds = sorted(set(qs[1:-1]))
-            bad_ord = F.col(ord_col).isNull()
-            if is_float_ord:
-                bad_ord = bad_ord | F.isnan(F.col(ord_col))
+            bad_ord = F.lit(False)
+            for oc in order_cols:
+                b = F.col(oc).isNull()
+                if isinstance(df.schema[oc].dataType, (T.DoubleType, T.FloatType)):
+                    b = b | F.isnan(F.col(oc))
+                bad_ord = bad_ord | b
             if narrow.filter(bad_ord).limit(1).count():
                 raise ValueError(
-                    f"global rolling over order column {ord_col!r} with NULL "
-                    "or NaN values is not supported: window membership is "
-                    "undefined for them (and pandas/Spark disagree on where "
-                    "they sort). Filter or fill those order keys first."
+                    f"global rolling over order columns {order_cols!r} with "
+                    "NULL or NaN values is not supported: window membership "
+                    "is undefined for them (and pandas/Spark disagree on "
+                    "where they sort). Filter or fill those order keys first."
                 )
             bucket_expr = bucket_assignment_expr(ord_num, bnds, vlo, vhi)
             # per-bucket boundary context rows → driver. A bucket's tail
@@ -1531,8 +1551,12 @@ def _halo_rolling(
             ctx_map: dict[int, tuple] = {}
             ctx_union = None
             if edge and bnds:
-                w_a = Window.partitionBy("__bkt__").orderBy(F.col(ord_col))
-                w_d = Window.partitionBy("__bkt__").orderBy(F.col(ord_col).desc())
+                w_a = Window.partitionBy("__bkt__").orderBy(
+                    *[F.col(c) for c in order_cols]
+                )
+                w_d = Window.partitionBy("__bkt__").orderBy(
+                    *[F.col(c).desc() for c in order_cols]
+                )
                 ctx_pdf = (
                     narrow.withColumn("__bkt__", bucket_expr)
                     .withColumn("__na__", F.row_number().over(w_a))
@@ -1543,7 +1567,7 @@ def _halo_rolling(
                     )
                     .select(*narrow_cols, "__bkt__")
                     .toPandas()
-                    .sort_values(["__bkt__", ord_col], kind="mergesort")
+                    .sort_values(["__bkt__", *order_cols], kind="mergesort")
                 )
                 bkts = ctx_pdf["__bkt__"].to_numpy()
                 cvals = np.asarray(ctx_pdf[col].to_numpy(), dtype="float64")
@@ -1570,8 +1594,10 @@ def _halo_rolling(
                             cvals[pre], ivals[pre], cvals[post], ivals[post]
                         )
                         sel = ctx_pdf.iloc[list(pre) + list(post)][
-                            [ord_col, col]
-                            + ([pair_col] if pair_col else [])
+                            list(dict.fromkeys(
+                                [*order_cols, col]
+                                + ([pair_col] if pair_col else [])
+                            ))
                         ].copy()
                         sel["__bkt__"] = b
                         union_parts.append(sel)
@@ -1605,9 +1631,13 @@ def _halo_rolling(
             return data
         ctx_sdf = memo.get("ctx_sdf")
         if ctx_sdf is None:
+            ctx_sdf = spark.createDataFrame(ctx_union)
+            for oc in order_cols:
+                ctx_sdf = ctx_sdf.withColumn(
+                    oc, F.col(oc).cast(df.schema[oc].dataType)
+                )
             ctx_sdf = (
-                spark.createDataFrame(ctx_union)
-                .withColumn(ord_col, F.col(ord_col).cast(ord_type))
+                ctx_sdf
                 .withColumn(col, F.col(col).cast(df.schema[col].dataType))
                 .withColumn("__bkt__", F.col("__bkt__").cast("int"))
                 .withColumn("__ctx__", F.lit(True))
@@ -1628,7 +1658,7 @@ def _halo_rolling(
         data = _with_ctx(bucketed.withColumn("__ctx__", F.lit(False)))
         spec = (
             Window.partitionBy("__bkt__")
-            .orderBy(F.col(ord_col))
+            .orderBy(*[F.col(c) for c in order_cols])
             .rowsBetween(lo, hi)
         )
         if func in ("cov", "corr"):
@@ -1659,7 +1689,12 @@ def _halo_rolling(
     # reach across bucket boundaries, then drop back out. No Python
     # workers, no Arrow, whole-stage codegen end to end.
     w2 = hi - lo + 1
-    if raw and vectorize and callable(func) and min_periods >= w2:
+    # (single-column orders only: the slot lag/lead window and its
+    # validation probe are built over the one order column)
+    if (
+        raw and vectorize and callable(func) and min_periods >= w2
+        and len(order_cols) == 1
+    ):
         # cache the probe result only when BOTH the plan and the func
         # are identifiable — an id()-based fallback key could collide
         # after GC address reuse and serve another func's expression
@@ -1730,7 +1765,7 @@ def _halo_rolling(
             return
         pdf = pd.concat(parts, ignore_index=True)
         for b, g in pdf.groupby("__bkt__", sort=False):
-            g = g.sort_values(ord_col, kind="mergesort", ignore_index=True)
+            g = g.sort_values(order_cols, kind="mergesort", ignore_index=True)
             ctx = ctx_map_x.get(int(b))
             if ctx is not None:
                 pre_c, pre_i, post_c, post_i = ctx

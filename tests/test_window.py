@@ -1595,3 +1595,63 @@ def test_time_rolling_wide_window_fanout_capped(spark):
         .count()
     )
     assert fan <= 2.2 * n, f"fan-out {fan} rows for {n} inputs"
+
+
+def test_global_rolling_multicol_order_is_bucketed(spark):
+    """2-column order keys (r7): global rolling must bucket on the FIRST
+    order column (monotone under the lexicographic order — ties share a
+    bucket) instead of silently falling back to the single-partition
+    collect_list window, while matching pandas on the tuple-sorted
+    frame. Covers the builtin JVM window and the pandas halo UDF path."""
+    import io
+    from contextlib import redirect_stdout
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    # heavy ties on the first column; second column breaks them
+    pdf = pd.DataFrame(
+        {
+            "t": rng.integers(0, 400, n).astype("int64"),
+            "sub": rng.integers(0, 1_000_000, n).astype("int64"),
+            "x": rng.standard_normal(n),
+        }
+    )
+    pdf = pdf.drop_duplicates(["t", "sub"]).reset_index(drop=True)
+    pdf.loc[rng.integers(0, len(pdf), len(pdf) // 10), "x"] = np.nan
+    sdf = spark.createDataFrame(pdf).repartition(6)
+    ref = pdf.sort_values(["t", "sub"], kind="mergesort")
+    exp = ref.x.rolling(5, min_periods=2).sum().to_numpy()
+
+    out_df = (
+        parallelize(sdf, order_by=["t", "sub"]).series("x")
+        .rolling(5, min_periods=2).parallel_apply("sum", output_col="r")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning(__bkt__" in plan, "builtin not bucketed"
+    assert "MapInPandas" not in plan
+    got = (
+        out_df.toPandas().sort_values(["t", "sub"])["r"]
+        .to_numpy(dtype="float64")
+    )
+    assert np.allclose(got, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+    # UDF path: pandas halo per bucket (no single-partition repartition)
+    f = lambda w: float(np.nansum(w)) if np.count_nonzero(~np.isnan(w)) else np.nan  # noqa: E731
+    out_u = (
+        parallelize(sdf, order_by=["t", "sub"]).series("x")
+        .rolling(5, min_periods=2)
+        .parallel_apply(f, raw=True, vectorize=False, output_col="r")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out_u.explain("formatted")
+    plan_u = buf.getvalue()
+    assert "hashpartitioning(__bkt__" in plan_u, "UDF path not bucketed"
+    got_u = (
+        out_u.toPandas().sort_values(["t", "sub"])["r"]
+        .to_numpy(dtype="float64")
+    )
+    assert np.allclose(got_u, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
