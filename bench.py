@@ -31,8 +31,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "groupby_agg_pricing_summary",
     "groupby_apply_pricing_summary",
-    "row_apply_expr_disc_price",
-    "row_apply_udf_disc_price",
+    "row_apply_disc_price",
     "grouped_rolling_sum",
     "series_map_dict",
     "text_stats",

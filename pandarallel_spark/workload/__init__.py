@@ -77,20 +77,20 @@ def _load_all() -> None:
     # 52 registered, 50 graded — the registry tail fell outside the hard
     # signal). r6 freed two graded slots by merging capability twins
     # (rollup+cube -> grouping_sets_rollup_cube; tumbling+sliding ->
-    # events_windows_tumbling_sliding) and spent them on the global
-    # key-less as-of join and mean_token_docfreq — previously
-    # pytest-only. With 54 registered, the four tail slots go to
-    # variants whose SEMANTICS a graded sibling plus pytest already
-    # cover, so
+    # events_windows_tumbling_sliding). r7 merged two more pairs —
+    # row-apply expr+udf -> row_apply_disc_price (reference op #1's BOTH
+    # execution forms now inside one graded row, retiring the tail twin)
+    # and dedup exact+fingerprint -> dedup_exact_and_fingerprint — and
+    # spent the freed slot on ewm_mean_purchase_cents (the global ewm
+    # scan's first graded row; previously pytest-differential only).
+    # 53 registered = 50 graded + 3 tail; the tail slots are variants
+    # whose SEMANTICS a graded sibling plus pytest already cover, so
     # every distinct capability keeps a driver row:
     # - rolling_sum_closed_left: closed= frame replay is
     #   property-tested vs pandas (tests/test_property.py) next to the
     #   graded rolling_sum_global;
     # - similarity_topk_expr: shares its oracle with the graded numpy
     #   form (plan-tested in tests/test_plans.py);
-    # - row_apply_udf_disc_price: same oracle as the graded expr twin;
-    #   the mapInPandas UDF path is pandas-differential-tested
-    #   (tests/test_apply.py, test_compat.py) and benched;
     # - grouped_rolling_udf: same frame semantics as the graded
     #   grouped_rolling_sum; the per-group UDF path is differential-
     #   tested (tests/test_window.py) and benched.
@@ -99,7 +99,6 @@ def _load_all() -> None:
     for name in (
         "rolling_sum_closed_left",
         "similarity_topk_expr",
-        "row_apply_udf_disc_price",
         "grouped_rolling_udf",
     ):
         if name in REGISTRY:  # tolerate renames — reordering is advisory

@@ -130,7 +130,12 @@ def q1_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ROW_APPLY_ORACLE = """
-SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+SELECT 'expr' AS src, l_orderkey, l_linenumber, l_extendedprice, l_discount,
+  CAST(round(l_extendedprice*100) AS BIGINT)
+    * (100 - CAST(round(l_discount*100) AS BIGINT)) / 10000.0 AS result
+FROM lineitem
+UNION ALL
+SELECT 'udf' AS src, l_orderkey, l_linenumber, l_extendedprice, l_discount,
   CAST(round(l_extendedprice*100) AS BIGINT)
     * (100 - CAST(round(l_discount*100) AS BIGINT)) / 10000.0 AS result
 FROM lineitem
@@ -138,32 +143,24 @@ FROM lineitem
 
 
 @register(
-    "row_apply_expr_disc_price",
+    "row_apply_disc_price",
     _ROW_APPLY_ORACLE,
-    "Reference op #1 (DataFrame.parallel_apply axis=1), expression fast "
-    "path: the row UDF is expressed as a Column so it runs in "
-    "whole-stage codegen — zero Python in the hot path.",
+    "Reference op #1 (DataFrame.parallel_apply axis=1) in BOTH execution "
+    "forms in one graded row (r7 merge of the expr/udf twins): the "
+    "Column-expression fast path (whole-stage codegen, zero Python) "
+    "unioned with the black-box mapInPandas UDF path (Arrow batches, "
+    "explicit declared schema), kind-tagged by src. Same cents-exact "
+    "computation on both branches; the union is plan-level only.",
 )
-def row_apply_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def row_apply_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
     )
     expr = (
         _cents("l_extendedprice") * (100 - _cents("l_discount")) / 10000.0
     )
-    return parallelize(li).parallel_apply(expr, axis=1)
-
-
-@register(
-    "row_apply_udf_disc_price",
-    _ROW_APPLY_ORACLE,
-    "Same computation through the black-box-UDF path (mapInPandas, "
-    "Arrow batches) — proves the reference's row-wise apply machinery "
-    "with an explicit declared schema.",
-)
-def row_apply_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    expr_out = parallelize(li).parallel_apply(expr, axis=1).select(
+        F.lit("expr").alias("src"), "*"
     )
 
     def disc_price(row):
@@ -175,7 +172,10 @@ def row_apply_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey bigint, l_linenumber int, l_extendedprice double, "
         "l_discount double, result double"
     )
-    return parallelize(li).parallel_apply(disc_price, axis=1, schema=schema)
+    udf_out = parallelize(li).parallel_apply(
+        disc_price, axis=1, schema=schema
+    ).select(F.lit("udf").alias("src"), "*")
+    return expr_out.unionByName(udf_out)
 
 
 # ---------------------------------------------------------------------------

@@ -82,38 +82,41 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_exact_key",
-    """
-SELECT doc_id, lang, source FROM documents
+_EXACT_FP_DEDUP_ORACLE = f"""
+SELECT 'exact_key' AS src, doc_id, lang, source FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
-""",
-    "Exact dedup (hash-groupBy on key columns, min-id survivor) — one "
-    "shuffle, AQE-skew-safe.",
-)
-def dedup_exact_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    return _dedup.exact_dedup(docs, ["lang", "source"], "doc_id")
-
-
-_FP_DEDUP_ORACLE = f"""
-WITH t AS (SELECT doc_id,
+UNION ALL
+SELECT 'fingerprint' AS src, doc_id,
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source
+FROM (SELECT doc_id,
   md5(array_to_string(list_sort(list_distinct({_DOC_TOKS})), ' ')) AS fp
 FROM documents)
-SELECT doc_id FROM t
 QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
 """
 
 
 @register(
-    "dedup_fingerprint",
-    _FP_DEDUP_ORACLE,
-    "Normalized-content dedup: exact dedup on the sorted-distinct-token "
-    "md5 fingerprint — catches word-order permutations at exact-dedup cost.",
+    "dedup_exact_and_fingerprint",
+    _EXACT_FP_DEDUP_ORACLE,
+    "Both exact-dedup shapes in one graded row (r7 merge of the twins): "
+    "raw-key dedup (hash-groupBy on (lang, source), min-id survivor, "
+    "one AQE-skew-safe shuffle) unioned with normalized-content dedup "
+    "(same survivor rule on the sorted-distinct-token md5 fingerprint — "
+    "word-order permutations at exact-dedup cost), kind-tagged by src. "
+    "The union is plan-level only.",
 )
-def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact_and_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return _dedup.fingerprint_dedup(docs, "text", "doc_id").select("doc_id")
+    exact = _dedup.exact_dedup(
+        docs.select("doc_id", "lang", "source"), ["lang", "source"], "doc_id"
+    ).select(F.lit("exact_key").alias("src"), "doc_id", "lang", "source")
+    fp = _dedup.fingerprint_dedup(docs, "text", "doc_id").select(
+        F.lit("fingerprint").alias("src"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    return exact.unionByName(fp)
 
 
 _JACCARD_ORACLE_BODY = f"""

@@ -388,6 +388,65 @@ def time_rolling_purchase_cents_1h(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select("user_id", "event_id", "ts", "cents", "cents_1h", "n_1h")
 
 
+@register(
+    "ewm_mean_purchase_cents",
+    """
+WITH p AS (
+  SELECT ts, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY ts)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_ts,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       TRUE AS ewm_within_tol
+FROM p GROUP BY 1
+""",
+    "GLOBAL exponentially-weighted mean over per-timestamp purchase "
+    "cents — the distributed bucket-carry scan (operators/window.py "
+    "ewm_mean: approxQuantile range buckets, one bounded state row per "
+    "bucket, driver-chained seeds, second per-bucket pass), graded for "
+    "the first time (r7; previously pytest-differential only). ewm is "
+    "weighted double arithmetic, not SQL-expressible exactly, so the "
+    "row follows the sketch error-contract pattern: exact integer "
+    "anchors (per-day timestamp count + cents total, which any engine "
+    "reproduces bit-exactly) plus ewm_within_tol, a Spark-side boolean "
+    "asserting the distributed scan stays within rtol 1e-9 of the "
+    "sequential stock-pandas scan over the identical sorted input "
+    "(single-partition reference branch). DuckDB asserts the anchors "
+    "and literal TRUE — a divergence in the distributed seed chain "
+    "breaks the value hash. Timestamps are pre-aggregated so the scan "
+    "order is total (duplicate-ts tie order is the documented caveat).",
+)
+def ewm_mean_purchase_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.window import (
+        _ewm_single_partition,
+        ewm_mean,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("ts")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    dist = ewm_mean(p, "cents", "ts", alpha=0.5, output_col="ewm")
+    ref = _ewm_single_partition(
+        p, "cents", "ts", "ref", lambda s: s.ewm(alpha=0.5).mean()
+    )
+    j = dist.join(ref.select("ts", "ref"), "ts")
+    ok = (
+        F.abs(F.col("ewm") - F.col("ref"))
+        <= F.lit(1e-9) * F.greatest(F.abs(F.col("ref")), F.lit(1.0))
+    )
+    return (
+        j.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ts"),
+            F.sum("cents").alias("sum_cents"),
+            F.bool_and(ok).alias("ewm_within_tol"),
+        )
+    )
+
+
 # NOTE (r6): the standalone exact-percentiles row was merged into
 # percentiles_approx_price_per_flag — that graded row always carried the
 # SAME exact p50/p90/p99 columns (computed with F.percentile, checked by

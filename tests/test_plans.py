@@ -33,10 +33,32 @@ def test_join_broadcasts_dims(spark, sf_dir):
 
 
 def test_row_apply_expr_no_python(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "row_apply_expr_disc_price")
-    # the expression fast path must not contain any Python evaluation
+    # the merged graded row (row_apply_disc_price) unions the expr and
+    # UDF branches, so the expr-path purity check drives the operator
+    # directly: the Column fast path must contain NO Python evaluation
+    import io
+    from contextlib import redirect_stdout
+
+    from pandarallel_spark import parallelize
+    from pandarallel_spark.sources import load_table
+    from pandarallel_spark.workload.core_ops import _cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    expr = _cents("l_extendedprice") * (100 - _cents("l_discount")) / 10000.0
+    out = parallelize(li).parallel_apply(expr, axis=1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+    # and the merged graded row keeps Python OUT of its expr branch:
+    # exactly ONE MapInPandas node (formatted explain names each node
+    # twice — tree + detail section), from the UDF branch
+    merged = _plan(spark, sf_dir, "row_apply_disc_price")
+    assert merged.count("MapInPandas") == 2
 
 
 def test_series_map_is_jvm_side(spark, sf_dir):
