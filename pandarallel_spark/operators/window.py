@@ -714,16 +714,12 @@ def rolling_apply(
                 "win_type is not supported with a time-offset window "
                 "(pandas raises here too)"
             )
-        if center:
-            raise NotImplementedError(
-                "center=True with a time-offset window is not implemented"
-            )
         window = str(window) if not isinstance(window, str) else window
         if isinstance(func, str):
             return time_rolling_agg(
                 df, col, window, func, order_by,
                 partition_by=partition_by, min_periods=min_periods,
-                closed=closed, output_col=output_col
+                closed=closed, center=center, output_col=output_col
                 or f"{col}_rolling_{func}",
                 agg_args=win_args,
             )
@@ -736,7 +732,8 @@ def rolling_apply(
                 df, col, [ord_name], partition_by,
                 output_col or f"{col}_rolling_apply", return_type,
                 lambda s: s.rolling(
-                    pd.Timedelta(window), min_periods=minp, closed=closed
+                    pd.Timedelta(window), min_periods=minp, center=center,
+                    closed=closed,
                 ).apply(func, raw=raw),
                 index_col=ord_name,
             )
@@ -763,7 +760,7 @@ def rolling_apply(
         t_us = F.unix_micros(F.col(ord_name).cast("timestamp"))
         out = _bucketed_time_rolling_udf(
             df, col, window, func, ord_name, t_us, d, minp, closed, raw,
-            out_col, return_type,
+            out_col, return_type, center=center,
         )
         if out is not None:
             return out
@@ -791,7 +788,7 @@ def rolling_apply(
                 index=pd.DatetimeIndex(pdf[ord_name]),
             )
             pdf[out_col] = (
-                s.rolling(td, min_periods=minp, closed=closed)
+                s.rolling(td, min_periods=minp, center=center, closed=closed)
                 .apply(func, raw=raw)
                 .to_numpy()
             )
@@ -939,11 +936,18 @@ def time_rolling_agg(
     partition_by: Sequence[str] = (),
     min_periods: int | None = None,
     closed: str | None = None,
+    center: bool = False,
     output_col: str | None = None,
     agg_args: dict | None = None,
 ) -> DataFrame:
     """Time-offset rolling (pandas ``s.rolling("1h")``) as a pure JVM
     RANGE-frame window — builtin aggs only.
+
+    ``center=True`` matches pandas: the frame becomes
+    ``(t - window/2, t + window/2]`` (probed: the ``closed`` variants
+    toggle the same endpoints as the backward frame). Half a window may
+    be a fractional microsecond, so the centered frame rides a DOUBLED
+    axis (``2·unix_micros``) where both bounds are exact integers.
 
     pandas offset-window semantics, replicated exactly (probed
     differentially): default frame is ``(t-window, t]`` (``closed=
@@ -963,11 +967,13 @@ def time_rolling_agg(
     timestamps if they matter.
 
     Scale: grouped (``partition_by``) → one shuffle on the key, fully
-    parallel, whole-stage codegen. Global → total-order window (single
-    sort task), same caveat as the positional builtin path. Rolling
+    parallel, whole-stage codegen. Global → explode-to-reachable-buckets
+    partitioned plan (``_bucketed_time_rolling``) with a lazy
+    total-order RANGE fallback for shapes that don't qualify. Rolling
     UDFs over time offsets run per group via stock pandas
-    (``rolling_apply`` routes them); the global UDF form is not
-    implemented.
+    (``rolling_apply`` routes them); the global UDF form runs per
+    target bucket over the same explode machinery
+    (``_bucketed_time_rolling_udf``).
     """
     if func not in BUILTIN_WINDOW_FUNCS:
         raise NotImplementedError(
@@ -996,12 +1002,25 @@ def time_rolling_agg(
             f"{ord_type.simpleString()} for {ord_col!r}"
         )
     t_us = F.unix_micros(F.col(ord_col).cast("timestamp"))
-    lo, hi = {
-        "right": (-(d - 1), 0),
-        "both": (-d, 0),
-        "left": (-d, -1),
-        "neither": (-(d - 1), -1),
-    }[closed]
+    if center:
+        # (t-d/2, t+d/2] on the doubled axis: half-window = d half-micros
+        ord_axis = t_us * 2
+        lo, hi = {
+            "right": (-(d - 1), d),
+            "both": (-d, d),
+            "left": (-d, d - 1),
+            "neither": (-(d - 1), d - 1),
+        }[closed]
+        back_off, fwd_off = (d + 1) // 2, (d + 1) // 2
+    else:
+        ord_axis = t_us
+        lo, hi = {
+            "right": (-(d - 1), 0),
+            "both": (-d, 0),
+            "left": (-d, -1),
+            "neither": (-(d - 1), -1),
+        }[closed]
+        back_off, fwd_off = 0, d
     if not partition_by:
         # GLOBAL: not a single-partition total-order range window — each
         # row explodes into every range bucket whose frames its
@@ -1014,12 +1033,13 @@ def time_rolling_agg(
         out = _bucketed_time_rolling(
             df, col, func, ord_col, t_us, d, lo, hi, minp, agg_args,
             output_col or f"{col}_rolling_{func}",
+            ord_axis=ord_axis, back_off=back_off, fwd_off=fwd_off,
         )
         if out is not None:
             return out
 
     w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
-    spec = w.orderBy(t_us).rangeBetween(lo, hi)
+    spec = w.orderBy(ord_axis).rangeBetween(lo, hi)
     if func in ("cov", "corr"):
         # two-column moments carry their own pairwise-complete gate
         # (offset-window min_periods default 1, like the other aggs)
@@ -1060,23 +1080,32 @@ def _bucketed_time_rolling(
     minp: int,
     agg_args: dict | None,
     output_col: str,
+    *,
+    ord_axis: Column | None = None,
+    back_off: int = 0,
+    fwd_off: int | None = None,
 ) -> DataFrame | None:
     """Distributed global time-offset rolling: explode-to-reachable-
     buckets instead of a single-partition total-order RANGE window.
 
-    Time frames only look BACK (hi ≤ 0 for every ``closed`` variant), so
+    Backward frames (hi ≤ 0 for every non-centered ``closed`` variant):
     a row at time t participates only in frames of rows in
     ``[t, t + d]`` — whose buckets span ``bucket_of(t) ..
     bucket_of(t + d)``, both O(1) literal-boundary assignments
-    (monotone, so the span is a contiguous ``sequence``). Each row
-    duplicates into that span (whole-row copies, so two-column cov/corr
-    work too), the agg evaluates per target bucket as a JVM RANGE
-    window (frames complete by construction), and rows keep only their
-    own-bucket copy. One shuffle on the target bucket; the duplicate
-    factor is ≈1 + window/bucket-span (quantile buckets are normally
-    far wider than the window; dense bursts shrink buckets and spread
-    the copies across tasks). NULL order keys are rejected at build,
-    and a cold build under strictLazy returns None — the caller's
+    (monotone, so the span is a contiguous ``sequence``). Centered
+    frames reach BOTH ways: the row serves anchors in
+    ``[t - d/2, t + d/2]``, so the span starts at
+    ``bucket_of(t - ceil(d/2))`` (``back_off``/``fwd_off`` carry the
+    per-direction reach; ``ord_axis`` carries the doubled axis the
+    centered RANGE bounds are expressed on). Each row duplicates into
+    that span (whole-row copies, so two-column cov/corr work too), the
+    agg evaluates per target bucket as a JVM RANGE window (frames
+    complete by construction), and rows keep only their own-bucket
+    copy. One shuffle on the target bucket; the duplicate factor is
+    ≈1 + window/bucket-span (quantile buckets are normally far wider
+    than the window; dense bursts shrink buckets and spread the copies
+    across tasks). NULL order keys are rejected at build, and a cold
+    build under strictLazy returns None — the caller's
     single-partition window is correct and lazy.
     """
     spark = df.sparkSession
@@ -1095,15 +1124,27 @@ def _bucketed_time_rolling(
     )
     if memo is None:
         return None
-    exprs = _offset_bucket_exprs(memo, t_us, d)
+    exprs = _offset_bucket_exprs(
+        memo, t_us, d if fwd_off is None else fwd_off, back_off
+    )
     if exprs is None:
         return None
-    src_b, fwd = exprs
-    data = df.withColumn("__src__", src_b).withColumn(
-        "__tgt__", F.explode(F.sequence(F.col("__src__"), fwd))
+    start_b, own_b, fwd = exprs
+    data = (
+        df.withColumn("__src__", own_b)
+        .withColumn(
+            "__tgt__",
+            F.explode(
+                F.sequence(start_b, fwd)
+                if back_off
+                else F.sequence(F.col("__src__"), fwd)
+            ),
+        )
     )
     spec = (
-        Window.partitionBy("__tgt__").orderBy(t_us).rangeBetween(lo, hi)
+        Window.partitionBy("__tgt__")
+        .orderBy(ord_axis if ord_axis is not None else t_us)
+        .rangeBetween(lo, hi)
     )
     if func in ("cov", "corr"):
         res = _pairwise_over(func, col, spec, max(minp, 1), agg_args)
@@ -1134,19 +1175,22 @@ def _bucketed_time_rolling(
     )
 
 
-def _offset_bucket_exprs(memo: dict, t_us: Column, d: int):
-    """Source/forward bucket assignments for a lookback time offset of
-    ``d`` microseconds, with the explode duplicate factor CAPPED
-    (ADVICE r6): when the offset spans multiple quantile buckets (dense
-    bursts, wide windows), every row would fan out into
-    O(window/bucket-span) copies. Coarsen by subsampling every k-th
-    boundary — still quantiles, so load stays balanced, no extra job —
-    so the coarse bucket span is ≥ the offset and the per-row fan-out is
-    ≤ 2. Returns ``(src_expr, fwd_expr)``, memoized per offset, or
+def _offset_bucket_exprs(memo: dict, t_us: Column, fwd_off: int, back_off: int = 0):
+    """Bucket assignments for a time-offset reach of ``fwd_off``
+    microseconds forward and ``back_off`` back (0 for backward-looking
+    frames, ``ceil(d/2)`` each way for centered), with the explode
+    duplicate factor CAPPED (ADVICE r6): when the reach spans multiple
+    quantile buckets (dense bursts, wide windows), every row would fan
+    out into O(window/bucket-span) copies. Coarsen by subsampling every
+    k-th boundary — still quantiles, so load stays balanced, no extra
+    job — so the coarse bucket span is ≥ the total reach and the
+    per-row fan-out is ≤ 2 (≤ 3 centered). Returns
+    ``(start_expr, own_expr, fwd_expr)``, memoized per reach, or
     ``None`` when the coarsened span has < 2 buckets (the whole data
     span is ≲ one window — every frame covers most of the data, and the
     caller's lazy single-partition RANGE window is the honest plan)."""
-    ck = f"offset_{d}"
+    d = fwd_off + back_off
+    ck = f"offset_{fwd_off}_{back_off}"
     cached = memo.get(ck)
     if cached is not None:
         return None if cached == "fallback" else cached
@@ -1159,21 +1203,35 @@ def _offset_bucket_exprs(memo: dict, t_us: Column, d: int):
         if not coarse:
             memo[ck] = "fallback"
             return None
-        src = bucket_assignment_expr(
+        own = bucket_assignment_expr(
             t_us.cast("double"), coarse, vlo, vhi
         ).cast("int")
         fwd = bucket_assignment_expr(
-            (t_us + F.lit(d)).cast("double"), coarse, vlo, vhi
+            (t_us + F.lit(fwd_off)).cast("double"), coarse, vlo, vhi
         ).cast("int")
+        start = (
+            bucket_assignment_expr(
+                (t_us - F.lit(back_off)).cast("double"), coarse, vlo, vhi
+            ).cast("int")
+            if back_off
+            else own
+        )
     else:
-        src = memo["bexpr"].cast("int")
+        own = memo["bexpr"].cast("int")
         # shifted assignment over the SAME stored boundaries (the LUT
-        # literal costs one py4j round trip — memoized per offset)
+        # literal costs one py4j round trip — memoized per reach)
         fwd = bucket_assignment_expr(
-            (t_us + F.lit(d)).cast("double"), bnds, vlo, vhi
+            (t_us + F.lit(fwd_off)).cast("double"), bnds, vlo, vhi
         ).cast("int")
-    memo[ck] = (src, fwd)
-    return (src, fwd)
+        start = (
+            bucket_assignment_expr(
+                (t_us - F.lit(back_off)).cast("double"), bnds, vlo, vhi
+            ).cast("int")
+            if back_off
+            else own
+        )
+    memo[ck] = (start, own, fwd)
+    return (start, own, fwd)
 
 
 def _bucketed_time_rolling_udf(
@@ -1189,20 +1247,22 @@ def _bucketed_time_rolling_udf(
     raw: bool,
     output_col: str,
     return_type: T.DataType | str,
+    center: bool = False,
 ) -> DataFrame | None:
     """Distributed GLOBAL time-offset rolling UDF: the same
     explode-to-reachable-buckets shape as the builtin
-    ``_bucketed_time_rolling`` (frames only look back, so a row at t
-    serves frames of rows in ``[t, t+d]`` — a contiguous bucket span),
+    ``_bucketed_time_rolling`` (backward frames: a row at t serves
+    frames of rows in ``[t, t+d]``; centered frames reach
+    ``ceil(d/2)`` BOTH ways — a contiguous bucket span either way),
     but each target bucket runs STOCK pandas
     ``rolling(Timedelta).apply`` over its sorted slice — exactly how
     grouped time-offset UDFs run stock pandas per group (reference
     op #6 is UDF-first, ``series_rolling.py:10-51``). Frames are
     complete by construction; halo copies compute throwaway values and
     filter out. One shuffle on the target bucket; duplicate factor ≤ 2
-    via the coarsening cap. Returns None (caller falls back to the lazy
-    single-partition scan) under strictLazy cold builds, one shuffle
-    partition, or a data span within ~one window."""
+    (≤ 3 centered) via the coarsening cap. Returns None (caller falls
+    back to the lazy single-partition scan) under strictLazy cold
+    builds, one shuffle partition, or a data span within ~one window."""
     spark = df.sparkSession
     n_parts = shuffle_partitions(spark)
     if n_parts <= 1:
@@ -1219,12 +1279,19 @@ def _bucketed_time_rolling_udf(
     )
     if memo is None:
         return None
-    exprs = _offset_bucket_exprs(memo, t_us, d)
+    back_off = (d + 1) // 2 if center else 0
+    fwd_off = (d + 1) // 2 if center else d
+    exprs = _offset_bucket_exprs(memo, t_us, fwd_off, back_off)
     if exprs is None:
         return None
-    src, fwd = exprs
-    data = df.withColumn("__src__", src).withColumn(
-        "__tgt__", F.explode(F.sequence(F.col("__src__"), fwd))
+    start, own, fwd = exprs
+    data = df.withColumn("__src__", own).withColumn(
+        "__tgt__",
+        F.explode(
+            F.sequence(start, fwd)
+            if back_off
+            else F.sequence(F.col("__src__"), fwd)
+        ),
     )
     out_schema = T.StructType(
         [*df.schema.fields, T.StructField(output_col, _to_dtype(return_type), True)]
@@ -1238,7 +1305,9 @@ def _bucketed_time_rolling_udf(
             np.asarray(pdf[col].to_numpy(), dtype="float64"),
             index=pd.DatetimeIndex(pdf[ord_col]),
         )
-        res = s.rolling(td, min_periods=minp, closed=closed).apply(func, raw=raw)
+        res = s.rolling(
+            td, min_periods=minp, center=center, closed=closed
+        ).apply(func, raw=raw)
         pdf[output_col] = res.to_numpy()
         keep = pdf[pdf["__src__"] == pdf["__tgt__"]]
         return keep[out_names]

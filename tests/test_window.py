@@ -957,6 +957,147 @@ def test_time_rolling_grouped_udf_vs_pandas(spark):
     assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
 
 
+@pytest.mark.parametrize("closed", [None, "right", "both", "left", "neither"])
+@pytest.mark.parametrize("agg", ["sum", "count"])
+def test_time_rolling_center_builtin_vs_pandas(spark, closed, agg):
+    """pandas ``rolling("30min", center=True)``: frame
+    ``(t-d/2, t+d/2]`` per ``closed`` variant (probed, pandas 2.2 —
+    centered frames are fully VALUE-based even on tied timestamps, so
+    Spark RANGE semantics match pandas exactly, no tie divergence).
+    Grouped AND global, over a frame WITH duplicate timestamps."""
+    pdf = _ts_frame()  # has ties (dup_free=False default)
+    exp_parts = []
+    for _, g in pdf.groupby("k"):
+        s = pd.Series(g.x.to_numpy(), index=pd.DatetimeIndex(g.ts))
+        r = getattr(s.rolling("30min", center=True, closed=closed), agg)()
+        exp_parts.append(pd.Series(r.to_numpy(), index=g.index))
+    exp = pd.concat(exp_parts).sort_index().to_numpy(dtype="float64")
+    sdf = spark.createDataFrame(pdf.reset_index()).repartition(4)
+    out = (
+        parallelize(sdf, order_by="ts")
+        .groupby("k")
+        .series("x")
+        .rolling("30min", center=True, closed=closed)
+        .parallel_apply(agg, output_col="r")
+        .toPandas()
+        .sort_values("index")["r"]
+        .to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True), (
+        f"grouped {agg} closed={closed}"
+    )
+    g = pdf[pdf.k == 0].reset_index(drop=True)
+    s = pd.Series(g.x.to_numpy(), index=pd.DatetimeIndex(g.ts))
+    exp = getattr(
+        s.rolling("30min", center=True, closed=closed), agg
+    )().to_numpy()
+    sg = spark.createDataFrame(g.reset_index()).repartition(4)
+    out = (
+        parallelize(sg, order_by="ts")
+        .series("x")
+        .rolling("30min", center=True, closed=closed)
+        .parallel_apply(agg, output_col="r")
+        .toPandas()
+        .sort_values("index")["r"]
+        .to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True), (
+        f"global {agg} closed={closed}"
+    )
+
+
+def test_time_rolling_center_odd_microsecond_window(spark):
+    """An odd-microsecond window makes the half-window a FRACTIONAL
+    microsecond — the centered frame rides a doubled axis so both
+    bounds stay exact integers. 999us over 500us-spaced timestamps puts
+    real rows exactly at t±499.5us±0.5us."""
+    n = 400
+    rng = np.random.default_rng(3)
+    ts = pd.to_datetime(np.arange(n) * 500 + rng.integers(0, 2, n), unit="us")
+    pdf = pd.DataFrame({"i": np.arange(n), "ts": ts, "x": rng.standard_normal(n)})
+    s = pd.Series(pdf.x.to_numpy(), index=pd.DatetimeIndex(pdf.ts))
+    sdf = spark.createDataFrame(pdf)
+    for closed in ("right", "both"):
+        exp = s.rolling("999us", center=True, closed=closed).sum().to_numpy()
+        out = (
+            parallelize(sdf, order_by="ts")
+            .series("x")
+            .rolling("999us", center=True, closed=closed)
+            .parallel_apply("sum", output_col="r")
+            .toPandas()
+            .sort_values("i")["r"]
+            .to_numpy(dtype="float64")
+        )
+        assert np.allclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True), closed
+
+
+def test_time_rolling_center_global_is_bucketed(spark):
+    """The centered global builtin must run the two-way
+    explode-to-reachable-buckets plan (rows serve anchors BOTH ways),
+    not a single-partition total-order window — while matching pandas."""
+    import io
+    from contextlib import redirect_stdout
+
+    pdf = _ts_frame(n=2000, n_keys=1)
+    pdf["i"] = np.arange(len(pdf), dtype="int64")
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    out_df = (
+        parallelize(sdf, order_by="ts").series("x")
+        .rolling("30min", center=True, min_periods=2)
+        .parallel_apply("sum", output_col="r")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning(__tgt__" in plan
+    assert "MapInPandas" not in plan
+    s = pd.Series(pdf.x.to_numpy(), index=pd.DatetimeIndex(pdf.ts))
+    exp = s.rolling("30min", center=True, min_periods=2).sum().to_numpy()
+    got = out_df.toPandas().sort_values("i")["r"].to_numpy(dtype="float64")
+    assert np.allclose(got, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_time_rolling_center_udf_vs_pandas(spark):
+    """Centered time-offset rolling UDFs: global (bucketed stock pandas
+    per target bucket with a two-way halo) and grouped (stock pandas
+    per group)."""
+    f = lambda a: float(np.nanmax(a) - np.nanmin(a)) if np.isfinite(a).any() else np.nan  # noqa: E731
+    pdf = _ts_frame()
+    exp_parts = []
+    for _, g in pdf.groupby("k"):
+        s = pd.Series(g.x.to_numpy(), index=pd.DatetimeIndex(g.ts))
+        r = s.rolling("30min", center=True, min_periods=1).apply(f, raw=True)
+        exp_parts.append(pd.Series(r.to_numpy(), index=g.index))
+    exp = pd.concat(exp_parts).sort_index().to_numpy(dtype="float64")
+    sdf = spark.createDataFrame(pdf.reset_index()).repartition(4)
+    out = (
+        parallelize(sdf, order_by="ts")
+        .groupby("k")
+        .series("x")
+        .rolling("30min", center=True)
+        .parallel_apply(f, output_col="r")
+        .toPandas()
+        .sort_values("index")["r"]
+        .to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+    g = pdf[pdf.k == 0].reset_index(drop=True)
+    s = pd.Series(g.x.to_numpy(), index=pd.DatetimeIndex(g.ts))
+    exp = s.rolling("30min", center=True, min_periods=1).apply(f, raw=True).to_numpy()
+    sg = spark.createDataFrame(g.reset_index()).repartition(4)
+    out = (
+        parallelize(sg, order_by="ts")
+        .series("x")
+        .rolling("30min", center=True)
+        .parallel_apply(f, output_col="r")
+        .toPandas()
+        .sort_values("index")["r"]
+        .to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
 def test_time_rolling_rejections(spark):
     pdf = _ts_frame(n=20, n_keys=1)
     sdf = spark.createDataFrame(pdf)
@@ -965,8 +1106,6 @@ def test_time_rolling_rejections(spark):
         base.rolling("1h", win_type="gaussian").parallel_apply(
             "sum", win_args={"std": 1.0}, output_col="r"
         )
-    with pytest.raises(NotImplementedError, match="center"):
-        base.rolling("1h", center=True).parallel_apply("sum", output_col="r")
     # global time-offset UDFs are implemented as of r7 (bucketed stock
     # pandas) — sanity: matches the builtin on a sum-shaped UDF
     exp = (
@@ -1588,7 +1727,7 @@ def test_time_rolling_wide_window_fanout_capped(spark):
         sdf, "ts", t_us.cast("double"), False,
         shuffle_partitions(spark) * 16, tag=("time_rolling",), null_msg="x",
     )
-    src, fwd = _offset_bucket_exprs(memo, t_us, d)
+    src, _own, fwd = _offset_bucket_exprs(memo, t_us, d)
     fan = (
         sdf.withColumn("__src__", src)
         .withColumn("__tgt__", F.explode(F.sequence(F.col("__src__"), fwd)))
