@@ -259,9 +259,17 @@ class ParallelEwm:
                 partition_by=self.series.partition_by,
                 bias=bias, output_col=output_col, **self.kwargs,
             )
+        if func == "sum":
+            # grouped: stock pandas per key; global: linear bucket-carry
+            # fold (adjust=False raises, as in pandas)
+            return _window.ewm_sum(
+                df, self.series.col, order,
+                partition_by=self.series.partition_by,
+                output_col=output_col, **self.kwargs,
+            )
         if func != "mean":
             raise NotImplementedError(
-                f"ewm supports mean/var/std, got {func!r}"
+                f"ewm supports mean/var/std/sum, got {func!r}"
             )
         return _window.ewm_mean(
             df, self.series.col, order,
@@ -280,6 +288,10 @@ class ParallelEwm:
     def std(self, *, bias: bool = False, output_col: str | None = None) -> DataFrame:
         """pandas-style alias for ``parallel_apply("std")``."""
         return self.parallel_apply("std", bias=bias, output_col=output_col)
+
+    def sum(self, *, output_col: str | None = None) -> DataFrame:
+        """pandas-style alias for ``parallel_apply("sum")``."""
+        return self.parallel_apply("sum", output_col=output_col)
 
 
 class ParallelExpanding:

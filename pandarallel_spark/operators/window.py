@@ -3092,3 +3092,191 @@ def ewm_mean(
 
     bucketed = df.withColumn("__bkt__", bexpr.cast("int"))
     return bucketed.groupBy("__bkt__").applyInPandas(per_bucket, out_schema)
+
+
+def ewm_sum(
+    df: DataFrame,
+    col: str,
+    order_by: str | Column,
+    *,
+    partition_by: Sequence[str] = (),
+    com: float | None = None,
+    span: float | None = None,
+    halflife: float | None = None,
+    alpha: float | None = None,
+    adjust: bool = True,
+    ignore_na: bool = False,
+    min_periods: int = 0,
+    output_col: str | None = None,
+) -> DataFrame:
+    """pandas ``s.ewm(...).sum()``: the UNNORMALIZED exponentially
+    weighted scan ``S_t = (1-α)·S_{t-1} + x_t`` (NaN rows decay but add
+    nothing for the default ``ignore_na=False``; with ``ignore_na=True``
+    they neither decay nor add — probed, pandas 2.2). pandas raises for
+    ``adjust=False`` and so do we.
+
+    Grouped: stock pandas per key — one shuffle, fully parallel.
+
+    Global: the sum recurrence is a LINEAR fold, so the distributed
+    shape is simpler than ``ewm_mean``'s (num, den) carry: per range
+    bucket ship (end_sum, decay_count, nobs) — one bounded row each —
+    chain ``seed_{b+1} = S_b + seed_b·(1-α)^{D_b}`` on the driver, then
+    a second per-bucket pass computes the UNSEEDED scan with pandas' C
+    ``ewm.sum`` and adds the affine seed correction
+    ``seed·(1-α)^{e_t}`` (e = row position for ignore_na=False,
+    observation count for True) — fully vectorized, no per-row Python.
+    min_periods gates on cumulative observations exactly like
+    ``ewm_mean``. Same caveats: NULL/NaN order keys raise; duplicate
+    order keys make within-tie scan order arbitrary.
+    """
+    if not adjust:
+        raise NotImplementedError(
+            "sum is not implemented with adjust=False"  # pandas' own error
+        )
+    a = resolve_ewm_alpha(com, span, halflife, alpha)
+    output_col = output_col or f"{col}_ewm_sum"
+    if partition_by:
+        return _grouped_pandas_window(
+            df, col, [order_by if isinstance(order_by, str) else order_by],
+            partition_by, output_col, "double",
+            lambda s: s.ewm(
+                alpha=a, ignore_na=ignore_na, min_periods=min_periods
+            ).sum(),
+        )
+    ord_col = order_by if isinstance(order_by, str) else None
+    if ord_col is None:
+        raise TypeError("global ewm needs a named order column")
+    spark = df.sparkSession
+    ord_type = df.schema[ord_col].dataType
+    if isinstance(ord_type, T.NumericType):
+        ord_num = F.col(ord_col).cast("double")
+    elif isinstance(ord_type, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        ord_num = F.col(ord_col).cast("timestamp").cast("double")
+    else:
+        raise TypeError(
+            f"global ewm needs a numeric/timestamp order column, got "
+            f"{ord_type.simpleString()}"
+        )
+    n_parts = shuffle_partitions(spark)
+    out_schema = T.StructType(
+        [*df.schema.fields, T.StructField(output_col, T.DoubleType(), True)]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    in_names = [f.name for f in df.schema.fields]
+    one_minus = 1.0 - a
+
+    def run_single(pdf_iter):
+        parts = [b for b in pdf_iter if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if pdf[ord_col].isna().any():
+            raise ValueError(
+                f"ewm over order column {ord_col!r} with NULL/NaN values "
+                "is not supported: scan position is undefined for them"
+            )
+        pdf = pdf.sort_values(ord_col, kind="mergesort", ignore_index=True)
+        pdf[output_col] = (
+            pdf[col].ewm(alpha=a, ignore_na=ignore_na,
+                         min_periods=min_periods).sum().to_numpy()
+        )
+        yield pdf[out_names]
+
+    if n_parts <= 1:
+        return df.repartition(1).mapInPandas(run_single, out_schema)
+
+    n_buckets = max(2, min(1024, n_parts * 8))
+    key = plan_data_key(
+        df, "__ewmsum__", ord_col, col, n_buckets, a, ignore_na
+    )
+    memo = _EWM_MEMO.get(key) if key is not None else None
+    if memo is None:
+        eager_build_guard(
+            spark,
+            "global ewm-sum bucket boundaries + per-bucket carry seeds "
+            "(two bounded jobs)",
+            "Add a partition key for the fully-lazy grouped path, set "
+            "spark.sql.shuffle.partitions=1 for the single-partition "
+            "path, or build once outside strict-lazy scope (seeds are "
+            "memoized per plan+data).",
+        )
+        probs = [i / n_buckets for i in range(n_buckets + 1)]
+        narrow = df.select(ord_num.alias("__q__"), F.col(col).alias("__v__"))
+        bad = F.col("__q__").isNull() | F.isnan("__q__")
+        if narrow.filter(bad).limit(1).count():
+            raise ValueError(
+                f"ewm over order column {ord_col!r} with NULL/NaN values "
+                "is not supported: scan position is undefined for them"
+            )
+        qs = narrow.approxQuantile("__q__", probs, 1.0 / n_buckets)
+        vlo, vhi = (qs[0], qs[-1]) if qs else (float("nan"), float("nan"))
+        bnds = sorted(set(qs[1:-1]))
+
+        def bucket_summary(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__q__", kind="mergesort")
+            v = pdf["__v__"].to_numpy(dtype="float64")
+            obs = ~np.isnan(v)
+            nobs = int(obs.sum())
+            scan = pd.Series(v).ewm(
+                alpha=a, ignore_na=ignore_na, min_periods=0
+            ).sum().to_numpy()
+            end_sum = float(scan[-1]) if nobs else 0.0
+            decays = len(v) if not ignore_na else nobs
+            return pd.DataFrame([{
+                "__bkt__": int(pdf["__bkt__"].iloc[0]),
+                "nobs": nobs, "end_sum": end_sum, "decays": decays,
+            }])
+
+        summ = (
+            narrow.withColumn(
+                "__bkt__",
+                bucket_assignment_expr(F.col("__q__"), bnds, vlo, vhi).cast("int"),
+            )
+            .groupBy("__bkt__")
+            .applyInPandas(
+                bucket_summary,
+                "__bkt__ int, nobs bigint, end_sum double, decays bigint",
+            )
+            .collect()  # bounded: ≤ n_buckets ≤ 1024 rows by construction
+        )
+        seeds: dict[int, dict] = {}
+        st = {"sum": 0.0, "obs": 0}
+        for row in sorted(summ, key=lambda r: r["__bkt__"]):
+            seeds[int(row["__bkt__"])] = dict(st)
+            st = {
+                "sum": row["end_sum"] + st["sum"] * one_minus ** row["decays"],
+                "obs": st["obs"] + int(row["nobs"]),
+            }
+        memo = {"bnds": bnds, "vlo": vlo, "vhi": vhi, "seeds": seeds}
+        if key is not None:
+            memo_put(_EWM_MEMO, key, memo)
+    seeds = memo["seeds"]
+    bexpr = bucket_assignment_expr(ord_num, memo["bnds"], memo["vlo"], memo["vhi"])
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_col, kind="mergesort")
+        b = int(pdf["__bkt__"].iloc[0])
+        seed = seeds.get(b) or {"sum": 0.0, "obs": 0}
+        vals = pdf[col].to_numpy(dtype="float64")
+        obs = ~np.isnan(vals)
+        u = pd.Series(vals).ewm(
+            alpha=a, ignore_na=ignore_na, min_periods=0
+        ).sum().to_numpy()
+        # pre-first-local-obs rows are NaN in the unseeded scan but the
+        # seeded truth there is the pure decayed seed — zero them before
+        # the correction (the min_periods gate re-NaNs unseeded rows)
+        u = np.nan_to_num(u, nan=0.0)
+        e = (
+            np.arange(1, len(vals) + 1, dtype="float64")
+            if not ignore_na
+            else np.cumsum(obs, dtype="float64")
+        )
+        res = u + seed["sum"] * one_minus**e
+        cum_obs = seed["obs"] + np.cumsum(obs)
+        res = np.where(cum_obs >= max(min_periods, 1), res, np.nan)
+        out = pdf[in_names].copy()
+        out[output_col] = res
+        return out[out_names]
+
+    bucketed = df.withColumn("__bkt__", bexpr.cast("int"))
+    return bucketed.groupBy("__bkt__").applyInPandas(per_bucket, out_schema)

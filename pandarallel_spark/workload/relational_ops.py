@@ -355,19 +355,27 @@ WITH p AS (
   FROM events WHERE event_type = 'purchase')
 SELECT user_id, event_id, ts, cents,
   CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h,
-  COUNT(cents) OVER w AS n_1h
+  COUNT(cents) OVER w AS n_1h,
+  CAST(SUM(cents) OVER wc AS BIGINT) AS cents_1h_centered,
+  COUNT(cents) OVER wc AS n_1h_centered
 FROM p
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
+       wc AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 1800000000 PRECEDING AND 1800000000 FOLLOWING)
 """,
     "Time-offset rolling (pandas rolling('1h') semantics): per user, "
     "trailing-hour purchase total and count as a pure JVM RANGE frame "
     "over unix_micros(ts) — the (t-1h, t] exclusive-left pandas default "
-    "expressed as an exact integer-microsecond interval, one shuffle on "
-    "the key, whole-stage codegen, no Python. The positional rolling "
-    "surface can't express this shape; pandas users reach for it "
-    "constantly (operators/window.py:time_rolling_agg, differential-"
-    "tested vs pandas across closed= variants, NaN, min_periods).",
+    "expressed as an exact integer-microsecond interval — PLUS the "
+    "CENTERED variant (pandas rolling('1h', center=True, "
+    "closed='both'): frame [t-30min, t+30min], r7) whose "
+    "half-window-exact bounds ride a doubled-microsecond axis. One "
+    "shuffle on the key, whole-stage codegen, no Python. The positional "
+    "rolling surface can't express either shape; pandas users reach for "
+    "both constantly (operators/window.py:time_rolling_agg, "
+    "differential-tested vs pandas across closed=/center= variants, "
+    "NaN, min_periods).",
 )
 def time_rolling_purchase_cents_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandarallel_spark.operators.window import time_rolling_agg
@@ -385,7 +393,20 @@ def time_rolling_purchase_cents_1h(spark: SparkSession, sf_dir: str) -> DataFram
         out, "cents", "1h", "count", "ts",
         partition_by=["user_id"], min_periods=1, output_col="n_1h",
     )
-    return out.select("user_id", "event_id", "ts", "cents", "cents_1h", "n_1h")
+    out = time_rolling_agg(
+        out, "cents", "1h", "sum", "ts",
+        partition_by=["user_id"], center=True, closed="both",
+        output_col="cents_1h_centered",
+    )
+    out = time_rolling_agg(
+        out, "cents", "1h", "count", "ts",
+        partition_by=["user_id"], center=True, closed="both",
+        min_periods=1, output_col="n_1h_centered",
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "cents",
+        "cents_1h", "n_1h", "cents_1h_centered", "n_1h_centered",
+    )
 
 
 @register(

@@ -204,10 +204,18 @@ def test_strict_lazy_global_ewm(strict, tmp_path):
              alpha=0.4, partition_by=["k"])
     ewm_moment(sdf.withColumn("k", sdf.idx % 3), "x", "idx", "std",
                alpha=0.4, partition_by=["k"])
+    # global ewm sum (r7): same guard on its linear-fold seed build
+    from pandarallel_spark.operators.window import ewm_sum
+
+    with pytest.raises(RuntimeError, match="strictLazy.*ewm-sum"):
+        ewm_sum(sdf, "x", "idx", alpha=0.4)
+    ewm_sum(sdf.withColumn("k", sdf.idx % 3), "x", "idx",
+            alpha=0.4, partition_by=["k"])
     saved = strict.conf.get("spark.sql.shuffle.partitions")
     try:
         strict.conf.set("spark.sql.shuffle.partitions", "1")
         ewm_mean(sdf, "x", "idx", alpha=0.4)
         ewm_moment(sdf, "x", "idx", "var", alpha=0.4)
+        ewm_sum(sdf, "x", "idx", alpha=0.4)
     finally:
         strict.conf.set("spark.sql.shuffle.partitions", saved)

@@ -1488,10 +1488,10 @@ def test_ewm_mean_grouped_and_param_forms(spark):
     assert abs(resolve_ewm_alpha(halflife=1.0) - 0.5) < 1e-15
     with pytest.raises(ValueError, match="exactly one"):
         resolve_ewm_alpha(com=1.0, span=2.0)
-    with pytest.raises(NotImplementedError, match="mean/var/std"):
+    with pytest.raises(NotImplementedError, match="mean/var/std/sum"):
         parallelize(sdf, order_by="idx").groupby("k").series("x").ewm(
             alpha=0.5
-        ).parallel_apply("sum")
+        ).parallel_apply("corr")
 
 
 def test_global_ewm_var_std_vs_pandas(spark):
@@ -1539,6 +1539,62 @@ def test_global_ewm_var_std_vs_pandas(spark):
             out[second_obs:], exp[second_obs:],
             rtol=1e-7, atol=1e-10, equal_nan=True,
         ), (func, bias, ig, adjust, mp)
+
+
+def test_ewm_sum_vs_pandas(spark):
+    """ewm().sum() (r7): the unnormalized weighted scan. Grouped = stock
+    pandas per key; global = linear bucket-carry fold (per-bucket
+    (end_sum, decays, nobs) summary, driver-chained seeds, vectorized
+    affine correction). pandas raises NotImplementedError for
+    adjust=False and so do we."""
+    rng = np.random.default_rng(73)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "idx": np.arange(n, dtype="int64"),
+            "x": rng.normal(3, 2, n),
+            "g": rng.integers(0, 6, n),
+        }
+    )
+    pdf.loc[rng.integers(0, n, n // 12), "x"] = np.nan
+    sdf = spark.createDataFrame(pdf).repartition(5)
+    base = parallelize(sdf, order_by="idx").series("x")
+    for al, ig, mp in (
+        (0.25, False, 0),
+        (0.25, True, 4),
+        (0.9, False, 1),
+    ):
+        exp = pdf.x.ewm(alpha=al, ignore_na=ig, min_periods=mp).sum().to_numpy()
+        out = (
+            base.ewm(alpha=al, ignore_na=ig, min_periods=mp)
+            .parallel_apply("sum", output_col="r")
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(
+            out, exp, rtol=1e-9, atol=1e-12, equal_nan=True
+        ), (al, ig, mp)
+    # span form + pandas-style alias
+    exp = pdf.x.ewm(span=7).sum().to_numpy()
+    out = (
+        parallelize(sdf, order_by="idx").series("x").ewm(span=7)
+        .sum(output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+    # grouped
+    exp = (
+        pdf.sort_values("idx").groupby("g")["x"]
+        .transform(lambda s: s.ewm(alpha=0.3).sum())
+        .reindex(pdf.index).to_numpy()
+    )
+    out = (
+        parallelize(sdf, order_by="idx").groupby("g").series("x")
+        .ewm(alpha=0.3).parallel_apply("sum", output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+    with pytest.raises(NotImplementedError, match="adjust=False"):
+        base.ewm(alpha=0.3, adjust=False).parallel_apply("sum", output_col="r")
 
 
 def test_rolling_sem_and_expanding_order_stats_vs_pandas(spark):
