@@ -727,7 +727,10 @@ def rolling_apply(
             ord_name = order_by if isinstance(order_by, str) else None
             if ord_name is None:
                 raise TypeError("time-offset rolling needs a named order column")
-            minp = max(min_periods if min_periods is not None else 1, 1)
+            # explicit min_periods=0 passes through: pandas applies the
+            # UDF to zero-observation windows there (probed — emits the
+            # func's value, not NaN); only the None default maps to 1
+            minp = min_periods if min_periods is not None else 1
             return _grouped_pandas_window(
                 df, col, [ord_name], partition_by,
                 output_col or f"{col}_rolling_apply", return_type,
@@ -752,7 +755,7 @@ def rolling_apply(
                 f"time-offset rolling needs a timestamp/date order column, "
                 f"got {ord_dtype.simpleString()} for {ord_name!r}"
             )
-        minp = max(min_periods if min_periods is not None else 1, 1)
+        minp = min_periods if min_periods is not None else 1  # 0 passes through
         out_col = output_col or f"{col}_rolling_apply"
         d = int(pd.Timedelta(window).value // 1000)  # microseconds
         if d <= 0:
@@ -1181,10 +1184,11 @@ def _offset_bucket_exprs(memo: dict, t_us: Column, fwd_off: int, back_off: int =
     frames, ``ceil(d/2)`` each way for centered), with the explode
     duplicate factor CAPPED (ADVICE r6): when the reach spans multiple
     quantile buckets (dense bursts, wide windows), every row would fan
-    out into O(window/bucket-span) copies. Coarsen by subsampling every
-    k-th boundary — still quantiles, so load stays balanced, no extra
-    job — so the coarse bucket span is ≥ the total reach and the
-    per-row fan-out is ≤ 2 (≤ 3 centered). Returns
+    out into O(window/bucket-span) copies. Coarsen by a greedy
+    cumulative-span walk over the stored quantile boundaries (a subset
+    of quantiles, so load stays balanced within a factor of the walk;
+    no extra job) so that every coarse bucket spans ≥ the total reach
+    and the per-row fan-out is GUARANTEED ≤ 2 (≤ 3 centered). Returns
     ``(start_expr, own_expr, fwd_expr)``, memoized per reach, or
     ``None`` when the coarsened span has < 2 buckets (the whole data
     span is ≲ one window — every frame covers most of the data, and the
@@ -1196,10 +1200,20 @@ def _offset_bucket_exprs(memo: dict, t_us: Column, fwd_off: int, back_off: int =
         return None if cached == "fallback" else cached
     bnds, vlo, vhi = memo["bnds"], memo["vlo"], memo["vhi"]
     widths = np.diff(np.r_[vlo, bnds, vhi]) if bnds else np.array([])
-    med = float(np.median(widths)) if widths.size else 0.0
-    if bnds and med > 0 and d > med:
-        k = int(np.ceil(d / med))
-        coarse = list(bnds[k - 1 :: k])
+    if bnds and widths.size and float(np.min(widths)) < d:
+        # greedy cumulative-span walk: keep a boundary only once ≥ d of
+        # span has accumulated since the last kept one, so EVERY coarse
+        # bucket (except possibly the final one, which has nothing
+        # beyond it to fan into) spans ≥ d — a guaranteed fan-out cap,
+        # unlike count-based subsampling (quantile widths are balanced
+        # by rows, not span; a run of narrow buckets would break the
+        # cap on bursty data)
+        coarse = []
+        last = vlo
+        for b in bnds:
+            if b - last >= d:
+                coarse.append(b)
+                last = b
         if not coarse:
             memo[ck] = "fallback"
             return None
@@ -2559,7 +2573,8 @@ def ewm_moment(
     output_col = output_col or f"{col}_ewm_{func}"
     if partition_by:
         return _grouped_pandas_window(
-            df, col, [order_by if isinstance(order_by, str) else order_by],
+            df, col,
+            list(order_by) if isinstance(order_by, (list, tuple)) else [order_by],
             partition_by, output_col, "double",
             lambda s: getattr(
                 s.ewm(alpha=a, adjust=adjust, ignore_na=ignore_na,
@@ -2918,7 +2933,8 @@ def ewm_mean(
 
     if partition_by:
         return _grouped_pandas_window(
-            df, col, [order_by if isinstance(order_by, str) else order_by],
+            df, col,
+            list(order_by) if isinstance(order_by, (list, tuple)) else [order_by],
             partition_by, output_col, "double",
             lambda s: s.ewm(
                 alpha=a, adjust=adjust, ignore_na=ignore_na,
@@ -3137,7 +3153,8 @@ def ewm_sum(
     output_col = output_col or f"{col}_ewm_sum"
     if partition_by:
         return _grouped_pandas_window(
-            df, col, [order_by if isinstance(order_by, str) else order_by],
+            df, col,
+            list(order_by) if isinstance(order_by, (list, tuple)) else [order_by],
             partition_by, output_col, "double",
             lambda s: s.ewm(
                 alpha=a, ignore_na=ignore_na, min_periods=min_periods
@@ -3165,25 +3182,13 @@ def ewm_sum(
     in_names = [f.name for f in df.schema.fields]
     one_minus = 1.0 - a
 
-    def run_single(pdf_iter):
-        parts = [b for b in pdf_iter if len(b)]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        if pdf[ord_col].isna().any():
-            raise ValueError(
-                f"ewm over order column {ord_col!r} with NULL/NaN values "
-                "is not supported: scan position is undefined for them"
-            )
-        pdf = pdf.sort_values(ord_col, kind="mergesort", ignore_index=True)
-        pdf[output_col] = (
-            pdf[col].ewm(alpha=a, ignore_na=ignore_na,
-                         min_periods=min_periods).sum().to_numpy()
-        )
-        yield pdf[out_names]
-
     if n_parts <= 1:
-        return df.repartition(1).mapInPandas(run_single, out_schema)
+        return _ewm_single_partition(
+            df, col, ord_col, output_col,
+            lambda s: s.ewm(
+                alpha=a, ignore_na=ignore_na, min_periods=min_periods
+            ).sum(),
+        )
 
     n_buckets = max(2, min(1024, n_parts * 8))
     key = plan_data_key(

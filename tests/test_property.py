@@ -485,7 +485,7 @@ def test_rolling_cov_corr_property_matches_pandas(
     seed=st.integers(0, 2**31 - 1),
     window=st.sampled_from(["7min", "30min", "2h"]),
     closed=st.sampled_from([None, "right", "left", "both", "neither"]),
-    mp=st.sampled_from([None, 1, 3]),
+    mp=st.sampled_from([None, 0, 1, 3]),
     raw=st.booleans(),
 )
 @settings(**_SETTINGS)

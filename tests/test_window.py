@@ -1098,6 +1098,88 @@ def test_time_rolling_center_udf_vs_pandas(spark):
     assert np.allclose(out, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
 
 
+def test_time_rolling_udf_min_periods_zero(spark):
+    """Explicit min_periods=0 must pass through to the per-bucket /
+    per-group stock-pandas rolling: pandas applies the UDF to
+    zero-observation windows there (probed — nansum emits 0.0, not
+    NaN). Pre-fix both time-UDF sites clamped 0 → 1."""
+    ts = pd.to_datetime(
+        ["2020-01-01 00:00", "2020-01-01 00:30", "2020-01-01 02:00"]
+    )
+    pdf = pd.DataFrame({
+        "i": [0, 1, 2], "ts": ts, "x": [np.nan, np.nan, 5.0],
+        "k": [0, 0, 0],
+    })
+    sdf = spark.createDataFrame(pdf)
+    f = lambda a: float(np.nansum(a))  # noqa: E731
+    exp = (
+        pd.Series(pdf.x.to_numpy(), index=pd.DatetimeIndex(pdf.ts))
+        .rolling("1h", min_periods=0).apply(f, raw=True).to_numpy()
+    )
+    assert exp[0] == 0.0  # the distinguishing row
+    for groupby in (False, True):
+        base = parallelize(sdf, order_by="ts")
+        series = (base.groupby("k") if groupby else base).series("x")
+        got = (
+            series.rolling("1h", min_periods=0)
+            .parallel_apply(f, raw=True, output_col="r")
+            .toPandas().sort_values("i")["r"].to_numpy(dtype="float64")
+        )
+        assert np.allclose(got, exp, equal_nan=True), (groupby, got.tolist())
+
+
+def test_time_rolling_bursty_fanout_capped(spark):
+    """The explode fan-out cap must hold on BURSTY data (quantile
+    boundaries cluster inside the burst, so count-based coarsening
+    would leave coarse buckets narrower than the window — the greedy
+    span walk guarantees every coarse bucket spans ≥ the reach)."""
+    from pyspark.sql import functions as F
+
+    from pandarallel_spark.operators._memo import shuffle_partitions
+    from pandarallel_spark.operators.window import (
+        _offset_bucket_exprs,
+        _range_bucket_build,
+    )
+
+    rng = np.random.default_rng(23)
+    # 90% of rows inside a 2-minute burst, the rest across a week
+    # (microsecond-unique: ties would hit the documented RANGE-vs-pandas
+    # tie divergence, which is not what this test pins)
+    burst = rng.choice(120_000_000, 3600, replace=False)
+    sparse = rng.choice(7 * 24 * 3600, 400, replace=False) * 1_000_000 + 120_000_000
+    offs = np.unique(np.r_[burst, sparse])
+    n = len(offs)
+    ts = pd.Timestamp("2023-05-01") + pd.to_timedelta(offs, unit="us")
+    pdf = pd.DataFrame({"i": np.arange(n, dtype="int64"), "ts": ts,
+                        "x": rng.standard_normal(n)})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = int(pd.Timedelta("30min").value // 1000)
+    memo = _range_bucket_build(
+        sdf, "ts", t_us.cast("double"), False,
+        shuffle_partitions(spark) * 16, tag=("time_rolling",), null_msg="x",
+    )
+    exprs = _offset_bucket_exprs(memo, t_us, d)
+    if exprs is None:
+        pytest.skip("span collapsed below two coarse buckets")
+    src, _own, fwd = exprs
+    fan = (
+        sdf.withColumn("__src__", src)
+        .withColumn("__tgt__", F.explode(F.sequence(F.col("__src__"), fwd)))
+        .count()
+    )
+    assert fan <= 2 * n, f"fan-out {fan} rows for {n} inputs"
+    # and the bucketed plan still matches pandas on the burst
+    s = pd.Series(pdf.x.to_numpy(), index=pd.DatetimeIndex(pdf.ts))
+    exp = s.rolling("30min", min_periods=1).sum().to_numpy()
+    got = (
+        parallelize(sdf, order_by="ts").series("x")
+        .rolling("30min", min_periods=1).parallel_apply("sum", output_col="r")
+        .toPandas().sort_values("i")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(got, exp, rtol=1e-12, atol=1e-9, equal_nan=True)
+
+
 def test_time_rolling_rejections(spark):
     pdf = _ts_frame(n=20, n_keys=1)
     sdf = spark.createDataFrame(pdf)
