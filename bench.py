@@ -37,7 +37,7 @@ HEADLINE = [
     "text_stats",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "similarity_topk_numpy",
+    "similarity_topk",
     "similarity_lsh_bucketed",
     "similarity_ivf_topk",
     "join_revenue_per_nation",

@@ -75,33 +75,20 @@ def _load_all() -> None:
 
     # The correctness driver grades the first 50 registered queries (r3:
     # 52 registered, 50 graded — the registry tail fell outside the hard
-    # signal). r6 freed two graded slots by merging capability twins
-    # (rollup+cube -> grouping_sets_rollup_cube; tumbling+sliding ->
-    # events_windows_tumbling_sliding). r7 merged two more pairs —
-    # row-apply expr+udf -> row_apply_disc_price (reference op #1's BOTH
-    # execution forms now inside one graded row, retiring the tail twin)
-    # and dedup exact+fingerprint -> dedup_exact_and_fingerprint — and
-    # spent the freed slot on ewm_mean_purchase_cents (the global ewm
-    # scan's first graded row; previously pytest-differential only).
-    # 53 registered = 50 graded + 3 tail; the tail slots are variants
-    # whose SEMANTICS a graded sibling plus pytest already cover, so
-    # every distinct capability keeps a driver row:
-    # - rolling_sum_closed_left: closed= frame replay is
-    #   property-tested vs pandas (tests/test_property.py) next to the
-    #   graded rolling_sum_global;
-    # - similarity_topk_expr: shares its oracle with the graded numpy
-    #   form (plan-tested in tests/test_plans.py);
-    # - grouped_rolling_udf: same frame semantics as the graded
-    #   grouped_rolling_sum; the per-group UDF path is differential-
-    #   tested (tests/test_window.py) and benched.
-    # Everything else — sketch twins (oracle-checked since r4), PII
-    # redaction, stratified sampling — stays inside the graded window.
-    for name in (
-        "rolling_sum_closed_left",
-        "similarity_topk_expr",
-        "grouped_rolling_udf",
-    ):
-        if name in REGISTRY:  # tolerate renames — reordering is advisory
-            REGISTRY[name] = REGISTRY.pop(name)
+    # signal). Successive rounds freed graded slots by merging capability
+    # twins into kind-tagged unions (r6: grouping_sets_rollup_cube,
+    # events_windows_tumbling_sliding; r7: row_apply_disc_price,
+    # dedup_exact_and_fingerprint, then rolling_sum_global +
+    # rolling_sum_closed_left + the previously pytest-only global
+    # expanding/median/quantile scans -> rolling_scans_global,
+    # grouped_rolling_sum + grouped_rolling_udf -> grouped_rolling_sum,
+    # similarity_topk_numpy + similarity_topk_expr -> similarity_topk;
+    # ewm var rode into ewm_mean_purchase_cents as a second tolerance
+    # column rather than a new slot). EXACTLY 50 registered — every
+    # registered query is graded; the tail era is over. Keep it that
+    # way: a new capability either merges into its family's kind-tagged
+    # row or replaces a weaker row, never lands past index 49.
+    n = len(REGISTRY)
+    assert n <= 50, f"{n} queries registered — the driver grades only 50"
 
     _LOADED = True

@@ -289,66 +289,101 @@ def series_map_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_CENTS = "CAST(round(value*100) AS BIGINT)"
 
-_ROLLING_GLOBAL_ORACLE = f"""
-SELECT event_id,
-  CASE WHEN COUNT({_EVENTS_CENTS}) OVER w >= 4
-       THEN SUM({_EVENTS_CENTS}) OVER w END AS value_cents_rolling_sum
+_GLOBAL_SCANS_ORACLE = f"""
+SELECT 'right' AS src, event_id,
+  CAST(CASE WHEN COUNT({_EVENTS_CENTS}) OVER w4 >= 4
+       THEN SUM({_EVENTS_CENTS}) OVER w4 END AS DOUBLE) AS val
 FROM events
-WINDOW w AS (ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+WINDOW w4 AS (ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+UNION ALL
+SELECT 'left' AS src, event_id,
+  CAST(CASE WHEN COUNT({_EVENTS_CENTS}) OVER wl >= 2
+       THEN SUM({_EVENTS_CENTS}) OVER wl END AS DOUBLE) AS val
+FROM events
+WINDOW wl AS (ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+UNION ALL
+SELECT 'expanding' AS src, event_id,
+  CAST(SUM({_EVENTS_CENTS}) OVER we AS DOUBLE) AS val
+FROM events
+WINDOW we AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+UNION ALL
+SELECT 'median' AS src, event_id,
+  CASE WHEN COUNT({_EVENTS_CENTS}) OVER w5 >= 3
+       THEN median({_EVENTS_CENTS}) OVER w5 END AS val
+FROM events
+WINDOW w5 AS (ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+UNION ALL
+SELECT 'q25' AS src, event_id,
+  CASE WHEN COUNT({_EVENTS_CENTS}) OVER wq >= 3
+       THEN quantile_cont({_EVENTS_CENTS}, 0.25) OVER wq END AS val
+FROM events
+WINDOW wq AS (ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 
 
 @register(
-    "rolling_sum_global",
-    _ROLLING_GLOBAL_ORACLE,
-    "Reference op #6 (Series.rolling.parallel_apply, global positional "
-    "window, min_periods=window → 3 leading NULLs). Builtin window agg — "
-    "the reference's halo-chunking trick is Spark's frame evaluation. "
-    "Global order = single-task by definition; the scale path is the "
-    "grouped variant below.",
+    "rolling_scans_global",
+    _GLOBAL_SCANS_ORACLE,
+    "Reference op #6 (Series.rolling.parallel_apply, GLOBAL total-order "
+    "scans) — the full graded family in one kind-tagged row (r7 merge of "
+    "the rolling_sum_global / rolling_sum_closed_left twins, plus the "
+    "previously pytest-only global expanding and order-statistic "
+    "variants): 'right' = rolling(4) sum, min_periods=window → 3 leading "
+    "NULLs; 'left' = closed='left' frame replay (pandas [i-w, i-1] as a "
+    "shifted JVM frame; reference replays full _attributes, "
+    "series_rolling.py:22-28); 'expanding' = cumulative sum via the "
+    "bucket + broadcast-carry prefix scan; 'median'/'q25' = rolling(5, "
+    "min_periods=3) order statistics via sorted-frame linear "
+    "interpolation (pandas semantics; exact on integer cents, so the "
+    "value hash is bit-stable vs DuckDB median/quantile_cont). Every "
+    "branch runs the bucket-partitioned global machinery — no "
+    "single-partition total order. All values cast to double so the "
+    "union is type-uniform across sums and interpolants.",
 )
-def rolling_sum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", _cents("value").alias("value_cents"))
-    )
-    out = (
-        parallelize(ev, order_by="event_id")
-        .series("value_cents")
-        .rolling(4)
-        .parallel_apply("sum")
-    )
-    return out.select("event_id", "value_cents_rolling_sum")
-
-
-_ROLLING_CLOSED_LEFT_ORACLE = f"""
-SELECT event_id,
-  CASE WHEN COUNT({_EVENTS_CENTS}) OVER w >= 2
-       THEN SUM({_EVENTS_CENTS}) OVER w END AS cents_rolling_left
-FROM events
-WINDOW w AS (ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
-"""
-
-
-@register(
-    "rolling_sum_closed_left",
-    _ROLLING_CLOSED_LEFT_ORACLE,
-    "Rolling attribute fidelity: closed='left' excludes the current row "
-    "(pandas frame [i-w, i-1]) — replayed as a shifted JVM window frame "
-    "(reference replays full _attributes, series_rolling.py:22-28).",
-)
-def rolling_sum_closed_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rolling_scans_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_id", _cents("value").alias("cents"))
     )
-    out = (
-        parallelize(ev, order_by="event_id")
-        .series("cents")
-        .rolling(4, min_periods=2, closed="left")
-        .parallel_apply("sum", output_col="cents_rolling_left")
+    series = parallelize(ev, order_by="event_id").series("cents")
+
+    def tag(src: str, out: DataFrame, col: str) -> DataFrame:
+        return out.select(
+            F.lit(src).alias("src"),
+            "event_id",
+            F.col(col).cast("double").alias("val"),
+        )
+
+    right = tag("right", series.rolling(4).parallel_apply("sum"),
+                "cents_rolling_sum")
+    left = tag(
+        "left",
+        series.rolling(4, min_periods=2, closed="left").parallel_apply(
+            "sum", output_col="v"
+        ),
+        "v",
     )
-    return out.select("event_id", "cents_rolling_left")
+    expanding = tag(
+        "expanding", series.expanding().parallel_apply("sum", output_col="v"), "v"
+    )
+    median = tag(
+        "median",
+        series.rolling(5, min_periods=3).parallel_apply("median", output_col="v"),
+        "v",
+    )
+    q25 = tag(
+        "q25",
+        series.rolling(5, min_periods=3).parallel_apply(
+            "quantile", win_args={"q": 0.25}, output_col="v"
+        ),
+        "v",
+    )
+    return (
+        right.unionByName(left)
+        .unionByName(expanding)
+        .unionByName(median)
+        .unionByName(q25)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -356,69 +391,55 @@ def rolling_sum_closed_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ROLLING_GROUPED_ORACLE = f"""
-SELECT event_id, user_id,
-  CASE WHEN COUNT({_EVENTS_CENTS}) OVER w >= 4
-       THEN SUM({_EVENTS_CENTS}) OVER w END AS value_cents_rolling_sum
+SELECT 'builtin' AS src, event_id, user_id,
+  CAST(CASE WHEN COUNT({_EVENTS_CENTS}) OVER w >= 4
+       THEN SUM({_EVENTS_CENTS}) OVER w END AS DOUBLE) AS val
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+UNION ALL
+SELECT 'udf' AS src, event_id, user_id,
+  CASE WHEN COUNT({_EVENTS_CENTS}) OVER wu >= 4
+       THEN CAST(FIRST_VALUE({_EVENTS_CENTS}) OVER wu + {_EVENTS_CENTS} AS DOUBLE)
+  END AS val
+FROM events
+WINDOW wu AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
 
 
 @register(
     "grouped_rolling_sum",
     _ROLLING_GROUPED_ORACLE,
-    "Reference op #8 (RollingGroupby.parallel_apply): "
-    "Window.partitionBy(user).orderBy(event).rowsBetween(-3, 0) — fully "
-    "parallel across groups; this is the 100 TB path for windows.",
+    "Reference op #8 (RollingGroupby.parallel_apply) in BOTH execution "
+    "forms in one graded row (r7 merge of the builtin/udf twins): "
+    "'builtin' = Window.partitionBy(user).orderBy(event).rowsBetween(-3, "
+    "0) sum, pure JVM — fully parallel across groups, the 100 TB path "
+    "for windows; 'udf' = an arbitrary Python window func (first+last "
+    "of the frame) via collect_list over the frame + Arrow pandas UDF — "
+    "the fallback when the window func isn't a builtin aggregate. Both "
+    "cast to double so the union is type-uniform.",
 )
 def grouped_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "user_id", _cents("value").alias("value_cents"))
     )
-    out = (
+    rolling = (
         parallelize(ev, order_by="event_id")
         .groupby("user_id")
         .series("value_cents")
         .rolling(4)
-        .parallel_apply("sum")
     )
-    return out.select("event_id", "user_id", "value_cents_rolling_sum")
-
-
-_ROLLING_UDF_ORACLE = f"""
-SELECT event_id, user_id,
-  CASE WHEN COUNT({_EVENTS_CENTS}) OVER w >= 4
-       THEN CAST(FIRST_VALUE({_EVENTS_CENTS}) OVER w + {_EVENTS_CENTS} AS DOUBLE)
-  END AS rolling_first_plus_last
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-"""
-
-
-@register(
-    "grouped_rolling_udf",
-    _ROLLING_UDF_ORACLE,
-    "Op #8 with an arbitrary Python window func (first+last of the "
-    "window): collect_list over the frame + Arrow pandas UDF — the "
-    "fallback when the window func isn't a builtin aggregate.",
-)
-def grouped_rolling_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", _cents("value").alias("value_cents"))
+    builtin = rolling.parallel_apply("sum", output_col="v").select(
+        F.lit("builtin").alias("src"), "event_id", "user_id",
+        F.col("v").cast("double").alias("val"),
     )
-    out = (
-        parallelize(ev, order_by="event_id")
-        .groupby("user_id")
-        .series("value_cents")
-        .rolling(4)
-        .parallel_apply(
-            lambda w: float(w[0] + w[-1]), raw=True,
-            output_col="rolling_first_plus_last",
-        )
+    udf = rolling.parallel_apply(
+        lambda w: float(w[0] + w[-1]), raw=True, output_col="v"
+    ).select(
+        F.lit("udf").alias("src"), "event_id", "user_id",
+        F.col("v").alias("val"),
     )
-    return out.select("event_id", "user_id", "rolling_first_plus_last")
+    return builtin.unionByName(udf)
 
 
 _EXPANDING_ORACLE = """

@@ -373,38 +373,43 @@ scored AS (
   SELECT q_id, c_id,
     CAST(list_sum([CAST(round(CAST(qe[i] AS DOUBLE)*10000) AS BIGINT) * CAST(round(CAST(ce[i] AS DOUBLE)*10000) AS BIGINT)
                    FOR i IN range(1, len(qe)+1)]) AS BIGINT) AS score
-  FROM q, c)
-SELECT q_id, c_id, score, CAST(rank AS BIGINT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
-  FROM scored)
-WHERE rank <= 5
+  FROM q, c),
+ranked AS (
+  SELECT q_id, c_id, score, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+    FROM scored)
+  WHERE rank <= 5)
+SELECT 'numpy' AS src, * FROM ranked
+UNION ALL
+SELECT 'expr' AS src, * FROM ranked
 """
 
 
 @register(
-    "similarity_topk_numpy",
+    "similarity_topk",
     _ANN_ORACLE,
-    "Brute-force inner-product top-5 for 10 query vectors — the SCALE "
-    "path: int64 matmul per Arrow batch in mapInPandas, per-batch top-k, "
-    "global top-k window. Shuffle carries candidates only, never the "
-    "corpus. Quantized integer scores → bit-exact vs oracle.",
+    "Brute-force inner-product top-5 for 10 query vectors in BOTH "
+    "execution forms in one graded row (r7 merge of the numpy/expr "
+    "twins): 'numpy' = the SCALE path — int64 matmul per Arrow batch in "
+    "mapInPandas, per-batch top-k, global top-k window; shuffle carries "
+    "candidates only, never the corpus. 'expr' = the declarative path — "
+    "broadcast crossJoin + zip_with/aggregate dot product + ranking "
+    "window, all JVM-side. Quantized integer scores → bit-exact vs "
+    "oracle on both branches.",
 )
-def similarity_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    out = _sim.topk_numpy(emb.filter(F.col("vec_id") < 10), emb, k=5)
-    return out.select("q_id", "c_id", "score", F.col("rank").cast("bigint").alias("rank"))
+    queries_df = emb.filter(F.col("vec_id") < 10)
 
+    def tag(src: str, out: DataFrame) -> DataFrame:
+        return out.select(
+            F.lit(src).alias("src"), "q_id", "c_id", "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
 
-@register(
-    "similarity_topk_expr",
-    _ANN_ORACLE,
-    "Same top-5 through the declarative path: broadcast crossJoin + "
-    "zip_with/aggregate dot product + ranking window — all JVM-side.",
-)
-def similarity_topk_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = _sim.topk_expr(emb.filter(F.col("vec_id") < 10), emb, k=5)
-    return out.select("q_id", "c_id", "score", F.col("rank").cast("bigint").alias("rank"))
+    return tag("numpy", _sim.topk_numpy(queries_df, emb, k=5)).unionByName(
+        tag("expr", _sim.topk_expr(queries_df, emb, k=5))
+    )
 
 
 _QL = "[CAST(round(CAST(e AS DOUBLE)*10000) AS BIGINT) FOR e IN embedding]"

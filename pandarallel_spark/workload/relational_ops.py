@@ -5,7 +5,7 @@ operators/relational.py) — coverage the reference lacks entirely
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandarallel_spark.operators.join import asof_join, range_join
@@ -418,29 +418,33 @@ WITH p AS (
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        COUNT(*) AS n_ts,
        CAST(SUM(cents) AS BIGINT) AS sum_cents,
-       TRUE AS ewm_within_tol
+       TRUE AS ewm_within_tol,
+       TRUE AS ewm_var_within_tol
 FROM p GROUP BY 1
 """,
-    "GLOBAL exponentially-weighted mean over per-timestamp purchase "
-    "cents — the distributed bucket-carry scan (operators/window.py "
-    "ewm_mean: approxQuantile range buckets, one bounded state row per "
-    "bucket, driver-chained seeds, second per-bucket pass), graded for "
-    "the first time (r7; previously pytest-differential only). ewm is "
-    "weighted double arithmetic, not SQL-expressible exactly, so the "
-    "row follows the sketch error-contract pattern: exact integer "
+    "GLOBAL exponentially-weighted mean AND variance over per-timestamp "
+    "purchase cents — the distributed bucket-carry scans "
+    "(operators/window.py ewm_mean: approxQuantile range buckets, one "
+    "bounded state row per bucket, driver-chained seeds, second "
+    "per-bucket pass; ewm_moment: the four-moment carry with per-bucket "
+    "shift centering), graded r7 (previously pytest-differential only). "
+    "ewm is weighted double arithmetic, not SQL-expressible exactly, so "
+    "the row follows the sketch error-contract pattern: exact integer "
     "anchors (per-day timestamp count + cents total, which any engine "
-    "reproduces bit-exactly) plus ewm_within_tol, a Spark-side boolean "
-    "asserting the distributed scan stays within rtol 1e-9 of the "
-    "sequential stock-pandas scan over the identical sorted input "
-    "(single-partition reference branch). DuckDB asserts the anchors "
-    "and literal TRUE — a divergence in the distributed seed chain "
-    "breaks the value hash. Timestamps are pre-aggregated so the scan "
-    "order is total (duplicate-ts tie order is the documented caveat).",
+    "reproduces bit-exactly) plus ewm_within_tol / ewm_var_within_tol, "
+    "Spark-side booleans asserting each distributed scan stays within "
+    "rtol 1e-9 of the sequential stock-pandas scan over the identical "
+    "sorted input (single-partition reference branch). DuckDB asserts "
+    "the anchors and literal TRUE — a divergence in either distributed "
+    "seed chain breaks the value hash. Timestamps are pre-aggregated so "
+    "the scan order is total (duplicate-ts tie order is the documented "
+    "caveat).",
 )
 def ewm_mean_purchase_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandarallel_spark.operators.window import (
         _ewm_single_partition,
         ewm_mean,
+        ewm_moment,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -450,20 +454,42 @@ def ewm_mean_purchase_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     )
     dist = ewm_mean(p, "cents", "ts", alpha=0.5, output_col="ewm")
+    distv = ewm_moment(p, "cents", "ts", "var", alpha=0.5, output_col="ewm_var")
     ref = _ewm_single_partition(
         p, "cents", "ts", "ref", lambda s: s.ewm(alpha=0.5).mean()
     )
-    j = dist.join(ref.select("ts", "ref"), "ts")
-    ok = (
-        F.abs(F.col("ewm") - F.col("ref"))
-        <= F.lit(1e-9) * F.greatest(F.abs(F.col("ref")), F.lit(1.0))
+    refv = _ewm_single_partition(
+        p, "cents", "ts", "refv", lambda s: s.ewm(alpha=0.5).var()
     )
+    j = (
+        dist.join(distv.select("ts", "ewm_var"), "ts")
+        .join(ref.select("ts", "ref"), "ts")
+        .join(refv.select("ts", "refv"), "ts")
+    )
+
+    def within(got: Column, want: Column) -> Column:
+        # never NULL: bool_and skips NULLs, which would silently pass a
+        # one-sided-NULL mismatch (pandas ewm.var leads with NaN)
+        close = F.abs(got - want) <= F.lit(1e-9) * F.greatest(
+            F.abs(want), F.lit(1.0)
+        )
+        return (
+            F.when(got.isNull() & want.isNull(), F.lit(True))
+            .when(got.isNull() | want.isNull(), F.lit(False))
+            .otherwise(close)
+        )
+
     return (
         j.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_ts"),
             F.sum("cents").alias("sum_cents"),
-            F.bool_and(ok).alias("ewm_within_tol"),
+            F.bool_and(within(F.col("ewm"), F.col("ref"))).alias(
+                "ewm_within_tol"
+            ),
+            F.bool_and(within(F.col("ewm_var"), F.col("refv"))).alias(
+                "ewm_var_within_tol"
+            ),
         )
     )
 
