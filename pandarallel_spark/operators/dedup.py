@@ -378,6 +378,147 @@ def contamination_hits(
 
 
 # ---------------------------------------------------------------------------
+# exact substring duplication (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_pos_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, token position, md5 of the k-token shingle) rows — the
+    positional variant of ``_shingle_rows`` (same zero-shuffle
+    tokenize → transform → explode build; duplicates within a doc
+    kept, position carried through posexplode). md5 is the shuffle
+    key: 16 bytes regardless of k, cross-engine deterministic (the
+    DuckDB oracle reproduces it bit-for-bit)."""
+    arr = df.select(F.col(id_col).alias("__id__"), tokens(text_col).alias("__tk__"))
+    size = F.size("__tk__")
+    idx = F.when(size >= k, F.sequence(F.lit(0), size - F.lit(k))).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at("__tk__", (i + F.lit(j) + 1).cast("int"))
+                    for j in range(k)
+                ],
+            )
+        ),
+    )
+    return arr.select("__id__", F.posexplode(gram).alias("__pos__", "__g__"))
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring duplication: maximal token spans covered by
+    k-token shingles that occur ≥ ``min_count`` times corpus-wide
+    (across documents or repeated within one).
+
+    This is the ExactSubstr operator of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (arXiv:2107.06499),
+    re-expressed for Spark: the paper builds a single-node suffix
+    array over the concatenated corpus — inherently unshardable — but
+    its dedup criterion ("any substring of ≥ k tokens that appears
+    more than once") is exactly characterized by its length-k
+    sub-shingles: a ≥ k-token substring repeats iff every one of its
+    k-token windows repeats, so duplicated-shingle positions merged
+    into maximal runs reproduce the suffix array's verdict with
+    GROUP BY + window machinery that distributes.
+
+    Scale shape: shingling is zero-shuffle (per-doc transform +
+    posexplode); duplicated grams come from a groupBy count — partial
+    map-side combine collapses each partition's repeats BEFORE the
+    shuffle, so a pathological hot gram costs one long-tail reduce
+    key, not a window partition in one task's memory; the surviving
+    gram set (typically ≪ corpus) sort-merge-joins back (AQE handles
+    residual skew); span merging is one per-doc window scan
+    (gaps-and-islands: a seed at ``pos`` covers ``[pos, pos+k-1]``,
+    runs break when ``pos > prev + k``). Two shuffles total beyond
+    the per-doc one.
+
+    Returns (id, span_start, span_end) inclusive token positions,
+    bigint. Feed to ``strip_duplicated_spans`` to cut the spans out.
+    """
+    if k < 2:
+        raise ValueError(f"k must be ≥ 2 tokens, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be ≥ 2, got {min_count}")
+    sh = _shingle_pos_rows(df, id_col, text_col, k)
+    dup_grams = (
+        sh.groupBy("__g__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .filter(F.col("__c__") >= min_count)
+        .select("__g__")
+    )
+    seeds = sh.join(dup_grams, "__g__").select("__id__", "__pos__")
+    wd = Window.partitionBy("__id__").orderBy("__pos__")
+    brk = F.when(
+        F.col("__pos__") > F.lag("__pos__").over(wd) + k, F.lit(1)
+    ).otherwise(F.lit(0))  # first row: lag NULL → condition NULL → 0
+    isl = seeds.withColumn(
+        "__isl__",
+        F.sum(brk).over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("__id__", "__isl__")
+        .agg(
+            F.min("__pos__").cast("bigint").alias("span_start"),
+            (F.max("__pos__") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+        )
+        .select(F.col("__id__").alias(id_col), "span_start", "span_end")
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_count: int = 2,
+    output_col: str = "text_deduped",
+) -> DataFrame:
+    """Cut every duplicated span (``duplicated_substring_spans``) out
+    of each document, keeping the surrounding text. Documents with
+    spans get their remaining LOWERCASED tokens re-joined with single
+    spaces (the tokenizer's normalization — standard for a cleanup
+    pipeline stage); untouched documents keep their original text
+    byte-for-byte.
+
+    Scale shape: spans collapse to ≤ a few structs per affected doc
+    (collect_list after the span merge), left-joined back on the id;
+    the token filter is a JVM lambda with the element index — no
+    Python, no extra shuffle beyond the span build."""
+    spans = duplicated_substring_spans(df, id_col, text_col, k, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp__")
+    )
+    joined = df.join(per_doc, id_col, "left")
+    toks = tokens(text_col)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            "__sp__",
+            lambda s: (i.cast("bigint") >= s["span_start"])
+            & (i.cast("bigint") <= s["span_end"]),
+        ),
+    )
+    return joined.withColumn(
+        output_col,
+        F.when(F.col("__sp__").isNull(), F.col(text_col)).otherwise(
+            F.array_join(kept, " ")
+        ),
+    ).drop("__sp__")
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

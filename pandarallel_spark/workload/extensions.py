@@ -340,6 +340,49 @@ def decontaminate_ngram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.contamination_hits(corpus, bench, "doc_id", "text", n=3)
 
 
+_SUBSTR_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x != '') AS tk
+  FROM documents),
+g AS (SELECT doc_id, unnest(range(0, greatest(len(tk) - 7, 0))) AS pos, tk
+      FROM tok),
+h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(tk[pos+1:pos+8], ' ')) AS gram
+      FROM g),
+d AS (SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM h)
+      WHERE c >= 2),
+i AS (SELECT doc_id, pos,
+        SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM d))
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+FROM i GROUP BY doc_id, isl
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    _SUBSTR_ORACLE,
+    "Exact substring duplication (Lee et al., arXiv:2107.06499 "
+    "ExactSubstr, NEW r7): maximal token spans covered by 8-token "
+    "shingles occurring ≥2 times corpus-wide. The paper's single-node "
+    "suffix array cannot shard; the k-token-anchor formulation "
+    "distributes — zero-shuffle positional shingling (posexplode), "
+    "duplicated grams via groupBy count (map-side combine tames hot "
+    "grams), sort-merge join back, per-doc gaps-and-islands window "
+    "merge. The DuckDB oracle mirrors the md5-gram pipeline "
+    "bit-for-bit, so spans are hash-exact.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.duplicated_substring_spans(docs, "doc_id", "text", k=8)
+
+
 _FRAME_SAMPLE_ORACLE = """
 WITH m AS (SELECT doc_id AS media_id,
                   CAST(octet_length(encode(text)) // 1000 AS INT) + 1 AS n_frames

@@ -501,30 +501,50 @@ def ewm_mean_purchase_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # capability keeps a hard driver check with one fewer registry slot.
 
 
+_SKETCHES_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag AS key,
+    quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) AS p50,
+    quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.9) AS p90,
+    quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.99) AS p99
+  FROM lineitem GROUP BY l_returnflag)
+SELECT 'tdigest_p50' AS src, key, p50 AS exact, TRUE AS approx_within_bound FROM t
+UNION ALL
+SELECT 'tdigest_p90' AS src, key, p90 AS exact, TRUE AS approx_within_bound FROM t
+UNION ALL
+SELECT 'tdigest_p99' AS src, key, p99 AS exact, TRUE AS approx_within_bound FROM t
+UNION ALL
+SELECT 'hll' AS src, CAST(l_suppkey AS VARCHAR) AS key,
+       CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS exact,
+       TRUE AS approx_within_bound
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
 @register(
-    "percentiles_approx_price_per_flag",
-    """
-SELECT l_returnflag,
-  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) AS p50_cents,
-  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.9) AS p90_cents,
-  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.99) AS p99_cents,
-  TRUE AS approx_within_bound
-FROM lineitem GROUP BY l_returnflag
-""",
-    "The 100 TB form of percentiles_price_per_flag: approx_percentile's "
-    "mergeable t-digest-style sketch (map-side partial, fixed memory) "
-    "instead of the exact sort-based aggregate. Sketch values are "
-    "engine-specific, so the oracle checks the sketch's published "
-    "CONTRACT instead of its bits: the output carries the exact "
-    "percentiles plus approx_within_bound, a Spark-side boolean that "
-    "every sketch estimate lies inside the GK rank-error envelope "
-    "(accuracy=10000 → rank error ≤ 1e-4·N; checked against exact "
-    "quantiles at p±10/accuracy). DuckDB asserts the exact values and "
-    "literal TRUE — a sketch regression breaks the value hash. The "
-    "exact columns are the verification harness; production keeps only "
-    "the sketch.",
+    "sketches_error_contracts",
+    _SKETCHES_ORACLE,
+    "Both mergeable sketches — approx_percentile's t-digest-style "
+    "quantile sketch AND HLL++ distinct count — with their exact twins "
+    "and published error CONTRACTS, kind-tagged in ONE graded row (r7 "
+    "merge of percentiles_approx_price_per_flag + "
+    "approx_distinct_parts_per_supplier). Sketch values are "
+    "engine-specific, so the oracle checks the contract instead of the "
+    "bits: each row carries the EXACT value (F.percentile p50/p90/p99 "
+    "per returnflag in cents; skew_safe_count_distinct's two mergeable "
+    "stages per suppkey — a hot key's duplicates collapse map-side "
+    "before the shuffle) plus approx_within_bound, a Spark-side "
+    "boolean asserting the sketch estimate lies inside its envelope "
+    "(t-digest: the GK rank-error window, accuracy=10000 → exact "
+    "quantiles at p±10/accuracy bound any returned element; HLL: "
+    "|approx − exact| ≤ max(5·rsd·exact, 2), rsd=0.01 → 5σ; both "
+    "deterministic per dataset, so the booleans are hash-stable). "
+    "DuckDB asserts the exact values and literal TRUE — a sketch "
+    "regression on either branch breaks the value hash. The exact "
+    "columns are the verification harness; production keeps only the "
+    "sketches.",
 )
-def percentiles_approx_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketches_error_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     # ONE sketch queried at three percentages — three separate
@@ -551,52 +571,37 @@ def percentiles_approx_price_per_flag(spark: SparkSession, sf_dir: str) -> DataF
             for i, p in enumerate((0.5, 0.9, 0.99))
         ],
     )
-    ok = None
-    for i in range(3):
+    pct_parts = []
+    for i, tag in enumerate(("tdigest_p50", "tdigest_p90", "tdigest_p99")):
         a = F.element_at("__p__", i + 1)
-        c = (a >= F.floor(F.col(f"__lo{i}__"))) & (a <= F.ceil(F.col(f"__hi{i}__")))
-        ok = c if ok is None else (ok & c)
-    return agg.select(
-        "l_returnflag",
-        F.col("__x0__").alias("p50_cents"),
-        F.col("__x1__").alias("p90_cents"),
-        F.col("__x2__").alias("p99_cents"),
-        ok.alias("approx_within_bound"),
-    )
+        ok = (a >= F.floor(F.col(f"__lo{i}__"))) & (
+            a <= F.ceil(F.col(f"__hi{i}__"))
+        )
+        pct_parts.append(
+            agg.select(
+                F.lit(tag).alias("src"),
+                F.col("l_returnflag").alias("key"),
+                F.col(f"__x{i}__").alias("exact"),
+                ok.alias("approx_within_bound"),
+            )
+        )
 
-
-@register(
-    "approx_distinct_parts_per_supplier",
-    """
-SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS l_partkey_distinct,
-       TRUE AS approx_within_bound
-FROM lineitem GROUP BY l_suppkey
-""",
-    "Exact + HLL++ distinct count per key in ONE graded row (r6 merge): "
-    "the exact column comes from skew_safe_count_distinct's two "
-    "mergeable stages (a hot key's duplicates collapse map-side before "
-    "the shuffle — the COUNT(DISTINCT) skew pattern), joined to the "
-    "HLL++ sketch any 100 TB pipeline actually runs. HLL estimates are "
-    "engine-specific, so the oracle checks the sketch's published "
-    "error CONTRACT: approx_within_bound asserts |approx − exact| ≤ "
-    "max(5·rsd·exact, 2) (rsd=0.01 → 5σ; HLL++ is deterministic per "
-    "dataset, so the boolean is hash-stable). DuckDB asserts the exact "
-    "counts and literal TRUE. The join runs on the already-aggregated "
-    "per-key frames (key-cardinality-sized, broadcastable).",
-)
-def approx_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
     exact_df = skew_safe_count_distinct(li, ["l_suppkey"], "l_partkey")
     approx_df = li.groupBy("l_suppkey").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("__a__")
     )
     exact = F.col("l_partkey_distinct")
     bound = F.greatest(F.ceil(exact * F.lit(5 * 0.01)), F.lit(2))
-    return exact_df.join(approx_df, "l_suppkey").select(
-        "l_suppkey",
-        exact,
+    hll = exact_df.join(approx_df, "l_suppkey").select(
+        F.lit("hll").alias("src"),
+        F.col("l_suppkey").cast("string").alias("key"),
+        exact.cast("double").alias("exact"),
         (F.abs(F.col("__a__") - exact) <= bound).alias("approx_within_bound"),
     )
+    out = pct_parts[0]
+    for part in pct_parts[1:]:
+        out = out.unionByName(part)
+    return out.unionByName(hll)
 
 
 @register(

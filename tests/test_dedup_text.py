@@ -522,3 +522,101 @@ def test_chunk_documents_semantics(spark):
     assert (out.doc_id != 3).all()  # whitespace-only doc: no chunks
     with pytest.raises(ValueError, match="positive"):
         chunk_documents(docs, "doc_id", "text", chunk_tokens=0)
+
+
+# ---------------------------------------------------------------------------
+# exact substring duplication (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def _naive_spans(texts, k, min_count=2):
+    """Reference implementation: count every k-token shingle globally,
+    merge duplicated-shingle positions into maximal spans per doc."""
+    import re
+    from collections import Counter
+
+    toks = {
+        d: [t for t in re.split(r"\s+", txt.lower().strip()) if t]
+        for d, txt in texts
+    }
+    counts = Counter()
+    pos_rows = []
+    for d, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            g = " ".join(tk[p : p + k])
+            counts[g] += 1
+            pos_rows.append((d, p, g))
+    spans = []
+    for d in toks:
+        seeds = sorted(p for dd, p, g in pos_rows if dd == d and counts[g] >= min_count)
+        cur = None
+        for p in seeds:
+            if cur is not None and p <= cur[1] - k + 1 + k:  # p <= prev_pos + k
+                cur = (cur[0], max(cur[1], p + k - 1))
+            else:
+                if cur:
+                    spans.append((d, *cur))
+                cur = (p, p + k - 1)
+        if cur:
+            spans.append((d, *cur))
+    return sorted(spans)
+
+
+def test_substring_spans_hand_computed(spark):
+    texts = [
+        (1, "a b c d e f g h"),        # "c d e f" shared with doc 2
+        (2, "x y c d e f z w"),
+        (3, "p q r s p q r s p q"),    # within-doc repeat of "p q r s"
+        (4, "unique tokens only appear here once"),
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(texts, columns=["doc_id", "text"]))
+    out = dedup.duplicated_substring_spans(sdf, "doc_id", "text", k=4).toPandas()
+    got = sorted(zip(out.doc_id, out.span_start, out.span_end))
+    assert got == _naive_spans(texts, k=4)
+    # doc 3: "p q r s" at 0 and 4 plus the bridging windows → one span 0..9
+    assert (3, 0, 9) in got
+    assert not any(d == 4 for d, _, _ in got)
+
+
+def test_substring_spans_random_vs_naive(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab → natural repeats
+    texts = [
+        (d, " ".join(rng.choice(vocab, rng.integers(5, 40))))
+        for d in range(30)
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(texts, columns=["doc_id", "text"]))
+    for k in (3, 5):
+        out = dedup.duplicated_substring_spans(sdf, "doc_id", "text", k=k).toPandas()
+        got = sorted(zip(out.doc_id, out.span_start, out.span_end))
+        assert got == _naive_spans(texts, k=k), f"k={k}"
+
+
+def test_strip_duplicated_spans(spark):
+    texts = [
+        (1, "a b c d e f g h"),
+        (2, "x y c d e f z w"),
+        (3, "Unique Mixed-Case text stays byte-identical here"),
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(texts, columns=["doc_id", "text"]))
+    out = (
+        dedup.strip_duplicated_spans(sdf, "doc_id", "text", k=4)
+        .toPandas().set_index("doc_id")
+    )
+    # docs 1/2 share "c d e f": windows c..f duplicated → span covers c-f
+    assert out.loc[1, "text_deduped"] == "a b g h"
+    assert out.loc[2, "text_deduped"] == "x y z w"
+    # untouched doc keeps ORIGINAL text (case + spacing preserved)
+    assert out.loc[3, "text_deduped"] == texts[2][1]
+
+
+def test_substring_spans_rejections(spark):
+    sdf = spark.createDataFrame(
+        pd.DataFrame([(1, "a b c")], columns=["doc_id", "text"])
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        dedup.duplicated_substring_spans(sdf, "doc_id", "text", k=1)
+    with pytest.raises(ValueError, match="min_count"):
+        dedup.duplicated_substring_spans(sdf, "doc_id", "text", k=3, min_count=1)

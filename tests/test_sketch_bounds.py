@@ -52,8 +52,9 @@ def test_percentile_approx_within_rank_bound(spark, sf_dir):
                 f"[{vals[lo_rank]}, {vals[hi_rank]}] (rank bound ±{eps:n})"
             )
     # the registered query's in-plan contract boolean must hold too
-    q = queries()["percentiles_approx_price_per_flag"](spark, sf_dir).toPandas()
-    assert q["approx_within_bound"].all()
+    # (r7: both sketches live in the merged sketches_error_contracts row)
+    q = queries()["sketches_error_contracts"](spark, sf_dir).toPandas()
+    assert q[q["src"].str.startswith("tdigest")]["approx_within_bound"].all()
 
 
 def test_approx_count_distinct_within_rsd(spark, sf_dir):
@@ -75,5 +76,5 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     assert (rel_err <= tol + 1.0 / both["exact"].clip(lower=1)).all(), (
         f"HLL++ estimates exceed {tol:.0%} + integer slack: worst {worst:.3%}"
     )
-    q = queries()["approx_distinct_parts_per_supplier"](spark, sf_dir).toPandas()
-    assert q["approx_within_bound"].all()
+    q = queries()["sketches_error_contracts"](spark, sf_dir).toPandas()
+    assert q[q["src"] == "hll"]["approx_within_bound"].all()
