@@ -417,6 +417,7 @@ def duplicated_substring_spans(
     text_col: str,
     k: int = 20,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact substring duplication: maximal token spans covered by
     k-token shingles that occur ≥ ``min_count`` times corpus-wide
@@ -444,6 +445,19 @@ def duplicated_substring_spans(
     runs break when ``pos > prev + k``). Two shuffles total beyond
     the per-doc one.
 
+    ``keep_first=True`` is the paper's survivor policy: each
+    duplicated gram RETAINS its globally-first occurrence (lexicographic
+    min over (id, pos) — one extra min-struct column in the same
+    count aggregate, no extra shuffle) and only the later copies seed
+    spans, so one copy of every repeated passage survives a
+    subsequent strip. For a clean two-copy repeat every gram's first
+    occurrence sits in the earlier copy, reproducing the paper's
+    keep-one behavior; when repeats overlap across ≥3 documents the
+    per-gram argmin is an approximation — but every gram still keeps
+    its first occurrence somewhere, so no content vanishes from the
+    corpus. The default (False) removes EVERY occurrence — the
+    conservative hygiene form.
+
     Returns (id, span_start, span_end) inclusive token positions,
     bigint. Feed to ``strip_duplicated_spans`` to cut the spans out.
     """
@@ -454,11 +468,19 @@ def duplicated_substring_spans(
     sh = _shingle_pos_rows(df, id_col, text_col, k)
     dup_grams = (
         sh.groupBy("__g__")
-        .agg(F.count(F.lit(1)).alias("__c__"))
+        .agg(
+            F.count(F.lit(1)).alias("__c__"),
+            F.min(F.struct("__id__", "__pos__")).alias("__first__"),
+        )
         .filter(F.col("__c__") >= min_count)
-        .select("__g__")
+        .select("__g__", "__first__")
     )
-    seeds = sh.join(dup_grams, "__g__").select("__id__", "__pos__")
+    seeds = sh.join(dup_grams, "__g__")
+    if keep_first:
+        seeds = seeds.filter(
+            F.struct("__id__", "__pos__") != F.col("__first__")
+        )
+    seeds = seeds.select("__id__", "__pos__")
     wd = Window.partitionBy("__id__").orderBy("__pos__")
     brk = F.when(
         F.col("__pos__") > F.lag("__pos__").over(wd) + k, F.lit(1)
@@ -483,6 +505,7 @@ def strip_duplicated_spans(
     text_col: str,
     k: int = 20,
     min_count: int = 2,
+    keep_first: bool = False,
     output_col: str = "text_deduped",
 ) -> DataFrame:
     """Cut every duplicated span (``duplicated_substring_spans``) out
@@ -496,7 +519,9 @@ def strip_duplicated_spans(
     (collect_list after the span merge), left-joined back on the id;
     the token filter is a JVM lambda with the element index — no
     Python, no extra shuffle beyond the span build."""
-    spans = duplicated_substring_spans(df, id_col, text_col, k, min_count)
+    spans = duplicated_substring_spans(
+        df, id_col, text_col, k, min_count, keep_first=keep_first
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__sp__")
     )

@@ -612,6 +612,34 @@ def test_strip_duplicated_spans(spark):
     assert out.loc[3, "text_deduped"] == texts[2][1]
 
 
+def test_substring_spans_keep_first(spark):
+    """Lee et al. survivor policy: the globally-first occurrence of a
+    duplicated passage survives; later copies are stripped."""
+    texts = [
+        (1, "a b c d e f g h"),
+        (2, "x y c d e f z w"),   # later copy of "c d e f"
+        (3, "p q r s p q r s p q"),  # within-doc repeat
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(texts, columns=["doc_id", "text"]))
+    out = dedup.duplicated_substring_spans(
+        sdf, "doc_id", "text", k=4, keep_first=True
+    ).toPandas()
+    got = sorted(zip(out.doc_id, out.span_start, out.span_end))
+    # doc 1 holds the first occurrence → untouched; doc 2's copy flagged
+    assert got[0][0] != 1
+    assert (2, 2, 5) in got
+    # doc 3: first occurrences of its grams are at pos 0-3; the later
+    # windows 4,5,6 seed one merged span 4..9 (the first "p q r s" stays)
+    assert (3, 4, 9) in got
+    stripped = (
+        dedup.strip_duplicated_spans(sdf, "doc_id", "text", k=4, keep_first=True)
+        .toPandas().set_index("doc_id")
+    )
+    assert stripped.loc[1, "text_deduped"] == texts[0][1]  # original, untouched
+    assert stripped.loc[2, "text_deduped"] == "x y z w"
+    assert stripped.loc[3, "text_deduped"] == "p q r s"
+
+
 def test_substring_spans_rejections(spark):
     sdf = spark.createDataFrame(
         pd.DataFrame([(1, "a b c")], columns=["doc_id", "text"])
