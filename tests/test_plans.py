@@ -242,3 +242,17 @@ def test_time_rolling_single_exchange_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "time_rolling_purchase_cents_1h")
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Exchange") <= 2  # tree + detail of the key shuffle
+
+
+def test_substring_dedup_jvm_only_and_pruned(spark, sf_dir):
+    # ExactSubstr must stay entirely JVM-side (higher-order functions +
+    # window merge, zero Python) and prune the scan to the referenced
+    # columns on both branches (the gram-count side reads text only)
+    plan = _plan(spark, sf_dir, "dedup_substring_spans")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+    schemas = [
+        seg[:200] for seg in plan.split("ReadSchema:")[1:]
+    ]
+    assert schemas and all("text" in s for s in schemas)
+    assert all("source" not in s and "lang" not in s for s in schemas)
