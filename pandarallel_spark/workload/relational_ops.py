@@ -571,20 +571,33 @@ def sketches_error_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate((0.5, 0.9, 0.99))
         ],
     )
-    pct_parts = []
-    for i, tag in enumerate(("tdigest_p50", "tdigest_p90", "tdigest_p99")):
+    # unpivot via inline(array<struct>) — ONE aggregate feeds all three
+    # percentile rows (three union arms would re-execute the full
+    # lineitem aggregate per arm)
+    def pct_struct(i: int, tag: str) -> Column:
         a = F.element_at("__p__", i + 1)
         ok = (a >= F.floor(F.col(f"__lo{i}__"))) & (
             a <= F.ceil(F.col(f"__hi{i}__"))
         )
-        pct_parts.append(
-            agg.select(
-                F.lit(tag).alias("src"),
-                F.col("l_returnflag").alias("key"),
-                F.col(f"__x{i}__").alias("exact"),
-                ok.alias("approx_within_bound"),
-            )
+        return F.struct(
+            F.lit(tag).alias("src"),
+            F.col(f"__x{i}__").alias("exact"),
+            ok.alias("approx_within_bound"),
         )
+
+    pct = agg.select(
+        F.col("l_returnflag").alias("key"),
+        F.inline(
+            F.array(
+                *[
+                    pct_struct(i, tag)
+                    for i, tag in enumerate(
+                        ("tdigest_p50", "tdigest_p90", "tdigest_p99")
+                    )
+                ]
+            )
+        ),
+    ).select("src", "key", "exact", "approx_within_bound")
 
     exact_df = skew_safe_count_distinct(li, ["l_suppkey"], "l_partkey")
     approx_df = li.groupBy("l_suppkey").agg(
@@ -598,10 +611,7 @@ def sketches_error_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.cast("double").alias("exact"),
         (F.abs(F.col("__a__") - exact) <= bound).alias("approx_within_bound"),
     )
-    out = pct_parts[0]
-    for part in pct_parts[1:]:
-        out = out.unionByName(part)
-    return out.unionByName(hll)
+    return pct.unionByName(hll)
 
 
 @register(
