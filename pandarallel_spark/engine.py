@@ -186,15 +186,19 @@ class ParallelSeries:
         self,
         com: float | None = None,
         span: float | None = None,
-        halflife: float | None = None,
+        halflife=None,
         alpha: float | None = None,
         min_periods: int = 0,
         adjust: bool = True,
         ignore_na: bool = False,
+        times: str | None = None,
     ) -> "ParallelEwm":
+        # times: a date/timestamp COLUMN NAME — pandas' wall-clock decay
+        # form (halflife must then be timedelta-convertible, e.g. "1h")
         return ParallelEwm(
             self, com=com, span=span, halflife=halflife, alpha=alpha,
             min_periods=min_periods, adjust=adjust, ignore_na=ignore_na,
+            times=times,
         )
 
 
@@ -250,6 +254,35 @@ class ParallelEwm:
         output_col: str | None = None,
     ) -> DataFrame:
         df, order = self.series.frame._ordered()
+        kwargs = dict(self.kwargs)
+        times = kwargs.pop("times", None)
+        if times is not None:
+            # pandas' times-mode surface is mean()-only: adjust=False is
+            # its own NotImplementedError, and sum/var/std SILENTLY fall
+            # back to positional decay (times ignored — probed, pandas
+            # 2.2). Refuse the trap loudly instead of replicating it.
+            if func != "mean":
+                raise NotImplementedError(
+                    f"ewm(times=...) supports mean() only; pandas "
+                    f"{func}() silently ignores times (positional decay)"
+                )
+            if not kwargs.pop("adjust", True):
+                raise NotImplementedError(
+                    "times is not supported with adjust=False."
+                )
+            if any(
+                kwargs.get(p) is not None for p in ("com", "span", "alpha")
+            ):
+                raise ValueError(
+                    "halflife must be a timedelta convertible object"
+                )
+            return _window.ewm_mean_times(
+                df, self.series.col, times, kwargs["halflife"],
+                partition_by=self.series.partition_by,
+                ignore_na=kwargs.get("ignore_na", False),
+                min_periods=kwargs.get("min_periods", 0),
+                output_col=output_col,
+            )
         if func in ("var", "std"):
             # grouped: stock pandas per key; global adjust=True: the
             # distributed four-moment bucket carry; global adjust=False:
@@ -257,7 +290,7 @@ class ParallelEwm:
             return _window.ewm_moment(
                 df, self.series.col, order, func,
                 partition_by=self.series.partition_by,
-                bias=bias, output_col=output_col, **self.kwargs,
+                bias=bias, output_col=output_col, **kwargs,
             )
         if func == "sum":
             # grouped: stock pandas per key; global: linear bucket-carry
@@ -265,7 +298,7 @@ class ParallelEwm:
             return _window.ewm_sum(
                 df, self.series.col, order,
                 partition_by=self.series.partition_by,
-                output_col=output_col, **self.kwargs,
+                output_col=output_col, **kwargs,
             )
         if func != "mean":
             raise NotImplementedError(
@@ -274,7 +307,7 @@ class ParallelEwm:
         return _window.ewm_mean(
             df, self.series.col, order,
             partition_by=self.series.partition_by,
-            output_col=output_col, **self.kwargs,
+            output_col=output_col, **kwargs,
         )
 
     def mean(self, *, output_col: str | None = None) -> DataFrame:

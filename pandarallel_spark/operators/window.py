@@ -3316,3 +3316,278 @@ def ewm_sum(
 
     bucketed = df.withColumn("__bkt__", bexpr.cast("int"))
     return bucketed.groupBy("__bkt__").applyInPandas(per_bucket, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# ewm with times= (wall-clock halflife decay)
+# ---------------------------------------------------------------------------
+
+
+def _resolve_halflife_us(halflife) -> float:
+    """pandas' times-mode halflife: a timedelta-convertible (str,
+    datetime.timedelta, np.timedelta64) → microseconds as float.
+    Spark timestamps are µs-precision and epoch-µs fits float64
+    exactly (< 2^53 until year ~2255), so µs doubles are lossless."""
+    try:
+        td = pd.Timedelta(halflife)
+    except (ValueError, TypeError) as exc:
+        raise ValueError(
+            "halflife must be a timedelta convertible object"
+        ) from exc
+    us = td.value / 1000.0  # .value is integer nanoseconds
+    if not us > 0:
+        raise ValueError(f"halflife must be positive, got {halflife!r}")
+    return us
+
+
+def _ewm_times_scan(
+    vals: np.ndarray, r: np.ndarray, seed_num: float, seed_den: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (num, den) ewm scan over a transformed time axis ``r``
+    (units of HALFLIVES, non-decreasing, measured from the seed's
+    position): num_i = Σ_{j≤i obs} x_j·2^{−(r_i−r_j)} + seed_num·2^{−r_i},
+    den the same with x≡1. Vectorized by segmented power prefixes:
+    within a segment of span ≤ 500 halflives, 2^{r_j} stays ≤ 2^500
+    (finite in float64), so the scan is cumsum(x·2^{r})·2^{−r} — one
+    numpy pass; segments chain by a carried (num, den) whose decay
+    across the gap may underflow to exactly 0.0, which is the correct
+    limit (the sequential recurrence's product of per-step decays
+    underflows the same way). No per-row Python."""
+    n = len(vals)
+    num = np.empty(n, dtype="float64")
+    den = np.empty(n, dtype="float64")
+    obs = ~np.isnan(vals)
+    x = np.where(obs, vals, 0.0)
+    o = obs.astype("float64")
+    carry_n, carry_d, rc = float(seed_num), float(seed_den), 0.0
+    start = 0
+    while start < n:
+        r0 = float(r[start])
+        end = int(np.searchsorted(r, r0 + 500.0, side="right"))
+        rs = r[start:end] - r0
+        inv = np.exp2(-rs)
+        p = np.exp2(rs)
+        f0 = np.exp2(-(r0 - rc))  # → 0.0 on huge gaps: correct limit
+        num[start:end] = np.cumsum(x[start:end] * p) * inv + carry_n * f0 * inv
+        den[start:end] = np.cumsum(o[start:end] * p) * inv + carry_d * f0 * inv
+        carry_n, carry_d, rc = float(num[end - 1]), float(den[end - 1]), float(r[end - 1])
+        start = end
+    return num, den
+
+
+def ewm_mean_times(
+    df: DataFrame,
+    col: str,
+    times: str,
+    halflife,
+    *,
+    partition_by: Sequence[str] = (),
+    ignore_na: bool = False,
+    min_periods: int = 0,
+    output_col: str | None = None,
+) -> DataFrame:
+    """pandas ``s.ewm(halflife=<timedelta>, times=<datetime>).mean()``:
+    exponential decay over WALL-CLOCK gaps instead of row positions —
+    the form a real event stream needs (irregular arrival times).
+
+    Semantics (probed, pandas 2.2): each observation decays the carried
+    (num, den) by ``0.5^(Δt/halflife)`` where Δt is the gap to the
+    PREVIOUS ROW — for the default ``ignore_na=False`` the per-step
+    decays telescope to pure elapsed time; for ``ignore_na=True``
+    pandas SKIPS the decay step on NaN rows (their gap is dropped from
+    the clock), which this implementation reproduces via a transformed
+    time axis ``r = Σ Δt·[obs or not ignore_na]``. pandas restricts
+    times-mode to ``mean()`` with ``adjust=True`` (its own
+    NotImplementedError for adjust=False; var/std/sum SILENTLY fall
+    back to positional decay, ignoring times — a trap we refuse loudly
+    instead of replicating, see ``ParallelEwm``).
+
+    Grouped: stock pandas per group (bit-exact), coarse-bucketed
+    ``applyInPandas`` — one shuffle, the 100 TB path.
+
+    Global: the same range-bucket + carried-seed design as ``ewm_mean``
+    — per bucket one summary row (end num/den on the local transformed
+    axis, boundary timestamps), a driver chain of ≤1024 seeds, then a
+    seeded per-bucket pass 2; within buckets the scan is the segmented
+    vectorized fold of ``_ewm_times_scan``. Two linear passes, parallel
+    in the bucket count, no driver collect beyond the bounded summary.
+
+    NULL/NaT times raise (scan position undefined). Rows are ordered BY
+    the times column; duplicate timestamps (Δt = 0, no decay) make the
+    within-tie order arbitrary, same caveat as positional ewm.
+    Differential tests pin rtol 1e-9 vs single-core pandas.
+    """
+    h_us = _resolve_halflife_us(halflife)
+    output_col = output_col or f"{col}_ewm_mean"
+    t_type = df.schema[times].dataType
+    if not isinstance(t_type, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        raise TypeError(
+            f"ewm times column must be date/timestamp, got "
+            f"{t_type.simpleString()} (pandas requires datetime64 times)"
+        )
+
+    def _t_us(series: pd.Series) -> np.ndarray:
+        if series.isna().any():
+            raise ValueError(
+                f"ewm times column {times!r} with NULL/NaT values is not "
+                "supported: scan position is undefined for them"
+            )
+        ns = pd.to_datetime(series).to_numpy(dtype="datetime64[ns]")
+        return (ns.astype("int64") // 1000).astype("float64")
+
+    if partition_by:
+        hl_td = pd.Timedelta(halflife)
+
+        def op(s: pd.Series) -> pd.Series:
+            t = pd.DatetimeIndex(s.index)
+            if t.isna().any():
+                raise ValueError(
+                    f"ewm times column {times!r} with NULL/NaT values is "
+                    "not supported"
+                )
+            return pd.Series(s.to_numpy()).ewm(
+                halflife=hl_td, times=t, ignore_na=ignore_na,
+                min_periods=min_periods,
+            ).mean()
+
+        return _grouped_pandas_window(
+            df, col, [times], partition_by, output_col, "double", op,
+            index_col=times,
+        )
+
+    spark = df.sparkSession
+    ord_num = F.unix_micros(F.col(times).cast("timestamp")).cast("double")
+    n_parts = shuffle_partitions(spark)
+    out_schema = T.StructType(
+        [*df.schema.fields, T.StructField(output_col, T.DoubleType(), True)]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    in_names = [f.name for f in df.schema.fields]
+    minp_eff = max(min_periods, 1)
+
+    def run_single(pdf_iter):
+        parts = [b for b in pdf_iter if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        t = _t_us(pdf[times])
+        order = np.argsort(t, kind="stable")
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        pdf[output_col] = pd.Series(
+            np.asarray(pdf[col].to_numpy(), dtype="float64")
+        ).ewm(
+            halflife=pd.Timedelta(halflife),
+            times=pd.DatetimeIndex(pd.to_datetime(pdf[times])),
+            ignore_na=ignore_na, min_periods=min_periods,
+        ).mean().to_numpy()
+        yield pdf[out_names]
+
+    if n_parts <= 1:
+        return df.repartition(1).mapInPandas(run_single, out_schema)
+
+    # ---- BUILD (memoized, strictLazy-guarded): boundaries + seeds
+    n_buckets = max(2, min(1024, n_parts * 8))
+    key = plan_data_key(
+        df, "__ewm_times__", times, col, n_buckets, h_us, ignore_na
+    )
+    memo = _EWM_MEMO.get(key) if key is not None else None
+    if memo is None:
+        eager_build_guard(
+            spark,
+            "global times-ewm bucket boundaries + per-bucket carry seeds "
+            "(two bounded jobs)",
+            "Add a partition key for the fully-lazy grouped path, set "
+            "spark.sql.shuffle.partitions=1 for the single-partition "
+            "path, or build once outside strict-lazy scope (seeds are "
+            "memoized per plan+data).",
+        )
+        probs = [i / n_buckets for i in range(n_buckets + 1)]
+        narrow = df.select(ord_num.alias("__q__"), F.col(col).alias("__v__"))
+        if narrow.filter(F.col("__q__").isNull()).limit(1).count():
+            raise ValueError(
+                f"ewm times column {times!r} with NULL/NaT values is not "
+                "supported: scan position is undefined for them"
+            )
+        qs = narrow.approxQuantile("__q__", probs, 1.0 / n_buckets)
+        vlo, vhi = (qs[0], qs[-1]) if qs else (float("nan"), float("nan"))
+        bnds = sorted(set(qs[1:-1]))
+
+        def bucket_summary(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__q__", kind="mergesort")
+            t = pdf["__q__"].to_numpy(dtype="float64")
+            v = pdf["__v__"].to_numpy(dtype="float64")
+            o = ~np.isnan(v)
+            g = o | (not ignore_na)
+            dt = np.diff(t, prepend=t[0])  # first row's gap: chain-time
+            lax = np.cumsum(dt * g) / h_us
+            num, den = _ewm_times_scan(v, lax, 0.0, 0.0)
+            return pd.DataFrame([{
+                "rows": len(v), "nobs": int(o.sum()),
+                "t_first": float(t[0]), "t_last": float(t[-1]),
+                "obs_first": bool(o[0]), "l_end": float(lax[-1]),
+                "num_end": float(num[-1]), "den_end": float(den[-1]),
+                "__bkt__": int(pdf["__bkt__"].iloc[0]),
+            }])
+
+        summ = (
+            narrow.withColumn(
+                "__bkt__",
+                bucket_assignment_expr(F.col("__q__"), bnds, vlo, vhi).cast("int"),
+            )
+            .groupBy("__bkt__")
+            .applyInPandas(
+                bucket_summary,
+                "rows bigint, nobs bigint, t_first double, t_last double, "
+                "obs_first boolean, l_end double, num_end double, "
+                "den_end double, __bkt__ int",
+            )
+            .collect()  # bounded: ≤ n_buckets ≤ 1024 rows by construction
+        )
+        seeds: dict[int, dict] = {}
+        st = {"num": 0.0, "den": 0.0, "obs": 0, "t_prev": None}
+        for row in sorted(summ, key=lambda r: r["__bkt__"]):
+            seeds[int(row["__bkt__"])] = dict(st)
+            d1 = 0.0
+            if st["t_prev"] is not None and (
+                row["obs_first"] or not ignore_na
+            ):
+                d1 = (row["t_first"] - st["t_prev"]) / h_us
+            dec = float(np.exp2(-(d1 + row["l_end"])))
+            st = {
+                "num": st["num"] * dec + row["num_end"],
+                "den": st["den"] * dec + row["den_end"],
+                "obs": st["obs"] + int(row["nobs"]),
+                "t_prev": row["t_last"],
+            }
+        memo = {"bnds": bnds, "vlo": vlo, "vhi": vhi, "seeds": seeds}
+        if key is not None:
+            memo_put(_EWM_MEMO, key, memo)
+    seeds = memo["seeds"]
+    bexpr = bucket_assignment_expr(ord_num, memo["bnds"], memo["vlo"], memo["vhi"])
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["__bkt__"].iloc[0])
+        seed = seeds.get(b) or {"num": 0.0, "den": 0.0, "obs": 0, "t_prev": None}
+        t = _t_us(pdf[times])
+        order = np.argsort(t, kind="stable")
+        pdf = pdf.iloc[order]
+        t = t[order]
+        v = pdf[col].to_numpy(dtype="float64")
+        o = ~np.isnan(v)
+        g = o | (not ignore_na)
+        dt = np.diff(t, prepend=t[0])
+        d1 = 0.0
+        if seed["t_prev"] is not None and bool(g[0]):
+            d1 = (t[0] - seed["t_prev"]) / h_us
+        r = np.cumsum(dt * g) / h_us + d1
+        num, den = _ewm_times_scan(v, r, seed["num"], seed["den"])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            means = num / den
+        cum_obs = seed["obs"] + np.cumsum(o)
+        means = np.where((cum_obs >= minp_eff) & (den > 0.0), means, np.nan)
+        out = pdf[in_names].copy()
+        out[output_col] = means
+        return out[out_names]
+
+    bucketed = df.withColumn("__bkt__", bexpr.cast("int"))
+    return bucketed.groupBy("__bkt__").applyInPandas(per_bucket, out_schema)

@@ -1932,3 +1932,129 @@ def test_global_rolling_multicol_order_is_bucketed(spark):
         .to_numpy(dtype="float64")
     )
     assert np.allclose(got_u, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+# ---------------------------------------------------------------------------
+# ewm(times=): wall-clock halflife decay
+# ---------------------------------------------------------------------------
+
+
+def _times_fixture(seed, n=400, nan_frac=0.1, group=False):
+    rng = np.random.default_rng(seed)
+    # irregular gaps: bursts (seconds apart), lulls (hours), one huge
+    # gap (weeks — decay underflow territory), duplicate timestamps
+    gaps_s = rng.choice(
+        [0.0, 1.0, 7.0, 60.0, 3600.0, 6 * 3600.0], size=n,
+        p=[0.08, 0.3, 0.25, 0.2, 0.12, 0.05],
+    )
+    gaps_s[n // 2] = 45 * 24 * 3600.0
+    t = pd.Timestamp("2024-03-01") + pd.to_timedelta(np.cumsum(gaps_s), unit="s")
+    vals = rng.standard_normal(n) * 10 + 3
+    # NaNs only at NON-tied rows: with ignore_na=True a NaN row's
+    # entering gap is dropped from the decay clock, so a NaN inside a
+    # tie group would make even downstream values depend on the
+    # arbitrary within-tie order (pandas' own semantics are row-order-
+    # dependent there)
+    untied = np.nonzero(~pd.Series(t).duplicated(keep=False).to_numpy())[0]
+    vals[rng.choice(untied, int(n * nan_frac), replace=False)] = np.nan
+    pdf = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "ts": t, "x": vals})
+    if group:
+        pdf["k"] = rng.integers(0, 5, n)
+    return pdf
+
+
+@pytest.mark.parametrize("ignore_na", [False, True])
+def test_ewm_times_global_vs_pandas(spark, ignore_na):
+    """Global ewm(times=) runs as bucket-partitioned segmented scans
+    chained by carried (num, den) seeds over the transformed wall-clock
+    axis — must match single-core pandas across NaN patterns, a 45-day
+    decay-underflow gap, both ignore_na modes, and min_periods.
+
+    Duplicate timestamps (Δt = 0) make the within-tie scan order
+    arbitrary — the documented caveat shared with positional ewm on an
+    unsorted index — so exactness is asserted at non-tied rows (which
+    also proves the state LEAVING each tie group is order-invariant);
+    a second, unique-times fixture asserts every row."""
+    pdf = _times_fixture(101)
+    tied = pdf.ts.duplicated(keep=False).to_numpy()
+    assert tied.any()  # the fixture must actually exercise ties
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    for mp in (0, 3):
+        exp = pdf.x.ewm(
+            halflife=pd.Timedelta("30min"), times=pd.DatetimeIndex(pdf.ts),
+            ignore_na=ignore_na, min_periods=mp,
+        ).mean().to_numpy()
+        out = (
+            parallelize(sdf).series("x")
+            .ewm(halflife="30min", times="ts", ignore_na=ignore_na,
+                 min_periods=mp)
+            .mean(output_col="r")
+            .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+        )
+        ok = np.isclose(out, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+        assert ok[~tied].all(), f"ignore_na={ignore_na} mp={mp}"
+    # unique times: every row exact
+    rng = np.random.default_rng(404)
+    n = 300
+    t = pd.Timestamp("2024-05-01") + pd.to_timedelta(
+        np.cumsum(rng.integers(1, 7200, n)), unit="s"
+    )
+    vals = rng.standard_normal(n)
+    vals[rng.integers(0, n, 25)] = np.nan
+    pdf2 = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "ts": t, "x": vals})
+    exp2 = pdf2.x.ewm(
+        halflife=pd.Timedelta("30min"), times=pd.DatetimeIndex(pdf2.ts),
+        ignore_na=ignore_na,
+    ).mean().to_numpy()
+    out2 = (
+        parallelize(spark.createDataFrame(pdf2).repartition(8)).series("x")
+        .ewm(halflife="30min", times="ts", ignore_na=ignore_na)
+        .mean(output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(out2, exp2, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+def test_ewm_times_grouped_vs_pandas(spark):
+    """Grouped ewm(times=): stock pandas per group — exact at rows with
+    a unique within-group timestamp (tied rows carry the same
+    arbitrary-order caveat as the global form)."""
+    pdf = _times_fixture(202, group=True)
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    exp = (
+        pdf.sort_values(["k", "ts", "idx"], kind="mergesort")
+        .groupby("k").apply(
+            lambda g: pd.Series(
+                g.x.ewm(
+                    halflife=pd.Timedelta("1h"), times=pd.DatetimeIndex(g.ts)
+                ).mean().to_numpy(),
+                index=g.idx,
+            )
+        )
+        .reset_index(level=0, drop=True).sort_index().to_numpy()
+    )
+    out = (
+        parallelize(sdf).groupby("k").series("x")
+        .ewm(halflife="1h", times="ts").mean(output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    tied = pdf.duplicated(["k", "ts"], keep=False).to_numpy()
+    ok = np.isclose(out, exp, rtol=1e-12, atol=1e-12, equal_nan=True)
+    assert ok[~tied].all()
+
+
+def test_ewm_times_rejections(spark):
+    """times-mode surface guards: mean-only (pandas sum/var/std silently
+    ignore times — we refuse the trap), adjust=False (pandas' own
+    error), com/span/alpha with times, non-datetime times column."""
+    pdf = _times_fixture(303, n=20, nan_frac=0.0)
+    sdf = spark.createDataFrame(pdf)
+    s = parallelize(sdf).series("x")
+    with pytest.raises(NotImplementedError, match="positional decay"):
+        s.ewm(halflife="1h", times="ts").parallel_apply("sum")
+    with pytest.raises(NotImplementedError, match="adjust=False"):
+        s.ewm(halflife="1h", times="ts", adjust=False).mean()
+    with pytest.raises(ValueError, match="timedelta convertible"):
+        s.ewm(alpha=0.5, times="ts").mean()
+    with pytest.raises(TypeError, match="date/timestamp"):
+        s.ewm(halflife="1h", times="idx").mean()
