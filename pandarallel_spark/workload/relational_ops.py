@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from pandarallel_spark.operators.join import asof_join, range_join
 from pandarallel_spark.operators.relational import (
+    heavy_hitters,
     rollup_agg,
     skew_safe_count_distinct,
     topk_per_group,
@@ -518,17 +519,37 @@ SELECT 'hll' AS src, CAST(l_suppkey AS VARCHAR) AS key,
        CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS exact,
        TRUE AS approx_within_bound
 FROM lineitem GROUP BY l_suppkey
+UNION ALL
+SELECT 'mg' AS src, key, CAST(cnt AS DOUBLE) AS exact,
+       TRUE AS approx_within_bound
+FROM (
+  SELECT key, COUNT(*) AS cnt,
+         CEIL(0.004 * SUM(COUNT(*)) OVER ()) AS thr
+  FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS key
+    FROM documents)
+  GROUP BY key)
+WHERE cnt >= thr
 """
 
 
 @register(
     "sketches_error_contracts",
     _SKETCHES_ORACLE,
-    "Both mergeable sketches — approx_percentile's t-digest-style "
-    "quantile sketch AND HLL++ distinct count — with their exact twins "
+    "All three mergeable sketches — approx_percentile's t-digest-style "
+    "quantile sketch, HLL++ distinct count, AND the Misra-Gries "
+    "frequent-items summary (heavy-hitter tokens over documents) — "
+    "with their exact twins "
     "and published error CONTRACTS, kind-tagged in ONE graded row (r7 "
     "merge of percentiles_approx_price_per_flag + "
-    "approx_distinct_parts_per_supplier). Sketch values are "
+    "approx_distinct_parts_per_supplier; src=mg added late r7: "
+    "map-side bounded-memory MG summaries per partition, merged per "
+    "Agarwal et al. PODS'12, candidates exact-recounted — the key "
+    "universe never shuffles; the boolean asserts the MG envelope "
+    "lower ≤ exact ≤ lower + Σ decrements, guaranteed by the sketch "
+    "regardless of partitioning, hence hash-stable; threshold is a "
+    "SHARE of total tokens so the row is scale-invariant). Sketch values are "
     "engine-specific, so the oracle checks the contract instead of the "
     "bits: each row carries the EXACT value (F.percentile p50/p90/p99 "
     "per returnflag in cents; skew_safe_count_distinct's two mergeable "
@@ -545,6 +566,8 @@ FROM lineitem GROUP BY l_suppkey
     "sketches.",
 )
 def sketches_error_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.text import tokens
+
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     # ONE sketch queried at three percentages — three separate
@@ -611,7 +634,20 @@ def sketches_error_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.cast("double").alias("exact"),
         (F.abs(F.col("__a__") - exact) <= bound).alias("approx_within_bound"),
     )
-    return pct.unionByName(hll)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    mg = heavy_hitters(
+        toks, "tok", min_share=0.004, capacity=512, include_bounds=True
+    ).select(
+        F.lit("mg").alias("src"),
+        F.col("tok").alias("key"),
+        F.col("count").cast("double").alias("exact"),
+        (
+            (F.col("lower_bound") <= F.col("count"))
+            & (F.col("count") <= F.col("upper_bound"))
+        ).alias("approx_within_bound"),
+    )
+    return pct.unionByName(hll).unionByName(mg)
 
 
 @register(

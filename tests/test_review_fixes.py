@@ -316,3 +316,84 @@ def test_uint64_schema_inference_rejected():
         pandas_dtype_to_spark(np.dtype("uint64"))
     # the other unsigned widths still widen losslessly
     assert pandas_dtype_to_spark(np.dtype("uint32")).simpleString() == "bigint"
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_matches_groupby(spark):
+    """exact=True must EQUAL groupBy().count().filter(>= T) even with a
+    tiny capacity that forces constant decrements — the candidate
+    superset guarantee is what's being stressed."""
+    import numpy as np
+    import pandas as pd
+    from pandarallel_spark.operators.relational import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: few hot keys, long tail of ~2000 rare keys
+    hot = np.repeat([f"hot{i}" for i in range(8)], [900, 700, 500, 400, 300, 250, 200, 150])
+    tail = np.array([f"t{i}" for i in rng.integers(0, 2000, 4000)])
+    keys = np.concatenate([hot, tail])
+    rng.shuffle(keys)
+    pdf = pd.DataFrame({"k": keys})
+    pdf.loc[rng.integers(0, len(pdf), 50), "k"] = None  # NULLs ignored
+    sdf = spark.createDataFrame(pdf).repartition(16)
+
+    exp = (
+        pdf.dropna().groupby("k").size().reset_index(name="count")
+        .query("count >= 140").sort_values("k").reset_index(drop=True)
+    )
+    for cap in (16, 256):  # cap=16 ≪ distinct: heavy decrement pressure
+        got = (
+            heavy_hitters(sdf, "k", min_count=140, capacity=cap)
+            .toPandas().sort_values("k").reset_index(drop=True)
+        )
+        assert got.equals(exp.astype({"count": got["count"].dtype})), f"cap={cap}"
+    # share-based threshold: 140 / n_nonnull as a fraction
+    n = len(pdf.dropna())
+    got_share = (
+        heavy_hitters(sdf, "k", min_share=140.0 / n, capacity=64)
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got_share.equals(exp.astype({"count": got_share["count"].dtype}))
+
+
+def test_heavy_hitters_bounds_mode(spark):
+    """exact=False returns (key, lower, upper) with the MG guarantee
+    lower ≤ true ≤ upper for every candidate, and every true heavy
+    hitter present."""
+    import numpy as np
+    import pandas as pd
+    from pandarallel_spark.operators.relational import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    keys = np.concatenate([
+        np.repeat("alpha", 500), np.repeat("beta", 300),
+        np.array([f"r{i}" for i in rng.integers(0, 800, 1500)]),
+    ])
+    rng.shuffle(keys)
+    sdf = spark.createDataFrame(pd.DataFrame({"k": keys})).repartition(8)
+    true = pd.Series(keys).value_counts()
+    got = heavy_hitters(sdf, "k", min_count=250, capacity=32, exact=False).toPandas()
+    for _, row in got.iterrows():
+        t = int(true[row.k])
+        assert row.lower_bound <= t <= row.upper_bound, row.k
+    present = set(got.k)
+    for k, c in true.items():
+        if c >= 250:
+            assert k in present, f"missing true heavy hitter {k} ({c})"
+
+
+def test_heavy_hitters_rejections(spark):
+    import pandas as pd
+    from pandarallel_spark.operators.relational import heavy_hitters
+
+    sdf = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"]}))
+    with pytest.raises(ValueError, match="exactly one"):
+        heavy_hitters(sdf, "k")
+    with pytest.raises(ValueError, match="exactly one"):
+        heavy_hitters(sdf, "k", min_count=2, min_share=0.5)
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(sdf, "k", min_count=2, capacity=0)
