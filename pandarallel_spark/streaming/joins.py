@@ -1,0 +1,70 @@
+"""Stream-stream joins.
+
+The reference has no joins at all (SURVEY.md §2.2 — its closest thing is
+``Series.map``'s broadcast lookup); a streaming engine needs the
+interval join: match events from two unbounded streams on a key within
+a time window. Spark's stream-stream inner join requires exactly the
+shape built here — watermarks on BOTH event-time columns plus a
+time-range join condition — because those two things bound the join
+state: each side buffers only rows younger than (watermark + interval),
+so state size is O(arrival rate × window), independent of stream
+length. That is the 100 TB/unbounded story; without the range condition
+Spark would have to buffer both streams forever (and rejects the query
+in append mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    path: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Join two event-type slices of the events stream per user: every
+    (click, purchase) pair of the same user where the purchase lands in
+    ``(click_ts, click_ts + within]``-style bounds (inclusive both ends
+    here, mirroring the batch twin in the test).
+
+    Two independent ``readStream`` sources over the same parquet dir
+    (Spark treats them as separate streams), each filtered to its event
+    type JVM-side (the filter prunes before the join state), both
+    watermarked, joined with an equality key + time-range condition —
+    the exact pattern Spark's state-cleanup planner recognizes.
+    """
+    schema = spark.read.parquet(path).schema
+
+    def side(tag: str, etype: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(path)
+        # parquet may infer NTZ; watermarks need TimestampType (LTZ)
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            s.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{tag}_id"),
+                F.col("user_id").alias(f"{tag}_user"),
+                F.col("ts").alias(f"{tag}_ts"),
+            )
+            .withWatermark(f"{tag}_ts", watermark)
+        )
+
+    left = side("click", left_type)
+    right = side("purchase", right_type)
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(right, cond, "inner").select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )

@@ -213,3 +213,58 @@ def test_content_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     docs.coalesce(1).write.mode("append").parquet(src)
     got2 = run_wave()
     assert len(got2) == n_batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream inner interval join (clicks ⋈ purchases per user
+    within 1h): two watermarked readStream sources joined on key +
+    time-range — the shape whose state Spark can bound — must equal the
+    identical batch join. The test watermark is generous so no row can
+    be late across availableNow micro-batches (equality, not
+    late-data-drop, is what's under test)."""
+    from pandarallel_spark.streaming import stream_stream_interval_join
+
+    batch_src = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_ssj")
+    batch_src.write.parquet(src)
+
+    joined = stream_stream_interval_join(
+        spark, src, within="1 hour", watermark="30 days"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table("ssj").toPandas()
+        .sort_values(["user_id", "click_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+
+    ev = batch_src.withColumn("ts", F.col("ts").cast("timestamp"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    exp = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+        .toPandas()
+        .sort_values(["user_id", "click_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
