@@ -2631,11 +2631,15 @@ def ewm_moment(
 
 
 def _ewm_single_partition(
-    df: DataFrame, col: str, ord_col: str, output_col: str, pandas_op
+    df: DataFrame, col: str, ord_col: str, output_col: str, pandas_op,
+    times_col: str | None = None,
 ) -> DataFrame:
     """One-task global ewm fallback: sort the whole frame in a single
     partition and run stock pandas (exact, lazy — used where the
-    distributed fold doesn't apply, e.g. adjust=False var/std)."""
+    distributed fold doesn't apply, e.g. adjust=False var/std, and as
+    the sequential reference branch of graded contract rows). With
+    ``times_col``, ``pandas_op`` receives ``(values, DatetimeIndex)``
+    so times-mode references run the same way."""
     out_schema = T.StructType(
         [*df.schema.fields, T.StructField(output_col, T.DoubleType(), True)]
     )
@@ -2652,9 +2656,12 @@ def _ewm_single_partition(
                 "is not supported: scan position is undefined for them"
             )
         pdf = pdf.sort_values(ord_col, kind="mergesort", ignore_index=True)
-        pdf[output_col] = pandas_op(
-            pd.Series(np.asarray(pdf[col].to_numpy(), dtype="float64"))
-        ).to_numpy()
+        vals = pd.Series(np.asarray(pdf[col].to_numpy(), dtype="float64"))
+        if times_col is None:
+            pdf[output_col] = pandas_op(vals).to_numpy()
+        else:
+            t = pd.DatetimeIndex(pd.to_datetime(pdf[times_col]))
+            pdf[output_col] = pandas_op(vals, t).to_numpy()
         yield pdf[out_names]
 
     return df.repartition(1).mapInPandas(run_single, out_schema)

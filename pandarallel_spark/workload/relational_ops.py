@@ -420,7 +420,8 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        COUNT(*) AS n_ts,
        CAST(SUM(cents) AS BIGINT) AS sum_cents,
        TRUE AS ewm_within_tol,
-       TRUE AS ewm_var_within_tol
+       TRUE AS ewm_var_within_tol,
+       TRUE AS ewm_times_within_tol
 FROM p GROUP BY 1
 """,
     "GLOBAL exponentially-weighted mean AND variance over per-timestamp "
@@ -436,15 +437,22 @@ FROM p GROUP BY 1
     "Spark-side booleans asserting each distributed scan stays within "
     "rtol 1e-9 of the sequential stock-pandas scan over the identical "
     "sorted input (single-partition reference branch). DuckDB asserts "
-    "the anchors and literal TRUE — a divergence in either distributed "
-    "seed chain breaks the value hash. Timestamps are pre-aggregated so "
+    "the anchors and literal TRUE — a divergence in any distributed "
+    "seed chain breaks the value hash. Late-r7 adds "
+    "ewm_times_within_tol: the WALL-CLOCK decay form (ewm_mean_times, "
+    "halflife='1h' over the irregular purchase timestamps — the "
+    "segmented power-prefix bucket scan) against the identical "
+    "stock-pandas times= reference. Timestamps are pre-aggregated so "
     "the scan order is total (duplicate-ts tie order is the documented "
     "caveat).",
 )
 def ewm_mean_purchase_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
     from pandarallel_spark.operators.window import (
         _ewm_single_partition,
         ewm_mean,
+        ewm_mean_times,
         ewm_moment,
     )
 
@@ -456,16 +464,24 @@ def ewm_mean_purchase_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = ewm_mean(p, "cents", "ts", alpha=0.5, output_col="ewm")
     distv = ewm_moment(p, "cents", "ts", "var", alpha=0.5, output_col="ewm_var")
+    distt = ewm_mean_times(p, "cents", "ts", "1h", output_col="ewm_t")
     ref = _ewm_single_partition(
         p, "cents", "ts", "ref", lambda s: s.ewm(alpha=0.5).mean()
     )
     refv = _ewm_single_partition(
         p, "cents", "ts", "refv", lambda s: s.ewm(alpha=0.5).var()
     )
+    reft = _ewm_single_partition(
+        p, "cents", "ts", "reft",
+        lambda s, t: s.ewm(halflife=pd.Timedelta("1h"), times=t).mean(),
+        times_col="ts",
+    )
     j = (
         dist.join(distv.select("ts", "ewm_var"), "ts")
+        .join(distt.select("ts", "ewm_t"), "ts")
         .join(ref.select("ts", "ref"), "ts")
         .join(refv.select("ts", "refv"), "ts")
+        .join(reft.select("ts", "reft"), "ts")
     )
 
     def within(got: Column, want: Column) -> Column:
@@ -490,6 +506,9 @@ def ewm_mean_purchase_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.bool_and(within(F.col("ewm_var"), F.col("refv"))).alias(
                 "ewm_var_within_tol"
+            ),
+            F.bool_and(within(F.col("ewm_t"), F.col("reft"))).alias(
+                "ewm_times_within_tol"
             ),
         )
     )
