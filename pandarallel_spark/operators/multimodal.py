@@ -197,9 +197,12 @@ def decode_features(
     extra_ddl = "".join(
         f", {p} {df.schema[p].dataType.simpleString()}" for p in passthrough
     )
+    # media_id keeps the caller's id type (bigint for the synthetic
+    # media table, string paths for binaryFile ingestion)
+    id_ddl = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, content_col, *passthrough).mapInPandas(
         run,
-        "media_id bigint, n_bytes bigint, decoded boolean, "
+        f"media_id {id_ddl}, n_bytes bigint, decoded boolean, "
         f"features array<float>{extra_ddl}",
     )
 

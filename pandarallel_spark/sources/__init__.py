@@ -13,6 +13,7 @@ from pandarallel_spark.sources.tables import (
     TABLES,
     load_table,
     load_tables,
+    read_binary_dir,
     read_csv,
     read_orc,
     read_json,
@@ -27,6 +28,7 @@ __all__ = [
     "TABLES",
     "load_table",
     "load_tables",
+    "read_binary_dir",
     "read_csv",
     "read_orc",
     "read_json",

@@ -151,3 +151,42 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw media ingestion: Spark's built-in ``binaryFile`` source reads
+    a directory of files as rows of (path, modificationTime, length,
+    content binary) — the front door for image/audio/video corpora
+    feeding ``operators/multimodal.py`` (decode_features, resize_meta,
+    frame_sample_plan).
+
+    Scale shape: the source lists files on executors and splits the
+    LISTING across tasks (each file's bytes stay whole — binary
+    payloads aren't splittable), so a directory of billions of objects
+    parallelizes by file count. ``glob`` pushes a pathGlobFilter into
+    the listing (e.g. ``"*.ppm"``); ``max_bytes`` pushes a length
+    predicate — binaryFile supports pushdown ONLY on ``length`` and
+    ``modificationTime``, so oversized payloads are skipped at the
+    listing, never read. A stable ``media_id`` (the path) comes along
+    for downstream joins.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("length") <= max_bytes)
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("path").alias("media_id"),
+        F.col("length").alias("n_bytes_listed"),
+        F.col("content"),
+    )

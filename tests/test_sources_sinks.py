@@ -95,3 +95,43 @@ def test_orc_round_trip_with_partition_pruning(spark, sf_dir, tmp_path):
     got = back.filter(back.lang == "en").count()
     exp = docs.filter(docs.lang == "en").count()
     assert got == exp
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
+    """binaryFile ingestion → real PPM decode, end to end: write raw
+    .ppm files (plus an oversized one and a .txt decoy), read the dir
+    with glob + max_bytes pushdown, and run the real numpy decoder over
+    the binary column — features must match the analytically known
+    constant-pixel luma."""
+    import numpy as np
+
+    from pandarallel_spark.operators.multimodal import decode_features
+    from pandarallel_spark.sources import read_binary_dir
+
+    d = tmp_path / "media"
+    d.mkdir()
+
+    def ppm(w, h, rgb):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb) * (w * h)
+
+    (d / "a.ppm").write_bytes(ppm(4, 3, (255, 0, 0)))
+    (d / "b.ppm").write_bytes(ppm(2, 2, (0, 255, 0)))
+    (d / "big.ppm").write_bytes(ppm(64, 64, (1, 2, 3)))  # over max_bytes
+    (d / "decoy.txt").write_bytes(b"not an image")
+
+    src = read_binary_dir(spark, str(d), glob="*.ppm", max_bytes=200)
+    rows = src.collect()
+    assert sorted(r.media_id.rsplit("/", 1)[-1] for r in rows) == [
+        "a.ppm", "b.ppm",
+    ]
+
+    feats = (
+        decode_features(src, require_real_codec=True)
+        .toPandas().sort_values("media_id").reset_index(drop=True)
+    )
+    assert feats["decoded"].all()
+    # constant-pixel luma (normalized to [0,1]): (0.299R+0.587G+0.114B)/255
+    lum_a = feats.loc[0, "features"][0]
+    lum_b = feats.loc[1, "features"][0]
+    assert abs(lum_a - 0.299) < 1 / 255
+    assert abs(lum_b - 0.587) < 1 / 255
