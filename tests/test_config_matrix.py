@@ -211,11 +211,25 @@ def test_strict_lazy_global_ewm(strict, tmp_path):
         ewm_sum(sdf, "x", "idx", alpha=0.4)
     ewm_sum(sdf.withColumn("k", sdf.idx % 3), "x", "idx",
             alpha=0.4, partition_by=["k"])
+    # global times-ewm (late r7): same guard on its wall-clock seed build
+    from pandarallel_spark.operators.window import ewm_mean_times
+
+    tp = pd.DataFrame(
+        {"ts": pd.date_range("2024-01-01", periods=300, freq="min"),
+         "x": np.random.default_rng(5).random(300)}
+    )
+    tdf = _parquet(strict, tmp_path, "ewmt", tp)
+    with pytest.raises(RuntimeError, match="strictLazy.*times-ewm"):
+        ewm_mean_times(tdf, "x", "ts", "1h")
+    ewm_mean_times(
+        tdf.withColumn("k", tdf.x > 0.5), "x", "ts", "1h", partition_by=["k"]
+    )
     saved = strict.conf.get("spark.sql.shuffle.partitions")
     try:
         strict.conf.set("spark.sql.shuffle.partitions", "1")
         ewm_mean(sdf, "x", "idx", alpha=0.4)
         ewm_moment(sdf, "x", "idx", "var", alpha=0.4)
         ewm_sum(sdf, "x", "idx", alpha=0.4)
+        ewm_mean_times(tdf, "x", "ts", "1h")
     finally:
         strict.conf.set("spark.sql.shuffle.partitions", saved)

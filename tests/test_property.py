@@ -525,3 +525,41 @@ def test_global_time_rolling_udf_matches_pandas(spark, seed, window, closed, mp,
         .to_numpy(dtype="float64")
     )
     assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    hl_min=st.sampled_from([5, 30, 240]),
+    ignore_na=st.booleans(),
+    mp=st.sampled_from([0, 2]),
+)
+@settings(**_SETTINGS)
+def test_ewm_times_property_matches_pandas(spark, seed, hl_min, ignore_na, mp):
+    """Random irregular gaps (seconds→days, incl. decay-underflow
+    spans) × NaN patterns × halflife × ignore_na × min_periods: the
+    distributed wall-clock ewm must match stock pandas. Times are
+    strictly increasing here — duplicate-timestamp tie order is the
+    documented arbitrary case, covered separately in test_window.py."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 150))
+    gaps = rng.choice([1.0, 30.0, 3600.0, 86400.0 * 3], size=n,
+                      p=[0.5, 0.3, 0.15, 0.05])
+    t = pd.Timestamp("2024-01-01") + pd.to_timedelta(np.cumsum(gaps), unit="s")
+    vals = rng.standard_normal(n) * 5
+    vals[rng.integers(0, n, max(1, n // 8))] = np.nan
+    if np.isnan(vals).all():
+        vals[0] = 1.0
+    pdf = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "ts": t, "x": vals})
+    hl = pd.Timedelta(minutes=hl_min)
+    expected = pdf.x.ewm(
+        halflife=hl, times=pd.DatetimeIndex(pdf.ts),
+        ignore_na=ignore_na, min_periods=mp,
+    ).mean().to_numpy()
+    got = (
+        parallelize(spark.createDataFrame(pdf).repartition(6))
+        .series("x")
+        .ewm(halflife=hl, times="ts", ignore_na=ignore_na, min_periods=mp)
+        .mean(output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    assert np.allclose(got, expected, rtol=1e-9, atol=1e-12, equal_nan=True)
