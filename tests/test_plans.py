@@ -256,3 +256,63 @@ def test_substring_dedup_jvm_only_and_pruned(spark, sf_dir):
     ]
     assert schemas and all("text" in s for s in schemas)
     assert all("source" not in s and "lang" not in s for s in schemas)
+
+
+def test_heavy_hitters_broadcast_recount_no_universe_shuffle(spark, sf_dir):
+    """heavy_hitters' exact pass must recount only candidates: the
+    second scan side joins a BROADCAST candidate set (semi join), and
+    the only wide aggregates run over the bounded MG summary rows —
+    never a groupBy over the raw key universe without the semi filter
+    in front of it."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from pandarallel_spark.operators.relational import heavy_hitters
+    from pandarallel_spark.operators.text import tokens
+    from pandarallel_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    out = heavy_hitters(toks, "tok", min_share=0.004, capacity=512)
+    buf = _io.StringIO()
+    with _rs(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan  # MG summary is Arrow-batched
+    # the ONE MG summary pass feeds both consumer branches through the
+    # persisted cache (InMemoryRelation), so the sketch scan runs once
+    # however many times the subtree prints
+    assert "InMemoryTableScan" in plan
+    assert plan.count("MapInPandas") <= 4  # one node, ≤2 branch prints ×2
+
+
+def test_global_ewm_times_is_bucket_partitioned(spark):
+    """Global ewm(times=) must run as a __bkt__-keyed applyInPandas —
+    one shuffle on the range bucket, never a single-partition sort."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark import parallelize
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    pdf = pd.DataFrame({
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.cumsum(rng.integers(1, 600, n)), unit="s"),
+        "x": rng.standard_normal(n),
+    })
+    out = (
+        parallelize(spark.createDataFrame(pdf).repartition(8))
+        .series("x").ewm(halflife="1h", times="ts").mean(output_col="r")
+    )
+    buf = _io.StringIO()
+    with _rs(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning(__bkt__" in plan
+    assert "SinglePartition" not in plan
