@@ -161,11 +161,11 @@ class ParallelSeries:
     def parallel_map(
         self, arg: Callable | Mapping | pd.Series, *,
         output_col: str | None = None, return_type: T.DataType | str | None = None,
-        vectorize: bool = True,
+        vectorize: bool = True, na_action: str | None = None,
     ) -> DataFrame:
         return _series.series_map(
             self.frame.df, self.col, arg, output_col=output_col,
-            return_type=return_type, vectorize=vectorize,
+            return_type=return_type, vectorize=vectorize, na_action=na_action,
         )
 
     # -- reference ops #6/#8 (core.py:538-556) -------------------------------

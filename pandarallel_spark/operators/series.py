@@ -119,14 +119,24 @@ def series_map(
     output_col: str | None = None,
     return_type: T.DataType | str | None = None,
     vectorize: bool = True,
+    na_action: str | None = None,
 ) -> DataFrame:
-    """``s.parallel_map(arg)`` on column ``col``.
+    """``s.parallel_map(arg, na_action=)`` on column ``col``.
 
     dict / pd.Series → broadcast lookup (builtin, JVM-side); callable →
     ``series_apply`` (including its ``vectorize`` fast path / opt-out).
+    ``na_action='ignore'`` skips the callable on NULL/NaN inputs and
+    propagates NULL, exactly pandas ``Series.map(na_action='ignore')``
+    (the lookup paths already propagate NULL for NULL keys, matching
+    pandas dict-map behavior under BOTH na_action settings).
     """
+    if na_action not in (None, "ignore"):
+        raise ValueError(f"na_action must be None or 'ignore', got {na_action!r}")
     output_col = output_col or f"{col}_mapped"
     if callable(arg) and not isinstance(arg, Mapping):
+        if na_action == "ignore":
+            base = arg
+            arg = lambda x: None if pd.isna(x) else base(x)  # noqa: E731
         return series_apply(
             df, col, arg, output_col=output_col, return_type=return_type,
             vectorize=vectorize,

@@ -289,13 +289,22 @@ def semi_anti_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFram
 SELECT o_custkey, o_orderkey, o_orderdate AS order_date,
        lag(o_orderdate) OVER w AS prev_date,
        CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
-         AS gap_days
+         AS gap_days,
+       CAST(ntile(4) OVER w AS BIGINT) AS recency_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
-    "lead/lag ranking-family window: days since the customer's previous "
-    "order — one shuffle on the partition key, JVM window exec "
-    "(SURVEY.md §2.2: reference windows are UDF-only, no lead/lag).",
+    "The ranking-window family in one graded row: lead/lag (days since "
+    "the customer's previous order) plus — late r7 — ntile quartiles, "
+    "percent_rank, and cume_dist over the same total order. One "
+    "shuffle on the partition key, one JVM window exec evaluates all "
+    "five functions (SURVEY.md §2.2: reference windows are UDF-only, "
+    "none of these exist there). The float ranks hash exactly because "
+    "both engines compute the same (rank−1)/(n−1) and rows≤cur/n "
+    "integer ratios in IEEE double over a deterministic "
+    "(o_orderdate, o_orderkey) total order.",
 )
 def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -310,6 +319,9 @@ def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("order_date"),
         prev.alias("prev_date"),
         F.datediff(d, prev).cast("bigint").alias("gap_days"),
+        F.ntile(4).over(w).cast("bigint").alias("recency_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 

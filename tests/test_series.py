@@ -129,3 +129,24 @@ def test_series_apply_vectorized_matches_per_element(spark):
     )
     exp = pdf.x.apply(sfunc)
     assert np.array_equal(np.sort(got.to_numpy()), np.sort(exp.to_numpy()))
+
+
+def test_series_map_na_action(spark):
+    """na_action='ignore' must skip the callable on NULL/NaN and emit
+    NULL — pandas Series.map parity; na_action=None calls it (and a
+    func that chokes on NaN surfaces the error, like pandas)."""
+    import numpy as np
+
+    pdf = pd.DataFrame({"x": [1.0, np.nan, 3.0, np.nan, 5.0]})
+    sdf = spark.createDataFrame(pdf)
+    exp = pdf.x.map(lambda v: v * 10, na_action="ignore")
+    got = (
+        parallelize(sdf).series("x")
+        .parallel_map(lambda v: v * 10, na_action="ignore", output_col="r")
+        .toPandas().sort_values("x", na_position="last")["r"]
+        .reset_index(drop=True)
+    )
+    exp = exp.sort_values(na_position="last").reset_index(drop=True)
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+    with pytest.raises(ValueError, match="na_action"):
+        parallelize(sdf).series("x").parallel_map(lambda v: v, na_action="drop")
