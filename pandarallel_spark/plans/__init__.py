@@ -1,5 +1,7 @@
-"""Planning helpers: schema inference for UDF outputs, order reification."""
+"""Planning helpers: schema inference for UDF outputs, order reification,
+physical-plan scale auditing."""
 
+from pandarallel_spark.plans.audit import ScaleAudit, scale_audit
 from pandarallel_spark.plans.ordering import with_row_id
 from pandarallel_spark.plans.schema import (
     infer_schema_from_pandas,
@@ -7,6 +9,8 @@ from pandarallel_spark.plans.schema import (
 )
 
 __all__ = [
+    "ScaleAudit",
+    "scale_audit",
     "with_row_id",
     "infer_schema_from_pandas",
     "pandas_dtype_to_spark",

@@ -1,0 +1,108 @@
+"""Plan auditing: measure, don't guess.
+
+A 100 TB plan lives or dies on a handful of physical facts — how many
+shuffles, whether Python appears in the hot path, whether small sides
+broadcast, whether filters reached the scan. ``scale_audit`` extracts
+exactly those facts from ``explain("formatted")`` output so code (tests,
+CI gates, notebooks) can assert on them instead of eyeballing plan
+dumps. The repo's own plan-regression tests are the primary consumer.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class ScaleAudit:
+    """Physical-plan facts relevant at scale. Counts are node counts in
+    the formatted plan tree (the tree section, not the detail section,
+    so each physical operator counts once)."""
+
+    exchanges: int = 0                # shuffles (hash/range); excludes broadcasts
+    single_partition_exchanges: int = 0  # total-order sorts — the scale killer
+    broadcast_exchanges: int = 0
+    broadcast_joins: int = 0
+    sort_merge_joins: int = 0
+    nested_loop_joins: int = 0        # cartesian-ish — should be rare and bounded
+    python_arrow_stages: int = 0      # mapInPandas / applyInPandas / pandas_udf
+    python_row_stages: int = 0        # row-at-a-time UDFs — the slow path
+    in_memory_scans: int = 0          # persisted reuse
+    pushed_filters: list[str] = field(default_factory=list)
+    scans: int = 0
+
+    @property
+    def python_free(self) -> bool:
+        return self.python_arrow_stages == 0 and self.python_row_stages == 0
+
+
+def _formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def scale_audit(df: DataFrame) -> ScaleAudit:
+    """Inspect ``df``'s physical plan and return :class:`ScaleAudit`.
+
+    Notes on fidelity: the counts come from the plan TREE (the numbered
+    node list before the per-node details), so operators that print
+    again in the detail section aren't double-counted. AQE may collapse
+    exchanges at runtime — this audits the compile-time plan, which is
+    the conservative (upper-bound) view of what can shuffle. Whole-stage
+    codegen spans are deliberately NOT reported: under AQE the
+    compile-time tree carries no codegen markers, and reporting a
+    guaranteed zero would be worse than silence.
+    """
+    text = _formatted_plan(df)
+    tree = text.split("\n\n", 1)[0]  # node tree section
+    a = ScaleAudit()
+    for line in tree.splitlines():
+        # node lines look like "+- Exchange hashpartitioning(k, 32) (7)"
+        m = re.search(r"(?:[+:*]-|^)\s*\*?\(?\d*\)?\s*([A-Za-z]+[A-Za-z ]*)", line)
+        if not m:
+            continue
+        node = line
+        if "Exchange" in node:
+            if "BroadcastExchange" in node:
+                a.broadcast_exchanges += 1
+            else:
+                a.exchanges += 1
+        if "BroadcastHashJoin" in node or "BroadcastNestedLoopJoin" in node:
+            a.broadcast_joins += 1
+        if "BroadcastNestedLoopJoin" in node or "CartesianProduct" in node:
+            a.nested_loop_joins += 1
+        if "SortMergeJoin" in node:
+            a.sort_merge_joins += 1
+        if (
+            "MapInPandas" in node
+            or "FlatMapGroupsInPandas" in node
+            or "ArrowEvalPython" in node
+            or "FlatMapGroupsInPandasWithState" in node
+        ):
+            a.python_arrow_stages += 1
+        if "BatchEvalPython" in node:
+            a.python_row_stages += 1
+        if "InMemoryTableScan" in node:
+            a.in_memory_scans += 1
+        if re.search(r"Scan (parquet|orc|csv|json|binaryFile)", node):
+            a.scans += 1
+    # tree lines carry no arguments in formatted mode — exchange
+    # partitioning (the SinglePartition scale-killer) lives in the
+    # per-node detail blocks "(N) Exchange\nArguments: ..."
+    for m in re.finditer(
+        r"\(\d+\) Exchange\s*\n(?:[^\n]*\n)*?Arguments: ([^\n]*)", text
+    ):
+        if "SinglePartition" in m.group(1):
+            a.single_partition_exchanges += 1
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        flt = m.group(1).strip()
+        if flt:
+            a.pushed_filters.extend(p.strip() for p in flt.split(","))
+    return a

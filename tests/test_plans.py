@@ -316,3 +316,42 @@ def test_global_ewm_times_is_bucket_partitioned(spark):
     plan = buf.getvalue()
     assert "hashpartitioning(__bkt__" in plan
     assert "SinglePartition" not in plan
+
+
+def test_scale_audit_reads_plan_facts(spark, sf_dir):
+    """scale_audit must extract the plan facts the other tests assert
+    by string-matching: shuffles, broadcasts, Python stages, pushdown,
+    scan counts, and single-partition detection."""
+    from pandarallel_spark import parallelize
+    from pandarallel_spark.plans import scale_audit
+    from pandarallel_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    na = load_table(spark, sf_dir, "nation")
+    q = (
+        li.filter(F.col("l_quantity") > 10)
+        .join(F.broadcast(na), li.l_suppkey % 25 == na.n_nationkey)
+        .groupBy("n_name").agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    a = scale_audit(q)
+    assert a.broadcast_joins == 1 and a.broadcast_exchanges == 1
+    assert a.exchanges == 1 and a.single_partition_exchanges == 0
+    assert a.python_free and a.scans == 2
+    assert any("l_quantity" in f for f in a.pushed_filters)
+
+    import math
+
+    p = parallelize(li).parallel_apply(lambda r: math.sin(r.l_quantity), axis=1)
+    ap = scale_audit(p)
+    assert ap.python_arrow_stages >= 1 and ap.python_row_stages == 0
+
+    # the scale killer must be visible: repartition(1) is a
+    # SinglePartition exchange; a global sort is a rangepartitioning
+    # exchange (sorted-with-limit instead plans TakeOrderedAndProject,
+    # which is partial top-k — NOT a global sort — and shows no
+    # exchange: the audit correctly reports that plan as shuffle-free)
+    a1 = scale_audit(li.repartition(1).select("l_orderkey"))
+    assert a1.single_partition_exchanges == 1 and a1.exchanges == 1
+    aw = scale_audit(li.orderBy("l_orderkey").select("l_orderkey"))
+    assert aw.exchanges >= 1 and aw.single_partition_exchanges == 0
