@@ -607,3 +607,75 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def l2_normalize(col: Column | str, dim: int | None = None) -> Column:
+    """Unit-L2 normalization of an embedding column as PURE JVM
+    expressions (zero Python in the scan): ``x / sqrt(Σx²)``, NULL-safe,
+    zero vectors pass through unchanged (norm 0 → original vector,
+    matching sklearn's Normalizer convention). Standard preprocessing
+    before cosine similarity — after this, cosine is a plain dot."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.sqrt(
+        F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return F.when(norm > 0.0, F.transform(c, lambda x: (x / norm).cast("float"))).otherwise(c)
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 42,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding through a fixed Gaussian matrix R/√out_dim — pairwise
+    distances are preserved within (1±ε) w.h.p. for
+    out_dim = O(log n / ε²) (Johnson & Lindenstrauss '84; dense
+    Gaussian per Indyk-Motwani '98). The standard cheap pre-step before
+    ANN indexing or clustering when embeddings are wide.
+
+    Scale shape: R is built ONCE on the driver from the seed
+    ((in_dim × out_dim) float64, e.g. 768×64 = 390 KB), ships to
+    executors inside the UDF closure (no shuffle, no join), and each
+    Arrow batch pays one BLAS matmul — the same per-batch-matmul
+    pattern as ``topk_numpy``. The scan is the only data movement.
+    Deterministic for a given (seed, in_dim, out_dim): reruns, appends,
+    and cluster resizes project identically — required for any index
+    built on top to stay valid incrementally.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be ≥ 1, got {out_dim}")
+    in_dim = _infer_dim(df, vec_col, "random_projection")
+    output_col = output_col or f"{vec_col}_rp{out_dim}"
+    rng = np.random.default_rng(seed)
+    R = (rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)).astype(
+        "float64"
+    )
+    out_names = [f.name for f in df.schema.fields] + [output_col]
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{output_col}` array<float>"
+
+    def project(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].apply(np.asarray).to_numpy()).astype(
+                "float64"
+            )
+            if X.shape[1] != in_dim:
+                raise ValueError(
+                    f"embedding dim {X.shape[1]} != expected {in_dim}"
+                )
+            Y = (X @ R).astype("float32")
+            out = pdf.copy()
+            out[output_col] = list(Y)
+            yield out[out_names]
+
+    from pandarallel_spark.operators.apply import _widen
+
+    return _widen(df).mapInPandas(project, ddl)

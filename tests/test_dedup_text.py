@@ -648,3 +648,68 @@ def test_substring_spans_rejections(spark):
         dedup.duplicated_substring_spans(sdf, "doc_id", "text", k=1)
     with pytest.raises(ValueError, match="min_count"):
         dedup.duplicated_substring_spans(sdf, "doc_id", "text", k=3, min_count=1)
+
+
+def test_l2_normalize_jvm_side(spark):
+    """Unit-L2 normalization: pure JVM expressions, zero-vector
+    passthrough, norms land at 1."""
+    import numpy as np
+
+    pdf = pd.DataFrame({
+        "id": [1, 2, 3],
+        "v": [[3.0, 4.0], [0.0, 0.0], [1.0, 1.0]],
+    })
+    sdf = spark.createDataFrame(pdf, "id bigint, v array<float>")
+    out = (
+        sdf.select("id", similarity.l2_normalize("v").alias("n"))
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    assert np.allclose(out.loc[0, "n"], [0.6, 0.8], atol=1e-6)
+    assert list(out.loc[1, "n"]) == [0.0, 0.0]  # zero vector untouched
+    assert abs(np.linalg.norm(out.loc[2, "n"]) - 1.0) < 1e-6
+    from pandarallel_spark.plans import scale_audit
+
+    assert scale_audit(sdf.select(similarity.l2_normalize("v"))).python_free
+
+
+def test_random_projection_matches_numpy_and_preserves_geometry(spark, sf_dir):
+    """random_projection must equal the driver-side numpy projection
+    bit-for-bit (same seeded matrix), be deterministic across reruns,
+    and roughly preserve pairwise distances (JL property, fixed seed)."""
+    import numpy as np
+
+    from pandarallel_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    in_pdf = emb.select("vec_id", "embedding").toPandas()
+    X = np.stack(in_pdf.embedding.apply(np.asarray).to_numpy()).astype("float64")
+    in_dim = X.shape[1]
+    out = (
+        similarity.random_projection(emb, "embedding", out_dim=8, seed=7)
+        .select("vec_id", "embedding_rp8")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    rng = np.random.default_rng(7)
+    R = (rng.standard_normal((in_dim, 8)) / np.sqrt(8)).astype("float64")
+    Xs = np.stack(
+        in_pdf.sort_values("vec_id").embedding.apply(np.asarray).to_numpy()
+    ).astype("float64")
+    want = (Xs @ R).astype("float32")
+    got = np.stack(out["embedding_rp8"].apply(np.asarray).to_numpy())
+    assert np.array_equal(got, want)
+    # determinism across a second plan
+    out2 = (
+        similarity.random_projection(emb, "embedding", out_dim=8, seed=7)
+        .select("vec_id", "embedding_rp8")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    got2 = np.stack(out2["embedding_rp8"].apply(np.asarray).to_numpy())
+    assert np.array_equal(got, got2)
+    # JL sanity: mean relative distortion of pairwise sq-distances small
+    n = min(len(Xs), 60)
+    d_in = ((Xs[:n, None, :] - Xs[None, :n, :]) ** 2).sum(-1)
+    Yd = got[:n].astype("float64")
+    d_out = ((Yd[:, None, :] - Yd[None, :, :]) ** 2).sum(-1)
+    iu = np.triu_indices(n, 1)
+    ratio = d_out[iu] / np.maximum(d_in[iu], 1e-12)
+    assert 0.5 < np.median(ratio) < 1.5
