@@ -18,6 +18,7 @@ from pandarallel_spark.streaming.windows import (
     sliding_window_agg,
     stream_events,
     stream_sessions,
+    stream_to_parquet,
     tumbling_window_agg,
 )
 
@@ -31,4 +32,5 @@ __all__ = [
     "sessionize",
     "stream_events",
     "stream_sessions",
+    "stream_to_parquet",
 ]

@@ -149,3 +149,33 @@ def stream_events(
             "sum_value",
         )
     )
+
+
+def stream_to_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+    partition_by: list[str] | None = None,
+):
+    """The production sink: append the stream to a parquet directory
+    with a checkpoint — Spark's file sink is exactly-once END TO END
+    (source offsets + sink file manifest both live in the checkpoint,
+    so a crashed/restarted query neither drops nor duplicates rows; the
+    memory sink the tests use elsewhere is at-least-once and
+    driver-bounded). ``partition_by`` lays out the files for partition
+    pruning downstream, same as the batch writer. Returns the started
+    ``StreamingQuery``; with ``trigger_available_now`` the query drains
+    what exists and stops — the batch-like mode a backfill wants —
+    otherwise it runs continuously."""
+    w = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -268,3 +268,51 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     )
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_stream_to_parquet_exactly_once_restart(spark, sf_dir, tmp_path):
+    """The checkpointed file sink must be exactly-once across a
+    restart: run the same availableNow query twice over the same source
+    with the same checkpoint — the second run finds no new offsets and
+    writes NOTHING, so the parquet output equals the batch result with
+    no duplicates."""
+    from pandarallel_spark.streaming import stream_events, stream_to_parquet
+
+    batch_src = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_sink_src")
+    batch_src.write.parquet(src)
+    out_dir = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    for _ in range(2):  # second run = restart against the same checkpoint
+        q = stream_to_parquet(
+            stream_events(spark, src, duration="1 hour", watermark="2 hours"),
+            out_dir, ckpt,
+        )
+        q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out_dir).toPandas()
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    expected = (
+        tumbling_window_agg(
+            batch_src, "ts", "1 hour",
+            {"n_events": F.count(F.lit(1)), "sum_value": F.sum("value")},
+            group_by=["event_type"],
+        )
+        .toPandas()
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    # append mode emits only FINALIZED windows: window_end ≤ final
+    # watermark (max event time − 2h). The unfinalized tail stays in
+    # state — correct streaming semantics, not loss.
+    wm = batch_src.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][
+        0
+    ] - pd.Timedelta("2 hours")
+    finalized = expected[expected.window_end <= wm].reset_index(drop=True)
+    assert len(got) == len(finalized) > 0  # run 2 added NOTHING (no dups)
+    pd.testing.assert_frame_equal(
+        got[["window_start", "event_type", "n_events"]],
+        finalized[["window_start", "event_type", "n_events"]],
+    )
