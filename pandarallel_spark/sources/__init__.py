@@ -22,6 +22,7 @@ from pandarallel_spark.sources.tables import (
     write_orc,
     write_json,
     write_parquet,
+    zorder_key,
 )
 
 __all__ = [
@@ -37,4 +38,5 @@ __all__ = [
     "write_orc",
     "write_json",
     "write_bucketed",
+    "zorder_key",
 ]

@@ -135,3 +135,49 @@ def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
     lum_b = feats.loc[1, "features"][0]
     assert abs(lum_a - 0.299) < 1 / 255
     assert abs(lum_b - 0.587) < 1 / 255
+
+
+def test_zorder_key_prunes_both_dimensions(spark):
+    """Z-order layout must make min/max row-group stats prune BOTH
+    dimensions: simulate parquet row groups (contiguous chunks of the
+    sorted output), compute per-group min/max, and count groups a range
+    predicate overlaps. Sorting by x alone prunes x-ranges but a
+    y-range predicate touches ~every group; the z-order sort must
+    prune substantially on BOTH x-ranges and y-ranges."""
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark.sources.tables import zorder_key
+
+    rng = np.random.default_rng(13)
+    n = 20000
+    pdf = pd.DataFrame({
+        "x": rng.random(n) * 1000.0,
+        "y": rng.random(n) * 1000.0,
+    })
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    def groups_touched(order_pdf, col, lo, hi, n_groups=64):
+        chunks = np.array_split(order_pdf[col].to_numpy(), n_groups)
+        return sum(1 for c in chunks if len(c) and c.min() <= hi and c.max() >= lo)
+
+    zp = (
+        zorder_key(sdf, ["x", "y"], bits_per_col=8)
+        .toPandas().sort_values("__zkey__", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    xp = pdf.sort_values("x", kind="mergesort").reset_index(drop=True)
+
+    # y-range predicate (100-wide = 10% selectivity)
+    z_y = groups_touched(zp, "y", 450, 550)
+    x_y = groups_touched(xp, "y", 450, 550)
+    assert x_y >= 60  # x-sort: y stats are useless, ~all 64 groups touched
+    assert z_y <= 32  # z-order: at most half the groups overlap
+    # x-range predicate still prunes under z-order
+    z_x = groups_touched(zp, "x", 450, 550)
+    assert z_x <= 32
+    # degenerate guards
+    with pytest.raises(ValueError, match="2-4 columns"):
+        zorder_key(sdf, ["x"])
+    with pytest.raises(ValueError, match="> 63"):
+        zorder_key(sdf, ["x", "y"], bits_per_col=32)
