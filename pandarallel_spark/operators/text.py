@@ -400,3 +400,88 @@ def with_mean_token_docfreq(
     return df.join(
         scored, df[id_col] == scored["__id__"], "left"
     ).select(*df.columns, "mean_token_docfreq")
+
+
+def normalize_text_expr(
+    col: Column | str,
+    *,
+    lower: bool = True,
+    collapse_whitespace: bool = True,
+    strip_controls: bool = True,
+) -> Column:
+    """Cheap text canonicalization as PURE JVM expressions — the
+    normalization share a cleanup pipeline runs before fingerprinting /
+    dedup: lowercase, strip C0/C1 control characters, collapse runs of
+    whitespace to one space, trim. Stays inside whole-stage codegen;
+    use ``normalize_text`` when Unicode NFC/NFKC folding or accent
+    stripping is also needed (those have no JVM builtin)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if strip_controls:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", "")
+    if lower:
+        c = F.lower(c)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def normalize_text(
+    df: DataFrame,
+    col: str,
+    *,
+    form: str | None = None,
+    strip_accents: bool = False,
+    lower: bool = True,
+    collapse_whitespace: bool = True,
+    strip_controls: bool = True,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Full Unicode canonicalization: everything
+    ``normalize_text_expr`` does, plus optional NFC/NFKC/NFD/NFKD
+    normalization (``form=``) and accent stripping (NFD → drop
+    combining marks → NFC). The Unicode steps have no Spark builtin,
+    so they run ONLY when requested, as ONE ``mapInPandas`` pass using
+    pandas' vectorized ``str.normalize`` — Arrow-batched, never
+    per-row Python through the serializer; with neither requested the
+    whole thing stays a JVM projection (zero Python).
+
+    NFKC + accent-strip + the expr steps is the canonical key for
+    cross-encoding dedup: visually-identical strings that differ in
+    composition (é vs e+◌́), width (ﬁ vs fi), or whitespace collapse
+    to one fingerprint.
+    """
+    output_col = output_col or f"{col}_norm"
+    expr = normalize_text_expr(
+        col, lower=lower, collapse_whitespace=collapse_whitespace,
+        strip_controls=strip_controls,
+    )
+    if form is None and not strip_accents:
+        return df.withColumn(output_col, expr)
+    if form is not None and form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+
+    import pandas as pd  # noqa: F401  (executor-side)
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{output_col}` string"
+    staged = df.withColumn(output_col, expr)
+    names = [f.name for f in df.schema.fields] + [output_col]
+
+    def unicode_pass(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            s = pdf[output_col].astype("string")
+            if strip_accents:
+                # NFD, drop combining marks (Mn), recompose
+                s = s.str.normalize("NFD").str.replace(
+                    r"[̀-ͯ]", "", regex=True
+                ).str.normalize("NFC")
+            if form is not None:
+                s = s.str.normalize(form)
+            out = pdf.copy()
+            out[output_col] = s
+            yield out[names]
+
+    return staged.mapInPandas(unicode_pass, out_schema)

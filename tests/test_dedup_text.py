@@ -713,3 +713,47 @@ def test_random_projection_matches_numpy_and_preserves_geometry(spark, sf_dir):
     iu = np.triu_indices(n, 1)
     ratio = d_out[iu] / np.maximum(d_in[iu], 1e-12)
     assert 0.5 < np.median(ratio) < 1.5
+
+
+def test_normalize_text_expr_and_unicode(spark):
+    """Canonicalization: the expr tier is pure JVM (audited); the
+    Unicode tier matches python's unicodedata on NFKC + accent
+    stripping; cross-encoding duplicates collapse to one key."""
+    import unicodedata
+
+    from pandarallel_spark.operators.text import normalize_text, normalize_text_expr
+    from pandarallel_spark.plans import scale_audit
+
+    rows = [
+        (1, "  Hello\tWORLD \x07 "),            # controls + whitespace
+        (2, "Café du Marché"),          # precomposed é
+        (3, "Café du Marché"),        # decomposed e + ́
+        (4, "ﬁne ＴＥＸＴ"),  # ﬁ ligature + fullwidth TEXT
+    ]
+    sdf = spark.createDataFrame(rows, "id bigint, t string")
+    # expr tier: JVM only
+    e = sdf.select("id", normalize_text_expr("t").alias("n"))
+    assert scale_audit(e).python_free
+    got = {r.id: r.n for r in e.collect()}
+    assert got[1] == "hello world"
+    # unicode tier: NFKC + accent strip — 2 and 3 collapse; ligature and
+    # fullwidth fold
+    out = {
+        r.id: r.t_norm
+        for r in normalize_text(
+            sdf, "t", form="NFKC", strip_accents=True
+        ).collect()
+    }
+    assert out[2] == out[3] == "cafe du marche"
+    assert out[4] == "fine text"
+    # differential vs python for the accent+NFKC pipeline
+    for rid, raw in rows:
+        s = "".join(
+            ch for ch in unicodedata.normalize("NFD", raw.lower())
+            if not ("̀" <= ch <= "ͯ")
+        )
+        s = unicodedata.normalize("NFKC", unicodedata.normalize("NFC", s))
+        s = " ".join(s.replace("\x07", " ").split())
+        assert out[rid] == s, (rid, out[rid], s)
+    with pytest.raises(ValueError, match="NFC/NFKC"):
+        normalize_text(sdf, "t", form="NFKX")
