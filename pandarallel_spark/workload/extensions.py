@@ -621,23 +621,48 @@ def events_windows_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "join_revenue_per_nation",
     """
-SELECT n.n_name,
+SELECT 'star' AS kind, n.n_name,
   CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
   COUNT(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
+UNION ALL
+SELECT 'min_cost' AS kind, n.n_name,
+  CAST(SUM(mn) AS DOUBLE)/100.0 AS revenue, COUNT(*) AS n_orders
+FROM (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+  FROM lineitem) l
+JOIN (
+  SELECT l_partkey AS pk,
+         MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS mn
+  FROM lineitem GROUP BY l_partkey) m
+  ON l.l_partkey = m.pk AND l.cents = m.mn
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
 """,
-    "Star-schema rollup: fact ⋈ two broadcast dims → aggregate. "
-    "Catalyst plans broadcast-hash joins (dims ≪ threshold); no fact "
-    "shuffle before the final aggregation.",
+    "Two join families kind-tagged in one graded row. src=star: the "
+    "fact ⋈ two broadcast dims → aggregate rollup (no fact shuffle "
+    "before the final aggregation). src=min_cost (late r7): the TPC-H "
+    "Q2 correlated-minimum pattern re-expressed as aggregate-then-"
+    "rejoin — cheapest (part, supplier) offers from lineitem, i.e. "
+    "rows matching a per-group MIN — which Catalyst cannot broadcast "
+    "away at scale: the min side is partkey-cardinality, so the "
+    "rejoin is a fact-to-derived join on the grouping key (shuffle on "
+    "l_partkey, both sides co-partitioned by construction), then "
+    "supplier/nation broadcast onto the survivors. Exercises the "
+    "part-key fact self-derivation plus the supplier dimension "
+    "(previously unscanned by any graded row).",
 )
 def join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders, customer, nation = (
-        load_table(spark, sf_dir, t) for t in ("orders", "customer", "nation")
+    orders, customer, nation, li, supplier = (
+        load_table(spark, sf_dir, t)
+        for t in ("orders", "customer", "nation", "lineitem", "supplier")
     )
-    return (
+    star = (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
@@ -645,7 +670,33 @@ def join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
+        .select(F.lit("star").alias("kind"), "n_name", "revenue", "n_orders")
     )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    offers = li.select("l_partkey", "l_suppkey", cents.alias("cents"))
+    # rename the derived side's key: joining two frames that share
+    # lineage on a same-named column trips self-join ambiguity
+    mins = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("cents").alias("mn"))
+        .withColumnRenamed("l_partkey", "pk")
+    )
+    cheapest = offers.join(
+        mins, (F.col("l_partkey") == F.col("pk")) & (F.col("cents") == F.col("mn"))
+    ).select("l_suppkey", "mn")
+    min_cost = (
+        cheapest.join(
+            F.broadcast(supplier), cheapest.l_suppkey == supplier.s_suppkey
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum("mn").cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(F.lit("min_cost").alias("kind"), "n_name", "revenue", "n_orders")
+    )
+    return star.unionByName(min_cost)
 
 
 # ---------------------------------------------------------------------------
