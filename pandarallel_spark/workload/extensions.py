@@ -640,8 +640,10 @@ JOIN (
          MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS mn
   FROM lineitem GROUP BY l_partkey) m
   ON l.l_partkey = m.pk AND l.cents = m.mn
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 25
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
 GROUP BY n.n_name
 """,
     "Two join families kind-tagged in one graded row. src=star: the "
@@ -652,15 +654,18 @@ GROUP BY n.n_name
     "rows matching a per-group MIN — which Catalyst cannot broadcast "
     "away at scale: the min side is partkey-cardinality, so the "
     "rejoin is a fact-to-derived join on the grouping key (shuffle on "
-    "l_partkey, both sides co-partitioned by construction), then "
-    "supplier/nation broadcast onto the survivors. Exercises the "
-    "part-key fact self-derivation plus the supplier dimension "
-    "(previously unscanned by any graded row).",
+    "l_partkey, both sides co-partitioned by construction), then the "
+    "full Q2 dimension chain broadcasts onto the survivors: part (size "
+    "predicate pushed to ITS scan), supplier, and the two-level "
+    "nation→region snowflake (region predicate pushed likewise) — "
+    "bringing all four previously-unscanned/under-scanned dimension "
+    "tables under grading.",
 )
 def join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders, customer, nation, li, supplier = (
+    orders, customer, nation, li, supplier, part, region = (
         load_table(spark, sf_dir, t)
-        for t in ("orders", "customer", "nation", "lineitem", "supplier")
+        for t in ("orders", "customer", "nation", "lineitem", "supplier",
+                  "part", "region")
     )
     star = (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
@@ -683,12 +688,20 @@ def join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cheapest = offers.join(
         mins, (F.col("l_partkey") == F.col("pk")) & (F.col("cents") == F.col("mn"))
-    ).select("l_suppkey", "mn")
+    ).select("l_partkey", "l_suppkey", "mn")
     min_cost = (
         cheapest.join(
-            F.broadcast(supplier), cheapest.l_suppkey == supplier.s_suppkey
+            F.broadcast(part.filter(F.col("p_size") <= 25).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey
         )
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
         .groupBy("n_name")
         .agg(
             (F.sum("mn").cast("double") / 100.0).alias("revenue"),
