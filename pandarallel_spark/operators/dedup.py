@@ -47,10 +47,25 @@ from pandarallel_spark.operators.text import fingerprint, tokens
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
-    """Keep the lowest-id row per duplicate group. One shuffle on the
-    dedup key; survivor choice is deterministic (min id)."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col))
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    keep_by: Column | None = None,
+) -> DataFrame:
+    """Keep one row per duplicate group — by default the lowest id
+    (deterministic), or the row maximizing ``keep_by`` when given (ties
+    broken by min id, still total). ``keep_by`` is the survivor policy
+    a cleanup pipeline usually wants: e.g. ``F.length("text")`` keeps
+    the LONGEST copy of duplicated content, ``F.col("quality")`` the
+    best-scored one. One shuffle on the dedup key either way (the
+    ranking window rides the same hash partitioning)."""
+    order = (
+        [F.col(id_col)]
+        if keep_by is None
+        else [keep_by.desc(), F.col(id_col)]
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         df.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
@@ -58,10 +73,16 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact dedup on the bag-of-words fingerprint."""
+def fingerprint_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_by: Column | None = None,
+) -> DataFrame:
+    """Exact dedup on the bag-of-words fingerprint (same ``keep_by``
+    survivor policy as ``exact_dedup``)."""
     with_fp = df.withColumn("__fp__", fingerprint(text_col))
-    return exact_dedup(with_fp, ["__fp__"], id_col).drop("__fp__")
+    return exact_dedup(with_fp, ["__fp__"], id_col, keep_by=keep_by).drop("__fp__")
 
 
 # ---------------------------------------------------------------------------

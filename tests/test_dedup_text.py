@@ -757,3 +757,24 @@ def test_normalize_text_expr_and_unicode(spark):
         assert out[rid] == s, (rid, out[rid], s)
     with pytest.raises(ValueError, match="NFC/NFKC"):
         normalize_text(sdf, "t", form="NFKX")
+
+
+def test_exact_dedup_keep_by_policy(spark):
+    """keep_by survivor policy: the row maximizing the expression wins,
+    ties fall back to min id — keep-longest is the common cleanup
+    choice."""
+    from pandarallel_spark.operators.dedup import exact_dedup
+
+    rows = [
+        (1, "k1", "short"),
+        (2, "k1", "the longest text wins here"),
+        (3, "k1", "medium text"),
+        (4, "k2", "same"),
+        (5, "k2", "same"),  # tie on length → min id (4) survives
+    ]
+    sdf = spark.createDataFrame(rows, "id bigint, k string, text string")
+    out = exact_dedup(sdf, ["k"], "id", keep_by=F.length("text")).toPandas()
+    assert sorted(out.id) == [2, 4]
+    # default policy unchanged: min id
+    out2 = exact_dedup(sdf, ["k"], "id").toPandas()
+    assert sorted(out2.id) == [1, 4]
