@@ -225,3 +225,109 @@ def heavy_hitters(
     return joined.filter(F.col("count") >= thr).select(
         F.col("__k__").alias(col), "count", *extra
     )
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    min_count: int | None = None,
+    capacity: int = 4096,
+    min_share: float | None = None,
+) -> DataFrame:
+    """Per-group frequent items — e.g. top tokens per language of a
+    multilingual corpus. The Misra-Gries summary runs over the
+    COMPOSITE (group, key): one global capacity bounds executor memory
+    regardless of how many groups exist, and the merged lower bound
+    undercounts any composite by at most Σ_p decr_p ≤ N/(capacity+1) —
+    the same superset guarantee as ``heavy_hitters``, with the error
+    budget shared across groups (size capacity generously when one
+    group dominates the row count).
+
+    The threshold is per GROUP: ``min_count`` absolute, or ``min_share``
+    of the group's total rows (group totals come from one exact
+    map-side-combined aggregate — |groups| rows, broadcast). Output is
+    always exact: candidates are recounted behind a broadcast semi
+    join, so the result EQUALS
+    ``groupBy(group, key).count().filter(count >= T_group)``.
+
+    NULL groups or keys are ignored.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be ≥ 1, got {capacity}")
+    if (min_count is None) == (min_share is None):
+        raise ValueError("pass exactly one of min_count, min_share")
+    import pandas as pd
+
+    src = df.select(
+        F.col(group_col).cast("string").alias("__g__"),
+        F.col(col).cast("string").alias("__k__"),
+    ).filter(F.col("__g__").isNotNull() & F.col("__k__").isNotNull())
+
+    def mg_partition(pdf_iter):
+        counts = None  # lazily a MultiIndex (group, key) → count Series
+        decr = 0
+        seen = False
+        for pdf in pdf_iter:
+            seen = True
+            vc = pdf[["__g__", "__k__"]].value_counts()
+            counts = (
+                vc.astype("int64")
+                if counts is None
+                else counts.add(vc, fill_value=0).astype("int64")
+            )
+            if len(counts) > capacity:
+                sub = int(counts.nlargest(capacity + 1).iloc[-1])
+                counts = counts[counts > sub] - sub
+                decr += sub
+        if not seen or counts is None:
+            return
+        idx = counts.index
+        out = pd.DataFrame({
+            "__g__": idx.get_level_values(0).astype(str),
+            "__k__": idx.get_level_values(1).astype(str),
+            "__c__": counts.to_numpy(),
+        })
+        out = pd.concat(
+            [out, pd.DataFrame({"__g__": [None], "__k__": [None], "__c__": [decr]})],
+            ignore_index=True,
+        )
+        yield out
+
+    summ = src.mapInPandas(
+        mg_partition, "__g__ string, __k__ string, __c__ long"
+    ).persist()
+    merged = (
+        summ.filter(F.col("__k__").isNotNull())
+        .groupBy("__g__", "__k__")
+        .agg(F.sum("__c__").alias("__lb__"))
+    )
+    total_decr = summ.filter(F.col("__k__").isNull()).agg(
+        F.coalesce(F.sum("__c__"), F.lit(0)).alias("__decr__")
+    )
+    gtot = src.groupBy("__g__").agg(F.count(F.lit(1)).alias("__gn__"))
+    if min_share is not None:
+        thr = F.ceil(F.col("__gn__") * F.lit(float(min_share))).cast("long")
+    else:
+        thr = F.lit(int(min_count))
+    candidates = (
+        merged.join(F.broadcast(total_decr))
+        .join(F.broadcast(gtot), "__g__")
+        .filter(F.col("__lb__") + F.col("__decr__") >= thr)
+        .select("__g__", "__k__", "__gn__")
+    )
+    counted = (
+        src.join(F.broadcast(candidates.select("__g__", "__k__")),
+                 ["__g__", "__k__"], "left_semi")
+        .groupBy("__g__", "__k__")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return (
+        counted.join(F.broadcast(candidates), ["__g__", "__k__"])
+        .filter(F.col("count") >= thr)
+        .select(
+            F.col("__g__").alias(group_col),
+            F.col("__k__").alias(col),
+            "count",
+        )
+    )

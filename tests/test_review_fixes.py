@@ -397,3 +397,39 @@ def test_heavy_hitters_rejections(spark):
         heavy_hitters(sdf, "k", min_count=2, min_share=0.5)
     with pytest.raises(ValueError, match="capacity"):
         heavy_hitters(sdf, "k", min_count=2, capacity=0)
+
+
+def test_grouped_heavy_hitters_exact(spark):
+    """Per-group MG must equal groupBy(group,key).count().filter(per-
+    group threshold) even under tiny capacity, for both absolute and
+    share thresholds."""
+    import numpy as np
+    import pandas as pd
+    from pandarallel_spark.operators.relational import grouped_heavy_hitters
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g, hot_n in (("en", 400), ("fr", 150)):
+        rows += [(g, "hot")] * hot_n
+        rows += [(g, f"t{i}") for i in rng.integers(0, 500, 1200)]
+    pdf = pd.DataFrame(rows, columns=["lang", "tok"])
+    sdf = spark.createDataFrame(pdf).repartition(16)
+
+    truth = pdf.groupby(["lang", "tok"]).size().reset_index(name="count")
+    # absolute threshold
+    exp = truth.query("count >= 100").sort_values(["lang", "tok"]).reset_index(drop=True)
+    got = (
+        grouped_heavy_hitters(sdf, "lang", "tok", min_count=100, capacity=32)
+        .toPandas().sort_values(["lang", "tok"]).reset_index(drop=True)
+    )
+    assert got.equals(exp.astype({"count": got["count"].dtype}))
+    # per-group share: 10% of each group's rows
+    gn = pdf.groupby("lang").size()
+    import math
+    exp2 = truth[truth.apply(lambda r: r["count"] >= math.ceil(0.1 * gn[r.lang]), axis=1)]
+    exp2 = exp2.sort_values(["lang", "tok"]).reset_index(drop=True)
+    got2 = (
+        grouped_heavy_hitters(sdf, "lang", "tok", min_share=0.1, capacity=64)
+        .toPandas().sort_values(["lang", "tok"]).reset_index(drop=True)
+    )
+    assert got2.equals(exp2.astype({"count": got2["count"].dtype}))
