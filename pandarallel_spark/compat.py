@@ -358,13 +358,20 @@ def _series_parallel_apply(self: pd.Series, func, *args, **kwargs):
     return out
 
 
-def _series_parallel_map(self: pd.Series, arg):
+def _series_parallel_map(self: pd.Series, arg, na_action=None):
+    # the reference worker calls data.map(arg, **kwargs)
+    # (data_types/series.py:52-56), so na_action= must pass through
+    if na_action not in (None, "ignore"):
+        raise ValueError(f"na_action must be None or 'ignore', got {na_action!r}")
     if callable(arg) and not isinstance(arg, Mapping):
+        if na_action == "ignore":
+            base = arg
+            arg = lambda x: x if pd.isna(x) else base(x)  # noqa: E731
         return _series_parallel_apply(self, arg)
     # dict / Series lookup: delegate to pandas locally — a driver-memory
     # lookup table maps to a broadcast join in the engine API
     # (operators/series.py); here the data is already local
-    return self.map(arg)
+    return self.map(arg, na_action=na_action)
 
 
 def _wrap_window_func(func, args, kwargs):

@@ -376,3 +376,19 @@ def test_axis0_prefix_dtype_widening_guarded():
     expected = pdf.apply(preserving, axis=0)
     got = pdf.parallel_apply(preserving, axis=0)
     pd.testing.assert_frame_equal(expected, got, check_dtype=False)
+
+
+def test_compat_series_map_na_action():
+    """The reference forwards map kwargs to pandas
+    (data_types/series.py:52-56), so na_action='ignore' must pass
+    through both the callable and lookup branches, matching stock
+    pandas bit-for-bit."""
+    import numpy as np
+
+    s = pd.Series([1.0, np.nan, 3.0] * 400)  # above the local threshold
+    exp = s.map(lambda v: v * 3, na_action="ignore")
+    got = s.parallel_map(lambda v: v * 3, na_action="ignore")
+    pd.testing.assert_series_equal(got, exp)
+    exp2 = s.map({1.0: "a", 3.0: "b"}, na_action="ignore")
+    got2 = s.parallel_map({1.0: "a", 3.0: "b"}, na_action="ignore")
+    pd.testing.assert_series_equal(got2, exp2)
