@@ -123,8 +123,10 @@ def heavy_hitters(
     The threshold is either ``min_count`` (an absolute int) or
     ``min_share`` (a fraction of total non-null rows — computed from
     the SAME summary pass, no extra scan, so it stays scale-invariant).
-    For a tight candidate set pick capacity ≳ N/min_count; correctness
-    holds for ANY capacity.
+    ``include_bounds=True`` attaches the sketch envelope
+    (lower_bound, upper_bound) to each exact row — what an
+    error-contract oracle asserts. For a tight candidate set pick
+    capacity ≳ N/min_count; correctness holds for ANY capacity.
 
     NULL keys are ignored (SQL aggregate convention).
     """
