@@ -8,10 +8,32 @@ scale story spelled out below.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _key_restore(orig_type, src_name: str, out_name: str) -> Column:
+    """Cast a sketch's internal string key back to the source column's
+    type when the string round-trip is lossless (numeric, boolean,
+    date/timestamp, string). Binary and complex keys stay strings —
+    their string form is not re-parseable — and that is documented on
+    the callers."""
+    safe = (
+        T.NumericType,
+        T.BooleanType,
+        T.StringType,
+        T.DateType,
+        T.TimestampType,
+        T.TimestampNTZType,
+    )
+    c = F.col(src_name)
+    if isinstance(orig_type, safe):
+        c = c.cast(orig_type)
+    return c.alias(out_name)
 
 
 def topk_per_group(
@@ -107,9 +129,11 @@ def heavy_hitters(
     aggregate shuffles ALL of it to find the few hot keys. Here each
     partition keeps ≤ ``capacity`` counters (bounded memory regardless
     of input), ships ≤ capacity+1 bounded rows, and only the merged
-    CANDIDATE set — guaranteed a superset of every key with true count
-    ≥ min_count, since a key's merged lower bound undercounts by at
-    most Σ_p decr_p ≤ N/(capacity+1) — touches a shuffle again.
+    CANDIDATE set — a superset of every key with true count ≥
+    min_count whenever min_count exceeds the total decrement (a key's
+    merged lower bound undercounts by at most Σ_p decr_p ≤
+    N/(capacity+1); precondition checked below) — touches a shuffle
+    again.
 
     ``exact=True`` (default) adds the classic second pass: an exact
     count restricted to candidates (broadcast semi-join pushes the key
@@ -125,10 +149,30 @@ def heavy_hitters(
     the SAME summary pass, no extra scan, so it stays scale-invariant).
     ``include_bounds=True`` attaches the sketch envelope
     (lower_bound, upper_bound) to each exact row — what an
-    error-contract oracle asserts. For a tight candidate set pick
-    capacity ≳ N/min_count; correctness holds for ANY capacity.
+    error-contract oracle asserts.
 
-    NULL keys are ignored (SQL aggregate convention).
+    **Superset precondition** (review finding r7): the candidate set is
+    guaranteed to contain every key with true count ≥ T only when
+    T > Σ_p decr_p (the merged total decrement, ≤ N/(capacity+1)) — a
+    key whose count is at or below the total decrement can be evicted
+    from EVERY partition summary and never surface as a candidate. The
+    total decrement is known after the (bounded) summary pass, so this
+    function checks it eagerly: when decr ≥ T it emits a
+    ``UserWarning`` and transparently falls back to the exact
+    ``groupBy(col).count()`` plan — results stay bit-exact for ANY
+    capacity, but the fallback shuffles the full key universe, so for
+    the sketch's scale benefit pick capacity ≳ N/min_count (equivalently
+    ≳ 1/min_share). In fallback bounds degenerate to
+    lower = upper = count (still a valid envelope).
+
+    The returned key column keeps the source column's type for atomic
+    types (numeric/boolean/date/timestamp/string); binary and complex
+    keys are returned as their string form.
+
+    NULL keys are ignored (SQL aggregate convention). The bounded
+    summary is persisted only within this call (unpersisted before
+    returning; the small candidate set is locally checkpointed so the
+    returned plan never references the summary cache).
     """
     if capacity < 1:
         raise ValueError(f"capacity must be ≥ 1, got {capacity}")
@@ -136,6 +180,8 @@ def heavy_hitters(
         raise ValueError("pass exactly one of min_count, min_share")
     import pandas as pd
 
+    orig_type = df.schema[col].dataType
+    key_out = _key_restore(orig_type, "__k__", col)
     src = df.select(F.col(col).cast("string").alias("__k__")).filter(
         F.col("__k__").isNotNull()
     )
@@ -170,36 +216,79 @@ def heavy_hitters(
         )
         yield out
 
-    # the summary is consumed by two branches (merge + error totals) —
+    # the summary is consumed twice (error totals, then merge) —
     # persist the ≤ partitions×(capacity+1) bounded rows so the sketch
-    # pass scans the input once, not twice
+    # pass scans the input once, not twice; unpersisted below once the
+    # (small) candidate set is materialized
     summ = src.mapInPandas(
         mg_partition, "__k__ string, __c__ long, __n__ long"
     ).persist()
+    decr, nn = summ.filter(F.col("__k__").isNull()).agg(
+        F.coalesce(F.sum("__c__"), F.lit(0)),
+        F.coalesce(F.sum("__n__"), F.lit(0)),
+    ).first()
+    decr, nn = int(decr), int(nn)
+    import math
+
+    thr = (
+        int(math.ceil(nn * float(min_share)))
+        if min_share is not None
+        else int(min_count)
+    )
+    if decr >= thr:
+        # superset guarantee void: a key with true count in
+        # [thr, decr] may have been evicted everywhere. Fall back to
+        # the exact plan — correct for any capacity, at the cost of
+        # shuffling the key universe.
+        summ.unpersist()
+        warnings.warn(
+            f"heavy_hitters: total MG decrement {decr} ≥ threshold "
+            f"{thr}; the sketch cannot guarantee a candidate superset. "
+            f"Falling back to exact groupBy — raise capacity above "
+            f"~N/threshold (N={nn}) to keep the sketch's scale "
+            f"benefit.",
+            UserWarning,
+            stacklevel=2,
+        )
+        counted = src.groupBy("__k__").agg(
+            F.count(F.lit(1)).alias("count")
+        ).filter(F.col("count") >= thr)
+        if not exact:
+            return counted.select(
+                key_out,
+                F.col("count").alias("lower_bound"),
+                F.col("count").alias("upper_bound"),
+            )
+        extra = (
+            [
+                F.col("count").alias("lower_bound"),
+                F.col("count").alias("upper_bound"),
+            ]
+            if include_bounds
+            else []
+        )
+        return counted.select(key_out, "count", *extra)
+
     merged = (
         summ.filter(F.col("__k__").isNotNull())
         .groupBy("__k__")
         .agg(F.sum("__c__").alias("__lb__"))
     )
-    total_decr = summ.filter(F.col("__k__").isNull()).agg(
-        F.coalesce(F.sum("__c__"), F.lit(0)).alias("__decr__"),
-        F.coalesce(F.sum("__n__"), F.lit(0)).alias("__nn__"),
+    # candidate gate: true ≤ lb + decr, so true ≥ T ⇒ lb ≥ T − decr
+    # (> 0, so every qualifying key survives in the merged summary).
+    # localCheckpoint the small post-gate set: it cuts the lineage back
+    # to the summary cache, letting us unpersist the summary NOW
+    # instead of leaking it for the session (review finding r7).
+    candidates = (
+        merged.filter(F.col("__lb__") >= F.lit(thr - decr))
+        .localCheckpoint(eager=True)
     )
-    if min_share is not None:
-        thr = F.ceil(F.col("__nn__") * F.lit(float(min_share))).cast("long")
-    elif isinstance(min_count, Column):
-        thr = min_count
-    else:
-        thr = F.lit(int(min_count))
-    # candidate gate: true ≤ lb + total_decr, so true ≥ T ⇒ lb ≥ T − decr
-    candidates = merged.join(F.broadcast(total_decr)).filter(
-        F.col("__lb__") + F.col("__decr__") >= thr
-    )
+    summ.unpersist()
     if not exact:
         return candidates.select(
-            F.col("__k__").alias(col),
+            key_out,
             F.col("__lb__").alias("lower_bound"),
-            (F.col("__lb__") + F.col("__decr__")).alias("upper_bound"),
+            (F.col("__lb__") + F.lit(decr)).alias("upper_bound"),
         )
     cand_keys = candidates.select("__k__")
     counted = (
@@ -207,25 +296,20 @@ def heavy_hitters(
         .groupBy("__k__")
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    extra = (
+    if include_bounds:
         # include_bounds: attach the sketch's envelope to each exact
         # row, so a caller (or an error-contract oracle) can assert
         # lower ≤ exact ≤ upper — guaranteed by MG regardless of
         # partitioning, hence deterministic
-        [
+        counted = counted.join(F.broadcast(candidates), "__k__")
+        extra = [
             F.col("__lb__").alias("lower_bound"),
-            (F.col("__lb__") + F.col("__decr__")).alias("upper_bound"),
+            (F.col("__lb__") + F.lit(decr)).alias("upper_bound"),
         ]
-        if include_bounds
-        else []
-    )
-    joined = (
-        counted.join(F.broadcast(candidates), "__k__")
-        if include_bounds
-        else counted.join(F.broadcast(total_decr))
-    )
-    return joined.filter(F.col("count") >= thr).select(
-        F.col("__k__").alias(col), "count", *extra
+    else:
+        extra = []
+    return counted.filter(F.col("count") >= thr).select(
+        key_out, "count", *extra
     )
 
 
@@ -247,20 +331,36 @@ def grouped_heavy_hitters(
     group dominates the row count).
 
     The threshold is per GROUP: ``min_count`` absolute, or ``min_share``
-    of the group's total rows (group totals come from one exact
-    map-side-combined aggregate — |groups| rows, broadcast). Output is
-    always exact: candidates are recounted behind a broadcast semi
-    join, so the result EQUALS
-    ``groupBy(group, key).count().filter(count >= T_group)``.
+    of the group's total rows. Group totals piggyback on the summary
+    pass (each partition emits its exact per-group row counts next to
+    its sketch rows — assumes |groups| ≪ N, the same assumption any
+    map-side-combined group total makes), so ``src`` is scanned exactly
+    twice: summary + candidate recount. Output is always exact:
+    candidates are recounted behind a broadcast semi join, so the
+    result EQUALS ``groupBy(group, key).count().filter(count >= T_g)``.
 
-    NULL groups or keys are ignored.
+    **Superset precondition** (review finding r7): as in
+    ``heavy_hitters``, the guarantee needs T_g > Σ_p decr_p for every
+    group — the decrement budget is GLOBAL (one capacity across
+    groups), so the binding constraint is the SMALLEST per-group
+    threshold. Checked eagerly after the summary pass; on violation a
+    ``UserWarning`` fires and the exact groupBy plan runs instead
+    (bit-exact for any capacity, at universe-shuffle cost).
+
+    Group/key columns keep their source types for atomic types; binary
+    and complex values are returned as strings. NULL groups or keys are
+    ignored. The bounded summary is unpersisted before returning.
     """
     if capacity < 1:
         raise ValueError(f"capacity must be ≥ 1, got {capacity}")
     if (min_count is None) == (min_share is None):
         raise ValueError("pass exactly one of min_count, min_share")
+    import math
+
     import pandas as pd
 
+    g_out = _key_restore(df.schema[group_col].dataType, "__g__", group_col)
+    k_out = _key_restore(df.schema[col].dataType, "__k__", col)
     src = df.select(
         F.col(group_col).cast("string").alias("__g__"),
         F.col(col).cast("string").alias("__k__"),
@@ -268,10 +368,14 @@ def grouped_heavy_hitters(
 
     def mg_partition(pdf_iter):
         counts = None  # lazily a MultiIndex (group, key) → count Series
+        gcounts = pd.Series(dtype="int64")  # exact per-group row counts
         decr = 0
         seen = False
         for pdf in pdf_iter:
             seen = True
+            gcounts = gcounts.add(
+                pdf["__g__"].value_counts(), fill_value=0
+            ).astype("int64")
             vc = pdf[["__g__", "__k__"]].value_counts()
             counts = (
                 vc.astype("int64")
@@ -290,34 +394,77 @@ def grouped_heavy_hitters(
             "__k__": idx.get_level_values(1).astype(str),
             "__c__": counts.to_numpy(),
         })
-        out = pd.concat(
-            [out, pd.DataFrame({"__g__": [None], "__k__": [None], "__c__": [decr]})],
-            ignore_index=True,
+        # NULL-key rows: per-group exact totals (group, NULL, n_g) plus
+        # one (NULL, NULL, decr) row carrying the partition's total
+        # decrement — group totals ride the sketch pass for free
+        gtot_rows = pd.DataFrame({
+            "__g__": gcounts.index.astype(str),
+            "__k__": None,
+            "__c__": gcounts.to_numpy(),
+        })
+        decr_row = pd.DataFrame(
+            {"__g__": [None], "__k__": [None], "__c__": [decr]}
         )
-        yield out
+        yield pd.concat([out, gtot_rows, decr_row], ignore_index=True)
 
     summ = src.mapInPandas(
         mg_partition, "__g__ string, __k__ string, __c__ long"
     ).persist()
+    decr = int(
+        summ.filter(F.col("__g__").isNull())
+        .agg(F.coalesce(F.sum("__c__"), F.lit(0)))
+        .first()[0]
+    )
+    gtot = (
+        summ.filter(F.col("__k__").isNull() & F.col("__g__").isNotNull())
+        .groupBy("__g__")
+        .agg(F.sum("__c__").alias("__gn__"))
+    )
+    if min_share is not None:
+        thr = F.ceil(F.col("__gn__") * F.lit(float(min_share))).cast("long")
+        min_thr = gtot.agg(
+            F.min(F.ceil(F.col("__gn__") * F.lit(float(min_share))))
+        ).first()[0]
+        min_thr = 0 if min_thr is None else int(min_thr)
+    else:
+        thr = F.lit(int(min_count))
+        min_thr = int(min_count)
+
+    if decr >= min_thr:
+        # smallest per-group threshold is inside the global decrement
+        # budget — a qualifying (group, key) may have been evicted
+        # everywhere. Run the exact plan instead.
+        gtot = gtot.localCheckpoint(eager=True)  # cut lineage off summ
+        summ.unpersist()
+        warnings.warn(
+            f"grouped_heavy_hitters: total MG decrement {decr} ≥ "
+            f"smallest per-group threshold {min_thr}; the sketch "
+            f"cannot guarantee a candidate superset. Falling back to "
+            f"exact groupBy — raise capacity above ~N/threshold to "
+            f"keep the sketch's scale benefit.",
+            UserWarning,
+            stacklevel=2,
+        )
+        return (
+            src.groupBy("__g__", "__k__")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .join(F.broadcast(gtot), "__g__")
+            .filter(F.col("count") >= thr)
+            .select(g_out, k_out, "count")
+        )
+
     merged = (
         summ.filter(F.col("__k__").isNotNull())
         .groupBy("__g__", "__k__")
         .agg(F.sum("__c__").alias("__lb__"))
     )
-    total_decr = summ.filter(F.col("__k__").isNull()).agg(
-        F.coalesce(F.sum("__c__"), F.lit(0)).alias("__decr__")
-    )
-    gtot = src.groupBy("__g__").agg(F.count(F.lit(1)).alias("__gn__"))
-    if min_share is not None:
-        thr = F.ceil(F.col("__gn__") * F.lit(float(min_share))).cast("long")
-    else:
-        thr = F.lit(int(min_count))
     candidates = (
-        merged.join(F.broadcast(total_decr))
-        .join(F.broadcast(gtot), "__g__")
-        .filter(F.col("__lb__") + F.col("__decr__") >= thr)
+        merged.join(F.broadcast(gtot), "__g__")
+        .filter(F.col("__lb__") + F.lit(decr) >= thr)
         .select("__g__", "__k__", "__gn__")
+        .localCheckpoint(eager=True)  # small; lets the summary cache go
     )
+    summ.unpersist()
     counted = (
         src.join(F.broadcast(candidates.select("__g__", "__k__")),
                  ["__g__", "__k__"], "left_semi")
@@ -327,9 +474,5 @@ def grouped_heavy_hitters(
     return (
         counted.join(F.broadcast(candidates), ["__g__", "__k__"])
         .filter(F.col("count") >= thr)
-        .select(
-            F.col("__g__").alias(group_col),
-            F.col("__k__").alias(col),
-            "count",
-        )
+        .select(g_out, k_out, "count")
     )

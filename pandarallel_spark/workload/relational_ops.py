@@ -533,7 +533,7 @@ def ewm_mean_purchase_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # capability keeps a hard driver check with one fewer registry slot.
 
 
-_SKETCHES_ORACLE = """
+_SKETCHES_ORACLE = r"""
 WITH t AS (
   SELECT l_returnflag AS key,
     quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) AS p50,

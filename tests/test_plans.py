@@ -281,11 +281,12 @@ def test_heavy_hitters_broadcast_recount_no_universe_shuffle(spark, sf_dir):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "BatchEvalPython" not in plan  # MG summary is Arrow-batched
-    # the ONE MG summary pass feeds both consumer branches through the
-    # persisted cache (InMemoryRelation), so the sketch scan runs once
-    # however many times the subtree prints
-    assert "InMemoryTableScan" in plan
-    assert plan.count("MapInPandas") <= 4  # one node, ≤2 branch prints ×2
+    # the MG summary pass ran EAGERLY at build time (superset guard +
+    # candidate checkpoint, r8); the returned recount plan joins the
+    # checkpointed candidate RDD — the summary/universe never re-enters
+    # the plan, and no Python stage survives into the recount
+    assert "MapInPandas" not in plan
+    assert "ExistingRDD" in plan  # localCheckpoint'ed candidate set
 
 
 def test_global_ewm_times_is_bucket_partitioned(spark):

@@ -399,6 +399,109 @@ def test_heavy_hitters_rejections(spark):
         heavy_hitters(sdf, "k", min_count=2, capacity=0)
 
 
+def test_heavy_hitters_superset_guard_fallback(spark):
+    """Review finding r7 (high): when the total MG decrement reaches the
+    threshold, a key with true count ≥ T can be evicted from EVERY
+    partition summary and silently vanish from the candidate set. The
+    guard must detect decr ≥ T, warn, and fall back to the exact plan —
+    output still EQUALS groupBy().count().filter(>= T)."""
+    import warnings as _w
+
+    import numpy as np
+    import pandas as pd
+    from pandarallel_spark.operators.relational import heavy_hitters
+
+    rng = np.random.default_rng(42)
+    # a key universe far above capacity with NO dominant keys: with
+    # capacity=4 every partition evicts constantly, so the total
+    # decrement dwarfs a small absolute threshold like 6 — the exact
+    # scenario the old gate missed (keys with count 6-10 evicted
+    # everywhere, lb absent, yet true count ≥ T)
+    keys = np.array([f"k{i}" for i in rng.integers(0, 400, 6000)])
+    pdf = pd.DataFrame({"k": keys})
+    sdf = spark.createDataFrame(pdf).repartition(16)
+    exp = (
+        pdf.groupby("k").size().reset_index(name="count")
+        .query("count >= 18").sort_values("k").reset_index(drop=True)
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = (
+            heavy_hitters(sdf, "k", min_count=18, capacity=4)
+            .toPandas().sort_values("k").reset_index(drop=True)
+        )
+    assert any("cannot guarantee" in str(w.message) for w in rec)
+    assert got.equals(exp.astype({"count": got["count"].dtype}))
+    # bounds mode degenerates to lower == upper == count in fallback
+    with _w.catch_warnings(record=True):
+        _w.simplefilter("always")
+        bounds = heavy_hitters(
+            sdf, "k", min_count=18, capacity=4, exact=False
+        ).toPandas()
+    assert (bounds.lower_bound == bounds.upper_bound).all()
+    assert set(bounds.k) == set(exp.k)
+    # sketch path (ample capacity) must NOT warn
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        heavy_hitters(sdf, "k", min_count=18, capacity=4096).toPandas()
+    assert not any("cannot guarantee" in str(w.message) for w in rec2)
+
+
+def test_heavy_hitters_preserves_key_type(spark):
+    """Non-string keys come back in their source type (review low r7):
+    the advertised groupBy(col).count() equivalence includes dtype."""
+    import pandas as pd
+    from pandarallel_spark.operators.relational import (
+        grouped_heavy_hitters,
+        heavy_hitters,
+    )
+
+    pdf = pd.DataFrame({"k": [1, 1, 1, 2, 2, 3], "g": [10, 10, 10, 10, 20, 20]})
+    sdf = spark.createDataFrame(pdf)
+    out = heavy_hitters(sdf, "k", min_count=2, capacity=64)
+    assert dict(out.dtypes)["k"] == "bigint"
+    got = out.toPandas().sort_values("k").reset_index(drop=True)
+    assert list(got.k) == [1, 2] and list(got["count"]) == [3, 2]
+    gout = grouped_heavy_hitters(sdf, "g", "k", min_count=2, capacity=64)
+    dt = dict(gout.dtypes)
+    assert dt["g"] == "bigint" and dt["k"] == "bigint"
+    grows = gout.toPandas().sort_values(["g", "k"]).values.tolist()
+    assert grows == [[10, 1, 3]]
+
+
+def test_grouped_heavy_hitters_superset_guard(spark):
+    """Grouped form: the decrement budget is global, the threshold is
+    per-group — the guard must key off the SMALLEST group threshold."""
+    import warnings as _w
+
+    import numpy as np
+    import pandas as pd
+    from pandarallel_spark.operators.relational import grouped_heavy_hitters
+
+    rng = np.random.default_rng(5)
+    rows = [("big", f"t{i}") for i in rng.integers(0, 300, 5000)]
+    rows += [("small", "hh")] * 12 + [("small", f"s{i}") for i in range(20)]
+    pdf = pd.DataFrame(rows, columns=["g", "k"])
+    sdf = spark.createDataFrame(pdf).repartition(16)
+    # min_share=0.3: threshold for "small" is ceil(0.3*32)=10 — far
+    # below the decrement a capacity-4 sketch racks up on "big"
+    truth = pdf.groupby(["g", "k"]).size().reset_index(name="count")
+    gn = pdf.groupby("g").size()
+    import math
+
+    exp = truth[truth.apply(
+        lambda r: r["count"] >= math.ceil(0.3 * gn[r.g]), axis=1
+    )].sort_values(["g", "k"]).reset_index(drop=True)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = (
+            grouped_heavy_hitters(sdf, "g", "k", min_share=0.3, capacity=4)
+            .toPandas().sort_values(["g", "k"]).reset_index(drop=True)
+        )
+    assert any("cannot guarantee" in str(w.message) for w in rec)
+    assert got.equals(exp.astype({"count": got["count"].dtype}))
+
+
 def test_grouped_heavy_hitters_exact(spark):
     """Per-group MG must equal groupBy(group,key).count().filter(per-
     group threshold) even under tiny capacity, for both absolute and
