@@ -255,21 +255,30 @@ def _ratio_workloads() -> dict:
 
 
 def _measure_ratio(spark, setup) -> dict:
-    """min-of-2 on BOTH engines when draws agree (equal draws — taking Spark's favorable
-    noise tail against fewer pandas draws would bias the ratio upward;
-    two draws keeps the whole 9-JVM ratio section inside the round's
-    bench budget); Spark side gets one warm build first (Python-worker /
-    Arrow / codegen startup — BASELINE.md excludes fixed overhead) and a
-    System.gc() between runs, and executes via noop-format writes (full
-    compute, no result materialization). Contention guard (r7): when the
-    two draws of the SAME engine differ by >1.3x, the box was contended
-    during one of them (r6 recorded pandas 18.0 s then 5.0 s
-    back-to-back on groupby-apply — no workload change explains a 3.6x
-    same-engine swing) — keep drawing, up to 5 per engine, until the
-    two best draws agree within 1.3x; if the retry budget runs out with
-    an inconsistent pair, the MEDIAN of all draws reports the workload
-    (robust to one fast or slow outlier — min is not).
-    Returns the ratio plus every raw draw so the full record (written to
+    """INTERLEAVED per-pair ratio (r8). The r7 design measured all Spark
+    draws, then all pandas draws, and guarded only against variance
+    BETWEEN draws of the same engine — so contention that slowed the
+    whole measurement window roughly uniformly (r7: the driver's box ran
+    ~1.7x slow for minutes; every same-engine pair "agreed" and two
+    false bar misses were recorded) sailed through. Here the engines
+    alternate — spark, pandas, pandas, spark, spark, pandas, … — and the
+    reported ratio is the MEDIAN of per-pair ratios (pandas_i/spark_i
+    from back-to-back draws): a common-mode slowdown hits both members
+    of a pair and cancels in the quotient instead of landing on
+    whichever engine drew during the bad minutes. Pair order alternates
+    so a monotone contention ramp inside the window biases half the
+    pairs each way and the median sheds it.
+
+    Spark side gets one warm build first (Python-worker / Arrow /
+    codegen startup — BASELINE.md excludes fixed overhead), a
+    System.gc() before each draw, and executes via noop-format writes
+    (full compute, no result materialization). 3 pairs minimum — this
+    box's single-core speed measurably flips ~1.7x within seconds, and
+    a flip landing BETWEEN the two draws of one pair skews that pair;
+    the median of 3 sheds one such pair. When no two pair ratios agree
+    within 1.3x, keep drawing up to 6 pairs — the median reports the
+    workload either way, and ``contended`` flags a spread that outlived
+    the budget. Returns every raw draw so the full record (written to
     BENCH_LOCAL.json by the parent) carries variance bands."""
     import tempfile
 
@@ -286,49 +295,50 @@ def _measure_ratio(spark, setup) -> dict:
     pandas_call, build = setup(spark_input)
     build().write.format("noop").mode("overwrite").save()  # warm
 
-    def steady(draws: list[float]) -> bool:
-        best = sorted(draws)[:2]
-        return len(best) >= 2 and best[1] <= 1.3 * best[0]
-
-    def stat(draws: list[float]) -> float:
-        # consistent best pair → min (the classic estimator); outliers
-        # present after the retry budget → MEDIAN of all draws. min is
-        # fragile against a single FAST outlier (r7: a pandas applymap
-        # draw of 2.71 s next to 4.78 s slid the recorded ratio under
-        # the bar with no contention anywhere — single-thread boost
-        # wobble, not workload change); the median is robust to one
-        # outlier in either direction.
-        best = sorted(draws)[:2]
-        if best[1] <= 1.3 * best[0]:
-            return best[0]
-        return float(statistics.median(draws))
-
-    def draw_spark() -> None:
+    def draw_spark() -> float:
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         build().write.format("noop").mode("overwrite").save()
-        spark_draws.append(round(time.perf_counter() - t0, 4))
+        d = round(time.perf_counter() - t0, 4)
+        spark_draws.append(d)
+        return d
 
-    def draw_pandas() -> None:
+    def draw_pandas() -> float:
         t0 = time.perf_counter()
         pandas_call()
-        pandas_draws.append(round(time.perf_counter() - t0, 4))
+        d = round(time.perf_counter() - t0, 4)
+        pandas_draws.append(d)
+        return d
 
     spark_draws: list[float] = []
     pandas_draws: list[float] = []
-    for _ in range(2):
-        draw_spark()
-    while not steady(spark_draws) and len(spark_draws) < 5:
-        draw_spark()
-    for _ in range(2):
-        draw_pandas()
-    while not steady(pandas_draws) and len(pandas_draws) < 5:
-        draw_pandas()
+    pair_ratios: list[float] = []
+
+    def draw_pair(i: int) -> None:
+        if i % 2 == 0:
+            s = draw_spark()
+            p = draw_pandas()
+        else:
+            p = draw_pandas()
+            s = draw_spark()
+        pair_ratios.append(round(p / s, 4))
+
+    def steady() -> bool:
+        # some two pair-ratios agree within 1.3x — enough for the
+        # median to sit on consistent evidence
+        rs = sorted(pair_ratios)
+        return any(hi <= 1.3 * lo for lo, hi in zip(rs, rs[1:]))
+
+    for i in range(3):
+        draw_pair(i)
+    while not steady() and len(pair_ratios) < 6:
+        draw_pair(len(pair_ratios))
     return {
-        "ratio": round(stat(pandas_draws) / stat(spark_draws), 2),
+        "ratio": round(float(statistics.median(pair_ratios)), 2),
+        "pair_ratios": pair_ratios,
         "spark_draws": spark_draws,
         "pandas_draws": pandas_draws,
-        "contended": not (steady(spark_draws) and steady(pandas_draws)),
+        "contended": not steady(),
     }
 
 
@@ -340,26 +350,21 @@ def _ratio_child_main(name: str) -> None:
     print(json.dumps({name: m["ratio"], "_bands": {name: m}}))
 
 
-def main() -> None:
-    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "")
-    if mode.startswith("ratio:"):
-        _ratio_child_main(mode.split(":", 1)[1])
-        return
-
-    qs = queries()
-    names = [n for n in HEADLINE if n in qs] or sorted(qs)
-    spark = get_spark("pandarallel_spark_bench")
-
+def _warm(spark, sf_dir: str) -> None:
     # warm-up: session + parquet footer reads + Python worker pool +
     # Arrow serializer paths (BASELINE.md excludes fixed startup
     # overhead; without this the first Python-UDF query pays ~1-2 s of
     # worker fork/import that no steady-state run would see)
-    warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     warm.count()
     warm.limit(32 * 64).repartition(32).mapInPandas(
         lambda it: it, warm.schema
     ).count()
 
+
+def _time_queries(
+    spark, qs, names: list[str], sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     # min-of-2 with a GC between queries: single cold runs of the
     # heavier queries swing 2-4× run-over-run on this box (JVM old-gen
     # debt + codegen compilation landing on whichever query is unlucky),
@@ -380,11 +385,105 @@ def main() -> None:
         for _ in range(2):
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
-            df = qs[name](spark, SF_DIR)
+            df = qs[name](spark, sf_dir)
             df.count()
             draws.append(round(time.perf_counter() - t0, 4))
         timings[name] = min(draws)
         query_bands[name] = draws
+    return timings, query_bands
+
+
+# scale-ramp regression gate (r8): sf0.1 holds 10× sf0.01's rows, so a
+# LINEAR plan's time ratio sits ≤ 10 — usually well under, because the
+# fixed session/plan overhead is a big share of the small-SF draw. The
+# generous default catches the failure mode min-of-2 at ONE scale never
+# can: an accidentally quadratic plan (ratio → ~100). Queries whose
+# OUTPUT is itself superlinear in the corpus (near-dup pair counts grow
+# faster than docs) get explicit wider bounds rather than a looser
+# global bar.
+RAMP_SCALE = 10.0
+RAMP_DEFAULT_MAX = 30.0
+RAMP_MAX_OVERRIDES = {
+    # candidate-pair/self-join outputs scale superlinearly with corpus
+    # size by SEMANTICS (10× docs ⇒ up to ~100× same-bucket pairs);
+    # bounded here at well under the quadratic ceiling to still catch
+    # an unbucketed all-pairs regression
+    "dedup_ngram_jaccard": 60.0,
+    "dedup_minhash_lsh": 60.0,
+    "embedding_cosine_pairs": 60.0,
+}
+
+
+def _ramp_main() -> None:
+    """`python bench.py --ramp`: run the headline set at sf0.01 AND
+    sf0.1 in one session, report per-query time ratios, exit 1 when a
+    query grows faster than the per-query bound. Full table lands in
+    BENCH_LOCAL.json under "ramp"; stdout gets one JSON line."""
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs] or sorted(qs)
+    small = os.environ.get("SPARK_GRAFT_RAMP_SMALL", "/root/testdata/sf0.01")
+    big = os.environ.get("SPARK_GRAFT_RAMP_BIG", "/root/testdata/sf0.1")
+    spark = get_spark("pandarallel_spark_bench_ramp")
+    _warm(spark, small)
+    t_small, _ = _time_queries(spark, qs, names, small)
+    _warm(spark, big)
+    t_big, _ = _time_queries(spark, qs, names, big)
+    table = {}
+    violations = []
+    for n in names:
+        r = round(t_big[n] / max(t_small[n], 1e-9), 2)
+        bound = RAMP_MAX_OVERRIDES.get(n, RAMP_DEFAULT_MAX)
+        table[n] = {
+            "sec_small": t_small[n],
+            "sec_big": t_big[n],
+            "ratio": r,
+            "max": bound,
+        }
+        if r > bound:
+            violations.append(n)
+    out = {
+        "metric": "scale_ramp",
+        "scale": RAMP_SCALE,
+        "small": small,
+        "big": big,
+        "violations": violations,
+        "ramp": {n: v["ratio"] for n, v in table.items()},
+    }
+    try:
+        local_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        record = {}
+        if os.path.exists(local_path):
+            with open(local_path) as fh:
+                record = json.load(fh)
+        record["ramp"] = table
+        record["ramp_violations"] = violations
+        with open(local_path, "w") as fh:
+            json.dump(record, fh, indent=1)
+    except (OSError, ValueError):
+        pass
+    print(json.dumps(out))
+    if violations:
+        raise SystemExit(1)
+
+
+def main() -> None:
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "")
+    if mode.startswith("ratio:"):
+        _ratio_child_main(mode.split(":", 1)[1])
+        return
+    import sys
+
+    if "--ramp" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_RAMP") == "1":
+        _ramp_main()
+        return
+
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs] or sorted(qs)
+    spark = get_spark("pandarallel_spark_bench")
+    _warm(spark, SF_DIR)
+    timings, query_bands = _time_queries(spark, qs, names, SF_DIR)
 
     ratios: dict[str, float] = {}
     ratio_bands: dict[str, dict] = {}
@@ -435,9 +534,11 @@ def main() -> None:
             "between, one shared session; ratios: one fresh-JVM "
             "process per workload (reference forks a fresh pool per "
             "call; reused-worker pollution measured 2x on applymap), "
-            "min-of-2 both engines with a >2x same-engine draw-variance "
-            "retry (up to 5 draws; median-of-draws when an inconsistent "
-            "pair survives the budget), noop writes; run the bench alone"
+            "INTERLEAVED spark/pandas draws — ratio = median of "
+            "per-pair (back-to-back) ratios, so sustained common-mode "
+            "box slowdown cancels in the quotient; 3 pairs, up to 6 "
+            "when no two pair ratios agree within 1.3x; noop writes; "
+            "run the bench alone"
         ),
     )
     try:
