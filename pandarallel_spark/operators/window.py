@@ -257,6 +257,24 @@ def _vectorized_rolling(
     return out
 
 
+def _warn_single_partition(what: str, qualifies: str) -> None:
+    """A GLOBAL window is about to execute as a single-partition
+    total-order scan. Correct, but one task does all the work — at
+    cluster scale that is a silent straggler (review finding r7: the
+    strictLazy fallbacks gave no signal). Warn with the qualifying
+    bucketed alternative; ``plans.audit.scale_audit`` counts the same
+    condition statically."""
+    import warnings
+
+    warnings.warn(
+        f"{what} is executing as a SINGLE-PARTITION total-order scan — "
+        f"correct, but one task does all the work and it will not scale. "
+        f"The bucket-partitioned plan applies when {qualifies}.",
+        UserWarning,
+        stacklevel=3,
+    )
+
+
 def _frame_bounds(window: int, center: bool, closed: str | None) -> tuple[int, int]:
     """pandas fixed-window frame offsets (inclusive rowsBetween bounds)
     for a given ``closed``: 'right' (default) = [-(w-1-lead), lead];
@@ -408,9 +426,59 @@ def weighted_rolling_agg(
     offset = (window - 1) // 2 if center else 0
     order_by = [order_by] if not isinstance(order_by, (list, tuple)) else list(order_by)
     output_col = output_col or f"{col}_rolling_{agg}"
-    ws = _window_spec(order_by, partition_by)
-    col_d = F.col(col).cast("double")
 
+    if not partition_by:
+        # GLOBAL weighted window: ride the same range-bucket + boundary-
+        # context machinery as the unweighted global builtins (r8 —
+        # previously the one always-single-partition path). The slot
+        # expressions evaluate per bucket; context rows complete frames
+        # across bucket boundaries. Falls back to the total-order window
+        # below when the shape doesn't qualify (one shuffle partition,
+        # non-orderable order key, strictLazy cold build).
+        halo = _halo_rolling(
+            df, col, order_by, output_col, "double",
+            window=window, min_periods=minp, center=center, closed=None,
+            func=agg, raw=True, vectorize=False,
+            weighted={"wt": wt, "minp": minp, "offset": offset, "ddof": ddof},
+        )
+        if halo is not None:
+            return halo
+        if shuffle_partitions(df.sparkSession) > 1:
+            _warn_single_partition(
+                f"global weighted (win_type={win_type!r}) rolling {agg}",
+                "the order column is numeric/date/timestamp and the plan "
+                "can run its bounded build jobs (pre-build once outside "
+                "strict-lazy scope)",
+            )
+    ws = _window_spec(order_by, partition_by)
+    # current row's 0-based position within its ordering scope — the
+    # var/std rotating weight alignment consumes it
+    gidx = F.row_number().over(ws) - F.lit(1)
+    res = _weighted_window_expr(
+        ws, col, window, wt, minp, offset, agg, ddof, gidx
+    )
+    return df.withColumn(output_col, res)
+
+
+def _weighted_window_expr(
+    ws,
+    col: str,
+    window: int,
+    wt: np.ndarray,
+    minp: int,
+    offset: int,
+    agg: str,
+    ddof: int,
+    gidx: Column,
+) -> Column:
+    """The weighted-window aggregate as slot lag/lead expressions over
+    window spec ``ws`` (no frame — slots are explicit lags/leads).
+    ``gidx`` is the current row's GLOBAL 0-based index in the total
+    order (var/std's rotating weight alignment pairs the value at
+    absolute index m with ``weights[m % window]``); sum/mean never
+    evaluate it. For a bucket-partitioned spec the caller supplies a
+    gidx that restores the global position from per-bucket offsets."""
+    col_d = F.col(col).cast("double")
     slots = []
     for j in range(window):
         k = (window - 1) - j - offset
@@ -425,8 +493,8 @@ def weighted_rolling_agg(
              for j, (s, v) in enumerate(zip(slots, valid))),
             zero,
         )
-        res = F.when(cnt >= minp, wsum)
-    elif agg == "mean":
+        return F.when(cnt >= minp, wsum)
+    if agg == "mean":
         wsum = sum(
             (F.when(v, F.lit(float(wt[j])) * s).otherwise(zero)
              for j, (s, v) in enumerate(zip(slots, valid))),
@@ -437,54 +505,53 @@ def weighted_rolling_agg(
              for j, v in enumerate(valid)),
             zero,
         )
-        res = F.when((cnt >= minp) & (totw != 0), wsum / totw)
-    else:  # var / std — pandas roll_weighted_var semantics, faithfully
-        # pandas pairs the value at ABSOLUTE index m with
-        # ``weights[m % window]`` (aggregations.pyx roll_weighted_var's
-        # add/remove both index ``weights[i % win_n]``), so the
-        # weight-to-slot alignment ROTATES with the row position —
-        # unlike sum/mean's frame-relative alignment. Replicated here
-        # with a literal weight array indexed by pmod(m, window); the
-        # variance itself is the algebraic two-moment form
-        # t = Σw·x² − (Σw·x)²/Σw, scaled by pandas' calc_weighted_var
-        # factor win·t/((win−ddof)·Σw), with nobs==1 → 0 and the
-        # nobs > ddof gate.
-        wt_arr = literal_array([float(x) for x in wt])
-        # slot j's value has absolute 0-based index m = rn − (w−1) + j
-        # + offset where rn = row_number − 1
-        base = F.row_number().over(ws) - F.lit(window - offset)
-        wcols = [
-            F.element_at(
-                wt_arr, (F.pmod(base + F.lit(j), F.lit(window)) + 1).cast("int")
-            )
-            for j in range(window)
-        ]
-        totw = sum(
-            (F.when(v, wc).otherwise(zero) for v, wc in zip(valid, wcols)), zero
+        return F.when((cnt >= minp) & (totw != 0), wsum / totw)
+    # var / std — pandas roll_weighted_var semantics, faithfully:
+    # pandas pairs the value at ABSOLUTE index m with
+    # ``weights[m % window]`` (aggregations.pyx roll_weighted_var's
+    # add/remove both index ``weights[i % win_n]``), so the
+    # weight-to-slot alignment ROTATES with the row position —
+    # unlike sum/mean's frame-relative alignment. Replicated here
+    # with a literal weight array indexed by pmod(m, window); the
+    # variance itself is the algebraic two-moment form
+    # t = Σw·x² − (Σw·x)²/Σw, scaled by pandas' calc_weighted_var
+    # factor win·t/((win−ddof)·Σw), with nobs==1 → 0 and the
+    # nobs > ddof gate.
+    wt_arr = literal_array([float(x) for x in wt])
+    # slot j's value has absolute 0-based index m = gidx − (w−1) +
+    # offset + j
+    base = gidx - F.lit(window - 1 - offset)
+    wcols = [
+        F.element_at(
+            wt_arr, (F.pmod(base + F.lit(j), F.lit(window)) + 1).cast("int")
         )
-        wx = sum(
-            (F.when(v, wc * s).otherwise(zero)
-             for s, v, wc in zip(slots, valid, wcols)),
-            zero,
-        )
-        wx2 = sum(
-            (F.when(v, wc * s * s).otherwise(zero)
-             for s, v, wc in zip(slots, valid, wcols)),
-            zero,
-        )
-        t_dev = wx2 - (wx * wx) / totw
-        var_e = t_dev * F.lit(float(window)) / (F.lit(float(window - ddof)) * totw)
-        # pandas calc_weighted_var clamps result < 0 -> 0: the two-moment
-        # form goes slightly negative under FP cancellation on constant
-        # windows (e.g. a run of identical/ffilled values), which would
-        # otherwise make std = sqrt(negative) = NaN.
-        var_e = F.greatest(var_e, zero)
-        var_e = F.when(cnt == 1, zero).otherwise(var_e)
-        res = F.when(
-            (cnt >= minp) & (cnt > ddof),
-            F.sqrt(var_e) if agg == "std" else var_e,
-        )
-    return df.withColumn(output_col, res)
+        for j in range(window)
+    ]
+    totw = sum(
+        (F.when(v, wc).otherwise(zero) for v, wc in zip(valid, wcols)), zero
+    )
+    wx = sum(
+        (F.when(v, wc * s).otherwise(zero)
+         for s, v, wc in zip(slots, valid, wcols)),
+        zero,
+    )
+    wx2 = sum(
+        (F.when(v, wc * s * s).otherwise(zero)
+         for s, v, wc in zip(slots, valid, wcols)),
+        zero,
+    )
+    t_dev = wx2 - (wx * wx) / totw
+    var_e = t_dev * F.lit(float(window)) / (F.lit(float(window - ddof)) * totw)
+    # pandas calc_weighted_var clamps result < 0 -> 0: the two-moment
+    # form goes slightly negative under FP cancellation on constant
+    # windows (e.g. a run of identical/ffilled values), which would
+    # otherwise make std = sqrt(negative) = NaN.
+    var_e = F.greatest(var_e, zero)
+    var_e = F.when(cnt == 1, zero).otherwise(var_e)
+    return F.when(
+        (cnt >= minp) & (cnt > ddof),
+        F.sqrt(var_e) if agg == "std" else var_e,
+    )
 
 
 _BUILTIN_AGGS: dict[str, Callable[[Column], Column]] = {
@@ -797,6 +864,13 @@ def rolling_apply(
             )
             yield pdf[out_names]
 
+        if shuffle_partitions(df.sparkSession) > 1:
+            _warn_single_partition(
+                f"global time-offset rolling({window!r}) UDF",
+                "the plan can run its 3 bounded build jobs (pre-build "
+                "once outside strict-lazy scope; the boundaries are "
+                "memoized per plan+data)",
+            )
         return df.repartition(1).mapInPandas(roll_all_time, out_schema)
     if win_type is not None:
         if isinstance(func, str):
@@ -863,6 +937,14 @@ def rolling_apply(
             )
             if halo is not None:
                 return halo
+            if shuffle_partitions(df.sparkSession) > 1:
+                _warn_single_partition(
+                    f"global rolling({window}) builtin {func!r}",
+                    "the order columns are named, the first is numeric/"
+                    "date/timestamp, and the plan can run its bounded "
+                    "build jobs (pre-build once outside strict-lazy "
+                    "scope)",
+                )
         # pandas NaN semantics (probed, pandas 2.2): the aggregate SKIPS
         # NaN (a NaN in frame must not poison a Spark SUM/AVG), the
         # min_periods gate counts NON-NaN observations — except count,
@@ -899,6 +981,13 @@ def rolling_apply(
     )
     if halo is not None:
         return halo
+    if shuffle_partitions(df.sparkSession) > 1:
+        _warn_single_partition(
+            f"global rolling({window}) UDF",
+            "the order columns are named, the first is numeric/date/"
+            "timestamp, and the plan can run its bounded build jobs "
+            "(pre-build once outside strict-lazy scope)",
+        )
 
     idx_expr = F.col(index_col) if index_col else (
         F.col(order_by[0]) if isinstance(order_by[0], str) else order_by[0]
@@ -1420,8 +1509,17 @@ def _halo_rolling(
     index_col: str | None = None,
     win_args: dict | None = None,
     pair_col: str | None = None,
+    weighted: dict | None = None,
 ) -> DataFrame | None:
     """Parallel global rolling: literal range buckets + boundary fixup.
+
+    ``weighted`` (r8): a dict ``{wt, minp, offset, ddof}`` routes the
+    builtin branch through ``_weighted_window_expr`` — the global
+    ``win_type`` window becomes a bucket-partitioned slot expression
+    instead of the former always-single-partition total order. var/std's
+    rotating weight alignment needs each row's GLOBAL position; it is
+    reconstructed from exact per-bucket row counts (one bounded agg job,
+    memoized) plus the per-bucket context-row offsets.
 
     Shape (the reference's overlap-chunk design, ``series_rolling.py:
     16,47``, restructured so the FULL source lineage is evaluated exactly
@@ -1739,6 +1837,74 @@ def _halo_rolling(
         # frames completed across boundaries by the context rows. One
         # shuffle on the bucket id, whole-stage codegen, no Python.
         data = _with_ctx(bucketed.withColumn("__ctx__", F.lit(False)))
+        if weighted is not None:
+            spec_nf = Window.partitionBy("__bkt__").orderBy(
+                *[F.col(c) for c in order_cols]
+            )
+            if func in ("var", "std"):
+                # rotating weight alignment: restore each real row's
+                # GLOBAL 0-based index as (rows in earlier buckets) +
+                # (per-bucket row_number, which counts the prepended
+                # context rows) − (context rows before this bucket's
+                # real rows) − 1. Exact per-bucket counts are one
+                # bounded agg job, memoized with the plan fragments.
+                starts = memo.get("bucket_starts")
+                if starts is None:
+                    from pandarallel_spark.operators._memo import (
+                        STRICT_LAZY_CONF,
+                    )
+
+                    try:
+                        if (
+                            str(spark.conf.get(STRICT_LAZY_CONF, "false"))
+                            .lower()
+                            == "true"
+                        ):
+                            return None  # single-partition fallback
+                    except Exception:  # noqa: BLE001 — not strict
+                        pass
+                    cnts = {
+                        int(r[0]): int(r[1])
+                        for r in bucketed.groupBy("__bkt__")
+                        .agg(F.count(F.lit(1)))
+                        .collect()
+                    }
+                    nb = max([*cnts, *ctx_map, 0]) + 1
+                    starts = []
+                    acc = 0
+                    for b in range(nb):
+                        starts.append(acc)
+                        acc += cnts.get(b, 0)
+                    memo["bucket_starts"] = starts
+                npre = [
+                    len(ctx_map[b][0]) if b in ctx_map else 0
+                    for b in range(len(starts))
+                ]
+                rn_b = F.row_number().over(spec_nf)
+                bix = (F.col("__bkt__") + F.lit(1)).cast("int")
+                gidx = (
+                    F.element_at(literal_array(starts), bix)
+                    + rn_b
+                    - F.element_at(literal_array(npre), bix)
+                    - F.lit(1)
+                )
+            else:
+                gidx = F.lit(0)  # sum/mean never evaluate it
+            res = _weighted_window_expr(
+                spec_nf, col, window, weighted["wt"], weighted["minp"],
+                weighted["offset"], func, weighted["ddof"], gidx,
+            )
+            keep = (
+                df.columns
+                if output_col in df.columns
+                else [*df.columns, output_col]
+            )
+            return (
+                data.repartition(n_parts, F.col("__bkt__"))
+                .withColumn(output_col, res)
+                .filter(~F.col("__ctx__"))
+                .select(*keep)
+            )
         spec = (
             Window.partitionBy("__bkt__")
             .orderBy(*[F.col(c) for c in order_cols])

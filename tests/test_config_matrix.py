@@ -233,3 +233,50 @@ def test_strict_lazy_global_ewm(strict, tmp_path):
         ewm_mean_times(tdf, "x", "ts", "1h")
     finally:
         strict.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_single_partition_fallback_warns(strict, tmp_path):
+    """r8: a global window silently degrading to a single-partition
+    total-order scan (strictLazy cold build) must WARN, naming the
+    fallback — and the bucketed path must stay silent."""
+    import warnings as _w
+
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {"idx": np.arange(500, dtype="int64"), "x": rng.random(500)}
+    )
+    sdf = _parquet(strict, tmp_path, "spwarn", pdf)
+
+    def weighted(frame):
+        return (
+            parallelize(frame, order_by="idx").series("x")
+            .rolling(4, win_type="gaussian")
+            .parallel_apply("sum", win_args={"std": 1.0}, output_col="r")
+        )
+
+    # strictLazy cold build → single-partition fallback, warned
+    with pytest.warns(UserWarning, match="SINGLE-PARTITION"):
+        weighted(sdf)
+
+    # global time-offset rolling UDF: same fallback, same warning
+    tp = pd.DataFrame(
+        {"ts": pd.date_range("2024-01-01", periods=300, freq="min"),
+         "x": np.random.default_rng(5).random(300)}
+    )
+    tdf = _parquet(strict, tmp_path, "spwarn_t", tp)
+    with pytest.warns(UserWarning, match="SINGLE-PARTITION"):
+        (
+            parallelize(tdf, order_by="ts").series("x")
+            .rolling("1h")
+            .parallel_apply(lambda a: float(a.sum()), output_col="r")
+        )
+
+    # bucketed path (strictLazy off) must NOT warn
+    strict.conf.set("spark.pandarallel_spark.strictLazy", "false")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = weighted(sdf)
+        out.count()
+    assert not any("SINGLE-PARTITION" in str(w.message) for w in rec)

@@ -289,6 +289,42 @@ def test_heavy_hitters_broadcast_recount_no_universe_shuffle(spark, sf_dir):
     assert "ExistingRDD" in plan  # localCheckpoint'ed candidate set
 
 
+def test_global_weighted_window_is_bucket_partitioned(spark):
+    """r8: the global win_type window was the one remaining always-
+    single-partition path — it must now ride the range-bucket + halo
+    machinery: zero single-partition exchanges, slots partitioned by
+    __bkt__. Covers sum (frame-aligned weights) AND std (rotating
+    alignment, which needs the per-bucket global-index rebase)."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark import parallelize
+    from pandarallel_spark.plans.audit import scale_audit
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({
+        "idx": np.arange(4000, dtype="int64"),
+        "x": rng.standard_normal(4000),
+    })
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    for agg in ("sum", "std"):
+        out = (
+            parallelize(sdf, order_by="idx")
+            .series("x")
+            .rolling(5, win_type="gaussian")
+            .parallel_apply(agg, win_args={"std": 1.5}, output_col="r")
+        )
+        audit = scale_audit(out)
+        assert audit.single_partition_exchanges == 0, agg
+        buf = _io.StringIO()
+        with _rs(buf):
+            out.explain("formatted")
+        assert "hashpartitioning(__bkt__" in buf.getvalue(), agg
+
+
 def test_global_ewm_times_is_bucket_partitioned(spark):
     """Global ewm(times=) must run as a __bkt__-keyed applyInPandas —
     one shuffle on the range bucket, never a single-partition sort."""

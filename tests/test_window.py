@@ -764,6 +764,36 @@ def test_weighted_rolling_grouped_vs_pandas(spark, fake_scipy):
 
 
 @pytest.mark.parametrize("agg", ["var", "std"])
+def test_weighted_var_global_random_vs_pandas(spark, fake_scipy, agg):
+    """Global weighted var/std on random data with NaNs — stresses the
+    r8 bucket-partitioned path's GLOBAL-index reconstruction (the
+    rotating weight alignment pairs value at absolute index m with
+    weights[m % window]; per-bucket row numbers must be rebased by
+    exact bucket offsets and context-row counts or every bucket after
+    the first drifts)."""
+    rng = np.random.default_rng(23)
+    vals = rng.standard_normal(700)
+    vals[rng.integers(0, 700, 40)] = np.nan
+    pdf = pd.DataFrame({"idx": np.arange(700, dtype="int64"), "x": vals})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    for mp, center, ddof in [(None, False, 1), (2, False, 0), (3, True, 1)]:
+        r = pdf.x.rolling(7, win_type="gaussian", min_periods=mp, center=center)
+        exp = getattr(r, agg)(std=2.0, ddof=ddof).to_numpy()
+        out = (
+            parallelize(sdf, order_by="idx")
+            .series("x")
+            .rolling(7, min_periods=mp, center=center, win_type="gaussian")
+            .parallel_apply(agg, win_args={"std": 2.0, "ddof": ddof}, output_col="r")
+            .toPandas()
+            .sort_values("idx")["r"]
+            .to_numpy(dtype="float64")
+        )
+        assert np.allclose(out, exp, rtol=1e-9, atol=1e-9, equal_nan=True), (
+            f"{agg} mp={mp} center={center} ddof={ddof}"
+        )
+
+
+@pytest.mark.parametrize("agg", ["var", "std"])
 def test_weighted_var_constant_series(spark, fake_scipy, agg):
     """Constant-valued windows: the two-moment form t = Σw·x² −
     (Σw·x)²/Σw cancels to a tiny NEGATIVE float, which unclamped makes
