@@ -251,7 +251,7 @@ class ParallelEwm:
 
     def parallel_apply(
         self, func: str = "mean", *, bias: bool = False,
-        output_col: str | None = None,
+        output_col: str | None = None, positional: bool = False,
     ) -> DataFrame:
         df, order = self.series.frame._ordered()
         kwargs = dict(self.kwargs)
@@ -260,29 +260,55 @@ class ParallelEwm:
             # pandas' times-mode surface is mean()-only: adjust=False is
             # its own NotImplementedError, and sum/var/std SILENTLY fall
             # back to positional decay (times ignored — probed, pandas
-            # 2.2). Refuse the trap loudly instead of replicating it.
+            # 2.2). Refuse the trap loudly by default; ``positional=
+            # True`` opts into reproducing pandas bit-for-bit for code
+            # migrating off the quirk (r8, review item #6).
             if func != "mean":
-                raise NotImplementedError(
-                    f"ewm(times=...) supports mean() only; pandas "
-                    f"{func}() silently ignores times (positional decay)"
+                if not positional:
+                    raise NotImplementedError(
+                        f"ewm(times=...) supports mean() only; pandas "
+                        f"{func}() silently ignores times (positional "
+                        f"decay). Pass positional=True to reproduce "
+                        f"pandas' behavior explicitly."
+                    )
+                # the quirk, precisely (probed, pandas 2.2.2): deltas
+                # are normalized by the Timedelta halflife and the
+                # non-mean ops then treat every step as ONE unit — so
+                # the result equals positional halflife=1.0 (alpha =
+                # 0.5) REGARDLESS of the Timedelta's magnitude;
+                # min_periods/ignore_na pass through.
+                if any(
+                    kwargs.get(p) is not None for p in ("com", "span", "alpha")
+                ):
+                    raise ValueError(
+                        "halflife must be a timedelta convertible object"
+                    )
+                if not kwargs.get("adjust", True):
+                    # pandas raises this at ewm construction even on
+                    # the quirk path
+                    raise NotImplementedError(
+                        "times is not supported with adjust=False."
+                    )
+                kwargs["halflife"] = 1.0
+            else:
+                if not kwargs.pop("adjust", True):
+                    raise NotImplementedError(
+                        "times is not supported with adjust=False."
+                    )
+                if any(
+                    kwargs.get(p) is not None
+                    for p in ("com", "span", "alpha")
+                ):
+                    raise ValueError(
+                        "halflife must be a timedelta convertible object"
+                    )
+                return _window.ewm_mean_times(
+                    df, self.series.col, times, kwargs["halflife"],
+                    partition_by=self.series.partition_by,
+                    ignore_na=kwargs.get("ignore_na", False),
+                    min_periods=kwargs.get("min_periods", 0),
+                    output_col=output_col,
                 )
-            if not kwargs.pop("adjust", True):
-                raise NotImplementedError(
-                    "times is not supported with adjust=False."
-                )
-            if any(
-                kwargs.get(p) is not None for p in ("com", "span", "alpha")
-            ):
-                raise ValueError(
-                    "halflife must be a timedelta convertible object"
-                )
-            return _window.ewm_mean_times(
-                df, self.series.col, times, kwargs["halflife"],
-                partition_by=self.series.partition_by,
-                ignore_na=kwargs.get("ignore_na", False),
-                min_periods=kwargs.get("min_periods", 0),
-                output_col=output_col,
-            )
         if func in ("var", "std"):
             # grouped: stock pandas per key; global adjust=True: the
             # distributed four-moment bucket carry; global adjust=False:
@@ -314,17 +340,33 @@ class ParallelEwm:
         """pandas-style alias for ``parallel_apply("mean")``."""
         return self.parallel_apply("mean", output_col=output_col)
 
-    def var(self, *, bias: bool = False, output_col: str | None = None) -> DataFrame:
-        """pandas-style alias for ``parallel_apply("var")``."""
-        return self.parallel_apply("var", bias=bias, output_col=output_col)
+    def var(
+        self, *, bias: bool = False, output_col: str | None = None,
+        positional: bool = False,
+    ) -> DataFrame:
+        """pandas-style alias for ``parallel_apply("var")``.
+        ``positional=True`` opts into pandas' silent times-ignoring
+        positional decay under ``ewm(times=...)``."""
+        return self.parallel_apply(
+            "var", bias=bias, output_col=output_col, positional=positional
+        )
 
-    def std(self, *, bias: bool = False, output_col: str | None = None) -> DataFrame:
+    def std(
+        self, *, bias: bool = False, output_col: str | None = None,
+        positional: bool = False,
+    ) -> DataFrame:
         """pandas-style alias for ``parallel_apply("std")``."""
-        return self.parallel_apply("std", bias=bias, output_col=output_col)
+        return self.parallel_apply(
+            "std", bias=bias, output_col=output_col, positional=positional
+        )
 
-    def sum(self, *, output_col: str | None = None) -> DataFrame:
+    def sum(
+        self, *, output_col: str | None = None, positional: bool = False
+    ) -> DataFrame:
         """pandas-style alias for ``parallel_apply("sum")``."""
-        return self.parallel_apply("sum", output_col=output_col)
+        return self.parallel_apply(
+            "sum", output_col=output_col, positional=positional
+        )
 
 
 class ParallelExpanding:

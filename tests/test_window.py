@@ -2088,3 +2088,56 @@ def test_ewm_times_rejections(spark):
         s.ewm(alpha=0.5, times="ts").mean()
     with pytest.raises(TypeError, match="date/timestamp"):
         s.ewm(halflife="1h", times="idx").mean()
+
+
+def test_ewm_times_positional_optin_vs_pandas(spark):
+    """r8: ``positional=True`` reproduces pandas' quirk bit-for-bit —
+    ewm(times=, halflife=<Timedelta>).sum()/var()/std() silently ignores
+    times AND the halflife magnitude, behaving as positional
+    halflife=1.0 (probed, pandas 2.2.2). The loud refusal stays the
+    default (test_ewm_times_rejections)."""
+    rng = np.random.default_rng(77)
+    n = 400
+    t = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        np.cumsum(rng.integers(1, 5000, n)), unit="s"
+    )
+    vals = rng.standard_normal(n)
+    vals[rng.integers(0, n, 30)] = np.nan
+    pdf = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "ts": t, "x": vals})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    # two different Timedeltas must give IDENTICAL results (the quirk
+    # ignores the magnitude); each must equal stock pandas on the quirk
+    for hl in ("30min", "6h"):
+        for func, kw in (("sum", {}), ("var", {}), ("std", {})):
+            exp = getattr(
+                pdf.x.ewm(
+                    halflife=pd.Timedelta(hl), times=pd.DatetimeIndex(pdf.ts),
+                    min_periods=2,
+                ),
+                func,
+            )(**kw).to_numpy()
+            out = (
+                parallelize(sdf, order_by="idx").series("x")
+                .ewm(halflife=hl, times="ts", min_periods=2)
+                .parallel_apply(func, positional=True, output_col="r")
+                .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+            )
+            assert np.allclose(out, exp, rtol=1e-9, atol=1e-12, equal_nan=True), (
+                f"{func} halflife={hl}"
+            )
+    # pandas-style alias carries the flag too
+    out_alias = (
+        parallelize(sdf, order_by="idx").series("x")
+        .ewm(halflife="1h", times="ts")
+        .sum(positional=True, output_col="r")
+        .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
+    )
+    exp_alias = pdf.x.ewm(
+        halflife=pd.Timedelta("1h"), times=pd.DatetimeIndex(pdf.ts)
+    ).sum().to_numpy()
+    assert np.allclose(out_alias, exp_alias, rtol=1e-9, atol=1e-12, equal_nan=True)
+    # adjust=False still raises pandas' own construction error
+    with pytest.raises(NotImplementedError, match="adjust=False"):
+        parallelize(sdf, order_by="idx").series("x").ewm(
+            halflife="1h", times="ts", adjust=False
+        ).sum(positional=True)
