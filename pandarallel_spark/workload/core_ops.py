@@ -318,6 +318,16 @@ SELECT 'q25' AS src, event_id,
        THEN quantile_cont({_EVENTS_CENTS}, 0.25) OVER wq END AS val
 FROM events
 WINDOW wq AS (ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+UNION ALL
+SELECT 'wsum' AS src, event_id,
+  CASE WHEN lag({_EVENTS_CENTS}, 3) OVER wo IS NOT NULL THEN
+    CAST(0.25 AS DOUBLE)*lag({_EVENTS_CENTS}, 3) OVER wo
+    + CAST(0.75 AS DOUBLE)*lag({_EVENTS_CENTS}, 2) OVER wo
+    + CAST(0.75 AS DOUBLE)*lag({_EVENTS_CENTS}, 1) OVER wo
+    + CAST(0.25 AS DOUBLE)*{_EVENTS_CENTS}
+  END AS val
+FROM events
+WINDOW wo AS (ORDER BY event_id)
 """
 
 
@@ -335,7 +345,12 @@ WINDOW wq AS (ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     "bucket + broadcast-carry prefix scan; 'median'/'q25' = rolling(5, "
     "min_periods=3) order statistics via sorted-frame linear "
     "interpolation (pandas semantics; exact on integer cents, so the "
-    "value hash is bit-stable vs DuckDB median/quantile_cont). Every "
+    "value hash is bit-stable vs DuckDB median/quantile_cont); 'wsum' "
+    "(NEW r8) = rolling(4, win_type='triang') weighted sum over the "
+    "bucket-partitioned weighted slot machinery — triang(4) weights are "
+    "the exact binary fractions [0.25, 0.75, 0.75, 0.25], so every "
+    "slot product and partial sum is exact in double and the hash is "
+    "bit-stable vs the oracle's explicit lag arithmetic. Every "
     "branch runs the bucket-partitioned global machinery — no "
     "single-partition total order. All values cast to double so the "
     "union is type-uniform across sums and interpolants.",
@@ -378,11 +393,19 @@ def rolling_scans_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "v",
     )
+    wsum = tag(
+        "wsum",
+        series.rolling(4, win_type="triang").parallel_apply(
+            "sum", output_col="v"
+        ),
+        "v",
+    )
     return (
         right.unionByName(left)
         .unionByName(expanding)
         .unionByName(median)
         .unionByName(q25)
+        .unionByName(wsum)
     )
 
 
