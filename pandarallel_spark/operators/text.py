@@ -425,6 +425,43 @@ def normalize_text_expr(
     return c
 
 
+_MN_CLASS: str | None = None
+
+
+def _mn_class() -> str:
+    """Regex character class matching every Unicode Mn (nonspacing
+    mark) codepoint, built once per process by scanning the codepoint
+    space with ``unicodedata.category`` (~0.3 s, cached — runs on the
+    executor the first time an accent-strip batch arrives). A regex of
+    contiguous ranges applies at C speed per batch, unlike a per-char
+    Python category check."""
+    global _MN_CLASS
+    if _MN_CLASS is None:
+        import sys
+        import unicodedata
+
+        ranges: list[tuple[int, int]] = []
+        start = prev = None
+        for cp in range(sys.maxunicode + 1):
+            if unicodedata.category(chr(cp)) == "Mn":
+                if start is None:
+                    start = cp
+                prev = cp
+            elif start is not None:
+                ranges.append((start, prev))
+                start = None
+        if start is not None:
+            ranges.append((start, prev))
+        def esc(cp: int) -> str:
+            return f"\\u{cp:04x}" if cp <= 0xFFFF else f"\\U{cp:08x}"
+
+        cls = "".join(
+            esc(a) if a == b else f"{esc(a)}-{esc(b)}" for a, b in ranges
+        )
+        _MN_CLASS = f"[{cls}]"
+    return _MN_CLASS
+
+
 def normalize_text(
     df: DataFrame,
     col: str,
@@ -474,9 +511,12 @@ def normalize_text(
                 continue
             s = pdf[output_col].astype("string")
             if strip_accents:
-                # NFD, drop combining marks (Mn), recompose
+                # NFD, drop ALL nonspacing combining marks (Unicode
+                # category Mn — not just U+0300-036F: Cyrillic, Arabic,
+                # Hebrew niqqud, and the Extended/Supplement blocks
+                # must collapse too, review finding r7), recompose
                 s = s.str.normalize("NFD").str.replace(
-                    r"[̀-ͯ]", "", regex=True
+                    _mn_class(), "", regex=True
                 ).str.normalize("NFC")
             if form is not None:
                 s = s.str.normalize(form)

@@ -37,8 +37,17 @@ def stream_stream_interval_join(
     type JVM-side (the filter prunes before the join state), both
     watermarked, joined with an equality key + time-range condition —
     the exact pattern Spark's state-cleanup planner recognizes.
+
+    Output columns are tagged by the ACTUAL event types (review finding
+    r7 — they were hardcoded ``click_*``/``purchase_*`` whatever the
+    parameters said): ``user_id, {left_type}_id, {left_type}_ts,
+    {right_type}_id, {right_type}_ts``. Equal left/right types get
+    ``_l``/``_r`` suffixes so names stay unambiguous.
     """
     schema = spark.read.parquet(path).schema
+    ltag, rtag = left_type, right_type
+    if ltag == rtag:
+        ltag, rtag = f"{left_type}_l", f"{right_type}_r"
 
     def side(tag: str, etype: str) -> DataFrame:
         s = spark.readStream.schema(schema).parquet(path)
@@ -54,17 +63,20 @@ def stream_stream_interval_join(
             .withWatermark(f"{tag}_ts", watermark)
         )
 
-    left = side("click", left_type)
-    right = side("purchase", right_type)
+    left = side(ltag, left_type)
+    right = side(rtag, right_type)
     cond = (
-        (F.col("click_user") == F.col("purchase_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+        (F.col(f"{ltag}_user") == F.col(f"{rtag}_user"))
+        & (F.col(f"{rtag}_ts") >= F.col(f"{ltag}_ts"))
+        & (
+            F.col(f"{rtag}_ts")
+            <= F.col(f"{ltag}_ts") + F.expr(f"INTERVAL {within}")
+        )
     )
     return left.join(right, cond, "inner").select(
-        F.col("click_user").alias("user_id"),
-        "click_id",
-        "click_ts",
-        "purchase_id",
-        "purchase_ts",
+        F.col(f"{ltag}_user").alias("user_id"),
+        f"{ltag}_id",
+        f"{ltag}_ts",
+        f"{rtag}_id",
+        f"{rtag}_ts",
     )

@@ -729,6 +729,12 @@ def test_normalize_text_expr_and_unicode(spark):
         (2, "Café du Marché"),          # precomposed é
         (3, "Café du Marché"),        # decomposed e + ́
         (4, "ﬁne ＴＥＸＴ"),  # ﬁ ligature + fullwidth TEXT
+            # non-Latin marks OUTSIDE U+0300-036F (review finding r7: the
+        # old class missed every other Mn block) - Cyrillic stress
+        # mark, Hebrew niqqud, Arabic harakat
+        (5, "\u0432\u043e\u0434\u0430\u0301"), (6, "\u0432\u043e\u0434\u0430"),
+        (7, "\u05e9\u05b8\u05c1\u05dc\u05d5\u05b9\u05dd"), (8, "\u05e9\u05dc\u05d5\u05dd"),
+        (9, "\u0645\u064e\u062f\u0652\u0631\u064e\u0633\u064e\u0629"), (10, "\u0645\u062f\u0631\u0633\u0629"),
     ]
     sdf = spark.createDataFrame(rows, "id bigint, t string")
     # expr tier: JVM only
@@ -746,11 +752,17 @@ def test_normalize_text_expr_and_unicode(spark):
     }
     assert out[2] == out[3] == "cafe du marche"
     assert out[4] == "fine text"
+    # cross-block mark stripping (the load-bearing r7 cases are the
+    # Hebrew niqqud and Arabic harakat rows — their marks live outside
+    # U+0300-036F and survived the old class)
+    assert out[5] == out[6]
+    assert out[7] == out[8]
+    assert out[9] == out[10]
     # differential vs python for the accent+NFKC pipeline
     for rid, raw in rows:
         s = "".join(
             ch for ch in unicodedata.normalize("NFD", raw.lower())
-            if not ("̀" <= ch <= "ͯ")
+            if unicodedata.category(ch) != "Mn"
         )
         s = unicodedata.normalize("NFKC", unicodedata.normalize("NFC", s))
         s = " ".join(s.replace("\x07", " ").split())

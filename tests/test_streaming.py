@@ -269,6 +269,22 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got, exp)
 
+    # output columns follow the ACTUAL event types (review finding r7:
+    # they were hardcoded click_*/purchase_*), with _l/_r suffixes when
+    # both sides name the same type
+    j2 = stream_stream_interval_join(
+        spark, src, left_type="error", right_type="click"
+    )
+    assert j2.columns == [
+        "user_id", "error_id", "error_ts", "click_id", "click_ts"
+    ]
+    j3 = stream_stream_interval_join(
+        spark, src, left_type="click", right_type="click"
+    )
+    assert j3.columns == [
+        "user_id", "click_l_id", "click_l_ts", "click_r_id", "click_r_ts"
+    ]
+
 
 def test_stream_to_parquet_exactly_once_restart(spark, sf_dir, tmp_path):
     """The checkpointed file sink must be exactly-once across a
