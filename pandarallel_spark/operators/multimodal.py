@@ -4,12 +4,13 @@ Media travel as opaque ``binary`` columns with a typed metadata struct —
 the lakehouse-standard layout (content + media_type + width/height/
 duration). The Spark-side machinery here is real and tested: schemas,
 Arrow batch shapes, ``mapInPandas`` signatures, partition sizing. The
-codec: ``decode_image`` REALLY decodes binary PPM (P6) and uncompressed
-24-bit BMP with numpy alone (pytest-verified on real byte payloads);
-formats that need an entropy decoder (JPEG/PNG — no PIL/ffmpeg in this
-container) fall back to a clearly-marked deterministic sha256 stub, or
-raise under ``require_real_codec=True``. Swapping in a full decoder
-changes one function, not the pipeline.
+codec: ``decode_image`` REALLY decodes binary PPM (P6), uncompressed
+24-bit BMP, and 8-bit non-interlaced PNG (stdlib zlib inflate + numpy
+scanline unfiltering — all five filters; pytest round-trip-verified
+against an in-test encoder). JPEG, which needs a Huffman/DCT stack this
+container lacks, falls back to a clearly-marked deterministic sha256
+stub, or raises under ``require_real_codec=True``. Swapping in a full
+decoder changes one function, not the pipeline.
 
 Scale notes: binary payloads dominate batch bytes, so decode stages cap
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.py) and
@@ -59,14 +60,130 @@ def _fake_decode(content: bytes, out_dim: int) -> np.ndarray:
     return rng.standard_normal(out_dim).astype("float32")
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> np.ndarray | None:
+    """Real PNG decode with stdlib ``zlib`` + numpy (r8 — closes the
+    "entropy-coded formats are stubbed" gap for PNG; JPEG still needs a
+    Huffman/DCT stack this container lacks). Spec coverage: 8-bit
+    non-interlaced greyscale (0), RGB (2), palette (3), grey+alpha (4),
+    RGBA (6); all five scanline filters (None/Sub/Up/Average/Paeth, RFC
+    2083 §6). 16-bit and Adam7-interlaced images return None (caller
+    decides stub vs raise). Chunk CRCs are not re-verified — the zlib
+    stream's Adler-32 already integrity-checks the pixel data, which is
+    what ``zlib.decompress`` enforces. Returns (H, W, 3) uint8; alpha
+    is dropped, grey replicated.
+
+    Filter notes: Up is fully vectorized (previous reconstructed row);
+    Sub is a per-channel byte cumsum (vectorized — uint32 accumulator,
+    wrap at the final uint8 cast); Average and Paeth carry a true
+    left-pixel data dependency, so they run a per-byte loop within the
+    scanline (rows stay independent of everything except the prior
+    reconstructed row).
+    """
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, plte = 8, None, None
+    idat_parts: list[bytes] = []
+    while pos + 8 <= len(content):
+        ln = int.from_bytes(content[pos:pos + 4], "big")
+        typ = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat_parts.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # data + 4B length/type each + 4B CRC (skipped)
+    if ihdr is None or len(ihdr) < 13 or not idat_parts:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if w <= 0 or h <= 0 or bit_depth != 8 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None or (color_type == 3 and plte is None):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat_parts))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    lines = np.frombuffer(
+        raw, dtype=np.uint8, count=h * (stride + 1)
+    ).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for y in range(h):
+        f = int(lines[y, 0])
+        cur = lines[y, 1:]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 1:  # Sub: per-channel byte cumsum, mod-256 wrap
+            out[y] = (
+                cur.reshape(w, bpp).astype(np.uint32).cumsum(axis=0)
+                .astype(np.uint8).reshape(-1)
+            )
+        elif f == 2:  # Up
+            out[y] = cur + prev  # uint8 add wraps mod 256
+        elif f == 3:  # Average
+            rec = out[y]
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = out[y]
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            return None
+    px = out.reshape(h, w, channels)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if color_type == 2:
+        return px.copy()
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if len(pal) % 3:
+            return None
+        pal = pal.reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            return None
+        return pal[idx].copy()
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    return px[:, :, :3].copy()  # RGBA → drop alpha
+
+
 def decode_image(content: bytes) -> np.ndarray | None:
-    """numpy-only image decode for two trivial PUBLIC formats — binary
-    PPM ("P6", the netpbm spec) and uncompressed 24-bit BMP (Windows
-    BITMAPINFOHEADER). Returns an (H, W, 3) uint8 array, or None when
-    the payload isn't one of these (caller decides fake vs raise).
-    Formats needing an entropy decoder (JPEG/PNG) stay out of scope in
-    this container — the point is a REAL byte-level decode path proving
-    the binary-column plumbing end to end."""
+    """numpy-only image decode for three PUBLIC formats — binary
+    PPM ("P6", the netpbm spec), uncompressed 24-bit BMP (Windows
+    BITMAPINFOHEADER), and 8-bit non-interlaced PNG (via stdlib zlib +
+    numpy unfiltering, ``decode_png``). Returns an (H, W, 3) uint8
+    array, or None when the payload isn't one of these (caller decides
+    fake vs raise). JPEG still needs an entropy/DCT stack this
+    container lacks — the sha256 stub stands in there."""
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
     if content[:2] == b"P6":
         # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raw RGB
         # '#' comments run to end of line anywhere in the header
@@ -180,7 +297,7 @@ def decode_features(
                 elif require_real_codec:
                     raise ValueError(
                         f"payload ({raw[:8]!r}...) is not a decodable "
-                        "PPM/BMP and require_real_codec=True"
+                        "PPM/BMP/PNG and require_real_codec=True"
                     )
                 else:
                     feats.append(_fake_decode(raw, out_dim).tolist())

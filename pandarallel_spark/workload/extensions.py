@@ -732,7 +732,29 @@ _BMP_HEADER = bytes.fromhex(
     "424d660000000000000036000000280000000400000004000000010018000000"
     "000030000000130b0000130b00000000000000000000"
 )
-_PPM_OFF, _BMP_OFF = 10_000_000, 20_000_000
+# PNG (NEW r8 — real inflate+unfilter decode, multimodal.decode_png):
+# a spec-valid 120-byte payload built ENTIRELY from JVM expressions by
+# using a STORED (uncompressed) deflate block, whose only data-dependent
+# trailer — the zlib Adler-32 — is closed-form for constant pixels:
+# raw scanlines = 4 x (filter 0x00 + 12 bytes of v), so
+# A = 1 + 48v, B = (52 + 1248v) mod 65521 (weights are the positions'
+# arithmetic series; verified against zlib.adler32 for all v). The
+# prefix is signature + IHDR(4x4, 8-bit RGB, CRC precomputed) + IDAT
+# header + zlib/stored-block header; the IDAT CRC is a dummy (the
+# decoder integrity-checks via Adler inside the zlib stream, not chunk
+# CRCs). NUL bytes keep it out of DuckDB VARCHARs, so like BMP its
+# sha256 is NULL both sides and decode correctness rides features_ok.
+_PNG_PREFIX = (
+    b"\x89PNG\r\n\x1a\n"
+    + bytes.fromhex("0000000d") + b"IHDR"
+    + bytes.fromhex("0000000400000004" + "0802000000" + "26930929")
+    + bytes.fromhex("0000003f") + b"IDAT"
+    + bytes.fromhex("7801" + "013400cbff")
+)
+_PNG_SUFFIX = bytes.fromhex("00000000") + bytes.fromhex(
+    "0000000049454e44ae426082"
+)
+_PPM_OFF, _BMP_OFF, _PNG_OFF = 10_000_000, 20_000_000, 30_000_000
 
 _MM_ORACLE = """
 WITH d AS (SELECT doc_id, text, CAST(doc_id % 126 + 1 AS INT) AS v FROM documents)
@@ -754,6 +776,12 @@ SELECT doc_id + 20000000 AS media_id, 'bmp' AS kind,
        CAST(NULL AS VARCHAR) AS content_sha256,
        TRUE AS features_ok
 FROM d
+UNION ALL
+SELECT doc_id + 30000000 AS media_id, 'png' AS kind,
+       CAST(120 AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS content_sha256,
+       TRUE AS features_ok
+FROM d
 """
 
 
@@ -761,16 +789,20 @@ FROM d
     "multimodal_features",
     _MM_ORACLE,
     "Binary media plumbing with a HARD oracle (error-contract pattern, "
-    "like the sketch queries): three media kinds per document — utf-8 "
-    "text payloads plus constructed constant-pixel PPM and BMP images "
-    "(pixel value doc_id%126+1) that the REAL numpy decoder must parse. "
-    "DuckDB rebuilds the exact text/PPM payload bytes and checks "
-    "sha256 (proves the binary column rides synthesize->mapInPandas "
-    "untouched) plus n_bytes; features_ok is a Spark-side contract "
-    "boolean asserted literal TRUE: image rows decoded for real, all "
-    "16 feature slots equal, and equal to the analytically known luma "
-    "value v*(0.299+0.587+0.114)/255; text rows NOT image-decodable "
-    "with finite stub features. BMP headers contain NUL bytes DuckDB "
+    "like the sketch queries): FOUR media kinds per document — utf-8 "
+    "text payloads plus constructed constant-pixel PPM, BMP, and (NEW "
+    "r8) PNG images (pixel value doc_id%126+1) that the REAL numpy "
+    "decoders must parse — the PNG kind exercises the full zlib "
+    "inflate + scanline-unfilter path (multimodal.decode_png) on a "
+    "payload assembled from pure JVM expressions via a stored-deflate "
+    "block and a closed-form Adler-32. DuckDB rebuilds the exact "
+    "text/PPM payload bytes and checks sha256 (proves the binary "
+    "column rides synthesize->mapInPandas untouched) plus n_bytes; "
+    "features_ok is a Spark-side contract boolean asserted literal "
+    "TRUE: image rows decoded for real, all 16 feature slots equal, "
+    "and equal to the analytically known luma value "
+    "v*(0.299+0.587+0.114)/255; text rows NOT image-decodable with "
+    "finite stub features. BMP/PNG payloads contain NUL bytes DuckDB "
     "VARCHARs can't hold, so their sha256 is NULL both sides; their "
     "decode correctness rides the contract boolean. The digest is "
     "computed JVM-side and rides the Arrow batch as a passthrough "
@@ -789,9 +821,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             content.alias("content"),
         )
 
-    # ONE scan of documents fanning out to the three media kinds via
-    # explode — a per-kind union would scan the table three times
-    # (3× IO at 100 TB for identical rows)
+    # PNG raw scanline: filter byte 0x00 + 12 pixel bytes, 4 lines; the
+    # zlib stream's Adler-32 is closed-form in v (A = 1 + 48v,
+    # B = (52 + 1248v) mod 65521 — verified vs zlib.adler32), emitted
+    # as 4 big-endian bytes via hex/unhex
+    png_line = F.concat(F.lit(b"\x00"), F.encode(F.repeat(F.char(v), 12), "UTF-8"))
+    v_long = v.cast("long")
+    adler = (
+        F.pmod(F.lit(52) + F.lit(1248) * v_long, F.lit(65521)) * F.lit(65536)
+        + (F.lit(1) + F.lit(48) * v_long)
+    )
+    adler_bytes = F.unhex(F.lpad(F.hex(adler), 8, "0"))
+    png = F.concat(
+        F.lit(_PNG_PREFIX), png_line, png_line, png_line, png_line,
+        adler_bytes, F.lit(_PNG_SUFFIX),
+    )
+    # ONE scan of documents fanning out to the four media kinds via
+    # explode — a per-kind union would scan the table four times
+    # (4× IO at 100 TB for identical rows)
     media = (
         docs.select(
             F.explode(
@@ -799,6 +846,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     entry(did, "image/fake", F.encode(F.col("text"), "UTF-8")),
                     entry(did + _PPM_OFF, "image/ppm", F.concat(F.lit(_PPM_HEADER), pix)),
                     entry(did + _BMP_OFF, "image/bmp", F.concat(F.lit(_BMP_HEADER), pix)),
+                    entry(did + _PNG_OFF, "image/png", png),
                 )
             ).alias("m")
         )
@@ -811,11 +859,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _mm.decode_features(media, passthrough=["content_sha256"])
     mid = F.col("media_id")
     kind = (
-        F.when(mid >= _BMP_OFF, F.lit("bmp"))
+        F.when(mid >= _PNG_OFF, F.lit("png"))
+        .when(mid >= _BMP_OFF, F.lit("bmp"))
         .when(mid >= _PPM_OFF, F.lit("ppm"))
         .otherwise(F.lit("text"))
     )
-    base_id = F.when(mid >= _BMP_OFF, mid - _BMP_OFF).otherwise(mid - _PPM_OFF)
+    base_id = (
+        F.when(mid >= _PNG_OFF, mid - _PNG_OFF)
+        .when(mid >= _BMP_OFF, mid - _BMP_OFF)
+        .otherwise(mid - _PPM_OFF)
+    )
     vv = (F.pmod(base_id, F.lit(126)) + 1).cast("double")
     # mirror image_features' float64 op order exactly, then the float32
     # cast; compare at 1e-6 to stay robust to any platform rounding

@@ -226,6 +226,103 @@ def test_real_image_decode_roundtrip():
     assert multimodal.decode_image(_bmp_bytes(img)[:40]) is None
 
 
+def _png_bytes(img, color_type=2, filters=None, palette=None, interlace=0):
+    """Spec-following PNG encoder for the round-trip tests: real zlib
+    stream, real chunk CRCs, arbitrary per-scanline filter choice (the
+    decoder must UNDO whichever filter each line declares)."""
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    data = img.reshape(h, w * ch).astype(np.int32)
+    filters = filters or [0] * h
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        cur = data[y]
+        prev = data[y - 1] if y else np.zeros(w * ch, dtype=np.int32)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            enc = cur - (left + prev) // 2
+        else:  # Paeth
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = cur - pred
+        raw += bytes([f]) + (enc % 256).astype(np.uint8).tobytes()
+
+    def chunk(typ, payload):
+        return (
+            len(payload).to_bytes(4, "big") + typ + payload
+            + zlib.crc32(typ + payload).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, interlace])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    comp = zlib.compress(bytes(raw))
+    # split IDAT in two to exercise multi-chunk reassembly
+    mid = len(comp) // 2
+    out += chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decode_roundtrip():
+    """decode_png must invert every scanline filter and color type the
+    encoder can emit: RGB under all five filters, greyscale, RGBA
+    (alpha dropped), grey+alpha, palette; multi-chunk IDAT; and refuse
+    interlaced, 16-bit, corrupt-adler, and truncated payloads."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    for filters in ([0] * 6, [1] * 6, [2] * 6, [3] * 6, [4] * 6,
+                    [0, 1, 2, 3, 4, 2]):
+        got = multimodal.decode_image(_png_bytes(img, 2, list(filters)))
+        assert got is not None and np.array_equal(got, img), filters
+    grey = rng.integers(0, 256, (4, 9), dtype=np.uint8)
+    got = multimodal.decode_png(_png_bytes(grey, 0, [4, 1, 3, 2]))
+    assert np.array_equal(got, np.repeat(grey[:, :, None], 3, axis=2))
+    rgba = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    got = multimodal.decode_png(_png_bytes(rgba, 6, [1, 4, 3]))
+    assert np.array_equal(got, rgba[:, :, :3])
+    ga = rng.integers(0, 256, (3, 4, 2), dtype=np.uint8)
+    got = multimodal.decode_png(_png_bytes(ga, 4, [2, 4, 1]))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, (4, 6), dtype=np.uint8)
+    got = multimodal.decode_png(_png_bytes(idx, 3, None, palette=pal.tobytes()))
+    assert np.array_equal(got, pal[idx])
+    # refusals: interlaced, corrupt zlib, truncation, out-of-range index
+    assert multimodal.decode_png(_png_bytes(img, 2, None, interlace=1)) is None
+    good = _png_bytes(img, 2)
+    corrupt = bytearray(good)
+    corrupt[-20] ^= 0xFF  # inside the second IDAT payload
+    assert multimodal.decode_png(bytes(corrupt)) is None
+    assert multimodal.decode_png(good[:40]) is None
+    bad_idx = np.full((2, 2), 9, dtype=np.uint8)
+    assert multimodal.decode_png(
+        _png_bytes(bad_idx, 3, None, palette=pal.tobytes())
+    ) is None
+
+
 def test_real_codec_features_through_spark(spark):
     """End-to-end: real PPM/BMP payloads through the distributed decode
     stage under require_real_codec=True, features = hand-computed luma
