@@ -392,3 +392,54 @@ def test_scale_audit_reads_plan_facts(spark, sf_dir):
     assert a1.single_partition_exchanges == 1 and a1.exchanges == 1
     aw = scale_audit(li.orderBy("l_orderkey").select("l_orderkey"))
     assert aw.exchanges >= 1 and aw.single_partition_exchanges == 0
+
+
+def test_registry_scale_audit(spark, sf_dir):
+    """Registry-wide scale gate (r8): the compile-time physical plan of
+    EVERY graded query must obey the scale contract — no
+    single-partition exchange (a total-order sort is one task doing all
+    the work), no row-at-a-time Python stage, no cartesian/nested-loop
+    join — except the explicitly allowed exceptions below, each tied to
+    a documented design decision. A regression that quietly serializes
+    a plan now fails CI instead of surfacing as a 100x cluster
+    straggler."""
+    from pandarallel_spark.plans import scale_audit
+    from pandarallel_spark.workload import REGISTRY, queries
+
+    queries()  # force registration
+    allowed_single_partition = {
+        # the ewm contract row grades the DISTRIBUTED scans against a
+        # sequential stock-pandas reference branch: that reference is
+        # single-partition BY DESIGN (the graded boolean is precisely
+        # "distributed == sequential"), and only ~30 anchor rows flow
+        # through the final plan
+        "ewm_mean_purchase_cents": 4,
+    }
+    allowed_nested_loop = {
+        # documented bounded broadcasts: BM25's corpus-stats scalar row
+        # (one row broadcast to all docs) and the sketch row's percent
+        # anchors — broadcast nested loops over 1-row build sides
+        "bm25_topk": 2,
+        "sketches_error_contracts": 2,
+        "mean_token_docfreq": 1,
+        "text_stats": 1,
+    }
+    failures = []
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        a = scale_audit(df)
+        if a.single_partition_exchanges > allowed_single_partition.get(name, 0):
+            failures.append(
+                f"{name}: {a.single_partition_exchanges} single-partition "
+                f"exchanges (allowed {allowed_single_partition.get(name, 0)})"
+            )
+        if a.python_row_stages:
+            failures.append(
+                f"{name}: {a.python_row_stages} row-at-a-time Python stages"
+            )
+        if a.nested_loop_joins > allowed_nested_loop.get(name, 0):
+            failures.append(
+                f"{name}: {a.nested_loop_joins} nested-loop/cartesian joins "
+                f"(allowed {allowed_nested_loop.get(name, 0)})"
+            )
+    assert not failures, "scale contract violations:\n" + "\n".join(failures)
