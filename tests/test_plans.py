@@ -407,22 +407,37 @@ def test_registry_scale_audit(spark, sf_dir):
     from pandarallel_spark.workload import REGISTRY, queries
 
     queries()  # force registration
+    # every allowance names a BOUNDED-INPUT or semantically-forced
+    # single partition — verified by reading the plan and the operator:
     allowed_single_partition = {
-        # the ewm contract row grades the DISTRIBUTED scans against a
-        # sequential stock-pandas reference branch: that reference is
-        # single-partition BY DESIGN (the graded boolean is precisely
-        # "distributed == sequential"), and only ~30 anchor rows flow
-        # through the final plan
-        "ewm_mean_purchase_cents": 4,
+        # two-phase GLOBAL corpus-stats aggregate: the exchange carries
+        # one PARTIAL row per upstream partition into the final
+        # HashAggregate — the normal global-agg shape, not a data sort
+        "bm25_topk": 1,
+        # axis=0 UDF reduce (reference op #2): pandas hands the WHOLE
+        # column to one opaque func — not distributable by definition;
+        # builtin-name aggs route to JVM partial aggregation instead
+        "col_apply_range": 1,
+        # bucket-carry chain: cumulative window over the per-bucket
+        # summary table (≤ buckets+1 rows), broadcast back — bounded
+        "global_asof_purchase_before_click": 1,
+        # expanding branch's broadcast-carry prefix scan: cumulative
+        # window over ≤ n_buckets per-bucket aggregate rows — bounded
+        "rolling_scans_global": 1,
+        # the contract row's three sequential stock-pandas REFERENCE
+        # branches (mean/var/times): the graded boolean is precisely
+        # "distributed scan == sequential scan", so one-task references
+        # exist BY DESIGN; ~30 anchor rows reach the final output
+        "ewm_mean_purchase_cents": 3,
     }
     allowed_nested_loop = {
-        # documented bounded broadcasts: BM25's corpus-stats scalar row
-        # (one row broadcast to all docs) and the sketch row's percent
-        # anchors — broadcast nested loops over 1-row build sides
-        "bm25_topk": 2,
-        "sketches_error_contracts": 2,
-        "mean_token_docfreq": 1,
-        "text_stats": 1,
+        # the graded row kind-tags BOTH execution forms; the expr form
+        # is the documented small-side all-pairs baseline whose scale
+        # twins (LSH/IVF) are graded in their own rows
+        "similarity_topk": 1,
+        # the 1-row corpus-stats build side broadcast to every doc —
+        # the documented bounded broadcast (operators/text.py BM25)
+        "bm25_topk": 1,
     }
     failures = []
     for name in sorted(REGISTRY):
