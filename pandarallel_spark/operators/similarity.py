@@ -499,6 +499,229 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _pq_kmeans_codebooks(
+    sub_mat: np.ndarray, n_codes: int, iters: int, seed: int
+) -> np.ndarray:
+    """Plain seeded Lloyd over one subspace's residual rows, centroids
+    rounded back to the int64 quantization grid at the end so every
+    downstream distance/ADC term stays exact integer arithmetic.
+    Deterministic for fixed data/seed/iters (numpy ops, argmin
+    first-occurrence ties), but not SQL-reproducible — use
+    ``train="anchors"`` when an external oracle must replay the index.
+    Empty clusters re-seed to the farthest point (classic fix)."""
+    rng = np.random.default_rng(seed)
+    n = len(sub_mat)
+    init = rng.choice(n, size=min(n_codes, n), replace=False)
+    cent = sub_mat[np.sort(init)].astype("float64")
+    if len(cent) < n_codes:  # degenerate tiny corpus: pad by repeating
+        cent = np.concatenate([cent, cent[: n_codes - len(cent)]])
+    x = sub_mat.astype("float64")
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(axis=1)
+        for c in range(n_codes):
+            mask = a == c
+            if mask.any():
+                cent[c] = x[mask].mean(axis=0)
+            else:
+                cent[c] = x[d.min(axis=1).argmax()]
+    return np.trunc(cent + np.copysign(0.5, cent)).astype("int64")
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 32,
+    dim: int | None = None,
+    train: str = "anchors",
+    by_residual: bool = True,
+    seed: int = 0,
+    kmeans_iters: int = 8,
+    sample_n: int = 4096,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011; the faiss ``IVFPQ``
+    layout): corpus vectors live in inverted lists keyed by nearest
+    coarse centroid and are stored as ``m`` sub-space code bytes — at
+    dim=64 float32 that is a 32× memory compression, which is what
+    makes a 100 TB embedding corpus searchable from executor memory at
+    all. Queries probe ``nprobe`` lists, score candidates with
+    Asymmetric Distance Computation (one ``m × n_codes`` lookup table
+    of exact int64 sub-space dot products per query — candidates are
+    never decoded), shortlist the ADC top-``rerank``, then exact-rerank
+    the shortlist with true vectors for the final top-k.
+
+    ``train="anchors"`` builds codebooks from the first ``n_codes``
+    corpus vectors' residuals — fully deterministic AND reproducible by
+    the DuckDB oracle in pure SQL (the same convention ``ivf_topk``
+    uses for its centroids); ``train="kmeans"`` runs seeded Lloyd over
+    a bounded residual sample on the driver (the production form;
+    deterministic for fixed seed, pytest-covered by recall tests).
+    ``by_residual=True`` encodes ``vec − coarse_centroid`` (the classic
+    IVFPQ layout — residuals have smaller norms, so a fixed codebook
+    wastes less of its resolution); ADC then scores
+    ``dot(q, centroid) + Σ_j table[j][code_j]``. All arithmetic is on
+    the shared 1e4 int64 quantization grid → bit-identical across
+    engines; every tie (coarse assign, code argmin, both top-k
+    windows) breaks to the smaller id/index.
+
+    Scale shape: encoding is ONE Arrow-batched pass over the corpus
+    scan (two BLAS ops per batch; at 100 TB it runs once at ingest and
+    persists (list_id, codes[, vec])); the probe table with its ADC
+    tables is queries×nprobe rows, broadcast; ADC scoring is pure JVM
+    ``element_at`` codegen over the broadcast join — no Python, no
+    decode; the only shuffles are the two bounded per-query top-k
+    windows (candidates, then the ``rerank`` shortlist).
+    """
+    if train not in ("anchors", "kmeans"):
+        raise ValueError(f"train must be 'anchors' or 'kmeans', got {train!r}")
+    _require_integral_ids("ivf_pq_topk", id_col, queries, corpus)
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col, "ivf_pq_topk")
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    if not cent_rows:
+        raise ValueError("ivf_pq_topk: corpus is empty")
+    c_mat = _np_quant(np.array([list(r[vec_col]) for r in cent_rows]))
+    cent_ids = np.array([r[id_col] for r in cent_rows], dtype="int64")
+
+    # --- codebooks: (m, n_codes, sub) int64 -------------------------------
+    if train == "anchors":
+        a_rows = (
+            corpus.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+        )
+        a_mat = _np_quant(np.array([list(r[vec_col]) for r in a_rows]))
+        if len(a_mat) < n_codes:  # tiny corpus: repeat anchors
+            reps = -(-n_codes // len(a_mat))
+            a_mat = np.tile(a_mat, (reps, 1))[:n_codes]
+        if by_residual:
+            a_mat = a_mat - c_mat[np.argmax(a_mat @ c_mat.T, axis=1)]
+        cb = a_mat.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()
+    else:
+        s_rows = (
+            corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+        )
+        s_mat = _np_quant(np.array([list(r[vec_col]) for r in s_rows]))
+        if by_residual:
+            s_mat = s_mat - c_mat[np.argmax(s_mat @ c_mat.T, axis=1)]
+        rs = s_mat.reshape(len(s_mat), m, sub)
+        cb = np.stack([
+            _pq_kmeans_codebooks(rs[:, j, :], n_codes, kmeans_iters, seed + j)
+            for j in range(m)
+        ])
+
+    # --- encode: one Arrow pass over the corpus scan ----------------------
+    vec_type = dict(corpus.dtypes)[vec_col]
+
+    def encode_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b = _np_quant(np.stack(pdf[vec_col].apply(np.asarray).to_numpy()))
+            idx = np.argmax(b @ c_mat.T, axis=1)
+            resid = (b - c_mat[idx]) if by_residual else b
+            rs = resid.reshape(len(b), m, sub)
+            # d[b, j, c] = |rs[b,j] − cb[j,c]|² — int64 exact; argmin
+            # first-occurrence = smallest code on ties
+            d = ((rs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
+            codes = d.argmin(axis=2).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "c_id": pdf[id_col].to_numpy(),
+                    "__cvec__": pdf[vec_col],
+                    "__cid__": cent_ids[idx],
+                    "__codes__": list(codes),
+                }
+            )
+
+    from pandarallel_spark.operators.apply import _widen
+
+    enc = _widen(corpus.select(id_col, vec_col)).mapInPandas(
+        encode_batches,
+        f"c_id bigint, __cvec__ {vec_type}, __cid__ bigint, __codes__ array<int>",
+    )
+
+    # --- probes: nprobe lists + the per-query ADC table, broadcast --------
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    if qpdf.empty:
+        return queries.sparkSession.createDataFrame(
+            [], "q_id bigint, c_id bigint, score bigint, rank bigint"
+        )
+    q_mat = _np_quant(np.stack(qpdf[vec_col].apply(np.asarray).to_numpy()))
+    qs = q_mat @ c_mat.T  # (nq, n_centroids) int64
+    order = np.argsort(-qs, axis=1, kind="stable")[:, :nprobe]
+    # table[q][j*n_codes + c] = dot(q_sub_j, cb[j][c]) — int64 exact
+    qtab = np.einsum(
+        "qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), cb
+    ).reshape(len(q_mat), m * n_codes)
+    nq, npb = len(qpdf), order.shape[1]
+    probes = queries.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {
+                "q_id": np.repeat(qpdf[id_col].to_numpy(), npb),
+                "__qvec__": [qpdf[vec_col].iloc[i] for i in range(nq) for _ in range(npb)],
+                "__cid__": cent_ids[order.ravel()],
+                "__qcent__": np.take_along_axis(qs, order, axis=1).ravel()
+                if by_residual
+                else np.zeros(nq * npb, dtype="int64"),
+                "__qtab__": [qtab[i].tolist() for i in range(nq) for _ in range(npb)],
+            }
+        ),
+        schema=(
+            f"q_id bigint, __qvec__ {vec_type}, __cid__ bigint, "
+            "__qcent__ bigint, __qtab__ array<bigint>"
+        ),
+    )
+
+    # --- ADC: pure element_at codegen over the broadcast join -------------
+    adc = F.col("__qcent__") + sum(
+        (
+            F.element_at(
+                F.col("__qtab__"),
+                (
+                    F.lit(j * n_codes + 1)
+                    + F.element_at(F.col("__codes__"), j + 1)
+                ).cast("int"),
+            )
+            for j in range(m)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(enc, "__cid__")
+        .select("q_id", "c_id", "__qvec__", "__cvec__", adc.alias("__adc__"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("__adc__").desc(), F.col("c_id"))
+    shortlist = (
+        cand.withColumn("__arnk__", F.row_number().over(w_adc))
+        .filter(F.col("__arnk__") <= rerank)
+    )
+    score = F.expr(
+        " + ".join(
+            f"{_qel_sql('__qvec__', i)}*{_qel_sql('__cvec__', i)}" for i in range(dim)
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        shortlist.select("q_id", "c_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 PLANE_QUANT = 1_000_000
 
 

@@ -477,10 +477,60 @@ scored AS (
   SELECT p.q_id, a.vec_id AS c_id,
     CAST(list_sum([q.qv[i]*c.qv[i] FOR i IN range(1, len(q.qv)+1)]) AS BIGINT) AS score
   FROM probe p JOIN assign a USING (cid)
-  JOIN v q ON q.vec_id = p.q_id JOIN v c ON c.vec_id = a.vec_id)
-SELECT q_id, c_id, score, CAST(rank AS BIGINT) AS rank FROM (
+  JOIN v q ON q.vec_id = p.q_id JOIN v c ON c.vec_id = a.vec_id),
+-- ---- IVF-PQ branch: replay the whole index in SQL ----
+-- anchor codebooks: residuals of the first 16 corpus vectors, codes
+-- numbered by vec_id rank (matches the operator's anchor order)
+anch AS (
+  SELECT row_number() OVER (ORDER BY a.vec_id) - 1 AS code,
+         [a.qv[i] - c.cv[i] FOR i IN range(1, 65)] AS rv
+  FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 16) a
+  JOIN assign s ON s.vec_id = a.vec_id
+  JOIN cent c ON c.cid = s.cid),
+cb AS (
+  SELECT r.j, anch.code, [anch.rv[r.j*8 + t] FOR t IN range(1, 9)] AS cw
+  FROM anch, range(8) r(j)),
+resid AS (
+  SELECT v.vec_id, [v.qv[i] - c.cv[i] FOR i IN range(1, 65)] AS rv
+  FROM v JOIN assign s ON s.vec_id = v.vec_id JOIN cent c ON c.cid = s.cid),
+cdist AS (
+  SELECT r.vec_id, b.j, b.code,
+    list_sum([(r.rv[b.j*8 + t] - b.cw[t]) * (r.rv[b.j*8 + t] - b.cw[t])
+              FOR t IN range(1, 9)]) AS d
+  FROM resid r, cb b),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+    FROM cdist) WHERE rn = 1),
+qtab AS (
+  SELECT q.vec_id AS q_id, b.j, b.code,
+    CAST(list_sum([q.qv[b.j*8 + t] * b.cw[t] FOR t IN range(1, 9)]) AS BIGINT) AS tv
+  FROM (SELECT vec_id, qv FROM v WHERE vec_id < 10) q, cb b),
+adc AS (
+  SELECT p.q_id, a.vec_id AS c_id, MAX(qc.s) + SUM(t.tv) AS adc
+  FROM probe p
+  JOIN assign a USING (cid)
+  JOIN cscore qc ON qc.vec_id = p.q_id AND qc.cid = p.cid
+  JOIN codes co ON co.vec_id = a.vec_id
+  JOIN qtab t ON t.q_id = p.q_id AND t.j = co.j AND t.code = co.code
+  GROUP BY p.q_id, a.vec_id),
+short AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rn
+    FROM adc) WHERE rn <= 32),
+pq_scored AS (
+  SELECT s.q_id, s.c_id,
+    CAST(list_sum([q.qv[i]*c.qv[i] FOR i IN range(1, 65)]) AS BIGINT) AS score
+  FROM short s JOIN v q ON q.vec_id = s.q_id JOIN v c ON c.vec_id = s.c_id)
+SELECT 'ivf' AS kind, q_id, c_id, score, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
   FROM scored)
+WHERE rank <= 5
+UNION ALL
+SELECT 'ivfpq' AS kind, q_id, c_id, score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+  FROM pq_scored)
 WHERE rank <= 5
 """
 
@@ -488,18 +538,33 @@ WHERE rank <= 5
 @register(
     "similarity_ivf_topk",
     _IVF_ORACLE,
-    "IVF-Flat ANN top-5: corpus assigned to 16 inverted lists by nearest "
-    "centroid (pure projection, no shuffle), queries probe their 4 "
-    "closest lists, exact int64 rerank inside. Candidate work drops "
-    "n_centroids/nprobe-fold vs brute force; assignment would be "
-    "precomputed at ingest at scale.",
+    "Both IVF execution forms, kind-tagged in ONE graded row (r8). "
+    "kind=ivf: IVF-Flat ANN top-5 — corpus assigned to 16 inverted "
+    "lists by nearest centroid (pure projection, no shuffle), queries "
+    "probe their 4 closest lists, exact int64 rerank inside. "
+    "kind=ivfpq (NEW r8): IVF-PQ (Jegou et al. TPAMI'11) — the 100 TB "
+    "memory path: residual vectors stored as 8 sub-space codes (32x "
+    "compression at dim 64/float32), candidates scored by Asymmetric "
+    "Distance Computation from a per-query int64 lookup table (pure "
+    "element_at codegen over a broadcast probe join, candidates never "
+    "decoded), ADC top-32 shortlist exact-reranked to the final top-5. "
+    "Anchor-trained codebooks (first-16 residuals) keep the whole "
+    "index SQL-reproducible — the oracle replays coarse assignment, "
+    "code argmin, ADC tables, shortlist, and rerank bit-for-bit; the "
+    "k-means training path is pytest-covered (recall + determinism).",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    out = _sim.ivf_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, nprobe=4
+    q = emb.filter(F.col("vec_id") < 10)
+    ivf = _sim.ivf_topk(q, emb, k=5, n_centroids=16, nprobe=4).select(
+        F.lit("ivf").alias("kind"),
+        "q_id", "c_id", "score", F.col("rank").cast("bigint").alias("rank"),
     )
-    return out.select("q_id", "c_id", "score", F.col("rank").cast("bigint").alias("rank"))
+    pq = _sim.ivf_pq_topk(
+        q, emb, k=5, n_centroids=16, nprobe=4, m=8, n_codes=16, rerank=32,
+        train="anchors",
+    ).select(F.lit("ivfpq").alias("kind"), "q_id", "c_id", "score", "rank")
+    return ivf.unionByName(pq)
 
 
 _CPL_BANDS, _CPL_R, _CPL_SEED, _CPL_DIM, _CPL_THRESH = 16, 4, 202, 64, 0.4

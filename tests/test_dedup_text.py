@@ -887,3 +887,54 @@ def test_exact_dedup_keep_by_policy(spark):
     # default policy unchanged: min id
     out2 = exact_dedup(sdf, ["k"], "id").toPandas()
     assert sorted(out2.id) == [1, 4]
+
+
+def test_ivf_pq_recall_determinism_and_rejections(spark, sf_dir):
+    """IVF-PQ (r8): both training modes hit a recall floor against the
+    exact brute-force top-k, the k-means path is deterministic across
+    builds (seeded Lloyd, int-grid centroids), every query returns
+    exactly k rows, and the shape guards fire."""
+    import numpy as np
+
+    from pandarallel_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in similarity.topk_numpy(q, emb, k=5).collect():
+        exact.setdefault(r.q_id, set()).add(r.c_id)
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.q_id, set()).add(r.c_id)
+        assert all(len(v) == 5 for v in got.values())  # k rows per query
+        return float(np.mean([
+            len(got.get(qid, set()) & v) / len(v) for qid, v in exact.items()
+        ]))
+
+    kw = dict(k=5, n_centroids=16, nprobe=4, m=8, n_codes=16, rerank=32)
+    r_anchor = recall(similarity.ivf_pq_topk(q, emb, train="anchors", **kw).collect())
+    km1 = similarity.ivf_pq_topk(q, emb, train="kmeans", seed=7, **kw).collect()
+    km2 = similarity.ivf_pq_topk(q, emb, train="kmeans", seed=7, **kw).collect()
+    assert sorted(map(tuple, km1)) == sorted(map(tuple, km2))  # deterministic
+    r_kmeans = recall(km1)
+    # measured 0.90 / 0.94 at sf0.01 — generous floors so codebook
+    # tweaks don't flap the test, tight enough to catch a broken ADC
+    assert r_anchor >= 0.75, r_anchor
+    assert r_kmeans >= 0.8, r_kmeans
+    # ADC ordering is load-bearing: with rerank >= corpus/nprobe the
+    # shortlist covers every probed candidate, so results must EQUAL
+    # ivf_topk's exact-rerank output row for row
+    full = similarity.ivf_pq_topk(
+        q, emb, k=5, n_centroids=16, nprobe=4, m=8, n_codes=16,
+        rerank=10_000, train="anchors",
+    ).collect()
+    flat = similarity.ivf_topk(q, emb, k=5, n_centroids=16, nprobe=4).collect()
+    assert sorted((r.q_id, r.c_id, r.score) for r in full) == sorted(
+        (r.q_id, r.c_id, r.score) for r in flat
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.ivf_pq_topk(q, emb, m=7)
+    with pytest.raises(ValueError, match="anchors"):
+        similarity.ivf_pq_topk(q, emb, train="pca")

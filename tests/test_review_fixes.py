@@ -115,7 +115,8 @@ def test_similarity_scale_paths_reject_non_integral_ids(spark):
             {"vec_id": ["a", "b"], "embedding": [[1.0, 0.0], [0.0, 1.0]]}
         )
     )
-    for fn in (similarity.topk_numpy, similarity.ivf_topk, similarity.lsh_bucketed_topk):
+    for fn in (similarity.topk_numpy, similarity.ivf_topk,
+               similarity.lsh_bucketed_topk, similarity.ivf_pq_topk):
         with pytest.raises(TypeError, match="integral id"):
             fn(emb, emb, k=1)
 
