@@ -165,3 +165,68 @@ def stratified_sample(
     default_cut = F.lit(int(round(default_fraction * _HASH_BUCKETS)))
     cut = default_cut if cut is None else cut.otherwise(default_cut)
     return df.filter(b < cut)
+
+
+def aes_key(id_col: Column | str, weight_col: Column | str, seed: int = 42) -> Column:
+    """The Efraimidis–Spirakis A-ES sampling key in its log form:
+    ``ln(u) / w`` with ``u`` a deterministic md5 uniform in (0, 1] —
+    the top-k rows by this key (descending) are a weighted sample
+    WITHOUT replacement with inclusion probabilities proportional to
+    ``w`` (Efraimidis & Spirakis, IPL 2006: keys u^(1/w); ln/w is the
+    same order, numerically safer). ``u = (h + 1) / 2^32`` with ``h``
+    the first 8 md5 hex chars — a power-of-two denominator, so the
+    double is EXACT and both Spark and any SQL engine feed ``ln``
+    identical inputs; selection depends only on key comparisons, so it
+    is engine-stable unless two keys collide within float error
+    (~2^-50 per pair under md5 uniforms)."""
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(idc.cast("string"), F.lit(f":{seed}"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**32))
+    return F.log(u) / w
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Weighted sample of ``k`` rows WITHOUT replacement, inclusion
+    probability proportional to ``weight_col`` (A-ES, see ``aes_key``)
+    — e.g. "take 100k documents favoring high quality scores". Like
+    everything in this module it is content-hash deterministic: the
+    same (id, weight, seed) draws the same sample on any cluster size,
+    rerun, or engine.
+
+    Rows with NULL ids or NULL/non-positive weights are excluded (a
+    zero-weight row has inclusion probability zero by definition;
+    NULL md5 keys would otherwise sort arbitrarily).
+
+    Scale shape — global form: ``ORDER BY key LIMIT k`` plans as
+    TakeOrderedAndProject (each task keeps its local top-k; only
+    tasks×k rows reach the driver-side merge — never a total sort).
+    Grouped form (``keys``): one shuffle on the group key, ranking
+    window per group.
+    """
+    key = aes_key(id_col, weight_col, seed)
+    w = F.col(weight_col).cast("double")
+    src = df.filter(F.col(id_col).isNotNull() & w.isNotNull() & (w > 0))
+    if keys:
+        win = Window.partitionBy(*keys).orderBy(
+            key.desc(), F.col(id_col).asc()
+        )
+        return (
+            src.withColumn("__rn__", F.row_number().over(win))
+            .filter(F.col("__rn__") <= k)
+            .drop("__rn__")
+        )
+    return src.orderBy(key.desc(), F.col(id_col).asc()).limit(k)

@@ -1427,26 +1427,49 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stratified_sample_sources",
     f"""
-SELECT doc_id, source FROM documents
+SELECT 'stratified' AS kind, doc_id, source FROM documents
 WHERE ({_H.format(b=_B)}) <
   CASE WHEN source IN ('src0','src1') THEN {int(round(0.9 * _B))}
        WHEN source IN ('src2','src3','src4') THEN {int(round(0.5 * _B))}
        ELSE {int(round(0.1 * _B))} END
+UNION ALL
+SELECT 'weighted' AS kind, doc_id, source FROM (
+  SELECT doc_id, source,
+    ln((CAST('0x' || substr(md5(doc_id || ':77'), 1, 8) AS BIGINT) + 1)
+       / 4294967296.0) / n_chars AS aes
+  FROM documents WHERE n_chars > 0
+  ORDER BY aes DESC, doc_id LIMIT 40)
 """,
-    "Data-mixing stratified sample: keep 90% of two premium sources, "
-    "50% of three mid sources, 10% of the rest — per-stratum "
-    "deterministic hash sampling (operators/sampling.py), a pure filter "
-    "over the scan (no shuffle, no sampling pass), stable under reruns/"
-    "appends/cluster resizing unlike sampleBy's per-partition draws.",
+    "Two sampling modes, kind-tagged in ONE graded row. "
+    "kind=stratified: data-mixing stratified sample — keep 90% of two "
+    "premium sources, 50% of three mid sources, 10% of the rest "
+    "(per-stratum deterministic hash cut, a pure filter over the scan, "
+    "no shuffle, stable under reruns/appends unlike sampleBy's "
+    "per-partition draws). kind=weighted (NEW r8): A-ES weighted "
+    "sample WITHOUT replacement (Efraimidis-Spirakis IPL'06) — top-40 "
+    "docs with inclusion probability proportional to n_chars via the "
+    "key ln(u)/w, u a deterministic md5 uniform over a power-of-two "
+    "denominator so both engines feed ln identical doubles; plans as "
+    "TakeOrderedAndProject (per-task local top-k, never a total sort).",
 )
 def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pandarallel_spark.operators.sampling import stratified_sample
+    from pandarallel_spark.operators.sampling import (
+        stratified_sample,
+        weighted_sample,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    return stratified_sample(
+    strat = stratified_sample(
         docs,
         "source",
         {"src0": 0.9, "src1": 0.9, "src2": 0.5, "src3": 0.5, "src4": 0.5},
         "doc_id",
         default_fraction=0.1,
+    ).select(F.lit("stratified").alias("kind"), "doc_id", "source")
+    wdocs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
     )
+    weighted = weighted_sample(wdocs, "doc_id", "n_chars", 40, seed=77).select(
+        F.lit("weighted").alias("kind"), "doc_id", "source"
+    )
+    return strat.unionByName(weighted)

@@ -537,3 +537,91 @@ def test_grouped_heavy_hitters_exact(spark):
         .toPandas().sort_values(["lang", "tok"]).reset_index(drop=True)
     )
     assert got2.equals(exp2.astype({"count": got2["count"].dtype}))
+
+
+# ---------------------------------------------------------------------------
+# A-ES weighted sampling (r8)
+# ---------------------------------------------------------------------------
+
+
+def _aes_reference(ids, weights, k, seed):
+    """Driver-side reference of the exact same md5 key math."""
+    import hashlib
+    import math
+
+    keyed = []
+    for i, w in zip(ids, weights):
+        if w is None or w <= 0 or i is None:
+            continue
+        h = int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 2**32
+        keyed.append((math.log(u) / w, -i))
+    keyed.sort(reverse=True)
+    return [-i for _, i in keyed[:k]]
+
+
+def test_weighted_sample_matches_reference_and_stats(spark):
+    """A-ES weighted sample: bit-equal to a hashlib/math reference of
+    the same key construction (global and grouped), deterministic
+    across runs, excludes non-positive/NULL weights — and statistically
+    favors heavy rows across seeds."""
+    import numpy as np
+    import pandas as pd
+    from pandarallel_spark.operators.sampling import weighted_sample
+
+    rng = np.random.default_rng(3)
+    n = 300
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        "w": rng.integers(1, 50, n).astype("float64"),
+        "g": np.repeat(["a", "b", "c"], n // 3),
+    })
+    pdf.loc[5, "w"] = 0.0     # excluded
+    pdf.loc[6, "w"] = -2.0    # excluded
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    got = sorted(
+        r.id for r in weighted_sample(sdf, "id", "w", 25, seed=9).collect()
+    )
+    exp = sorted(_aes_reference(pdf.id, pdf.w, 25, 9))
+    assert got == exp
+    assert 5 not in got and 6 not in got
+    # grouped form: per-group reference
+    gout = weighted_sample(sdf, "id", "w", 7, seed=9, keys=["g"]).toPandas()
+    for g, grp in pdf.groupby("g"):
+        exp_g = sorted(_aes_reference(grp.id, grp.w, 7, 9))
+        assert sorted(gout[gout.g == g].id) == exp_g
+    # statistics: across seeds, a weight-40 row should be drawn far
+    # more often than a weight-1 row (successive-sampling marginals)
+    small = pd.DataFrame({
+        "id": np.arange(80, dtype="int64"),
+        "w": np.where(np.arange(80) < 40, 1.0, 40.0),
+    })
+    sm = spark.createDataFrame(small)
+    heavy_hits = light_hits = 0
+    for seed in range(20):
+        ids = [r.id for r in weighted_sample(sm, "id", "w", 10, seed=seed).collect()]
+        heavy_hits += sum(1 for i in ids if i >= 40)
+        light_hits += sum(1 for i in ids if i < 40)
+    assert heavy_hits > 6 * max(light_hits, 1), (heavy_hits, light_hits)
+
+
+def test_weighted_sample_global_plan_is_partial_topk(spark):
+    """The global form must plan as TakeOrderedAndProject (per-task
+    local top-k), never a full sort."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    import numpy as np
+    import pandas as pd
+    from pandarallel_spark.operators.sampling import weighted_sample
+
+    pdf = pd.DataFrame({
+        "id": np.arange(1000, dtype="int64"),
+        "w": np.ones(1000),
+    })
+    out = weighted_sample(spark.createDataFrame(pdf).repartition(8), "id", "w", 10)
+    buf = _io.StringIO()
+    with _rs(buf):
+        out.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
