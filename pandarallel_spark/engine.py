@@ -283,6 +283,24 @@ class ParallelEwm:
                     raise ValueError(
                         "halflife must be a timedelta convertible object"
                     )
+                # pandas validates halflife at ewm construction even
+                # though the quirk then ignores its magnitude — a float
+                # or missing halflife with times= raises there too
+                # (review finding r8; pandas' own check is an
+                # isinstance test, window/ewm.py _validate: a float
+                # would be Timedelta-CONSTRUCTIBLE as nanoseconds but
+                # still rejected)
+                import datetime as _dt
+
+                import numpy as _np
+
+                if not isinstance(
+                    kwargs.get("halflife"),
+                    (str, _dt.timedelta, _np.timedelta64),
+                ):
+                    raise ValueError(
+                        "halflife must be a timedelta convertible object"
+                    )
                 if not kwargs.get("adjust", True):
                     # pandas raises this at ewm construction even on
                     # the quirk path

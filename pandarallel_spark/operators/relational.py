@@ -172,12 +172,34 @@ def heavy_hitters(
     NULL keys are ignored (SQL aggregate convention). The bounded
     summary is persisted only within this call (unpersisted before
     returning; the small candidate set is locally checkpointed so the
-    returned plan never references the summary cache).
+    returned plan never references the summary cache). Build-time
+    behavior: calling this function runs the summary scan EAGERLY (the
+    superset check needs the total decrement) — guarded by strictLazy
+    like every eager build site — and the checkpointed candidates are a
+    build-time snapshot: if the source mutates before the returned plan
+    executes, the recount sees current data against frozen candidates
+    (the standard staleness caveat of every memoized build here).
     """
     if capacity < 1:
         raise ValueError(f"capacity must be ≥ 1, got {capacity}")
     if (min_count is None) == (min_share is None):
         raise ValueError("pass exactly one of min_count, min_share")
+    if isinstance(min_count, Column):
+        raise ValueError(
+            "min_count must be a plain int (the r8 superset guard "
+            "compares it against the summary's total decrement at build "
+            "time); use min_share for a data-relative threshold"
+        )
+    from pandarallel_spark.operators._memo import eager_build_guard
+
+    eager_build_guard(
+        df.sparkSession,
+        "heavy-hitters MG summary pass + superset-precondition check "
+        "(one bounded-output scan, then the small candidate checkpoint)",
+        "Run outside strict-lazy scope, or use "
+        "df.groupBy(col).count().filter(...) directly for a fully lazy "
+        "exact plan.",
+    )
     import pandas as pd
 
     orig_type = df.schema[col].dataType
@@ -239,17 +261,20 @@ def heavy_hitters(
         # superset guarantee void: a key with true count in
         # [thr, decr] may have been evicted everywhere. Fall back to
         # the exact plan — correct for any capacity, at the cost of
-        # shuffling the key universe.
+        # shuffling the key universe. (An EMPTY input trivially lands
+        # here with thr = decr = 0 — the fallback is still right, but
+        # a "raise capacity" warning would be noise.)
         summ.unpersist()
-        warnings.warn(
-            f"heavy_hitters: total MG decrement {decr} ≥ threshold "
-            f"{thr}; the sketch cannot guarantee a candidate superset. "
-            f"Falling back to exact groupBy — raise capacity above "
-            f"~N/threshold (N={nn}) to keep the sketch's scale "
-            f"benefit.",
-            UserWarning,
-            stacklevel=2,
-        )
+        if nn > 0:
+            warnings.warn(
+                f"heavy_hitters: total MG decrement {decr} ≥ threshold "
+                f"{thr}; the sketch cannot guarantee a candidate "
+                f"superset. Falling back to exact groupBy — raise "
+                f"capacity above ~N/threshold (N={nn}) to keep the "
+                f"sketch's scale benefit.",
+                UserWarning,
+                stacklevel=2,
+            )
         counted = src.groupBy("__k__").agg(
             F.count(F.lit(1)).alias("count")
         ).filter(F.col("count") >= thr)
@@ -355,6 +380,17 @@ def grouped_heavy_hitters(
         raise ValueError(f"capacity must be ≥ 1, got {capacity}")
     if (min_count is None) == (min_share is None):
         raise ValueError("pass exactly one of min_count, min_share")
+    from pandarallel_spark.operators._memo import eager_build_guard
+
+    eager_build_guard(
+        df.sparkSession,
+        "grouped heavy-hitters MG summary pass + superset-precondition "
+        "check (one bounded-output scan, then the small candidate "
+        "checkpoint)",
+        "Run outside strict-lazy scope, or use "
+        "df.groupBy(group, key).count().filter(...) directly for a "
+        "fully lazy exact plan.",
+    )
     import math
 
     import pandas as pd
@@ -436,15 +472,16 @@ def grouped_heavy_hitters(
         # everywhere. Run the exact plan instead.
         gtot = gtot.localCheckpoint(eager=True)  # cut lineage off summ
         summ.unpersist()
-        warnings.warn(
-            f"grouped_heavy_hitters: total MG decrement {decr} ≥ "
-            f"smallest per-group threshold {min_thr}; the sketch "
-            f"cannot guarantee a candidate superset. Falling back to "
-            f"exact groupBy — raise capacity above ~N/threshold to "
-            f"keep the sketch's scale benefit.",
-            UserWarning,
-            stacklevel=2,
-        )
+        if gtot.limit(1).count():  # empty input lands here trivially
+            warnings.warn(
+                f"grouped_heavy_hitters: total MG decrement {decr} ≥ "
+                f"smallest per-group threshold {min_thr}; the sketch "
+                f"cannot guarantee a candidate superset. Falling back "
+                f"to exact groupBy — raise capacity above ~N/threshold "
+                f"to keep the sketch's scale benefit.",
+                UserWarning,
+                stacklevel=2,
+            )
         return (
             src.groupBy("__g__", "__k__")
             .agg(F.count(F.lit(1)).alias("count"))

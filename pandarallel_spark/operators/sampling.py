@@ -217,6 +217,7 @@ def weighted_sample(
     Grouped form (``keys``): one shuffle on the group key, ranking
     window per group.
     """
+    keys = [keys] if isinstance(keys, str) else (list(keys) if keys else None)
     key = aes_key(id_col, weight_col, seed)
     w = F.col(weight_col).cast("double")
     src = df.filter(F.col(id_col).isNotNull() & w.isNotNull() & (w > 0))

@@ -589,20 +589,24 @@ def ivf_pq_topk(
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
 
-    cent_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    # ONE TakeOrdered over the corpus serves centroids AND codebook
+    # training rows (review finding r8: the anchors path previously
+    # fetched the identical head rows with a second full-corpus job)
+    head_n = max(n_centroids, n_codes if train == "anchors" else sample_n)
+    head_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(head_n).collect()
     )
-    if not cent_rows:
+    if not head_rows:
         raise ValueError("ivf_pq_topk: corpus is empty")
-    c_mat = _np_quant(np.array([list(r[vec_col]) for r in cent_rows]))
-    cent_ids = np.array([r[id_col] for r in cent_rows], dtype="int64")
+    head_mat = _np_quant(np.array([list(r[vec_col]) for r in head_rows]))
+    c_mat = head_mat[:n_centroids]
+    cent_ids = np.array(
+        [r[id_col] for r in head_rows[:n_centroids]], dtype="int64"
+    )
 
     # --- codebooks: (m, n_codes, sub) int64 -------------------------------
     if train == "anchors":
-        a_rows = (
-            corpus.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
-        )
-        a_mat = _np_quant(np.array([list(r[vec_col]) for r in a_rows]))
+        a_mat = head_mat[:n_codes]
         if len(a_mat) < n_codes:  # tiny corpus: repeat anchors
             reps = -(-n_codes // len(a_mat))
             a_mat = np.tile(a_mat, (reps, 1))[:n_codes]
@@ -610,10 +614,7 @@ def ivf_pq_topk(
             a_mat = a_mat - c_mat[np.argmax(a_mat @ c_mat.T, axis=1)]
         cb = a_mat.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()
     else:
-        s_rows = (
-            corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
-        )
-        s_mat = _np_quant(np.array([list(r[vec_col]) for r in s_rows]))
+        s_mat = head_mat
         if by_residual:
             s_mat = s_mat - c_mat[np.argmax(s_mat @ c_mat.T, axis=1)]
         rs = s_mat.reshape(len(s_mat), m, sub)

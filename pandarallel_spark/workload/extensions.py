@@ -1458,18 +1458,20 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_sample,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # one loaded frame feeds both kinds (review finding r8: a second
+    # load_table scanned documents twice; n_chars prunes out of the
+    # stratified branch's scan via column pruning either way)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
     strat = stratified_sample(
-        docs,
+        docs.select("doc_id", "source"),
         "source",
         {"src0": 0.9, "src1": 0.9, "src2": 0.5, "src3": 0.5, "src4": 0.5},
         "doc_id",
         default_fraction=0.1,
     ).select(F.lit("stratified").alias("kind"), "doc_id", "source")
-    wdocs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
-    )
-    weighted = weighted_sample(wdocs, "doc_id", "n_chars", 40, seed=77).select(
+    weighted = weighted_sample(docs, "doc_id", "n_chars", 40, seed=77).select(
         F.lit("weighted").alias("kind"), "doc_id", "source"
     )
     return strat.unionByName(weighted)

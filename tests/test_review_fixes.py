@@ -625,3 +625,49 @@ def test_weighted_sample_global_plan_is_partial_topk(spark):
     with _rs(buf):
         out.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_heavy_hitters_strict_lazy_and_empty_input(spark):
+    """r8 review: the MG summary pass is an eager build-time job, so it
+    must honor strictLazy like every other eager site; an EMPTY input
+    must not emit the raise-capacity warning (thr = decr = 0 is the
+    trivial fallback, not a capacity problem)."""
+    import warnings as _w
+
+    from pandarallel_spark.operators.relational import (
+        grouped_heavy_hitters,
+        heavy_hitters,
+    )
+
+    sdf = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "g": ["x", "y"]}))
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(RuntimeError, match="strictLazy.*heavy-hitters"):
+            heavy_hitters(sdf, "k", min_count=1)
+        with pytest.raises(RuntimeError, match="strictLazy.*heavy-hitters"):
+            grouped_heavy_hitters(sdf, "g", "k", min_count=1)
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+    empty = spark.createDataFrame([], "k string, g string")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        assert heavy_hitters(empty, "k", min_share=0.1).count() == 0
+        assert grouped_heavy_hitters(empty, "g", "k", min_share=0.1).count() == 0
+    assert not any("cannot guarantee" in str(w.message) for w in rec)
+    # a Column threshold is rejected with a message naming the reason
+    with pytest.raises(ValueError, match="plain int"):
+        heavy_hitters(sdf, "k", min_count=F.lit(5))
+
+
+def test_weighted_sample_accepts_bare_string_key(spark):
+    from pandarallel_spark.operators.sampling import weighted_sample
+
+    pdf = pd.DataFrame({
+        "id": np.arange(40, dtype="int64"),
+        "w": np.ones(40),
+        "grp": np.repeat(["a", "b"], 20),
+    })
+    out = weighted_sample(
+        spark.createDataFrame(pdf), "id", "w", 3, keys="grp"
+    ).toPandas()
+    assert sorted(out.grp.value_counts().to_dict().items()) == [("a", 3), ("b", 3)]

@@ -2141,3 +2141,19 @@ def test_ewm_times_positional_optin_vs_pandas(spark):
         parallelize(sdf, order_by="idx").series("x").ewm(
             halflife="1h", times="ts", adjust=False
         ).sum(positional=True)
+
+
+def test_ewm_times_positional_validates_halflife(spark):
+    """r8 review: pandas rejects non-timedelta halflife at ewm
+    construction even on the quirk path — so must positional=True."""
+    pdf = pd.DataFrame({
+        "idx": np.arange(10, dtype="int64"),
+        "ts": pd.date_range("2024-01-01", periods=10, freq="h"),
+        "x": np.arange(10.0),
+    })
+    sdf = spark.createDataFrame(pdf)
+    for bad in (2.0, None):
+        with pytest.raises(ValueError, match="timedelta convertible"):
+            parallelize(sdf, order_by="idx").series("x").ewm(
+                halflife=bad, times="ts"
+            ).parallel_apply("sum", positional=True)
