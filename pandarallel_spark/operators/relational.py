@@ -108,6 +108,53 @@ def except_rows(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.subtract(b)
 
 
+def sketch_rollup(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    lgk: int = 12,
+    sketch_col: str | None = None,
+) -> DataFrame:
+    """Per-key HLL sketch PARTIALS — the incremental-rollup primitive
+    (Apache DataSketches HLL via Spark's ``hll_sketch_agg``): compute
+    once per ingest partition (e.g. per day), persist the binary sketch
+    column next to the key, and answer any COARSER distinct-count
+    rollup later by merging sketches instead of re-scanning raw data.
+    That is the mergeable-summaries contract (Agarwal et al., PODS'12)
+    the exact aggregate can never offer: a 100 TB backfill becomes a
+    merge over ~|keys| kilobyte-sized sketches.
+
+    ``lgk`` is the DataSketches log2(k) accuracy knob (relative
+    standard error ≈ 1.04/√2^lgk; 12 → ~1.6%). Sketch insertion is
+    hash-based and order-independent, so partials are deterministic
+    under repartitioning. NULL values are ignored (SQL convention).
+    """
+    sketch_col = sketch_col or f"{col}_hll"
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias(sketch_col)
+    )
+
+
+def sketch_rollup_merge(
+    partials: DataFrame,
+    keys: list[str],
+    sketch_col: str,
+    estimate_col: str | None = None,
+) -> DataFrame:
+    """Merge HLL sketch partials up to a coarser key set and estimate:
+    ``hll_union_agg`` over the binary sketch column, then
+    ``hll_sketch_estimate``. Input is the (tiny) partials table from
+    :func:`sketch_rollup` — the raw data never participates. Pass
+    ``keys=[]`` for the grand total."""
+    estimate_col = estimate_col or f"{sketch_col}_estimate"
+    merged = partials.groupBy(*keys).agg(
+        F.hll_union_agg(F.col(sketch_col)).alias("__u__")
+    )
+    return merged.select(
+        *keys, F.hll_sketch_estimate(F.col("__u__")).alias(estimate_col)
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

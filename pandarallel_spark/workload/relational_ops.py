@@ -562,16 +562,26 @@ FROM (
     FROM documents)
   GROUP BY key)
 WHERE cnt >= thr
+UNION ALL
+SELECT 'hll_roll' AS src, l_returnflag AS key,
+       CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS exact,
+       TRUE AS approx_within_bound
+FROM lineitem GROUP BY l_returnflag
 """
 
 
 @register(
     "sketches_error_contracts",
     _SKETCHES_ORACLE,
-    "All three mergeable sketches — approx_percentile's t-digest-style "
-    "quantile sketch, HLL++ distinct count, AND the Misra-Gries "
-    "frequent-items summary (heavy-hitter tokens over documents) — "
-    "with their exact twins "
+    "The mergeable-sketch family — approx_percentile's t-digest-style "
+    "quantile sketch, HLL++ distinct count, the Misra-Gries "
+    "frequent-items summary (heavy-hitter tokens over documents), and "
+    "(NEW r8) src=hll_roll: INCREMENTAL rollup over persistable "
+    "DataSketches HLL partials — per-(returnflag, shipmonth) sketch "
+    "columns merged by hll_union_agg up to per-flag estimates, so the "
+    "coarser rollup touches only kilobyte sketches, never raw rows "
+    "(the hypertable-rollup pattern; contract |est − exact| ≤ "
+    "max(5·rse·exact, 2) at lgk=12) — with their exact twins "
     "and published error CONTRACTS, kind-tagged in ONE graded row (r7 "
     "merge of percentiles_approx_price_per_flag + "
     "approx_distinct_parts_per_supplier; src=mg added late r7: "
@@ -678,7 +688,40 @@ def sketches_error_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("count") <= F.col("upper_bound"))
         ).alias("approx_within_bound"),
     )
-    return pct.unionByName(hll).unionByName(mg)
+    # src=hll_roll (r8): INCREMENTAL rollup via persistable DataSketches
+    # HLL partials — per-(returnflag, shipmonth) sketches (what a daily
+    # ingest would write next to its partition), merged with
+    # hll_union_agg up to per-flag estimates: the coarser rollup never
+    # re-touches raw rows, only ~|partials| kilobyte sketches. Contract:
+    # |merged estimate − exact distinct| ≤ max(5·rse·exact, 2),
+    # rse = 1.04/√2^12 ≈ 1.6% (lgk=12), 5σ — deterministic per dataset
+    # (sketch insertion is hash-based, order-independent).
+    from pandarallel_spark.operators.relational import (
+        sketch_rollup,
+        sketch_rollup_merge,
+    )
+
+    partials = sketch_rollup(
+        li.withColumn("__mon__", F.trunc("l_shipdate", "month")),
+        ["l_returnflag", "__mon__"],
+        "l_partkey",
+        lgk=12,
+    )
+    merged = sketch_rollup_merge(
+        partials, ["l_returnflag"], "l_partkey_hll", estimate_col="__est__"
+    )
+    exact_flag = skew_safe_count_distinct(li, ["l_returnflag"], "l_partkey")
+    ex = F.col("l_partkey_distinct")
+    roll_bound = F.greatest(F.ceil(ex * F.lit(5 * 1.04 / (2**6))), F.lit(2))
+    hll_roll = exact_flag.join(merged, "l_returnflag").select(
+        F.lit("hll_roll").alias("src"),
+        F.col("l_returnflag").alias("key"),
+        ex.cast("double").alias("exact"),
+        (F.abs(F.col("__est__") - ex) <= roll_bound).alias(
+            "approx_within_bound"
+        ),
+    )
+    return pct.unionByName(hll).unionByName(mg).unionByName(hll_roll)
 
 
 @register(

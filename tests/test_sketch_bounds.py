@@ -78,3 +78,50 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     )
     q = queries()["sketches_error_contracts"](spark, sf_dir).toPandas()
     assert q[q["src"] == "hll"]["approx_within_bound"].all()
+
+
+def test_sketch_rollup_merge_equals_single_shot(spark):
+    """Mergeability is the whole contract: per-partition HLL partials
+    merged with hll_union_agg must estimate EXACTLY what one sketch
+    over all rows estimates (DataSketches HLL union of same-lgk
+    sketches is lossless), and land within the published error bound
+    of the exact distinct count."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pandarallel_spark.operators.relational import (
+        sketch_rollup,
+        sketch_rollup_merge,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 60_000
+    pdf = pd.DataFrame({
+        "g": rng.integers(0, 3, n),
+        "part": rng.integers(0, 12, n),          # ingest partition
+        "v": rng.integers(0, 9000, n),
+    })
+    sdf = spark.createDataFrame(pdf).repartition(16)
+    partials = sketch_rollup(sdf, ["g", "part"], "v", lgk=12)
+    merged = {
+        r.g: r.est
+        for r in sketch_rollup_merge(
+            partials, ["g"], "v_hll", estimate_col="est"
+        ).collect()
+    }
+    single = {
+        r.g: r.est
+        for r in sketch_rollup(sdf, ["g"], "v", lgk=12)
+        .select("g", F.hll_sketch_estimate("v_hll").alias("est"))
+        .collect()
+    }
+    assert merged == single  # lossless union
+    exact = pdf.groupby("g").v.nunique().to_dict()
+    rse = 1.04 / 2**6
+    for g, ex in exact.items():
+        assert abs(merged[g] - ex) <= max(5 * rse * ex, 2), (g, merged[g], ex)
+    # grand total via keys=[]
+    tot = sketch_rollup_merge(partials, [], "v_hll", estimate_col="est").collect()
+    assert len(tot) == 1
+    assert abs(tot[0].est - pdf.v.nunique()) <= 5 * rse * pdf.v.nunique()
