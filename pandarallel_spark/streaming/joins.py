@@ -26,6 +26,8 @@ def stream_stream_interval_join(
     right_type: str = "purchase",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    join_type: str = "inner",
+    read_options: dict | None = None,
 ) -> DataFrame:
     """Join two event-type slices of the events stream per user: every
     (click, purchase) pair of the same user where the purchase lands in
@@ -43,14 +45,38 @@ def stream_stream_interval_join(
     parameters said): ``user_id, {left_type}_id, {left_type}_ts,
     {right_type}_id, {right_type}_ts``. Equal left/right types get
     ``_l``/``_r`` suffixes so names stay unambiguous.
+
+    ``read_options`` (r8) pass through to both ``readStream`` sources —
+    e.g. ``{"maxFilesPerTrigger": 1}`` to force per-file micro-batches
+    so watermarks advance mid-query (what the outer-join expiry test
+    relies on).
+
+    ``join_type`` (r8): ``inner`` | ``leftOuter`` | ``rightOuter`` |
+    ``fullOuter``. Outer results obey Spark's stream-stream contract:
+    an unmatched row emits (with NULLs on the other side) only once the
+    watermark has passed its join-window expiry — so the state that
+    would have matched it is provably gone, never early. Rows still
+    inside the watermark at query end stay buffered, NOT flushed: a
+    terminating ``availableNow`` run emits outer rows only for the
+    portion of the data the final watermark has sealed (asserted by the
+    restart/expiry test). ``user_id`` comes from whichever side is
+    non-null under full outer.
     """
+    if join_type not in ("inner", "leftOuter", "rightOuter", "fullOuter"):
+        raise ValueError(
+            f"join_type must be inner|leftOuter|rightOuter|fullOuter, "
+            f"got {join_type!r}"
+        )
     schema = spark.read.parquet(path).schema
     ltag, rtag = left_type, right_type
     if ltag == rtag:
         ltag, rtag = f"{left_type}_l", f"{right_type}_r"
 
     def side(tag: str, etype: str) -> DataFrame:
-        s = spark.readStream.schema(schema).parquet(path)
+        reader = spark.readStream.schema(schema)
+        for k, v in (read_options or {}).items():
+            reader = reader.option(k, v)
+        s = reader.parquet(path)
         # parquet may infer NTZ; watermarks need TimestampType (LTZ)
         s = s.withColumn("ts", F.col("ts").cast("timestamp"))
         return (
@@ -73,8 +99,10 @@ def stream_stream_interval_join(
             <= F.col(f"{ltag}_ts") + F.expr(f"INTERVAL {within}")
         )
     )
-    return left.join(right, cond, "inner").select(
-        F.col(f"{ltag}_user").alias("user_id"),
+    return left.join(right, cond, join_type).select(
+        F.coalesce(F.col(f"{ltag}_user"), F.col(f"{rtag}_user")).alias(
+            "user_id"
+        ),
         f"{ltag}_id",
         f"{ltag}_ts",
         f"{rtag}_id",

@@ -332,3 +332,63 @@ def test_stream_to_parquet_exactly_once_restart(spark, sf_dir, tmp_path):
         got[["window_start", "event_type", "n_events"]],
         finalized[["window_start", "event_type", "n_events"]],
     )
+
+
+def test_stream_stream_left_outer_emits_expired_only(spark, tmp_path):
+    """leftOuter stream-stream interval join (r8): an unmatched left
+    row emits with NULLs only after the watermark passes its join-
+    window expiry — and rows the final watermark has NOT sealed stay
+    buffered at query end (Spark's documented outer-join contract).
+    Three time-ordered files + maxFilesPerTrigger=1 force multiple
+    micro-batches so the watermark actually advances mid-query."""
+    import time as _time
+
+    from pandarallel_spark.streaming import stream_stream_interval_join
+
+    src = str(tmp_path / "ev_outer")
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(rows):
+        return pd.DataFrame({
+            "event_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "user_id": pd.array([r[1] for r in rows], dtype="int64"),
+            "event_type": [r[2] for r in rows],
+            "ts": [base + pd.Timedelta(minutes=r[3]) for r in rows],
+        })
+
+    batches = [
+        #              matched pair (u10) + unmatched click (u20)
+        mk([(1, 10, "click", 0), (2, 10, "purchase", 30), (3, 20, "click", 5)]),
+        #              a day later: matched pair (u30) — advances the watermark
+        mk([(4, 30, "click", 24 * 60), (5, 30, "purchase", 24 * 60 + 10)]),
+        #              two days in: unmatched click (u40), never sealed
+        mk([(6, 40, "click", 48 * 60)]),
+    ]
+    for b in batches:
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    joined = stream_stream_interval_join(
+        spark, src, within="1 hour", watermark="1 hour",
+        join_type="leftOuter", read_options={"maxFilesPerTrigger": 1},
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ssj_outer").toPandas().sort_values("click_id")
+
+    inner = got[got.purchase_id.notna()]
+    outer = got[got.purchase_id.isna()]
+    # both true matches emitted
+    assert sorted(inner.user_id) == [10, 30]
+    # u20's click expired (watermark reached 23h+ after batch 2) →
+    # emitted with NULLs; u40's click is NOT sealed by the final
+    # watermark → still buffered, NOT emitted
+    assert list(outer.user_id) == [20]
+    assert outer.purchase_ts.isna().all()
