@@ -231,3 +231,50 @@ def weighted_sample(
             .drop("__rn__")
         )
     return src.orderBy(key.desc(), F.col(id_col).asc()).limit(k)
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based source mixing — the standard multilingual /
+    multi-source rebalancing rule (mT5 §3.2, XLM-R: sample source s
+    with probability ∝ n_s^α): keep each row of source s with rate
+    ``(n_s / n_min)^(α−1)``, normalized so the SMALLEST source keeps
+    100% — for α < 1 that downweights head sources toward the tail
+    (α=1 keeps everything; α→0 equalizes source volumes). The closed
+    form needs no iterative water-filling because the normalizer pins
+    the largest rate at exactly 1.
+
+    Plan shape: one map-side-combined count per source (|sources|
+    rows), broadcast back as the per-row keep rate, then the same
+    deterministic md5-bucket cut as ``stratified_sample`` — content-
+    hash stable under reruns, appends, and cluster size. NULL strata
+    or ids are dropped (no silent assignment, as in ``hash_split``).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    n_min = counts.agg(F.min("__n__").alias("__nmin__"))
+    rates = counts.join(F.broadcast(n_min)).select(
+        strata_col,
+        F.pow(
+            F.col("__n__").cast("double") / F.col("__nmin__").cast("double"),
+            F.lit(float(alpha) - 1.0),
+        ).alias("__rate__"),
+    )
+    cut = F.round(F.col("__rate__") * _HASH_BUCKETS).cast("bigint")
+    b = md5_bucket(id_col, _HASH_BUCKETS, seed)
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .join(F.broadcast(rates), strata_col)
+        .filter(b < cut)
+        .drop("__rate__")
+    )

@@ -1439,6 +1439,17 @@ SELECT 'weighted' AS kind, doc_id, source FROM (
        / 4294967296.0) / n_chars AS aes
   FROM documents WHERE n_chars > 0
   ORDER BY aes DESC, doc_id LIMIT 40)
+UNION ALL
+SELECT 'temperature' AS kind, doc_id, source FROM (
+  SELECT d.doc_id, d.source, ({_H.format(b=_B)}) AS b,
+    CAST(round(pow(CAST(c.n AS DOUBLE) / m.nmin, 0.3 - 1.0) * {_B})
+         AS BIGINT) AS cut
+  FROM documents d
+  JOIN (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) c
+    ON c.lang = d.lang
+  CROSS JOIN (SELECT CAST(MIN(n) AS DOUBLE) AS nmin FROM
+    (SELECT COUNT(*) AS n FROM documents GROUP BY lang)) m)
+WHERE b < cut
 """,
     "Two sampling modes, kind-tagged in ONE graded row. "
     "kind=stratified: data-mixing stratified sample — keep 90% of two "
@@ -1450,19 +1461,26 @@ SELECT 'weighted' AS kind, doc_id, source FROM (
     "docs with inclusion probability proportional to n_chars via the "
     "key ln(u)/w, u a deterministic md5 uniform over a power-of-two "
     "denominator so both engines feed ln identical doubles; plans as "
-    "TakeOrderedAndProject (per-task local top-k, never a total sort).",
+    "TakeOrderedAndProject (per-task local top-k, never a total sort). "
+    "kind=temperature (NEW r8): mT5-style temperature mixing over the "
+    "skewed lang column — keep rate (n_lang/n_min)^(alpha-1), alpha="
+    "0.3, normalized so the smallest language keeps 100%; one "
+    "map-side-combined count per language broadcast back as the keep "
+    "rate, then the shared md5 cut — downweights the head toward the "
+    "tail with zero shuffles of the data itself.",
 )
 def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandarallel_spark.operators.sampling import (
         stratified_sample,
+        temperature_mix,
         weighted_sample,
     )
 
-    # one loaded frame feeds both kinds (review finding r8: a second
-    # load_table scanned documents twice; n_chars prunes out of the
-    # stratified branch's scan via column pruning either way)
+    # one loaded frame feeds all kinds (review finding r8: a second
+    # load_table scanned documents twice; unused columns prune out of
+    # each branch's scan)
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
+        "doc_id", "source", "n_chars", "lang"
     )
     strat = stratified_sample(
         docs.select("doc_id", "source"),
@@ -1471,7 +1489,11 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         default_fraction=0.1,
     ).select(F.lit("stratified").alias("kind"), "doc_id", "source")
-    weighted = weighted_sample(docs, "doc_id", "n_chars", 40, seed=77).select(
-        F.lit("weighted").alias("kind"), "doc_id", "source"
-    )
-    return strat.unionByName(weighted)
+    weighted = weighted_sample(
+        docs.select("doc_id", "source", "n_chars"), "doc_id", "n_chars", 40,
+        seed=77,
+    ).select(F.lit("weighted").alias("kind"), "doc_id", "source")
+    temp = temperature_mix(
+        docs.select("doc_id", "source", "lang"), "lang", "doc_id", alpha=0.3
+    ).select(F.lit("temperature").alias("kind"), "doc_id", "source")
+    return strat.unionByName(weighted).unionByName(temp)

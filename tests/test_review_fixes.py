@@ -671,3 +671,35 @@ def test_weighted_sample_accepts_bare_string_key(spark):
         spark.createDataFrame(pdf), "id", "w", 3, keys="grp"
     ).toPandas()
     assert sorted(out.grp.value_counts().to_dict().items()) == [("a", 3), ("b", 3)]
+
+
+def test_temperature_mix_rates_and_edges(spark):
+    """Temperature mixing: the smallest stratum keeps 100%, head
+    strata thin toward (n/n_min)^(alpha-1), alpha=1 keeps everything,
+    NULL strata/ids drop, bad alpha rejected."""
+    from pandarallel_spark.operators.sampling import temperature_mix
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "id": np.arange(13_000, dtype="int64"),
+        "lang": np.repeat(
+            ["en", "es", "fr"], [10_000, 2_000, 1_000]
+        ),
+    })
+    pdf.loc[0, "lang"] = None
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    out = temperature_mix(sdf, "lang", "id", alpha=0.5).toPandas()
+    kept = out.lang.value_counts().to_dict()
+    # fr (smallest): rate 1 → all 1000 kept
+    assert kept["fr"] == 1_000
+    # en: rate = (10000/1000)^(-0.5) ≈ 0.3162 → ~3162 of 10000 (md5
+    # uniformity at this n: ±3σ ≈ ±44)
+    assert abs(kept["en"] - 3162) < 150, kept
+    # es: rate = 2^(-0.5) ≈ 0.7071 → ~1414 of 2000
+    assert abs(kept["es"] - 1414) < 100, kept
+    assert out.lang.notna().all()
+    # alpha=1: identity (minus the NULL-strata row)
+    full = temperature_mix(sdf, "lang", "id", alpha=1.0).count()
+    assert full == 12_999
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(sdf, "lang", "id", alpha=1.5)
