@@ -429,6 +429,10 @@ def test_registry_scale_audit(spark, sf_dir):
         # "distributed scan == sequential scan", so one-task references
         # exist BY DESIGN; ~30 anchor rows reach the final output
         "ewm_mean_purchase_cents": 3,
+        # temperature kind: the global MIN over the per-stratum count
+        # table — a two-phase aggregate whose exchange carries one
+        # partial row per partition of a |strata|-row input
+        "stratified_sample_sources": 1,
     }
     allowed_nested_loop = {
         # the graded row kind-tags BOTH execution forms; the expr form
@@ -438,6 +442,9 @@ def test_registry_scale_audit(spark, sf_dir):
         # the 1-row corpus-stats build side broadcast to every doc —
         # the documented bounded broadcast (operators/text.py BM25)
         "bm25_topk": 1,
+        # temperature kind: the 1-row n_min broadcast joined onto the
+        # |strata|-row count table (both sides bounded by construction)
+        "stratified_sample_sources": 1,
     }
     failures = []
     for name in sorted(REGISTRY):
