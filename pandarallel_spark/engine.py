@@ -257,12 +257,40 @@ class ParallelEwm:
         kwargs = dict(self.kwargs)
         times = kwargs.pop("times", None)
         if times is not None:
-            # pandas' times-mode surface is mean()-only: adjust=False is
-            # its own NotImplementedError, and sum/var/std SILENTLY fall
-            # back to positional decay (times ignored — probed, pandas
-            # 2.2). Refuse the trap loudly by default; ``positional=
-            # True`` opts into reproducing pandas bit-for-bit for code
-            # migrating off the quirk (r8, review item #6).
+            # pandas validates these at ewm CONSTRUCTION, for every op:
+            # com/span/alpha are rejected with times, halflife must be
+            # an actual timedelta-like (pandas' check is an isinstance
+            # test, window/ewm.py _validate — a float would be
+            # Timedelta-CONSTRUCTIBLE as nanoseconds but is still
+            # rejected; review finding r8: the check previously ran
+            # only on the non-mean branch), and adjust=False is its own
+            # NotImplementedError.
+            if any(
+                kwargs.get(p) is not None for p in ("com", "span", "alpha")
+            ):
+                raise ValueError(
+                    "halflife must be a timedelta convertible object"
+                )
+            import datetime as _dt
+
+            import numpy as _np
+
+            if not isinstance(
+                kwargs.get("halflife"),
+                (str, _dt.timedelta, _np.timedelta64),
+            ):
+                raise ValueError(
+                    "halflife must be a timedelta convertible object"
+                )
+            if not kwargs.pop("adjust", True):
+                raise NotImplementedError(
+                    "times is not supported with adjust=False."
+                )
+            # pandas' times-mode surface is mean()-only: sum/var/std
+            # SILENTLY fall back to positional decay (times ignored —
+            # probed, pandas 2.2). Refuse the trap loudly by default;
+            # ``positional=True`` opts into reproducing pandas
+            # bit-for-bit for code migrating off the quirk (r8).
             if func != "mean":
                 if not positional:
                     raise NotImplementedError(
@@ -277,49 +305,8 @@ class ParallelEwm:
                 # the result equals positional halflife=1.0 (alpha =
                 # 0.5) REGARDLESS of the Timedelta's magnitude;
                 # min_periods/ignore_na pass through.
-                if any(
-                    kwargs.get(p) is not None for p in ("com", "span", "alpha")
-                ):
-                    raise ValueError(
-                        "halflife must be a timedelta convertible object"
-                    )
-                # pandas validates halflife at ewm construction even
-                # though the quirk then ignores its magnitude — a float
-                # or missing halflife with times= raises there too
-                # (review finding r8; pandas' own check is an
-                # isinstance test, window/ewm.py _validate: a float
-                # would be Timedelta-CONSTRUCTIBLE as nanoseconds but
-                # still rejected)
-                import datetime as _dt
-
-                import numpy as _np
-
-                if not isinstance(
-                    kwargs.get("halflife"),
-                    (str, _dt.timedelta, _np.timedelta64),
-                ):
-                    raise ValueError(
-                        "halflife must be a timedelta convertible object"
-                    )
-                if not kwargs.get("adjust", True):
-                    # pandas raises this at ewm construction even on
-                    # the quirk path
-                    raise NotImplementedError(
-                        "times is not supported with adjust=False."
-                    )
                 kwargs["halflife"] = 1.0
             else:
-                if not kwargs.pop("adjust", True):
-                    raise NotImplementedError(
-                        "times is not supported with adjust=False."
-                    )
-                if any(
-                    kwargs.get(p) is not None
-                    for p in ("com", "span", "alpha")
-                ):
-                    raise ValueError(
-                        "halflife must be a timedelta convertible object"
-                    )
                 return _window.ewm_mean_times(
                     df, self.series.col, times, kwargs["halflife"],
                     partition_by=self.series.partition_by,

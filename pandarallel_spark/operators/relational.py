@@ -427,6 +427,12 @@ def grouped_heavy_hitters(
         raise ValueError(f"capacity must be ≥ 1, got {capacity}")
     if (min_count is None) == (min_share is None):
         raise ValueError("pass exactly one of min_count, min_share")
+    if isinstance(min_count, Column):
+        raise ValueError(
+            "min_count must be a plain int (the superset guard compares "
+            "it against the summary's total decrement at build time); "
+            "use min_share for a data-relative threshold"
+        )
     from pandarallel_spark.operators._memo import eager_build_guard
 
     eager_build_guard(
@@ -493,11 +499,24 @@ def grouped_heavy_hitters(
     summ = src.mapInPandas(
         mg_partition, "__g__ string, __k__ string, __c__ long"
     ).persist()
-    decr = int(
-        summ.filter(F.col("__g__").isNull())
-        .agg(F.coalesce(F.sum("__c__"), F.lit(0)))
-        .first()[0]
-    )
+    # ONE eager job fetches the total decrement AND the total row count
+    # (the latter only gates the fallback warning — a separate
+    # emptiness probe would be a whole extra job, review finding r8)
+    decr, total_rows = summ.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__g__").isNull(), F.col("__c__"))), F.lit(0)
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__k__").isNull() & F.col("__g__").isNotNull(),
+                    F.col("__c__"),
+                )
+            ),
+            F.lit(0),
+        ),
+    ).first()
+    decr, total_rows = int(decr), int(total_rows)
     gtot = (
         summ.filter(F.col("__k__").isNull() & F.col("__g__").isNotNull())
         .groupBy("__g__")
@@ -519,7 +538,7 @@ def grouped_heavy_hitters(
         # everywhere. Run the exact plan instead.
         gtot = gtot.localCheckpoint(eager=True)  # cut lineage off summ
         summ.unpersist()
-        if gtot.limit(1).count():  # empty input lands here trivially
+        if total_rows > 0:  # empty input lands here trivially
             warnings.warn(
                 f"grouped_heavy_hitters: total MG decrement {decr} ≥ "
                 f"smallest per-group threshold {min_thr}; the sketch "

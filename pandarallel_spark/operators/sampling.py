@@ -220,7 +220,13 @@ def weighted_sample(
     keys = [keys] if isinstance(keys, str) else (list(keys) if keys else None)
     key = aes_key(id_col, weight_col, seed)
     w = F.col(weight_col).cast("double")
-    src = df.filter(F.col(id_col).isNotNull() & w.isNotNull() & (w > 0))
+    # ~isnan too: Spark evaluates NaN > 0 as TRUE, and a NaN sort key
+    # ranks FIRST under desc() — NaN-weight rows (routine in parquet
+    # quality-score columns) would otherwise hijack the sample
+    # (review finding r8)
+    src = df.filter(
+        F.col(id_col).isNotNull() & w.isNotNull() & ~F.isnan(w) & (w > 0)
+    )
     if keys:
         win = Window.partitionBy(*keys).orderBy(
             key.desc(), F.col(id_col).asc()

@@ -614,7 +614,8 @@ def ivf_pq_topk(
             a_mat = a_mat - c_mat[np.argmax(a_mat @ c_mat.T, axis=1)]
         cb = a_mat.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()
     else:
-        s_mat = head_mat
+        s_mat = head_mat[:sample_n]  # the head may exceed sample_n when
+        # n_centroids is larger — the training-sample contract wins
         if by_residual:
             s_mat = s_mat - c_mat[np.argmax(s_mat @ c_mat.T, axis=1)]
         rs = s_mat.reshape(len(s_mat), m, sub)

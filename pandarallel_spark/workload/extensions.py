@@ -1445,10 +1445,12 @@ SELECT 'temperature' AS kind, doc_id, source FROM (
     CAST(round(pow(CAST(c.n AS DOUBLE) / m.nmin, 0.3 - 1.0) * {_B})
          AS BIGINT) AS cut
   FROM documents d
-  JOIN (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) c
+  JOIN (SELECT lang, COUNT(*) AS n FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang) c
     ON c.lang = d.lang
   CROSS JOIN (SELECT CAST(MIN(n) AS DOUBLE) AS nmin FROM
-    (SELECT COUNT(*) AS n FROM documents GROUP BY lang)) m)
+    (SELECT COUNT(*) AS n FROM documents
+     WHERE lang IS NOT NULL GROUP BY lang)) m)
 WHERE b < cut
 """,
     "Two sampling modes, kind-tagged in ONE graded row. "

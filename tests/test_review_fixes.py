@@ -703,3 +703,28 @@ def test_temperature_mix_rates_and_edges(spark):
     assert full == 12_999
     with pytest.raises(ValueError, match="alpha"):
         temperature_mix(sdf, "lang", "id", alpha=1.5)
+
+
+def test_weighted_sample_excludes_nan_weights(spark):
+    """NaN > 0 is TRUE in Spark and NaN sorts first under desc() — a
+    NaN-weight row must be excluded, not crowned (review finding r8)."""
+    from pandarallel_spark.operators.sampling import weighted_sample
+
+    pdf = pd.DataFrame({
+        "id": np.arange(6, dtype="int64"),
+        "w": [1.0, 2.0, float("nan"), 3.0, float("nan"), 4.0],
+    })
+    got = sorted(
+        r.id for r in weighted_sample(
+            spark.createDataFrame(pdf), "id", "w", 3
+        ).collect()
+    )
+    assert 2 not in got and 4 not in got and len(got) == 3
+
+
+def test_grouped_heavy_hitters_rejects_column_threshold(spark):
+    from pandarallel_spark.operators.relational import grouped_heavy_hitters
+
+    sdf = spark.createDataFrame(pd.DataFrame({"g": ["a"], "k": ["x"]}))
+    with pytest.raises(ValueError, match="plain int"):
+        grouped_heavy_hitters(sdf, "g", "k", min_count=F.lit(5))

@@ -2157,3 +2157,10 @@ def test_ewm_times_positional_validates_halflife(spark):
             parallelize(sdf, order_by="idx").series("x").ewm(
                 halflife=bad, times="ts"
             ).parallel_apply("sum", positional=True)
+        # the MEAN path validates too (review finding r8: the check
+        # originally ran only on the non-mean branch, so a float
+        # halflife was silently read as nanoseconds)
+        with pytest.raises(ValueError, match="timedelta convertible"):
+            parallelize(sdf, order_by="idx").series("x").ewm(
+                halflife=bad, times="ts"
+            ).mean()
