@@ -392,3 +392,52 @@ def test_stream_stream_left_outer_emits_expired_only(spark, tmp_path):
     # watermark → still buffered, NOT emitted
     assert list(outer.user_id) == [20]
     assert outer.purchase_ts.isna().all()
+
+
+def test_stream_stream_right_outer_emits_expired_purchase(spark, tmp_path):
+    """rightOuter: the symmetric state-bounding direction — an early
+    unmatched PURCHASE emits with NULL click columns once sealed."""
+    import time as _time
+
+    from pandarallel_spark.streaming import stream_stream_interval_join
+
+    src = str(tmp_path / "ev_router")
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(rows):
+        return pd.DataFrame({
+            "event_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "user_id": pd.array([r[1] for r in rows], dtype="int64"),
+            "event_type": [r[2] for r in rows],
+            "ts": [base + pd.Timedelta(minutes=r[3]) for r in rows],
+        })
+
+    batches = [
+        mk([(1, 10, "click", 0), (2, 10, "purchase", 30),
+            (3, 20, "purchase", 5)]),                     # unmatched purchase
+        mk([(4, 30, "click", 24 * 60), (5, 30, "purchase", 24 * 60 + 10)]),
+        mk([(6, 40, "purchase", 48 * 60)]),               # late, never sealed
+    ]
+    for b in batches:
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    q = (
+        stream_stream_interval_join(
+            spark, src, within="1 hour", watermark="1 hour",
+            join_type="rightOuter", read_options={"maxFilesPerTrigger": 1},
+        )
+        .writeStream.format("memory")
+        .queryName("ssj_router")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_router"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ssj_router").toPandas()
+    inner = got[got.click_id.notna()]
+    outer = got[got.click_id.isna()]
+    assert sorted(inner.user_id) == [10, 30]
+    assert list(outer.user_id) == [20]   # expired; u40 still buffered
+    assert outer.click_ts.isna().all()
