@@ -441,3 +441,55 @@ def test_stream_stream_right_outer_emits_expired_purchase(spark, tmp_path):
     assert sorted(inner.user_id) == [10, 30]
     assert list(outer.user_id) == [20]   # expired; u40 still buffered
     assert outer.click_ts.isna().all()
+
+
+def test_stream_stream_full_outer_union_of_directions(spark, tmp_path):
+    """fullOuter = both expiry directions at once: sealed unmatched
+    rows from EITHER side emit with the other side NULL, user_id
+    coalesced across sides."""
+    import time as _time
+
+    from pandarallel_spark.streaming import stream_stream_interval_join
+
+    src = str(tmp_path / "ev_fouter")
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(rows):
+        return pd.DataFrame({
+            "event_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "user_id": pd.array([r[1] for r in rows], dtype="int64"),
+            "event_type": [r[2] for r in rows],
+            "ts": [base + pd.Timedelta(minutes=r[3]) for r in rows],
+        })
+
+    batches = [
+        mk([(1, 10, "click", 0), (2, 10, "purchase", 30),
+            (3, 20, "click", 5), (4, 21, "purchase", 6)]),  # one orphan each side
+        mk([(5, 30, "click", 24 * 60), (6, 30, "purchase", 24 * 60 + 10)]),
+        mk([(7, 40, "click", 48 * 60)]),
+    ]
+    for b in batches:
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    q = (
+        stream_stream_interval_join(
+            spark, src, within="1 hour", watermark="1 hour",
+            join_type="fullOuter", read_options={"maxFilesPerTrigger": 1},
+        )
+        .writeStream.format("memory")
+        .queryName("ssj_fouter")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_fouter"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ssj_fouter").toPandas()
+    inner = got[got.click_id.notna() & got.purchase_id.notna()]
+    left_orphans = got[got.purchase_id.isna()]
+    right_orphans = got[got.click_id.isna()]
+    assert sorted(inner.user_id) == [10, 30]
+    assert list(left_orphans.user_id) == [20]   # sealed unmatched click
+    assert list(right_orphans.user_id) == [21]  # sealed unmatched purchase
+    assert got.user_id.notna().all()            # coalesced across sides
