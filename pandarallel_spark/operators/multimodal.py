@@ -174,14 +174,536 @@ def decode_png(content: bytes) -> np.ndarray | None:
     return px[:, :, :3].copy()  # RGBA → drop alpha
 
 
+# ---------------------------------------------------------------------------
+# JPEG baseline (r9) — pure numpy/stdlib Huffman + dequant + IDCT
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order() -> np.ndarray:
+    """Flat row-major indices of the 64 coefficients in JPEG zigzag
+    sequence (ISO/IEC 10918-1 Figure 5), generated by the diagonal rule
+    instead of a hand-typed table: diagonal d runs bottom-left→top-right
+    when d is even, top-right→bottom-left when odd."""
+    order = []
+    for d in range(15):
+        lo, hi = max(0, d - 7), min(d, 7)
+        rows = range(lo, hi + 1)
+        if d % 2 == 0:
+            rows = reversed(rows)
+        for r in rows:
+            order.append(r * 8 + (d - r))
+    return np.asarray(order, dtype=np.int64)
+
+
+_JPEG_ZZ = _zigzag_order()
+
+
+def _dct_mat() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M: forward F = M f Mᵀ, inverse
+    f = Mᵀ F M — the exact float form (libjpeg's scaled-integer 'fast'
+    IDCTs trade ±1 pixel for speed; tiny media here prefer exactness)."""
+    n = np.arange(8)
+    M = 0.5 * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    M[0] *= 1 / np.sqrt(2)
+    return M
+
+
+_JPEG_M = _dct_mat()
+
+
+class _JpegBad(Exception):
+    """Internal: malformed/unsupported entropy stream — decode_jpeg
+    catches it and returns None (the caller decides stub vs raise)."""
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-stuffing; any non-stuffing marker mid-read is malformed input
+    at the point we read it (restarts are consumed explicitly)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.pos, self.bit = data, pos, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.d):
+            raise _JpegBad("truncated entropy data")
+        b = self.d[self.pos]
+        if b == 0xFF:
+            nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else None
+            if nxt != 0x00:
+                raise _JpegBad("marker inside entropy data")
+        bit = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if b == 0xFF else 1  # skip the stuffed 0x00
+        return bit
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (DRI boundaries)."""
+        if self.bit:
+            b = self.d[self.pos]
+            self.bit = 0
+            self.pos += 2 if b == 0xFF else 1
+        if (
+            self.pos + 1 >= len(self.d)
+            or self.d[self.pos] != 0xFF
+            or not 0xD0 <= self.d[self.pos + 1] <= 0xD7
+        ):
+            raise _JpegBad("expected restart marker")
+        self.pos += 2
+
+
+def _jpeg_build_huff(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman per Annex C: {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | bits.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise _JpegBad("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """F.12 EXTEND: map the s received bits to the signed value."""
+    return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+
+def _jpeg_decode_block(bits: _JpegBits, tdc: dict, tac: dict) -> np.ndarray:
+    """One 8×8 block's coefficients in ZIGZAG order; coef[0] is the DC
+    DIFFERENCE (predictor applied by the caller)."""
+    coef = np.zeros(64, dtype=np.int64)
+    s = _jpeg_huff_decode(bits, tdc)
+    if s > 11:
+        raise _JpegBad("DC category > 11")
+    coef[0] = _jpeg_extend(bits.receive(s), s) if s else 0
+    k = 1
+    while k < 64:
+        rs = _jpeg_huff_decode(bits, tac)
+        r, sz = rs >> 4, rs & 15
+        if sz == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise _JpegBad("AC run past block end")
+        coef[k] = _jpeg_extend(bits.receive(sz), sz)
+        k += 1
+    return coef
+
+
+def decode_jpeg(content: bytes) -> np.ndarray | None:
+    """Baseline-JPEG decode with stdlib + numpy only (r9 — closes the
+    last stubbed media format; real corpora are mostly JPEG). Spec
+    coverage: baseline and extended-sequential DCT (SOF0/SOF1), 8-bit,
+    1 or 3 components, any integer-ratio subsampling (4:4:4, 4:2:2,
+    4:2:0, …), multiple DQT/DHT tables, restart intervals (DRI/RSTn),
+    APPn/COM skipped. Progressive (SOF2), arithmetic coding, 12-bit,
+    and hierarchical return None — caller decides stub vs raise, as
+    with the other decoders.
+
+    Fidelity: exact float IDCT (orthonormal basis matrices — see
+    ``_dct_mat``), nearest-neighbor chroma upsampling, JFIF YCbCr→RGB
+    with round-half-away clamp. Entropy decoding is a per-bit Python
+    loop — the honest trade for a container with no codec stack; the
+    pipeline shape (Arrow batches through ``mapInPandas``) is what
+    carries at 100 TB, and swapping in a native codec changes this one
+    function. Returns (H, W, 3) uint8 or None.
+    """
+    if content[:2] != b"\xff\xd8":
+        return None
+    try:
+        pos, n = 2, len(content)
+        qt: dict[int, np.ndarray] = {}
+        huff_dc: dict[int, dict] = {}
+        huff_ac: dict[int, dict] = {}
+        sof = None
+        dri = 0
+        data_start = None
+        scan = None
+        while pos + 2 <= n:
+            if content[pos] != 0xFF:
+                return None
+            m = content[pos + 1]
+            if m == 0xD9:  # EOI before SOS: malformed
+                return None
+            if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST
+                pos += 2
+                continue
+            if pos + 4 > n:
+                return None
+            ln = int.from_bytes(content[pos + 2:pos + 4], "big")
+            seg = content[pos + 4:pos + 2 + ln]
+            if len(seg) != ln - 2:
+                return None
+            if m == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    if pq == 0:
+                        tbl = np.frombuffer(seg[i:i + 64], dtype=np.uint8)
+                        i += 64
+                    else:
+                        tbl = np.frombuffer(seg[i:i + 128], dtype=">u2")
+                        i += 128
+                    if len(tbl) != 64:
+                        return None
+                    q = np.zeros(64, dtype=np.int64)
+                    q[_JPEG_ZZ] = tbl.astype(np.int64)
+                    qt[tq] = q.reshape(8, 8)
+            elif m in (0xC0, 0xC1):  # SOF0/SOF1
+                if seg[0] != 8:
+                    return None
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if nc not in (1, 3) or w == 0 or h == 0:
+                    return None
+                comps = [
+                    {
+                        "id": seg[6 + 3 * ci],
+                        "h": seg[7 + 3 * ci] >> 4,
+                        "v": seg[7 + 3 * ci] & 15,
+                        "tq": seg[8 + 3 * ci],
+                    }
+                    for ci in range(nc)
+                ]
+                sof = (w, h, comps)
+            elif m == 0xC4:  # DHT
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    counts = list(seg[i + 1:i + 17])
+                    i += 17
+                    ns = sum(counts)
+                    syms = list(seg[i:i + ns])
+                    if len(syms) != ns:
+                        return None
+                    i += ns
+                    (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_build_huff(
+                        counts, syms
+                    )
+            elif m == 0xDD:  # DRI
+                dri = int.from_bytes(seg[0:2], "big")
+            elif m == 0xDA:  # SOS
+                nsc = seg[0]
+                scan = [
+                    (seg[1 + 2 * ci], seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 15)
+                    for ci in range(nsc)
+                ]
+                data_start = pos + 2 + ln
+                break
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                       0xCD, 0xCE, 0xCF):
+                return None  # progressive/lossless/arithmetic: unsupported
+            pos += 2 + ln
+        if sof is None or data_start is None or not scan:
+            return None
+        w, h, comps = sof
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        if not all(
+            1 <= c["h"] <= 4 and 1 <= c["v"] <= 4
+            and hmax % c["h"] == 0 and vmax % c["v"] == 0
+            for c in comps
+        ):
+            return None
+        order = []
+        for cid, td, ta in scan:
+            c = next((cc for cc in comps if cc["id"] == cid), None)
+            if (
+                c is None or td not in huff_dc or ta not in huff_ac
+                or c["tq"] not in qt
+            ):
+                return None
+            order.append((c, huff_dc[td], huff_ac[ta], qt[c["tq"]]))
+        if len(order) != len(comps):
+            return None  # multi-scan non-interleaved: unsupported
+        mx = -(-w // (8 * hmax))
+        my = -(-h // (8 * vmax))
+        planes = {
+            c["id"]: np.zeros((my * 8 * c["v"], mx * 8 * c["h"]), dtype=np.float64)
+            for c in comps
+        }
+        bits = _JpegBits(content, data_start)
+        preds = {c["id"]: 0 for c in comps}
+        M = _JPEG_M
+        mcu = 0
+        for myi in range(my):
+            for mxi in range(mx):
+                if dri and mcu and mcu % dri == 0:
+                    bits.restart()
+                    preds = {c["id"]: 0 for c in comps}
+                for c, tdc, tac, q in order:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = _jpeg_decode_block(bits, tdc, tac)
+                            preds[c["id"]] += int(zz[0])
+                            zz[0] = preds[c["id"]]
+                            nat = np.zeros(64, dtype=np.int64)
+                            nat[_JPEG_ZZ] = zz
+                            deq = nat.reshape(8, 8) * q
+                            pix = M.T @ deq.astype(np.float64) @ M + 128.0
+                            y0 = (myi * c["v"] + by) * 8
+                            x0 = (mxi * c["h"] + bx) * 8
+                            planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = pix
+                mcu += 1
+        full = []
+        for c in comps:
+            p = planes[c["id"]]
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+            full.append(p[:h, :w])
+        if len(full) == 1:
+            g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            return np.repeat(g[:, :, None], 3, axis=2)
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    except (_JpegBad, IndexError, ValueError):
+        return None
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                b = self.acc & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _jpeg_cat(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _jpeg_enc_table(symbols: list[int]) -> tuple[dict, bytes]:
+    """Canonical single-length Huffman table over the symbols a stream
+    actually uses: every symbol gets length L with 2^L − 1 ≥ n_symbols,
+    so the all-ones codeword stays unused (Annex C recommendation).
+    Returns ({symbol: (code, L)}, DHT payload bytes after the Tc/Th
+    byte)."""
+    syms = sorted(set(symbols))
+    L = 1
+    while (1 << L) - 1 < len(syms):
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = len(syms)
+    enc = {s: (i, L) for i, s in enumerate(syms)}
+    return enc, bytes(counts) + bytes(syms)
+
+
+def encode_jpeg_baseline(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline-JFIF encoder (r9) — the self-contained
+    round-trip oracle for ``decode_jpeg`` (no codec stack in this
+    container), and the generator for the graded multimodal row's JPEG
+    payloads. Grayscale (H, W) or RGB (H, W, 3) uint8; one shared
+    Huffman table pair built from the symbols actually emitted; quant
+    table default all-ones — which makes constant-color blocks
+    numerically LOSSLESS (a constant block has a single integer DC
+    coefficient 8·(v−128); with q=1 the exact IDCT reproduces v
+    bit-for-bit), so tests and oracles can assert exact pixel values
+    through a real entropy-coded JPEG. ``subsample=True`` emits the
+    classic 4:2:0 layout (Y at 2×2 sampling, box-filtered chroma) and
+    ``restart_interval=r`` emits DRI + RSTn markers every r MCUs —
+    both exist to exercise the decoder's MCU-interleave and restart
+    machinery with real streams."""
+    if img.ndim == 2:
+        comps = [(img.astype(np.float64), 1, 1)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            h0, w0 = img.shape[:2]
+            eh, ew = -(-h0 // 2) * 2, -(-w0 // 2) * 2
+
+            def box2(p):
+                pp = np.pad(p, ((0, eh - h0), (0, ew - w0)), mode="edge")
+                return (
+                    pp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+                )
+
+            comps = [(y, 2, 2), (box2(cb), 1, 1), (box2(cr), 1, 1)]
+        else:
+            comps = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    else:
+        raise ValueError("img must be (H, W) gray or (H, W, 3) RGB uint8")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64)
+    if q.shape != (8, 8) or q.min() < 1 or q.max() > 255:
+        raise ValueError("quant must be (8,8) with values in 1..255")
+    M = _JPEG_M
+    hmax = max(ch for _, ch, _ in comps)
+    vmax = max(cv for _, _, cv in comps)
+    mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # quantized zigzag blocks per component, indexed by block grid pos
+    comp_blocks: list[dict[tuple[int, int], np.ndarray]] = []
+    for p, ch, cv in comps:
+        tgt_h, tgt_w = my * 8 * cv, mx * 8 * ch
+        pad = np.pad(
+            p, ((0, tgt_h - p.shape[0]), (0, tgt_w - p.shape[1])), mode="edge"
+        )
+        blocks = {}
+        for yb in range(tgt_h // 8):
+            for xb in range(tgt_w // 8):
+                blk = pad[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] - 128.0
+                Fc = M @ blk @ M.T
+                qc = np.round(Fc / q).astype(np.int64)
+                blocks[(yb, xb)] = qc.reshape(-1)[_JPEG_ZZ]
+        comp_blocks.append(blocks)
+
+    def block_ops(zz: np.ndarray, pred: int):
+        ops = []
+        diff = int(zz[0]) - pred
+        s = _jpeg_cat(diff)
+        ops.append(("dc", s, diff if diff >= 0 else diff + (1 << s) - 1, s))
+        k, run = 1, 0
+        while k < 64:
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+            else:
+                while run > 15:
+                    ops.append(("ac", 0xF0, 0, 0))  # ZRL
+                    run -= 16
+                sz = _jpeg_cat(v)
+                ops.append(
+                    ("ac", (run << 4) | sz, v if v >= 0 else v + (1 << sz) - 1, sz)
+                )
+                run = 0
+            k += 1
+        if run:
+            ops.append(("ac", 0x00, 0, 0))  # EOB
+        return ops, int(zz[0])
+
+    # pass 1: MCU-ordered ops with restart resets mirrored in the
+    # predictor state (so pass 2 writes exactly these symbols)
+    stream: list = []  # ("ops", [...]) | ("rst", idx)
+    dc_syms: list[int] = []
+    ac_syms: list[int] = []
+    preds = [0] * len(comps)
+    mcu = 0
+    rst_idx = 0
+    for myi in range(my):
+        for mxi in range(mx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                stream.append(("rst", rst_idx & 7))
+                rst_idx += 1
+                preds = [0] * len(comps)
+            for ci, (_, ch, cv) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = comp_blocks[ci][(myi * cv + by, mxi * ch + bx)]
+                        ops, preds[ci] = block_ops(zz, preds[ci])
+                        stream.append(("ops", ops))
+                        dc_syms += [s for k_, s, _, _ in ops if k_ == "dc"]
+                        ac_syms += [s for k_, s, _, _ in ops if k_ == "ac"]
+            mcu += 1
+    dc_enc, dc_dht = _jpeg_enc_table(dc_syms)
+    ac_enc, ac_dht = _jpeg_enc_table(ac_syms)
+
+    # pass 2: write the entropy stream
+    bw = _JpegBitWriter()
+    data = bytearray()
+    for kind, payload in stream:
+        if kind == "rst":
+            bw.flush()
+            data += bw.out
+            bw = _JpegBitWriter()
+            data += bytes([0xFF, 0xD0 + payload])
+            continue
+        for k_, sym, bits, n in payload:
+            code, ln = (dc_enc if k_ == "dc" else ac_enc)[sym]
+            bw.write(code, ln)
+            if n:
+                bw.write(bits, n)
+    bw.flush()
+    data += bw.out
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    nc = len(comps)
+    zz_q = q.reshape(-1)[_JPEG_ZZ].astype(np.uint8).tobytes()
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci, (_, ch, cv) in enumerate(comps):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + zz_q)
+        + seg(0xC0, sof)
+        + seg(0xC4, b"\x00" + dc_dht)
+        + seg(0xC4, b"\x10" + ac_dht)
+    )
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    return out + seg(0xDA, sos) + bytes(data) + b"\xff\xd9"
+
+
 def decode_image(content: bytes) -> np.ndarray | None:
-    """numpy-only image decode for three PUBLIC formats — binary
+    """numpy-only image decode for four PUBLIC formats — binary
     PPM ("P6", the netpbm spec), uncompressed 24-bit BMP (Windows
-    BITMAPINFOHEADER), and 8-bit non-interlaced PNG (via stdlib zlib +
-    numpy unfiltering, ``decode_png``). Returns an (H, W, 3) uint8
-    array, or None when the payload isn't one of these (caller decides
-    fake vs raise). JPEG still needs an entropy/DCT stack this
-    container lacks — the sha256 stub stands in there."""
+    BITMAPINFOHEADER), 8-bit non-interlaced PNG (via stdlib zlib +
+    numpy unfiltering, ``decode_png``), and baseline JPEG (r9: pure
+    numpy/stdlib Huffman + dequant + exact IDCT, ``decode_jpeg``).
+    Returns an (H, W, 3) uint8 array, or None when the payload isn't
+    one of these (caller decides fake vs raise); progressive JPEG and
+    other exotic profiles still fall to the stub."""
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg(content)
     if content[:8] == _PNG_SIG:
         return decode_png(content)
     if content[:2] == b"P6":

@@ -155,6 +155,29 @@ def sketch_rollup_merge(
     )
 
 
+# fault-tolerant pin cap for small build-time sets: ~256k (string,long)
+# rows is a few MB of driver memory — far below any sane driver heap
+_PIN_COLLECT_CAP = 1 << 18
+
+
+def _pin_small(small: DataFrame, schema: str, cap: int = _PIN_COLLECT_CAP):
+    """Materialize a small build-time DataFrame FAULT-TOLERANTLY.
+
+    ``localCheckpoint`` pins blocks on executors: executor loss or a
+    dynamic-allocation scale-down discards them and the returned plan
+    fails at execution time (ADVICE r8). For genuinely small sets the
+    robust form is a bounded collect + local re-create — the data lives
+    with the driver/plan and survives any executor churn. A
+    ``limit(cap+1)`` probe bounds the collect; an over-cap set (possible
+    when a threshold sits barely above the decrement budget) falls back
+    to ``localCheckpoint`` with the scale-down hazard accepted rather
+    than risking driver memory."""
+    rows = small.limit(cap + 1).collect()
+    if len(rows) <= cap:
+        return small.sparkSession.createDataFrame(rows, schema=schema)
+    return small.localCheckpoint(eager=True)
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
@@ -218,14 +241,18 @@ def heavy_hitters(
 
     NULL keys are ignored (SQL aggregate convention). The bounded
     summary is persisted only within this call (unpersisted before
-    returning; the small candidate set is locally checkpointed so the
-    returned plan never references the summary cache). Build-time
-    behavior: calling this function runs the summary scan EAGERLY (the
-    superset check needs the total decrement) — guarded by strictLazy
-    like every eager build site — and the checkpointed candidates are a
-    build-time snapshot: if the source mutates before the returned plan
-    executes, the recount sees current data against frozen candidates
-    (the standard staleness caveat of every memoized build here).
+    returning; the small candidate set is collected and re-created as a
+    driver-local DataFrame — fault-tolerant under executor loss and
+    dynamic-allocation scale-down, unlike a localCheckpoint — so the
+    returned plan never references the summary cache; see
+    ``_pin_small`` for the bounded-collect cap and its fallback).
+    Build-time behavior: calling this function runs the summary scan
+    EAGERLY (the superset check needs the total decrement) — guarded by
+    strictLazy like every eager build site — and the pinned candidates
+    are a build-time snapshot: if the source mutates before the
+    returned plan executes, the recount sees current data against
+    frozen candidates (the standard staleness caveat of every memoized
+    build here).
     """
     if capacity < 1:
         raise ValueError(f"capacity must be ≥ 1, got {capacity}")
@@ -348,12 +375,14 @@ def heavy_hitters(
     )
     # candidate gate: true ≤ lb + decr, so true ≥ T ⇒ lb ≥ T − decr
     # (> 0, so every qualifying key survives in the merged summary).
-    # localCheckpoint the small post-gate set: it cuts the lineage back
-    # to the summary cache, letting us unpersist the summary NOW
-    # instead of leaking it for the session (review finding r7).
-    candidates = (
-        merged.filter(F.col("__lb__") >= F.lit(thr - decr))
-        .localCheckpoint(eager=True)
+    # Pin the small post-gate set fault-tolerantly (bounded collect +
+    # local re-create — ADVICE r8; previously localCheckpoint): its
+    # lineage detaches from the summary cache, letting us unpersist the
+    # summary NOW instead of leaking it for the session (r7), and the
+    # pinned rows survive executor loss / dynamic-allocation scale-down.
+    candidates = _pin_small(
+        merged.filter(F.col("__lb__") >= F.lit(thr - decr)),
+        "__k__ string, __lb__ bigint",
     )
     summ.unpersist()
     if not exact:
@@ -536,7 +565,8 @@ def grouped_heavy_hitters(
         # smallest per-group threshold is inside the global decrement
         # budget — a qualifying (group, key) may have been evicted
         # everywhere. Run the exact plan instead.
-        gtot = gtot.localCheckpoint(eager=True)  # cut lineage off summ
+        # pin fault-tolerantly, cutting lineage off summ (ADVICE r8)
+        gtot = _pin_small(gtot, "__g__ string, __gn__ bigint")
         summ.unpersist()
         if total_rows > 0:  # empty input lands here trivially
             warnings.warn(
@@ -561,11 +591,12 @@ def grouped_heavy_hitters(
         .groupBy("__g__", "__k__")
         .agg(F.sum("__c__").alias("__lb__"))
     )
-    candidates = (
+    candidates = _pin_small(  # small; lets the summary cache go, and
+        # survives executor churn unlike localCheckpoint (ADVICE r8)
         merged.join(F.broadcast(gtot), "__g__")
         .filter(F.col("__lb__") + F.lit(decr) >= thr)
-        .select("__g__", "__k__", "__gn__")
-        .localCheckpoint(eager=True)  # small; lets the summary cache go
+        .select("__g__", "__k__", "__gn__"),
+        "__g__ string, __k__ string, __gn__ bigint",
     )
     summ.unpersist()
     counted = (

@@ -263,8 +263,13 @@ def temperature_mix(
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    # counts run over the SAMPLEABLE population — NULL ids are dropped
+    # from the output, so including them here would deflate realized
+    # keep rates below the nominal (n_s/n_min)^(α−1) wherever NULL ids
+    # concentrate, and a stratum of only-NULL ids could pin n_min while
+    # contributing nothing (ADVICE r8)
     counts = (
-        df.filter(F.col(strata_col).isNotNull())
+        df.filter(F.col(strata_col).isNotNull() & F.col(id_col).isNotNull())
         .groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("__n__"))
     )

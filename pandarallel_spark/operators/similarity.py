@@ -133,19 +133,66 @@ def _require_integral_ids(op: str, id_col: str, *dfs: DataFrame) -> None:
             )
 
 
+DEFAULT_MAX_QUERIES = 65536
+
+
+def _collect_queries(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    op: str,
+    max_queries: int,
+) -> pd.DataFrame:
+    """Bounded driver-side collect of the query table.
+
+    Every numpy scale path closes the query side over the executors
+    ("queries are small by contract") — but a contract that isn't
+    enforced is a driver OOM with a useless stack trace when a caller
+    passes a corpus-sized table (review finding r8). The collect is a
+    ``limit(max+1)`` probe: Spark stops the scan after max+1 rows, so
+    an oversized input costs one bounded job and an actionable error,
+    never a full materialization. Also the single strictLazy gate for
+    these inherently-eager builders (ADVICE r8: ``ivf_pq_topk`` ran
+    eager driver jobs unguarded when ``dim`` was passed explicitly).
+    """
+    if max_queries < 1:
+        raise ValueError(f"{op}: max_queries must be ≥ 1, got {max_queries}")
+    eager_build_guard(
+        queries.sparkSession,
+        f"{op} query-side collect (bounded limit({max_queries + 1}) probe)",
+        f"{op} is an eager index builder by design — the query table is "
+        "scored on the driver and broadcast. Under strictLazy, build the "
+        "plan from a session that permits build-time jobs.",
+    )
+    qpdf = queries.select(id_col, vec_col).limit(max_queries + 1).toPandas()
+    if len(qpdf) > max_queries:
+        raise ValueError(
+            f"{op}: query table exceeds max_queries={max_queries} rows. "
+            "The numpy scale paths collect and broadcast the QUERY side — "
+            "they are built for small-query/huge-corpus retrieval. For a "
+            "large query set, raise max_queries= (driver memory "
+            "permitting), split the queries into bounded chunks, or use "
+            "an all-pairs formulation (cosine_pairs_lsh) instead."
+        )
+    return qpdf
+
+
 def topk_numpy(
     spark_queries: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Scale-path top-k: int64 matmul per Arrow batch, per-batch top-k,
     global top-k window. Same output contract as ``topk_expr`` (exact
     integer scores → identical results); integral ids required (the
     Arrow schema declares bigint)."""
     _require_integral_ids("topk_numpy", id_col, spark_queries, corpus)
-    qpdf = spark_queries.select(id_col, vec_col).toPandas()
+    qpdf = _collect_queries(
+        spark_queries, id_col, vec_col, "topk_numpy", max_queries
+    )
     if qpdf.empty:
         return spark_queries.sparkSession.createDataFrame(
             [], "q_id bigint, c_id bigint, score bigint, rank integer"
@@ -397,6 +444,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     dim: int | None = None,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: partition the corpus into inverted
     lists by nearest centroid, probe only the query's ``nprobe`` closest
@@ -421,6 +469,11 @@ def ivf_topk(
     → smaller centroid id; top-k → smaller candidate id.
     """
     _require_integral_ids("ivf_topk", id_col, queries, corpus)
+    # the bounded query-side collect doubles as the strictLazy gate for
+    # this eager index builder (ADVICE r8: the guard must fire even when
+    # dim= is passed explicitly); run it before the head-row collect so
+    # strictLazy sessions never launch the corpus TakeOrdered either
+    qpdf = _collect_queries(queries, id_col, vec_col, "ivf_topk", max_queries)
     if dim is None:
         dim = _infer_dim(corpus, vec_col, "ivf_topk")
     cent_rows = (
@@ -460,9 +513,9 @@ def ivf_topk(
         assign_batches, f"c_id bigint, __cvec__ {vec_type}, __cid__ bigint"
     )
 
-    # queries → nprobe nearest lists, scored on the driver (queries are
-    # small by contract) and broadcast as (q_id, qvec, cid) probe rows
-    qpdf = queries.select(id_col, vec_col).toPandas()
+    # queries → nprobe nearest lists, scored on the driver (bounded by
+    # the max_queries probe above) and broadcast as (q_id, qvec, cid)
+    # probe rows
     if qpdf.empty:
         return queries.sparkSession.createDataFrame(
             [], "q_id bigint, c_id bigint, score bigint, rank integer"
@@ -499,6 +552,21 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _pq_kmeans_init(sub_mat: np.ndarray, n_codes: int, seed: int) -> np.ndarray:
+    """Seeded initial centroids for one subspace: a uniform draw of
+    ``n_codes`` distinct sample rows, id-order-stable (indices sorted),
+    float64. Shared by the driver trainer and the distributed trainer
+    so ``train="kmeans"`` and ``train="kmeans_dist"`` start identically
+    at equal seeds."""
+    rng = np.random.default_rng(seed)
+    n = len(sub_mat)
+    init = rng.choice(n, size=min(n_codes, n), replace=False)
+    cent = sub_mat[np.sort(init)].astype("float64")
+    if len(cent) < n_codes:  # degenerate tiny corpus: pad by repeating
+        cent = np.concatenate([cent, cent[: n_codes - len(cent)]])
+    return cent
+
+
 def _pq_kmeans_codebooks(
     sub_mat: np.ndarray, n_codes: int, iters: int, seed: int
 ) -> np.ndarray:
@@ -509,12 +577,7 @@ def _pq_kmeans_codebooks(
     first-occurrence ties), but not SQL-reproducible — use
     ``train="anchors"`` when an external oracle must replay the index.
     Empty clusters re-seed to the farthest point (classic fix)."""
-    rng = np.random.default_rng(seed)
-    n = len(sub_mat)
-    init = rng.choice(n, size=min(n_codes, n), replace=False)
-    cent = sub_mat[np.sort(init)].astype("float64")
-    if len(cent) < n_codes:  # degenerate tiny corpus: pad by repeating
-        cent = np.concatenate([cent, cent[: n_codes - len(cent)]])
+    cent = _pq_kmeans_init(sub_mat, n_codes, seed)
     x = sub_mat.astype("float64")
     for _ in range(iters):
         d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
@@ -526,6 +589,121 @@ def _pq_kmeans_codebooks(
             else:
                 cent[c] = x[d.min(axis=1).argmax()]
     return np.trunc(cent + np.copysign(0.5, cent)).astype("int64")
+
+
+def _pq_kmeans_dist_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    c_mat: np.ndarray,
+    cb0: np.ndarray,
+    m: int,
+    sub: int,
+    n_codes: int,
+    iters: int,
+    by_residual: bool,
+    fraction: float,
+) -> np.ndarray:
+    """Distributed Lloyd refinement of PQ codebooks over the FULL
+    corpus (or a deterministic hash-sample of it) — the k-means||-style
+    trainer the r8 verdict asked for: the driver-sample trainer's
+    codebook quality degrades when the corpus head isn't representative
+    of the tail; this one sees everything.
+
+    Scale shape per round (``iters`` rounds total, each ONE Spark job):
+    executors stream the corpus through ``mapInPandas`` with the
+    current float64 codebooks in the closure (m × n_codes × sub ≈ KBs),
+    emit per-partition partial rows — (subspace, code, count,
+    sum-vector) plus one (subspace, −1) farthest-point candidate — and
+    a JVM ``groupBy(j, c)`` reduces them to ≤ m×(n_codes+1) rows before
+    the driver sees anything. The shuffle carries partitions×m×
+    (n_codes+1) tiny rows, never vectors-per-row; the corpus itself
+    never moves. Empty clusters re-seed to the globally farthest point
+    (max over a (distance, vector…) struct — deterministic tie-break).
+    Centroids stay float64 across rounds and round to the int64
+    quantization grid once at the end, exactly like the driver trainer.
+    """
+    src = corpus.select(id_col, vec_col)
+    if fraction < 1.0:
+        cut = int(fraction * 1_000_000)
+        src = src.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(cut)
+        )
+    src = src.select(vec_col)
+    s_cols = [f"s{i}" for i in range(sub)]
+    schema = "j int, c int, cnt bigint, fd double, " + ", ".join(
+        f"{s} double" for s in s_cols
+    )
+    cb = cb0.astype("float64")
+    for _ in range(iters):
+        cb_b = cb.copy()  # closure snapshot for this round
+
+        def partials(batches, cb_b=cb_b):
+            sums = np.zeros((m, n_codes, sub), dtype="float64")
+            cnts = np.zeros((m, n_codes), dtype="int64")
+            far_d = np.full(m, -1.0)
+            far_v = np.zeros((m, sub), dtype="float64")
+            seen = False
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                seen = True
+                b = _np_quant(np.stack(pdf[vec_col].apply(np.asarray).to_numpy()))
+                if by_residual:
+                    b = b - c_mat[np.argmax(b @ c_mat.T, axis=1)]
+                rs = b.reshape(len(b), m, sub).astype("float64")
+                for j in range(m):
+                    d = ((rs[:, j, None, :] - cb_b[j][None, :, :]) ** 2).sum(-1)
+                    a = d.argmin(axis=1)
+                    np.add.at(sums[j], a, rs[:, j])
+                    np.add.at(cnts[j], a, 1)
+                    dm = d.min(axis=1)
+                    ix = int(dm.argmax())
+                    if dm[ix] > far_d[j]:
+                        far_d[j] = float(dm[ix])
+                        far_v[j] = rs[ix, j]
+            if not seen:
+                return
+            rows = []
+            for j in range(m):
+                for c in range(n_codes):
+                    rows.append((j, c, int(cnts[j, c]), 0.0, *sums[j, c]))
+                rows.append((j, -1, 0, far_d[j], *far_v[j]))
+            yield pd.DataFrame(rows, columns=["j", "c", "cnt", "fd", *s_cols])
+
+        agg = (
+            src.mapInPandas(partials, schema)
+            .groupBy("j", "c")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                # farthest candidate: struct max = deterministic
+                # (distance first, then vector components)
+                F.max(F.struct("fd", *s_cols)).alias("far"),
+                *[F.sum(s).alias(s) for s in s_cols],
+            )
+            .collect()
+        )
+        far = {}
+        new_cb = cb.copy()
+        for r in agg:
+            if r["c"] == -1:
+                far[r["j"]] = np.array(
+                    [r["far"][s] for s in s_cols], dtype="float64"
+                )
+        for r in agg:
+            j, c = r["j"], r["c"]
+            if c == -1:
+                continue
+            if r["cnt"] > 0:
+                new_cb[j, c] = (
+                    np.array([r[s] for s in s_cols], dtype="float64") / r["cnt"]
+                )
+            elif j in far:
+                new_cb[j, c] = far[j]
+            # no data at all for subspace j (empty corpus sample):
+            # keep the seeded centroid
+        cb = new_cb
+    return np.trunc(cb + np.copysign(0.5, cb)).astype("int64")
 
 
 def ivf_pq_topk(
@@ -545,6 +723,8 @@ def ivf_pq_topk(
     seed: int = 0,
     kmeans_iters: int = 8,
     sample_n: int = 4096,
+    max_queries: int = DEFAULT_MAX_QUERIES,
+    kmeans_dist_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF-PQ approximate top-k (Jégou et al., "Product Quantization
     for Nearest Neighbor Search", TPAMI 2011; the faiss ``IVFPQ``
@@ -563,7 +743,14 @@ def ivf_pq_topk(
     the DuckDB oracle in pure SQL (the same convention ``ivf_topk``
     uses for its centroids); ``train="kmeans"`` runs seeded Lloyd over
     a bounded residual sample on the driver (the production form;
-    deterministic for fixed seed, pytest-covered by recall tests).
+    deterministic for fixed seed, pytest-covered by recall tests);
+    ``train="kmeans_dist"`` (r9) seeds identically to ``"kmeans"`` but
+    refines over the FULL corpus with distributed partial-sum rounds
+    (one Spark job per iteration, executors ship ≤ m×(n_codes+1) tiny
+    partial rows each — see ``_pq_kmeans_dist_codebooks``) — use it
+    when the corpus head isn't representative of the tail;
+    ``kmeans_dist_fraction`` hash-samples the training scan
+    deterministically for cheaper rounds at 100 TB.
     ``by_residual=True`` encodes ``vec − coarse_centroid`` (the classic
     IVFPQ layout — residuals have smaller norms, so a fixed codebook
     wastes less of its resolution); ADC then scores
@@ -580,9 +767,15 @@ def ivf_pq_topk(
     decode; the only shuffles are the two bounded per-query top-k
     windows (candidates, then the ``rerank`` shortlist).
     """
-    if train not in ("anchors", "kmeans"):
-        raise ValueError(f"train must be 'anchors' or 'kmeans', got {train!r}")
+    if train not in ("anchors", "kmeans", "kmeans_dist"):
+        raise ValueError(
+            f"train must be 'anchors', 'kmeans' or 'kmeans_dist', got {train!r}"
+        )
     _require_integral_ids("ivf_pq_topk", id_col, queries, corpus)
+    # bounded query collect first: it is also the strictLazy gate for
+    # this eager index builder (ADVICE r8 — previously the head-row
+    # collect and queries.toPandas() ran unguarded when dim= was given)
+    qpdf = _collect_queries(queries, id_col, vec_col, "ivf_pq_topk", max_queries)
     if dim is None:
         dim = _infer_dim(corpus, vec_col, "ivf_pq_topk")
     if dim % m:
@@ -619,10 +812,25 @@ def ivf_pq_topk(
         if by_residual:
             s_mat = s_mat - c_mat[np.argmax(s_mat @ c_mat.T, axis=1)]
         rs = s_mat.reshape(len(s_mat), m, sub)
-        cb = np.stack([
-            _pq_kmeans_codebooks(rs[:, j, :], n_codes, kmeans_iters, seed + j)
-            for j in range(m)
-        ])
+        if train == "kmeans":
+            cb = np.stack([
+                _pq_kmeans_codebooks(rs[:, j, :], n_codes, kmeans_iters, seed + j)
+                for j in range(m)
+            ])
+        else:
+            # kmeans_dist: SAME seeded init as the driver trainer (so
+            # equal seeds start equal), then Lloyd rounds over the FULL
+            # corpus — distributed partial sums, one Spark job per
+            # round. The codebook no longer depends on the head sample
+            # being representative (r8 verdict task 6).
+            cb0 = np.stack([
+                _pq_kmeans_init(rs[:, j, :], n_codes, seed + j)
+                for j in range(m)
+            ])
+            cb = _pq_kmeans_dist_codebooks(
+                corpus, id_col, vec_col, c_mat, cb0, m, sub, n_codes,
+                kmeans_iters, by_residual, kmeans_dist_fraction,
+            )
 
     # --- encode: one Arrow pass over the corpus scan ----------------------
     vec_type = dict(corpus.dtypes)[vec_col]
@@ -656,7 +864,7 @@ def ivf_pq_topk(
     )
 
     # --- probes: nprobe lists + the per-query ADC table, broadcast --------
-    qpdf = queries.select(id_col, vec_col).toPandas()
+    # (qpdf collected and bounded at the top of the function)
     if qpdf.empty:
         return queries.sparkSession.createDataFrame(
             [], "q_id bigint, c_id bigint, score bigint, rank bigint"
@@ -749,6 +957,7 @@ def lsh_bucketed_topk(
     planes: int = 6,
     seed: int = 42,
     dim: int | None = None,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature buckets — the ANN
     scale path (the exact operators above are the correctness baseline).
@@ -799,8 +1008,10 @@ def lsh_bucketed_topk(
         sign_batches, f"c_id bigint, __cvec__ {vec_type}, __sig__ bigint"
     )
 
-    # queries are small by contract: signatures on the driver
-    qpdf = queries.select(id_col, vec_col).toPandas()
+    # bounded query-side collect (limit probe + strictLazy gate)
+    qpdf = _collect_queries(
+        queries, id_col, vec_col, "lsh_bucketed_topk", max_queries
+    )
     if qpdf.empty:
         return queries.sparkSession.createDataFrame(
             [], "q_id bigint, c_id bigint, score bigint, rank integer"

@@ -397,11 +397,20 @@ def weighted_rolling_agg(
 
     Plan shape: ``window`` lag/lead slot expressions over ONE window
     spec — whole-stage codegen, no Python workers, no collect_list.
-    Grouped (``partition_by``) scales per key; the global form is a
-    total-order window (single sort task — fine for builtin aggs on
-    small/medium data, same caveat as the unweighted builtin path).
-    Windows wider than 512 slots are rejected (the expression tree and
-    codegen cost grow linearly; use a grouped UDF path at that width).
+    Grouped (``partition_by``) scales per key. The GLOBAL form (r8)
+    routes through the same range-bucket + boundary-context (halo)
+    machinery as the unweighted global builtins: rows hash into
+    contiguous order-key buckets, each bucket evaluates the slot
+    expressions in parallel, and ``window − 1`` context rows carried
+    across bucket boundaries complete the truncated leading frames —
+    zero single-partition exchanges. It falls back to a total-order
+    window (single sort task, with a ``UserWarning`` naming the
+    bucketed alternative) only when the halo path can't run: one
+    shuffle partition configured, a non-orderable order key, or
+    strictLazy forbidding the bucket-boundary build job on a cold
+    memo. Windows wider than 512 slots are rejected (the expression
+    tree and codegen cost grow linearly; use a grouped UDF path at
+    that width).
     """
     if agg not in ("sum", "mean", "var", "std"):
         raise NotImplementedError(

@@ -1261,9 +1261,11 @@ FROM reach GROUP BY a
     "dedup_clusters_jaccard",
     _CLUSTER_ORACLE,
     "Transitive duplicate clusters over the exact-Jaccard pair graph "
-    "(a~b, b~c => one group): iterative min-label propagation, one "
-    "shuffle per round, rounds = cluster diameter (shallow for dedup). "
-    "cluster_id = min doc_id in the component — the canonical survivor.",
+    "(a~b, b~c => one group): alternating large-star/small-star "
+    "contraction (Kiveris et al. '14 — the r9 default), O(log^2 n) "
+    "rounds regardless of graph diameter, one groupBy+join per half-"
+    "round. cluster_id = min doc_id in the component — the canonical "
+    "survivor.",
 )
 def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandarallel_spark.operators.graph import connected_components

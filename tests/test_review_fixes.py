@@ -728,3 +728,41 @@ def test_grouped_heavy_hitters_rejects_column_threshold(spark):
     sdf = spark.createDataFrame(pd.DataFrame({"g": ["a"], "k": ["x"]}))
     with pytest.raises(ValueError, match="plain int"):
         grouped_heavy_hitters(sdf, "g", "k", min_count=F.lit(5))
+
+
+def test_temperature_mix_null_ids_excluded_from_rates(spark):
+    """ADVICE r9: per-stratum counts must run over the SAMPLEABLE
+    population (id NOT NULL). A stratum made of only-NULL ids must not
+    pin n_min, and NULL ids inside a stratum must not deflate its
+    realized keep rate."""
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark.operators.sampling import temperature_mix
+
+    pdf = pd.DataFrame({
+        "id": pd.array(np.arange(5_000, dtype="int64"), dtype="Int64"),
+        "lang": np.repeat(["en", "es"], [4_000, 1_000]),
+    })
+    # a ghost stratum of 10 rows, ALL with NULL ids: must neither
+    # appear in the output nor become n_min (which would crush en/es
+    # rates by 100x)
+    ghost = pd.DataFrame({
+        "id": pd.array([None] * 10, dtype="Int64"),
+        "lang": ["zz"] * 10,
+    })
+    # and 2_000 NULL-id rows inside en: en's rate must come from its
+    # 4_000 sampleable rows, not 6_000
+    en_null = pd.DataFrame({
+        "id": pd.array([None] * 2_000, dtype="Int64"),
+        "lang": ["en"] * 2_000,
+    })
+    sdf = spark.createDataFrame(pd.concat([pdf, ghost, en_null]))
+    out = temperature_mix(sdf, "lang", "id", alpha=0.5).toPandas()
+    kept = out.lang.value_counts().to_dict()
+    assert "zz" not in kept
+    # es is the smallest sampleable stratum → rate 1, all 1000 kept
+    assert kept["es"] == 1_000
+    # en rate = (4000/1000)^(-0.5) = 0.5 over 4000 sampleable rows
+    # (the buggy form computed (6000/10)^(-0.5) ≈ 0.041 → ~163 rows)
+    assert abs(kept["en"] - 2_000) < 120, kept
