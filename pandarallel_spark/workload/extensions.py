@@ -820,6 +820,39 @@ _PNG_SUFFIX = bytes.fromhex("00000000") + bytes.fromhex(
     "0000000049454e44ae426082"
 )
 _PPM_OFF, _BMP_OFF, _PNG_OFF = 10_000_000, 20_000_000, 30_000_000
+_JPG_OFF = 40_000_000
+
+
+def _jpeg_payloads() -> list[bytes]:
+    """126 REAL baseline-JPEG payloads (r9), one per pixel value v =
+    doc_id % 126 + 1: an 8×8 constant-gray image entropy-coded by
+    ``multimodal.encode_jpeg_baseline`` with the all-ones quant table,
+    for which the exact IDCT reproduces v bit-for-bit — so the graded
+    row's features_ok contract can assert the full Huffman + dequant +
+    IDCT pipeline (``multimodal.decode_jpeg``) against the analytically
+    known luma, per document. The Huffman bitstream is value-dependent
+    (not SQL-expressible), so the Spark side indexes a 126-literal
+    array by v and the oracle checks the matching precomputed length;
+    like BMP/PNG, the bytes contain NULs DuckDB VARCHARs can't hold, so
+    sha256 is NULL both sides and decode correctness rides features_ok."""
+    import numpy as np
+
+    return [
+        _mm.encode_jpeg_baseline(np.full((8, 8), v, dtype=np.uint8))
+        for v in range(1, 127)
+    ]
+
+
+_JPEG_BYTES = _jpeg_payloads()
+
+_MM_ORACLE_JPEG = """
+UNION ALL
+SELECT doc_id + 40000000 AS media_id, 'jpeg' AS kind,
+       CAST(list_extract([{lens}], v) AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS content_sha256,
+       TRUE AS features_ok
+FROM d
+""".format(lens=", ".join(str(len(p)) for p in _JPEG_BYTES))
 
 _MM_ORACLE = """
 WITH d AS (SELECT doc_id, text, CAST(doc_id % 126 + 1 AS INT) AS v FROM documents)
@@ -847,22 +880,25 @@ SELECT doc_id + 30000000 AS media_id, 'png' AS kind,
        CAST(NULL AS VARCHAR) AS content_sha256,
        TRUE AS features_ok
 FROM d
-"""
+""" + _MM_ORACLE_JPEG
 
 
 @register(
     "multimodal_features",
     _MM_ORACLE,
     "Binary media plumbing with a HARD oracle (error-contract pattern, "
-    "like the sketch queries): FOUR media kinds per document — utf-8 "
-    "text payloads plus constructed constant-pixel PPM, BMP, and (NEW "
-    "r8) PNG images (pixel value doc_id%126+1) that the REAL numpy "
-    "decoders must parse — the PNG kind exercises the full zlib "
-    "inflate + scanline-unfilter path (multimodal.decode_png) on a "
-    "payload assembled from pure JVM expressions via a stored-deflate "
-    "block and a closed-form Adler-32. DuckDB rebuilds the exact "
+    "like the sketch queries): FIVE media kinds per document — utf-8 "
+    "text payloads plus constructed constant-pixel PPM, BMP, PNG (r8: "
+    "real zlib inflate + scanline unfilter on a payload assembled from "
+    "pure JVM expressions via a stored-deflate block and closed-form "
+    "Adler-32), and (NEW r9) baseline JPEG: 126 real entropy-coded "
+    "bitstreams (one per pixel value v = doc_id%126+1, built by the "
+    "in-module encoder, indexed by an element_at over literal arrays) "
+    "that multimodal.decode_jpeg must Huffman-decode, dequantize, and "
+    "exactly-IDCT back to the constant v. DuckDB rebuilds the exact "
     "text/PPM payload bytes and checks sha256 (proves the binary "
-    "column rides synthesize->mapInPandas untouched) plus n_bytes; "
+    "column rides synthesize->mapInPandas untouched) plus n_bytes "
+    "(JPEG: against the 126 precomputed bitstream lengths); "
     "features_ok is a Spark-side contract boolean asserted literal "
     "TRUE: image rows decoded for real, all 16 feature slots equal, "
     "and equal to the analytically known luma value "
@@ -901,9 +937,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_PNG_PREFIX), png_line, png_line, png_line, png_line,
         adler_bytes, F.lit(_PNG_SUFFIX),
     )
-    # ONE scan of documents fanning out to the four media kinds via
-    # explode — a per-kind union would scan the table four times
-    # (4× IO at 100 TB for identical rows)
+    # the JPEG payload is one of 126 prebuilt literal bitstreams (the
+    # Huffman coding is value-dependent, not expressible as SQL over v)
+    jpeg = F.element_at(F.array(*[F.lit(p) for p in _JPEG_BYTES]), v)
+    # ONE scan of documents fanning out to the five media kinds via
+    # explode — a per-kind union would scan the table five times
+    # (5× IO at 100 TB for identical rows)
     media = (
         docs.select(
             F.explode(
@@ -912,6 +951,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     entry(did + _PPM_OFF, "image/ppm", F.concat(F.lit(_PPM_HEADER), pix)),
                     entry(did + _BMP_OFF, "image/bmp", F.concat(F.lit(_BMP_HEADER), pix)),
                     entry(did + _PNG_OFF, "image/png", png),
+                    entry(did + _JPG_OFF, "image/jpeg", jpeg),
                 )
             ).alias("m")
         )
@@ -924,13 +964,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _mm.decode_features(media, passthrough=["content_sha256"])
     mid = F.col("media_id")
     kind = (
-        F.when(mid >= _PNG_OFF, F.lit("png"))
+        F.when(mid >= _JPG_OFF, F.lit("jpeg"))
+        .when(mid >= _PNG_OFF, F.lit("png"))
         .when(mid >= _BMP_OFF, F.lit("bmp"))
         .when(mid >= _PPM_OFF, F.lit("ppm"))
         .otherwise(F.lit("text"))
     )
     base_id = (
-        F.when(mid >= _PNG_OFF, mid - _PNG_OFF)
+        F.when(mid >= _JPG_OFF, mid - _JPG_OFF)
+        .when(mid >= _PNG_OFF, mid - _PNG_OFF)
         .when(mid >= _BMP_OFF, mid - _BMP_OFF)
         .otherwise(mid - _PPM_OFF)
     )
