@@ -5,12 +5,15 @@ the lakehouse-standard layout (content + media_type + width/height/
 duration). The Spark-side machinery here is real and tested: schemas,
 Arrow batch shapes, ``mapInPandas`` signatures, partition sizing. The
 codec: ``decode_image`` REALLY decodes binary PPM (P6), uncompressed
-24-bit BMP, and 8-bit non-interlaced PNG (stdlib zlib inflate + numpy
-scanline unfiltering — all five filters; pytest round-trip-verified
-against an in-test encoder). JPEG, which needs a Huffman/DCT stack this
-container lacks, falls back to a clearly-marked deterministic sha256
-stub, or raises under ``require_real_codec=True``. Swapping in a full
-decoder changes one function, not the pipeline.
+24-bit BMP, 8-bit non-interlaced PNG (stdlib zlib inflate + numpy
+scanline unfiltering — all five filters), and JPEG (r9: pure
+numpy/stdlib Huffman + dequant + exact IDCT — baseline AND progressive
+SOF2 with spectral selection, successive approximation, and EOB runs;
+round-trip-verified against the in-module baseline and progressive
+encoders). Payloads outside these profiles (arithmetic-coded, 12-bit,
+lossless, interlaced PNG, 16-bit PNG) fall back to a clearly-marked
+deterministic sha256 stub, or raise under ``require_real_codec=True``.
+Swapping in a native codec changes one function, not the pipeline.
 
 Scale notes: binary payloads dominate batch bytes, so decode stages cap
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.py) and
@@ -64,9 +67,9 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_png(content: bytes) -> np.ndarray | None:
-    """Real PNG decode with stdlib ``zlib`` + numpy (r8 — closes the
-    "entropy-coded formats are stubbed" gap for PNG; JPEG still needs a
-    Huffman/DCT stack this container lacks). Spec coverage: 8-bit
+    """Real PNG decode with stdlib ``zlib`` + numpy (r8 — closed the
+    "entropy-coded formats are stubbed" gap for PNG; r9's
+    ``decode_jpeg`` closed it for JPEG). Spec coverage: 8-bit
     non-interlaced greyscale (0), RGB (2), palette (3), grey+alpha (4),
     RGBA (6); all five scanline filters (None/Sub/Up/Average/Paeth, RFC
     2083 §6). 16-bit and Adam7-interlaced images return None (caller
@@ -245,12 +248,16 @@ class _JpegBits:
             v = (v << 1) | self.read_bit()
         return v
 
-    def restart(self) -> None:
-        """Byte-align and consume an RSTn marker (DRI boundaries)."""
+    def align(self) -> None:
+        """Discard any partially-consumed byte (scan padding bits)."""
         if self.bit:
             b = self.d[self.pos]
             self.bit = 0
             self.pos += 2 if b == 0xFF else 1
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (DRI boundaries)."""
+        self.align()
         if (
             self.pos + 1 >= len(self.d)
             or self.d[self.pos] != 0xFF
@@ -312,15 +319,156 @@ def _jpeg_decode_block(bits: _JpegBits, tdc: dict, tac: dict) -> np.ndarray:
     return coef
 
 
+def _jpeg_scan_blocks(
+    bits: _JpegBits,
+    scomps: list,
+    dri: int,
+    Ss: int,
+    Se: int,
+    Ah: int,
+    Al: int,
+) -> None:
+    """Decode one SOS entropy segment into the components' coefficient
+    arrays (G.2 progressive / F.2 sequential, unified): a sequential
+    scan is simply Ss=0, Se=63, Ah=Al=0. ``scomps`` rows are
+    (comp, tdc, tac) where comp carries the coefficient grid
+    (``coef`` (bh, bw, 64) int32, natural order) and block-count
+    fields. Successive-approximation refinement follows the classic
+    correction-bit algorithm (spec figures G.7/G.8)."""
+    interleaved = len(scomps) > 1
+    preds = {c["id"]: 0 for c, _, _ in scomps}
+    state = {"eobrun": 0}
+    zz = _JPEG_ZZ
+    p1, m1 = 1 << Al, -1 << Al
+
+    def dc_visit(c, tdc, coef):
+        if Ah == 0:
+            sym = _jpeg_huff_decode(bits, tdc)
+            if sym > 11:
+                raise _JpegBad("DC category > 11")
+            diff = _jpeg_extend(bits.receive(sym), sym) if sym else 0
+            preds[c["id"]] += diff
+            coef[0] = preds[c["id"]] << Al
+        else:
+            if bits.read_bit():
+                coef[0] |= p1
+
+    def ac_first(tac, coef):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = max(Ss, 1)
+        while k <= Se:
+            rs = _jpeg_huff_decode(bits, tac)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += bits.receive(r)
+                break
+            k += r
+            if k > Se:
+                raise _JpegBad("AC run past band end")
+            coef[zz[k]] = _jpeg_extend(bits.receive(sz), sz) << Al
+            k += 1
+
+    def ac_refine(tac, coef):
+        k = Ss
+        if state["eobrun"] == 0:
+            while k <= Se:
+                rs = _jpeg_huff_decode(bits, tac)
+                r, sz = rs >> 4, rs & 15
+                newval = 0
+                if sz:
+                    if sz != 1:
+                        raise _JpegBad("refinement size must be 1")
+                    newval = p1 if bits.read_bit() else m1
+                else:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += bits.receive(r)
+                        break
+                    # r == 15: ZRL — pass over 16 zero-history coefs
+                while k <= Se:
+                    z = zz[k]
+                    if coef[z] != 0:
+                        if bits.read_bit() and (coef[z] & p1) == 0:
+                            coef[z] += p1 if coef[z] >= 0 else m1
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval and k <= Se:
+                    coef[zz[k]] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= Se:
+                z = zz[k]
+                if coef[z] != 0:
+                    if bits.read_bit() and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    def visit(c, tdc, tac, coef):
+        if Ss == 0:
+            dc_visit(c, tdc, coef)
+        if Se >= 1:
+            if Ss == 0 and Ah == 0:
+                ac_first(tac, coef)  # sequential scan: AC follows DC
+            elif Ss > 0:
+                (ac_first if Ah == 0 else ac_refine)(tac, coef)
+
+    def do_restart():
+        bits.restart()
+        for key in preds:
+            preds[key] = 0
+        state["eobrun"] = 0
+
+    if interleaved:
+        c0 = scomps[0][0]
+        mcu = 0
+        for myi in range(c0["my"]):
+            for mxi in range(c0["mx"]):
+                if dri and mcu and mcu % dri == 0:
+                    do_restart()
+                for c, tdc, tac in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            visit(
+                                c, tdc, tac,
+                                c["coef"][myi * c["v"] + by, mxi * c["h"] + bx],
+                            )
+                mcu += 1
+    else:
+        c, tdc, tac = scomps[0]
+        mcu = 0
+        for by in range(c["bh_data"]):
+            for bx in range(c["bw_data"]):
+                if dri and mcu and mcu % dri == 0:
+                    do_restart()
+                visit(c, tdc, tac, c["coef"][by, bx])
+                mcu += 1
+    bits.align()
+
+
 def decode_jpeg(content: bytes) -> np.ndarray | None:
-    """Baseline-JPEG decode with stdlib + numpy only (r9 — closes the
-    last stubbed media format; real corpora are mostly JPEG). Spec
-    coverage: baseline and extended-sequential DCT (SOF0/SOF1), 8-bit,
-    1 or 3 components, any integer-ratio subsampling (4:4:4, 4:2:2,
-    4:2:0, …), multiple DQT/DHT tables, restart intervals (DRI/RSTn),
-    APPn/COM skipped. Progressive (SOF2), arithmetic coding, 12-bit,
-    and hierarchical return None — caller decides stub vs raise, as
-    with the other decoders.
+    """JPEG decode with stdlib + numpy only (r9 — closes the last
+    stubbed media format; real corpora are mostly JPEG). Spec coverage:
+    baseline/extended-sequential (SOF0/SOF1) AND progressive (SOF2,
+    incl. spectral selection, successive approximation, EOB runs —
+    decoded through the same unified multi-scan coefficient
+    accumulator), 8-bit, 1 or 3 components, any integer-ratio
+    subsampling (4:4:4, 4:2:2, 4:2:0, …), multiple DQT/DHT tables
+    (re-definable between scans), restart intervals (DRI/RSTn), APPn/
+    COM skipped. Arithmetic coding, 12-bit, lossless, and hierarchical
+    profiles return None — caller decides stub vs raise, as with the
+    other decoders.
 
     Fidelity: exact float IDCT (orthonormal basis matrices — see
     ``_dct_mat``), nearest-neighbor chroma upsampling, JFIF YCbCr→RGB
@@ -339,14 +487,14 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:
         huff_ac: dict[int, dict] = {}
         sof = None
         dri = 0
-        data_start = None
-        scan = None
+        comps: list[dict] = []
+        saw_scan = False
         while pos + 2 <= n:
             if content[pos] != 0xFF:
                 return None
             m = content[pos + 1]
-            if m == 0xD9:  # EOI before SOS: malformed
-                return None
+            if m == 0xD9:  # EOI
+                break
             if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST
                 pos += 2
                 continue
@@ -372,8 +520,8 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:
                     q = np.zeros(64, dtype=np.int64)
                     q[_JPEG_ZZ] = tbl.astype(np.int64)
                     qt[tq] = q.reshape(8, 8)
-            elif m in (0xC0, 0xC1):  # SOF0/SOF1
-                if seg[0] != 8:
+            elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2
+                if sof is not None or seg[0] != 8:
                     return None
                 h = int.from_bytes(seg[1:3], "big")
                 w = int.from_bytes(seg[3:5], "big")
@@ -389,7 +537,26 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:
                     }
                     for ci in range(nc)
                 ]
-                sof = (w, h, comps)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if not all(
+                    1 <= c["h"] <= 4 and 1 <= c["v"] <= 4
+                    and hmax % c["h"] == 0 and vmax % c["v"] == 0
+                    for c in comps
+                ):
+                    return None
+                mx = -(-w // (8 * hmax))
+                my = -(-h // (8 * vmax))
+                for c in comps:
+                    cw = -(-(w * c["h"]) // hmax)
+                    ch = -(-(h * c["v"]) // vmax)
+                    c["bw_data"] = -(-cw // 8)
+                    c["bh_data"] = -(-ch // 8)
+                    c["mx"], c["my"] = mx, my
+                    c["coef"] = np.zeros(
+                        (my * c["v"], mx * c["h"], 64), dtype=np.int32
+                    )
+                sof = (w, h, comps, hmax, vmax, m == 0xC2)
             elif m == 0xC4:  # DHT
                 i = 0
                 while i + 17 <= len(seg):
@@ -406,74 +573,67 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:
                     )
             elif m == 0xDD:  # DRI
                 dri = int.from_bytes(seg[0:2], "big")
-            elif m == 0xDA:  # SOS
+            elif m == 0xDA:  # SOS — decode the scan, continue parsing
+                if sof is None:
+                    return None
+                progressive = sof[5]
                 nsc = seg[0]
-                scan = [
-                    (seg[1 + 2 * ci], seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 15)
-                    for ci in range(nsc)
-                ]
-                data_start = pos + 2 + ln
-                break
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                       0xCD, 0xCE, 0xCF):
-                return None  # progressive/lossless/arithmetic: unsupported
+                Ss, Se = seg[1 + 2 * nsc], seg[2 + 2 * nsc]
+                AhAl = seg[3 + 2 * nsc]
+                Ah, Al = AhAl >> 4, AhAl & 15
+                if not progressive:
+                    Ss, Se, Ah, Al = 0, 63, 0, 0
+                if Ss > Se or Se > 63 or Al > 13:
+                    return None
+                scomps = []
+                for ci in range(nsc):
+                    cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                    td, ta = tt >> 4, tt & 15
+                    c = next((cc for cc in comps if cc["id"] == cid), None)
+                    if c is None:
+                        return None
+                    # DC-refinement scans use no DC table; AC-less scans
+                    # use no AC table — only require what the scan reads
+                    tdc = huff_dc.get(td) if (Ss == 0 and Ah == 0) else None
+                    tac = huff_ac.get(ta) if Se >= 1 else None
+                    if (Ss == 0 and Ah == 0 and tdc is None) or (
+                        Se >= 1 and Ss > 0 and tac is None
+                    ) or (not progressive and (tdc is None or tac is None)):
+                        return None
+                    scomps.append((c, tdc, tac))
+                if len(scomps) > 1 and Ss > 0:
+                    return None  # AC progressive scans are single-component
+                bits = _JpegBits(content, pos + 2 + ln)
+                _jpeg_scan_blocks(bits, scomps, dri, Ss, Se, Ah, Al)
+                saw_scan = True
+                pos = bits.pos
+                continue
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                       0xCE, 0xCF):
+                return None  # lossless/arithmetic/hierarchical
             pos += 2 + ln
-        if sof is None or data_start is None or not scan:
+        if sof is None or not saw_scan:
             return None
-        w, h, comps = sof
-        hmax = max(c["h"] for c in comps)
-        vmax = max(c["v"] for c in comps)
-        if not all(
-            1 <= c["h"] <= 4 and 1 <= c["v"] <= 4
-            and hmax % c["h"] == 0 and vmax % c["v"] == 0
-            for c in comps
-        ):
-            return None
-        order = []
-        for cid, td, ta in scan:
-            c = next((cc for cc in comps if cc["id"] == cid), None)
-            if (
-                c is None or td not in huff_dc or ta not in huff_ac
-                or c["tq"] not in qt
-            ):
-                return None
-            order.append((c, huff_dc[td], huff_ac[ta], qt[c["tq"]]))
-        if len(order) != len(comps):
-            return None  # multi-scan non-interleaved: unsupported
-        mx = -(-w // (8 * hmax))
-        my = -(-h // (8 * vmax))
-        planes = {
-            c["id"]: np.zeros((my * 8 * c["v"], mx * 8 * c["h"]), dtype=np.float64)
-            for c in comps
-        }
-        bits = _JpegBits(content, data_start)
-        preds = {c["id"]: 0 for c in comps}
+        w, h, comps, hmax, vmax, _ = sof
         M = _JPEG_M
-        mcu = 0
-        for myi in range(my):
-            for mxi in range(mx):
-                if dri and mcu and mcu % dri == 0:
-                    bits.restart()
-                    preds = {c["id"]: 0 for c in comps}
-                for c, tdc, tac, q in order:
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            zz = _jpeg_decode_block(bits, tdc, tac)
-                            preds[c["id"]] += int(zz[0])
-                            zz[0] = preds[c["id"]]
-                            nat = np.zeros(64, dtype=np.int64)
-                            nat[_JPEG_ZZ] = zz
-                            deq = nat.reshape(8, 8) * q
-                            pix = M.T @ deq.astype(np.float64) @ M + 128.0
-                            y0 = (myi * c["v"] + by) * 8
-                            x0 = (mxi * c["h"] + bx) * 8
-                            planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = pix
-                mcu += 1
         full = []
         for c in comps:
-            p = planes[c["id"]]
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-            full.append(p[:h, :w])
+            if c["tq"] not in qt:
+                return None
+            q = qt[c["tq"]].reshape(-1).astype(np.float64)
+            bh, bw = c["coef"].shape[:2]
+            deq = (c["coef"].reshape(-1, 64).astype(np.float64) * q).reshape(
+                -1, 8, 8
+            )
+            pix = np.einsum("ij,njk,kl->nil", M.T, deq, M) + 128.0
+            plane = (
+                pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw * 8)
+            )
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+            full.append(plane[:h, :w])
         if len(full) == 1:
             g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
             return np.repeat(g[:, :, None], 3, axis=2)
@@ -530,26 +690,13 @@ def _jpeg_enc_table(symbols: list[int]) -> tuple[dict, bytes]:
     return enc, bytes(counts) + bytes(syms)
 
 
-def encode_jpeg_baseline(
-    img: np.ndarray,
-    quant: np.ndarray | None = None,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Minimal baseline-JFIF encoder (r9) — the self-contained
-    round-trip oracle for ``decode_jpeg`` (no codec stack in this
-    container), and the generator for the graded multimodal row's JPEG
-    payloads. Grayscale (H, W) or RGB (H, W, 3) uint8; one shared
-    Huffman table pair built from the symbols actually emitted; quant
-    table default all-ones — which makes constant-color blocks
-    numerically LOSSLESS (a constant block has a single integer DC
-    coefficient 8·(v−128); with q=1 the exact IDCT reproduces v
-    bit-for-bit), so tests and oracles can assert exact pixel values
-    through a real entropy-coded JPEG. ``subsample=True`` emits the
-    classic 4:2:0 layout (Y at 2×2 sampling, box-filtered chroma) and
-    ``restart_interval=r`` emits DRI + RSTn markers every r MCUs —
-    both exist to exercise the decoder's MCU-interleave and restart
-    machinery with real streams."""
+def _jpeg_plan(
+    img: np.ndarray, quant: np.ndarray | None, subsample: bool
+) -> tuple:
+    """Shared encoder front half: color transform, optional 4:2:0
+    chroma box-downsample, edge padding, forward DCT, quantization.
+    Returns (comps [(plane, h, v)], comp_blocks [{(yb, xb): zigzag
+    coefs}], h, w, quant, mx, my)."""
     if img.ndim == 2:
         comps = [(img.astype(np.float64), 1, 1)]
     elif img.ndim == 3 and img.shape[2] == 3:
@@ -584,8 +731,6 @@ def encode_jpeg_baseline(
     hmax = max(ch for _, ch, _ in comps)
     vmax = max(cv for _, _, cv in comps)
     mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-
-    # quantized zigzag blocks per component, indexed by block grid pos
     comp_blocks: list[dict[tuple[int, int], np.ndarray]] = []
     for p, ch, cv in comps:
         tgt_h, tgt_w = my * 8 * cv, mx * 8 * ch
@@ -600,6 +745,30 @@ def encode_jpeg_baseline(
                 qc = np.round(Fc / q).astype(np.int64)
                 blocks[(yb, xb)] = qc.reshape(-1)[_JPEG_ZZ]
         comp_blocks.append(blocks)
+    return comps, comp_blocks, h, w, q, mx, my
+
+
+def encode_jpeg_baseline(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline-JFIF encoder (r9) — the self-contained
+    round-trip oracle for ``decode_jpeg`` (no codec stack in this
+    container), and the generator for the graded multimodal row's JPEG
+    payloads. Grayscale (H, W) or RGB (H, W, 3) uint8; one shared
+    Huffman table pair built from the symbols actually emitted; quant
+    table default all-ones — which makes constant-color blocks
+    numerically LOSSLESS (a constant block has a single integer DC
+    coefficient 8·(v−128); with q=1 the exact IDCT reproduces v
+    bit-for-bit), so tests and oracles can assert exact pixel values
+    through a real entropy-coded JPEG. ``subsample=True`` emits the
+    classic 4:2:0 layout (Y at 2×2 sampling, box-filtered chroma) and
+    ``restart_interval=r`` emits DRI + RSTn markers every r MCUs —
+    both exist to exercise the decoder's MCU-interleave and restart
+    machinery with real streams."""
+    comps, comp_blocks, h, w, q, mx, my = _jpeg_plan(img, quant, subsample)
 
     def block_ops(zz: np.ndarray, pred: int):
         ops = []
@@ -691,6 +860,229 @@ def encode_jpeg_baseline(
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     return out + seg(0xDA, sos) + bytes(data) + b"\xff\xd9"
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: bool = False,
+    Al: int = 1,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive-JFIF encoder (r9) — the round-trip oracle for
+    ``decode_jpeg``'s SOF2 path. Emits the classic scan script real
+    encoders use: an interleaved DC first scan at successive-
+    approximation level ``Al``, per-component AC first scans over each
+    spectral ``band`` at ``Al`` (with EOB-run aggregation), then the
+    refinement passes — DC raw-bit scans and AC correction-bit scans
+    (spec G.7/G.8, the libjpeg encode_mcu_AC_refine structure) stepping
+    Al down to 0. The quantized coefficients are identical to
+    ``encode_jpeg_baseline``'s for the same inputs, so a decoder must
+    reproduce the baseline decode BIT-FOR-BIT — the cross-check the
+    round-trip test pins."""
+    comps, comp_blocks, h, w, q, mx, my = _jpeg_plan(img, quant, subsample)
+    if not 0 <= Al <= 10:
+        raise ValueError(f"Al must be in 0..10, got {Al}")
+    nc = len(comps)
+
+    def mcu_block_seq() -> list[tuple[int, np.ndarray]]:
+        """(comp_idx, zigzag coefs) in interleaved MCU order."""
+        seq = []
+        for myi in range(my):
+            for mxi in range(mx):
+                for ci, (_, ch, cv) in enumerate(comps):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            seq.append(
+                                (ci, comp_blocks[ci][(myi * cv + by, mxi * ch + bx)])
+                            )
+        return seq
+
+    def comp_block_seq(ci: int) -> list[np.ndarray]:
+        """Component blocks in non-interleaved raster order (data grid
+        only — MCU padding blocks carry no AC scans, per spec)."""
+        _, ch, cv = comps[ci]
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        bw_data = -(-(-(-(w * ch) // hmax)) // 8)
+        bh_data = -(-(-(-(h * cv) // vmax)) // 8)
+        return [
+            comp_blocks[ci][(yb, xb)]
+            for yb in range(bh_data)
+            for xb in range(bw_data)
+        ]
+
+    # ---- scan op builders: ops are ("sym", table, sym, bits, n) or
+    # ("raw", bits, n) -------------------------------------------------
+    def dc_first_ops(al: int) -> list:
+        ops = []
+        preds = [0] * nc
+        for ci, zz in mcu_block_seq():
+            tv = int(zz[0]) >> al  # arithmetic shift per spec
+            diff = tv - preds[ci]
+            preds[ci] = tv
+            s = _jpeg_cat(diff)
+            ops.append(("sym", "dc", s, diff if diff >= 0 else diff + (1 << s) - 1, s))
+        return ops
+
+    def dc_refine_ops(al: int) -> list:
+        return [
+            ("raw", (int(zz[0]) >> al) & 1, 1) for _, zz in mcu_block_seq()
+        ]
+
+    def ac_first_ops(ci: int, ss: int, se: int, al: int) -> list:
+        ops: list = []
+        eob_cnt = 0
+
+        def flush_eob():
+            nonlocal eob_cnt
+            while eob_cnt > 0:
+                r = min(14, eob_cnt.bit_length() - 1)
+                take = min(eob_cnt, (1 << (r + 1)) - 1)
+                r = take.bit_length() - 1
+                extra = take - (1 << r)
+                ops.append(("sym", "ac", r << 4, extra, r))
+                eob_cnt -= take
+
+        for zz in comp_block_seq(ci):
+            tvals = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                av = abs(v) >> al
+                tvals.append(av if v >= 0 else -av)
+            last = -1
+            for i, tv in enumerate(tvals):
+                if tv:
+                    last = i
+            if last < 0:
+                eob_cnt += 1
+                if eob_cnt == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for tv in tvals[: last + 1]:
+                if tv == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ops.append(("sym", "ac", 0xF0, 0, 0))
+                    run -= 16
+                s = _jpeg_cat(tv)
+                ops.append(
+                    ("sym", "ac", (run << 4) | s, tv if tv >= 0 else tv + (1 << s) - 1, s)
+                )
+                run = 0
+            if last < se - ss:
+                eob_cnt += 1
+        flush_eob()
+        return ops
+
+    def ac_refine_ops(ci: int, ss: int, se: int, al: int) -> list:
+        ops: list = []
+        eob_cnt = 0
+        eob_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eob_cnt, eob_bits
+            while eob_cnt > 0:
+                r = min(14, eob_cnt.bit_length() - 1)
+                take = min(eob_cnt, (1 << (r + 1)) - 1)
+                r = take.bit_length() - 1
+                extra = take - (1 << r)
+                ops.append(("sym", "ac", r << 4, extra, r))
+                eob_cnt -= take
+            for b in eob_bits:
+                ops.append(("raw", b, 1))
+            eob_bits = []
+
+        for zz in comp_block_seq(ci):
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eobpos = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eobpos = i
+            run = 0
+            br: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eobpos:
+                    flush_eob()
+                    ops.append(("sym", "ac", 0xF0, 0, 0))
+                    run -= 16
+                    for b in br:
+                        ops.append(("raw", b, 1))
+                    br = []
+                if t > 1:
+                    br.append(t & 1)  # correction bit for already-significant
+                    continue
+                flush_eob()
+                ops.append(("sym", "ac", (run << 4) | 1, 0, 0))
+                ops.append(("raw", 1 if int(zz[ss + i]) >= 0 else 0, 1))
+                for b in br:
+                    ops.append(("raw", b, 1))
+                br = []
+                run = 0
+            if run > 0 or br:
+                eob_cnt += 1
+                eob_bits.extend(br)
+                if eob_cnt == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return ops
+
+    # ---- scan script -------------------------------------------------
+    scans: list[tuple[list[int], int, int, int, int, list]] = []
+    all_ids = list(range(nc))
+    scans.append((all_ids, 0, 0, 0, Al, dc_first_ops(Al)))
+    for ci in range(nc):
+        for ss, se in bands:
+            scans.append(([ci], ss, se, 0, Al, ac_first_ops(ci, ss, se, Al)))
+    for al in range(Al - 1, -1, -1):
+        scans.append((all_ids, 0, 0, al + 1, al, dc_refine_ops(al)))
+        for ci in range(nc):
+            for ss, se in bands:
+                scans.append(([ci], ss, se, al + 1, al, ac_refine_ops(ci, ss, se, al)))
+
+    # ---- assemble ----------------------------------------------------
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    zz_q = q.reshape(-1)[_JPEG_ZZ].astype(np.uint8).tobytes()
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci, (_, ch, cv) in enumerate(comps):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out = b"\xff\xd8" + seg(0xDB, b"\x00" + zz_q) + seg(0xC2, sof)
+    for comp_ids, ss, se, ah, al, ops in scans:
+        dc_syms = [sym for kind, *rest in ops if kind == "sym" and rest[0] == "dc" for sym in [rest[1]]]
+        ac_syms = [sym for kind, *rest in ops if kind == "sym" and rest[0] == "ac" for sym in [rest[1]]]
+        enc = {}
+        if dc_syms:
+            enc["dc"], dht = _jpeg_enc_table(dc_syms)
+            out += seg(0xC4, b"\x00" + dht)
+        if ac_syms:
+            enc["ac"], dht = _jpeg_enc_table(ac_syms)
+            out += seg(0xC4, b"\x10" + dht)
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        bw = _JpegBitWriter()
+        for op in ops:
+            if op[0] == "sym":
+                _, tbl, sym, bits, n = op
+                code, ln = enc[tbl][sym]
+                bw.write(code, ln)
+                if n:
+                    bw.write(bits, n)
+            else:
+                _, bits, n = op
+                bw.write(bits, n)
+        bw.flush()
+        out += seg(0xDA, sos) + bytes(bw.out)
+    return out + b"\xff\xd9"
 
 
 def decode_image(content: bytes) -> np.ndarray | None:
@@ -791,7 +1183,8 @@ def decode_features(
 ) -> DataFrame:
     """Binary → fixed-length feature vector via ``mapInPandas``.
 
-    Per payload: a REAL decode (``decode_image`` — PPM/BMP, numpy-only)
+    Per payload: a REAL decode (``decode_image`` — PPM/BMP/PNG/JPEG,
+    numpy-only)
     feeds ``image_features`` when the format is supported; other
     payloads get the deterministic sha256 stub so the distributed
     plumbing stays testable against arbitrary bytes. With

@@ -347,6 +347,78 @@ def _w_exponential(M: int, tau: float = 1.0, center: float | None = None) -> np.
     return np.exp(-np.abs(np.arange(M) - c) / tau)
 
 
+def _w_cosine_sum(coefs: tuple[float, ...]) -> Callable[[int], np.ndarray]:
+    """Generalized cosine-sum window w[n] = Σ_k (−1)^k a_k cos(2πkn/(M−1))
+    — the family scipy derives nuttall/blackmanharris/flattop from."""
+
+    def gen(M: int) -> np.ndarray:
+        if M == 1:
+            return np.ones(1)
+        n = np.arange(M)
+        w = np.zeros(M)
+        for k, a in enumerate(coefs):
+            w += (-1) ** k * a * np.cos(2 * np.pi * k * n / (M - 1))
+        return w
+
+    return gen
+
+
+def _w_bohman(M: int) -> np.ndarray:
+    if M == 1:
+        return np.ones(1)
+    fac = np.abs(np.linspace(-1, 1, M))
+    return (1 - fac) * np.cos(np.pi * fac) + np.sin(np.pi * fac) / np.pi
+
+
+def _w_parzen(M: int) -> np.ndarray:
+    n = np.arange(M) - (M - 1) / 2.0
+    na = np.abs(n)
+    half = M / 2.0
+    w = np.where(
+        na <= (M - 1) / 4.0,
+        1 - 6 * (na / half) ** 2 + 6 * (na / half) ** 3,
+        2 * (1 - na / half) ** 3,
+    )
+    return w
+
+
+def _w_cosine(M: int) -> np.ndarray:
+    return np.sin(np.pi * (np.arange(M) + 0.5) / M)
+
+
+def _w_barthann(M: int) -> np.ndarray:
+    if M == 1:
+        return np.ones(1)
+    fac = np.abs(np.arange(M) / (M - 1.0) - 0.5)
+    return 0.62 - 0.48 * fac + 0.38 * np.cos(2 * np.pi * fac)
+
+
+def _w_tukey(M: int, alpha: float = 0.5) -> np.ndarray:
+    if M == 1:
+        return np.ones(1)
+    if alpha <= 0:
+        return np.ones(M)
+    if alpha >= 1:
+        return np.hanning(M)
+    n = np.arange(M)
+    width = int(np.floor(alpha * (M - 1) / 2.0))
+    w = np.ones(M)
+    left = n[: width + 1]
+    w[: width + 1] = 0.5 * (
+        1 + np.cos(np.pi * (-1 + 2.0 * left / alpha / (M - 1)))
+    )
+    right = n[M - width - 1:]
+    w[M - width - 1:] = 0.5 * (
+        1 + np.cos(np.pi * (-2.0 / alpha + 1 + 2.0 * right / alpha / (M - 1)))
+    )
+    return w
+
+
+def _w_general_gaussian(M: int, p: float, sig: float) -> np.ndarray:
+    n = np.arange(M) - (M - 1) / 2.0
+    return np.exp(-0.5 * np.abs(n / sig) ** (2 * p))
+
+
 WEIGHT_GENERATORS: dict[str, Callable[..., np.ndarray]] = {
     "boxcar": lambda M: np.ones(M),
     "triang": _w_triang,
@@ -357,6 +429,19 @@ WEIGHT_GENERATORS: dict[str, Callable[..., np.ndarray]] = {
     "kaiser": lambda M, beta: np.kaiser(M, beta),
     "gaussian": _w_gaussian,
     "exponential": _w_exponential,
+    # r9: the rest of the closed-form scipy.signal.windows surface
+    # pandas accepts as win_type (symmetric forms, scipy definitions)
+    "bohman": _w_bohman,
+    "parzen": _w_parzen,
+    "cosine": _w_cosine,
+    "barthann": _w_barthann,
+    "tukey": _w_tukey,
+    "nuttall": _w_cosine_sum((0.3635819, 0.4891775, 0.1365995, 0.0106411)),
+    "blackmanharris": _w_cosine_sum((0.35875, 0.48829, 0.14128, 0.01168)),
+    "flattop": _w_cosine_sum(
+        (0.21557895, 0.41663158, 0.277263158, 0.083578947, 0.006947368)
+    ),
+    "general_gaussian": _w_general_gaussian,
 }
 
 

@@ -1252,13 +1252,56 @@ def test_jpeg_decode_roundtrip():
     )
     assert rmse < 10.0
 
-    # honest refusals: non-JPEG, truncated, progressive SOF
+    # honest refusals: non-JPEG, truncated, lossless SOF
     good = multimodal.encode_jpeg_baseline(img)
     assert multimodal.decode_jpeg(b"\xff\xd8\xff\xe0junk") is None
     assert multimodal.decode_jpeg(good[:40]) is None
-    prog = bytearray(good)
-    i = prog.find(b"\xff\xc0")
-    prog[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
-    assert multimodal.decode_jpeg(bytes(prog)) is None
+    lossless = bytearray(good)
+    i = lossless.find(b"\xff\xc0")
+    lossless[i + 1] = 0xC3  # flip SOF0 → SOF3 (lossless — unsupported)
+    assert multimodal.decode_jpeg(bytes(lossless)) is None
     # routed through the general entry point
     assert multimodal.decode_image(good) is not None
+
+
+def test_jpeg_progressive_decode_matches_baseline():
+    """r9: the SOF2 progressive path (spectral selection + successive
+    approximation + EOB runs) must reconstruct the SAME quantized
+    coefficients as the sequential scan — decoded outputs bit-for-bit
+    equal across color/subsampling/Al/quant shapes."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (13, 21)).astype(np.uint8)
+    img3 = rng.integers(0, 256, (21, 19, 3)).astype(np.uint8)
+
+    for sub in (False, True):
+        for al in (0, 1, 2):
+            p = multimodal.encode_jpeg_progressive(img3, subsample=sub, Al=al)
+            assert b"\xff\xc2" in p  # really SOF2
+            got = multimodal.decode_jpeg(p)
+            ref = multimodal.decode_jpeg(
+                multimodal.encode_jpeg_baseline(img3, subsample=sub)
+            )
+            assert got is not None and (got == ref).all(), (sub, al)
+
+    # grayscale single-component scans
+    pg = multimodal.encode_jpeg_progressive(img, Al=1)
+    ref = multimodal.decode_jpeg(multimodal.encode_jpeg_baseline(img))
+    assert (multimodal.decode_jpeg(pg) == ref).all()
+
+    # lossy quant (nonzero AC coefficients through refinement passes)
+    qt = np.full((8, 8), 12, np.int64)
+    pq = multimodal.encode_jpeg_progressive(img3, quant=qt, Al=1)
+    refq = multimodal.decode_jpeg(multimodal.encode_jpeg_baseline(img3, quant=qt))
+    assert (multimodal.decode_jpeg(pq) == refq).all()
+
+    # smooth image → long EOB runs on both first and refinement passes
+    big = rng.integers(100, 110, (48, 64, 3)).astype(np.uint8)
+    q8 = np.full((8, 8), 8, np.int64)
+    pb = multimodal.encode_jpeg_progressive(big, quant=q8, Al=1)
+    refb = multimodal.decode_jpeg(multimodal.encode_jpeg_baseline(big, quant=q8))
+    assert (multimodal.decode_jpeg(pb) == refb).all()
+
+    # truncated progressive stream refuses
+    assert multimodal.decode_jpeg(pg[: len(pg) // 2]) is None

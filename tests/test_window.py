@@ -690,6 +690,32 @@ def test_weight_formulas():
     e = WEIGHT_GENERATORS["exponential"](5, tau=3.0)
     assert np.allclose(e, np.exp(-np.abs(np.arange(5) - 2.0) / 3.0))
     assert np.allclose(WEIGHT_GENERATORS["boxcar"](4), np.ones(4))
+    # r9 shapes: pin against the published scipy symmetric definitions
+    bo = WEIGHT_GENERATORS["bohman"](5)
+    fac = np.abs(np.linspace(-1, 1, 5))
+    assert np.allclose(bo, (1 - fac) * np.cos(np.pi * fac) + np.sin(np.pi * fac) / np.pi)
+    assert abs(bo[0]) < 1e-15 and np.isclose(bo[2], 1.0)
+    pz = WEIGHT_GENERATORS["parzen"](5)
+    assert np.isclose(pz[2], 1.0) and np.allclose(pz, pz[::-1]) and (np.diff(pz[:3]) > 0).all()
+    co = WEIGHT_GENERATORS["cosine"](4)
+    assert np.allclose(co, np.sin(np.pi * (np.arange(4) + 0.5) / 4))
+    nt = WEIGHT_GENERATORS["nuttall"](5)
+    a = (0.3635819, 0.4891775, 0.1365995, 0.0106411)
+    assert np.isclose(nt[2], a[0] + a[1] + a[2] + a[3])  # peak = Σ a_k at n=(M-1)/2
+    assert np.isclose(nt[0], a[0] - a[1] + a[2] - a[3])
+    tk = WEIGHT_GENERATORS["tukey"](9, alpha=0.5)
+    assert np.allclose(tk[3:6], 1.0) and abs(tk[0]) < 1e-15 and np.allclose(tk, tk[::-1])
+    assert np.allclose(WEIGHT_GENERATORS["tukey"](6, alpha=0.0), np.ones(6))
+    gg = WEIGHT_GENERATORS["general_gaussian"](5, p=1.0, sig=2.0)
+    assert np.allclose(gg, WEIGHT_GENERATORS["gaussian"](5, std=2.0))
+    for name in ("barthann", "blackmanharris", "flattop"):
+        w = WEIGHT_GENERATORS[name](7)
+        assert np.allclose(w, w[::-1]) and len(w) == 7
+    # M=1 degenerate form: every shape returns [1] except flattop-family
+    # cosine sums whose single point is Σ(−1)^k a_k... scipy returns the
+    # n=0 value; ours pins 1.0 for the closed forms that define it
+    for name in ("bohman", "barthann", "tukey", "cosine", "parzen"):
+        assert WEIGHT_GENERATORS[name](1).shape == (1,)
 
 
 @pytest.mark.parametrize(
@@ -700,6 +726,12 @@ def test_weight_formulas():
         ("triang", {}, "mean"),
         ("hamming", {}, "sum"),
         ("exponential", {"tau": 2.0}, "mean"),
+        # r9 additions to the win_type surface
+        ("parzen", {}, "mean"),
+        ("bohman", {}, "sum"),
+        ("nuttall", {}, "mean"),
+        ("tukey", {"alpha": 0.6}, "sum"),
+        ("general_gaussian", {"p": 1.5, "sig": 2.0}, "mean"),
     ],
 )
 def test_weighted_rolling_vs_pandas(spark, fake_scipy, win_type, win_args, agg):
