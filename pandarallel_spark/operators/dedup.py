@@ -106,8 +106,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded rows, duplicates kept — ZERO shuffles.
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = False
+) -> DataFrame:
+    """(id, shingle) exploded rows — ZERO shuffles; duplicates kept by
+    default, ``distinct=True`` dedupes WITHIN each doc in the array
+    domain (``array_distinct`` before the explode — still shuffle-free;
+    the corpus-wide variant ``_shingle_table`` needs a shuffle).
 
     Shingling is per-document, so it needs no data movement: tokenize
     once into an array column, index it with ``transform`` over a
@@ -127,6 +132,8 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
             " ", *[F.element_at("__tk__", (i + F.lit(j) + 1).cast("int")) for j in range(n)]
         ),
     )
+    if distinct:
+        gram = F.array_distinct(gram)
     return arr.select("__id__", F.explode(gram).alias("__s__"))
 
 
@@ -628,24 +635,12 @@ _FP_SALT = 0x9E3779B9
 
 
 def _shingle_rows_distinct(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) rows, distinct WITHIN each doc (``array_distinct``
-    in the array domain before the explode — still zero shuffles; the
-    corpus-wide variant ``_shingle_table`` needs a shuffle). The
-    per-doc distinctness is what lets the set-fingerprint ride the
-    signature aggregate as plain SUMs (below) instead of a
-    distinct-aggregate rewrite that would shuffle shingle-level rows."""
-    arr = df.select(F.col(id_col).alias("__id__"), tokens(text_col).alias("__tk__"))
-    size = F.size("__tk__")
-    idx = F.when(size >= n, F.sequence(F.lit(0), size - F.lit(n))).otherwise(
-        F.array().cast("array<int>")
-    )
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("__tk__", (i + F.lit(j) + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return arr.select("__id__", F.explode(F.array_distinct(gram)).alias("__s__"))
+    """(id, shingle) rows, distinct WITHIN each doc — the per-doc
+    distinctness is what lets the set-fingerprint ride the signature
+    aggregate as plain SUMs (below) instead of a distinct-aggregate
+    rewrite that would shuffle shingle-level rows. Thin wrapper so the
+    shingling logic lives in exactly one place (``_shingle_rows``)."""
+    return _shingle_rows(df, id_col, text_col, n, distinct=True)
 
 
 def _set_signature_agg(
@@ -843,9 +838,14 @@ def minhash_lsh_pairs(
         .distinct()
     )
     cand_ex = groups.join(F.broadcast(cand_fps), "__fp__").select("__fp__", "__eid__")
-    cand_docs = df.join(
-        F.broadcast(cand_ex), df[id_col] == F.col("__eid__")
-    ).select(F.col("__fp__"), F.col(text_col))
+    cand_docs = (
+        df.join(F.broadcast(cand_ex), df[id_col] == F.col("__eid__"))
+        .select(F.col("__fp__"), F.col(text_col))
+        # exactly ONE document per candidate set: a duplicated id in the
+        # source (degenerate input) must not double the shingle rows and
+        # with them every intersection count
+        .dropDuplicates(["__fp__"])
+    )
     # __fp__ here is a plain carried column (not an expression over the
     # text), so Catalyst's projection collapse under the explode is
     # harmless — no per-shingle fingerprint recompute.

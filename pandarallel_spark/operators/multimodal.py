@@ -294,31 +294,6 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
 
 
-def _jpeg_decode_block(bits: _JpegBits, tdc: dict, tac: dict) -> np.ndarray:
-    """One 8×8 block's coefficients in ZIGZAG order; coef[0] is the DC
-    DIFFERENCE (predictor applied by the caller)."""
-    coef = np.zeros(64, dtype=np.int64)
-    s = _jpeg_huff_decode(bits, tdc)
-    if s > 11:
-        raise _JpegBad("DC category > 11")
-    coef[0] = _jpeg_extend(bits.receive(s), s) if s else 0
-    k = 1
-    while k < 64:
-        rs = _jpeg_huff_decode(bits, tac)
-        r, sz = rs >> 4, rs & 15
-        if sz == 0:
-            if r == 15:  # ZRL: 16 zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise _JpegBad("AC run past block end")
-        coef[k] = _jpeg_extend(bits.receive(sz), sz)
-        k += 1
-    return coef
-
-
 def _jpeg_scan_blocks(
     bits: _JpegBits,
     scomps: list,
@@ -593,12 +568,16 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:
                     if c is None:
                         return None
                     # DC-refinement scans use no DC table; AC-less scans
-                    # use no AC table — only require what the scan reads
-                    tdc = huff_dc.get(td) if (Ss == 0 and Ah == 0) else None
-                    tac = huff_ac.get(ta) if Se >= 1 else None
-                    if (Ss == 0 and Ah == 0 and tdc is None) or (
-                        Se >= 1 and Ss > 0 and tac is None
-                    ) or (not progressive and (tdc is None or tac is None)):
+                    # use no AC table — only require what the scan reads.
+                    # AC decoding runs whenever Se ≥ 1 except in a pure
+                    # DC-refinement scan (Ss=0, Ah>0) — the guard must
+                    # match visit()'s dispatch exactly, else a crafted
+                    # Ss=0/Se>0 header with no AC table dereferences None
+                    need_dc = Ss == 0 and Ah == 0
+                    need_ac = Se >= 1 and not (Ss == 0 and Ah > 0)
+                    tdc = huff_dc.get(td) if need_dc else None
+                    tac = huff_ac.get(ta) if need_ac else None
+                    if (need_dc and tdc is None) or (need_ac and tac is None):
                         return None
                     scomps.append((c, tdc, tac))
                 if len(scomps) > 1 and Ss > 0:
@@ -643,7 +622,8 @@ def decode_jpeg(content: bytes) -> np.ndarray | None:
         b = y + 1.772 * cb
         rgb = np.stack([r, g, b], axis=2)
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    except (_JpegBad, IndexError, ValueError):
+    except (_JpegBad, IndexError, ValueError, AttributeError, TypeError):
+        # malformed input must mean None, never a task-killing traceback
         return None
 
 
@@ -1089,11 +1069,12 @@ def decode_image(content: bytes) -> np.ndarray | None:
     """numpy-only image decode for four PUBLIC formats — binary
     PPM ("P6", the netpbm spec), uncompressed 24-bit BMP (Windows
     BITMAPINFOHEADER), 8-bit non-interlaced PNG (via stdlib zlib +
-    numpy unfiltering, ``decode_png``), and baseline JPEG (r9: pure
-    numpy/stdlib Huffman + dequant + exact IDCT, ``decode_jpeg``).
-    Returns an (H, W, 3) uint8 array, or None when the payload isn't
-    one of these (caller decides fake vs raise); progressive JPEG and
-    other exotic profiles still fall to the stub."""
+    numpy unfiltering, ``decode_png``), and JPEG (r9: pure numpy/stdlib
+    Huffman + dequant + exact IDCT, baseline AND progressive SOF2 —
+    ``decode_jpeg``). Returns an (H, W, 3) uint8 array, or None when
+    the payload isn't one of these (caller decides fake vs raise); only
+    profiles no decoder here accepts (arithmetic-coded/12-bit/lossless
+    JPEG, interlaced or 16-bit PNG) fall to the stub."""
     if content[:2] == b"\xff\xd8":
         return decode_jpeg(content)
     if content[:8] == _PNG_SIG:

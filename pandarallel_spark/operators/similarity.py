@@ -623,6 +623,12 @@ def _pq_kmeans_dist_codebooks(
     Centroids stay float64 across rounds and round to the int64
     quantization grid once at the end, exactly like the driver trainer.
     """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(
+            f"kmeans_dist_fraction must be in (0, 1], got {fraction} — a "
+            "non-positive fraction would silently train on nothing and "
+            "return the seeded head-sample codebooks untouched"
+        )
     src = corpus.select(id_col, vec_col)
     if fraction < 1.0:
         cut = int(fraction * 1_000_000)
@@ -631,18 +637,27 @@ def _pq_kmeans_dist_codebooks(
         )
     src = src.select(vec_col)
     s_cols = [f"s{i}" for i in range(sub)]
-    schema = "j int, c int, cnt bigint, fd double, " + ", ".join(
-        f"{s} double" for s in s_cols
+    # everything through the shuffle is EXACT integers (residuals are
+    # int64-quantized; squared distances and partial sums stay int64),
+    # so the cross-partition merge is associative and the trainer is
+    # deterministic on a real cluster — a float64 partial-sum merge
+    # would vary in the last ulp with shuffle-fetch order and could
+    # flip an argmin in the next round (review finding r9)
+    schema = "j int, c int, cnt bigint, fd bigint, " + ", ".join(
+        f"{s} bigint" for s in s_cols
     )
     cb = cb0.astype("float64")
     for _ in range(iters):
         cb_b = cb.copy()  # closure snapshot for this round
 
         def partials(batches, cb_b=cb_b):
-            sums = np.zeros((m, n_codes, sub), dtype="float64")
+            sums = np.zeros((m, n_codes, sub), dtype="int64")
             cnts = np.zeros((m, n_codes), dtype="int64")
-            far_d = np.full(m, -1.0)
-            far_v = np.zeros((m, sub), dtype="float64")
+            far_d = np.full(m, -1, dtype="int64")
+            far_v = np.zeros((m, sub), dtype="int64")
+            # assignment uses the int-rounded snapshot so per-row argmin
+            # is itself exact-integer (same on every executor)
+            cb_i = np.trunc(cb_b + np.copysign(0.5, cb_b)).astype("int64")
             seen = False
             for pdf in batches:
                 if pdf.empty:
@@ -651,24 +666,24 @@ def _pq_kmeans_dist_codebooks(
                 b = _np_quant(np.stack(pdf[vec_col].apply(np.asarray).to_numpy()))
                 if by_residual:
                     b = b - c_mat[np.argmax(b @ c_mat.T, axis=1)]
-                rs = b.reshape(len(b), m, sub).astype("float64")
+                rs = b.reshape(len(b), m, sub)
                 for j in range(m):
-                    d = ((rs[:, j, None, :] - cb_b[j][None, :, :]) ** 2).sum(-1)
+                    d = ((rs[:, j, None, :] - cb_i[j][None, :, :]) ** 2).sum(-1)
                     a = d.argmin(axis=1)
                     np.add.at(sums[j], a, rs[:, j])
                     np.add.at(cnts[j], a, 1)
                     dm = d.min(axis=1)
                     ix = int(dm.argmax())
                     if dm[ix] > far_d[j]:
-                        far_d[j] = float(dm[ix])
+                        far_d[j] = int(dm[ix])
                         far_v[j] = rs[ix, j]
             if not seen:
                 return
             rows = []
             for j in range(m):
                 for c in range(n_codes):
-                    rows.append((j, c, int(cnts[j, c]), 0.0, *sums[j, c]))
-                rows.append((j, -1, 0, far_d[j], *far_v[j]))
+                    rows.append((j, c, int(cnts[j, c]), 0, *sums[j, c]))
+                rows.append((j, -1, 0, int(far_d[j]), *far_v[j]))
             yield pd.DataFrame(rows, columns=["j", "c", "cnt", "fd", *s_cols])
 
         agg = (
@@ -772,7 +787,12 @@ def ivf_pq_topk(
             f"train must be 'anchors', 'kmeans' or 'kmeans_dist', got {train!r}"
         )
     _require_integral_ids("ivf_pq_topk", id_col, queries, corpus)
-    # bounded query collect first: it is also the strictLazy gate for
+    if dim is not None and dim % m:
+        # pure-Python rejections fire BEFORE any cluster work (review
+        # finding r9: the collect probe ran first, paying an executor
+        # scan for an argument error)
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    # bounded query collect next: it is also the strictLazy gate for
     # this eager index builder (ADVICE r8 — previously the head-row
     # collect and queries.toPandas() ran unguarded when dim= was given)
     qpdf = _collect_queries(queries, id_col, vec_col, "ivf_pq_topk", max_queries)

@@ -1305,3 +1305,70 @@ def test_jpeg_progressive_decode_matches_baseline():
 
     # truncated progressive stream refuses
     assert multimodal.decode_jpeg(pg[: len(pg) // 2]) is None
+
+
+def test_minhash_lsh_cross_group_fanout(spark):
+    """Cross-group fan-out between two exact-dup groups: every member
+    pair appears once at the exemplar pair's exact jaccard, with
+    id_a < id_b re-normalized (the larger-fp group may hold the smaller
+    doc ids)."""
+    rows = [
+        (10, "the quick brown fox jumps over the lazy dog"),
+        (11, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+    # intra: (10,11) and (1,2) at exactly 1.0
+    assert got[(10, 11)] == 1.0 and got[(1, 2)] == 1.0
+    # cross: all four member pairs at the same verified jaccard (= 0.75)
+    cross = {k: v for k, v in got.items() if k not in ((10, 11), (1, 2))}
+    assert set(cross) == {(1, 10), (1, 11), (2, 10), (2, 11)}
+    assert len(set(cross.values())) == 1 and abs(next(iter(cross.values())) - 0.75) < 1e-12
+    assert len(out) == 6 and not out.duplicated(["id_a", "id_b"]).any()
+
+
+def test_jpeg_malformed_missing_ac_table_returns_none():
+    """Review r9: a crafted progressive header (Ss=0, Se=63) whose AC
+    table was never defined must return None, not kill the task with an
+    AttributeError deep in the Huffman decoder."""
+    import numpy as np
+
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    good = bytearray(multimodal.encode_jpeg_baseline(img))
+    i = good.find(b"\xff\xc0")
+    good[i + 1] = 0xC2  # SOF0 → SOF2 so the scan header is honored
+    # strip the AC DHT segment (marker 0xC4 with Tc/Th byte 0x10)
+    j = good.find(b"\xff\xc4", good.find(b"\xff\xc4") + 2)  # second DHT
+    ln = int.from_bytes(good[j + 2:j + 4], "big")
+    assert good[j + 4] == 0x10  # really the AC table
+    del good[j:j + 2 + ln]
+    assert multimodal.decode_jpeg(bytes(good)) is None
+
+
+def test_ivf_pq_kmeans_dist_validations(spark, sf_dir):
+    """Review r9: non-positive training fractions must raise (a silent
+    empty training scan returns the seeded codebooks untrained), and
+    pure-Python argument rejections fire before any cluster work."""
+    from pandarallel_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="kmeans_dist_fraction"):
+            similarity.ivf_pq_topk(
+                q, emb, train="kmeans_dist", kmeans_dist_fraction=bad
+            )
+    # under strictLazy every Spark job raises RuntimeError — getting the
+    # ValueError instead proves the m-divisibility check precedes the
+    # query-collect probe when dim= is explicit
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(ValueError, match="divisible"):
+            similarity.ivf_pq_topk(q, emb, dim=64, m=7)
+    finally:
+        spark.conf.unset("spark.pandarallel_spark.strictLazy")
