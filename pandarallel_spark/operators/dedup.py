@@ -901,10 +901,9 @@ def minhash_lsh_pairs(
 
     # intra-group pairs: members of one distinct set are jaccard-1.0
     # duplicates of each other by construction.
-    multi = groups.filter(F.col("__gn__") >= 2)
     if intra_pairs == "star":
         intra = (
-            members.join(multi, "__fp__")
+            members.join(groups.filter(F.col("__gn__") >= 2), "__fp__")
             .filter(F.col("__id__") != F.col("__eid__"))
             .select(
                 F.col("__eid__").alias("id_a"),
@@ -913,10 +912,13 @@ def minhash_lsh_pairs(
             )
         )
     else:
-        m1 = members.join(multi.select("__fp__"), "__fp__")
-        m2 = m1.select(F.col("__fp__"), F.col("__id__").alias("__id2__"))
+        # direct self-join: singleton groups die on the id< predicate,
+        # so a multi-member pre-filter would only add a join stage —
+        # both forms shuffle the full (id, fp) membership map once per
+        # side, and the join OUTPUT is the result rows either way
+        m2 = members.select(F.col("__fp__"), F.col("__id__").alias("__id2__"))
         intra = (
-            m1.join(m2, "__fp__")
+            members.join(m2, "__fp__")
             .filter(F.col("__id__") < F.col("__id2__"))
             .select(
                 F.col("__id__").alias("id_a"),
