@@ -5,15 +5,16 @@ the lakehouse-standard layout (content + media_type + width/height/
 duration). The Spark-side machinery here is real and tested: schemas,
 Arrow batch shapes, ``mapInPandas`` signatures, partition sizing. The
 codec: ``decode_image`` REALLY decodes binary PPM (P6), uncompressed
-24-bit BMP, 8-bit non-interlaced PNG (stdlib zlib inflate + numpy
-scanline unfiltering — all five filters), and JPEG (r9: pure
-numpy/stdlib Huffman + dequant + exact IDCT — baseline AND progressive
-SOF2 with spectral selection, successive approximation, and EOB runs;
-round-trip-verified against the in-module baseline and progressive
-encoders). Payloads outside these profiles (arithmetic-coded, 12-bit,
-lossless, interlaced PNG, 16-bit PNG) fall back to a clearly-marked
-deterministic sha256 stub, or raise under ``require_real_codec=True``.
-Swapping in a native codec changes one function, not the pipeline.
+24-bit BMP, PNG (stdlib zlib inflate + numpy scanline unfiltering —
+all five filters; r9: 8- AND 16-bit, non-interlaced AND
+Adam7-interlaced), and JPEG (r9: pure numpy/stdlib Huffman + dequant +
+exact IDCT — baseline AND progressive SOF2 with spectral selection,
+successive approximation, and EOB runs; round-trip-verified against
+the in-module baseline and progressive encoders). Payloads outside
+these profiles (arithmetic-coded/12-bit/lossless JPEG, sub-8-bit PNG)
+fall back to a clearly-marked deterministic sha256 stub, or raise
+under ``require_real_codec=True``. Swapping in a native codec changes
+one function, not the pipeline.
 
 Scale notes: binary payloads dominate batch bytes, so decode stages cap
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.py) and
@@ -66,68 +67,32 @@ def _fake_decode(content: bytes, out_dim: int) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(content: bytes) -> np.ndarray | None:
-    """Real PNG decode with stdlib ``zlib`` + numpy (r8 — closed the
-    "entropy-coded formats are stubbed" gap for PNG; r9's
-    ``decode_jpeg`` closed it for JPEG). Spec coverage: 8-bit
-    non-interlaced greyscale (0), RGB (2), palette (3), grey+alpha (4),
-    RGBA (6); all five scanline filters (None/Sub/Up/Average/Paeth, RFC
-    2083 §6). 16-bit and Adam7-interlaced images return None (caller
-    decides stub vs raise). Chunk CRCs are not re-verified — the zlib
-    stream's Adler-32 already integrity-checks the pixel data, which is
-    what ``zlib.decompress`` enforces. Returns (H, W, 3) uint8; alpha
-    is dropped, grey replicated.
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Filter notes: Up is fully vectorized (previous reconstructed row);
-    Sub is a per-channel byte cumsum (vectorized — uint32 accumulator,
-    wrap at the final uint8 cast); Average and Paeth carry a true
-    left-pixel data dependency, so they run a per-byte loop within the
-    scanline (rows stay independent of everything except the prior
-    reconstructed row).
+
+def _png_unfilter(raw: bytes, off: int, h: int, w: int, bpp: int):
+    """Unfilter ``h`` scanlines of ``w`` pixels × ``bpp`` bytes starting
+    at ``raw[off]`` (RFC 2083 §6 filters). Returns (rows (h, w·bpp)
+    uint8, new offset) or None on truncation/bad filter byte.
+
+    Up is fully vectorized (previous reconstructed row); Sub is a
+    per-channel byte cumsum (uint32 accumulator, mod-256 wrap at the
+    uint8 cast); Average and Paeth carry a true left-pixel data
+    dependency, so they run a per-byte loop within the scanline (rows
+    stay independent of everything except the prior reconstructed row).
     """
-    import zlib
-
-    if content[:8] != _PNG_SIG:
+    stride = w * bpp
+    need = h * (stride + 1)
+    if len(raw) - off < need:
         return None
-    pos, ihdr, plte = 8, None, None
-    idat_parts: list[bytes] = []
-    while pos + 8 <= len(content):
-        ln = int.from_bytes(content[pos:pos + 4], "big")
-        typ = content[pos + 4:pos + 8]
-        data = content[pos + 8:pos + 8 + ln]
-        if len(data) < ln:
-            return None
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"PLTE":
-            plte = data
-        elif typ == b"IDAT":
-            idat_parts.append(data)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln  # data + 4B length/type each + 4B CRC (skipped)
-    if ihdr is None or len(ihdr) < 13 or not idat_parts:
-        return None
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
-    if w <= 0 or h <= 0 or bit_depth != 8 or interlace != 0:
-        return None
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if channels is None or (color_type == 3 and plte is None):
-        return None
-    try:
-        raw = zlib.decompress(b"".join(idat_parts))
-    except zlib.error:
-        return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    lines = np.frombuffer(
-        raw, dtype=np.uint8, count=h * (stride + 1)
-    ).reshape(h, stride + 1)
+    lines = np.frombuffer(raw, dtype=np.uint8, count=need, offset=off).reshape(
+        h, stride + 1
+    )
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at bit depth 8
     for y in range(h):
         f = int(lines[y, 0])
         cur = lines[y, 1:]
@@ -158,7 +123,87 @@ def decode_png(content: bytes) -> np.ndarray | None:
                 rec[x] = (int(cur[x]) + pred) & 0xFF
         else:
             return None
-    px = out.reshape(h, w, channels)
+    return out, off + need
+
+
+def decode_png(content: bytes) -> np.ndarray | None:
+    """Real PNG decode with stdlib ``zlib`` + numpy (r8 — closed the
+    "entropy-coded formats are stubbed" gap for PNG; r9's
+    ``decode_jpeg`` closed it for JPEG). Spec coverage: 8- and 16-bit
+    (r9) greyscale (0), RGB (2), palette (3, 8-bit per spec),
+    grey+alpha (4), RGBA (6); all five scanline filters (RFC 2083 §6,
+    ``_png_unfilter``); non-interlaced AND (r9) Adam7-interlaced — each
+    of the seven passes unfilters as its own sub-image and scatters
+    into place by strided assignment. 16-bit samples reduce to their
+    high byte after unfiltering (the standard 8-bit downconversion).
+    Sub-8-bit depths return None (caller decides stub vs raise). Chunk
+    CRCs are not re-verified — the zlib stream's Adler-32 already
+    integrity-checks the pixel data, which is what ``zlib.decompress``
+    enforces. Returns (H, W, 3) uint8; alpha is dropped, grey
+    replicated.
+    """
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, plte = 8, None, None
+    idat_parts: list[bytes] = []
+    while pos + 8 <= len(content):
+        ln = int.from_bytes(content[pos:pos + 4], "big")
+        typ = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat_parts.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # data + 4B length/type each + 4B CRC (skipped)
+    if ihdr is None or len(ihdr) < 13 or not idat_parts:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if w <= 0 or h <= 0 or bit_depth not in (8, 16) or interlace not in (0, 1):
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None or (color_type == 3 and (plte is None or bit_depth != 8)):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat_parts))
+    except zlib.error:
+        return None
+    bps = bit_depth // 8
+    bpp = channels * bps
+
+    def to_samples(rows: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        """(ph, pw·bpp) filtered bytes → (ph, pw, channels) uint8
+        samples (16-bit: high byte)."""
+        px = rows.reshape(ph, pw, channels, bps)
+        return px[:, :, :, 0]
+
+    if interlace == 0:
+        res = _png_unfilter(raw, 0, h, w, bpp)
+        if res is None:
+            return None
+        px = to_samples(res[0], h, w)
+    else:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines
+            res = _png_unfilter(raw, off, ph, pw, bpp)
+            if res is None:
+                return None
+            rows, off = res
+            px[ys::ystep, xs::xstep] = to_samples(rows, ph, pw)
     if color_type == 0:
         return np.repeat(px, 3, axis=2).copy()
     if color_type == 2:

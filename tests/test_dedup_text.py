@@ -226,36 +226,28 @@ def test_real_image_decode_roundtrip():
     assert multimodal.decode_image(_bmp_bytes(img)[:40]) is None
 
 
-def _png_bytes(img, color_type=2, filters=None, palette=None, interlace=0):
-    """Spec-following PNG encoder for the round-trip tests: real zlib
-    stream, real chunk CRCs, arbitrary per-scanline filter choice (the
-    decoder must UNDO whichever filter each line declares)."""
-    import zlib
-
+def _png_filter_rows(data, bpp, filters):
+    """Filter-encode (rows, stride) int32 byte data per RFC 2083 §6."""
     import numpy as np
 
-    h, w = img.shape[:2]
-    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    data = img.reshape(h, w * ch).astype(np.int32)
+    h = data.shape[0]
     filters = filters or [0] * h
     raw = bytearray()
     for y in range(h):
-        f = filters[y]
+        f = filters[y % len(filters)]
         cur = data[y]
-        prev = data[y - 1] if y else np.zeros(w * ch, dtype=np.int32)
+        prev = data[y - 1] if y else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
         if f == 0:
             enc = cur
         elif f == 1:
-            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
             enc = cur - left
         elif f == 2:
             enc = cur - prev
         elif f == 3:
-            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
             enc = cur - (left + prev) // 2
         else:  # Paeth
-            left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
-            ul = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
             p = left + prev - ul
             pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
             pred = np.where(
@@ -263,6 +255,46 @@ def _png_bytes(img, color_type=2, filters=None, palette=None, interlace=0):
             )
             enc = cur - pred
         raw += bytes([f]) + (enc % 256).astype(np.uint8).tobytes()
+    return raw
+
+
+def _png_bytes(img, color_type=2, filters=None, palette=None, interlace=0,
+               bit_depth=8, low_byte=0x7F):
+    """Spec-following PNG encoder for the round-trip tests: real zlib
+    stream, real chunk CRCs, arbitrary per-scanline filter choice (the
+    decoder must UNDO whichever filter each line declares), optional
+    REAL Adam7 interlacing (seven filtered sub-images) and 16-bit
+    samples (high byte = the 8-bit test pixel, low byte constant)."""
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bps = bit_depth // 8
+    bpp = ch * bps
+
+    def row_bytes(sub):  # (ph, pw[, ch]) uint8 → (ph, pw*bpp) int32
+        ph, pw = sub.shape[:2]
+        samples = sub.reshape(ph, pw * ch).astype(np.int32)
+        if bps == 1:
+            return samples
+        out = np.zeros((ph, pw * ch * 2), dtype=np.int32)
+        out[:, 0::2] = samples  # big-endian high byte
+        out[:, 1::2] = low_byte
+        return out
+
+    if interlace == 0:
+        raw = _png_filter_rows(row_bytes(img), bpp, filters)
+    else:
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        raw = bytearray()
+        for xs, ys, xstep, ystep in passes:
+            sub = img[ys::ystep, xs::xstep]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _png_filter_rows(row_bytes(sub), bpp, filters)
 
     def chunk(typ, payload):
         return (
@@ -272,7 +304,7 @@ def _png_bytes(img, color_type=2, filters=None, palette=None, interlace=0):
 
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, interlace])
+        + bytes([bit_depth, color_type, 0, 0, interlace])
     )
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -287,8 +319,9 @@ def _png_bytes(img, color_type=2, filters=None, palette=None, interlace=0):
 def test_png_decode_roundtrip():
     """decode_png must invert every scanline filter and color type the
     encoder can emit: RGB under all five filters, greyscale, RGBA
-    (alpha dropped), grey+alpha, palette; multi-chunk IDAT; and refuse
-    interlaced, 16-bit, corrupt-adler, and truncated payloads."""
+    (alpha dropped), grey+alpha, palette; multi-chunk IDAT; r9 — REAL
+    Adam7 interlacing and 16-bit high-byte reduction; and refuse
+    sub-8-bit, corrupt-adler, and truncated payloads."""
     import numpy as np
 
     rng = np.random.default_rng(17)
@@ -310,8 +343,44 @@ def test_png_decode_roundtrip():
     idx = rng.integers(0, 5, (4, 6), dtype=np.uint8)
     got = multimodal.decode_png(_png_bytes(idx, 3, None, palette=pal.tobytes()))
     assert np.array_equal(got, pal[idx])
-    # refusals: interlaced, corrupt zlib, truncation, out-of-range index
-    assert multimodal.decode_png(_png_bytes(img, 2, None, interlace=1)) is None
+    # r9: REAL Adam7 interlacing — every pass its own filtered
+    # sub-image, scattered back by the pass grid (mixed filters too)
+    for filters in (None, [4, 2, 1, 3, 0]):
+        got = multimodal.decode_png(_png_bytes(img, 2, filters, interlace=1))
+        assert np.array_equal(got, img), "adam7 rgb"
+    big = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)  # > one 8x8 tile
+    assert np.array_equal(
+        multimodal.decode_png(_png_bytes(big, 2, [3, 4], interlace=1)), big
+    )
+    tiny = rng.integers(0, 256, (1, 2, 3), dtype=np.uint8)  # empty passes
+    assert np.array_equal(
+        multimodal.decode_png(_png_bytes(tiny, 2, None, interlace=1)), tiny
+    )
+    grey7 = rng.integers(0, 256, (7, 7), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_png(_png_bytes(grey7, 0, [1, 2], interlace=1)),
+        np.repeat(grey7[:, :, None], 3, axis=2),
+    )
+    # r9: 16-bit samples reduce to their high byte, plain and interlaced
+    assert np.array_equal(
+        multimodal.decode_png(_png_bytes(img, 2, [4, 3, 2], bit_depth=16)), img
+    )
+    assert np.array_equal(
+        multimodal.decode_png(
+            _png_bytes(img, 2, [1], interlace=1, bit_depth=16, low_byte=3)
+        ),
+        img,
+    )
+    # refusals: sub-8-bit depth, 16-bit palette, corrupt zlib,
+    # truncation, out-of-range palette index
+    depth4 = bytearray(_png_bytes(img, 2))
+    depth4[24] = 4  # IHDR bit-depth byte
+    assert multimodal.decode_png(bytes(depth4)) is None
+    pal16 = rng.integers(0, 5, (4, 6), dtype=np.uint8)
+    palb = rng.integers(0, 256, (5, 3), dtype=np.uint8).tobytes()
+    assert multimodal.decode_png(
+        _png_bytes(pal16, 3, None, palette=palb, bit_depth=16)
+    ) is None
     good = _png_bytes(img, 2)
     corrupt = bytearray(good)
     corrupt[-20] ^= 0xFF  # inside the second IDAT payload
