@@ -211,12 +211,44 @@ def cluster_survivors(
     src: str = "id_a",
     dst: str = "id_b",
     algorithm: str = "star",
+    scores: DataFrame | None = None,
+    id_col: str = "id",
+    score_col: str = "score",
 ) -> DataFrame:
-    """One row per duplicate cluster: (component, survivor) where the
-    survivor is the cluster's minimum id — which IS the component label
-    by construction, so this is a distinct over components, not an
-    aggregate over nodes."""
+    """One row per duplicate cluster: (component, survivor).
+
+    Default policy: the survivor is the cluster's minimum id — which IS
+    the component label by construction, so this is a distinct over
+    components, not an aggregate over nodes.
+
+    ``scores`` opts into a QUALITY-based survivor (r9 — the policy a
+    cleanup pipeline usually wants, mirroring ``exact_dedup``'s
+    ``keep_by``): pass a (id, score) table and the survivor becomes the
+    cluster member with the highest score, ties broken by min id
+    (total, deterministic). Nodes missing from ``scores`` rank below
+    every scored member (NULL-last), so a partial score table still
+    yields a survivor per cluster. One extra join on the node id plus a
+    max_by aggregate per component — both on label rows, never data
+    rows."""
     cc = connected_components(edges, src, dst, algorithm=algorithm)
-    return cc.select("component").distinct().select(
-        "component", F.col("component").alias("survivor")
+    if scores is None:
+        return cc.select("component").distinct().select(
+            "component", F.col("component").alias("survivor")
+        )
+    sc = scores.select(
+        F.col(id_col).alias("node"), F.col(score_col).alias("__score__")
+    )
+    joined = cc.join(sc, "node", "left")
+    # two-stage, type-generic (works for string ids too): per-component
+    # max score (NULL when nothing scored), then min id among the
+    # members achieving it — when no member is scored every member
+    # qualifies and the policy degrades to min-id
+    stats = joined.groupBy("component").agg(F.max("__score__").alias("__ms__"))
+    return (
+        joined.join(stats, "component")
+        .filter(
+            F.col("__ms__").isNull() | (F.col("__score__") == F.col("__ms__"))
+        )
+        .groupBy("component")
+        .agg(F.min("node").alias("survivor"))
     )

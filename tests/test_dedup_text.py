@@ -1441,3 +1441,26 @@ def test_ivf_pq_kmeans_dist_validations(spark, sf_dir):
             similarity.ivf_pq_topk(q, emb, dim=64, m=7)
     finally:
         spark.conf.unset("spark.pandarallel_spark.strictLazy")
+
+
+def test_cluster_survivors_score_policy(spark):
+    """r9: quality-based survivor selection — highest score wins, ties
+    break to min id, unscored clusters degrade to min-id."""
+    import pandas as pd
+
+    from pandarallel_spark.operators.graph import cluster_survivors
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 10, 20], "id_b": [2, 3, 11, 21]})
+    )
+    # cluster {1,2,3}: 2 scores highest; {10,11}: tie 5.0 → min id 10;
+    # {20,21}: nobody scored → min id 20
+    scores = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3, 10, 11], "score": [1.0, 9.0, 3.0, 5.0, 5.0]})
+    )
+    out = cluster_survivors(edges, scores=scores).toPandas()
+    got = dict(zip(out.component, out.survivor))
+    assert got == {1: 2, 10: 10, 20: 20}
+    # default policy unchanged
+    base = cluster_survivors(edges).toPandas()
+    assert sorted(base.survivor) == [1, 10, 20]

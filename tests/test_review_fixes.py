@@ -766,3 +766,25 @@ def test_temperature_mix_null_ids_excluded_from_rates(spark):
     # en rate = (4000/1000)^(-0.5) = 0.5 over 4000 sampleable rows
     # (the buggy form computed (6000/10)^(-0.5) ≈ 0.041 → ~163 rows)
     assert abs(kept["en"] - 2_000) < 120, kept
+
+
+def test_pin_small_overcap_falls_back_to_checkpoint(spark):
+    """r9 (ADVICE): _pin_small collects small sets driver-side for
+    fault tolerance; past the cap it must fall back to localCheckpoint
+    (never a driver OOM) and both forms must return identical rows."""
+    import pandas as pd
+
+    from pandarallel_spark.operators.relational import _pin_small
+
+    pdf = pd.DataFrame({"__k__": [f"k{i}" for i in range(50)],
+                        "__lb__": range(50)})
+    sdf = spark.createDataFrame(pdf)
+    small = _pin_small(sdf, "__k__ string, __lb__ bigint")
+    over = _pin_small(sdf, "__k__ string, __lb__ bigint", cap=10)
+    a = small.toPandas().sort_values("__k__", ignore_index=True)
+    b = over.toPandas().sort_values("__k__", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the pinned form must not reference the source lineage (it is a
+    # LocalRelation/parallelized plan, not a projection of sdf)
+    plan = small._jdf.queryExecution().executedPlan().toString().lower()
+    assert "localtablescan" in plan or "existingrdd" in plan, plan
