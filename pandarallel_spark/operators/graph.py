@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -235,9 +236,17 @@ def cluster_survivors(
         return cc.select("component").distinct().select(
             "component", F.col("component").alias("survivor")
         )
-    sc = scores.select(
-        F.col(id_col).alias("node"), F.col(score_col).alias("__score__")
-    )
+    sc_col = F.col(score_col)
+    if isinstance(
+        scores.schema[score_col].dataType, (T.FloatType, T.DoubleType)
+    ):
+        # NaN orders ABOVE every real double in Spark and NaN == NaN is
+        # true, so an unguarded max would crown a broken-metric member
+        # (review finding r9; same NaN class the sampling weights fix
+        # handled in r8). Map NaN → NULL: ranked below every scored
+        # member, degrading to min-id only when nothing real is scored.
+        sc_col = F.when(~F.isnan(sc_col), sc_col)
+    sc = scores.select(F.col(id_col).alias("node"), sc_col.alias("__score__"))
     joined = cc.join(sc, "node", "left")
     # two-stage, type-generic (works for string ids too): per-component
     # max score (NULL when nothing scored), then min id among the

@@ -192,13 +192,26 @@ def decode_png(content: bytes) -> np.ndarray | None:
             return None
         px = to_samples(res[0], h, w)
     else:
-        px = np.zeros((h, w, channels), dtype=np.uint8)
-        off = 0
+        # validate declared dims against the ACTUAL inflated payload
+        # BEFORE allocating the output: a corrupt/crafted IHDR claiming
+        # 50000x50000 with a few-byte IDAT must return None, not attempt
+        # a multi-GB allocation inside the decode stage (review finding
+        # r9 — the non-interlaced path gets this check inside
+        # _png_unfilter for free)
+        passes = []
+        total = 0
         for xs, ys, xstep, ystep in _ADAM7:
             pw = (w - xs + xstep - 1) // xstep
             ph = (h - ys + ystep - 1) // ystep
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes no scanlines
+            passes.append((xs, ys, xstep, ystep, pw, ph))
+            total += ph * (pw * bpp + 1)
+        if len(raw) < total:
+            return None
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for xs, ys, xstep, ystep, pw, ph in passes:
             res = _png_unfilter(raw, off, ph, pw, bpp)
             if res is None:
                 return None

@@ -1464,3 +1464,48 @@ def test_cluster_survivors_score_policy(spark):
     # default policy unchanged
     base = cluster_survivors(edges).toPandas()
     assert sorted(base.survivor) == [1, 10, 20]
+
+
+def test_cluster_survivors_nan_score_not_crowned(spark):
+    """Review r9: NaN orders above every real double in Spark — a
+    NaN-scored member must rank BELOW scored members, not win."""
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark.operators.graph import cluster_survivors
+
+    edges = spark.createDataFrame(pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]}))
+    scores = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "score": [np.nan, 9.0, 3.0]})
+    )
+    out = cluster_survivors(edges, scores=scores).toPandas()
+    assert dict(zip(out.component, out.survivor)) == {1: 2}
+    # all-NaN cluster degrades to min-id
+    all_nan = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "score": [np.nan] * 3})
+    )
+    out2 = cluster_survivors(edges, scores=all_nan).toPandas()
+    assert dict(zip(out2.component, out2.survivor)) == {1: 1}
+
+
+def test_png_interlaced_huge_header_refused():
+    """Review r9: a crafted Adam7 header claiming huge dimensions with a
+    tiny IDAT must refuse BEFORE allocating the output buffer."""
+    import zlib
+
+    def chunk(typ, payload):
+        return (
+            len(payload).to_bytes(4, "big") + typ + payload
+            + zlib.crc32(typ + payload).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        (50_000).to_bytes(4, "big") + (50_000).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 1])  # RGB, Adam7
+    )
+    crafted = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + chunk(b"IEND", b"")
+    )
+    assert multimodal.decode_png(crafted) is None
