@@ -13,8 +13,12 @@ successive approximation, and EOB runs; round-trip-verified against
 the in-module baseline and progressive encoders). Payloads outside
 these profiles (arithmetic-coded/12-bit/lossless JPEG, sub-8-bit PNG)
 fall back to a clearly-marked deterministic sha256 stub, or raise
-under ``require_real_codec=True``. Swapping in a native codec changes
-one function, not the pipeline.
+under ``require_real_codec=True``. Audio is real too (r9):
+``decode_wav`` parses RIFF/WAVE PCM (8/16-bit, any channel count,
+chunk-walking) into mono float samples and ``audio_features`` derives
+windowed RMS/zero-crossing features — same mapInPandas stage, same
+contract. Swapping in a native codec changes one function, not the
+pipeline.
 
 Scale notes: binary payloads dominate batch bytes, so decode stages cap
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.py) and
@@ -1195,6 +1199,114 @@ def decode_image(content: bytes) -> np.ndarray | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# WAV audio (r9) — real PCM decode + windowed features, stdlib/numpy only
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int] | None:
+    """Real RIFF/WAVE PCM decode (r9 — the audio analog of the image
+    decoders; no codec stack needed for PCM). Coverage: format 1 (PCM)
+    at 8-bit unsigned or 16-bit signed little-endian, any channel
+    count (downmixed to mono by the exact integer mean), any sample
+    rate; chunks are walked properly (JUNK/LIST/fact skipped, word
+    alignment respected). Compressed formats (float, ADPCM, MP3-in-WAV)
+    return None — caller decides stub vs raise, as with images.
+    Returns (mono float64 samples in [-1, 1), sample_rate)."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    n = len(content)
+    while pos + 8 <= n:
+        cid = content[pos:pos + 4]
+        ln = int.from_bytes(content[pos + 4:pos + 8], "little")
+        body = content[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or channels < 1 or rate < 1 or bits not in (8, 16):
+        return None
+    bytes_per = bits // 8
+    frames = len(data) // (bytes_per * channels)
+    if frames == 0:
+        return None
+    usable = frames * bytes_per * channels
+    if bits == 8:  # unsigned, midpoint 128
+        raw = np.frombuffer(data, dtype=np.uint8, count=usable)
+        samples = raw.astype(np.float64) - 128.0
+        scale = 128.0
+    else:  # 16-bit signed LE
+        raw = np.frombuffer(data[:usable], dtype="<i2")
+        samples = raw.astype(np.float64)
+        scale = 32768.0
+    mono = samples.reshape(frames, channels).mean(axis=1) / scale
+    return mono, rate
+
+
+def encode_wav_pcm(
+    samples: np.ndarray, rate: int = 16_000, bits: int = 16, channels: int = 1
+) -> bytes:
+    """Minimal PCM WAV writer — the round-trip oracle for
+    ``decode_wav`` (float [-1, 1) mono in; replicated across
+    ``channels`` so multi-channel downmix is testable)."""
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0 - 1e-9)
+    if bits == 16:
+        pcm = np.round(x * 32768.0).clip(-32768, 32767).astype("<i2")
+    elif bits == 8:
+        pcm = (np.round(x * 128.0) + 128).clip(0, 255).astype(np.uint8)
+    else:
+        raise ValueError("bits must be 8 or 16")
+    frames = np.repeat(pcm[:, None], channels, axis=1).tobytes()
+    bytes_per = bits // 8
+    block = bytes_per * channels
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    body = chunk(b"fmt ", fmt) + chunk(b"JUNK", b"\x00" * 3) + chunk(b"data", frames)
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def audio_features(mono: np.ndarray, out_dim: int) -> np.ndarray:
+    """Mono samples → fixed-length features: the signal splits into
+    ``out_dim`` equal windows; feature = per-window RMS energy for even
+    slots and zero-crossing rate for odd slots (both in [0, 1] —
+    deterministic, no FFT dependency). Shorter-than-out_dim signals pad
+    with zeros."""
+    n = len(mono)
+    out = np.zeros(out_dim, dtype=np.float64)
+    if n == 0:
+        return out.astype("float32")
+    for i in range(out_dim):
+        lo = i * n // out_dim
+        hi = max((i + 1) * n // out_dim, lo + 1)
+        win = mono[lo:hi] if lo < n else mono[-1:]
+        if i % 2 == 0:
+            out[i] = float(np.sqrt(np.mean(win * win)))
+        else:
+            out[i] = float(np.mean(np.signbit(win[1:]) != np.signbit(win[:-1]))) if len(win) > 1 else 0.0
+    return out.astype("float32")
+
+
 def image_features(img: np.ndarray, out_dim: int) -> np.ndarray:
     """Decoded pixels → fixed-length features: luma grayscale, nearest-
     neighbor sample onto a ⌈√out_dim⌉² grid, scaled to [0, 1]. Exact
@@ -1244,14 +1356,22 @@ def decode_features(
             feats, decoded = [], []
             for c in pdf[content_col]:
                 raw = bytes(c)
-                img = decode_image(raw)
-                decoded.append(img is not None)
-                if img is not None:
-                    feats.append(image_features(img, out_dim).tolist())
+                feat = None
+                if raw[:4] == b"RIFF":  # audio rides the same stage (r9)
+                    wav = decode_wav(raw)
+                    if wav is not None:
+                        feat = audio_features(wav[0], out_dim)
+                else:
+                    img = decode_image(raw)
+                    if img is not None:
+                        feat = image_features(img, out_dim)
+                decoded.append(feat is not None)
+                if feat is not None:
+                    feats.append(feat.tolist())
                 elif require_real_codec:
                     raise ValueError(
                         f"payload ({raw[:8]!r}...) is not a decodable "
-                        "PPM/BMP/PNG and require_real_codec=True"
+                        "PPM/BMP/PNG/JPEG/WAV and require_real_codec=True"
                     )
                 else:
                     feats.append(_fake_decode(raw, out_dim).tolist())

@@ -1509,3 +1509,83 @@ def test_png_interlaced_huge_header_refused():
         + chunk(b"IEND", b"")
     )
     assert multimodal.decode_png(crafted) is None
+
+
+def test_wav_decode_roundtrip_and_features():
+    """r9: real PCM WAV decode — 8/16-bit, mono/stereo downmix, chunk
+    walking (JUNK skipped, word alignment), refusals for compressed
+    formats; audio_features windows are deterministic and bounded."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    t = np.arange(8000) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+
+    # 16-bit mono round trip within quantization error
+    wav = multimodal.encode_wav_pcm(sig, rate=16000, bits=16)
+    got = multimodal.decode_wav(wav)
+    assert got is not None
+    mono, rate = got
+    assert rate == 16000 and len(mono) == 8000
+    assert np.abs(mono - sig).max() < 1.0 / 32768 + 1e-9
+
+    # stereo downmix equals the mono signal (channels are replicas)
+    st = multimodal.decode_wav(multimodal.encode_wav_pcm(sig, channels=2))
+    assert np.abs(st[0] - mono).max() < 1e-12
+
+    # 8-bit coarser but correct
+    lo = multimodal.decode_wav(multimodal.encode_wav_pcm(sig, bits=8))
+    assert np.abs(lo[0] - sig).max() < 1.0 / 128 + 1e-9
+
+    # features: loud first half, silent second half → RMS slots reflect it
+    half = np.concatenate([sig, np.zeros(8000)])
+    f = multimodal.audio_features(
+        multimodal.decode_wav(multimodal.encode_wav_pcm(half))[0], 8
+    )
+    assert len(f) == 8 and f[0] > 0.2 and f[6] < 0.01
+    assert 0.0 <= min(f) and max(f) <= 1.0
+    # deterministic
+    f2 = multimodal.audio_features(
+        multimodal.decode_wav(multimodal.encode_wav_pcm(half))[0], 8
+    )
+    assert list(f) == list(f2)
+
+    # refusals: float format, truncated, junk
+    bad = bytearray(wav)
+    fmt_at = bad.find(b"fmt ")
+    bad[fmt_at + 8] = 3  # IEEE float format code
+    assert multimodal.decode_wav(bytes(bad)) is None
+    assert multimodal.decode_wav(wav[:20]) is None
+    assert multimodal.decode_wav(b"RIFFxxxxWAVE") is None
+    assert multimodal.decode_wav(b"not audio") is None
+
+
+def test_wav_features_through_spark(spark):
+    """End-to-end: WAV payloads through the distributed decode stage
+    under require_real_codec=True alongside image payloads."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(33)
+    sig = rng.uniform(-0.8, 0.8, 2000)
+    img = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    payloads = [
+        multimodal.encode_wav_pcm(sig, bits=16),
+        _ppm_bytes(img),
+        multimodal.encode_wav_pcm(sig, bits=16, channels=2),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2, 3],
+                      "content": [bytearray(p) for p in payloads]}),
+        schema="media_id bigint, content binary",
+    )
+    out = (
+        multimodal.decode_features(media, out_dim=8, require_real_codec=True)
+        .toPandas().set_index("media_id")
+    )
+    assert out.decoded.all()
+    expected = multimodal.audio_features(
+        multimodal.decode_wav(payloads[0])[0], 8
+    )
+    assert np.allclose(out.loc[1, "features"], expected)
+    assert np.allclose(out.loc[3, "features"], expected)  # stereo ≡ mono
