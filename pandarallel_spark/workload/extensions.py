@@ -820,7 +820,18 @@ _PNG_SUFFIX = bytes.fromhex("00000000") + bytes.fromhex(
     "0000000049454e44ae426082"
 )
 _PPM_OFF, _BMP_OFF, _PNG_OFF = 10_000_000, 20_000_000, 30_000_000
-_JPG_OFF = 40_000_000
+_JPG_OFF, _WAV_OFF = 40_000_000, 50_000_000
+# constant-sample PCM WAV (NEW r9): 44-byte fixed header (RIFF/WAVE,
+# fmt PCM mono 16 kHz 16-bit, data length 128) + 64 little-endian int16
+# samples of value v*256, built ENTIRELY from JVM expressions
+# (unhex(repeat("00"||hex(v), 64))). mono = v*256/32768 = v/128 — an
+# exact binary fraction, so the windowed RMS equals it bit-for-bit and
+# the zero-crossing slots are exactly 0.0 — a hard float contract with
+# no tolerance.
+_WAV_PREFIX = bytes.fromhex(
+    "52494646a400000057415645666d74201000000001000100803e0000007d00"
+    "00020010006461746180000000"
+)
 
 
 def _jpeg_payloads() -> list[bytes]:
@@ -849,6 +860,12 @@ _MM_ORACLE_JPEG = """
 UNION ALL
 SELECT doc_id + 40000000 AS media_id, 'jpeg' AS kind,
        CAST(list_extract([{lens}], v) AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS content_sha256,
+       TRUE AS features_ok
+FROM d
+UNION ALL
+SELECT doc_id + 50000000 AS media_id, 'wav' AS kind,
+       CAST(172 AS BIGINT) AS n_bytes,
        CAST(NULL AS VARCHAR) AS content_sha256,
        TRUE AS features_ok
 FROM d
@@ -887,7 +904,7 @@ FROM d
     "multimodal_features",
     _MM_ORACLE,
     "Binary media plumbing with a HARD oracle (error-contract pattern, "
-    "like the sketch queries): FIVE media kinds per document — utf-8 "
+    "like the sketch queries): SIX media kinds per document — utf-8 "
     "text payloads plus constructed constant-pixel PPM, BMP, PNG (r8: "
     "real zlib inflate + scanline unfilter on a payload assembled from "
     "pure JVM expressions via a stored-deflate block and closed-form "
@@ -895,7 +912,7 @@ FROM d
     "bitstreams (one per pixel value v = doc_id%126+1, built by the "
     "in-module encoder, indexed by an element_at over literal arrays) "
     "that multimodal.decode_jpeg must Huffman-decode, dequantize, and "
-    "exactly-IDCT back to the constant v. DuckDB rebuilds the exact "
+    "exactly-IDCT back to the constant v, plus (NEW r9) constant-sample PCM WAV built from pure JVM expressions that multimodal.decode_wav must parse — features_ok asserts every RMS window EXACTLY v/128 (exact binary fractions end to end) and every zero-crossing slot exactly 0.0. DuckDB rebuilds the exact "
     "text/PPM payload bytes and checks sha256 (proves the binary "
     "column rides synthesize->mapInPandas untouched) plus n_bytes "
     "(JPEG: against the 126 precomputed bitstream lengths); "
@@ -940,6 +957,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the JPEG payload is one of 126 prebuilt literal bitstreams (the
     # Huffman coding is value-dependent, not expressible as SQL over v)
     jpeg = F.element_at(F.array(*[F.lit(p) for p in _JPEG_BYTES]), v)
+    # the WAV payload is pure JVM: fixed header + repeated LE sample
+    wav = F.concat(
+        F.lit(_WAV_PREFIX),
+        F.unhex(F.repeat(F.concat(F.lit("00"), F.lpad(F.hex(v), 2, "0")), 64)),
+    )
     # ONE scan of documents fanning out to the five media kinds via
     # explode — a per-kind union would scan the table five times
     # (5× IO at 100 TB for identical rows)
@@ -952,6 +974,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     entry(did + _BMP_OFF, "image/bmp", F.concat(F.lit(_BMP_HEADER), pix)),
                     entry(did + _PNG_OFF, "image/png", png),
                     entry(did + _JPG_OFF, "image/jpeg", jpeg),
+                    entry(did + _WAV_OFF, "audio/wav", wav),
                 )
             ).alias("m")
         )
@@ -964,14 +987,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _mm.decode_features(media, passthrough=["content_sha256"])
     mid = F.col("media_id")
     kind = (
-        F.when(mid >= _JPG_OFF, F.lit("jpeg"))
+        F.when(mid >= _WAV_OFF, F.lit("wav"))
+        .when(mid >= _JPG_OFF, F.lit("jpeg"))
         .when(mid >= _PNG_OFF, F.lit("png"))
         .when(mid >= _BMP_OFF, F.lit("bmp"))
         .when(mid >= _PPM_OFF, F.lit("ppm"))
         .otherwise(F.lit("text"))
     )
     base_id = (
-        F.when(mid >= _JPG_OFF, mid - _JPG_OFF)
+        F.when(mid >= _WAV_OFF, mid - _WAV_OFF)
+        .when(mid >= _JPG_OFF, mid - _JPG_OFF)
         .when(mid >= _PNG_OFF, mid - _PNG_OFF)
         .when(mid >= _BMP_OFF, mid - _BMP_OFF)
         .otherwise(mid - _PPM_OFF)
@@ -988,10 +1013,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         & const
         & (F.abs(first.cast("double") - expected) < F.lit(1e-6))
     )
+    # wav contract (r9): constant-signal windows — every even slot is
+    # EXACTLY v/128 (exact binary fraction through int16 decode, mean,
+    # and sqrt of a perfect square) and every odd (zero-crossing) slot
+    # exactly 0.0
+    wav_expected = vv / F.lit(128.0)
+    wav_ok = F.col("decoded") & F.lit(True)
+    for _i in range(1, 17):
+        slot = F.element_at("features", _i).cast("double")
+        wav_ok = wav_ok & (
+            (slot == wav_expected) if _i % 2 == 1 else (slot == F.lit(0.0))
+        )
     features_ok = (
         (F.size("features") == 16)
         & finite
-        & F.when(mid >= _PPM_OFF, img_ok).otherwise(~F.col("decoded"))
+        & F.when(mid >= _WAV_OFF, wav_ok)
+        .when(mid >= _PPM_OFF, img_ok)
+        .otherwise(~F.col("decoded"))
     )
     return feats.select(
         "media_id",
