@@ -7,11 +7,16 @@ or a north-star extension (§2.3) onto Spark primitives:
 - ``series``     — Series.parallel_apply, Series.parallel_map
 - ``window``     — rolling / expanding, global and grouped
 - ``groupby``    — DataFrameGroupBy.parallel_apply
-- ``dedup``      — exact / MinHash-LSH / SimHash / n-gram Jaccard dedup
-- ``similarity`` — embedding cosine top-k (brute force, LSH-bucketed, IVF-Flat)
+- ``dedup``      — exact / MinHash-LSH (exact-first set collapse) / SimHash /
+  n-gram Jaccard / ExactSubstr dedup
+- ``similarity`` — embedding cosine top-k (brute force, LSH-bucketed,
+  IVF-Flat, IVF-PQ with driver or distributed codebook training)
 - ``text``       — language id, quality scoring, token counts, fingerprints
-- ``multimodal`` — binary media columns: schema + batch plumbing (decode stubbed)
+- ``multimodal`` — binary media columns: real PPM/BMP/PNG (Adam7, 16-bit)/
+  JPEG (baseline + progressive)/PCM-WAV codecs + batch plumbing
 - ``join``       — as-of and range joins
 - ``relational`` — top-k per group, skew-safe distinct, rollup, set ops
-- ``sampling``   — deterministic hash split / per-group sample / sequence packing
+- ``sampling``   — deterministic hash split / per-group, weighted, stratified
+  sample / temperature mixing / sequence packing
+- ``graph``      — connected components (star contraction), cluster survivors
 """

@@ -16,7 +16,9 @@ Four tiers, each a different cost/recall point at 100 TB:
 - ``minhash_lsh_pairs``  — MinHash signatures + LSH banding: candidates
   from band-bucket joins (linear-ish), then *exact* Jaccard verification
   of candidates only. The standard 100 TB near-dup design
-  (shingle → minhash → band → bucket-join → verify).
+  (shingle → minhash → band → bucket-join → verify); r9: exact-first —
+  documents collapse to one exemplar per DISTINCT shingle set before
+  banding, so duplicate-heavy corpora cannot blow up the candidate set.
 - ``simhash_pairs``      — 64-bit SimHash + chunk-blocking + Hamming
   distance ≤ k. Cheapest signature; catches small edits.
 
