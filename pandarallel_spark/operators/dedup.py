@@ -1116,3 +1116,86 @@ def simhash_pairs(
         .applyInPandas(bucket_pairs, "id_a bigint, id_b bigint, hamming bigint")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end near-dedup (pairs → clusters → survivors → filtered corpus)
+# ---------------------------------------------------------------------------
+
+
+def near_dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    method: str = "minhash",
+    keep_by: str | None = None,
+    threshold: float = 0.5,
+    n: int = 3,
+    **method_kwargs,
+) -> DataFrame:
+    """The whole near-dedup pipeline in ONE call (r9): detect near-dup
+    pairs, close them transitively into clusters, pick one survivor per
+    cluster, and return the corpus rows that survive — documents in no
+    cluster pass through untouched.
+
+    ``method``: ``"minhash"`` (``minhash_lsh_pairs`` with the linear
+    ``intra_pairs="star"`` expansion — exact-duplicate groups never pay
+    a quadratic pair list on the way to clustering), ``"ngram"``
+    (``ngram_jaccard_pairs``, exact), or ``"simhash"``
+    (``simhash_pairs``; ``threshold`` is ignored — pass
+    ``max_hamming=`` instead). Extra ``method_kwargs`` forward to the
+    pair generator (``num_perm=``, ``bands=``, ``max_hamming=``, …).
+
+    ``keep_by`` names a COLUMN of ``df`` used as the survivor quality
+    score (keep the best-scored member per cluster, ties to min id —
+    ``cluster_survivors``' score policy); default keeps the min-id
+    member, the reference's ``exact_dedup`` convention.
+
+    Plan shape: pairs (bounded by the chosen method's guarantees) →
+    star-contraction components over PAIR rows only (never corpus
+    rows) → the final filter is ONE left-anti join of the corpus
+    against the drop list (clustered members minus survivors — only
+    near-dup docs, typically ≪ corpus). One corpus-sized join total.
+    """
+    from pandarallel_spark.operators.graph import (
+        cluster_survivors,
+        connected_components,
+    )
+
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, n=n, threshold=threshold,
+            intra_pairs="star", **method_kwargs,
+        )
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, n=n, threshold=threshold, **method_kwargs
+        )
+    elif method == "simhash":
+        pairs = simhash_pairs(df, id_col, text_col, **method_kwargs)
+    else:
+        raise ValueError(
+            f"method must be 'minhash', 'ngram' or 'simhash', got {method!r}"
+        )
+    pairs = pairs.select("id_a", "id_b")
+
+    scores = (
+        df.select(F.col(id_col).alias("id"), F.col(keep_by).alias("score"))
+        if keep_by is not None
+        else None
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    if scores is None:
+        survivors = cc.select("component").distinct().select(
+            F.col("component").alias("__keep__")
+        )
+    else:
+        survivors = cluster_survivors(
+            pairs, scores=scores, id_col="id", score_col="score"
+        ).select(F.col("survivor").alias("__keep__"))
+    # drop list = clustered members that are NOT the survivor — small
+    # (only near-dup docs), so the corpus pays one anti-join
+    drop = cc.select(F.col("node").alias("__drop__")).join(
+        survivors, F.col("__drop__") == F.col("__keep__"), "left_anti"
+    )
+    return df.join(drop, df[id_col] == F.col("__drop__"), "left_anti")

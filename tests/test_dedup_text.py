@@ -1589,3 +1589,30 @@ def test_wav_features_through_spark(spark):
     )
     assert np.allclose(out.loc[1, "features"], expected)
     assert np.allclose(out.loc[3, "features"], expected)  # stereo ≡ mono
+
+
+def test_near_dedup_corpus_end_to_end(spark, docs):
+    """r9: one-call near-dedup — clusters collapse to one survivor,
+    unclustered docs pass through, keep_by switches the survivor."""
+    from pandarallel_spark.operators.dedup import near_dedup_corpus
+
+    # docs: 1≈2 (near), 1==5 (exact), 3 unrelated, 4 permutation (not
+    # 3-gram-similar) → cluster {1,2,5}, singletons {3,4}
+    out = near_dedup_corpus(docs, "doc_id", "text", method="minhash").toPandas()
+    assert sorted(out.doc_id) == [1, 3, 4]
+
+    # quality-based survivor: score doc 2 highest → it survives the cluster
+    scored = docs.withColumn(
+        "q", F.when(F.col("doc_id") == 2, 9.0).otherwise(1.0)
+    )
+    out2 = near_dedup_corpus(
+        scored, "doc_id", "text", method="minhash", keep_by="q"
+    ).toPandas()
+    assert sorted(out2.doc_id) == [2, 3, 4]
+
+    # ngram method agrees on this corpus
+    out3 = near_dedup_corpus(docs, "doc_id", "text", method="ngram").toPandas()
+    assert sorted(out3.doc_id) == [1, 3, 4]
+
+    with pytest.raises(ValueError, match="method"):
+        near_dedup_corpus(docs, "doc_id", "text", method="bloom")
