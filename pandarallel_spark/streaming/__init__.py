@@ -12,6 +12,7 @@ from pandarallel_spark.streaming.stateful import (
     content_dedup_stream,
     dedup_stream,
     running_counts,
+    streaming_heavy_hitters,
 )
 from pandarallel_spark.streaming.windows import (
     sessionize,
@@ -27,6 +28,7 @@ __all__ = [
     "content_dedup_stream",
     "dedup_stream",
     "running_counts",
+    "streaming_heavy_hitters",
     "tumbling_window_agg",
     "sliding_window_agg",
     "sessionize",

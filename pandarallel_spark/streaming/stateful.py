@@ -103,3 +103,107 @@ def content_dedup_stream(
         )
     with_fp = stream.withColumn(fp_col, fingerprint(text_col))
     return dedup_stream(with_fp, [fp_col]).drop(fp_col)
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    col: str,
+    capacity: int = 4096,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Streaming frequent items (r9) — the streaming twin of
+    ``operators/relational.heavy_hitters``: a Misra-Gries summary held
+    in keyed state, updated per micro-batch, cumulative over the whole
+    stream.
+
+    Keys hash into ``n_buckets`` state groups (each key lives in
+    exactly ONE bucket, so per-bucket guarantees compose globally);
+    each bucket's state is ≤ ``capacity`` (key, lower-bound count)
+    counters plus its total decrement. Per micro-batch each updated
+    bucket emits a snapshot row per surviving candidate:
+    (key, lower_bound, decr, bucket, n_seen) with the standard MG
+    envelope lower_bound ≤ true-count-AT-SNAPSHOT ≤ lower_bound + decr;
+    ``n_seen`` (the bucket's cumulative processed rows) strictly
+    increases per emitted snapshot, so the LATEST state per bucket is
+    the rows with its maximum ``n_seen`` — the recency handle a
+    foreachBatch upsert keys on (the envelope binds counts as of that
+    snapshot; an evicted key's older snapshots go stale by design, as
+    in any sketch). State memory
+    is bounded at n_buckets × capacity counters no matter the stream
+    volume or key universe — the property that makes top-K over an
+    unbounded feed feasible at all. Downstream consumers keep the
+    LATEST snapshot per key (e.g. a foreachBatch upsert); candidates
+    below any target threshold are filtered with the same
+    T > Σ decr precondition as the batch operator.
+
+    NULL keys are ignored. State never times out (cumulative
+    semantics, like ``dedup_stream``).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be ≥ 1, got {capacity}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be ≥ 1, got {n_buckets}")
+    from pyspark.sql import functions as F
+
+    src = (
+        stream.select(F.col(col).cast("string").alias("__k__"))
+        .filter(F.col("__k__").isNotNull())
+        .withColumn("__b__", F.pmod(F.xxhash64("__k__"), F.lit(n_buckets)))
+    )
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("lower_bound", T.LongType()),
+        T.StructField("decr", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("decr", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+
+    def mg_update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        bucket = int(key[0])
+        if state.exists:
+            keys, counts, decr, n_seen = state.get
+            summ = dict(zip(keys, counts))
+        else:
+            summ, decr, n_seen = {}, 0, 0
+        seen = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            seen = True
+            n_seen += len(pdf)
+            for k, c in pdf["__k__"].value_counts().items():
+                summ[k] = summ.get(k, 0) + int(c)
+            if len(summ) > capacity:
+                # subtract the (capacity+1)-th largest count, drop
+                # non-positive — the classic MG trim, batched
+                sub = sorted(summ.values(), reverse=True)[capacity]
+                summ = {k: v - sub for k, v in summ.items() if v > sub}
+                decr += sub
+        if not seen:
+            return
+        state.update(
+            (list(summ.keys()), [int(v) for v in summ.values()], decr, n_seen)
+        )
+        yield pd.DataFrame({
+            "key": list(summ.keys()),
+            "lower_bound": [int(v) for v in summ.values()],
+            "decr": decr,
+            "bucket": bucket,
+            "n_seen": n_seen,
+        })
+
+    return src.groupBy("__b__").applyInPandasWithState(
+        mg_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

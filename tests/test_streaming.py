@@ -493,3 +493,74 @@ def test_stream_stream_full_outer_union_of_directions(spark, tmp_path):
     assert list(left_orphans.user_id) == [20]   # sealed unmatched click
     assert list(right_orphans.user_id) == [21]  # sealed unmatched purchase
     assert got.user_id.notna().all()            # coalesced across sides
+
+
+def test_streaming_heavy_hitters_envelope_and_state_bound(spark, sf_dir, tmp_path):
+    """r9: Misra-Gries in keyed state — the final snapshot per key must
+    satisfy the MG envelope lower <= exact <= lower + decr against the
+    exact batch counts, every truly-frequent key must survive when its
+    count exceeds its bucket's decrement, state stays bounded at
+    capacity per bucket, and a second wave of files accumulates
+    cumulatively through the checkpoint."""
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark.streaming import streaming_heavy_hitters
+
+    rng = np.random.default_rng(4)
+    # skewed: a few hot users + a long tail, split into two waves
+    hot = np.repeat([f"u{i}" for i in range(5)], 400)
+    tail = [f"t{i}" for i in rng.integers(0, 2000, 3000)]
+    vals = np.concatenate([hot, tail])
+    rng.shuffle(vals)
+    pdf = pd.DataFrame({"user": vals})
+    half = len(pdf) // 2
+    src = str(tmp_path / "hh_src")
+    chk = str(tmp_path / "hh_chk")
+    sink = str(tmp_path / "hh_sink")  # parquet: checkpoint-recoverable
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(src)
+
+    def run_wave(_qname):
+        stream = spark.readStream.schema("user string").parquet(src)
+        out = streaming_heavy_hitters(stream, "user", capacity=64, n_buckets=8)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        snap = spark.read.parquet(sink).toPandas()
+        # the LATEST state per bucket = rows at its max n_seen (the
+        # operator's recency handle); older snapshots are stale by design
+        latest = snap[
+            snap.n_seen == snap.groupby("bucket").n_seen.transform("max")
+        ]
+        return latest.set_index("key")
+
+    got1 = run_wave("hh_out1")
+    # second wave appends; state carries over via the checkpoint
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    got = run_wave("hh_out2")
+
+    exact = pdf.user.value_counts()
+    # envelope per surviving candidate
+    for k, row in got.iterrows():
+        true = int(exact.get(k, 0))
+        assert row.lower_bound <= true <= row.lower_bound + row.decr, (
+            k, row.lower_bound, row.decr, true
+        )
+    # the hot users (400 each) dominate any bucket's decrement at this
+    # capacity and must all survive with tight bounds
+    for i in range(5):
+        assert f"u{i}" in got.index, f"u{i} evicted"
+        assert got.loc[f"u{i}"].lower_bound + got.loc[f"u{i}"].decr >= 400
+    # state bound: no bucket ever holds more than capacity candidates
+    per_bucket = got.reset_index().groupby("bucket").size()
+    assert (per_bucket <= 64).all()
+    # wave 2 snapshots strictly dominate wave 1 for the hot keys
+    for i in range(5):
+        if f"u{i}" in got1.index:
+            assert got.loc[f"u{i}"].lower_bound >= got1.loc[f"u{i}"].lower_bound
