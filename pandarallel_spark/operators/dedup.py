@@ -1162,6 +1162,22 @@ def near_dedup_corpus(
         connected_components,
     )
 
+    # the clustering rounds run EAGER jobs at call time (per-round
+    # checkpoints + convergence counts) — gated like every eager build
+    eager_build_guard(
+        df.sparkSession,
+        "near_dedup_corpus clustering (star-contraction rounds run "
+        "eagerly at call time)",
+        "Build the pair/cluster stages explicitly outside strict-lazy "
+        "scope, or run this call from a session that permits build-time "
+        "jobs.",
+    )
+    for tmp in ("__drop__", "__keep__"):
+        if tmp in df.columns:
+            raise ValueError(
+                f"near_dedup_corpus: input already has a column named "
+                f"{tmp!r}; rename it before calling"
+            )
     if method == "minhash":
         pairs = minhash_lsh_pairs(
             df, id_col, text_col, n=n, threshold=threshold,
@@ -1190,8 +1206,11 @@ def near_dedup_corpus(
             F.col("component").alias("__keep__")
         )
     else:
+        # reuse the labeling computed above — the contraction is eager
+        # and must not run twice (review finding r9)
         survivors = cluster_survivors(
-            pairs, scores=scores, id_col="id", score_col="score"
+            pairs, scores=scores, id_col="id", score_col="score",
+            components=cc,
         ).select(F.col("survivor").alias("__keep__"))
     # drop list = clustered members that are NOT the survivor — small
     # (only near-dup docs), so the corpus pays one anti-join

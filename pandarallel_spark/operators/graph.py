@@ -215,6 +215,7 @@ def cluster_survivors(
     scores: DataFrame | None = None,
     id_col: str = "id",
     score_col: str = "score",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """One row per duplicate cluster: (component, survivor).
 
@@ -230,8 +231,14 @@ def cluster_survivors(
     every scored member (NULL-last), so a partial score table still
     yields a survivor per cluster. One extra join on the node id plus a
     max_by aggregate per component — both on label rows, never data
-    rows."""
-    cc = connected_components(edges, src, dst, algorithm=algorithm)
+    rows. ``components`` accepts a precomputed (node, component)
+    labeling so callers that already ran ``connected_components`` (e.g.
+    ``near_dedup_corpus``) don't pay the eager contraction twice.
+    cc = (
+        components
+        if components is not None
+        else connected_components(edges, src, dst, algorithm=algorithm)
+    )
     if scores is None:
         return cc.select("component").distinct().select(
             "component", F.col("component").alias("survivor")

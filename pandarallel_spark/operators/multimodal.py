@@ -1290,8 +1290,9 @@ def audio_features(mono: np.ndarray, out_dim: int) -> np.ndarray:
     """Mono samples → fixed-length features: the signal splits into
     ``out_dim`` equal windows; feature = per-window RMS energy for even
     slots and zero-crossing rate for odd slots (both in [0, 1] —
-    deterministic, no FFT dependency). Shorter-than-out_dim signals pad
-    with zeros."""
+    deterministic, no FFT dependency). Signals shorter than ``out_dim``
+    samples reuse samples across windows (every window covers at least
+    one sample); an empty signal returns all zeros."""
     n = len(mono)
     out = np.zeros(out_dim, dtype=np.float64)
     if n == 0:
@@ -1299,7 +1300,7 @@ def audio_features(mono: np.ndarray, out_dim: int) -> np.ndarray:
     for i in range(out_dim):
         lo = i * n // out_dim
         hi = max((i + 1) * n // out_dim, lo + 1)
-        win = mono[lo:hi] if lo < n else mono[-1:]
+        win = mono[lo:hi]  # lo < n always holds for n >= 1
         if i % 2 == 0:
             out[i] = float(np.sqrt(np.mean(win * win)))
         else:

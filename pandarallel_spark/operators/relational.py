@@ -178,6 +178,19 @@ def _pin_small(small: DataFrame, schema: str, cap: int = _PIN_COLLECT_CAP):
     return small.localCheckpoint(eager=True)
 
 
+def mg_trim(counts, capacity: int):
+    """One Misra-Gries batch trim over a pandas Series of counts:
+    subtract the (capacity+1)-th largest, drop non-positive. Returns
+    (trimmed counts, subtracted amount). Shared by the batch summary
+    pass below and the streaming keyed-state twin
+    (``streaming.stateful.streaming_heavy_hitters``) so the envelope
+    math lives in exactly one place."""
+    if len(counts) <= capacity:
+        return counts, 0
+    sub = int(counts.nlargest(capacity + 1).iloc[-1])
+    return counts[counts > sub] - sub, sub
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
@@ -292,10 +305,8 @@ def heavy_hitters(
             nrows += len(pdf)
             vc = pdf["__k__"].value_counts()
             counts = counts.add(vc, fill_value=0).astype("int64")
-            if len(counts) > capacity:
-                sub = int(counts.nlargest(capacity + 1).iloc[-1])
-                counts = counts[counts > sub] - sub
-                decr += sub
+            counts, sub = mg_trim(counts, capacity)
+            decr += sub
         if not seen:
             return
         out = pd.DataFrame(
@@ -500,10 +511,8 @@ def grouped_heavy_hitters(
                 if counts is None
                 else counts.add(vc, fill_value=0).astype("int64")
             )
-            if len(counts) > capacity:
-                sub = int(counts.nlargest(capacity + 1).iloc[-1])
-                counts = counts[counts > sub] - sub
-                decr += sub
+            counts, sub = mg_trim(counts, capacity)
+            decr += sub
         if not seen or counts is None:
             return
         idx = counts.index

@@ -182,10 +182,12 @@ def streaming_heavy_hitters(
             for k, c in pdf["__k__"].value_counts().items():
                 summ[k] = summ.get(k, 0) + int(c)
             if len(summ) > capacity:
-                # subtract the (capacity+1)-th largest count, drop
-                # non-positive — the classic MG trim, batched
-                sub = sorted(summ.values(), reverse=True)[capacity]
-                summ = {k: v - sub for k, v in summ.items() if v > sub}
+                # the SAME trim as the batch operator (shared helper —
+                # the envelope math must not diverge between twins)
+                from pandarallel_spark.operators.relational import mg_trim
+
+                trimmed, sub = mg_trim(pd.Series(summ), capacity)
+                summ = {k: int(v) for k, v in trimmed.items()}
                 decr += sub
         if not seen:
             return

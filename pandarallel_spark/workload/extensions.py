@@ -962,9 +962,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_WAV_PREFIX),
         F.unhex(F.repeat(F.concat(F.lit("00"), F.lpad(F.hex(v), 2, "0")), 64)),
     )
-    # ONE scan of documents fanning out to the five media kinds via
-    # explode — a per-kind union would scan the table five times
-    # (5× IO at 100 TB for identical rows)
+    # ONE scan of documents fanning out to the six media kinds via
+    # explode — a per-kind union would scan the table six times
+    # (6× IO at 100 TB for identical rows)
     media = (
         docs.select(
             F.explode(
@@ -1018,7 +1018,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and sqrt of a perfect square) and every odd (zero-crossing) slot
     # exactly 0.0
     wav_expected = vv / F.lit(128.0)
-    wav_ok = F.col("decoded") & F.lit(True)
+    wav_ok = F.col("decoded")
     for _i in range(1, 17):
         slot = F.element_at("features", _i).cast("double")
         wav_ok = wav_ok & (

@@ -1616,3 +1616,19 @@ def test_near_dedup_corpus_end_to_end(spark, docs):
 
     with pytest.raises(ValueError, match="method"):
         near_dedup_corpus(docs, "doc_id", "text", method="bloom")
+
+
+def test_near_dedup_guards(spark, docs):
+    """Review r9: reserved-column collision raises with guidance, and
+    strictLazy blocks the eager clustering with the escape named."""
+    from pandarallel_spark.operators.dedup import near_dedup_corpus
+
+    clobber = docs.withColumn("__drop__", F.lit(1))
+    with pytest.raises(ValueError, match="__drop__"):
+        near_dedup_corpus(clobber, "doc_id", "text")
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(RuntimeError, match="strictLazy"):
+            near_dedup_corpus(docs, "doc_id", "text")
+    finally:
+        spark.conf.unset("spark.pandarallel_spark.strictLazy")

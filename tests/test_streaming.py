@@ -495,7 +495,7 @@ def test_stream_stream_full_outer_union_of_directions(spark, tmp_path):
     assert got.user_id.notna().all()            # coalesced across sides
 
 
-def test_streaming_heavy_hitters_envelope_and_state_bound(spark, sf_dir, tmp_path):
+def test_streaming_heavy_hitters_envelope_and_state_bound(spark, tmp_path):
     """r9: Misra-Gries in keyed state — the final snapshot per key must
     satisfy the MG envelope lower <= exact <= lower + decr against the
     exact batch counts, every truly-frequent key must survive when its
@@ -520,7 +520,7 @@ def test_streaming_heavy_hitters_envelope_and_state_bound(spark, sf_dir, tmp_pat
     sink = str(tmp_path / "hh_sink")  # parquet: checkpoint-recoverable
     spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(src)
 
-    def run_wave(_qname):
+    def run_wave():
         stream = spark.readStream.schema("user string").parquet(src)
         out = streaming_heavy_hitters(stream, "user", capacity=64, n_buckets=8)
         q = (
@@ -538,12 +538,12 @@ def test_streaming_heavy_hitters_envelope_and_state_bound(spark, sf_dir, tmp_pat
         ]
         return latest.set_index("key")
 
-    got1 = run_wave("hh_out1")
+    got1 = run_wave()
     # second wave appends; state carries over via the checkpoint
     spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(
         src, mode="append"
     )
-    got = run_wave("hh_out2")
+    got = run_wave()
 
     exact = pdf.user.value_counts()
     # envelope per surviving candidate
