@@ -233,7 +233,7 @@ def cluster_survivors(
     max_by aggregate per component — both on label rows, never data
     rows. ``components`` accepts a precomputed (node, component)
     labeling so callers that already ran ``connected_components`` (e.g.
-    ``near_dedup_corpus``) don't pay the eager contraction twice.
+    ``near_dedup_corpus``) don't pay the eager contraction twice."""
     cc = (
         components
         if components is not None
