@@ -563,3 +563,96 @@ def test_ewm_times_property_matches_pandas(spark, seed, hl_min, ignore_na, mp):
         .toPandas().sort_values("idx")["r"].to_numpy(dtype="float64")
     )
     assert np.allclose(got, expected, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+# ---------------------------------------------------------------------------
+# r9: graph + dedup-collapse properties
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def edge_lists(draw):
+    """Random multi-component graphs: dup edges, reversed edges,
+    self-loops, shuffled non-contiguous ids."""
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    n_nodes = draw(st.integers(min_value=2, max_value=60))
+    n_edges = draw(st.integers(min_value=1, max_value=120))
+    rng = np.random.default_rng(seed)
+    ids = rng.permutation(n_nodes * 3)[:n_nodes]  # sparse id space
+    a = ids[rng.integers(0, n_nodes, n_edges)]
+    b = ids[rng.integers(0, n_nodes, n_edges)]
+    return pd.DataFrame({"id_a": a, "id_b": b})
+
+
+@given(edges=edge_lists())
+@settings(**_SETTINGS)
+def test_star_contraction_matches_propagation_property(spark, edges):
+    """The r9 default (large-star/small-star) must label EVERY random
+    graph identically to min-label propagation — components, ids,
+    row-per-node multiplicity."""
+    from pandarallel_spark.operators.graph import connected_components
+
+    sdf = spark.createDataFrame(edges)
+    star = (
+        connected_components(sdf, max_iter=40, algorithm="star")
+        .toPandas().sort_values("node", ignore_index=True)
+    )
+    prop = (
+        connected_components(sdf, max_iter=200, algorithm="propagation")
+        .toPandas().sort_values("node", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(star, prop)
+
+
+@st.composite
+def dup_corpora(draw):
+    """Random small corpora with injected exact duplicates and
+    one-word-edit near-duplicates over a tiny vocabulary."""
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    n_base = draw(st.integers(min_value=2, max_value=10))
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "zeta", "kappa"]
+    rows = []
+    next_id = 0
+    for _ in range(n_base):
+        ln = int(rng.integers(4, 10))
+        words = [vocab[i] for i in rng.integers(0, len(vocab), ln)]
+        text = " ".join(words)
+        for _ in range(int(rng.integers(1, 4))):  # exact copies
+            rows.append((next_id, text))
+            next_id += 1
+        if rng.random() < 0.5 and ln >= 4:  # a near-dup edit
+            w2 = list(words)
+            w2[int(rng.integers(0, ln))] = vocab[int(rng.integers(0, len(vocab)))]
+            rows.append((next_id, " ".join(w2)))
+            next_id += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+@given(corpus=dup_corpora())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_collapse_matches_exact_property(spark, corpus):
+    """The exact-first collapsed MinHash pipeline must reproduce the
+    exact n-gram Jaccard pair set VALUE-for-value on random corpora
+    with injected exact- and near-duplicates (identical shingle sets
+    collide in all bands, so LSH recall is total on the dup structure
+    this generator plants)."""
+    from pandarallel_spark.operators import dedup
+
+    sdf = spark.createDataFrame(corpus)
+    exact = (
+        dedup.ngram_jaccard_pairs(sdf, "doc_id", "text", n=3, threshold=0.6)
+        .toPandas().set_index(["id_a", "id_b"]).jaccard.sort_index()
+    )
+    lsh = (
+        dedup.minhash_lsh_pairs(sdf, "doc_id", "text", n=3, threshold=0.6)
+        .toPandas().set_index(["id_a", "id_b"]).jaccard.sort_index()
+    )
+    # LSH ⊆ exact always, with identical values where present
+    assert set(lsh.index) <= set(exact.index)
+    pd.testing.assert_series_equal(lsh, exact.loc[lsh.index].sort_index())
+    # exact-duplicate pairs (jaccard 1.0) are NEVER missed — all-band
+    # collision is structural, not probabilistic
+    ones = exact[exact == 1.0]
+    assert set(ones.index) <= set(lsh.index)
