@@ -1130,13 +1130,15 @@ def encode_jpeg_progressive(
 def decode_image(content: bytes) -> np.ndarray | None:
     """numpy-only image decode for four PUBLIC formats — binary
     PPM ("P6", the netpbm spec), uncompressed 24-bit BMP (Windows
-    BITMAPINFOHEADER), 8-bit non-interlaced PNG (via stdlib zlib +
-    numpy unfiltering, ``decode_png``), and JPEG (r9: pure numpy/stdlib
-    Huffman + dequant + exact IDCT, baseline AND progressive SOF2 —
+    BITMAPINFOHEADER), PNG at 8/16-bit depth, greyscale/RGB(A)/palette,
+    non-interlaced AND Adam7-interlaced (stdlib zlib + numpy
+    unfiltering, ``decode_png``), and JPEG (pure numpy/stdlib Huffman +
+    dequant + exact IDCT, baseline SOF0/1 AND progressive SOF2 —
     ``decode_jpeg``). Returns an (H, W, 3) uint8 array, or None when
     the payload isn't one of these (caller decides fake vs raise); only
-    profiles no decoder here accepts (arithmetic-coded/12-bit/lossless
-    JPEG, interlaced or 16-bit PNG) fall to the stub."""
+    profiles no decoder here accepts (sub-8-bit PNG,
+    arithmetic-coded/12-bit/lossless/hierarchical JPEG) fall to the
+    stub."""
     if content[:2] == b"\xff\xd8":
         return decode_jpeg(content)
     if content[:8] == _PNG_SIG:
