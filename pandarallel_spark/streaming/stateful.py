@@ -110,6 +110,8 @@ def streaming_heavy_hitters(
     col: str,
     capacity: int = 4096,
     n_buckets: int = 32,
+    emit: str = "snapshot",
+    top_k: int | None = None,
 ) -> DataFrame:
     """Streaming frequent items (r9) — the streaming twin of
     ``operators/relational.heavy_hitters``: a Misra-Gries summary held
@@ -138,12 +140,47 @@ def streaming_heavy_hitters(
 
     NULL keys are ignored. State never times out (cumulative
     semantics, like ``dedup_stream``).
+
+    ``emit`` (r10 — r9 verdict task 7: the full snapshot is
+    n_buckets × capacity rows EVERY micro-batch, which dominates a
+    long-running sink) picks the per-batch emission:
+
+    - ``"snapshot"`` (default) — the full candidate snapshot per
+      updated bucket, as before. Latest-per-bucket = rows at its max
+      ``n_seen``.
+    - ``"topk"`` — only each updated bucket's ``top_k``
+      highest-lower-bound candidates (ties → lexicographically smaller
+      key). Right for dashboards that only render the head; a key that
+      falls OUT of the top-k simply stops updating (stale by design,
+      like any evicted sketch candidate).
+    - ``"changed"`` — only candidates whose lower bound changed in
+      this batch (new, incremented, or trim-decremented), plus a
+      TOMBSTONE row (``lower_bound = -1``) for each candidate the
+      batch's trims evicted. An upsert consumer keyed on
+      (bucket, key), applying rows in ``n_seen`` order and deleting on
+      the -1 sentinel, reconstructs EXACTLY the snapshot mode's latest
+      state — pinned by pytest — while each batch ships only its
+      delta.
     """
     if capacity < 1:
         raise ValueError(f"capacity must be ≥ 1, got {capacity}")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be ≥ 1, got {n_buckets}")
+    if emit not in ("snapshot", "topk", "changed"):
+        raise ValueError(
+            f"emit must be 'snapshot', 'topk' or 'changed', got {emit!r}"
+        )
+    if emit == "topk" and (top_k is None or top_k < 1):
+        raise ValueError("emit='topk' requires top_k ≥ 1")
+    if emit != "topk" and top_k is not None:
+        raise ValueError(f"top_k only applies to emit='topk' (emit={emit!r})")
     from pyspark.sql import functions as F
+
+    # the SAME trim as the batch operator (shared helper — the envelope
+    # math must not diverge between twins). Imported ONCE here, outside
+    # the per-chunk hot path (ADVICE r9); the closure pickles the
+    # module-level function by reference.
+    from pandarallel_spark.operators.relational import mg_trim
 
     src = (
         stream.select(F.col(col).cast("string").alias("__k__"))
@@ -173,6 +210,7 @@ def streaming_heavy_hitters(
             summ = dict(zip(keys, counts))
         else:
             summ, decr, n_seen = {}, 0, 0
+        before = dict(summ)  # start-of-batch counts, for delta emission
         seen = False
         for pdf in pdfs:
             if not len(pdf):
@@ -182,10 +220,6 @@ def streaming_heavy_hitters(
             for k, c in pdf["__k__"].value_counts().items():
                 summ[k] = summ.get(k, 0) + int(c)
             if len(summ) > capacity:
-                # the SAME trim as the batch operator (shared helper —
-                # the envelope math must not diverge between twins)
-                from pandarallel_spark.operators.relational import mg_trim
-
                 trimmed, sub = mg_trim(pd.Series(summ), capacity)
                 summ = {k: int(v) for k, v in trimmed.items()}
                 decr += sub
@@ -194,9 +228,24 @@ def streaming_heavy_hitters(
         state.update(
             (list(summ.keys()), [int(v) for v in summ.values()], decr, n_seen)
         )
+        if emit == "snapshot":
+            out_keys = list(summ.keys())
+            out_counts = [int(summ[k]) for k in out_keys]
+        elif emit == "topk":
+            head = sorted(summ.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+            out_keys = [k for k, _ in head]
+            out_counts = [int(v) for _, v in head]
+        else:  # changed: delta rows + -1 tombstones for trim evictions
+            out_keys = [k for k, v in summ.items() if before.get(k) != v]
+            out_counts = [int(summ[k]) for k in out_keys]
+            gone = [k for k in before if k not in summ]
+            out_keys += gone
+            out_counts += [-1] * len(gone)
+        if not out_keys:
+            return
         yield pd.DataFrame({
-            "key": list(summ.keys()),
-            "lower_bound": [int(v) for v in summ.values()],
+            "key": out_keys,
+            "lower_bound": out_counts,
             "decr": decr,
             "bucket": bucket,
             "n_seen": n_seen,

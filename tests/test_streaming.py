@@ -4,6 +4,7 @@ readStream → watermark → writeStream(memory sink) with availableNow,
 must produce the batch result."""
 
 import pandas as pd
+import pytest
 
 from pandarallel_spark.sources import load_table
 from pandarallel_spark.streaming import stream_events, tumbling_window_agg
@@ -564,3 +565,91 @@ def test_streaming_heavy_hitters_envelope_and_state_bound(spark, tmp_path):
     for i in range(5):
         if f"u{i}" in got1.index:
             assert got.loc[f"u{i}"].lower_bound >= got1.loc[f"u{i}"].lower_bound
+
+
+def test_streaming_heavy_hitters_emit_modes(spark, tmp_path):
+    """r10 (r9 verdict task 7): delta emission. 'changed' rows applied
+    as an upsert (delete on the -1 tombstone) reconstruct EXACTLY the
+    snapshot mode's latest state; 'topk' emits at most top_k rows per
+    bucket per batch. Two micro-batches (maxFilesPerTrigger=1) with a
+    small capacity force trims, so tombstones are exercised."""
+    import numpy as np
+    import pandas as pd
+
+    from pandarallel_spark.streaming import streaming_heavy_hitters
+
+    rng = np.random.default_rng(9)
+    hot = np.repeat(["h0", "h1", "h2"], 150)
+    tail = [f"t{i}" for i in rng.integers(0, 300, 800)]
+    w1 = pd.DataFrame({"user": np.concatenate([hot, tail[:400]])})
+    w2 = pd.DataFrame({"user": np.concatenate([hot, tail[400:]])})
+    w3 = pd.DataFrame({"user": ["h0"] * 50})  # stable batch: one key moves
+    src = str(tmp_path / "em_src")
+    spark.createDataFrame(w1).coalesce(1).write.parquet(src)
+    spark.createDataFrame(w2).coalesce(1).write.parquet(src, mode="append")
+    spark.createDataFrame(w3).coalesce(1).write.parquet(src, mode="append")
+
+    def run(mode, **kw):
+        stream = (
+            spark.readStream.schema("user string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_heavy_hitters(
+            stream, "user", capacity=8, n_buckets=4, emit=mode, **kw
+        )
+        sink = str(tmp_path / f"em_sink_{mode}")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / f"em_chk_{mode}"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).toPandas()
+
+    snap = run("snapshot")
+    latest = snap[snap.n_seen == snap.groupby("bucket").n_seen.transform("max")]
+    want = {
+        (r.bucket, r.key): (r.lower_bound, r.decr) for _, r in latest.iterrows()
+    }
+
+    chg = run("changed")
+    # the delta contract, shown on the stable third batch: only h0
+    # moved, so its bucket's final changed-emission is ONE row where the
+    # snapshot re-emits the whole candidate list. (Trim-heavy batches
+    # legitimately emit MORE than a snapshot — every count shifts plus
+    # tombstones — the mode buys its savings exactly when state is
+    # stable, which is the long-running steady state.)
+    h0_bucket = int(snap[snap.key == "h0"].bucket.iloc[0])
+    sb = snap[snap.bucket == h0_bucket]
+    cb = chg[chg.bucket == h0_bucket]
+    snap_last = sb[sb.n_seen == sb.n_seen.max()]
+    chg_last = cb[cb.n_seen == cb.n_seen.max()]
+    assert len(chg_last) == 1 and chg_last.key.iloc[0] == "h0"
+    assert len(snap_last) > 1
+    rebuilt = {}
+    for _, r in chg.sort_values(["bucket", "n_seen"]).iterrows():
+        if r.lower_bound == -1:
+            rebuilt.pop((r.bucket, r.key), None)
+        else:
+            rebuilt[(r.bucket, r.key)] = (r.lower_bound, r.decr)
+    assert rebuilt == want
+
+    tk = run("topk", top_k=3)
+    per_batch = tk.groupby(["bucket", "n_seen"]).size()
+    assert (per_batch <= 3).all()
+    # the head keys with the highest bounds are all present
+    head = {k for k, _ in sorted(want.items(), key=lambda kv: -kv[1][0])[:3]}
+    assert {(r.bucket, r.key) for _, r in tk.iterrows()} >= head
+
+    with pytest.raises(ValueError, match="top_k"):
+        streaming_heavy_hitters(
+            spark.readStream.schema("user string").parquet(src),
+            "user", emit="topk",
+        )
+    with pytest.raises(ValueError, match="emit"):
+        streaming_heavy_hitters(
+            spark.readStream.schema("user string").parquet(src),
+            "user", emit="deltas",
+        )
