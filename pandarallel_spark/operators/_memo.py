@@ -50,6 +50,44 @@ def eager_build_guard(spark, what: str, skip_hint: str) -> None:
         )
 
 
+RELIABLE_CHECKPOINT_CONF = "spark.pandarallel_spark.reliableCheckpoint"
+
+
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut a plan's lineage — ``localCheckpoint`` by default, RELIABLE
+    ``checkpoint()`` when opted in (r9 verdict task 4).
+
+    Iterative operators (connected-components rounds) and reused
+    intermediates (the MinHash signature/candidate tables) must truncate
+    lineage or the logical plan doubles per round. ``localCheckpoint``
+    does that with zero I/O cost but pins blocks on EXECUTORS: executor
+    loss or a dynamic-allocation scale-down discards them and the whole
+    job must restart — acceptable for interactive work, not for a
+    multi-hour 100 TB contraction. Setting
+    ``spark.conf.set("spark.pandarallel_spark.reliableCheckpoint",
+    "true")`` (with ``spark.sparkContext.setCheckpointDir(...)``
+    pointing at durable storage — HDFS/S3 on a cluster) switches every
+    such site to reliable ``checkpoint()``: rounds survive executor
+    churn at the price of writing each round to the checkpoint dir.
+    Spark only cleans reliable checkpoints at context shutdown when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is set — point
+    the dir at scratch storage or enable that conf."""
+    spark = df.sparkSession
+    try:
+        flag = str(spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false")).lower()
+    except Exception:  # noqa: BLE001 — unreadable conf: default path
+        flag = "false"
+    if flag != "true":
+        return df.localCheckpoint(eager=eager)
+    if spark.sparkContext.getCheckpointDir() is None:
+        raise RuntimeError(
+            f"{RELIABLE_CHECKPOINT_CONF} is true but no checkpoint "
+            "directory is set — call "
+            "spark.sparkContext.setCheckpointDir('<durable path>') first"
+        )
+    return df.checkpoint(eager=eager)
+
+
 def shuffle_partitions(spark, default: int = 200) -> int:
     """``spark.sql.shuffle.partitions`` as an int, tolerating platforms
     where the conf is non-numeric (e.g. ``"auto"`` on Databricks): an

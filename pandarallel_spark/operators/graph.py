@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pandarallel_spark.operators._memo import truncate_lineage
+
 
 def connected_components(
     edges: DataFrame,
@@ -74,15 +76,17 @@ def _cc_star(
     The fixpoint is a star forest: every node points directly at its
     component's minimum. Convergence is detected by an exact multiset
     comparison of consecutive edge sets (two exceptAll probes — edge
-    rows only, never data rows). Rounds are localCheckpoint'ed like
-    the propagation variant: labels(t+1) reads labels(t) twice, and an
-    unbroken lineage would double the logical plan per round.
+    rows only, never data rows). Rounds are lineage-truncated like the
+    propagation variant: labels(t+1) reads labels(t) twice, and an
+    unbroken lineage would double the logical plan per round —
+    localCheckpoint by default, RELIABLE checkpoint under the
+    ``spark.pandarallel_spark.reliableCheckpoint`` opt-in (r10: a
+    multi-hour contraction over billions of edges should survive
+    executor churn; see ``_memo.truncate_lineage``).
     """
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e0 = (
-        raw.filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e0 = truncate_lineage(
+        raw.filter(F.col("a") != F.col("b")).distinct(), eager=True
     )
     # nodes appearing ONLY in self-loop edges never enter the star
     # rounds but are still their own components (the propagation
@@ -121,8 +125,8 @@ def _cc_star(
             .select(F.col("b").alias("a"), F.col("__m__").alias("b"))
         )
         self_edges = pmin.select("a", F.col("__m__").alias("b"))
-        nxt = rewired.unionByName(self_edges).distinct().localCheckpoint(
-            eager=True
+        nxt = truncate_lineage(
+            rewired.unionByName(self_edges).distinct(), eager=True
         )
         # exact fixpoint test on the (small) edge sets
         changed = (
@@ -157,18 +161,19 @@ def _cc_propagation(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.persist()
-    # each round is localCheckpoint'ed, not persisted: labels(t+1)
-    # references labels(t) TWICE (the neighbor aggregate and the join),
-    # so an unbroken lineage doubles the logical plan per round and
-    # Catalyst re-analysis OOMs the driver near ~12 rounds. Checkpointing
-    # materializes the round, truncates lineage, and the ContextCleaner
-    # frees a round's blocks when the next round drops the reference —
-    # nothing leaks to the caller.
-    labels = (
+    # each round is lineage-truncated (localCheckpoint by default,
+    # reliable checkpoint under the reliableCheckpoint opt-in), not
+    # persisted: labels(t+1) references labels(t) TWICE (the neighbor
+    # aggregate and the join), so an unbroken lineage doubles the
+    # logical plan per round and Catalyst re-analysis OOMs the driver
+    # near ~12 rounds. Checkpointing materializes the round, truncates
+    # lineage, and the ContextCleaner frees a round's blocks when the
+    # next round drops the reference — nothing leaks to the caller.
+    labels = truncate_lineage(
         und.select(F.col("a").alias("n"))
         .distinct()
-        .select("n", F.col("n").alias("component"))
-        .localCheckpoint(eager=True)
+        .select("n", F.col("n").alias("component")),
+        eager=True,
     )
 
     converged = False
@@ -180,7 +185,7 @@ def _cc_propagation(
         )
         # carry the previous label so convergence is a filter over the
         # checkpointed result, not an extra self-join per round
-        new_labels = (
+        new_labels = truncate_lineage(
             labels.join(neigh_min, labels.n == neigh_min.a, "left")
             .select(
                 "n",
@@ -188,8 +193,8 @@ def _cc_propagation(
                 F.least(
                     F.col("component"), F.coalesce(F.col("__nm__"), F.col("component"))
                 ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
         )
         changed = new_labels.filter(F.col("component") != F.col("__old__")).count()
         labels = new_labels

@@ -15,6 +15,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pandarallel_spark.operators._memo import truncate_lineage
+
 
 def _key_restore(orig_type, src_name: str, out_name: str) -> Column:
     """Cast a sketch's internal string key back to the source column's
@@ -170,12 +172,20 @@ def _pin_small(small: DataFrame, schema: str, cap: int = _PIN_COLLECT_CAP):
     with the driver/plan and survives any executor churn. A
     ``limit(cap+1)`` probe bounds the collect; an over-cap set (possible
     when a threshold sits barely above the decrement budget) falls back
-    to ``localCheckpoint`` with the scale-down hazard accepted rather
-    than risking driver memory."""
-    rows = small.limit(cap + 1).collect()
-    if len(rows) <= cap:
-        return small.sparkSession.createDataFrame(rows, schema=schema)
-    return small.localCheckpoint(eager=True)
+    to a lineage truncation (``localCheckpoint`` with the scale-down
+    hazard accepted rather than risking driver memory; reliable
+    ``checkpoint()`` under the ``reliableCheckpoint`` opt-in). The input is persisted across the probe
+    so the over-cap fallback reuses the blocks the probe computed
+    instead of re-running the whole plan (ADVICE r9); the pin is
+    released once either outcome has materialized."""
+    small = small.persist()
+    try:
+        rows = small.limit(cap + 1).collect()
+        if len(rows) <= cap:
+            return small.sparkSession.createDataFrame(rows, schema=schema)
+        return truncate_lineage(small, eager=True)
+    finally:
+        small.unpersist()
 
 
 def mg_trim(counts, capacity: int):
