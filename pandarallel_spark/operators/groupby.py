@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import types as T
 
+from pandarallel_spark.operators._skew import warn_on_group_skew
 from pandarallel_spark.plans.schema import (
     infer_schema_from_pandas,
     _python_value_to_spark,
@@ -131,6 +132,17 @@ def grouped_apply(
         schema = T.StructType.fromDDL(schema)
     out_names = [f.name for f in schema.fields]
     value_names = [n for n in out_names if n not in keys]
+
+    # 100×-scale guard (r9 verdict task 1): applyInPandas materializes
+    # one WHOLE group per Python task — probe the max group size and
+    # warn with the decomposable alternative named. Advisory only.
+    warn_on_group_skew(
+        df,
+        keys,
+        op_name="grouped_apply",
+        alternative="grouped_agg with decomposable builtin Column "
+        "aggregates (map-side partial, never a whole group in Python)",
+    )
 
     def apply_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         res = func(pdf, *args, **kwargs)

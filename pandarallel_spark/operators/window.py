@@ -2429,6 +2429,19 @@ def _grouped_pandas_window(
     rolling, regardless of the frame's index).
     """
     keys = list(partition_by)
+    # 100×-scale guard (r9 verdict task 1): the bucketed applyInPandas
+    # still lands a giant GROUP whole in one task — probe and warn with
+    # the JVM alternative named. Advisory only.
+    from pandarallel_spark.operators._skew import warn_on_group_skew
+
+    warn_on_group_skew(
+        df,
+        keys,
+        op_name="grouped pandas window (rolling/expanding UDF branch)",
+        alternative="a builtin func name (sum/mean/min/max/...) — those "
+        "run as JVM window aggregates that never hold a whole group in "
+        "Python",
+    )
     order_cols = [c if isinstance(c, str) else c._jc.toString() for c in order_by]
     out_schema = T.StructType(
         [*df.schema.fields, T.StructField(output_col, _to_dtype(return_type), True)]
