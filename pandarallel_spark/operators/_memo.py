@@ -85,7 +85,19 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
             "directory is set — call "
             "spark.sparkContext.setCheckpointDir('<durable path>') first"
         )
-    return df.checkpoint(eager=eager)
+    # persist-before-checkpoint: a bare checkpoint() computes the
+    # subtree once for the action and AGAIN for the checkpoint-write
+    # job — doubling exactly the multi-hour jobs this opt-in targets.
+    # Caching first lets the write job read the computed blocks; the
+    # pin is released as soon as the files are durable. This forces
+    # eagerness (an unpersist needs a known materialization point) —
+    # acceptable: every lazy call site's intermediate is consumed
+    # unconditionally, so the work is merely moved, not added.
+    df = df.persist()
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        df.unpersist()
 
 
 def shuffle_partitions(spark, default: int = 200) -> int:

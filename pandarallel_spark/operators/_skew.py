@@ -94,14 +94,20 @@ def warn_on_group_skew(
     if key in _probe_memo:
         est = _probe_memo[key]
     else:
-        row = (
-            df.select(*keys)
-            .sample(fraction=fraction, seed=0)
-            .groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n__"))
-            .agg(F.max("__n__").alias("__mx__"))
-            .first()
-        )
+        try:
+            row = (
+                df.select(*keys)
+                .sample(fraction=fraction, seed=0)
+                .groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n__"))
+                .agg(F.max("__n__").alias("__mx__"))
+                .first()
+            )
+        except Exception:  # noqa: BLE001 — advisory probe: NEVER let a
+            # probe failure (transient stage error, file deleted between
+            # plan build and probe, platform conf quirk) abort a caller
+            # whose result does not depend on the probe at all
+            return None
         if row is None or row["__mx__"] is None:
             return None  # nothing sampled — too small to matter
         est = int(row["__mx__"] / fraction)

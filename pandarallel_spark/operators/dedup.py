@@ -1217,11 +1217,14 @@ def near_dedup_corpus(
     ``similarity.cosine_pairs_lsh`` — banded sign-bit LSH + exact
     quantized-cosine verification; here ``text_col`` names the
     ``array<float/double>`` EMBEDDING column, ``threshold`` is the
-    cosine threshold — pass something near-dup-tight like 0.9, not the
-    Jaccard default — ``n`` is meaningless and raises, and the id
-    column must be integral, as ``cosine_pairs_lsh`` requires).
-    ``threshold`` defaults to 0.5 and ``n`` (shingle width) to 3 for
-    the two Jaccard methods. Extra ``method_kwargs`` forward to the
+    COSINE threshold — unset it defers to ``cosine_pairs_lsh``'s own
+    near-dup default 0.8; the Jaccard 0.5 convention never leaks here,
+    since cosine 0.5 would chain merely topically-related documents
+    into giant clusters and silently delete most of them — ``n`` is
+    meaningless and raises, and the id column must be integral, as
+    ``cosine_pairs_lsh`` requires).
+    ``threshold`` defaults to 0.5 (Jaccard) and ``n`` (shingle width)
+    to 3 for the two Jaccard methods. Extra ``method_kwargs`` forward to the
     pair generator (``num_perm=``, ``bands=``, ``max_hamming=``,
     ``planes_per_band=``, …).
 
@@ -1270,24 +1273,31 @@ def near_dedup_corpus(
             "(there are no shingles); its dials are threshold= (cosine) "
             "plus bands=/planes_per_band= via method_kwargs"
         )
-    threshold = 0.5 if threshold is None else threshold
     n = 3 if n is None else n
     if method == "minhash":
         pairs = minhash_lsh_pairs(
-            df, id_col, text_col, n=n, threshold=threshold,
+            df, id_col, text_col, n=n,
+            threshold=0.5 if threshold is None else threshold,
             intra_pairs="star", **method_kwargs,
         )
     elif method == "ngram":
         pairs = ngram_jaccard_pairs(
-            df, id_col, text_col, n=n, threshold=threshold, **method_kwargs
+            df, id_col, text_col, n=n,
+            threshold=0.5 if threshold is None else threshold,
+            **method_kwargs,
         )
     elif method == "simhash":
         pairs = simhash_pairs(df, id_col, text_col, **method_kwargs)
     elif method == "embedding":
         from pandarallel_spark.operators.similarity import cosine_pairs_lsh
 
+        # an unset threshold defers to cosine_pairs_lsh's own cosine
+        # default (0.8) — the 0.5 Jaccard convention must NOT leak here:
+        # cosine 0.5 marks merely topically-related embeddings as dups
+        # and chains them into giant clusters, silently deleting rows
         pairs = cosine_pairs_lsh(
-            df, id_col=id_col, vec_col=text_col, threshold=threshold,
+            df, id_col=id_col, vec_col=text_col,
+            **({} if threshold is None else {"threshold": threshold}),
             **method_kwargs,
         )
     else:

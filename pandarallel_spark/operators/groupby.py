@@ -70,6 +70,15 @@ def grouped_apply(
     ``mode`` ∈ {"scalar", "series", "frame", None}. None → inferred by
     running ``func`` on one sampled group (documented extra job; pass
     ``schema`` + ``mode`` explicitly in production to skip it).
+
+    Independent of inference, file-backed inputs also pay ONE sampled
+    group-skew probe job per distinct plan (r10): applyInPandas lands a
+    whole group per Python task, so the probe estimates the max group
+    size and warns above ``spark.pandarallel_spark.groupSkew.rowBound``
+    naming the decomposable ``grouped_agg`` alternative. Advisory only
+    — disable by zeroing that conf (or
+    ``...groupSkew.sampleFraction``); strictLazy sessions skip it
+    automatically. See ``operators/_skew.py``.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     kwargs = kwargs or {}

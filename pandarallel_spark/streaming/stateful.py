@@ -156,7 +156,12 @@ def streaming_heavy_hitters(
     - ``"changed"`` — only candidates whose lower bound changed in
       this batch (new, incremented, or trim-decremented), plus a
       TOMBSTONE row (``lower_bound = -1``) for each candidate the
-      batch's trims evicted. An upsert consumer keyed on
+      batch's trims evicted. A batch whose trims moved the bucket's
+      ``decr`` re-emits that bucket's whole candidate list — every
+      surviving row's error envelope (true ≤ lower + decr) changed,
+      including rows whose count the trim left coincidentally equal —
+      so the savings apply to the trim-free steady state, which is
+      where a long-running sink lives. An upsert consumer keyed on
       (bucket, key), applying rows in ``n_seen`` order and deleting on
       the -1 sentinel, reconstructs EXACTLY the snapshot mode's latest
       state — pinned by pytest — while each batch ships only its
@@ -210,7 +215,11 @@ def streaming_heavy_hitters(
             summ = dict(zip(keys, counts))
         else:
             summ, decr, n_seen = {}, 0, 0
-        before = dict(summ)  # start-of-batch counts, for delta emission
+        # start-of-batch counts, consumed only by delta emission — the
+        # snapshot/topk hot path must not pay an up-to-capacity dict
+        # copy per micro-batch for nothing
+        before = dict(summ) if emit == "changed" else None
+        decr_before = decr
         seen = False
         for pdf in pdfs:
             if not len(pdf):
@@ -236,7 +245,18 @@ def streaming_heavy_hitters(
             out_keys = [k for k, _ in head]
             out_counts = [int(v) for _, v in head]
         else:  # changed: delta rows + -1 tombstones for trim evictions
-            out_keys = [k for k, v in summ.items() if before.get(k) != v]
+            if decr != decr_before:
+                # a trim moved the bucket-level decr, which every
+                # surviving row's error envelope (true ≤ lower + decr)
+                # depends on — a key whose count happens to be unchanged
+                # (increments exactly cancelled by the trim) still needs
+                # re-emitting or the consumer's stored decr goes stale
+                # and its envelope turns false. Trim batches therefore
+                # re-emit the whole candidate list; the delta savings
+                # apply to the steady state, where trims are rare.
+                out_keys = list(summ.keys())
+            else:
+                out_keys = [k for k, v in summ.items() if before.get(k) != v]
             out_counts = [int(summ[k]) for k in out_keys]
             gone = [k for k in before if k not in summ]
             out_keys += gone

@@ -250,6 +250,35 @@ def test_near_dedup_corpus_embedding_end_to_end(spark):
         near_dedup_corpus(df, "id", "emb", method="embedding", n=3)
 
 
+def test_near_dedup_corpus_embedding_default_is_cosine_not_jaccard(spark):
+    """An unset threshold must defer to cosine_pairs_lsh's near-dup
+    default (0.8), NOT inherit the Jaccard 0.5 convention — at cosine
+    0.5 merely topically-related vectors (here ~0.7 cosine) would chain
+    into one cluster and rows would silently vanish."""
+    from pandarallel_spark.operators.dedup import near_dedup_corpus
+
+    # unit vectors at a controlled angle: cos(a, b) ≈ 0.71 — related,
+    # not near-duplicate. Must survive the default threshold.
+    a = np.zeros(8)
+    a[0] = 1.0
+    b = np.zeros(8)
+    b[0], b[1] = 0.71, np.sqrt(1 - 0.71**2)
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in a]), (2, [float(x) for x in b])],
+        "id long, emb array<double>",
+    )
+    out = near_dedup_corpus(df, "id", "emb", method="embedding")
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+    # the same pair IS collapsed once the caller opts into a loose dial
+    # (single-plane bands make the LSH collision near-certain at 0.71
+    # cosine, so the threshold is the only thing deciding)
+    out_loose = near_dedup_corpus(
+        df, "id", "emb", method="embedding", threshold=0.5,
+        bands=8, planes_per_band=1,
+    )
+    assert sorted(r.id for r in out_loose.collect()) == [1]
+
+
 # ---------------------------------------------------------------------------
 # Task 4 — reliable-checkpoint opt-in for iterative / reused intermediates
 # ---------------------------------------------------------------------------

@@ -635,6 +635,23 @@ def test_streaming_heavy_hitters_emit_modes(spark, tmp_path):
         else:
             rebuilt[(r.bucket, r.key)] = (r.lower_bound, r.decr)
     assert rebuilt == want
+    # trim-batch contract: a batch that moved a bucket's decr re-emits
+    # that bucket's WHOLE candidate list (every surviving row's error
+    # envelope true ≤ lower + decr changed, even counts a trim left
+    # coincidentally equal), so it must match the snapshot run's full
+    # set at the same (bucket, n_seen). Same data, same per-bucket
+    # arrival order → the runs are state-identical batch for batch.
+    prev_decr: dict = {}
+    saw_trim_batch = False
+    for (b, ns), grp in chg.sort_values("n_seen").groupby(["bucket", "n_seen"]):
+        live = set(grp[grp.lower_bound != -1].key)
+        d = int(grp.decr.iloc[0])
+        if d != prev_decr.get(b, 0):
+            saw_trim_batch = True
+            snap_set = set(snap[(snap.bucket == b) & (snap.n_seen == ns)].key)
+            assert live == snap_set, (b, ns)
+        prev_decr[b] = d
+    assert saw_trim_batch  # capacity=8 under 300 tail keys must trim
 
     tk = run("topk", top_k=3)
     per_batch = tk.groupby(["bucket", "n_seen"]).size()
