@@ -19,4 +19,6 @@ or a north-star extension (§2.3) onto Spark primitives:
 - ``sampling``   — deterministic hash split / per-group, weighted, stratified
   sample / temperature mixing / sequence packing
 - ``graph``      — connected components (star contraction), cluster survivors
+- ``incremental`` — persistable MinHash signature index + delta-vs-corpus
+  near-dedup (the ingest-loop path: never re-scan the retained corpus)
 """

@@ -1,0 +1,495 @@
+"""Incremental near-dedup against a persistable MinHash index.
+
+At 100 TB nobody re-shingles the whole corpus per crawl. The batch
+pipeline (``dedup.minhash_lsh_pairs`` → ``near_dedup_corpus``) answers
+"dedup THIS corpus"; a production ingest loop instead asks, every few
+hours, "which of these NEW documents duplicate anything we already
+keep?" — and the corpus side of that question must be answerable from
+a small precomputed artifact, not a full re-scan.
+
+The artifact here is the **MinHash signature index**: one row per
+DISTINCT shingle set in the retained corpus —
+
+    (__fp__, __sz__, __eid__, __members__, __sig__, __idx_n__, __idx_perm__)
+
+set fingerprint, distinct-shingle count, exemplar (min) doc id, member
+count, the ``num_perm``-long minhash signature, and two constant
+metadata columns (RLE'd to ~nothing in parquet) that pin the shingle
+width and permutation count the index was built with. Size:
+distinct sets × (num_perm + 4) longs — for a billion-doc corpus with
+64 permutations, tens of GB where the corpus is tens of TB. Band
+hashes are NOT stored: they derive from the signature
+(``xxhash64`` over consecutive elements), so ``bands`` stays a
+QUERY-time recall/cost dial instead of a baked-in index property.
+
+The delta query (``minhash_pairs_incremental``) touches:
+
+- the DELTA, fully (one signature aggregate — the same single-shuffle
+  shape as the batch path);
+- the INDEX, via one fingerprint equi-join (exact duplicates) plus one
+  (band, hash) equi-join (near-duplicate candidates) — both sized by
+  the index, never the corpus;
+- the OLD CORPUS, only when exact verification is requested, and then
+  only the candidate EXEMPLAR rows (an id semi-join the parquet scan
+  can push down). With ``verify="estimate"`` the old corpus is never
+  read at all: Jaccard is estimated from the stored signatures
+  (matching-component fraction, standard error ≈ √(J(1−J)/num_perm)).
+
+Reference frame: the reference (pandarallel) has no dedup surface at
+all — this module extends the LLM-pipeline tier (SURVEY.md §2.3) the
+same way ``dedup.py`` does, re-expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandarallel_spark.operators._memo import truncate_lineage
+from pandarallel_spark.operators.dedup import (
+    _set_signature_agg,
+    _shingle_rows_distinct,
+    minhash_lsh_pairs,
+)
+from pandarallel_spark.operators.graph import (
+    cluster_survivors,
+    connected_components,
+)
+
+_META_COLS = ("__idx_n__", "__idx_perm__")
+
+
+def minhash_index_build(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Build the signature index for a (retained) corpus.
+
+    One corpus scan, one shuffle: the same ``_set_signature_agg`` the
+    batch path uses (docs × (num_perm+3) longs through the exchange,
+    map-side partials) followed by a fingerprint collapse — identical
+    shingle sets share one index row, carrying the MIN member id as the
+    exemplar. Docs with < n tokens produce no shingles and therefore no
+    index row (they can never near-dup anything, matching the batch
+    domain).
+
+    The result is a plain DataFrame — persist it with
+    ``.write.parquet(...)`` and reload with ``spark.read.parquet`` for
+    the next ingest cycle; everything downstream checks the embedded
+    metadata columns instead of trusting the caller to remember
+    ``n``/``num_perm``.
+    """
+    s1 = _set_signature_agg(df, id_col, text_col, n, num_perm)
+    agg = s1.groupBy("__fp__").agg(
+        F.min("__sz__").alias("__sz__"),
+        F.min("__id__").alias("__eid__"),
+        F.count(F.lit(1)).alias("__members__"),
+        *[F.min(f"__h{i}__").alias(f"__h{i}__") for i in range(num_perm)],
+    )
+    return agg.select(
+        "__fp__",
+        "__sz__",
+        "__eid__",
+        "__members__",
+        F.array(*[F.col(f"__h{i}__") for i in range(num_perm)]).alias("__sig__"),
+        F.lit(n).cast("int").alias("__idx_n__"),
+        F.lit(num_perm).cast("int").alias("__idx_perm__"),
+    )
+
+
+def _index_meta(index: DataFrame) -> tuple[int, int] | None:
+    """(n, num_perm) from the index's constant metadata columns, via a
+    ONE-ROW bounded probe (a parquet-backed index answers this from a
+    single row group). None for an empty index."""
+    for c in (*_META_COLS, "__fp__", "__sig__", "__sz__", "__eid__"):
+        if c not in index.columns:
+            raise ValueError(
+                f"not a minhash signature index: missing column {c!r} "
+                "(build one with minhash_index_build)"
+            )
+    row = index.select(*_META_COLS).limit(1).collect()
+    if not row:
+        return None
+    return int(row[0]["__idx_n__"]), int(row[0]["__idx_perm__"])
+
+
+def minhash_index_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two indexes built with the same (n, num_perm), collapsing
+    shared fingerprints — ``merge(build(A), build(B))`` row-for-row
+    equals ``build(A ∪ B)`` (signatures agree per fingerprint by
+    construction; exemplar = min of mins; member counts add). One
+    fingerprint-keyed aggregate; a metadata mismatch raises up front,
+    at the price of a one-row probe per side (skipped internally when
+    both sides are known-compatible by construction)."""
+    ma, mb = _index_meta(a), _index_meta(b)
+    if ma is not None and mb is not None and ma != mb:
+        raise ValueError(
+            f"index metadata mismatch: (n, num_perm) {ma} vs {mb} — "
+            "indexes must be built with identical shingle width and "
+            "permutation count to be mergeable"
+        )
+    return _merge_unchecked(a, b)
+
+
+def _merge_unchecked(a: DataFrame, b: DataFrame) -> DataFrame:
+    return (
+        a.unionByName(b)
+        .groupBy("__fp__")
+        .agg(
+            F.min("__sz__").alias("__sz__"),
+            F.min("__eid__").alias("__eid__"),
+            F.sum("__members__").alias("__members__"),
+            F.first("__sig__").alias("__sig__"),
+            F.first("__idx_n__").alias("__idx_n__"),
+            F.first("__idx_perm__").alias("__idx_perm__"),
+        )
+        .select(
+            "__fp__", "__sz__", "__eid__", "__members__", "__sig__",
+            "__idx_n__", "__idx_perm__",
+        )
+    )
+
+
+def _band_cols(sig_col, bands: int, rows_per_band: int) -> list:
+    """Band hashes from a signature ARRAY column — ``xxhash64`` over
+    ``element_at`` of bigint elements hashes the same values the batch
+    path hashes from its wide bigint columns, so candidates generated
+    here agree exactly with ``minhash_lsh_pairs`` on the same data."""
+    return [
+        F.xxhash64(
+            *[
+                F.element_at(sig_col, b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ]
+        ).alias(f"__b{b}__")
+        for b in range(bands)
+    ]
+
+
+def _bands_long(df: DataFrame, key: str, sig_col: str, bands: int, rpb: int):
+    banded = df.select(key, *_band_cols(F.col(sig_col), bands, rpb))
+    return banded.select(
+        key,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"__b{b}__").alias("h"))
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select(key, F.col("bh.band").alias("__band__"), F.col("bh.h").alias("__h__"))
+
+
+def minhash_pairs_incremental(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index: DataFrame,
+    old_docs: DataFrame | None = None,
+    old_id_col: str | None = None,
+    old_text_col: str | None = None,
+    threshold: float = 0.5,
+    bands: int = 16,
+    verify: str | None = None,
+    include_new_pairs: bool = True,
+    broadcast_candidates: bool = True,
+    **new_pair_kwargs,
+) -> DataFrame:
+    """Near-dup pairs between a DELTA and an indexed corpus — without
+    re-scanning the corpus.
+
+    Output: ``(id_a, id_b, jaccard, src, exact)`` where
+
+    - ``src="old"``: ``id_a`` is the matched index entry's EXEMPLAR doc
+      id, ``id_b`` the new doc id. The exemplar stands for its whole
+      duplicate cluster — the index intentionally does not carry member
+      lists, because the ingest decision is per-NEW-doc ("does this
+      duplicate anything retained?"), not per-old-doc.
+    - ``src="new"``: both ids are new docs (``minhash_lsh_pairs`` over
+      the delta, same parameters; skipped with
+      ``include_new_pairs=False``). Extra ``new_pair_kwargs``
+      (``bucket_cap=``, ``intra_pairs=``, …) forward to it.
+
+    ``exact`` is True for fingerprint-identical matches (Jaccard 1.0 by
+    construction) and for exactly verified near matches; False only
+    under ``verify="estimate"``.
+
+    ``verify``: ``"exact"`` (default when ``old_docs`` is given)
+    re-shingles ONLY the candidate exemplars — the new ones from the
+    delta, the old ones from ``old_docs`` through an id join the
+    parquet scan can push down — and intersects through the candidate
+    pair list (work Σ_pairs·|A|, the batch path's shape).
+    ``"estimate"`` (default when ``old_docs`` is None) never touches
+    the old corpus: Jaccard ≈ matching-signature-component fraction, a
+    pure ``zip_with``/``aggregate`` JVM expression with standard error
+    √(J(1−J)/num_perm) — at num_perm=64 about ±0.06, so leave a margin
+    between ``threshold`` and the Jaccard you actually care about, or
+    verify the survivors downstream.
+
+    Scale shape: the delta pays one signature aggregate; the index side
+    pays one fp equi-join plus one (band, h) equi-join, both sized by
+    the index; nothing is quadratic in either corpus. Exact duplicates
+    are matched on the fingerprint FIRST and excluded from banding, so
+    a boilerplate page arriving a million times collides with its index
+    entry through one fp join, never through B² band buckets.
+    """
+    if verify is None:
+        verify = "exact" if old_docs is not None else "estimate"
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    if verify == "exact" and old_docs is None:
+        raise ValueError(
+            "verify='exact' needs old_docs (the retained corpus, for "
+            "candidate-exemplar re-shingling) — pass it, or use "
+            "verify='estimate' to work from the index alone"
+        )
+    meta = _index_meta(index)
+    if meta is None:
+        # empty index: nothing old to match — parameters come from the
+        # batch defaults so the delta still dedups against itself
+        n, num_perm = 3, 64
+    else:
+        n, num_perm = meta
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide the index's num_perm ({num_perm})"
+        )
+    rpb = num_perm // bands
+    old_id = old_id_col or id_col
+    old_text = old_text_col or text_col
+
+    # delta signatures: same single-shuffle aggregate as the batch path;
+    # reused by the exact join, the banding, and the member fan-out
+    s1 = truncate_lineage(
+        _set_signature_agg(new_df, id_col, text_col, n, num_perm), eager=False
+    )
+    members = s1.select("__id__", "__fp__")
+    new_sets = s1.groupBy("__fp__").agg(
+        F.min("__sz__").alias("__sz__"),
+        F.min("__id__").alias("__neid__"),
+        *[F.min(f"__h{i}__").alias(f"__h{i}__") for i in range(num_perm)],
+    ).select(
+        "__fp__",
+        "__sz__",
+        "__neid__",
+        F.array(*[F.col(f"__h{i}__") for i in range(num_perm)]).alias("__sig__"),
+    )
+
+    idx = index.select(
+        F.col("__fp__").alias("__ofp__"),
+        F.col("__sz__").alias("__osz__"),
+        F.col("__eid__").alias("__oeid__"),
+        F.col("__sig__").alias("__osig__"),
+    )
+
+    # 1 — exact duplicates: one fingerprint equi-join, fanned to every
+    # delta member (Jaccard 1.0 by the fingerprint's set-identity)
+    exact_pairs = (
+        members.join(idx, members["__fp__"] == idx["__ofp__"])
+        .select(
+            F.col("__oeid__").alias("id_a"),
+            F.col("__id__").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit("old").alias("src"),
+            F.lit(True).alias("exact"),
+        )
+    )
+
+    # 2 — near duplicates: band join between the delta's UNMATCHED sets
+    # and the index, candidates verified exactly or by signature
+    fresh = new_sets.join(
+        idx.select("__ofp__"),
+        new_sets["__fp__"] == F.col("__ofp__"),
+        "left_anti",
+    )
+    nb = _bands_long(fresh, "__fp__", "__sig__", bands, rpb)
+    ob = _bands_long(
+        idx.select(F.col("__ofp__"), F.col("__osig__")), "__ofp__", "__osig__",
+        bands, rpb,
+    )
+    candidates = truncate_lineage(
+        nb.join(ob, ["__band__", "__h__"]).select("__fp__", "__ofp__").distinct(),
+        eager=False,
+    )
+
+    if verify == "estimate":
+        est = (
+            candidates.join(fresh.select("__fp__", "__sz__", "__sig__"), "__fp__")
+            .join(idx, "__ofp__")
+            .select(
+                "__fp__",
+                "__oeid__",
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            "__sig__",
+                            "__osig__",
+                            lambda x, y: (x == y).cast("int"),
+                        ),
+                        F.lit(0),
+                        lambda acc, v: acc + v,
+                    ).cast("double")
+                    / F.lit(num_perm)
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        near = est.select("__fp__", "__oeid__", "jaccard", F.lit(False).alias("exact"))
+    else:
+        # exact verification — re-shingle ONLY candidate exemplars.
+        # Candidate sets are output-bounded; the broadcast hint (or the
+        # AQE-decided equi-join under broadcast_candidates=False) pushes
+        # the id filters toward both parquet scans.
+        _maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
+        new_cand = candidates.select("__fp__").distinct().join(
+            fresh.select("__fp__", "__neid__"), "__fp__"
+        )
+        new_docs_c = (
+            new_df.join(
+                _maybe_bc(new_cand), new_df[id_col] == F.col("__neid__")
+            )
+            .select("__fp__", F.col(text_col))
+            .dropDuplicates(["__fp__"])
+        )
+        old_cand = candidates.select("__ofp__").distinct().join(
+            _maybe_bc(idx.select("__ofp__", "__oeid__")), "__ofp__"
+        )
+        old_docs_c = (
+            old_docs.join(
+                _maybe_bc(old_cand), old_docs[old_id] == F.col("__oeid__")
+            )
+            .select("__ofp__", F.col(old_text).alias("__otext__"))
+            .dropDuplicates(["__ofp__"])
+        )
+        new_sh = _shingle_rows_distinct(new_docs_c, "__fp__", text_col, n).select(
+            F.col("__id__").alias("__fp__"), "__s__"
+        )
+        old_sh = _shingle_rows_distinct(
+            old_docs_c, "__ofp__", "__otext__", n
+        ).select(F.col("__id__").alias("__ofp__"), "__s__")
+        inter = (
+            candidates.join(new_sh, "__fp__")
+            .join(old_sh, ["__ofp__", "__s__"])
+            .groupBy("__fp__", "__ofp__")
+            .agg(F.count(F.lit(1)).alias("__inter__"))
+        )
+        near = (
+            inter.join(fresh.select("__fp__", "__sz__"), "__fp__")
+            .join(idx.select("__ofp__", "__osz__", "__oeid__"), "__ofp__")
+            .select(
+                "__fp__",
+                "__oeid__",
+                (
+                    F.col("__inter__").cast("double")
+                    / (F.col("__sz__") + F.col("__osz__") - F.col("__inter__"))
+                ).alias("jaccard"),
+                F.lit(True).alias("exact"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    near_pairs = near.join(members, "__fp__").select(
+        F.col("__oeid__").alias("id_a"),
+        F.col("__id__").alias("id_b"),
+        "jaccard",
+        F.lit("old").alias("src"),
+        "exact",
+    )
+
+    out = exact_pairs.unionByName(near_pairs)
+    if include_new_pairs:
+        nn = minhash_lsh_pairs(
+            new_df, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
+            threshold=threshold, **new_pair_kwargs,
+        ).select(
+            "id_a", "id_b", "jaccard",
+            F.lit("new").alias("src"), F.lit(True).alias("exact"),
+        )
+        out = out.unionByName(nn)
+    return out
+
+
+def incremental_dedup_corpus(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index: DataFrame,
+    old_docs: DataFrame | None = None,
+    threshold: float = 0.5,
+    bands: int = 16,
+    keep_by: str | None = None,
+    **pair_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """One ingest cycle: ``(kept_new_docs, updated_index)``.
+
+    Policy (the standard ingest contract): a new doc that matches
+    RETAINED content (exact or ≥ threshold) is dropped — the corpus
+    already holds its survivor, and reopening old survivor decisions
+    would mean rewriting immutable corpus partitions every cycle. The
+    remaining new docs are clustered among themselves
+    (``intra_pairs="star"``, linear) and one survivor per cluster is
+    kept — min id, or best ``keep_by`` score. The updated index is the
+    old index merged with the index of the KEPT docs only, so the next
+    cycle dedups against exactly what the corpus now retains.
+
+    The returned frames are lazy; a production loop writes ``kept`` to
+    the corpus and ``updated_index`` to the index location (write the
+    index to a NEW path, then swap — reading and overwriting the same
+    parquet path in one job is a Spark anti-pattern).
+    """
+    meta = _index_meta(index)
+    n, num_perm = meta if meta is not None else (3, 64)
+    pair_kwargs.setdefault("intra_pairs", "star")
+    # the pair list is read three times below (old filter, both ends of
+    # the new-new restriction) — cut the lineage so the delta's
+    # signature aggregate and the band joins run once, not three times
+    pairs = truncate_lineage(
+        minhash_pairs_incremental(
+            new_df, id_col, text_col, index, old_docs=old_docs,
+            threshold=threshold, bands=bands, include_new_pairs=True,
+            **pair_kwargs,
+        ),
+        eager=False,
+    )
+    old_hits = pairs.filter(F.col("src") == "old").select(
+        F.col("id_b").alias("__hit__")
+    ).distinct()
+    survivors_of = new_df.join(
+        old_hits, new_df[id_col] == F.col("__hit__"), "left_anti"
+    )
+    # new-new pairs restricted to docs that survived the old filter —
+    # a pair whose member was dropped as an old-dup must not also drop
+    # its partner (the partner's own old-match, if any, already did)
+    nn = (
+        pairs.filter(F.col("src") == "new")
+        .join(old_hits, F.col("id_a") == F.col("__hit__"), "left_anti")
+        .join(old_hits, F.col("id_b") == F.col("__hit__"), "left_anti")
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(nn, "id_a", "id_b")
+    if keep_by is None:
+        surv = cc.select("component").distinct().select(
+            F.col("component").alias("__keep__")
+        )
+    else:
+        scores = new_df.select(
+            F.col(id_col).alias("id"), F.col(keep_by).alias("score")
+        )
+        surv = cluster_survivors(
+            nn, scores=scores, id_col="id", score_col="score", components=cc
+        ).select(F.col("survivor").alias("__keep__"))
+    drop = cc.select(F.col("node").alias("__drop__")).join(
+        surv, F.col("__drop__") == F.col("__keep__"), "left_anti"
+    )
+    kept = survivors_of.join(
+        drop, survivors_of[id_col] == F.col("__drop__"), "left_anti"
+    )
+    # unchecked merge: the fresh index is built with the OLD index's own
+    # (n, num_perm), so the compatibility probe — an eager one-row job
+    # against the not-yet-materialized build plan — would buy nothing
+    updated = _merge_unchecked(
+        index, minhash_index_build(kept, id_col, text_col, n=n, num_perm=num_perm)
+    )
+    return kept, updated
