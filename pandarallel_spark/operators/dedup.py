@@ -706,6 +706,7 @@ def minhash_lsh_pairs(
     intra_pairs: str = "clique",
     broadcast_candidates: bool = True,
     bucket_cap: int | None = None,
+    _s1: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -822,8 +823,12 @@ def minhash_lsh_pairs(
     # leak, ContextCleaner frees the blocks with the returned plan):
     # every later stage (set collapse, membership fan-out, survivor
     # groups, Jaccard denominators) reads these docs × ~70-long rows
-    # instead of re-scanning and re-shingling the corpus.
-    s1 = truncate_lineage(
+    # instead of re-scanning and re-shingling the corpus. ``_s1``
+    # (internal — operators/incremental.py) injects an
+    # already-truncated signature table built with the SAME
+    # (n, num_perm) so an ingest cycle pays the delta aggregate once,
+    # not once per consumer.
+    s1 = _s1 if _s1 is not None else truncate_lineage(
         _set_signature_agg(df, id_col, text_col, n, num_perm), eager=False
     )
     members = s1.select("__id__", "__fp__")

@@ -25,7 +25,8 @@ QUERY-time recall/cost dial instead of a baked-in index property.
 The delta query (``minhash_pairs_incremental``) touches:
 
 - the DELTA, fully (one signature aggregate — the same single-shuffle
-  shape as the batch path);
+  shape as the batch path — shared by the old-matching, the delta's
+  self-pairing, and the index update);
 - the INDEX, via one fingerprint equi-join (exact duplicates) plus one
   (band, hash) equi-join (near-duplicate candidates) — both sized by
   the index, never the corpus;
@@ -45,7 +46,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandarallel_spark.operators._memo import truncate_lineage
+from pandarallel_spark.operators._memo import (
+    eager_build_guard,
+    truncate_lineage,
+)
 from pandarallel_spark.operators.dedup import (
     _set_signature_agg,
     _shingle_rows_distinct,
@@ -57,6 +61,37 @@ from pandarallel_spark.operators.graph import (
 )
 
 _META_COLS = ("__idx_n__", "__idx_perm__")
+
+
+def _delta_signatures(
+    new_df: DataFrame, id_col: str, text_col: str, n: int, num_perm: int
+) -> DataFrame:
+    """The delta's (id, sz, fp, h0..h{p−1}) table, lineage-truncated so
+    every consumer (old matching, self-pairing, index update) reads the
+    one computed table instead of re-running the shingle aggregate."""
+    return truncate_lineage(
+        _set_signature_agg(new_df, id_col, text_col, n, num_perm), eager=False
+    )
+
+
+def _index_from_signatures(s1: DataFrame, n: int, num_perm: int) -> DataFrame:
+    """Signature table → index rows: collapse identical shingle sets to
+    one row carrying the MIN member id as exemplar."""
+    agg = s1.groupBy("__fp__").agg(
+        F.min("__sz__").alias("__sz__"),
+        F.min("__id__").alias("__eid__"),
+        F.count(F.lit(1)).alias("__members__"),
+        *[F.min(f"__h{i}__").alias(f"__h{i}__") for i in range(num_perm)],
+    )
+    return agg.select(
+        "__fp__",
+        "__sz__",
+        "__eid__",
+        "__members__",
+        F.array(*[F.col(f"__h{i}__") for i in range(num_perm)]).alias("__sig__"),
+        F.lit(n).cast("int").alias("__idx_n__"),
+        F.lit(num_perm).cast("int").alias("__idx_perm__"),
+    )
 
 
 def minhash_index_build(
@@ -82,38 +117,67 @@ def minhash_index_build(
     metadata columns instead of trusting the caller to remember
     ``n``/``num_perm``.
     """
-    s1 = _set_signature_agg(df, id_col, text_col, n, num_perm)
-    agg = s1.groupBy("__fp__").agg(
-        F.min("__sz__").alias("__sz__"),
-        F.min("__id__").alias("__eid__"),
-        F.count(F.lit(1)).alias("__members__"),
-        *[F.min(f"__h{i}__").alias(f"__h{i}__") for i in range(num_perm)],
-    )
-    return agg.select(
-        "__fp__",
-        "__sz__",
-        "__eid__",
-        "__members__",
-        F.array(*[F.col(f"__h{i}__") for i in range(num_perm)]).alias("__sig__"),
-        F.lit(n).cast("int").alias("__idx_n__"),
-        F.lit(num_perm).cast("int").alias("__idx_perm__"),
+    return _index_from_signatures(
+        _set_signature_agg(df, id_col, text_col, n, num_perm), n, num_perm
     )
 
 
-def _index_meta(index: DataFrame) -> tuple[int, int] | None:
-    """(n, num_perm) from the index's constant metadata columns, via a
-    ONE-ROW bounded probe (a parquet-backed index answers this from a
-    single row group). None for an empty index."""
+def _check_index_schema(index: DataFrame) -> None:
     for c in (*_META_COLS, "__fp__", "__sig__", "__sz__", "__eid__"):
         if c not in index.columns:
             raise ValueError(
                 f"not a minhash signature index: missing column {c!r} "
                 "(build one with minhash_index_build)"
             )
+
+
+def _index_meta(index: DataFrame) -> tuple[int, int] | None:
+    """(n, num_perm) from the index's constant metadata columns, via a
+    ONE-ROW bounded probe (a parquet-backed index answers this from a
+    single row group). None for an empty index. Strict-lazy sessions
+    must pass the parameters explicitly instead (the guard names the
+    escape hatch)."""
+    _check_index_schema(index)
+    eager_build_guard(
+        index.sparkSession,
+        "minhash index metadata probe (one-row bounded collect)",
+        "Pass n=/num_perm= explicitly to skip the probe.",
+    )
     row = index.select(*_META_COLS).limit(1).collect()
     if not row:
         return None
     return int(row[0]["__idx_n__"]), int(row[0]["__idx_perm__"])
+
+
+def _resolve_meta(
+    index: DataFrame, n: int | None, num_perm: int | None
+) -> tuple[int, int]:
+    """The (n, num_perm) an incremental call must use: explicit
+    parameters win (and skip the probe — the strict-lazy path);
+    otherwise the index's embedded metadata; batch defaults (3, 64)
+    only for an EMPTY index with nothing explicit. Passing parameters
+    that could silently disagree with a non-empty index is the one
+    unrecoverable mistake, so explicit+probe-allowed still validates."""
+    if n is not None and num_perm is not None:
+        _check_index_schema(index)
+        try:
+            meta = _index_meta(index)
+        except RuntimeError:  # strict-lazy: trust the explicit params
+            return n, num_perm
+        if meta is not None and meta != (n, num_perm):
+            raise ValueError(
+                f"explicit (n, num_perm) = {(n, num_perm)} contradicts the "
+                f"index's embedded metadata {meta} — an index only matches "
+                "deltas shingled and hashed exactly the way it was built"
+            )
+        return n, num_perm
+    if n is not None or num_perm is not None:
+        raise ValueError(
+            "pass BOTH n= and num_perm= or neither — a half-specified "
+            "signature scheme cannot be checked against the index"
+        )
+    meta = _index_meta(index)
+    return meta if meta is not None else (3, 64)
 
 
 def minhash_index_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -124,6 +188,8 @@ def minhash_index_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     fingerprint-keyed aggregate; a metadata mismatch raises up front,
     at the price of a one-row probe per side (skipped internally when
     both sides are known-compatible by construction)."""
+    _check_index_schema(a)
+    _check_index_schema(b)
     ma, mb = _index_meta(a), _index_meta(b)
     if ma is not None and mb is not None and ma != mb:
         raise ValueError(
@@ -192,9 +258,13 @@ def minhash_pairs_incremental(
     old_text_col: str | None = None,
     threshold: float = 0.5,
     bands: int = 16,
+    n: int | None = None,
+    num_perm: int | None = None,
     verify: str | None = None,
     include_new_pairs: bool = True,
     broadcast_candidates: bool = True,
+    _s1: DataFrame | None = None,
+    _meta: tuple[int, int] | None = None,
     **new_pair_kwargs,
 ) -> DataFrame:
     """Near-dup pairs between a DELTA and an indexed corpus — without
@@ -208,13 +278,21 @@ def minhash_pairs_incremental(
       lists, because the ingest decision is per-NEW-doc ("does this
       duplicate anything retained?"), not per-old-doc.
     - ``src="new"``: both ids are new docs (``minhash_lsh_pairs`` over
-      the delta, same parameters; skipped with
+      the delta, same parameters and the SAME precomputed signature
+      table — the delta is shingled once; skipped with
       ``include_new_pairs=False``). Extra ``new_pair_kwargs``
-      (``bucket_cap=``, ``intra_pairs=``, …) forward to it.
+      (``bucket_cap=``, ``intra_pairs=``, …) forward to it, as does
+      ``broadcast_candidates``.
 
     ``exact`` is True for fingerprint-identical matches (Jaccard 1.0 by
     construction) and for exactly verified near matches; False only
     under ``verify="estimate"``.
+
+    ``n``/``num_perm`` default to the index's embedded metadata (a
+    one-row probe); pass them explicitly under strictLazy — explicit
+    values are validated against the metadata whenever the probe is
+    permitted, because a delta hashed differently from its index
+    silently matches nothing.
 
     ``verify``: ``"exact"`` (default when ``old_docs`` is given)
     re-shingles ONLY the candidate exemplars — the new ones from the
@@ -230,10 +308,14 @@ def minhash_pairs_incremental(
 
     Scale shape: the delta pays one signature aggregate; the index side
     pays one fp equi-join plus one (band, h) equi-join, both sized by
-    the index; nothing is quadratic in either corpus. Exact duplicates
-    are matched on the fingerprint FIRST and excluded from banding, so
-    a boilerplate page arriving a million times collides with its index
-    entry through one fp join, never through B² band buckets.
+    the index; nothing is quadratic in either corpus, and the only
+    ``F.broadcast`` hints sit on candidate-bounded sides (the
+    output-sized fp sets and exemplar maps), NEVER on the index itself
+    — disable even those with ``broadcast_candidates=False`` on noisy
+    deltas. Exact duplicates are matched on the fingerprint FIRST and
+    excluded from banding, so a boilerplate page arriving a million
+    times collides with its index entry through one fp join, never
+    through B² band buckets.
     """
     if verify is None:
         verify = "exact" if old_docs is not None else "estimate"
@@ -245,25 +327,26 @@ def minhash_pairs_incremental(
             "candidate-exemplar re-shingling) — pass it, or use "
             "verify='estimate' to work from the index alone"
         )
-    meta = _index_meta(index)
-    if meta is None:
-        # empty index: nothing old to match — parameters come from the
-        # batch defaults so the delta still dedups against itself
-        n, num_perm = 3, 64
+    if _meta is not None:
+        n, num_perm = _meta
     else:
-        n, num_perm = meta
-    if num_perm % bands != 0:
+        n, num_perm = _resolve_meta(index, n, num_perm)
+    if bands <= 0 or num_perm % bands != 0:
         raise ValueError(
-            f"bands ({bands}) must divide the index's num_perm ({num_perm})"
+            f"bands ({bands}) must be positive and evenly divide the "
+            f"signature's num_perm ({num_perm})"
         )
     rpb = num_perm // bands
     old_id = old_id_col or id_col
     old_text = old_text_col or text_col
 
     # delta signatures: same single-shuffle aggregate as the batch path;
-    # reused by the exact join, the banding, and the member fan-out
-    s1 = truncate_lineage(
-        _set_signature_agg(new_df, id_col, text_col, n, num_perm), eager=False
+    # reused by the exact join, the banding, the member fan-out, AND the
+    # delta's self-pairing below
+    s1 = (
+        _s1
+        if _s1 is not None
+        else _delta_signatures(new_df, id_col, text_col, n, num_perm)
     )
     members = s1.select("__id__", "__fp__")
     new_sets = s1.groupBy("__fp__").agg(
@@ -313,6 +396,10 @@ def minhash_pairs_incremental(
         nb.join(ob, ["__band__", "__h__"]).select("__fp__", "__ofp__").distinct(),
         eager=False,
     )
+    # broadcast hints go on CANDIDATE-derived sides only — they are
+    # output-bounded. The index and both corpora stay join-sided (huge
+    # by assumption); AQE still broadcasts them at runtime if small.
+    _maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
 
     if verify == "estimate":
         est = (
@@ -338,13 +425,11 @@ def minhash_pairs_incremental(
         )
         near = est.select("__fp__", "__oeid__", "jaccard", F.lit(False).alias("exact"))
     else:
-        # exact verification — re-shingle ONLY candidate exemplars.
-        # Candidate sets are output-bounded; the broadcast hint (or the
-        # AQE-decided equi-join under broadcast_candidates=False) pushes
-        # the id filters toward both parquet scans.
-        _maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
-        new_cand = candidates.select("__fp__").distinct().join(
-            fresh.select("__fp__", "__neid__"), "__fp__"
+        # exact verification — re-shingle ONLY candidate exemplars: the
+        # candidate fp sets (broadcast when hinted) push the id filters
+        # toward both parquet scans.
+        new_cand = fresh.select("__fp__", "__neid__").join(
+            _maybe_bc(candidates.select("__fp__").distinct()), "__fp__"
         )
         new_docs_c = (
             new_df.join(
@@ -353,8 +438,8 @@ def minhash_pairs_incremental(
             .select("__fp__", F.col(text_col))
             .dropDuplicates(["__fp__"])
         )
-        old_cand = candidates.select("__ofp__").distinct().join(
-            _maybe_bc(idx.select("__ofp__", "__oeid__")), "__ofp__"
+        old_cand = idx.select("__ofp__", "__oeid__").join(
+            _maybe_bc(candidates.select("__ofp__").distinct()), "__ofp__"
         )
         old_docs_c = (
             old_docs.join(
@@ -402,7 +487,8 @@ def minhash_pairs_incremental(
     if include_new_pairs:
         nn = minhash_lsh_pairs(
             new_df, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
-            threshold=threshold, **new_pair_kwargs,
+            threshold=threshold, broadcast_candidates=broadcast_candidates,
+            _s1=s1, **new_pair_kwargs,
         ).select(
             "id_a", "id_b", "jaccard",
             F.lit("new").alias("src"), F.lit(True).alias("exact"),
@@ -419,58 +505,80 @@ def incremental_dedup_corpus(
     old_docs: DataFrame | None = None,
     threshold: float = 0.5,
     bands: int = 16,
+    n: int | None = None,
+    num_perm: int | None = None,
     keep_by: str | None = None,
     **pair_kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """One ingest cycle: ``(kept_new_docs, updated_index)``.
 
-    Policy (the standard ingest contract): a new doc that matches
-    RETAINED content (exact or ≥ threshold) is dropped — the corpus
-    already holds its survivor, and reopening old survivor decisions
-    would mean rewriting immutable corpus partitions every cycle. The
-    remaining new docs are clustered among themselves
-    (``intra_pairs="star"``, linear) and one survivor per cluster is
-    kept — min id, or best ``keep_by`` score. The updated index is the
-    old index merged with the index of the KEPT docs only, so the next
-    cycle dedups against exactly what the corpus now retains.
+    Policy (the standard ingest contract): retained content always wins
+    — reopening old survivor decisions would mean rewriting immutable
+    corpus partitions every cycle. Concretely, the delta's self-pair
+    graph is clustered FIRST, and any cluster containing a doc that
+    matches retained content is dropped WHOLE: a chain
+    ``old ≈ a, a ≈ b`` drops both ``a`` and ``b`` even when ``b`` alone
+    sits below the threshold against the old doc — exactly the
+    connected-components closure the batch pipeline applies over
+    OLD ∪ NEW. Clusters free of old matches keep one survivor each
+    (min id, or best ``keep_by`` score). The updated index is the old
+    index merged with the index of the KEPT docs only — built from the
+    cycle's already-computed signature table, so the delta is shingled
+    exactly once per cycle — and the next cycle dedups against exactly
+    what the corpus now retains.
 
-    The returned frames are lazy; a production loop writes ``kept`` to
-    the corpus and ``updated_index`` to the index location (write the
-    index to a NEW path, then swap — reading and overwriting the same
-    parquet path in one job is a Spark anti-pattern).
+    The returned frames are lazy apart from the clustering rounds
+    (eager, strictLazy-gated like ``near_dedup_corpus``); a production
+    loop writes ``kept`` to the corpus and ``updated_index`` to the
+    index location (write the index to a NEW path, then swap — reading
+    and overwriting the same parquet path in one job is a Spark
+    anti-pattern).
     """
-    meta = _index_meta(index)
-    n, num_perm = meta if meta is not None else (3, 64)
+    for tmp in ("__hit__", "__drop__", "__keep__"):
+        if tmp in new_df.columns:
+            raise ValueError(
+                f"incremental_dedup_corpus: input already has a column "
+                f"named {tmp!r}; rename it before calling"
+            )
+    eager_build_guard(
+        new_df.sparkSession,
+        "incremental_dedup_corpus clustering (star-contraction rounds "
+        "run eagerly at call time)",
+        "Build the pair/cluster stages explicitly outside strict-lazy "
+        "scope, or run this call from a session that permits build-time "
+        "jobs.",
+    )
+    n, num_perm = _resolve_meta(index, n, num_perm)
     pair_kwargs.setdefault("intra_pairs", "star")
-    # the pair list is read three times below (old filter, both ends of
-    # the new-new restriction) — cut the lineage so the delta's
-    # signature aggregate and the band joins run once, not three times
+    s1 = _delta_signatures(new_df, id_col, text_col, n, num_perm)
+    # the pair list is read three times below (old filter, clustering,
+    # the hit-component closure) — cut the lineage so the band joins
+    # run once, not three times
     pairs = truncate_lineage(
         minhash_pairs_incremental(
             new_df, id_col, text_col, index, old_docs=old_docs,
             threshold=threshold, bands=bands, include_new_pairs=True,
-            **pair_kwargs,
+            _s1=s1, _meta=(n, num_perm), **pair_kwargs,
         ),
         eager=False,
     )
     old_hits = pairs.filter(F.col("src") == "old").select(
         F.col("id_b").alias("__hit__")
     ).distinct()
-    survivors_of = new_df.join(
-        old_hits, new_df[id_col] == F.col("__hit__"), "left_anti"
+    # cluster the FULL delta self-pair graph, then close over old
+    # matches: a component containing any old-hit member is dropped
+    # whole (transitive chains included — the batch pipeline's
+    # connected-components closure, with the old side as the survivor)
+    nn = pairs.filter(F.col("src") == "new").select("id_a", "id_b")
+    cc = truncate_lineage(connected_components(nn, "id_a", "id_b"), eager=False)
+    hit_comps = (
+        cc.join(old_hits, cc["node"] == F.col("__hit__"))
+        .select("component")
+        .distinct()
     )
-    # new-new pairs restricted to docs that survived the old filter —
-    # a pair whose member was dropped as an old-dup must not also drop
-    # its partner (the partner's own old-match, if any, already did)
-    nn = (
-        pairs.filter(F.col("src") == "new")
-        .join(old_hits, F.col("id_a") == F.col("__hit__"), "left_anti")
-        .join(old_hits, F.col("id_b") == F.col("__hit__"), "left_anti")
-        .select("id_a", "id_b")
-    )
-    cc = connected_components(nn, "id_a", "id_b")
+    cc_free = cc.join(hit_comps, "component", "left_anti")
     if keep_by is None:
-        surv = cc.select("component").distinct().select(
+        surv = cc_free.select("component").distinct().select(
             F.col("component").alias("__keep__")
         )
     else:
@@ -478,18 +586,32 @@ def incremental_dedup_corpus(
             F.col(id_col).alias("id"), F.col(keep_by).alias("score")
         )
         surv = cluster_survivors(
-            nn, scores=scores, id_col="id", score_col="score", components=cc
+            nn, scores=scores, id_col="id", score_col="score",
+            components=cc_free,
         ).select(F.col("survivor").alias("__keep__"))
-    drop = cc.select(F.col("node").alias("__drop__")).join(
-        surv, F.col("__drop__") == F.col("__keep__"), "left_anti"
+    # drop list: direct old hits ∪ every member of a hit component ∪
+    # non-survivors of the old-free clusters — all pair/label-sized
+    drop = (
+        old_hits.select(F.col("__hit__").alias("__drop__"))
+        .unionByName(
+            cc.join(hit_comps, "component").select(F.col("node").alias("__drop__"))
+        )
+        .unionByName(
+            cc_free.select(F.col("node").alias("__drop__")).join(
+                surv, F.col("__drop__") == F.col("__keep__"), "left_anti"
+            )
+        )
+        .distinct()
     )
-    kept = survivors_of.join(
-        drop, survivors_of[id_col] == F.col("__drop__"), "left_anti"
-    )
-    # unchecked merge: the fresh index is built with the OLD index's own
-    # (n, num_perm), so the compatibility probe — an eager one-row job
-    # against the not-yet-materialized build plan — would buy nothing
+    kept = new_df.join(drop, new_df[id_col] == F.col("__drop__"), "left_anti")
+    # the kept docs' signatures are already in s1 — one semi-join, no
+    # second shingle pass. Unchecked merge: the fresh index is built
+    # with the OLD index's own (n, num_perm) by construction.
+    kept_s1 = s1.join(
+        kept.select(F.col(id_col).alias("__kid__")),
+        s1["__id__"] == F.col("__kid__"),
+    ).drop("__kid__")
     updated = _merge_unchecked(
-        index, minhash_index_build(kept, id_col, text_col, n=n, num_perm=num_perm)
+        index, _index_from_signatures(kept_s1, n, num_perm)
     )
     return kept, updated

@@ -208,6 +208,91 @@ def test_ingest_cycle_keeps_and_updates(spark, corpus):
     assert sorted(r.id for r in kept_q.collect()) == [13, 15, 16]
 
 
+def test_chain_through_dropped_partner_is_dropped(spark):
+    """Retained-content closure: old ≈ a, a ≈ b, but b alone is BELOW
+    threshold against old. The batch pipeline's connected components
+    over OLD ∪ NEW put {old, a, b} in one cluster and drop both new
+    docs; the ingest cycle must do the same — b must not slip into the
+    corpus through its dropped partner."""
+    from pandarallel_spark.operators.incremental import (
+        incremental_dedup_corpus,
+        minhash_index_build,
+        minhash_pairs_incremental,
+    )
+
+    old = _mk(spark, [
+        (0, "spark catalyst optimizer rewrites logical plans into physical ones"),
+    ])
+    new = _mk(spark, [
+        (10, "spark catalyst optimizer rewrites logical plans into physical form"),
+        (11, "engine rewrites logical plans into physical form somehow eventually done"),
+        (12, "completely unrelated prose about watermark state store cleanup"),
+    ])
+    index = minhash_index_build(old, "id", "text", **_KW)
+    # bands = num_perm (one row per band) makes candidate generation
+    # near-certain at these jaccards, so the THRESHOLD decides alone
+    pairs = minhash_pairs_incremental(
+        new, "id", "text", index, old_docs=old, threshold=0.35, bands=16
+    ).collect()
+    # premise: 10 matches old directly; 11 does NOT (J(11, old) < 0.35)
+    # but pairs with 10 (J >= 0.35)
+    assert {r.id_b for r in pairs if r.src == "old"} == {10}
+    assert {(r.id_a, r.id_b) for r in pairs if r.src == "new"} == {(10, 11)}
+
+    kept, _ = incremental_dedup_corpus(
+        new, "id", "text", index, old_docs=old, threshold=0.35, bands=16
+    )
+    assert sorted(r.id for r in kept.collect()) == [12]
+
+
+def test_explicit_params_and_meta_validation(spark, corpus):
+    old, new = corpus
+    index = minhash_index_build(old, "id", "text", **_KW)
+    # explicit params matching the metadata: identical result
+    a = minhash_pairs_incremental(
+        new, "id", "text", index, old_docs=old, threshold=0.3, bands=_BANDS,
+        **_KW,
+    ).collect()
+    b = minhash_pairs_incremental(
+        new, "id", "text", index, old_docs=old, threshold=0.3, bands=_BANDS,
+    ).collect()
+    key = lambda r: (r.src, r.id_a, r.id_b)  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    # contradicting the embedded metadata raises instead of silently
+    # matching nothing
+    with pytest.raises(ValueError, match="contradicts"):
+        minhash_pairs_incremental(
+            new, "id", "text", index, old_docs=old, n=3, num_perm=64
+        )
+    with pytest.raises(ValueError, match="BOTH"):
+        minhash_pairs_incremental(new, "id", "text", index, n=2)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_pairs_incremental(new, "id", "text", index, bands=-8)
+
+
+def test_strict_lazy_requires_explicit_params(spark, corpus):
+    old, new = corpus
+    index = minhash_index_build(old, "id", "text", **_KW)
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(RuntimeError, match="metadata probe"):
+            minhash_pairs_incremental(
+                new, "id", "text", index, threshold=0.3, bands=_BANDS
+            )
+        # explicit params skip the probe — plan builds under strictLazy
+        df = minhash_pairs_incremental(
+            new, "id", "text", index, threshold=0.3, bands=_BANDS, **_KW
+        )
+        assert set(df.columns) == {"id_a", "id_b", "jaccard", "src", "exact"}
+        # the eager clustering cycle stays forbidden, like the batch op
+        with pytest.raises(RuntimeError, match="clustering"):
+            incremental_dedup_corpus(
+                new, "id", "text", index, threshold=0.3, bands=_BANDS, **_KW
+            )
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
 def test_empty_index_degrades_to_delta_self_dedup(spark, corpus):
     _, new = corpus
     empty = minhash_index_build(new.filter(F.lit(False)), "id", "text", **_KW)
@@ -221,3 +306,14 @@ def test_empty_index_degrades_to_delta_self_dedup(spark, corpus):
     up = updated.collect()
     assert all(r["__idx_n__"] == 3 and r["__idx_perm__"] == 64 for r in up)
     assert len(up) == 4  # 10, 11, 12, 15 shingle; 16 is too short
+
+    # explicit params beat the defaults when the index has no metadata
+    # rows to speak for itself — the next cycle's index carries them
+    _, up2 = incremental_dedup_corpus(
+        new, "id", "text", empty, threshold=0.3, bands=_BANDS, **_KW
+    )
+    r2 = up2.collect()
+    assert all(
+        (r["__idx_n__"], r["__idx_perm__"]) == (_KW["n"], _KW["num_perm"])
+        for r in r2
+    )
