@@ -26,6 +26,7 @@ class ScaleAudit:
 
     exchanges: int = 0                # shuffles (hash/range); excludes broadcasts
     single_partition_exchanges: int = 0  # total-order sorts — the scale killer
+    bounded_scalar_agg_exchanges: int = 0  # exempted: global scalar-agg merges
     broadcast_exchanges: int = 0
     broadcast_joins: int = 0
     sort_merge_joins: int = 0
@@ -95,11 +96,44 @@ def scale_audit(df: DataFrame) -> ScaleAudit:
             a.scans += 1
     # tree lines carry no arguments in formatted mode — exchange
     # partitioning (the SinglePartition scale-killer) lives in the
-    # per-node detail blocks "(N) Exchange\nArguments: ..."
-    for m in re.finditer(
-        r"\(\d+\) Exchange\s*\n(?:[^\n]*\n)*?Arguments: ([^\n]*)", text
-    ):
-        if "SinglePartition" in m.group(1):
+    # per-node detail blocks "(N) Exchange\nArguments: ...". One shape
+    # is EXEMPT: an exchange whose child (the detail block printed
+    # immediately before it — Exchange is unary) is a global partial
+    # aggregate (``Keys: []``) of FIXED-SIZE partials. It carries one
+    # bounded row per input partition — cluster-sized, never
+    # data-sized — and Catalyst itself injects it for runtime bloom
+    # join filters (``bloom_filter_agg``) and global scalar aggregates.
+    # Variable-size partials (collect_list/collect_set) stay counted:
+    # their per-partition row is data-sized.
+    _BOUNDED_PARTIALS = (
+        "partial_bloom_filter_agg", "partial_count", "partial_sum",
+        "partial_min", "partial_max", "partial_avg", "partial_first",
+        "partial_last",
+    )
+    blocks = re.split(r"\n\s*\n", text)
+    for i, blk in enumerate(blocks):
+        m = re.match(r"\s*\(\d+\) Exchange\b", blk)
+        if not m:
+            continue
+        arg = re.search(r"Arguments: ([^\n]*)", blk)
+        if not arg or "SinglePartition" not in arg.group(1):
+            continue
+        prev = blocks[i - 1] if i else ""
+        child_is_bounded_scalar = False
+        if (
+            re.match(r"\s*\(\d+\) \*?\s*(Object|Sort)?HashAggregate\b", prev)
+            and re.search(r"Keys: \[\]", prev)
+        ):
+            fns = re.search(r"Functions \[\d+\]: \[([^\]]*)\]", prev)
+            if fns:
+                # every listed function must be a bounded partial
+                names = re.findall(r"(partial_\w+)\(", fns.group(1))
+                child_is_bounded_scalar = bool(names) and all(
+                    n in _BOUNDED_PARTIALS for n in names
+                )
+        if child_is_bounded_scalar:
+            a.bounded_scalar_agg_exchanges += 1
+        else:
             a.single_partition_exchanges += 1
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
         flt = m.group(1).strip()

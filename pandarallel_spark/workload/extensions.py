@@ -1331,29 +1331,98 @@ reach(a, b) AS (
   SELECT a, b FROM e
   UNION
   SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
-)
-SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+),
+-- incremental ingest-cycle twin (r10): index the EVEN half, ingest the
+-- ODD half. The old side of an expected pair is the matched index
+-- entry's EXEMPLAR = min doc id among even docs with the identical
+-- shingle SET; the expected pair set is the exact Jaccard of
+-- (exemplar, new doc) — LSH recall is 100% at these parameters on this
+-- data, same argument as the dedup_minhash_lsh row.
+toks2 AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh2 AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+                         FOR i IN range(1, len(toks)-1)]) AS s
+  FROM toks2 WHERE len(toks) >= 3)),
+sizes2 AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+old_sets AS (
+  SELECT doc_id, md5(string_agg(s, '|' ORDER BY s)) AS fph
+  FROM sh2 WHERE doc_id % 2 = 0 GROUP BY doc_id),
+old_ex AS (SELECT min(doc_id) AS eid FROM old_sets GROUP BY fph),
+io AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       FROM sh2 a JOIN sh2 b ON a.s = b.s
+       WHERE a.doc_id IN (SELECT eid FROM old_ex) AND b.doc_id % 2 = 1
+       GROUP BY 1, 2),
+incr_old AS (
+  SELECT io.id_a, io.id_b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS j
+  FROM io
+  JOIN sizes2 sa ON sa.doc_id = io.id_a
+  JOIN sizes2 sb ON sb.doc_id = io.id_b
+  WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.5)
+SELECT 'clusters' AS kind, a AS id_a, least(a, min(b)) AS id_b,
+  CAST(NULL AS DOUBLE) AS jaccard
 FROM reach GROUP BY a
+UNION ALL
+SELECT 'incr_old' AS kind, id_a, id_b, j AS jaccard FROM incr_old
+UNION ALL
+SELECT 'incr_new' AS kind, id_a, id_b, jaccard FROM pairs
+WHERE id_a % 2 = 1 AND id_b % 2 = 1
 """
 
 
 @register(
     "dedup_clusters_jaccard",
     _CLUSTER_ORACLE,
-    "Transitive duplicate clusters over the exact-Jaccard pair graph "
-    "(a~b, b~c => one group): alternating large-star/small-star "
-    "contraction (Kiveris et al. '14 — the r9 default), O(log^2 n) "
-    "rounds regardless of graph diameter, one groupBy+join per half-"
-    "round. cluster_id = min doc_id in the component — the canonical "
-    "survivor.",
+    "The dedup PIPELINE family row, kind-tagged (r10 merge). "
+    "kind=clusters: transitive duplicate clusters over the exact-"
+    "Jaccard pair graph (a~b, b~c => one group) via alternating "
+    "large-star/small-star contraction (Kiveris et al. '14 — the r9 "
+    "default), O(log^2 n) rounds regardless of graph diameter, one "
+    "groupBy+join per half-round; id_a = doc, id_b = min doc_id in the "
+    "component (the canonical survivor), jaccard NULL. "
+    "kind=incr_old/incr_new (r10): the INGEST-CYCLE twin — even "
+    "doc_ids built into a persistable MinHash signature index "
+    "(operators/incremental.py), odd doc_ids arriving as the delta "
+    "through minhash_pairs_incremental with exact exemplar "
+    "verification — graded against the exact Jaccard of (old set "
+    "EXEMPLAR, new doc) computed independently in SQL, so the "
+    "persistable-index path sits under the hard oracle, not just its "
+    "differential pytest.",
 )
 def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandarallel_spark.operators.graph import connected_components
+    from pandarallel_spark.operators.incremental import (
+        _delta_signatures,
+        _index_from_signatures,
+        minhash_pairs_incremental,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     cc = connected_components(pairs, "id_a", "id_b")
-    return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    clusters = cc.select(
+        F.lit("clusters").alias("kind"),
+        F.col("node").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    # ingest-cycle twin: ONE corpus signature aggregate feeds the index
+    # build and the delta (signatures are per-doc — halves are filters)
+    s1 = _delta_signatures(docs, "doc_id", "text", 3, 64)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    index = _index_from_signatures(
+        s1.filter(F.col("__id__") % 2 == 0), n=3, num_perm=64
+    )
+    inc = minhash_pairs_incremental(
+        new, "doc_id", "text", index, old_docs=old, threshold=0.5, bands=16,
+        _s1=s1.filter(F.col("__id__") % 2 == 1), _meta=(3, 64),
+    ).select(
+        F.concat(F.lit("incr_"), F.col("src")).alias("kind"),
+        "id_a",
+        "id_b",
+        "jaccard",
+    )
+    return clusters.unionByName(inc)
 
 
 # ---------------------------------------------------------------------------

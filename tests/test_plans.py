@@ -465,3 +465,34 @@ def test_registry_scale_audit(spark, sf_dir):
                 f"(allowed {allowed_nested_loop.get(name, 0)})"
             )
     assert not failures, "scale contract violations:\n" + "\n".join(failures)
+
+
+def test_audit_exempts_bounded_scalar_agg_exchanges(spark):
+    """A SinglePartition exchange merging a global Keys:[] partial
+    aggregate of fixed-size partials carries one bounded row per input
+    partition — exempt (this is also the shape Catalyst injects for
+    runtime bloom join filters). A genuine total-order sort stays a
+    violation, and a variable-size partial (collect_list) stays
+    counted too."""
+    from pandarallel_spark.plans.audit import scale_audit
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).toDF("x")
+    scalar = df.agg(F.count("x").alias("n"), F.sum("x").alias("s"))
+    a = scale_audit(scalar)
+    assert a.single_partition_exchanges == 0
+    assert a.bounded_scalar_agg_exchanges == 1
+
+    # a window with no partitionBy IS the single-partition shape
+    # (Exchange SinglePartition under a Sort) and must still count
+    from pyspark.sql import Window
+
+    w = df.select(F.sum("x").over(Window.orderBy("x")).alias("rs"))
+    c = scale_audit(w)
+    assert c.single_partition_exchanges == 1
+    assert c.bounded_scalar_agg_exchanges == 0
+
+    lst = df.agg(F.collect_list("x").alias("xs"))
+    d = scale_audit(lst)
+    assert d.single_partition_exchanges == 1  # data-sized partial rows
+    assert d.bounded_scalar_agg_exchanges == 0
