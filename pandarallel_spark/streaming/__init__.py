@@ -7,6 +7,7 @@ and as a real ``readStream`` → ``writeStream`` pipeline (tests use the
 file source with ``Trigger.AvailableNow`` semantics and a memory sink).
 """
 
+from pandarallel_spark.streaming.ingest import stream_ingest_dedup
 from pandarallel_spark.streaming.joins import stream_stream_interval_join
 from pandarallel_spark.streaming.stateful import (
     content_dedup_stream,
@@ -24,6 +25,7 @@ from pandarallel_spark.streaming.windows import (
 )
 
 __all__ = [
+    "stream_ingest_dedup",
     "stream_stream_interval_join",
     "content_dedup_stream",
     "dedup_stream",

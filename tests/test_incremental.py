@@ -317,3 +317,109 @@ def test_empty_index_degrades_to_delta_self_dedup(spark, corpus):
         (r["__idx_n__"], r["__idx_perm__"]) == (_KW["n"], _KW["num_perm"])
         for r in r2
     )
+
+
+def test_stream_ingest_dedup_matches_sequential_cycles(spark, tmp_path):
+    """The streaming loop must equal running incremental_dedup_corpus
+    cycle-by-cycle on the driver: same retained corpus, same final
+    index. A restart over the same checkpoint (no new input) must be a
+    no-op — no new batch dirs, no new index versions."""
+    from pandarallel_spark.operators.incremental import (
+        incremental_dedup_corpus,
+        minhash_index_build,
+    )
+    from pandarallel_spark.streaming import stream_ingest_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    waves = [
+        [(100, base + " alpha"), (101, "first wave unique doc about join reordering")],
+        [(200, base + " alpha"),  # exact dup of 100 → dropped
+         (201, base + " alpha beta"),  # near 100 → dropped
+         (202, "second wave fresh doc about shuffle partitions")],
+        [(300, "second wave fresh doc about shuffle partitions"),  # dup of 202
+         (301, "third wave genuinely new content on broadcast joins")],
+    ]
+    src = str(tmp_path / "src")
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, "id long, text string").coalesce(1).write.parquet(
+            src, mode="append" if i else "overwrite"
+        )
+        # distinct files → distinct micro-batches under maxFilesPerTrigger=1
+
+    boot = str(tmp_path / "boot")
+    spark.createDataFrame(
+        [(1, base), (2, "bootstrap corpus doc concerning watermark state")],
+        "id long, text string",
+    ).write.parquet(boot)
+
+    corpus_root = str(tmp_path / "corpus")
+    index_root = str(tmp_path / "index")
+    kw = dict(n=2, num_perm=16, threshold=0.4, bands=8)
+
+    stream = (
+        spark.readStream.schema("id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ingest_dedup(
+        stream, "id", "text",
+        corpus_root=corpus_root, index_root=index_root,
+        checkpoint=str(tmp_path / "chk"), bootstrap_docs=boot, **kw,
+    )
+    q.awaitTermination(180)
+
+    got_ids = sorted(
+        r.id for r in spark.read.parquet(f"{corpus_root}/ingest_batch=*").collect()
+    )
+
+    # sequential reference: same waves through the pure function, in the
+    # order the stream's file source delivers them (file order = write
+    # order under maxFilesPerTrigger=1 on a fresh dir)
+    old = spark.read.parquet(boot)
+    index = minhash_index_build(old, "id", "text", n=kw["n"], num_perm=kw["num_perm"])
+    kept_all = []
+    for w in waves:
+        delta = spark.createDataFrame(w, "id long, text string")
+        kept, index = incremental_dedup_corpus(
+            delta, "id", "text", index, old_docs=old, **kw
+        )
+        kept = kept.persist()
+        kept_all += [r.id for r in kept.collect()]
+        old = old.unionByName(kept)
+    assert got_ids == sorted(kept_all)
+    # spot-pin the planted duplicates regardless of the reference run:
+    # 200 is an exact copy of wave-1's 100, 300 of wave-2's 202 — they
+    # must be gone whichever way 100 itself fared against the bootstrap
+    assert 200 not in got_ids and 300 not in got_ids
+    assert 301 in got_ids  # genuinely new content always survives
+
+    # final streamed index == sequential final index, row for row
+    vs = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in [str(x) for x in (tmp_path / "index").iterdir()]
+        if "v=" in p
+    )
+    streamed = {
+        r["__fp__"]: (r["__sz__"], r["__eid__"], r["__members__"])
+        for r in spark.read.parquet(f"{index_root}/v={vs[-1]}").collect()
+    }
+    want = {
+        r["__fp__"]: (r["__sz__"], r["__eid__"], r["__members__"])
+        for r in index.collect()
+    }
+    assert streamed == want
+
+    # restart over the same checkpoint: nothing new to read → no-op
+    before_dirs = sorted(x.name for x in (tmp_path / "corpus").iterdir())
+    q2 = stream_ingest_dedup(
+        spark.readStream.schema("id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        "id", "text",
+        corpus_root=corpus_root, index_root=index_root,
+        checkpoint=str(tmp_path / "chk"), bootstrap_docs=boot, **kw,
+    )
+    q2.awaitTermination(120)
+    assert sorted(x.name for x in (tmp_path / "corpus").iterdir()) == before_dirs
+    assert got_ids == sorted(
+        r.id for r in spark.read.parquet(f"{corpus_root}/ingest_batch=*").collect()
+    )
