@@ -187,10 +187,16 @@ def minhash_index_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     construction; exemplar = min of mins; member counts add). One
     fingerprint-keyed aggregate; a metadata mismatch raises up front,
     at the price of a one-row probe per side (skipped internally when
-    both sides are known-compatible by construction)."""
+    both sides are known-compatible by construction, and skipped under
+    strictLazy — the merge itself is pure plan building, so forbidding
+    build-time jobs must not forbid merging; the validation simply
+    doesn't run there)."""
     _check_index_schema(a)
     _check_index_schema(b)
-    ma, mb = _index_meta(a), _index_meta(b)
+    try:
+        ma, mb = _index_meta(a), _index_meta(b)
+    except RuntimeError:  # strictLazy: merge unvalidated rather than not at all
+        return _merge_unchecked(a, b)
     if ma is not None and mb is not None and ma != mb:
         raise ValueError(
             f"index metadata mismatch: (n, num_perm) {ma} vs {mb} — "

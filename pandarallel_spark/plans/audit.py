@@ -121,7 +121,11 @@ def scale_audit(df: DataFrame) -> ScaleAudit:
         prev = blocks[i - 1] if i else ""
         child_is_bounded_scalar = False
         if (
-            re.match(r"\s*\(\d+\) \*?\s*(Object|Sort)?HashAggregate\b", prev)
+            re.match(
+                r"\s*\(\d+\) \*?\s*(ObjectHashAggregate|HashAggregate|"
+                r"SortAggregate)\b",
+                prev,
+            )
             and re.search(r"Keys: \[\]", prev)
         ):
             fns = re.search(r"Functions \[\d+\]: \[([^\]]*)\]", prev)

@@ -7,7 +7,10 @@ and as a real ``readStream`` → ``writeStream`` pipeline (tests use the
 file source with ``Trigger.AvailableNow`` semantics and a memory sink).
 """
 
-from pandarallel_spark.streaming.ingest import stream_ingest_dedup
+from pandarallel_spark.streaming.ingest import (
+    read_retained_corpus,
+    stream_ingest_dedup,
+)
 from pandarallel_spark.streaming.joins import stream_stream_interval_join
 from pandarallel_spark.streaming.stateful import (
     content_dedup_stream,
@@ -25,6 +28,7 @@ from pandarallel_spark.streaming.windows import (
 )
 
 __all__ = [
+    "read_retained_corpus",
     "stream_ingest_dedup",
     "stream_stream_interval_join",
     "content_dedup_stream",

@@ -36,14 +36,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pandarallel_spark.operators._memo import truncate_lineage
 from pandarallel_spark.operators.incremental import (
     incremental_dedup_corpus,
     minhash_index_build,
-)
-
-_INDEX_SCHEMA_FMT = (
-    "__fp__ string, __sz__ long, __eid__ {idt}, __members__ long, "
-    "__sig__ array<bigint>, __idx_n__ int, __idx_perm__ int"
 )
 
 
@@ -65,6 +61,40 @@ def _list_numbered(spark: SparkSession, root: str, prefix: str) -> list[int]:
             except ValueError:
                 pass
     return out
+
+
+def read_retained_corpus(
+    spark: SparkSession, corpus_root: str, bootstrap_docs: str | None = None
+) -> DataFrame:
+    """The retained corpus as of the last COMMITTED batches: reads only
+    ``ingest_batch=N`` directories carrying the committer's ``_SUCCESS``
+    marker, so a crash's half-written directory is invisible to
+    downstream readers (a bare ``parquet(f"{root}/ingest_batch=*")``
+    glob would pick it up). Include the bootstrap corpus by passing the
+    same ``bootstrap_docs`` path the loop was started with. Committed
+    directories are immutable — a replay only ever rewrites the one
+    uncommitted batch — but a reader racing that exact rewrite can
+    still see it mid-overwrite; a deployment that needs full
+    reader/writer isolation should layer a table format on top."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(corpus_root)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    paths = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("ingest_batch=") and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            ):
+                paths.append(str(st.getPath()))
+    if bootstrap_docs is not None:
+        paths.append(bootstrap_docs)
+    if not paths:
+        raise ValueError(
+            f"no committed ingest batches under {corpus_root!r} "
+            "(and no bootstrap_docs given)"
+        )
+    return spark.read.parquet(*paths)
 
 
 def stream_ingest_dedup(
@@ -104,14 +134,17 @@ def stream_ingest_dedup(
     pipeline — strict-lazy sessions cannot host it, by design.
 
     Read the retained corpus downstream with
-    ``spark.read.parquet(f"{corpus_root}/ingest_batch=*")`` (or list
-    the dirs); each directory is immutable once its batch commits.
+    :func:`read_retained_corpus` — it filters to directories whose
+    batch actually committed (``_SUCCESS`` marker), so a crash's
+    half-written directory never reaches a reader.
     """
     if verify not in ("exact", "estimate"):
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     spark = stream.sparkSession
-    id_type = stream.schema[id_col].dataType.simpleString()
-    empty_index_schema = _INDEX_SCHEMA_FMT.format(idt=id_type)
+    # the no-bootstrap empty index comes from the REAL build path over
+    # an empty frame with the stream's own id/text types — one source of
+    # truth for the index schema, nothing hand-duplicated here
+    empty_frame = spark.createDataFrame([], stream.schema)
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
@@ -129,12 +162,21 @@ def stream_ingest_dedup(
             if versions:
                 index = spark.read.parquet(f"{index_root}/v={max(versions)}")
             elif bootstrap_docs is not None:
-                index = minhash_index_build(
-                    spark.read.parquet(bootstrap_docs), id_col, text_col,
-                    n=n, num_perm=num_perm,
+                # compute the bootstrap index ONCE: left lazy it would
+                # re-run the full bootstrap-corpus aggregate for the
+                # metadata probe, every index reference in the pair
+                # plan, AND the updated-index write
+                index = truncate_lineage(
+                    minhash_index_build(
+                        spark.read.parquet(bootstrap_docs), id_col, text_col,
+                        n=n, num_perm=num_perm,
+                    ),
+                    eager=True,
                 )
             else:
-                index = spark.createDataFrame([], schema=empty_index_schema)
+                index = minhash_index_build(
+                    empty_frame, id_col, text_col, n=n, num_perm=num_perm
+                )
             old_paths = ([bootstrap_docs] if bootstrap_docs is not None else []) + [
                 f"{corpus_root}/ingest_batch={b}" for b in prior
             ]

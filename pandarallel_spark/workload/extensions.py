@@ -1347,17 +1347,30 @@ sizes2 AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
 old_sets AS (
   SELECT doc_id, md5(string_agg(s, '|' ORDER BY s)) AS fph
   FROM sh2 WHERE doc_id % 2 = 0 GROUP BY doc_id),
-old_ex AS (SELECT min(doc_id) AS eid FROM old_sets GROUP BY fph),
+old_ex AS (SELECT fph, min(doc_id) AS eid FROM old_sets GROUP BY fph),
+odd_sets AS (
+  SELECT doc_id, md5(string_agg(s, '|' ORDER BY s)) AS fph
+  FROM sh2 WHERE doc_id % 2 = 1 GROUP BY doc_id),
+-- the op's exact-first contract: a delta doc whose shingle set is
+-- ALREADY in the index short-circuits on the fingerprint join (one
+-- 1.0 pair with that set's exemplar) and never enters banding, so it
+-- gets NO near pairs against other index entries
+fp_matched AS (
+  SELECT e.eid AS id_a, o.doc_id AS id_b
+  FROM odd_sets o JOIN old_ex e ON o.fph = e.fph),
 io AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
        FROM sh2 a JOIN sh2 b ON a.s = b.s
        WHERE a.doc_id IN (SELECT eid FROM old_ex) AND b.doc_id % 2 = 1
+         AND b.doc_id NOT IN (SELECT id_b FROM fp_matched)
        GROUP BY 1, 2),
 incr_old AS (
   SELECT io.id_a, io.id_b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS j
   FROM io
   JOIN sizes2 sa ON sa.doc_id = io.id_a
   JOIN sizes2 sb ON sb.doc_id = io.id_b
-  WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.5)
+  WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.5
+  UNION ALL
+  SELECT id_a, id_b, 1.0 AS j FROM fp_matched)
 SELECT 'clusters' AS kind, a AS id_a, least(a, min(b)) AS id_b,
   CAST(NULL AS DOUBLE) AS jaccard
 FROM reach GROUP BY a

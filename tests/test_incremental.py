@@ -245,6 +245,23 @@ def test_chain_through_dropped_partner_is_dropped(spark):
     assert sorted(r.id for r in kept.collect()) == [12]
 
 
+def test_fp_matched_delta_doc_short_circuits_to_exact_only(spark):
+    """A delta doc whose shingle set is ALREADY indexed gets exactly
+    one pair — (that set's exemplar, doc, 1.0) — and no near pairs
+    against OTHER index entries, even ones above threshold: the
+    fingerprint join short-circuits banding (the op's exact-first
+    contract, and what the graded oracle now mirrors)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = _mk(spark, [(0, base), (2, base + " with a short tail")])
+    new = _mk(spark, [(11, base)])  # fp-identical to 0, near 2
+    index = minhash_index_build(old, "id", "text", **_KW)
+    got = minhash_pairs_incremental(
+        new, "id", "text", index, old_docs=old, threshold=0.3, bands=16,
+        include_new_pairs=False,
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(0, 11, 1.0)]
+
+
 def test_explicit_params_and_meta_validation(spark, corpus):
     old, new = corpus
     index = minhash_index_build(old, "id", "text", **_KW)
@@ -368,9 +385,18 @@ def test_stream_ingest_dedup_matches_sequential_cycles(spark, tmp_path):
     )
     q.awaitTermination(180)
 
+    from pandarallel_spark.streaming import read_retained_corpus
+
     got_ids = sorted(
+        r.id for r in read_retained_corpus(spark, corpus_root).collect()
+    )
+    # the committed-reader view equals the raw glob once everything
+    # committed, and including the bootstrap adds exactly those docs
+    assert got_ids == sorted(
         r.id for r in spark.read.parquet(f"{corpus_root}/ingest_batch=*").collect()
     )
+    with_boot = read_retained_corpus(spark, corpus_root, bootstrap_docs=boot)
+    assert sorted(r.id for r in with_boot.collect()) == sorted(got_ids + [1, 2])
 
     # sequential reference: same waves through the pure function, in the
     # order the stream's file source delivers them (file order = write
