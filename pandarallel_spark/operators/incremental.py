@@ -77,18 +77,21 @@ def _delta_signatures(
 def _index_from_signatures(s1: DataFrame, n: int, num_perm: int) -> DataFrame:
     """Signature table → index rows: collapse identical shingle sets to
     one row carrying the MIN member id as exemplar."""
+    # single-parse F.expr strings: the 64-wide composed-F.* construction
+    # costs over a second of driver time per plan (see _minhash_agg)
     agg = s1.groupBy("__fp__").agg(
         F.min("__sz__").alias("__sz__"),
         F.min("__id__").alias("__eid__"),
         F.count(F.lit(1)).alias("__members__"),
-        *[F.min(f"__h{i}__").alias(f"__h{i}__") for i in range(num_perm)],
+        *[F.expr(f"min(__h{i}__) AS __h{i}__") for i in range(num_perm)],
     )
+    sig = ", ".join(f"__h{i}__" for i in range(num_perm))
     return agg.select(
         "__fp__",
         "__sz__",
         "__eid__",
         "__members__",
-        F.array(*[F.col(f"__h{i}__") for i in range(num_perm)]).alias("__sig__"),
+        F.expr(f"array({sig}) AS __sig__"),
         F.lit(n).cast("int").alias("__idx_n__"),
         F.lit(num_perm).cast("int").alias("__idx_perm__"),
     )
@@ -225,31 +228,33 @@ def _merge_unchecked(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def _band_cols(sig_col, bands: int, rows_per_band: int) -> list:
+def _band_cols(sig_col: str, bands: int, rows_per_band: int) -> list:
     """Band hashes from a signature ARRAY column — ``xxhash64`` over
     ``element_at`` of bigint elements hashes the same values the batch
     path hashes from its wide bigint columns, so candidates generated
-    here agree exactly with ``minhash_lsh_pairs`` on the same data."""
+    here agree exactly with ``minhash_lsh_pairs`` on the same data.
+    Single-parse F.expr strings, like every wide block in this family."""
     return [
-        F.xxhash64(
-            *[
-                F.element_at(sig_col, b * rows_per_band + r + 1)
+        F.expr(
+            "xxhash64("
+            + ", ".join(
+                f"element_at({sig_col}, {b * rows_per_band + r + 1})"
                 for r in range(rows_per_band)
-            ]
-        ).alias(f"__b{b}__")
+            )
+            + f") AS __b{b}__"
+        )
         for b in range(bands)
     ]
 
 
 def _bands_long(df: DataFrame, key: str, sig_col: str, bands: int, rpb: int):
-    banded = df.select(key, *_band_cols(F.col(sig_col), bands, rpb))
+    banded = df.select(key, *_band_cols(sig_col, bands, rpb))
     return banded.select(
         key,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"__b{b}__").alias("h"))
-                for b in range(bands)
-            ])
+        F.expr(
+            "explode(array("
+            + ", ".join(f"struct({b} AS band, __b{b}__ AS h)" for b in range(bands))
+            + "))"
         ).alias("bh"),
     ).select(key, F.col("bh.band").alias("__band__"), F.col("bh.h").alias("__h__"))
 
@@ -358,12 +363,14 @@ def minhash_pairs_incremental(
     new_sets = s1.groupBy("__fp__").agg(
         F.min("__sz__").alias("__sz__"),
         F.min("__id__").alias("__neid__"),
-        *[F.min(f"__h{i}__").alias(f"__h{i}__") for i in range(num_perm)],
+        *[F.expr(f"min(__h{i}__) AS __h{i}__") for i in range(num_perm)],
     ).select(
         "__fp__",
         "__sz__",
         "__neid__",
-        F.array(*[F.col(f"__h{i}__") for i in range(num_perm)]).alias("__sig__"),
+        F.expr(
+            "array(" + ", ".join(f"__h{i}__" for i in range(num_perm)) + ") AS __sig__"
+        ),
     )
 
     idx = index.select(
