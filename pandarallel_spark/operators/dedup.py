@@ -597,6 +597,46 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _perm_min_exprs(num_perm: int) -> list[Column]:
+    """The per-permutation minhash mins over a ``__h__`` column, as
+    single-parse F.expr strings: each composed ``F.min(F.pmod(...))`` is
+    ~7 py4j round-trips and the 64-wide construction alone costs over a
+    second of driver time per plan — measured 32× cheaper as one
+    SQL-parsed expression each, byte-identical semantics (long-suffixed
+    literals pin the same bigint promotion). ONE definition shared by
+    the plain and the fingerprint-carrying signature aggregates."""
+    return [
+        F.expr(f"min(pmod(__h__ * {a}L + {b}L, {_MERSENNE_P}L)) AS __h{i}__")
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+
+
+def _hmin_exprs(num_perm: int) -> list[Column]:
+    """``min(__h{i}__)`` per permutation — the fingerprint-collapse
+    aggregate (members of one distinct set share every value, so min =
+    the shared value). Shared by the batch set collapse and the
+    incremental index build / delta collapse."""
+    return [F.expr(f"min(__h{i}__) AS __h{i}__") for i in range(num_perm)]
+
+
+def _sig_array_expr(num_perm: int) -> Column:
+    """``array(__h0__.., __h{p-1}__)`` — pack the wide mins into the
+    signature array column."""
+    return F.expr("array(" + ", ".join(f"__h{i}__" for i in range(num_perm)) + ")")
+
+
+def _bands_explode_expr(bands: int) -> Column:
+    """``explode(array(struct(b AS band, __b{b}__ AS h)...))`` — one row
+    per band from the wide band-hash columns. ONE definition so the
+    batch self-join and the incremental index join band identically
+    (their candidate agreement is a correctness requirement)."""
+    return F.expr(
+        "explode(array("
+        + ", ".join(f"struct({b} AS band, __b{b}__ AS h)" for b in range(bands))
+        + "))"
+    )
+
+
 def _minhash_agg(
     df: DataFrame, id_col: str, text_col: str, n: int, num_perm: int
 ) -> DataFrame:
@@ -612,16 +652,7 @@ def _minhash_agg(
     sh = _shingle_rows(df, id_col, text_col, n).withColumn(
         "__h__", F.pmod(F.xxhash64(F.col("__s__")), F.lit(_MERSENNE_P))
     )
-    # F.expr strings, not composed F.* calls: each composed min is ~7
-    # py4j round-trips and the 64-wide construction alone costs over a
-    # second of driver time per plan — measured 32× cheaper as one
-    # SQL-parsed expression each, byte-identical semantics (bigint
-    # arithmetic promotes the same way)
-    mins = [
-        F.expr(f"min(pmod(__h__ * {a}L + {b}L, {_MERSENNE_P}L)) AS __h{i}__")
-        for i, (a, b) in enumerate(_perm_params(num_perm))
-    ]
-    return sh.groupBy("__id__").agg(*mins)
+    return sh.groupBy("__id__").agg(*_perm_min_exprs(num_perm))
 
 
 def minhash_signatures(
@@ -630,10 +661,9 @@ def minhash_signatures(
     """(id, sig array<bigint>) — per-permutation min over the doc's
     shingle multiset. Docs with no shingles (< n tokens) produce no row."""
     agg = _minhash_agg(df, id_col, text_col, n, num_perm)
-    sig = F.expr(
-        "array(" + ", ".join(f"__h{i}__" for i in range(num_perm)) + ")"
+    return agg.select(
+        F.col("__id__"), _sig_array_expr(num_perm).alias("__sig__")
     )
-    return agg.select(F.col("__id__"), sig.alias("__sig__"))
 
 
 # per-term bound for the set-hash sums: 2^38 keeps a sum of up to ~16M
@@ -678,19 +708,13 @@ def _set_signature_agg(
     rows = _shingle_rows_distinct(df, id_col, text_col, n).withColumn(
         "__h__", F.pmod(F.xxhash64(F.col("__s__")), F.lit(_MERSENNE_P))
     )
-    # single-parse F.expr strings — see _minhash_agg: the wide
-    # construction is driver-time-dominant, the parsed trees identical
-    mins = [
-        F.expr(f"min(pmod(__h__ * {a}L + {b}L, {_MERSENNE_P}L)) AS __h{i}__")
-        for i, (a, b) in enumerate(_perm_params(num_perm))
-    ]
     agg = rows.groupBy("__id__").agg(
         F.count(F.lit(1)).alias("__sz__"),
         F.expr(f"sum(pmod(xxhash64(__s__), {_FP_TERM_BOUND}L)) AS __fpa__"),
         F.expr(
             f"sum(pmod(xxhash64(__s__, {_FP_SALT}L), {_FP_TERM_BOUND}L)) AS __fpb__"
         ),
-        *mins,
+        *_perm_min_exprs(num_perm),
     )
     return agg.select(
         "__id__",
@@ -842,8 +866,7 @@ def minhash_lsh_pairs(
     # identical signatures, so min == the shared value); this is the
     # banding input — bounded by distinct sets, not documents.
     sets = s1.groupBy("__fp__").agg(
-        F.min("__sz__").alias("__sz__"),
-        *[F.expr(f"min(__h{i}__) AS __h{i}__") for i in range(num_perm)],
+        F.min("__sz__").alias("__sz__"), *_hmin_exprs(num_perm)
     )
     band_cols = [
         F.expr(
@@ -855,12 +878,7 @@ def minhash_lsh_pairs(
     ]
     banded = sets.select("__fp__", *band_cols)
     bands_long = banded.select(
-        "__fp__",
-        F.expr(
-            "explode(array("
-            + ", ".join(f"struct({b} AS band, __b{b}__ AS h)" for b in range(bands))
-            + "))"
-        ).alias("bh"),
+        "__fp__", _bands_explode_expr(bands).alias("bh")
     ).select("__fp__", F.col("bh.band").alias("__band__"), F.col("bh.h").alias("__h__"))
 
     if bucket_cap is not None and bucket_cap < 1:

@@ -51,8 +51,11 @@ from pandarallel_spark.operators._memo import (
     truncate_lineage,
 )
 from pandarallel_spark.operators.dedup import (
+    _bands_explode_expr,
+    _hmin_exprs,
     _set_signature_agg,
     _shingle_rows_distinct,
+    _sig_array_expr,
     minhash_lsh_pairs,
 )
 from pandarallel_spark.operators.graph import (
@@ -77,21 +80,18 @@ def _delta_signatures(
 def _index_from_signatures(s1: DataFrame, n: int, num_perm: int) -> DataFrame:
     """Signature table → index rows: collapse identical shingle sets to
     one row carrying the MIN member id as exemplar."""
-    # single-parse F.expr strings: the 64-wide composed-F.* construction
-    # costs over a second of driver time per plan (see _minhash_agg)
     agg = s1.groupBy("__fp__").agg(
         F.min("__sz__").alias("__sz__"),
         F.min("__id__").alias("__eid__"),
         F.count(F.lit(1)).alias("__members__"),
-        *[F.expr(f"min(__h{i}__) AS __h{i}__") for i in range(num_perm)],
+        *_hmin_exprs(num_perm),
     )
-    sig = ", ".join(f"__h{i}__" for i in range(num_perm))
     return agg.select(
         "__fp__",
         "__sz__",
         "__eid__",
         "__members__",
-        F.expr(f"array({sig}) AS __sig__"),
+        _sig_array_expr(num_perm).alias("__sig__"),
         F.lit(n).cast("int").alias("__idx_n__"),
         F.lit(num_perm).cast("int").alias("__idx_perm__"),
     )
@@ -249,14 +249,9 @@ def _band_cols(sig_col: str, bands: int, rows_per_band: int) -> list:
 
 def _bands_long(df: DataFrame, key: str, sig_col: str, bands: int, rpb: int):
     banded = df.select(key, *_band_cols(sig_col, bands, rpb))
-    return banded.select(
-        key,
-        F.expr(
-            "explode(array("
-            + ", ".join(f"struct({b} AS band, __b{b}__ AS h)" for b in range(bands))
-            + "))"
-        ).alias("bh"),
-    ).select(key, F.col("bh.band").alias("__band__"), F.col("bh.h").alias("__h__"))
+    return banded.select(key, _bands_explode_expr(bands).alias("bh")).select(
+        key, F.col("bh.band").alias("__band__"), F.col("bh.h").alias("__h__")
+    )
 
 
 def minhash_pairs_incremental(
@@ -363,14 +358,12 @@ def minhash_pairs_incremental(
     new_sets = s1.groupBy("__fp__").agg(
         F.min("__sz__").alias("__sz__"),
         F.min("__id__").alias("__neid__"),
-        *[F.expr(f"min(__h{i}__) AS __h{i}__") for i in range(num_perm)],
+        *_hmin_exprs(num_perm),
     ).select(
         "__fp__",
         "__sz__",
         "__neid__",
-        F.expr(
-            "array(" + ", ".join(f"__h{i}__" for i in range(num_perm)) + ") AS __sig__"
-        ),
+        _sig_array_expr(num_perm).alias("__sig__"),
     )
 
     idx = index.select(
