@@ -513,17 +513,46 @@ def ivf_topk(
         assign_batches, f"c_id bigint, __cvec__ {vec_type}, __cid__ bigint"
     )
 
-    # queries → nprobe nearest lists, scored on the driver (bounded by
-    # the max_queries probe above) and broadcast as (q_id, qvec, cid)
-    # probe rows
+    return _ivf_probe_and_rerank(
+        queries.sparkSession, qpdf, id_col, vec_col, c_mat, cent_ids, c,
+        vec_type, dim, k, nprobe,
+    )
+
+
+def _ivf_probe_and_rerank(
+    spark,
+    qpdf: pd.DataFrame,
+    id_col: str,
+    vec_col: str,
+    c_mat: np.ndarray,
+    cent_ids: np.ndarray,
+    assigned: DataFrame,
+    vec_type: str,
+    dim: int,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """The IVF query tail shared by the inline and the persisted-index
+    paths: queries → nprobe nearest lists, scored on the driver (the
+    caller's bounded collect) and broadcast as (q_id, qvec, cid) probe
+    rows; exact rerank inside the probed lists."""
     if qpdf.empty:
-        return queries.sparkSession.createDataFrame(
+        return spark.createDataFrame(
             [], "q_id bigint, c_id bigint, score bigint, rank integer"
         )
     q_mat = _np_quant(np.stack(qpdf[vec_col].apply(np.asarray).to_numpy()))
     qs = q_mat @ c_mat.T  # (nq, n_centroids)
     order = np.argsort(-qs, axis=1, kind="stable")[:, :nprobe]  # ties → smaller cid
-    probes = queries.sparkSession.createDataFrame(
+    # the probed-list ids are KNOWN here on the driver — push them as a
+    # LITERAL IN filter on the list side. Against a __cid__-partitioned
+    # persisted index this is STATIC partition pruning at the parquet
+    # scan (strictly better than hoping dynamic pruning fires for an
+    # unfiltered broadcast side): only nprobe-ish of n_centroids
+    # partitions are read. Result-neutral — the equi-join would drop
+    # every other list anyway.
+    probed_cids = sorted({int(c) for c in cent_ids[order.ravel()]})
+    assigned = assigned.filter(F.col("__cid__").isin(probed_cids))
+    probes = spark.createDataFrame(
         pd.DataFrame(
             {
                 "q_id": np.repeat(qpdf[id_col].to_numpy(), order.shape[1]),
@@ -545,11 +574,127 @@ def ivf_topk(
     )
     scored = (
         F.broadcast(probes)
-        .join(c, "__cid__")
+        .join(assigned, "__cid__")
         .select("q_id", "c_id", score.alias("score"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """The persistable IVF index: every corpus vector tagged with its
+    inverted-list id, plus constant metadata columns — the ANN twin of
+    ``dedup.incremental``'s signature index. At 100 TB the coarse
+    assignment (one Arrow-batched matmul pass over the corpus) is the
+    expensive part of every ``ivf_topk`` call; building it ONCE at
+    ingest and persisting
+
+        index.write.partitionBy("__cid__").parquet(path)
+
+    turns each query into a read of only the probed lists:
+    ``ivf_topk_indexed``'s broadcast probe join on ``__cid__`` lets
+    Spark's dynamic partition pruning skip every unprobed partition at
+    the parquet scan, so a 16-centroid/4-probe query touches ~1/4 of
+    the index bytes and none of the raw corpus.
+
+    Output: ``(c_id, __cvec__, __cid__, __ivf_nc__, __ivf_dim__)`` —
+    one row per corpus vector; the centroid definition (first
+    ``n_centroids`` corpus vectors by id, deterministic like
+    ``ivf_topk``'s) is recoverable from the index itself, so nothing
+    else needs persisting. Eager on the driver (the centroid collect),
+    strictLazy-gated like every eager index builder here."""
+    _require_integral_ids("ivf_index_build", id_col, corpus)
+    eager_build_guard(
+        corpus.sparkSession,
+        "ivf_index_build centroid collect (bounded orderBy/limit probe)",
+        "Index building is eager by design — run it from a session that "
+        "permits build-time jobs.",
+    )
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col, "ivf_index_build")
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    if not cent_rows:
+        raise ValueError("ivf_index_build: corpus is empty")
+    c_mat = _np_quant(np.array([list(r[vec_col]) for r in cent_rows]))
+    cent_ids = np.array([r[id_col] for r in cent_rows], dtype="int64")
+    vec_type = dict(corpus.dtypes)[vec_col]
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b = _np_quant(np.stack(pdf[vec_col].apply(np.asarray).to_numpy()))
+            idx = np.argmax(b @ c_mat.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "c_id": pdf[id_col].to_numpy(),
+                    "__cvec__": pdf[vec_col],
+                    "__cid__": cent_ids[idx],
+                }
+            )
+
+    from pandarallel_spark.operators.apply import _widen
+
+    assigned = _widen(corpus.select(id_col, vec_col)).mapInPandas(
+        assign_batches, f"c_id bigint, __cvec__ {vec_type}, __cid__ bigint"
+    )
+    return assigned.select(
+        "c_id",
+        "__cvec__",
+        "__cid__",
+        F.lit(int(n_centroids)).cast("int").alias("__ivf_nc__"),
+        F.lit(int(dim)).cast("int").alias("__ivf_dim__"),
+    )
+
+
+def ivf_topk_indexed(
+    queries: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    max_queries: int = DEFAULT_MAX_QUERIES,
+) -> DataFrame:
+    """``ivf_topk`` against a prebuilt (usually parquet-persisted)
+    index: identical results row-for-row — the centroids are recovered
+    from the index (its ``n_centroids`` smallest ids ARE the build-time
+    centroids, by the deterministic centroid rule) and the corpus is
+    never touched. With the index written
+    ``partitionBy("__cid__")``, the broadcast probe join triggers
+    dynamic partition pruning: the parquet scan reads ONLY the probed
+    lists' partitions (plan- and pytest-checked), which is the point of
+    persisting the assignment at 100 TB."""
+    for c in ("c_id", "__cvec__", "__cid__", "__ivf_nc__", "__ivf_dim__"):
+        if c not in index.columns:
+            raise ValueError(
+                f"not an IVF index: missing column {c!r} "
+                "(build one with ivf_index_build)"
+            )
+    _require_integral_ids("ivf_topk_indexed", id_col, queries)
+    qpdf = _collect_queries(queries, id_col, vec_col, "ivf_topk_indexed", max_queries)
+    meta = index.select("__ivf_nc__", "__ivf_dim__").limit(1).collect()
+    if not meta:
+        raise ValueError("ivf_topk_indexed: the index is empty")
+    n_centroids, dim = int(meta[0]["__ivf_nc__"]), int(meta[0]["__ivf_dim__"])
+    cent_rows = (
+        index.select("c_id", "__cvec__").orderBy("c_id").limit(n_centroids).collect()
+    )
+    c_mat = _np_quant(np.array([list(r["__cvec__"]) for r in cent_rows]))
+    cent_ids = np.array([r["c_id"] for r in cent_rows], dtype="int64")
+    vec_type = dict(index.dtypes)["__cvec__"]
+    return _ivf_probe_and_rerank(
+        queries.sparkSession, qpdf, id_col, vec_col, c_mat, cent_ids,
+        index.select("c_id", "__cvec__", "__cid__"), vec_type, dim, k, nprobe,
+    )
 
 
 def _pq_kmeans_init(sub_mat: np.ndarray, n_codes: int, seed: int) -> np.ndarray:

@@ -450,3 +450,65 @@ def test_grouped_window_udf_branch_warns(spark, tmp_path, skew_conf):
         n = out.count()
     assert n == df.count()
     assert [x for x in w if "WHOLE group" in str(x.message)]
+
+
+# ---------------------------------------------------------------------------
+# r10: persistable IVF index — the ANN twin of the MinHash signature index
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_indexed_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """ivf_topk_indexed over a parquet-persisted, __cid__-partitioned
+    index must equal ivf_topk on the raw corpus row-for-row, and its
+    scan must carry a dynamic partition pruning filter so only the
+    probed lists are read."""
+    from pandarallel_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.default_rng(23)
+    dim, n_corpus, n_q, n_cent = 8, 300, 6, 10
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n_corpus)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(500 + i, [float(x) for x in rng.normal(size=dim)]) for i in range(n_q)],
+        "vec_id long, embedding array<double>",
+    )
+
+    inline = sorted(
+        (r.q_id, r.rank, r.c_id, r.score)
+        for r in ivf_topk(
+            queries, corpus, k=4, n_centroids=n_cent, nprobe=3
+        ).collect()
+    )
+
+    pth = str(tmp_path / "ivf")
+    ivf_index_build(corpus, n_centroids=n_cent).write.partitionBy(
+        "__cid__"
+    ).parquet(pth)
+    index = spark.read.parquet(pth)
+    got_df = ivf_topk_indexed(queries, index, k=4, nprobe=3)
+    got = sorted((r.q_id, r.rank, r.c_id, r.score) for r in got_df.collect())
+    assert got == inline
+
+    # the probed-lists read: the index scan must carry the literal
+    # probed-cid set as a PARTITION filter — that's what makes the
+    # persisted index read ~nprobe/n_centroids of the bytes
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "__cid__" in pf.group(1) and " IN " in pf.group(1), plan[:1500]
+
+    # schema guard: a non-index frame is rejected with guidance
+    with pytest.raises(ValueError, match="not an IVF index"):
+        ivf_topk_indexed(queries, corpus)
+
+    # empty index: loud error, not a silent empty result
+    empty = index.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        ivf_topk_indexed(queries, empty, k=4, nprobe=3)
