@@ -474,24 +474,62 @@ def ivf_topk(
     # dim= is passed explicitly); run it before the head-row collect so
     # strictLazy sessions never launch the corpus TakeOrdered either
     qpdf = _collect_queries(queries, id_col, vec_col, "ivf_topk", max_queries)
+    if qpdf.empty:
+        # nothing to probe — skip the dim-inference and centroid jobs
+        return queries.sparkSession.createDataFrame(
+            [], "q_id bigint, c_id bigint, score bigint, rank integer"
+        )
     if dim is None:
         dim = _infer_dim(corpus, vec_col, "ivf_topk")
+    c_mat, cent_ids, _ = _ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, "ivf_topk"
+    )
+    vec_type = dict(corpus.dtypes)[vec_col]
+    c = _ivf_assign(corpus, id_col, vec_col, c_mat, cent_ids, vec_type)
+    return _ivf_probe_and_rerank(
+        queries.sparkSession, qpdf, id_col, vec_col, c_mat, cent_ids, c,
+        vec_type, dim, k, nprobe,
+    )
+
+
+def _ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int, op: str
+) -> tuple[np.ndarray, np.ndarray, list[list[float]]]:
+    """The deterministic centroid rule shared by the inline op and the
+    index builder: first ``n_centroids`` corpus vectors by id (so the
+    DuckDB oracle reproduces the exact candidate set; a production
+    index would run k-means|| over a sample — the query-time plan is
+    identical). Rows come back in ascending id order, so np.argmax's
+    first-occurrence tie-break = smallest centroid id. Returns the
+    quantized matrix, the ids, and the RAW vectors (the index builder
+    persists the raw form so recovery re-quantizes through the same
+    ``_np_quant``)."""
     cent_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
     if not cent_rows:
-        raise ValueError("ivf_topk: corpus is empty")
-    # (n_centroids, dim) int64; rows already in ascending centroid-id
-    # order, so np.argmax's first-occurrence tie-break = smallest id
-    c_mat = _np_quant(np.array([list(r[vec_col]) for r in cent_rows]))
+        raise ValueError(f"{op}: corpus is empty")
+    raw = [list(r[vec_col]) for r in cent_rows]
+    c_mat = _np_quant(np.array(raw))
     cent_ids = np.array([r[id_col] for r in cent_rows], dtype="int64")
+    return c_mat, cent_ids, raw
 
-    # corpus → inverted-list id: one Arrow-batched int64 matmul per batch
-    # (batch × n_centroids) + argmax — a pure corpus scan, no shuffle.
-    # A 1024-term unrolled codegen expression was tried first: 9 MiB task
-    # binaries and ~20 s of Janino; the vectorized matmul is the honest
-    # form of this projection at any scale.
-    vec_type = dict(corpus.dtypes)[vec_col]
+
+def _ivf_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    c_mat: np.ndarray,
+    cent_ids: np.ndarray,
+    vec_type: str,
+) -> DataFrame:
+    """corpus → (c_id, __cvec__, __cid__): one Arrow-batched int64
+    matmul per batch (batch × n_centroids) + argmax — a pure corpus
+    scan, no shuffle. A 1024-term unrolled codegen expression was tried
+    first: 9 MiB task binaries and ~20 s of Janino; the vectorized
+    matmul is the honest form of this projection at any scale. ONE
+    definition shared by the inline op and the index builder, so their
+    assignments cannot drift."""
 
     def assign_batches(batches):
         for pdf in batches:
@@ -509,13 +547,8 @@ def ivf_topk(
 
     from pandarallel_spark.operators.apply import _widen
 
-    c = _widen(corpus.select(id_col, vec_col)).mapInPandas(
+    return _widen(corpus.select(id_col, vec_col)).mapInPandas(
         assign_batches, f"c_id bigint, __cvec__ {vec_type}, __cid__ bigint"
-    )
-
-    return _ivf_probe_and_rerank(
-        queries.sparkSession, qpdf, id_col, vec_col, c_mat, cent_ids, c,
-        vec_type, dim, k, nprobe,
     )
 
 
@@ -598,17 +631,22 @@ def ivf_index_build(
         index.write.partitionBy("__cid__").parquet(path)
 
     turns each query into a read of only the probed lists:
-    ``ivf_topk_indexed``'s broadcast probe join on ``__cid__`` lets
-    Spark's dynamic partition pruning skip every unprobed partition at
-    the parquet scan, so a 16-centroid/4-probe query touches ~1/4 of
+    ``ivf_topk_indexed`` pushes the probed-list ids as a LITERAL
+    partition filter, so the parquet scan reads ~nprobe/n_centroids of
     the index bytes and none of the raw corpus.
 
-    Output: ``(c_id, __cvec__, __cid__, __ivf_nc__, __ivf_dim__)`` —
-    one row per corpus vector; the centroid definition (first
-    ``n_centroids`` corpus vectors by id, deterministic like
-    ``ivf_topk``'s) is recoverable from the index itself, so nothing
-    else needs persisting. Eager on the driver (the centroid collect),
-    strictLazy-gated like every eager index builder here."""
+    Output: ``(c_id, __cvec__, __cid__, __ivf_dim__, __ivf_cids__,
+    __ivf_cvecs__)`` — one row per corpus vector. The centroids (ids
+    AND raw vectors) ride along as constant metadata columns —
+    dictionary/RLE-encoded to ~one copy per parquet row group — so the
+    query side recovers the AUTHORITATIVE centroid set from a single
+    row: a later-filtered/compacted index keeps answering correctly
+    (its stored ``__cid__`` assignments were made with exactly these
+    centroids), and no per-query scan over the index is needed to find
+    them. Do NOT union two indexes — their centroid sets differ and a
+    single-row metadata read cannot represent both; rebuild instead.
+    Eager on the driver (the centroid collect), strictLazy-gated like
+    every eager index builder here."""
     _require_integral_ids("ivf_index_build", id_col, corpus)
     eager_build_guard(
         corpus.sparkSession,
@@ -618,40 +656,25 @@ def ivf_index_build(
     )
     if dim is None:
         dim = _infer_dim(corpus, vec_col, "ivf_index_build")
-    cent_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    c_mat, cent_ids, cent_raw = _ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, "ivf_index_build"
     )
-    if not cent_rows:
-        raise ValueError("ivf_index_build: corpus is empty")
-    c_mat = _np_quant(np.array([list(r[vec_col]) for r in cent_rows]))
-    cent_ids = np.array([r[id_col] for r in cent_rows], dtype="int64")
     vec_type = dict(corpus.dtypes)[vec_col]
-
-    def assign_batches(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            b = _np_quant(np.stack(pdf[vec_col].apply(np.asarray).to_numpy()))
-            idx = np.argmax(b @ c_mat.T, axis=1)
-            yield pd.DataFrame(
-                {
-                    "c_id": pdf[id_col].to_numpy(),
-                    "__cvec__": pdf[vec_col],
-                    "__cid__": cent_ids[idx],
-                }
-            )
-
-    from pandarallel_spark.operators.apply import _widen
-
-    assigned = _widen(corpus.select(id_col, vec_col)).mapInPandas(
-        assign_batches, f"c_id bigint, __cvec__ {vec_type}, __cid__ bigint"
-    )
+    assigned = _ivf_assign(corpus, id_col, vec_col, c_mat, cent_ids, vec_type)
+    # the RAW centroid vectors (not the quantized matrix) persist in the
+    # metadata — recovery re-quantizes through the same _np_quant the
+    # build used, keeping one source of truth for the rounding
     return assigned.select(
         "c_id",
         "__cvec__",
         "__cid__",
-        F.lit(int(n_centroids)).cast("int").alias("__ivf_nc__"),
         F.lit(int(dim)).cast("int").alias("__ivf_dim__"),
+        F.lit([int(i) for i in cent_ids])
+        .cast("array<bigint>")
+        .alias("__ivf_cids__"),
+        F.lit([[float(x) for x in v] for v in cent_raw])
+        .cast(f"array<{vec_type}>")
+        .alias("__ivf_cvecs__"),
     )
 
 
@@ -665,15 +688,20 @@ def ivf_topk_indexed(
     max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """``ivf_topk`` against a prebuilt (usually parquet-persisted)
-    index: identical results row-for-row — the centroids are recovered
-    from the index (its ``n_centroids`` smallest ids ARE the build-time
-    centroids, by the deterministic centroid rule) and the corpus is
-    never touched. With the index written
-    ``partitionBy("__cid__")``, the broadcast probe join triggers
-    dynamic partition pruning: the parquet scan reads ONLY the probed
+    index: identical results row-for-row, and the corpus is never
+    touched. The AUTHORITATIVE centroids come from the index's
+    single-row metadata (``__ivf_cids__``/``__ivf_cvecs__``) — an O(1)
+    read, never a scan over the index, and still correct after the
+    index is filtered or compacted (the stored assignments were made
+    with exactly these centroids). With the index written
+    ``partitionBy("__cid__")``, the probed-list ids are pushed as a
+    LITERAL partition filter: the parquet scan reads ONLY the probed
     lists' partitions (plan- and pytest-checked), which is the point of
     persisting the assignment at 100 TB."""
-    for c in ("c_id", "__cvec__", "__cid__", "__ivf_nc__", "__ivf_dim__"):
+    for c in (
+        "c_id", "__cvec__", "__cid__", "__ivf_dim__", "__ivf_cids__",
+        "__ivf_cvecs__",
+    ):
         if c not in index.columns:
             raise ValueError(
                 f"not an IVF index: missing column {c!r} "
@@ -681,15 +709,19 @@ def ivf_topk_indexed(
             )
     _require_integral_ids("ivf_topk_indexed", id_col, queries)
     qpdf = _collect_queries(queries, id_col, vec_col, "ivf_topk_indexed", max_queries)
-    meta = index.select("__ivf_nc__", "__ivf_dim__").limit(1).collect()
+    if qpdf.empty:
+        # nothing to probe — skip the metadata job entirely
+        return queries.sparkSession.createDataFrame(
+            [], "q_id bigint, c_id bigint, score bigint, rank integer"
+        )
+    meta = index.select("__ivf_dim__", "__ivf_cids__", "__ivf_cvecs__").limit(
+        1
+    ).collect()
     if not meta:
         raise ValueError("ivf_topk_indexed: the index is empty")
-    n_centroids, dim = int(meta[0]["__ivf_nc__"]), int(meta[0]["__ivf_dim__"])
-    cent_rows = (
-        index.select("c_id", "__cvec__").orderBy("c_id").limit(n_centroids).collect()
-    )
-    c_mat = _np_quant(np.array([list(r["__cvec__"]) for r in cent_rows]))
-    cent_ids = np.array([r["c_id"] for r in cent_rows], dtype="int64")
+    dim = int(meta[0]["__ivf_dim__"])
+    cent_ids = np.array(list(meta[0]["__ivf_cids__"]), dtype="int64")
+    c_mat = _np_quant(np.array([list(v) for v in meta[0]["__ivf_cvecs__"]]))
     vec_type = dict(index.dtypes)["__cvec__"]
     return _ivf_probe_and_rerank(
         queries.sparkSession, qpdf, id_col, vec_col, c_mat, cent_ids,

@@ -504,6 +504,25 @@ def test_ivf_indexed_matches_inline_and_prunes_partitions(spark, tmp_path):
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "__cid__" in pf.group(1) and " IN " in pf.group(1), plan[:1500]
 
+    # authoritative centroids: the metadata, not the surviving rows,
+    # define the lists — filtering a CENTROID member out of the index
+    # must leave every other answer intact (it only disappears as a
+    # candidate), where a rows-based recovery would silently re-derive
+    # a different centroid set and probe the wrong lists
+    victim = next(c for (_, _, c, _) in inline)  # appears in results
+    filt = index.filter(F.col("c_id") != victim)
+    got_f = {
+        (r.q_id, r.rank): r.c_id
+        for r in ivf_topk_indexed(queries, filt, k=4, nprobe=3).collect()
+    }
+    assert victim not in got_f.values()
+    untouched_qs = {
+        q for (q, _, _, _) in inline
+    } - {q for (q, _, c, _) in inline if c == victim}
+    for (q, rk, c, _) in inline:
+        if q in untouched_qs:
+            assert got_f[(q, rk)] == c
+
     # schema guard: a non-index frame is rejected with guidance
     with pytest.raises(ValueError, match="not an IVF index"):
         ivf_topk_indexed(queries, corpus)
