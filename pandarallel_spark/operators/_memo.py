@@ -79,6 +79,19 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
         flag = "false"
     if flag != "true":
         return df.localCheckpoint(eager=eager)
+    if not eager:
+        # the reliable branch is unavoidably eager (persist + checkpoint
+        # launch jobs NOW); a lazy call site under strictLazy must not
+        # violate the no-surprise-jobs contract (ADVICE r10), so it
+        # keeps the lazy localCheckpoint — the caller opted into strict
+        # laziness first, and the fault-tolerance opt-in only governs
+        # the sites that were already eager.
+        try:
+            strict = str(spark.conf.get(STRICT_LAZY_CONF, "false")).lower()
+        except Exception:  # noqa: BLE001 — unreadable conf: not strict
+            strict = "false"
+        if strict == "true":
+            return df.localCheckpoint(eager=False)
     if spark.sparkContext.getCheckpointDir() is None:
         raise RuntimeError(
             f"{RELIABLE_CHECKPOINT_CONF} is true but no checkpoint "

@@ -43,7 +43,7 @@ same way ``dedup.py`` does, re-expressed Spark-first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandarallel_spark.operators._memo import (
@@ -192,13 +192,42 @@ def minhash_index_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     at the price of a one-row probe per side (skipped internally when
     both sides are known-compatible by construction, and skipped under
     strictLazy — the merge itself is pure plan building, so forbidding
-    build-time jobs must not forbid merging; the validation simply
-    doesn't run there)."""
+    build-time jobs must not forbid merging; there the check degrades
+    to a plan-only column-type comparison plus a loud ``UserWarning``
+    that the (n, num_perm) validation did not run)."""
     _check_index_schema(a)
     _check_index_schema(b)
     try:
         ma, mb = _index_meta(a), _index_meta(b)
-    except RuntimeError:  # strictLazy: merge unvalidated rather than not at all
+    except RuntimeError:
+        # strictLazy: merge rather than not at all, but (n, num_perm)
+        # live in DATA the guard forbids reading — validate what the
+        # PLAN alone can (column types; a type drift is a definite
+        # incompatibility) and warn that the metadata check is skipped,
+        # because merging indexes with different (n, num_perm) here
+        # would produce a silently corrupt index (ADVICE r10).
+        ta = {f.name: f.dataType for f in a.schema.fields}
+        tb = {f.name: f.dataType for f in b.schema.fields}
+        mismatched = sorted(
+            c for c in set(ta) & set(tb) if ta[c] != tb[c]
+        )
+        if mismatched:
+            raise ValueError(
+                f"index schema mismatch on column(s) {mismatched}: "
+                f"{[(c, str(ta[c]), str(tb[c])) for c in mismatched]} — "
+                "these indexes were not built the same way"
+            )
+        import warnings
+
+        warnings.warn(
+            "minhash_index_merge under strictLazy cannot read the "
+            "indexes' embedded (n, num_perm) metadata — the merge is "
+            "UNVALIDATED beyond column types; merging indexes built "
+            "with different shingle widths or permutation counts "
+            "silently corrupts the result. Verify compatibility "
+            "out-of-band or merge outside strict-lazy scope.",
+            stacklevel=2,
+        )
         return _merge_unchecked(a, b)
     if ma is not None and mb is not None and ma != mb:
         raise ValueError(
@@ -269,6 +298,7 @@ def minhash_pairs_incremental(
     verify: str | None = None,
     include_new_pairs: bool = True,
     broadcast_candidates: bool = True,
+    bucket_cap: int | None = None,
     _s1: DataFrame | None = None,
     _meta: tuple[int, int] | None = None,
     **new_pair_kwargs,
@@ -287,8 +317,17 @@ def minhash_pairs_incremental(
       the delta, same parameters and the SAME precomputed signature
       table — the delta is shingled once; skipped with
       ``include_new_pairs=False``). Extra ``new_pair_kwargs``
-      (``bucket_cap=``, ``intra_pairs=``, …) forward to it, as does
-      ``broadcast_candidates``.
+      (``intra_pairs=``, …) forward to it, as do
+      ``broadcast_candidates`` and ``bucket_cap``.
+
+    ``bucket_cap`` bounds hot ``(band, hash)`` buckets on BOTH joins:
+    the delta's self-join (forwarded to ``minhash_lsh_pairs``, the r10
+    star-through-hub mechanics) AND the delta×index band join, where
+    buckets whose index side exceeds the cap pair each delta set with
+    the bucket's min-fingerprint index entry only — candidates stay
+    linear in the delta instead of B_idx × B_delta, with recall loss
+    bounded by the LSH band-miss probability (every emitted pair is
+    still verified, so precision is unchanged).
 
     ``exact`` is True for fingerprint-identical matches (Jaccard 1.0 by
     construction) and for exactly verified near matches; False only
@@ -398,10 +437,47 @@ def minhash_pairs_incremental(
         idx.select(F.col("__ofp__"), F.col("__osig__")), "__ofp__", "__osig__",
         bands, rpb,
     )
-    candidates = truncate_lineage(
-        nb.join(ob, ["__band__", "__h__"]).select("__fp__", "__ofp__").distinct(),
-        eager=False,
-    )
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be ≥ 1 or None, got {bucket_cap}")
+    if bucket_cap is not None:
+        # hot-bucket bound, the incremental twin of the batch self-join's
+        # r10 fix (dedup.py minhash_lsh_pairs): per-bucket INDEX-side
+        # count + hub ride a window over the SAME (band, hash)
+        # partitioning the join shuffles on — no extra exchange. Buckets
+        # whose index side exceeds the cap pair each delta set with the
+        # bucket's min-fingerprint index entry ONLY, so candidates per
+        # bucket are ≤ cap × B_delta (small buckets) or B_delta (star),
+        # linear in the delta — never B_idx × B_delta. The delta side
+        # needs no cap of its own: every bound above is already linear
+        # in it, and a delta-side star would erase the per-NEW-doc
+        # old-match verdict the ingest decision is made from. Recall:
+        # a true (new, old) pair inside an over-cap bucket whose new set
+        # fails to verify against the bucket hub is found through its
+        # other bands−1 collisions — the same (1−j^r)^(bands−1) bound as
+        # the batch path; precision is unchanged (every candidate is
+        # still verified).
+        wb = Window.partitionBy("__band__", "__h__")
+        obl = ob.select(
+            "__ofp__",
+            "__band__",
+            "__h__",
+            F.count(F.lit(1)).over(wb).alias("__obn__"),
+            F.min("__ofp__").over(wb).alias("__obm__"),
+        )
+        small_idx = obl.filter(F.col("__obn__") <= bucket_cap).select(
+            "__ofp__", "__band__", "__h__"
+        )
+        hub_idx = (
+            obl.filter(F.col("__obn__") > bucket_cap)
+            .select("__band__", "__h__", F.col("__obm__").alias("__ofp__"))
+            .distinct()
+        )
+        cand_raw = nb.join(
+            small_idx.unionByName(hub_idx), ["__band__", "__h__"]
+        ).select("__fp__", "__ofp__")
+    else:
+        cand_raw = nb.join(ob, ["__band__", "__h__"]).select("__fp__", "__ofp__")
+    candidates = truncate_lineage(cand_raw.distinct(), eager=False)
     # broadcast hints go on CANDIDATE-derived sides only — they are
     # output-bounded. The index and both corpora stay join-sided (huge
     # by assumption); AQE still broadcasts them at runtime if small.
@@ -494,7 +570,7 @@ def minhash_pairs_incremental(
         nn = minhash_lsh_pairs(
             new_df, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
             threshold=threshold, broadcast_candidates=broadcast_candidates,
-            _s1=s1, **new_pair_kwargs,
+            bucket_cap=bucket_cap, _s1=s1, **new_pair_kwargs,
         ).select(
             "id_a", "id_b", "jaccard",
             F.lit("new").alias("src"), F.lit(True).alias("exact"),
