@@ -643,10 +643,19 @@ def ivf_index_build(
     row: a later-filtered/compacted index keeps answering correctly
     (its stored ``__cid__`` assignments were made with exactly these
     centroids), and no per-query scan over the index is needed to find
-    them. Do NOT union two indexes — their centroid sets differ and a
-    single-row metadata read cannot represent both; rebuild instead.
-    Eager on the driver (the centroid collect), strictLazy-gated like
-    every eager index builder here."""
+    them. Grow the index with :func:`ivf_index_append` — it assigns new
+    vectors with the index's OWN stored centroids, so the result stays
+    self-consistent. Do NOT union two independently BUILT indexes:
+    their centroid sets differ and a single-row metadata read cannot
+    represent both. Eager on the driver (the centroid collect),
+    strictLazy-gated like every eager index builder here.
+
+    Row size note: the metadata columns cost ~one copy per parquet row
+    group on DISK (dictionary/RLE), but each written row still carries
+    them through the in-memory projection/write path — at large
+    ``n_centroids × dim`` prefer :func:`ivf_index_write` /
+    :func:`ivf_index_read`, which persist the centroid set ONCE as a
+    sidecar next to the partitioned lists."""
     _require_integral_ids("ivf_index_build", id_col, corpus)
     eager_build_guard(
         corpus.sparkSession,
@@ -668,13 +677,7 @@ def ivf_index_build(
         "c_id",
         "__cvec__",
         "__cid__",
-        F.lit(int(dim)).cast("int").alias("__ivf_dim__"),
-        F.lit([int(i) for i in cent_ids])
-        .cast("array<bigint>")
-        .alias("__ivf_cids__"),
-        F.lit([[float(x) for x in v] for v in cent_raw])
-        .cast(f"array<{vec_type}>")
-        .alias("__ivf_cvecs__"),
+        *_ivf_meta_cols(dim, cent_ids, cent_raw, vec_type),
     )
 
 
@@ -698,15 +701,7 @@ def ivf_topk_indexed(
     LITERAL partition filter: the parquet scan reads ONLY the probed
     lists' partitions (plan- and pytest-checked), which is the point of
     persisting the assignment at 100 TB."""
-    for c in (
-        "c_id", "__cvec__", "__cid__", "__ivf_dim__", "__ivf_cids__",
-        "__ivf_cvecs__",
-    ):
-        if c not in index.columns:
-            raise ValueError(
-                f"not an IVF index: missing column {c!r} "
-                "(build one with ivf_index_build)"
-            )
+    _check_ivf_index(index)
     _require_integral_ids("ivf_topk_indexed", id_col, queries)
     qpdf = _collect_queries(queries, id_col, vec_col, "ivf_topk_indexed", max_queries)
     if qpdf.empty:
@@ -714,18 +709,162 @@ def ivf_topk_indexed(
         return queries.sparkSession.createDataFrame(
             [], "q_id bigint, c_id bigint, score bigint, rank integer"
         )
-    meta = index.select("__ivf_dim__", "__ivf_cids__", "__ivf_cvecs__").limit(
-        1
-    ).collect()
-    if not meta:
-        raise ValueError("ivf_topk_indexed: the index is empty")
-    dim = int(meta[0]["__ivf_dim__"])
-    cent_ids = np.array(list(meta[0]["__ivf_cids__"]), dtype="int64")
-    c_mat = _np_quant(np.array([list(v) for v in meta[0]["__ivf_cvecs__"]]))
+    dim, cent_ids, c_mat, _ = _ivf_index_meta(index, "ivf_topk_indexed")
     vec_type = dict(index.dtypes)["__cvec__"]
     return _ivf_probe_and_rerank(
         queries.sparkSession, qpdf, id_col, vec_col, c_mat, cent_ids,
         index.select("c_id", "__cvec__", "__cid__"), vec_type, dim, k, nprobe,
+    )
+
+
+_IVF_COLS = (
+    "c_id", "__cvec__", "__cid__", "__ivf_dim__", "__ivf_cids__",
+    "__ivf_cvecs__",
+)
+
+
+def _check_ivf_index(index: DataFrame) -> None:
+    for c in _IVF_COLS:
+        if c not in index.columns:
+            raise ValueError(
+                f"not an IVF index: missing column {c!r} "
+                "(build one with ivf_index_build)"
+            )
+
+
+def _ivf_index_meta(index: DataFrame, op: str):
+    """Recover the AUTHORITATIVE centroid set from the index's
+    single-row metadata: ``(dim, cent_ids, quantized c_mat, raw
+    centroid vectors)``. One bounded row, never a scan; re-quantizes
+    the stored raw vectors through ``_np_quant`` — the same rounding
+    the build used."""
+    meta = index.select("__ivf_dim__", "__ivf_cids__", "__ivf_cvecs__").limit(
+        1
+    ).collect()
+    if not meta:
+        raise ValueError(f"{op}: the index is empty")
+    dim = int(meta[0]["__ivf_dim__"])
+    cent_ids = np.array(list(meta[0]["__ivf_cids__"]), dtype="int64")
+    raw = [list(v) for v in meta[0]["__ivf_cvecs__"]]
+    return dim, cent_ids, _np_quant(np.array(raw)), raw
+
+
+def _ivf_meta_cols(dim: int, cent_ids, cent_raw, vec_type: str) -> list:
+    """The three constant metadata columns, one definition shared by
+    the builder and the appender so appended rows are byte-identical
+    in metadata to the rows they join."""
+    return [
+        F.lit(int(dim)).cast("int").alias("__ivf_dim__"),
+        F.lit([int(i) for i in cent_ids])
+        .cast("array<bigint>")
+        .alias("__ivf_cids__"),
+        F.lit([[float(x) for x in v] for v in cent_raw])
+        .cast(f"array<{vec_type}>")
+        .alias("__ivf_cvecs__"),
+    ]
+
+
+def ivf_index_append(
+    index: DataFrame,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index rows for NEW vectors, assigned with the index's OWN stored
+    centroids — the ANN twin of ``incremental.minhash_index_merge``:
+    the ingest loop indexes the whole corpus once and each delta pays
+    only its own assignment pass (one Arrow-batched matmul over the
+    delta, no shuffle), never a rebuild.
+
+    Returns ONLY the new rows, schema-identical to the index (same
+    ``__cid__`` space, byte-identical metadata columns recovered from
+    the index's single-row metadata and re-quantized through the same
+    ``_np_quant`` the build used). The two ways to use them:
+
+    - persisted index: ``appended.write.mode("append")
+      .partitionBy("__cid__").parquet(path)`` — old partitions are
+      untouched; new files land inside the probed-list layout so
+      ``ivf_topk_indexed``'s static partition pruning keeps holding.
+    - in-memory: ``index.unionByName(appended)`` is row-for-row what
+      ``ivf_index_build`` would produce over the union IF the union's
+      centroid rule picked the same centroids (it does whenever the
+      original corpus's first ``n_centroids`` ids stay the smallest).
+
+    Centroids are NOT re-trained: recall against the new vectors
+    degrades gracefully as the appended distribution drifts from the
+    one the centroids were built on (the standard IVF trade) — rebuild
+    on whatever cadence the drift warrants. Eager on the driver (the
+    one-row metadata collect), strictLazy-gated like the builder."""
+    _check_ivf_index(index)
+    _require_integral_ids("ivf_index_append", id_col, new_corpus)
+    eager_build_guard(
+        new_corpus.sparkSession,
+        "ivf_index_append metadata recovery (one-row bounded collect)",
+        "Appending is eager by design — run it from a session that "
+        "permits build-time jobs.",
+    )
+    dim, cent_ids, c_mat, cent_raw = _ivf_index_meta(index, "ivf_index_append")
+    vec_type = dict(index.dtypes)["__cvec__"]
+    assigned = _ivf_assign(new_corpus, id_col, vec_col, c_mat, cent_ids, vec_type)
+    return assigned.select(
+        "c_id", "__cvec__", "__cid__",
+        *_ivf_meta_cols(dim, cent_ids, cent_raw, vec_type),
+    )
+
+
+def ivf_index_write(index: DataFrame, path: str, mode: str = "error") -> None:
+    """Persist an IVF index with the centroid set stored ONCE as a
+    sidecar instead of per-row constant columns (ADVICE r10): the
+    in-row metadata costs ~nothing on disk (RLE) but every written row
+    still materializes the O(n_centroids × dim) arrays through the
+    projection/write path — at production centroid counts that
+    dominates the write. Layout:
+
+    - ``{path}/lists/``  — ``(c_id, __cvec__)`` partitioned by
+      ``__cid__``, so ``ivf_topk_indexed``'s literal probed-list filter
+      statically prunes to ~nprobe/n_centroids of the bytes;
+    - ``{path}/meta/``   — ONE row holding ``(__ivf_dim__,
+      __ivf_cids__, __ivf_cvecs__)``.
+
+    Reload with :func:`ivf_index_read`. Append deltas with
+    ``ivf_index_append(...)​.write.mode("append")`` against
+    ``{path}/lists`` via ``ivf_index_read`` + a fresh write, or
+    directly: the lists dir is a plain partitioned parquet table."""
+    _check_ivf_index(index)
+    spark = index.sparkSession
+    dim, cent_ids, c_mat, cent_raw = _ivf_index_meta(index, "ivf_index_write")
+    vec_type = dict(index.dtypes)["__cvec__"]
+    index.select("c_id", "__cvec__", "__cid__").write.mode(mode).partitionBy(
+        "__cid__"
+    ).parquet(f"{path}/lists")
+    spark.range(1).select(
+        *_ivf_meta_cols(dim, cent_ids, cent_raw, vec_type)
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+
+
+def ivf_index_read(spark, path: str) -> DataFrame:
+    """Load an index persisted by :func:`ivf_index_write`: the centroid
+    sidecar is read once (one-row driver collect, strictLazy-gated) and
+    re-attached as constant LITERAL columns, so the result is drop-in
+    compatible with ``ivf_topk_indexed`` — whose query plan prunes the
+    literal metadata columns away and keeps the static partition
+    pruning over ``lists/__cid__=...``; the per-row arrays never leave
+    the driver."""
+    eager_build_guard(
+        spark,
+        "ivf_index_read centroid sidecar read (one-row bounded collect)",
+        "Load the lists and sidecar explicitly outside strict-lazy scope.",
+    )
+    dim, cent_ids, _, cent_raw = _ivf_index_meta(
+        spark.read.parquet(f"{path}/meta"), "ivf_index_read"
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    vec_type = dict(lists.dtypes)["__cvec__"]
+    return lists.select(
+        "c_id",
+        "__cvec__",
+        F.col("__cid__").cast("bigint").alias("__cid__"),
+        *_ivf_meta_cols(dim, cent_ids, cent_raw, vec_type),
     )
 
 

@@ -151,6 +151,156 @@ def test_truncate_lineage_lazy_site_respects_strict_lazy(spark, tmp_path):
         spark.conf.set("spark.pandarallel_spark.reliableCheckpoint", "false")
 
 
+# ---------------------------------------------------------------------------
+# Task 3 — IVF index append + centroid sidecar (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_fixtures(spark, seed=31, dim=8, n_corpus=200, n_new=60, n_q=6):
+    rng = np.random.default_rng(seed)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n_corpus)],
+        "vec_id long, embedding array<double>",
+    )
+    # new ids all ABOVE the corpus ids, so first-n-by-id centroids of
+    # the union equal the original corpus's — the precondition for the
+    # append == rebuild-over-union equivalence asserted below
+    new = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in rng.normal(size=dim)]) for i in range(n_new)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(5000 + i, [float(x) for x in rng.normal(size=dim)]) for i in range(n_q)],
+        "vec_id long, embedding array<double>",
+    )
+    return corpus, new, queries
+
+
+def test_ivf_index_append_equals_rebuild_and_inline(spark, tmp_path):
+    """append(index, new) must assign new vectors with the index's OWN
+    centroids: index ∪ appended is row-for-row what a rebuild over the
+    unioned corpus produces (same centroid rule by construction), and
+    ivf_topk_indexed over it equals the inline ivf_topk on the union —
+    including through a partitioned parquet append."""
+    from pandarallel_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    corpus, new, queries = _ivf_fixtures(spark)
+    n_cent = 10
+    index = ivf_index_build(corpus, n_centroids=n_cent)
+    appended = ivf_index_append(index, new)
+
+    def rows(df):
+        return sorted(
+            (r["c_id"], r["__cid__"], tuple(r["__cvec__"]),
+             r["__ivf_dim__"], tuple(r["__ivf_cids__"]))
+            for r in df.collect()
+        )
+
+    rebuilt = ivf_index_build(
+        corpus.unionByName(new), n_centroids=n_cent
+    )
+    assert rows(index.unionByName(appended)) == rows(rebuilt)
+
+    inline = sorted(
+        (r.q_id, r.rank, r.c_id, r.score)
+        for r in ivf_topk(
+            queries, corpus.unionByName(new), k=4, n_centroids=n_cent, nprobe=3
+        ).collect()
+    )
+    got = sorted(
+        (r.q_id, r.rank, r.c_id, r.score)
+        for r in ivf_topk_indexed(
+            queries, index.unionByName(appended), k=4, nprobe=3
+        ).collect()
+    )
+    assert got == inline
+
+    # the persisted-ingest move: append lands NEW files in the same
+    # partitioned layout; reading back answers identically
+    pth = str(tmp_path / "ivf")
+    index.write.partitionBy("__cid__").parquet(pth)
+    ivf_index_append(spark.read.parquet(pth), new).write.mode(
+        "append"
+    ).partitionBy("__cid__").parquet(pth)
+    got_p = sorted(
+        (r.q_id, r.rank, r.c_id, r.score)
+        for r in ivf_topk_indexed(
+            queries, spark.read.parquet(pth), k=4, nprobe=3
+        ).collect()
+    )
+    assert got_p == inline
+
+    # schema guard + strictLazy gate
+    with pytest.raises(ValueError, match="not an IVF index"):
+        ivf_index_append(corpus, new)
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(RuntimeError, match="ivf_index_append"):
+            ivf_index_append(index, new)
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
+def test_ivf_sidecar_write_read_round_trip(spark, tmp_path):
+    """ivf_index_write persists the centroid set ONCE (sidecar), not
+    per row; ivf_index_read reattaches it as literals — answers equal
+    the in-row format's, partition pruning still fires, and the on-disk
+    list rows carry no metadata arrays."""
+    import re
+
+    from pandarallel_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_read,
+        ivf_index_write,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    corpus, _, queries = _ivf_fixtures(spark)
+    n_cent = 10
+    index = ivf_index_build(corpus, n_centroids=n_cent)
+    pth = str(tmp_path / "ivf_sc")
+    ivf_index_write(index, pth)
+
+    # the lists on disk are lean: no per-row centroid arrays
+    lists = spark.read.parquet(f"{pth}/lists")
+    assert set(lists.columns) == {"c_id", "__cvec__", "__cid__"}
+    meta = spark.read.parquet(f"{pth}/meta")
+    assert meta.count() == 1
+
+    loaded = ivf_index_read(spark, pth)
+    inline = sorted(
+        (r.q_id, r.rank, r.c_id, r.score)
+        for r in ivf_topk(
+            queries, corpus, k=4, n_centroids=n_cent, nprobe=3
+        ).collect()
+    )
+    got_df = ivf_topk_indexed(queries, loaded, k=4, nprobe=3)
+    got = sorted((r.q_id, r.rank, r.c_id, r.score) for r in got_df.collect())
+    assert got == inline
+
+    # static pruning holds through the sidecar path: the lists scan
+    # carries the literal probed-cid partition filter
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "__cid__" in pf.group(1) and " IN " in pf.group(1), plan[:1500]
+
+    # overwrite semantics + strictLazy gate on the read
+    ivf_index_write(index, pth, mode="overwrite")
+    assert ivf_index_read(spark, pth).count() == corpus.count()
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(RuntimeError, match="ivf_index_read"):
+            ivf_index_read(spark, pth)
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
 def test_index_merge_strict_lazy_warns_and_checks_types(spark):
     """Under strictLazy the merge metadata probe is forbidden: the merge
     still happens but warns it is unvalidated, and a plan-visible type
