@@ -8,7 +8,9 @@ file source with ``Trigger.AvailableNow`` semantics and a memory sink).
 """
 
 from pandarallel_spark.streaming.ingest import (
+    compact_retained_corpus,
     read_retained_corpus,
+    retain_index_versions,
     stream_ingest_dedup,
 )
 from pandarallel_spark.streaming.joins import stream_stream_interval_join
@@ -28,7 +30,9 @@ from pandarallel_spark.streaming.windows import (
 )
 
 __all__ = [
+    "compact_retained_corpus",
     "read_retained_corpus",
+    "retain_index_versions",
     "stream_ingest_dedup",
     "stream_stream_interval_join",
     "content_dedup_stream",

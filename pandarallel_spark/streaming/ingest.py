@@ -27,12 +27,17 @@ Scale notes: per batch, the delta pays one signature aggregate and the
 index side two equi-joins (``incremental_dedup_corpus``); the retained
 corpus is read ONLY for candidate-exemplar verification (id-pushdown
 scans) and not at all with ``verify="estimate"``. The corpus and index
-accumulate one directory per batch — compact them offline on whatever
-cadence the deployment likes; the loop itself never rewrites old
-batches (that immutability is exactly what makes replays safe).
+accumulate one directory per batch — the loop itself never rewrites
+old batches (that immutability is exactly what makes replays safe);
+housekeeping is :func:`compact_retained_corpus` (fold committed batch
+dirs into one, crash-recoverable, replay-compatible) and
+:func:`retain_index_versions` (drop superseded index versions), both
+run between stream runs on whatever cadence the deployment likes.
 """
 
 from __future__ import annotations
+
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,6 +68,161 @@ def _list_numbered(spark: SparkSession, root: str, prefix: str) -> list[int]:
     return out
 
 
+def _fs(spark: SparkSession, root: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    return jvm, path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def _committed_batches(spark: SparkSession, root: str, prefix: str) -> list[int]:
+    """Ids of ``{prefix}{int}`` child dirs carrying the committer's
+    ``_SUCCESS`` marker — the set a reader may trust."""
+    jvm, fs, path = _fs(spark, root)
+    out = []
+    if fs.exists(path):
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if name.startswith(prefix) and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            ):
+                try:
+                    out.append(int(name[len(prefix):]))
+                except ValueError:
+                    pass
+    return sorted(out)
+
+
+_COMPACT_MANIFEST = "_compacting"
+_COMPACT_TMP = ".compact_tmp"
+
+
+def _compaction_manifest(spark: SparkSession, corpus_root: str) -> dict | None:
+    jvm, fs, root = _fs(spark, corpus_root)
+    mpath = jvm.org.apache.hadoop.fs.Path(root, _COMPACT_MANIFEST)
+    if not fs.exists(mpath):
+        return None
+    inp = fs.open(mpath)
+    try:
+        return json.loads(inp.readUTF())
+    finally:
+        inp.close()
+
+
+def _finish_compaction(spark: SparkSession, corpus_root: str, man: dict) -> None:
+    """Complete (or roll forward) a compaction recorded in the manifest:
+    the tmp dir was durably committed BEFORE the manifest was written,
+    so finishing is always safe — delete the listed source dirs, move
+    the tmp into the target's place, drop the manifest. Idempotent:
+    every step checks what already happened."""
+    jvm, fs, root = _fs(spark, corpus_root)
+    P = jvm.org.apache.hadoop.fs.Path
+    tmp = P(root, _COMPACT_TMP)
+    target = P(root, f"ingest_batch={man['target']}")
+    if fs.exists(tmp):
+        for b in man["sources"]:
+            src = P(root, f"ingest_batch={b}")
+            if fs.exists(src):
+                fs.delete(src, True)
+        if not fs.rename(tmp, target):
+            raise IOError(
+                f"compaction: rename {_COMPACT_TMP} -> "
+                f"ingest_batch={man['target']} failed under {corpus_root!r}"
+            )
+    else:
+        # rename already happened on a previous attempt: only stray
+        # sources (all ≠ target by construction) might remain
+        for b in man["sources"]:
+            if b != man["target"]:
+                src = P(root, f"ingest_batch={b}")
+                if fs.exists(src):
+                    fs.delete(src, True)
+    fs.delete(P(root, _COMPACT_MANIFEST), False)
+
+
+def compact_retained_corpus(spark: SparkSession, corpus_root: str) -> int | None:
+    """Fold the committed ``ingest_batch=`` dirs STRICTLY BELOW the
+    highest committed batch into one, returning the surviving dir's
+    batch id (or None when fewer than two dirs qualify).
+
+    A long-running loop grows one directory per micro-batch; listing
+    cost and small-file count grow with it. Compaction rewrites batches
+    ``b₀ < … < bₖ < max`` into ``ingest_batch=bₖ`` — the docs are
+    byte-identical, only the directory layout changes, so
+    :func:`read_retained_corpus` returns the same rows before and
+    after.
+
+    Replay compatibility (why the HIGHEST committed dir is never
+    touched): Structured Streaming may re-run the newest batch ``m``
+    even when its output committed (the checkpoint's own commit record
+    lands after ``foreachBatch`` returns). A replay of ``m`` reads
+    dirs ``< m`` and OVERWRITES dir ``m`` — so every compacted id must
+    stay below ``m``, and ``bₖ < m`` guarantees the replay sees exactly
+    the content it saw the first time. Ids above the compaction target
+    are never created by it, so the resumed loop's "read strictly
+    before me" rule keeps holding.
+
+    Crash safety: the combined tmp dir is durably written (with its
+    ``_SUCCESS``) and a manifest naming sources + target is recorded
+    BEFORE any source is deleted; a crash at any later point is rolled
+    forward by the next call (or surfaced loudly by
+    :func:`read_retained_corpus` / the ingest loop, which refuse to
+    run while a manifest is pending). Run it between stream runs — a
+    reader racing the directory swap can see a partial listing, same
+    caveat the module docstring gives for replays.
+    """
+    pending = _compaction_manifest(spark, corpus_root)
+    if pending is not None:
+        _finish_compaction(spark, corpus_root, pending)
+    committed = _committed_batches(spark, corpus_root, "ingest_batch=")
+    sources = committed[:-1]  # strictly below the max committed id
+    if len(sources) < 2:
+        return pending["target"] if pending is not None else None
+    target = sources[-1]
+    jvm, fs, root = _fs(spark, corpus_root)
+    P = jvm.org.apache.hadoop.fs.Path
+    tmp = P(root, _COMPACT_TMP)
+    if fs.exists(tmp):  # stale tmp from a crash BEFORE its manifest: discard
+        fs.delete(tmp, True)
+    spark.read.parquet(
+        *[f"{corpus_root}/ingest_batch={b}" for b in sources]
+    ).write.parquet(str(tmp))
+    man = {"sources": sources, "target": target}
+    out = fs.create(P(root, _COMPACT_MANIFEST), True)
+    try:
+        out.writeUTF(json.dumps(man))
+    finally:
+        out.close()
+    _finish_compaction(spark, corpus_root, man)
+    return target
+
+
+def retain_index_versions(
+    spark: SparkSession, index_root: str, keep: int = 2
+) -> list[int]:
+    """Delete superseded ``v=`` index versions, keeping the ``keep``
+    highest ids; returns the deleted ids.
+
+    Every batch reads only the HIGHEST version below its own id, so
+    versions below that are dead weight — one full index copy each.
+    ``keep`` must be ≥ 2: the newest version may belong to a batch
+    whose checkpoint commit tore (its replay ignores it and reads the
+    version below), so the top TWO are both live until the next batch
+    commits. Deletion-only and therefore trivially crash-safe — an
+    interrupted run just leaves more versions behind.
+    """
+    if keep < 2:
+        raise ValueError(
+            f"keep must be ≥ 2 (got {keep}): the newest version may be a "
+            "torn batch's — its replay reads the version below it"
+        )
+    ids = sorted(_list_numbered(spark, index_root, "v="))
+    drop = ids[:-keep]
+    jvm, fs, root = _fs(spark, index_root)
+    for v in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(root, f"v={v}"), True)
+    return drop
+
+
 def read_retained_corpus(
     spark: SparkSession, corpus_root: str, bootstrap_docs: str | None = None
 ) -> DataFrame:
@@ -76,6 +236,13 @@ def read_retained_corpus(
     uncommitted batch — but a reader racing that exact rewrite can
     still see it mid-overwrite; a deployment that needs full
     reader/writer isolation should layer a table format on top."""
+    pending = _compaction_manifest(spark, corpus_root)
+    if pending is not None:
+        raise RuntimeError(
+            f"an interrupted compaction is pending under {corpus_root!r} "
+            f"(manifest {_COMPACT_MANIFEST!r} present) — run "
+            "compact_retained_corpus to roll it forward before reading"
+        )
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(corpus_root)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -137,6 +304,13 @@ def stream_ingest_dedup(
     :func:`read_retained_corpus` — it filters to directories whose
     batch actually committed (``_SUCCESS`` marker), so a crash's
     half-written directory never reaches a reader.
+
+    The checkpoint dir must live and die with ``corpus_root`` /
+    ``index_root``: batch ids come from the checkpoint, so resetting or
+    relocating it alone would restart numbering at 0 over the old
+    outputs. The loop detects that (output directories from batches
+    later than the current one) and refuses to run rather than
+    silently corrupting the retained corpus.
     """
     if verify not in ("exact", "estimate"):
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
@@ -149,6 +323,42 @@ def stream_ingest_dedup(
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
+        if _compaction_manifest(spark, corpus_root) is not None:
+            raise RuntimeError(
+                f"an interrupted compaction is pending under {corpus_root!r}"
+                " — run compact_retained_corpus to roll it forward before "
+                "resuming the ingest loop"
+            )
+        # Idempotency is keyed on the streaming batchId, which lives in
+        # the CHECKPOINT: restarting against a fresh/relocated
+        # checkpoint resets it to 0, and batch 0 would then bootstrap
+        # from scratch and overwrite ingest_batch=0 / v=0 while stale
+        # higher-numbered directories stay visible to readers — silent
+        # retained-corpus corruption (ADVICE r10). A GENUINE replay
+        # only ever sees ids ≤ its own (batches run serially), so any
+        # id strictly above this batch proves the checkpoint and the
+        # output roots have come apart. Refuse loudly.
+        stale = sorted(
+            {
+                f"{corpus_root}/ingest_batch={b}"
+                for b in _list_numbered(spark, corpus_root, "ingest_batch=")
+                if b > batch_id
+            }
+            | {
+                f"{index_root}/v={v}"
+                for v in _list_numbered(spark, index_root, "v=")
+                if v > batch_id
+            }
+        )
+        if stale:
+            raise RuntimeError(
+                f"batch {batch_id} found output directories from LATER "
+                f"batches: {stale[:4]}{'…' if len(stale) > 4 else ''} — the "
+                "checkpoint dir was reset or relocated independently of "
+                "corpus_root/index_root. Resume with the original "
+                "checkpoint, or start over against fresh output roots; the "
+                "checkpoint must live and die with its outputs."
+            )
         batch_df = batch_df.persist()
         try:
             versions = [

@@ -118,6 +118,223 @@ def test_incremental_bucket_cap_forwards_to_self_join(spark):
 
 
 # ---------------------------------------------------------------------------
+# Task 2 + 6 — ingest housekeeping (compaction, retention), fresh-checkpoint
+# refusal (ADVICE r10 medium), torn-batch replay
+# ---------------------------------------------------------------------------
+
+_BASE = "the quick brown fox jumps over the lazy dog again and again"
+_WAVES = [
+    [(100, _BASE + " alpha"),
+     (101, "first wave unique doc about join reordering")],
+    [(200, _BASE + " alpha"),  # exact dup of 100 → dropped
+     (201, "second wave fresh doc about shuffle partitions")],
+    [(300, "second wave fresh doc about shuffle partitions"),  # dup of 201
+     (301, "third wave genuinely new content on broadcast joins")],
+]
+_INGEST_KW = dict(n=2, num_perm=16, threshold=0.4, bands=8)
+
+
+def _write_waves(spark, src, waves):
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, "id long, text string").coalesce(1).write.parquet(
+            src, mode="append" if i else "overwrite"
+        )
+
+
+def _run_ingest(spark, src, corpus_root, index_root, chk):
+    from pandarallel_spark.streaming import stream_ingest_dedup
+
+    q = stream_ingest_dedup(
+        spark.readStream.schema("id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        "id", "text",
+        corpus_root=corpus_root, index_root=index_root, checkpoint=chk,
+        **_INGEST_KW,
+    )
+    q.awaitTermination(180)
+    return q
+
+
+def test_compact_and_retain_preserve_reader_and_resume(spark, tmp_path):
+    """Compaction folds every committed batch dir but the newest into
+    one: read_retained_corpus is row-identical before/after, the
+    surviving dir carries the SECOND-highest committed id (the newest
+    batch stays replayable), index retention keeps the top versions —
+    and a resumed stream keeps deduping correctly against the
+    compacted state."""
+    from pandarallel_spark.streaming import (
+        compact_retained_corpus,
+        read_retained_corpus,
+        retain_index_versions,
+    )
+
+    src = str(tmp_path / "src")
+    corpus_root = str(tmp_path / "corpus")
+    index_root = str(tmp_path / "index")
+    chk = str(tmp_path / "chk")
+    _write_waves(spark, src, _WAVES)
+    _run_ingest(spark, src, corpus_root, index_root, chk)
+
+    before = sorted(
+        (r.id, r.text)
+        for r in read_retained_corpus(spark, corpus_root).collect()
+    )
+    dirs_before = sorted(
+        x.name for x in (tmp_path / "corpus").iterdir()
+        if x.name.startswith("ingest_batch=")
+    )
+    assert len(dirs_before) == 3
+
+    target = compact_retained_corpus(spark, corpus_root)
+    assert target == 1  # second-highest committed id; batch 2 untouched
+    after = sorted(
+        (r.id, r.text)
+        for r in read_retained_corpus(spark, corpus_root).collect()
+    )
+    assert after == before
+    dirs_after = sorted(
+        x.name for x in (tmp_path / "corpus").iterdir()
+        if x.name.startswith("ingest_batch=")
+    )
+    assert dirs_after == ["ingest_batch=1", "ingest_batch=2"]
+    # nothing left to compact → no-op
+    assert compact_retained_corpus(spark, corpus_root) is None
+
+    dropped = retain_index_versions(spark, index_root, keep=2)
+    assert dropped == [0]
+    assert sorted(
+        x.name for x in (tmp_path / "index").iterdir() if x.name.startswith("v=")
+    ) == ["v=1", "v=2"]
+    with pytest.raises(ValueError, match="keep"):
+        retain_index_versions(spark, index_root, keep=1)
+
+    # resume with a fourth wave: a dup of a COMPACTED doc must still be
+    # recognized and dropped; genuinely new content survives
+    _write_waves(spark, src, _WAVES + [[
+        (400, _BASE + " alpha"),  # dup of compacted wave-1 content
+        (401, "fourth wave novel doc about adaptive query execution"),
+    ]])
+    _run_ingest(spark, src, corpus_root, index_root, chk)
+    got = sorted(r.id for r in read_retained_corpus(spark, corpus_root).collect())
+    assert 401 in got and 400 not in got
+    assert [i for (i, _) in before] == [i for i in got if i < 400]
+
+
+def test_interrupted_compaction_rolls_forward(spark, tmp_path):
+    """A crash between the manifest write and the directory swap leaves
+    a pending manifest: readers refuse loudly, and the next compaction
+    call rolls the swap forward to the exact same rows."""
+    import json
+
+    from pandarallel_spark.streaming import (
+        compact_retained_corpus,
+        read_retained_corpus,
+    )
+    from pandarallel_spark.streaming.ingest import _fs
+
+    corpus_root = str(tmp_path / "corpus")
+    all_rows = []
+    for b in range(4):
+        rows = [(10 * b + j, f"doc {b}-{j} about topic {b}") for j in range(2)]
+        all_rows += rows
+        spark.createDataFrame(rows, "id long, text string").write.parquet(
+            f"{corpus_root}/ingest_batch={b}"
+        )
+    # simulate the torn state: tmp (combined 0+1) durably written and
+    # the manifest recorded, but no source deleted yet
+    spark.read.parquet(
+        f"{corpus_root}/ingest_batch=0", f"{corpus_root}/ingest_batch=1"
+    ).write.parquet(f"{corpus_root}/.compact_tmp")
+    jvm, fs, root = _fs(spark, corpus_root)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(root, "_compacting"), True)
+    out.writeUTF(json.dumps({"sources": [0, 1], "target": 1}))
+    out.close()
+
+    with pytest.raises(RuntimeError, match="compaction is pending"):
+        read_retained_corpus(spark, corpus_root)
+
+    # the next call rolls forward, then compacts the rest as usual
+    compact_retained_corpus(spark, corpus_root)
+    got = sorted(
+        (r.id, r.text) for r in read_retained_corpus(spark, corpus_root).collect()
+    )
+    assert got == sorted(all_rows)
+    assert not (tmp_path / "corpus" / "_compacting").exists()
+    assert not (tmp_path / "corpus" / ".compact_tmp").exists()
+
+
+def test_fresh_checkpoint_over_old_outputs_is_refused(spark, tmp_path):
+    """Restarting with a NEW checkpoint dir over existing output roots
+    resets batch numbering to 0 — the loop must refuse (batch 0 sees
+    committed directories from later batches) instead of silently
+    overwriting ingest_batch=0 / v=0 (ADVICE r10)."""
+    src = str(tmp_path / "src")
+    corpus_root = str(tmp_path / "corpus")
+    index_root = str(tmp_path / "index")
+    _write_waves(spark, src, _WAVES)
+    _run_ingest(spark, src, corpus_root, index_root, str(tmp_path / "chk"))
+    dirs_before = sorted(x.name for x in (tmp_path / "corpus").iterdir())
+
+    from pandarallel_spark.streaming import stream_ingest_dedup
+
+    q = stream_ingest_dedup(
+        spark.readStream.schema("id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        "id", "text",
+        corpus_root=corpus_root, index_root=index_root,
+        checkpoint=str(tmp_path / "chk_fresh"),  # ← relocated checkpoint
+        **_INGEST_KW,
+    )
+    with pytest.raises(Exception, match="checkpoint"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+    # nothing was overwritten
+    assert sorted(x.name for x in (tmp_path / "corpus").iterdir()) == dirs_before
+
+
+def test_torn_batch_replay_overwrites_cleanly(spark, tmp_path):
+    """Kill between the corpus write and the index write of the LAST
+    batch (corpus dir committed, index version missing, checkpoint
+    commit gone): the restarted stream must replay that batch, rewrite
+    both outputs, and land on exactly the pre-crash state."""
+    from pandarallel_spark.streaming import read_retained_corpus
+
+    src = str(tmp_path / "src")
+    corpus_root = str(tmp_path / "corpus")
+    index_root = str(tmp_path / "index")
+    chk = str(tmp_path / "chk")
+    _write_waves(spark, src, _WAVES)
+    _run_ingest(spark, src, corpus_root, index_root, chk)
+
+    want_ids = sorted(r.id for r in read_retained_corpus(spark, corpus_root).collect())
+    want_index = {
+        r["__fp__"]: (r["__sz__"], r["__eid__"], r["__members__"])
+        for r in spark.read.parquet(f"{index_root}/v=2").collect()
+    }
+
+    # tear batch 2: the index write "never happened" and neither did the
+    # checkpoint's commit record — the classic crash window
+    import shutil
+
+    shutil.rmtree(tmp_path / "index" / "v=2")
+    (tmp_path / "chk" / "commits" / "2").unlink()
+    crc = tmp_path / "chk" / "commits" / ".2.crc"
+    if crc.exists():  # local-FS checksum shadow of the commit record
+        crc.unlink()
+
+    _run_ingest(spark, src, corpus_root, index_root, chk)
+    assert sorted(
+        r.id for r in read_retained_corpus(spark, corpus_root).collect()
+    ) == want_ids
+    got_index = {
+        r["__fp__"]: (r["__sz__"], r["__eid__"], r["__members__"])
+        for r in spark.read.parquet(f"{index_root}/v=2").collect()
+    }
+    assert got_index == want_index
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r10 — strictLazy contract fixes
 # ---------------------------------------------------------------------------
 
