@@ -57,6 +57,7 @@ from pandarallel_spark.operators.dedup import (
     _shingle_rows_distinct,
     _sig_array_expr,
     minhash_lsh_pairs,
+    resolve_broadcast_candidates,
 )
 from pandarallel_spark.operators.graph import (
     cluster_survivors,
@@ -297,7 +298,7 @@ def minhash_pairs_incremental(
     num_perm: int | None = None,
     verify: str | None = None,
     include_new_pairs: bool = True,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool | str = "auto",
     bucket_cap: int | None = None,
     _s1: DataFrame | None = None,
     _meta: tuple[int, int] | None = None,
@@ -356,8 +357,10 @@ def minhash_pairs_incremental(
     the index; nothing is quadratic in either corpus, and the only
     ``F.broadcast`` hints sit on candidate-bounded sides (the
     output-sized fp sets and exemplar maps), NEVER on the index itself
-    — disable even those with ``broadcast_candidates=False`` on noisy
-    deltas. Exact duplicates are matched on the fingerprint FIRST and
+    — ``broadcast_candidates="auto"`` (default) keeps even those only
+    when a bounded count probe proves the candidate set fits (see
+    ``dedup.resolve_broadcast_candidates``); pass False to force the
+    AQE path. Exact duplicates are matched on the fingerprint FIRST and
     excluded from banding, so a boilerplate page arriving a million
     times collides with its index entry through one fp join, never
     through B² band buckets.
@@ -478,11 +481,6 @@ def minhash_pairs_incremental(
     else:
         cand_raw = nb.join(ob, ["__band__", "__h__"]).select("__fp__", "__ofp__")
     candidates = truncate_lineage(cand_raw.distinct(), eager=False)
-    # broadcast hints go on CANDIDATE-derived sides only — they are
-    # output-bounded. The index and both corpora stay join-sided (huge
-    # by assumption); AQE still broadcasts them at runtime if small.
-    _maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
-
     if verify == "estimate":
         est = (
             candidates.join(fresh.select("__fp__", "__sz__", "__sig__"), "__fp__")
@@ -509,7 +507,18 @@ def minhash_pairs_incremental(
     else:
         # exact verification — re-shingle ONLY candidate exemplars: the
         # candidate fp sets (broadcast when hinted) push the id filters
-        # toward both parquet scans.
+        # toward both parquet scans. Broadcast hints go on
+        # CANDIDATE-derived sides only — they are output-bounded; the
+        # index and both corpora stay join-sided (huge by assumption),
+        # AQE still broadcasts them at runtime if small. "auto"
+        # (default): a bounded count probe over the truncated candidate
+        # table decides; False under strictLazy (see
+        # dedup.resolve_broadcast_candidates).
+        _maybe_bc = (
+            F.broadcast
+            if resolve_broadcast_candidates(candidates, broadcast_candidates)
+            else (lambda d: d)
+        )
         new_cand = fresh.select("__fp__", "__neid__").join(
             _maybe_bc(candidates.select("__fp__").distinct()), "__fp__"
         )

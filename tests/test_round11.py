@@ -339,6 +339,70 @@ def test_torn_batch_replay_overwrites_cleanly(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Task 4 — auto-sized candidate broadcast
+# ---------------------------------------------------------------------------
+
+
+def test_broadcast_candidates_auto_probes_and_bounds(spark):
+    """\"auto\" broadcasts only when the bounded probe proves the
+    candidate set fits under the cap; both outcomes are
+    result-identical to the explicit booleans, and strictLazy resolves
+    to False without launching any job."""
+    from pandarallel_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        resolve_broadcast_candidates,
+    )
+
+    docs = _mk(spark, [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different content about spark engines"),
+    ])
+    kw = dict(n=2, num_perm=16, bands=8, threshold=0.4)
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            docs, "id", "text", broadcast_candidates=True, **kw
+        ).collect()
+    }
+    # small corpus: auto probes → fits → broadcast; same rows
+    auto = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(docs, "id", "text", **kw).collect()
+    }
+    assert auto == want and len(want) > 0
+
+    # a cap of 0 can never fit → auto resolves to the AQE path; rows
+    # are still identical (only the join hint changes)
+    spark.conf.set("spark.pandarallel_spark.candidateBroadcastCap", "0")
+    try:
+        tiny = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in minhash_lsh_pairs(docs, "id", "text", **kw).collect()
+        }
+        assert tiny == want
+        probe = spark.range(5).select(F.lit("x").alias("__fa__"))
+        assert resolve_broadcast_candidates(probe, "auto") is False
+    finally:
+        spark.conf.unset("spark.pandarallel_spark.candidateBroadcastCap")
+    probe = spark.range(5).select(F.lit("x").alias("__fa__"))
+    assert resolve_broadcast_candidates(probe, "auto") is True
+    assert resolve_broadcast_candidates(probe, True) is True
+    assert resolve_broadcast_candidates(probe, False) is False
+
+    # strictLazy: no probe job — auto is False, decided plan-side
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        assert resolve_broadcast_candidates(probe, "auto") is False
+        assert tracker.getJobIdsForGroup(None) == before
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
 def test_truncate_lineage_lazy_site_respects_strict_lazy(spark, tmp_path):
     """reliableCheckpoint + strictLazy: a LAZY call site must not launch
     surprise persist/checkpoint jobs — it falls back to the lazy
