@@ -145,6 +145,14 @@ def decode_png(content: bytes) -> np.ndarray | None:
     integrity-checks the pixel data, which is what ``zlib.decompress``
     enforces. Returns (H, W, 3) uint8; alpha is dropped, grey
     replicated.
+
+    Validation (r11): beyond the in-module round-trips, external
+    fixtures break the encoder/decoder shared-bug loop
+    (``tests/test_png_wav_fixtures.py``) — libpng's own
+    Adam7-interlaced RGBA ``pngtest.png`` plus two real palette images,
+    and spec-fresh hand-composed bitstreams covering 16-bit reduction,
+    16-bit×Adam7, all five filters inside interlaced passes, and
+    palette indirection.
     """
     import zlib
 
@@ -1214,7 +1222,12 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int] | None:
     rate; chunks are walked properly (JUNK/LIST/fact skipped, word
     alignment respected). Compressed formats (float, ADPCM, MP3-in-WAV)
     return None — caller decides stub vs raise, as with images.
-    Returns (mono float64 samples in [-1, 1), sample_rate)."""
+    Returns (mono float64 samples in [-1, 1), sample_rate).
+
+    Validation (r11): struct-packed external-style fixtures in
+    ``tests/test_png_wav_fixtures.py`` pin the exact downmix
+    arithmetic, 8-bit bias, odd-chunk word alignment, and the
+    float/truncation refusals independently of ``encode_wav_pcm``."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         return None
     pos = 12
