@@ -21,4 +21,7 @@ or a north-star extension (§2.3) onto Spark primitives:
 - ``graph``      — connected components (star contraction), cluster survivors
 - ``incremental`` — persistable MinHash signature index + delta-vs-corpus
   near-dedup (the ingest-loop path: never re-scan the retained corpus)
+- ``incremental_embedding`` — the embedding twin: persistable
+  sign-bit-LSH index (quantized vectors + packed plane bits) +
+  delta-vs-index cosine near-dedup, verification exact from the index
 """

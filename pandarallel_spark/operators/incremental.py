@@ -588,6 +588,74 @@ def minhash_pairs_incremental(
     return out
 
 
+def _retained_wins_closure(
+    new_df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    keep_by: str | None,
+) -> DataFrame:
+    """The ingest-cycle survivor policy, shared by every incremental
+    dedup signal (MinHash here, embeddings in
+    ``incremental_embedding.py``): given the cycle's pair list —
+    ``(id_a, id_b, src)`` with ``src="old"`` rows carrying the NEW doc
+    id in ``id_b`` — return the delta rows that enter the corpus.
+
+    Retained content always wins: the delta's self-pair graph is
+    clustered FIRST (connected components over the ``src="new"``
+    edges), and any cluster containing a doc that matches retained
+    content drops WHOLE — the batch pipeline's transitive closure over
+    OLD ∪ NEW, with the old side as the survivor. Old-free clusters
+    keep one member each (min id, or the best ``keep_by`` score).
+
+    Callers run the temp-column check and the eager-build guard BEFORE
+    building ``pairs`` (the clustering rounds below are eager), and
+    pass ``pairs`` already lineage-truncated — it is read three times
+    here.
+    """
+    old_hits = pairs.filter(F.col("src") == "old").select(
+        F.col("id_b").alias("__hit__")
+    ).distinct()
+    # cluster the FULL delta self-pair graph, then close over old
+    # matches: a component containing any old-hit member is dropped
+    # whole (transitive chains included — the batch pipeline's
+    # connected-components closure, with the old side as the survivor)
+    nn = pairs.filter(F.col("src") == "new").select("id_a", "id_b")
+    cc = truncate_lineage(connected_components(nn, "id_a", "id_b"), eager=False)
+    hit_comps = (
+        cc.join(old_hits, cc["node"] == F.col("__hit__"))
+        .select("component")
+        .distinct()
+    )
+    cc_free = cc.join(hit_comps, "component", "left_anti")
+    if keep_by is None:
+        surv = cc_free.select("component").distinct().select(
+            F.col("component").alias("__keep__")
+        )
+    else:
+        scores = new_df.select(
+            F.col(id_col).alias("id"), F.col(keep_by).alias("score")
+        )
+        surv = cluster_survivors(
+            nn, scores=scores, id_col="id", score_col="score",
+            components=cc_free,
+        ).select(F.col("survivor").alias("__keep__"))
+    # drop list: direct old hits ∪ every member of a hit component ∪
+    # non-survivors of the old-free clusters — all pair/label-sized
+    drop = (
+        old_hits.select(F.col("__hit__").alias("__drop__"))
+        .unionByName(
+            cc.join(hit_comps, "component").select(F.col("node").alias("__drop__"))
+        )
+        .unionByName(
+            cc_free.select(F.col("node").alias("__drop__")).join(
+                surv, F.col("__drop__") == F.col("__keep__"), "left_anti"
+            )
+        )
+        .distinct()
+    )
+    return new_df.join(drop, new_df[id_col] == F.col("__drop__"), "left_anti")
+
+
 def incremental_dedup_corpus(
     new_df: DataFrame,
     id_col: str,
@@ -653,48 +721,7 @@ def incremental_dedup_corpus(
         ),
         eager=False,
     )
-    old_hits = pairs.filter(F.col("src") == "old").select(
-        F.col("id_b").alias("__hit__")
-    ).distinct()
-    # cluster the FULL delta self-pair graph, then close over old
-    # matches: a component containing any old-hit member is dropped
-    # whole (transitive chains included — the batch pipeline's
-    # connected-components closure, with the old side as the survivor)
-    nn = pairs.filter(F.col("src") == "new").select("id_a", "id_b")
-    cc = truncate_lineage(connected_components(nn, "id_a", "id_b"), eager=False)
-    hit_comps = (
-        cc.join(old_hits, cc["node"] == F.col("__hit__"))
-        .select("component")
-        .distinct()
-    )
-    cc_free = cc.join(hit_comps, "component", "left_anti")
-    if keep_by is None:
-        surv = cc_free.select("component").distinct().select(
-            F.col("component").alias("__keep__")
-        )
-    else:
-        scores = new_df.select(
-            F.col(id_col).alias("id"), F.col(keep_by).alias("score")
-        )
-        surv = cluster_survivors(
-            nn, scores=scores, id_col="id", score_col="score",
-            components=cc_free,
-        ).select(F.col("survivor").alias("__keep__"))
-    # drop list: direct old hits ∪ every member of a hit component ∪
-    # non-survivors of the old-free clusters — all pair/label-sized
-    drop = (
-        old_hits.select(F.col("__hit__").alias("__drop__"))
-        .unionByName(
-            cc.join(hit_comps, "component").select(F.col("node").alias("__drop__"))
-        )
-        .unionByName(
-            cc_free.select(F.col("node").alias("__drop__")).join(
-                surv, F.col("__drop__") == F.col("__keep__"), "left_anti"
-            )
-        )
-        .distinct()
-    )
-    kept = new_df.join(drop, new_df[id_col] == F.col("__drop__"), "left_anti")
+    kept = _retained_wins_closure(new_df, id_col, pairs, keep_by)
     # the kept docs' signatures are already in s1 — one semi-join, no
     # second shingle pass. Unchecked merge: the fresh index is built
     # with the OLD index's own (n, num_perm) by construction.
