@@ -345,6 +345,27 @@ def _emb_bands_long(
     )
 
 
+def sigs_long_from_sv(sv: DataFrame, bands: int, r: int) -> DataFrame:
+    """A signature table → the long (__id__, __qv__, __n2__, __band__,
+    __sig__) frame ``cosine_pairs_lsh`` builds with its own Arrow pass —
+    derived here from the packed bits by pure codegen, value-identical
+    by the shared sign rule and packing weights. Lets one Arrow matmul
+    pass feed BOTH the delta×index banding and the delta's batch
+    self-pairing (and the graded row's batch kind)."""
+    banded = sv.select(
+        "__id__", "__qv__", "__n2__", *_band_sig_cols("__bits__", bands, r)
+    )
+    return banded.select(
+        "__id__", "__qv__", "__n2__", _bands_explode_expr(bands).alias("bh")
+    ).select(
+        "__id__",
+        "__qv__",
+        "__n2__",
+        F.col("bh.band").alias("__band__"),
+        F.col("bh.h").alias("__sig__"),
+    )
+
+
 def _dot_arrays_sql(a_col: str, b_col: str, dim: int) -> str:
     """Unrolled exact-int64 dot of two ALREADY-QUANTIZED array<bigint>
     columns — codegen-friendly at near-dup dims (≤ a few hundred), and
@@ -369,6 +390,8 @@ def embedding_pairs_incremental(
     include_new_pairs: bool = True,
     broadcast_candidates: bool | str = "auto",
     bucket_cap: int | None = None,
+    candidate_verify: str = "pairs",
+    verify_block: int = 1024,
     _sv: DataFrame | None = None,
     _meta: tuple[int, int, int] | None = None,
     **new_pair_kwargs,
@@ -386,13 +409,12 @@ def embedding_pairs_incremental(
       against the index's stored vector — every emitted cosine is
       exact, there is no estimate mode.
     - ``src="new"``: both ids are new docs
-      (``similarity.cosine_pairs_lsh`` over the delta with the SAME
-      plane constants, so the two candidate generators band
+      (``similarity.cosine_pairs_lsh`` over the delta, fed the SAME
+      signature pass through ``sigs_long_from_sv`` — the per-band ints
+      derive from the packed bits by codegen, so the delta rides the
+      Arrow matmul exactly once and the two candidate generators band
       identically; skipped with ``include_new_pairs=False``; extra
-      ``new_pair_kwargs`` — ``verify_block=``, … — forward to it). The
-      delta pays one extra Arrow matmul here (the batch operator
-      computes its own per-band signatures); at delta scale that is
-      noise next to the verification work.
+      ``new_pair_kwargs`` — ``verify_block=``, … — forward to it).
 
     ``bands`` splits the index's baked-in planes at QUERY time
     (``planes % bands == 0``); collision probability per band is
@@ -404,6 +426,19 @@ def embedding_pairs_incremental(
     (every candidate is verified). ``dim``/``planes``/``seed`` default
     to the index's embedded metadata (a one-row probe); pass all three
     explicitly under strictLazy.
+
+    ``candidate_verify`` picks the verification strategy — same pair
+    set, bit-identical cosines (differential pytest): ``"pairs"`` (the
+    default, the 100 TB-ingest shape) materializes the candidate
+    (fp, ofp) list from signature-only band rows (~24 B/row through the
+    index-side shuffle) and joins vectors onto CANDIDATES only — right
+    when banding prunes well (real near-dup thresholds ≥ 0.8).
+    ``"buckets"`` verifies inside the (band, signature) buckets with
+    one int64 matmul per bucket (``cosine_pairs_lsh``'s measured
+    design; ``verify_block`` bounds per-task memory) — right when the
+    threshold is low enough that candidate lists grow toward
+    |delta|×|index| and the pair-level vector join would dominate; the
+    trade is the index's vectors riding the band explode.
 
     Scale shape: the delta pays one Arrow matmul pass; the index side
     pays one fp equi-join plus one (band, h) equi-join, both sized by
@@ -461,12 +496,36 @@ def embedding_pairs_incremental(
         new_sets["__fp__"] == F.col("__ofp__"),
         "left_anti",
     )
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be ≥ 1 or None, got {bucket_cap}")
+    if candidate_verify not in ("pairs", "buckets"):
+        raise ValueError(
+            f"candidate_verify must be 'pairs' or 'buckets', got "
+            f"{candidate_verify!r}"
+        )
+    if candidate_verify == "buckets":
+        near = _bucket_verify(
+            fresh, idx, bands, r, threshold, bucket_cap, verify_block
+        )
+        near_pairs = near.join(members, "__fp__").select(
+            F.col("__oeid__").alias("id_a"),
+            F.col("__id__").alias("id_b"),
+            "cosine",
+            F.lit("old").alias("src"),
+        )
+        out = exact_pairs.unionByName(near_pairs)
+        if include_new_pairs:
+            out = out.unionByName(
+                _delta_self_pairs(
+                    new_df, id_col, vec_col, sv, threshold, bands, r, seed,
+                    dim, new_pair_kwargs,
+                )
+            )
+        return out
     nb = _emb_bands_long(fresh, "__fp__", "__bits__", bands, r)
     ob = _emb_bands_long(
         idx.select("__ofp__", "__obits__"), "__ofp__", "__obits__", bands, r
     )
-    if bucket_cap is not None and bucket_cap < 1:
-        raise ValueError(f"bucket_cap must be ≥ 1 or None, got {bucket_cap}")
     if bucket_cap is not None:
         # hot-bucket bound — same mechanics as the MinHash twin
         # (incremental.minhash_pairs_incremental): per-bucket INDEX-side
@@ -535,15 +594,133 @@ def embedding_pairs_incremental(
 
     out = exact_pairs.unionByName(near_pairs)
     if include_new_pairs:
-        from pandarallel_spark.operators.similarity import cosine_pairs_lsh
-
-        nn = cosine_pairs_lsh(
-            new_df, id_col=id_col, vec_col=vec_col, threshold=threshold,
-            bands=bands, planes_per_band=r, seed=seed, dim=dim,
-            **new_pair_kwargs,
-        ).select("id_a", "id_b", "cosine", F.lit("new").alias("src"))
-        out = out.unionByName(nn)
+        out = out.unionByName(
+            _delta_self_pairs(
+                new_df, id_col, vec_col, sv, threshold, bands, r, seed, dim,
+                new_pair_kwargs,
+            )
+        )
     return out
+
+
+def _delta_self_pairs(
+    new_df, id_col, vec_col, sv, threshold, bands, r, seed, dim, kwargs
+) -> DataFrame:
+    """The delta's self-pairing (``src="new"``), reusing the one Arrow
+    pass: ``cosine_pairs_lsh``'s (band, sig) frame derives from sv's
+    packed bits by codegen, value-identical to the batch operator's own
+    projection."""
+    from pandarallel_spark.operators.similarity import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(
+        new_df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        bands=bands, planes_per_band=r, seed=seed, dim=dim,
+        _sigs=sigs_long_from_sv(sv, bands, r),
+        **kwargs,
+    ).select("id_a", "id_b", "cosine", F.lit("new").alias("src"))
+
+
+def _bucket_verify(
+    fresh: DataFrame,
+    idx: DataFrame,
+    bands: int,
+    r: int,
+    threshold: float,
+    bucket_cap: int | None,
+    verify_block: int,
+) -> DataFrame:
+    """``candidate_verify="buckets"``: verify delta×index candidates
+    INSIDE the (band, signature) buckets with one int64 matmul per
+    bucket (``cosine_pairs_lsh``'s measured design), instead of
+    materializing a candidate pair list and joining vectors onto it.
+    Wins when banding prunes weakly (low thresholds → candidate lists
+    grow toward |delta|×|index| and the pair-level vector join
+    dominates); the trade is that the index side's VECTORS ride the
+    band explode (bands× duplication through the shuffle) instead of
+    24-byte signature rows. Same pair set, bit-identical cosines, same
+    ``bucket_cap`` hub semantics (an over-cap bucket pairs the delta
+    against its min-fingerprint index entry only).
+
+    Returns (__fp__, __oeid__, cosine) with cosine ≥ threshold,
+    deduplicated across buckets."""
+    new_long = fresh.select(
+        F.lit(True).alias("__isnew__"),
+        F.col("__fp__").alias("__key__"),
+        F.lit(0).cast("bigint").alias("__keid__"),
+        "__qv__",
+        "__n2__",
+        *_band_sig_cols("__bits__", bands, r),
+    )
+    old_long = idx.select(
+        F.lit(False).alias("__isnew__"),
+        F.col("__ofp__").alias("__key__"),
+        F.col("__oeid__").alias("__keid__"),
+        F.col("__oqv__").alias("__qv__"),
+        F.col("__on2__").alias("__n2__"),
+        *_band_sig_cols("__obits__", bands, r),
+    )
+    both = new_long.unionByName(old_long).select(
+        "__isnew__", "__key__", "__keid__", "__qv__", "__n2__",
+        _bands_explode_expr(bands).alias("bh"),
+    ).select(
+        "__isnew__", "__key__", "__keid__", "__qv__", "__n2__",
+        F.col("bh.band").alias("__band__"), F.col("bh.h").alias("__h__"),
+    )
+    BLOCK = max(int(verify_block), 2)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"__fp__": [], "__ofp__": [], "__oeid__": [], "cosine": []}
+        ).astype(
+            {"__fp__": "int64", "__ofp__": "int64", "__oeid__": "int64",
+             "cosine": "float64"}
+        )
+        nw = pdf[pdf["__isnew__"]]
+        od = pdf[~pdf["__isnew__"]]
+        if nw.empty or od.empty:
+            return empty
+        if bucket_cap is not None and len(od) > bucket_cap:
+            od = od[od["__key__"] == od["__key__"].min()]
+        qn = np.stack(nw["__qv__"].apply(np.asarray).to_numpy()).astype("int64")
+        qo = np.stack(od["__qv__"].apply(np.asarray).to_numpy()).astype("int64")
+        norm_n = np.sqrt(nw["__n2__"].to_numpy().astype("float64"))
+        norm_o = np.sqrt(od["__n2__"].to_numpy().astype("float64"))
+        fps = nw["__key__"].to_numpy()
+        ofps = od["__key__"].to_numpy()
+        oeids = od["__keid__"].to_numpy()
+        parts = []
+        for i0 in range(0, len(nw), BLOCK):
+            i1 = min(i0 + BLOCK, len(nw))
+            for j0 in range(0, len(od), BLOCK):
+                j1 = min(j0 + BLOCK, len(od))
+                dots = qn[i0:i1] @ qo[j0:j1].T  # exact int64
+                cos = dots.astype("float64") / (
+                    norm_n[i0:i1, None] * norm_o[None, j0:j1]
+                )
+                ia, ib = np.nonzero(cos >= threshold)
+                if len(ia) == 0:
+                    continue
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "__fp__": fps[ia + i0],
+                            "__ofp__": ofps[ib + j0],
+                            "__oeid__": oeids[ib + j0],
+                            "cosine": cos[ia, ib],
+                        }
+                    )
+                )
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return (
+        both.groupBy("__band__", "__h__")
+        .applyInPandas(
+            bucket_pairs,
+            "__fp__ bigint, __ofp__ bigint, __oeid__ bigint, cosine double",
+        )
+        .dropDuplicates(["__fp__", "__ofp__"])
+        .select("__fp__", "__oeid__", "cosine")
+    )
 
 
 def incremental_dedup_embeddings(

@@ -300,6 +300,7 @@ def cosine_pairs_lsh(
     seed: int = 202,
     dim: int | None = None,
     verify_block: int = 1024,
+    _sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs, the scale path: banded sign-bit LSH
     candidate generation + exact quantized-cosine verification. Output
@@ -364,17 +365,25 @@ def cosine_pairs_lsh(
 
     from pandarallel_spark.operators.apply import _widen
 
-    sigs = (
-        _widen(df.select(id_col, vec_col))
-        .mapInPandas(
-            sig_batches,
-            "__id__ bigint, __qv__ array<bigint>, __n2__ bigint, __sigs__ array<bigint>",
+    if _sigs is not None:
+        # internal: a precomputed (__id__, __qv__, __n2__, __band__,
+        # __sig__) frame — the incremental-embedding index path derives
+        # identical ints from its packed plane bits, letting a caller
+        # that already paid the Arrow matmul pass (incremental_embedding
+        # .sigs_long_from_sv) share it instead of re-projecting here
+        sigs = _sigs
+    else:
+        sigs = (
+            _widen(df.select(id_col, vec_col))
+            .mapInPandas(
+                sig_batches,
+                "__id__ bigint, __qv__ array<bigint>, __n2__ bigint, __sigs__ array<bigint>",
+            )
+            .select(
+                "__id__", "__qv__", "__n2__",
+                F.posexplode("__sigs__").alias("__band__", "__sig__"),
+            )
         )
-        .select(
-            "__id__", "__qv__", "__n2__",
-            F.posexplode("__sigs__").alias("__band__", "__sig__"),
-        )
-    )
     # per-bucket verification: one exact int64 matmul per (band, sig)
     # group instead of an unrolled per-pair expression — BLAS does the
     # bucket's size² × dim MACs in microseconds where per-row codegen

@@ -1,7 +1,10 @@
 """Continuous dedup ingest: a Structured Streaming loop around the
-persistable MinHash index.
+persistable MinHash index (``method="minhash"``) or the embedding
+sign-bit-LSH index (``method="embedding"`` — there the retained corpus
+is never read at all; the index carries the vectors).
 
-``operators/incremental.py`` gives one ingest CYCLE as a pure function
+``operators/incremental.py`` / ``operators/incremental_embedding.py``
+give one ingest CYCLE as a pure function
 ``(delta, index) → (kept, updated_index)``. This module turns it into a
 running pipeline: a ``foreachBatch`` sink where every micro-batch
 dedups against everything previously retained and both outputs land
@@ -272,12 +275,16 @@ def stream_ingest_dedup(
     corpus_root: str,
     index_root: str,
     checkpoint: str,
+    method: str = "minhash",
     bootstrap_docs: str | None = None,
-    n: int = 3,
-    num_perm: int = 64,
-    threshold: float = 0.5,
+    n: int | None = None,
+    num_perm: int | None = None,
+    dim: int | None = None,
+    planes: int | None = None,
+    seed: int | None = None,
+    threshold: float | None = None,
     bands: int = 16,
-    verify: str = "exact",
+    verify: str | None = None,
     keep_by: str | None = None,
     trigger_available_now: bool = True,
     **cycle_kwargs,
@@ -285,17 +292,32 @@ def stream_ingest_dedup(
     """Run the ingest-dedup loop over ``stream``; returns the started
     ``StreamingQuery``.
 
-    Each micro-batch: load the latest index version (< this batch),
-    run ``incremental_dedup_corpus`` against it — with the retained
-    corpus readable for exact verification when ``verify="exact"``,
-    or index-only with ``verify="estimate"`` — then write the kept
-    docs and the updated index under this batch's id. Batch 0 (or any
-    batch arriving before an index exists) bootstraps: from
-    ``bootstrap_docs`` (a parquet path holding an already-retained
-    corpus with the same id/text columns) when given, else from an
-    empty index, with the signature scheme pinned by ``n``/``num_perm``
-    (later batches validate against the embedded index metadata, so a
-    config drift fails loudly instead of silently matching nothing).
+    ``method="minhash"`` (default): each micro-batch loads the latest
+    index version (< this batch) and runs ``incremental_dedup_corpus``
+    against it — with the retained corpus readable for exact
+    verification when ``verify="exact"`` (the default), or index-only
+    with ``verify="estimate"`` — then writes the kept docs and the
+    updated index under this batch's id. Signature dials: ``n``
+    (shingle width, default 3) / ``num_perm`` (default 64); Jaccard
+    ``threshold`` defaults to 0.5.
+
+    ``method="embedding"``: ``text_col`` names the ``array<float or
+    double>`` EMBEDDING column and each batch runs
+    ``incremental_dedup_embeddings`` — the retained corpus is NEVER
+    read (the index carries the vectors; verification is always
+    exact), so ``verify=`` does not apply and raises if passed. Dials:
+    ``planes`` (default 64) / ``seed`` (default 202) / ``dim``
+    (REQUIRED — the empty bootstrap index cannot infer a vector
+    width); cosine ``threshold`` defaults to 0.8. Passing the wrong
+    method's dials raises instead of being silently ignored.
+
+    Batch 0 (or any batch arriving before an index exists) bootstraps:
+    from ``bootstrap_docs`` (a parquet path holding an already-retained
+    corpus with the same id and text/embedding columns) when given,
+    else from an empty index, with the signature scheme pinned by the
+    dials above (later batches validate against the embedded index
+    metadata, so a config drift fails loudly instead of silently
+    matching nothing).
 
     The loop is eager per batch (clustering rounds), like the batch
     pipeline — strict-lazy sessions cannot host it, by design.
@@ -312,8 +334,44 @@ def stream_ingest_dedup(
     later than the current one) and refuses to run rather than
     silently corrupting the retained corpus.
     """
-    if verify not in ("exact", "estimate"):
-        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    if method not in ("minhash", "embedding"):
+        raise ValueError(
+            f"method must be 'minhash' or 'embedding', got {method!r}"
+        )
+    if method == "embedding":
+        wrong = [p for p, v in (("n", n), ("num_perm", num_perm),
+                                ("verify", verify)) if v is not None]
+        if wrong:
+            raise ValueError(
+                f"stream_ingest_dedup(method='embedding') does not use "
+                f"{wrong} — there are no shingles, and verification is "
+                "always exact from the index's stored vectors; its dials "
+                "are dim=/planes=/seed= and the cosine threshold="
+            )
+        if dim is None:
+            raise ValueError(
+                "method='embedding' requires dim= (the empty bootstrap "
+                "index cannot infer a vector width)"
+            )
+        planes = 64 if planes is None else planes
+        seed = 202 if seed is None else seed
+        threshold = 0.8 if threshold is None else threshold
+    else:
+        wrong = [p for p, v in (("dim", dim), ("planes", planes),
+                                ("seed", seed)) if v is not None]
+        if wrong:
+            raise ValueError(
+                f"stream_ingest_dedup(method='minhash') does not use "
+                f"{wrong} — its signature dials are n=/num_perm="
+            )
+        n = 3 if n is None else n
+        num_perm = 64 if num_perm is None else num_perm
+        threshold = 0.5 if threshold is None else threshold
+        verify = "exact" if verify is None else verify
+        if verify not in ("exact", "estimate"):
+            raise ValueError(
+                f"verify must be 'exact' or 'estimate', got {verify!r}"
+            )
     spark = stream.sparkSession
     # the no-bootstrap empty index comes from the REAL build path over
     # an empty frame with the stream's own id/text types — one source of
@@ -369,39 +427,71 @@ def stream_ingest_dedup(
                 for b in _list_numbered(spark, corpus_root, "ingest_batch=")
                 if b < batch_id
             ]
-            if versions:
-                index = spark.read.parquet(f"{index_root}/v={max(versions)}")
-            elif bootstrap_docs is not None:
-                # compute the bootstrap index ONCE: left lazy it would
-                # re-run the full bootstrap-corpus aggregate for the
-                # metadata probe, every index reference in the pair
-                # plan, AND the updated-index write
-                index = truncate_lineage(
-                    minhash_index_build(
-                        spark.read.parquet(bootstrap_docs), id_col, text_col,
-                        n=n, num_perm=num_perm,
-                    ),
-                    eager=True,
+            if method == "embedding":
+                from pandarallel_spark.operators.incremental_embedding import (
+                    embedding_index_build,
+                    incremental_dedup_embeddings,
+                )
+
+                if versions:
+                    index = spark.read.parquet(f"{index_root}/v={max(versions)}")
+                elif bootstrap_docs is not None:
+                    # computed ONCE, like the minhash bootstrap below
+                    index = truncate_lineage(
+                        embedding_index_build(
+                            spark.read.parquet(bootstrap_docs), id_col,
+                            text_col, planes=planes, seed=seed, dim=dim,
+                        ),
+                        eager=True,
+                    )
+                else:
+                    index = embedding_index_build(
+                        empty_frame, id_col, text_col,
+                        planes=planes, seed=seed, dim=dim,
+                    )
+                # the retained corpus is never read: the index carries
+                # the vectors and verification is always exact
+                kept, updated = incremental_dedup_embeddings(
+                    batch_df, id_col, text_col, index,
+                    threshold=threshold, bands=bands,
+                    dim=dim, planes=planes, seed=seed,
+                    keep_by=keep_by, **cycle_kwargs,
                 )
             else:
-                index = minhash_index_build(
-                    empty_frame, id_col, text_col, n=n, num_perm=num_perm
+                if versions:
+                    index = spark.read.parquet(f"{index_root}/v={max(versions)}")
+                elif bootstrap_docs is not None:
+                    # compute the bootstrap index ONCE: left lazy it would
+                    # re-run the full bootstrap-corpus aggregate for the
+                    # metadata probe, every index reference in the pair
+                    # plan, AND the updated-index write
+                    index = truncate_lineage(
+                        minhash_index_build(
+                            spark.read.parquet(bootstrap_docs), id_col,
+                            text_col, n=n, num_perm=num_perm,
+                        ),
+                        eager=True,
+                    )
+                else:
+                    index = minhash_index_build(
+                        empty_frame, id_col, text_col, n=n, num_perm=num_perm
+                    )
+                old_paths = (
+                    [bootstrap_docs] if bootstrap_docs is not None else []
+                ) + [f"{corpus_root}/ingest_batch={b}" for b in prior]
+                old_docs = (
+                    spark.read.parquet(*old_paths)
+                    if verify == "exact" and old_paths
+                    else None
                 )
-            old_paths = ([bootstrap_docs] if bootstrap_docs is not None else []) + [
-                f"{corpus_root}/ingest_batch={b}" for b in prior
-            ]
-            old_docs = (
-                spark.read.parquet(*old_paths) if verify == "exact" and old_paths
-                else None
-            )
-            kept, updated = incremental_dedup_corpus(
-                batch_df, id_col, text_col, index,
-                old_docs=old_docs,
-                threshold=threshold, bands=bands, n=n, num_perm=num_perm,
-                keep_by=keep_by,
-                **({"verify": verify} if old_docs is not None else {}),
-                **cycle_kwargs,
-            )
+                kept, updated = incremental_dedup_corpus(
+                    batch_df, id_col, text_col, index,
+                    old_docs=old_docs,
+                    threshold=threshold, bands=bands, n=n, num_perm=num_perm,
+                    keep_by=keep_by,
+                    **({"verify": verify} if old_docs is not None else {}),
+                    **cycle_kwargs,
+                )
             kept.write.mode("overwrite").parquet(
                 f"{corpus_root}/ingest_batch={batch_id}"
             )

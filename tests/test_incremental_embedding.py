@@ -375,3 +375,149 @@ def test_index_survives_parquet_roundtrip_and_recycles(spark, corpus, tmp_path):
         new2, "id", "emb", spark.read.parquet(p1), threshold=0.8, bands=_BANDS
     )
     assert sorted(r.id for r in kept2.collect()) == [21]
+
+
+def test_stream_ingest_embedding_matches_sequential_cycles(spark, tmp_path):
+    """The streaming loop with method='embedding' must equal running
+    incremental_dedup_embeddings cycle-by-cycle on the driver: same
+    retained corpus, same final index — and it never reads the retained
+    corpus (there is no old_docs plumbing to read it with)."""
+    from pandarallel_spark.streaming import (
+        read_retained_corpus,
+        stream_ingest_dedup,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = _KW["dim"]
+    base = rng.standard_normal(dim)
+    fresh2 = rng.standard_normal(dim)
+    waves = [
+        [(100, base + 0.001 * rng.standard_normal(dim)),
+         (101, rng.standard_normal(dim))],
+        [(200, base + 0.001 * rng.standard_normal(dim)),  # near 100 → dropped
+         (202, fresh2)],
+        [(300, fresh2),  # exact dup of 202 → dropped
+         (301, rng.standard_normal(dim))],
+    ]
+
+    def _frame(w):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in w],
+            "id long, emb array<double>",
+        )
+
+    src = str(tmp_path / "src")
+    for i, w in enumerate(waves):
+        _frame(w).coalesce(1).write.parquet(
+            src, mode="append" if i else "overwrite"
+        )
+
+    boot = str(tmp_path / "boot")
+    _frame([(1, base), (2, rng.standard_normal(dim))]).write.parquet(boot)
+
+    corpus_root = str(tmp_path / "corpus")
+    index_root = str(tmp_path / "index")
+    kw = dict(threshold=0.9, bands=_BANDS)
+
+    stream = (
+        spark.readStream.schema("id long, emb array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ingest_dedup(
+        stream, "id", "emb", method="embedding",
+        corpus_root=corpus_root, index_root=index_root,
+        checkpoint=str(tmp_path / "chk"), bootstrap_docs=boot,
+        dim=_KW["dim"], planes=_KW["planes"], seed=_KW["seed"], **kw,
+    )
+    q.awaitTermination(180)
+
+    got_ids = sorted(
+        r.id for r in read_retained_corpus(spark, corpus_root).collect()
+    )
+
+    # sequential reference: same waves through the pure function
+    index = embedding_index_build(spark.read.parquet(boot), "id", "emb", **_KW)
+    kept_all = []
+    for w in waves:
+        kept, index = incremental_dedup_embeddings(
+            _frame(w), "id", "emb", index, **kw
+        )
+        kept = kept.persist()
+        kept_all += [r.id for r in kept.collect()]
+    assert got_ids == sorted(kept_all)
+    # spot-pin the planted duplicates regardless of the reference run
+    assert 200 not in got_ids and 300 not in got_ids
+    assert 301 in got_ids
+
+    # the stream's final index equals the sequential one, through the
+    # committed version dir
+    import re
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_root)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    vmax = max(
+        int(st.getPath().getName().split("=")[1])
+        for st in fs.listStatus(root)
+        if re.match(r"v=\d+$", st.getPath().getName())
+    )
+    stored = spark.read.parquet(f"{index_root}/v={vmax}")
+    a = {r["__fp__"]: (r["__eid__"], r["__members__"]) for r in stored.collect()}
+    b = {r["__fp__"]: (r["__eid__"], r["__members__"]) for r in index.collect()}
+    assert a == b
+
+
+def test_stream_ingest_method_validation(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("id long, emb array<double>")
+        .parquet(str(src))
+    )
+    common = dict(
+        corpus_root=str(tmp_path / "c"), index_root=str(tmp_path / "i"),
+        checkpoint=str(tmp_path / "k"),
+    )
+    from pandarallel_spark.streaming import stream_ingest_dedup
+
+    with pytest.raises(ValueError, match="method must be"):
+        stream_ingest_dedup(stream, "id", "emb", method="simhash", **common)
+    with pytest.raises(ValueError, match="does not use"):
+        stream_ingest_dedup(
+            stream, "id", "emb", method="embedding", dim=8, n=3, **common
+        )
+    with pytest.raises(ValueError, match="does not use"):
+        stream_ingest_dedup(
+            stream, "id", "emb", method="embedding", dim=8, verify="exact",
+            **common,
+        )
+    with pytest.raises(ValueError, match="requires dim"):
+        stream_ingest_dedup(stream, "id", "emb", method="embedding", **common)
+    with pytest.raises(ValueError, match="does not use"):
+        stream_ingest_dedup(stream, "id", "emb", planes=64, **common)
+
+
+def test_bucket_verify_equals_pair_verify(spark, corpus):
+    """candidate_verify='buckets' must produce the SAME pair set at
+    bit-identical cosines as the default 'pairs' strategy — with and
+    without the hot-bucket cap (same hub semantics)."""
+    old, new = corpus
+    index = embedding_index_build(old, "id", "emb", **_KW)
+
+    def run(**kw):
+        return sorted(
+            (r.src, r.id_a, r.id_b, r.cosine)
+            for r in embedding_pairs_incremental(
+                new, "id", "emb", index, threshold=0.8, bands=_BANDS, **kw
+            ).collect()
+        )
+
+    assert run(candidate_verify="buckets") == run(candidate_verify="pairs")
+    assert run(candidate_verify="buckets", bucket_cap=1, verify_block=2) == run(
+        candidate_verify="pairs", bucket_cap=1
+    )
+    with pytest.raises(ValueError, match="candidate_verify"):
+        embedding_pairs_incremental(
+            new, "id", "emb", index, bands=_BANDS, candidate_verify="blas"
+        )
