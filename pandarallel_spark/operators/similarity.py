@@ -877,6 +877,156 @@ def ivf_index_read(spark, path: str) -> DataFrame:
     )
 
 
+def ivf_list_stats(index: DataFrame, dim: int | None = None) -> DataFrame:
+    """Per-inverted-list health stats: ``(__cid__, n_vectors,
+    mean_sq_dist)`` — one index scan, one small aggregation.
+
+    ``mean_sq_dist`` is the mean squared L2 distance of each list's
+    vectors to their OWN assigned centroid, in quantized units
+    (Σ (q_i − c_i)² over the exact int64 grid, averaged as double) —
+    the IVF quantization distortion. Both signals of a stale index
+    live here:
+
+    - **drift**: appended vectors landing far from every centroid push
+      ``mean_sq_dist`` up — the centroids no longer describe the
+      distribution (``ivf_index_append`` assigns with the ORIGINAL
+      centroids by design);
+    - **imbalance**: ``n_vectors`` concentrating in few lists destroys
+      the nprobe/n_centroids pruning ratio — a probe of the hot list
+      approaches a full scan.
+
+    The centroid vector comes from each row's own metadata columns
+    (``array_position`` + ``element_at`` — pure codegen, no join, no
+    driver centroid collect beyond the one-row ``dim`` probe; pass
+    ``dim=`` to skip it under strictLazy). Persist the build-time
+    frame next to the index and hand both to :func:`ivf_drift_check`
+    on whatever cadence the ingest loop warrants.
+    """
+    _check_ivf_index(index)
+    if dim is None:
+        eager_build_guard(
+            index.sparkSession,
+            "ivf_list_stats dim probe (one-row bounded collect)",
+            "Pass dim= explicitly to skip the probe.",
+        )
+        row = index.select("__ivf_dim__").limit(1).collect()
+        if not row:
+            raise ValueError("ivf_list_stats: the index is empty")
+        dim = int(row[0]["__ivf_dim__"])
+    with_cent = index.withColumn(
+        "__centv__",
+        F.element_at(
+            F.col("__ivf_cvecs__"),
+            F.array_position(F.col("__ivf_cids__"), F.col("__cid__")).cast(
+                "int"
+            ),
+        ),
+    )
+    sq = F.expr(
+        " + ".join(
+            f"({_qel_sql('__cvec__', i)} - {_qel_sql('__centv__', i)})"
+            f" * ({_qel_sql('__cvec__', i)} - {_qel_sql('__centv__', i)})"
+            for i in range(dim)
+        )
+    )
+    return (
+        with_cent.select("__cid__", sq.alias("__sq__"))
+        .groupBy("__cid__")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.avg("__sq__").alias("mean_sq_dist"),
+        )
+    )
+
+
+def ivf_drift_check(
+    current: DataFrame,
+    baseline: DataFrame | None = None,
+    max_imbalance: float = 4.0,
+    max_distortion_ratio: float = 2.0,
+) -> dict:
+    """Decide whether an append-grown IVF index warrants a rebuild —
+    the missing half of ``ivf_index_append``'s "rebuild on whatever
+    cadence the drift warrants" contract.
+
+    ``current`` (and optionally ``baseline``, persisted at build time)
+    are :func:`ivf_list_stats` frames. Eager by design (two bounded
+    collects over n_centroids-sized frames; strictLazy sessions should
+    collect the stats themselves). Returns::
+
+        {"imbalance": max(n)/mean(n),
+         "mean_sq_dist": corpus-wide mean distortion,
+         "distortion_ratio": current/baseline mean distortion
+                             (None without a baseline),
+         "rebuild_recommended": bool, "reasons": [...]}
+
+    and WARNS loudly when a bound is exceeded. Thresholds are the
+    standard operational defaults, not magic: imbalance > ~4 means the
+    hot list already costs ≥ 4 lists' worth of every probe; distortion
+    growing past ~2× the build-time level means appended vectors sit
+    systematically farther from every centroid than the trained
+    distribution did. Recall degrades smoothly, so these bound COST
+    and STALENESS, not correctness — ``ivf_topk_indexed`` stays exact
+    within its probed lists either way.
+    """
+    for c in ("__cid__", "n_vectors", "mean_sq_dist"):
+        if c not in current.columns:
+            raise ValueError(
+                f"not an ivf_list_stats frame: missing column {c!r}"
+            )
+    eager_build_guard(
+        current.sparkSession,
+        "ivf_drift_check stats collect (n_centroids-sized)",
+        "Collect the ivf_list_stats frames yourself outside strict-lazy "
+        "scope.",
+    )
+    rows = current.collect()
+    if not rows:
+        raise ValueError("ivf_drift_check: current stats are empty")
+    counts = np.array([r["n_vectors"] for r in rows], dtype="float64")
+    dists = np.array([r["mean_sq_dist"] for r in rows], dtype="float64")
+    imbalance = float(counts.max() / counts.mean())
+    mean_sq = float((dists * counts).sum() / counts.sum())
+    reasons = []
+    if imbalance > max_imbalance:
+        reasons.append(
+            f"list imbalance {imbalance:.2f} > {max_imbalance} (hot list "
+            f"holds {int(counts.max())} of {int(counts.sum())} vectors)"
+        )
+    ratio = None
+    if baseline is not None:
+        brows = baseline.collect()
+        if not brows:
+            raise ValueError("ivf_drift_check: baseline stats are empty")
+        bcounts = np.array([r["n_vectors"] for r in brows], dtype="float64")
+        bdists = np.array([r["mean_sq_dist"] for r in brows], dtype="float64")
+        bmean = float((bdists * bcounts).sum() / bcounts.sum())
+        if bmean > 0:
+            ratio = mean_sq / bmean
+            if ratio > max_distortion_ratio:
+                reasons.append(
+                    f"quantization distortion grew {ratio:.2f}× over the "
+                    f"build-time baseline (> {max_distortion_ratio}×) — "
+                    "the appended distribution has drifted from the "
+                    "trained centroids"
+                )
+    out = {
+        "imbalance": imbalance,
+        "mean_sq_dist": mean_sq,
+        "distortion_ratio": ratio,
+        "rebuild_recommended": bool(reasons),
+        "reasons": reasons,
+    }
+    if reasons:
+        import warnings
+
+        warnings.warn(
+            "IVF index rebuild recommended: " + "; ".join(reasons),
+            stacklevel=2,
+        )
+    return out
+
+
 def _pq_kmeans_init(sub_mat: np.ndarray, n_codes: int, seed: int) -> np.ndarray:
     """Seeded initial centroids for one subspace: a uniform draw of
     ``n_codes`` distinct sample rows, id-order-stable (indices sorted),

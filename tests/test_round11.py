@@ -609,3 +609,92 @@ def test_index_merge_strict_lazy_warns_and_checks_types(spark):
             minhash_index_merge(ia, ic)
     finally:
         spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
+# ---------------------------------------------------------------------------
+# IVF drift probe: ivf_list_stats + ivf_drift_check
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_list_stats_match_numpy(spark):
+    """Per-list mean squared distortion equals an independent numpy
+    computation over the index's own rows (stored vector vs stored
+    assignment's centroid, both on the quantized grid)."""
+    from pandarallel_spark.operators.similarity import (
+        _np_quant,
+        ivf_index_build,
+        ivf_list_stats,
+    )
+
+    corpus, _, _ = _ivf_fixtures(spark)
+    index = ivf_index_build(corpus, n_centroids=8)
+    got = {
+        r["__cid__"]: (r["n_vectors"], r["mean_sq_dist"])
+        for r in ivf_list_stats(index).collect()
+    }
+
+    rows = index.collect()
+    meta = rows[0]
+    cids = list(meta["__ivf_cids__"])
+    cmat = _np_quant(np.array([list(v) for v in meta["__ivf_cvecs__"]]))
+    per_list = {}
+    for r in rows:
+        q = _np_quant(np.array([list(r["__cvec__"])]))[0]
+        c = cmat[cids.index(r["__cid__"])]
+        per_list.setdefault(r["__cid__"], []).append(float(((q - c) ** 2).sum()))
+    want = {k: (len(v), float(np.mean(v))) for k, v in per_list.items()}
+    assert set(got) == set(want)
+    for k, (n, m) in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(m, rel=1e-12)
+
+
+def test_ivf_drift_check_flags_drift_and_imbalance(spark):
+    """A fresh index passes against its own baseline; appending a
+    SHIFTED distribution (ivf_index_append keeps the original
+    centroids by design) pushes distortion and imbalance past the
+    bounds and recommends a rebuild, loudly."""
+    import warnings
+
+    from pandarallel_spark.operators.similarity import (
+        ivf_drift_check,
+        ivf_index_append,
+        ivf_index_build,
+        ivf_list_stats,
+    )
+
+    corpus, _, _ = _ivf_fixtures(spark)
+    index = ivf_index_build(corpus, n_centroids=8)
+    base = ivf_list_stats(index)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no warning on the healthy index
+        rep = ivf_drift_check(base, baseline=base)
+    assert rep["rebuild_recommended"] is False
+    assert rep["distortion_ratio"] == pytest.approx(1.0)
+    assert rep["imbalance"] >= 1.0
+
+    # drifted delta: far from every trained centroid, collapses into
+    # whichever list is nearest -> distortion and imbalance both blow up
+    rng = np.random.default_rng(99)
+    dim = 8
+    shifted = spark.createDataFrame(
+        [
+            (2000 + i, [float(x + 25.0) for x in rng.normal(size=dim)])
+            for i in range(600)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    grown = index.unionByName(ivf_index_append(index, shifted))
+    with pytest.warns(UserWarning, match="rebuild recommended"):
+        rep2 = ivf_drift_check(ivf_list_stats(grown), baseline=base)
+    assert rep2["rebuild_recommended"] is True
+    assert rep2["distortion_ratio"] > 2.0
+    assert rep2["reasons"]
+
+    # validation
+    with pytest.raises(ValueError, match="ivf_list_stats frame"):
+        ivf_drift_check(index)
+    with pytest.raises(ValueError, match="not an IVF index"):
+        from pandarallel_spark.operators.similarity import ivf_list_stats as s
+
+        s(corpus)
