@@ -24,4 +24,6 @@ or a north-star extension (§2.3) onto Spark primitives:
 - ``incremental_embedding`` — the embedding twin: persistable
   sign-bit-LSH index (quantized vectors + packed plane bits) +
   delta-vs-index cosine near-dedup, verification exact from the index
+- ``bpe``        — BPE tokenizer training (distributed word histogram →
+  exact driver merge learning) + Arrow-batched distributed encoding
 """

@@ -1,0 +1,244 @@
+"""BPE tokenizer training and encoding over a corpus (SURVEY.md §2.3).
+
+``text.bpe_tokens`` gives the GPT-2-style PRETOKENS (regex word split);
+this module completes the tokenizer story: learn the byte-pair merge
+table FROM the corpus and encode with it, the Sennrich et al. 2016
+algorithm (arXiv:1508.07909) re-expressed for Spark's execution model.
+
+The scale split mirrors how production tokenizer trainers actually
+work (HuggingFace tokenizers, SentencePiece): BPE training never needs
+the corpus — it needs the WORD HISTOGRAM, which is corpus-agnostic in
+size (vocabulary grows ~O(corpus^0.5), Heaps' law). So:
+
+- ``word_histogram`` — the only corpus-sized work: one scan + one
+  aggregation (map-side combined) over the pretokens. At 100 TB this
+  is the distributed step, and it is embarrassingly parallel.
+- ``train_bpe`` — exact, deterministic merge learning over the
+  histogram on the driver, bounded by ``max_words`` (top words by
+  frequency; the dropped tail's mass fraction is computed and WARNED
+  about — at realistic caps it is well under 0.1%). Driver-side by
+  design, like the IVF centroid trainer: the histogram is small, the
+  algorithm is inherently sequential (merge i+1 depends on merge i),
+  and a per-merge distributed aggregation would pay vocab_size
+  shuffles for work a dict does in microseconds.
+- ``bpe_encode`` — distributed again: an Arrow-batched pandas UDF
+  applying the learned merge ranks per pretoken, with an LRU cache per
+  batch worker (Zipf's law makes the hit rate ~99%+). Pure scan
+  projection, no shuffle.
+
+Determinism contract: ties on pair frequency break by lexicographic
+pair order, so two trainings over the same histogram produce the SAME
+merge list on any engine — and the differential pytest pins the
+incremental trainer against a naive recount-everything reference.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandarallel_spark.operators._memo import eager_build_guard
+from pandarallel_spark.operators.text import BPE_PATTERN as _RAW_PATTERN
+from pandarallel_spark.operators.text import bpe_tokens
+
+END_OF_WORD = "</w>"
+
+
+def word_histogram(
+    df: DataFrame, text_col: str, lowercase: bool = True
+) -> DataFrame:
+    """``(word, count)`` over the corpus's BPE pretokens — ONE scan,
+    ONE aggregation (map-side partials do most of the collapsing; the
+    shuffle carries distinct words per partition, not tokens). This is
+    the only corpus-sized step of tokenizer training."""
+    toks = bpe_tokens(F.col(text_col)) if lowercase else F.regexp_extract_all(
+        F.col(text_col), F.lit(_RAW_PATTERN), 0
+    )
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _pairs_of(sym: tuple) -> list:
+    return [(sym[i], sym[i + 1]) for i in range(len(sym) - 1)]
+
+
+def _merge_word(sym: tuple, pair: tuple) -> tuple:
+    out = []
+    i = 0
+    while i < len(sym):
+        if i < len(sym) - 1 and (sym[i], sym[i + 1]) == pair:
+            out.append(sym[i] + sym[i + 1])
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def _train_from_histogram(
+    hist: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Exact BPE over a (word, count) histogram with INCREMENTAL pair
+    bookkeeping — each merge touches only the words containing the
+    merged pair (an inverted index), not the whole vocabulary; the
+    naive recount-per-merge form is the test reference. Ties break by
+    (count desc, pair lexicographic asc): deterministic."""
+    words = [tuple(w) + (END_OF_WORD,) for w, _ in hist]
+    freqs = [int(c) for _, c in hist]
+    pair_counts: dict = {}
+    pair_words: dict = {}
+    for wi, sym in enumerate(words):
+        for p in _pairs_of(sym):
+            pair_counts[p] = pair_counts.get(p, 0) + freqs[wi]
+            pair_words.setdefault(p, set()).add(wi)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = None
+        for p, c in pair_counts.items():
+            if c <= 0:
+                continue
+            if best is None or c > best[1] or (c == best[1] and p < best[0]):
+                best = (p, c)
+        if best is None:
+            break
+        pair = best[0]
+        merges.append(pair)
+        for wi in sorted(pair_words.get(pair, ())):
+            sym = words[wi]
+            if pair not in _pairs_of(sym):
+                continue
+            f = freqs[wi]
+            for p in _pairs_of(sym):
+                pair_counts[p] -= f
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
+            new = _merge_word(sym, pair)
+            words[wi] = new
+            for p in _pairs_of(new):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(wi)
+        pair_counts.pop(pair, None)
+        pair_words.pop(pair, None)
+    return merges
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    max_words: int = 1_000_000,
+    lowercase: bool = True,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a corpus; returns the
+    ordered merge list (feed it to :func:`bpe_encode`).
+
+    The corpus-sized work is :func:`word_histogram` (one scan, one
+    shuffle); training itself runs on the driver over the top
+    ``max_words`` words by frequency (ties to lexicographic order for
+    a deterministic histogram). When the cap truncates, the dropped
+    tail's TOKEN-MASS fraction is computed exactly (one extra scalar
+    aggregate over the already-shuffled histogram) and a ``UserWarning``
+    reports it — by Zipf's law a 1M-word cap on a web corpus drops
+    well under 0.1% of occurrences, and BPE statistics are mass-
+    weighted, so the learned merges are insensitive to the tail.
+
+    Eager by design (the histogram collect) and strictLazy-gated.
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be ≥ 1, got {num_merges}")
+    if max_words < 1:
+        raise ValueError(f"max_words must be ≥ 1, got {max_words}")
+    eager_build_guard(
+        df.sparkSession,
+        "train_bpe histogram collect (bounded by max_words)",
+        "Collect a word histogram yourself and use the driver trainer "
+        "outside strict-lazy scope.",
+    )
+    hist_df = word_histogram(df, text_col, lowercase=lowercase)
+    top = (
+        hist_df.orderBy(F.col("count").desc(), F.col("word"))
+        .limit(max_words + 1)
+        .collect()
+    )
+    if len(top) > max_words:
+        top = top[:max_words]
+        totals = hist_df.agg(
+            F.sum("count").alias("all"),
+        ).collect()[0]
+        kept = sum(r["count"] for r in top)
+        dropped = 1.0 - kept / float(totals["all"])
+        warnings.warn(
+            f"train_bpe: histogram truncated to the top {max_words} words "
+            f"— the dropped tail holds {dropped:.4%} of token occurrences; "
+            "raise max_words if that mass matters for your vocabulary",
+            stacklevel=2,
+        )
+    hist = [(r["word"], r["count"]) for r in top]
+    return _train_from_histogram(hist, num_merges)
+
+
+def _encoder(merges: list[tuple[str, str]]):
+    """A word → pieces function applying merges by RANK (lowest-rank
+    mergeable pair first — the standard BPE inference rule, which
+    reproduces training order exactly), with an unbounded per-worker
+    cache; Zipf makes the distinct-word working set small."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    cache: dict = {}
+
+    def encode(word: str) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        sym = tuple(word) + (END_OF_WORD,)
+        while len(sym) > 1:
+            best = min(
+                (p for p in _pairs_of(sym) if p in ranks),
+                key=lambda p: ranks[p],
+                default=None,
+            )
+            if best is None:
+                break
+            sym = _merge_word(sym, best)
+        out = list(sym)
+        cache[word] = out
+        return out
+
+    return encode
+
+
+def bpe_encode(
+    col: Column | str, merges: list[tuple[str, str]], lowercase: bool = True
+) -> Column:
+    """Encode a TEXT column into BPE pieces (``array<string>``, the
+    word-final piece suffixed ``</w>``): pretokenize JVM-side
+    (``text.bpe_tokens``'s regex), then apply the merge ranks in an
+    Arrow-batched pandas UDF — a pure scan projection (no shuffle),
+    with the merge table shipped once per executor in the UDF closure
+    and a per-worker word cache in front of the merge loop."""
+    # built OUTSIDE the UDF body: the closure (merge ranks + cache dict)
+    # deserializes once per python worker, so the cache persists across
+    # Arrow batches within a worker instead of resetting per batch
+    enc = _encoder([tuple(p) for p in merges])
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _encode(words: pd.Series) -> pd.Series:
+        # ws arrives as a numpy array (Arrow), whose truthiness is
+        # ambiguous — test None explicitly
+        return words.apply(
+            lambda ws: []
+            if ws is None
+            else [piece for w in ws for piece in enc(w)]
+        )
+
+    toks = bpe_tokens(col) if lowercase else F.regexp_extract_all(
+        F.col(col) if isinstance(col, str) else col, F.lit(_RAW_PATTERN), 0
+    )
+    return _encode(toks)
