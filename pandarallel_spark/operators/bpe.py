@@ -22,9 +22,9 @@ size (vocabulary grows ~O(corpus^0.5), Heaps' law). So:
   and a per-merge distributed aggregation would pay vocab_size
   shuffles for work a dict does in microseconds.
 - ``bpe_encode`` — distributed again: an Arrow-batched pandas UDF
-  applying the learned merge ranks per pretoken, with an LRU cache per
-  batch worker (Zipf's law makes the hit rate ~99%+). Pure scan
-  projection, no shuffle.
+  applying the learned merge ranks per pretoken, with a size-capped
+  per-worker word cache (Zipf's law makes the hit rate ~99%+). Pure
+  scan projection, no shuffle.
 
 Determinism contract: ties on pair frequency break by lexicographic
 pair order, so two trainings over the same histogram produce the SAME
@@ -162,7 +162,14 @@ def train_bpe(
         "Collect a word histogram yourself and use the driver trainer "
         "outside strict-lazy scope.",
     )
-    hist_df = word_histogram(df, text_col, lowercase=lowercase)
+    from pandarallel_spark.operators._memo import truncate_lineage
+
+    # lineage-truncated so the truncation-mass aggregate below reads the
+    # materialized histogram blocks instead of re-running the corpus
+    # explode+groupBy as a second full scan (review finding r11)
+    hist_df = truncate_lineage(
+        word_histogram(df, text_col, lowercase=lowercase), eager=False
+    )
     top = (
         hist_df.orderBy(F.col("count").desc(), F.col("word"))
         .limit(max_words + 1)
@@ -185,11 +192,16 @@ def train_bpe(
     return _train_from_histogram(hist, num_merges)
 
 
+_ENC_CACHE_CAP = 500_000
+
+
 def _encoder(merges: list[tuple[str, str]]):
     """A word → pieces function applying merges by RANK (lowest-rank
     mergeable pair first — the standard BPE inference rule, which
-    reproduces training order exactly), with an unbounded per-worker
-    cache; Zipf makes the distinct-word working set small."""
+    reproduces training order exactly), with a per-worker cache; Zipf
+    makes the distinct-word working set small, and a size cap bounds
+    the pathological case (high-cardinality pretokens like URLs or
+    hashes) by flushing rather than growing without limit."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     cache: dict = {}
 
@@ -197,6 +209,8 @@ def _encoder(merges: list[tuple[str, str]]):
         hit = cache.get(word)
         if hit is not None:
             return hit
+        if len(cache) >= _ENC_CACHE_CAP:
+            cache.clear()
         sym = tuple(word) + (END_OF_WORD,)
         while len(sym) > 1:
             best = min(

@@ -59,7 +59,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from pandarallel_spark.operators._memo import (
     eager_build_guard,
@@ -73,6 +72,7 @@ from pandarallel_spark.operators.incremental import _retained_wins_closure
 from pandarallel_spark.operators.similarity import (
     _infer_dim,
     _np_quant,
+    _require_integral_ids,
     plane_ints,
 )
 
@@ -80,15 +80,6 @@ _EMB_META_COLS = ("__idx_dim__", "__idx_planes__", "__idx_seed__")
 _SIG_SCHEMA = (
     "__id__ bigint, __qv__ array<bigint>, __n2__ bigint, __bits__ array<bigint>"
 )
-
-
-def _require_integral_id(df: DataFrame, id_col: str, what: str) -> None:
-    if not isinstance(df.schema[id_col].dataType, T.IntegralType):
-        raise TypeError(
-            f"{what} requires an integral id column, got "
-            f"{df.schema[id_col].dataType.simpleString()} — add a surrogate "
-            "bigint id (e.g. monotonically_increasing_id + join back)"
-        )
 
 
 def _vec_signatures(
@@ -101,7 +92,16 @@ def _vec_signatures(
     computed table. Sign rule and constants are shared with
     ``cosine_pairs_lsh`` (bit p = (q · plane_p) >= 0), so candidates
     generated from these bits agree exactly with the batch operator."""
-    _require_integral_id(df, id_col, "embedding index/pairs")
+    _require_integral_ids("embedding index/pairs", id_col, df)
+    if not 0 <= seed < 2**31:
+        # the metadata column stores seed as int32; a wider value would
+        # silently wrap there, and later cycles would project the delta
+        # onto DIFFERENT planes than the index's stored bits — band
+        # joins then match ~nothing (review finding r11)
+        raise ValueError(
+            f"seed must fit a 32-bit non-negative int (got {seed}) — it "
+            "is persisted in the index's __idx_seed__ metadata column"
+        )
     p_mat = np.asarray(plane_ints(planes, dim, seed), dtype="int64")
     n_words = (planes + 63) // 64
 
@@ -518,7 +518,7 @@ def embedding_pairs_incremental(
             out = out.unionByName(
                 _delta_self_pairs(
                     new_df, id_col, vec_col, sv, threshold, bands, r, seed,
-                    dim, new_pair_kwargs,
+                    dim, {"verify_block": verify_block, **new_pair_kwargs},
                 )
             )
         return out
@@ -594,10 +594,13 @@ def embedding_pairs_incremental(
 
     out = exact_pairs.unionByName(near_pairs)
     if include_new_pairs:
+        # verify_block forwards to the self-pairing's bucket verify in
+        # BOTH strategies (review finding r11 — it previously reached
+        # only the "buckets" path)
         out = out.unionByName(
             _delta_self_pairs(
                 new_df, id_col, vec_col, sv, threshold, bands, r, seed, dim,
-                new_pair_kwargs,
+                {"verify_block": verify_block, **new_pair_kwargs},
             )
         )
     return out

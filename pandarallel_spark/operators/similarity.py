@@ -879,7 +879,10 @@ def ivf_index_read(spark, path: str) -> DataFrame:
 
 def ivf_list_stats(index: DataFrame, dim: int | None = None) -> DataFrame:
     """Per-inverted-list health stats: ``(__cid__, n_vectors,
-    mean_sq_dist)`` — one index scan, one small aggregation.
+    mean_sq_dist)`` — one index scan, one small aggregation. EVERY
+    centroid appears (the universe comes from the one-row metadata):
+    empty lists carry ``n_vectors=0`` and a NULL ``mean_sq_dist``, so
+    total concentration into few lists reads as the imbalance it is.
 
     ``mean_sq_dist`` is the mean squared L2 distance of each list's
     vectors to their OWN assigned centroid, in quantized units
@@ -929,13 +932,28 @@ def ivf_list_stats(index: DataFrame, dim: int | None = None) -> DataFrame:
             for i in range(dim)
         )
     )
-    return (
+    present = (
         with_cent.select("__cid__", sq.alias("__sq__"))
         .groupBy("__cid__")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.avg("__sq__").alias("mean_sq_dist"),
         )
+    )
+    # EMPTY lists must appear as zero rows: total concentration into one
+    # list with the rest empty is exactly the imbalance pathology, and a
+    # stats frame built only from present rows would report it as
+    # perfectly balanced (review finding r11). The full centroid
+    # universe comes from the one-row metadata, not a scan.
+    universe = (
+        index.select("__ivf_cids__")
+        .limit(1)
+        .select(F.explode("__ivf_cids__").alias("__cid__"))
+    )
+    return universe.join(present, "__cid__", "left").select(
+        "__cid__",
+        F.coalesce(F.col("n_vectors"), F.lit(0)).alias("n_vectors"),
+        "mean_sq_dist",
     )
 
 
@@ -983,8 +1001,15 @@ def ivf_drift_check(
     rows = current.collect()
     if not rows:
         raise ValueError("ivf_drift_check: current stats are empty")
+    # empty lists carry n_vectors=0 / mean_sq_dist NULL: they weigh
+    # nothing in the distortion mean but DO drag the imbalance
+    # denominator down — that is the point
     counts = np.array([r["n_vectors"] for r in rows], dtype="float64")
-    dists = np.array([r["mean_sq_dist"] for r in rows], dtype="float64")
+    dists = np.array(
+        [r["mean_sq_dist"] or 0.0 for r in rows], dtype="float64"
+    )
+    if counts.sum() == 0:
+        raise ValueError("ivf_drift_check: the index holds no vectors")
     imbalance = float(counts.max() / counts.mean())
     mean_sq = float((dists * counts).sum() / counts.sum())
     reasons = []
@@ -999,7 +1024,9 @@ def ivf_drift_check(
         if not brows:
             raise ValueError("ivf_drift_check: baseline stats are empty")
         bcounts = np.array([r["n_vectors"] for r in brows], dtype="float64")
-        bdists = np.array([r["mean_sq_dist"] for r in brows], dtype="float64")
+        bdists = np.array(
+            [r["mean_sq_dist"] or 0.0 for r in brows], dtype="float64"
+        )
         bmean = float((bdists * bcounts).sum() / bcounts.sum())
         if bmean > 0:
             ratio = mean_sq / bmean

@@ -698,3 +698,44 @@ def test_ivf_drift_check_flags_drift_and_imbalance(spark):
         from pandarallel_spark.operators.similarity import ivf_list_stats as s
 
         s(corpus)
+
+
+def test_ivf_drift_counts_empty_lists_in_imbalance(spark):
+    """Concentration with the REST of the lists empty (e.g. after
+    compaction or drift) must read as imbalance — ivf_list_stats emits
+    zero rows for every centroid in the metadata universe, not just
+    the present ones."""
+    from pandarallel_spark.operators.similarity import (
+        ivf_drift_check,
+        ivf_index_build,
+        ivf_list_stats,
+    )
+
+    corpus, _, _ = _ivf_fixtures(spark)
+    index = ivf_index_build(corpus, n_centroids=8)
+    one_list = index.filter(
+        F.col("__cid__") == index.select("__cid__").first()[0]
+    )
+    stats = {r["__cid__"]: r for r in ivf_list_stats(one_list).collect()}
+    assert len(stats) == 8  # full centroid universe, not just present
+    assert sum(1 for r in stats.values() if r["n_vectors"] == 0) == 7
+    assert all(
+        r["mean_sq_dist"] is None for r in stats.values() if r["n_vectors"] == 0
+    )
+    with pytest.warns(UserWarning, match="imbalance"):
+        rep = ivf_drift_check(ivf_list_stats(one_list))
+    assert rep["imbalance"] == pytest.approx(8.0)
+    assert rep["rebuild_recommended"] is True
+
+
+def test_embedding_seed_must_fit_index_metadata(spark):
+    """__idx_seed__ persists as int32 — a wider seed would silently
+    wrap and later cycles would project onto DIFFERENT planes than the
+    stored bits; refuse at build time."""
+    from pandarallel_spark.operators.incremental_embedding import (
+        embedding_index_build,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, emb array<double>")
+    with pytest.raises(ValueError, match="32-bit"):
+        embedding_index_build(df, "id", "emb", planes=8, seed=2**33, dim=2)
