@@ -26,4 +26,7 @@ or a north-star extension (§2.3) onto Spark primitives:
   delta-vs-index cosine near-dedup, verification exact from the index
 - ``bpe``        — BPE tokenizer training (distributed word histogram →
   exact driver merge learning) + Arrow-batched distributed encoding
+- ``quality_model`` — trained curated-vs-crawl quality classifier
+  (pyspark.ml logistic regression over the JVM feature expressions),
+  the CCNet/GPT-3-style filter tier above the fixed heuristic
 """
