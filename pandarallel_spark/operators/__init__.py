@@ -29,4 +29,6 @@ or a north-star extension (§2.3) onto Spark primitives:
 - ``quality_model`` — trained curated-vs-crawl quality classifier
   (pyspark.ml logistic regression over the JVM feature expressions),
   the CCNet/GPT-3-style filter tier above the fixed heuristic
+- ``semantic``   — SSL-Prototypes curation: distributed k-means
+  clusters, prototype-distance scoring, per-cluster hard/easy pruning
 """
