@@ -41,7 +41,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pandarallel_spark.operators._memo import eager_build_guard
+from pandarallel_spark.operators._memo import (
+    eager_build_guard,
+    truncate_lineage,
+)
 from pandarallel_spark.operators.text import BPE_PATTERN as _RAW_PATTERN
 from pandarallel_spark.operators.text import bpe_tokens
 
@@ -162,8 +165,6 @@ def train_bpe(
         "Collect a word histogram yourself and use the driver trainer "
         "outside strict-lazy scope.",
     )
-    from pandarallel_spark.operators._memo import truncate_lineage
-
     # lineage-truncated so the truncation-mass aggregate below reads the
     # materialized histogram blocks instead of re-running the corpus
     # explode+groupBy as a second full scan (review finding r11)

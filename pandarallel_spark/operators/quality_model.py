@@ -117,7 +117,10 @@ class QualityFilter:
         from pyspark.ml.functions import vector_to_array
 
         scored = self.model.transform(_assemble(df, text_col))
-        keep = [c for c in df.columns]
+        # a prior quality_prob (re-scoring a persisted frame after a
+        # retrain) is REPLACED, not duplicated — a second column of the
+        # same name makes every downstream reference ambiguous
+        keep = [c for c in df.columns if c != "quality_prob"]
         return scored.select(
             *keep,
             vector_to_array(F.col(self.model.getProbabilityCol()))[
@@ -141,7 +144,24 @@ class QualityFilter:
     def load(cls, spark, path: str) -> "QualityFilter":
         from pyspark.ml.classification import LogisticRegressionModel
 
-        return cls(LogisticRegressionModel.load(path))
+        from pandarallel_spark.operators._memo import eager_build_guard
+
+        eager_build_guard(
+            spark,
+            "QualityFilter.load model read (eager MLlib load)",
+            "Load the model outside strict-lazy scope.",
+        )
+        model = LogisticRegressionModel.load(path)
+        want = len(feature_names())
+        got = len(model.coefficients)
+        if got != want:
+            raise ValueError(
+                f"the model at {path!r} has {got} coefficients but this "
+                f"library version's feature recipe has {want} features — "
+                "it was trained under a different recipe (or is not a "
+                "quality filter); retrain with train_quality_filter"
+            )
+        return cls(model)
 
 
 def train_quality_filter(

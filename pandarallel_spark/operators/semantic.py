@@ -42,7 +42,15 @@ def _train_centers(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = df.select(
+    # MLlib's cosine KMeans asserts on zero-length vectors — drop them
+    # from the FIT (they carry no direction to cluster on); the scoring
+    # pass still emits them as cluster −1 (review finding r11)
+    nonzero = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) > 0
+    feats = df.filter(nonzero).select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v__")
     )
     model = KMeans(
@@ -89,6 +97,11 @@ def prototype_scores(
         if _centers is not None
         else _train_centers(df, vec_col, k, seed, max_iter)
     )
+    if centers.shape[1] != dim:
+        raise ValueError(
+            f"prototype_scores: centers are {centers.shape[1]}-wide but the "
+            f"vectors are {dim}-wide"
+        )
     cn = centers / np.maximum(
         np.linalg.norm(centers, axis=1, keepdims=True), 1e-30
     )
@@ -100,6 +113,11 @@ def prototype_scores(
             m = np.stack(pdf[vec_col].apply(np.asarray).to_numpy()).astype(
                 "float64"
             )
+            if m.shape[1] != dim:
+                raise ValueError(
+                    f"prototype_scores: a batch carries {m.shape[1]}-wide "
+                    f"vectors where width {dim} was declared/inferred"
+                )
             norms = np.linalg.norm(m, axis=1)
             ok = norms > 0
             cos = np.zeros((len(pdf), len(cn)))

@@ -1024,6 +1024,11 @@ def ivf_drift_check(
         if not brows:
             raise ValueError("ivf_drift_check: baseline stats are empty")
         bcounts = np.array([r["n_vectors"] for r in brows], dtype="float64")
+        if bcounts.sum() == 0:
+            raise ValueError(
+                "ivf_drift_check: the baseline stats hold no vectors — "
+                "snapshot ivf_list_stats over the POPULATED build-time index"
+            )
         bdists = np.array(
             [r["mean_sq_dist"] or 0.0 for r in brows], dtype="float64"
         )

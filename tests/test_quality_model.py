@@ -118,3 +118,34 @@ def test_end_to_end_on_testdata(spark, sf_dir):
         F.min("quality_prob"), F.max("quality_prob")
     ).first()
     assert 0.0 <= lo <= hi <= 1.0 and hi > lo
+
+
+def test_rescore_replaces_quality_prob(spark, model):
+    """score → apply on an already-scored frame must replace the old
+    quality_prob, not duplicate it into ambiguity (review finding r11)."""
+    df = _df(spark, _CLEAN[:2])
+    scored = model.score(df, "text")
+    again = model.score(scored, "text")
+    assert again.columns.count("quality_prob") == 1
+    # apply on a scored frame re-scores and returns the corpus WITHOUT
+    # the (stale) score column — the score is apply's dial, not output
+    kept = model.apply(scored, "text", min_prob=0.0)
+    assert kept.columns == df.columns
+    assert kept.count() == 2
+
+
+def test_load_rejects_foreign_model(spark, tmp_path):
+    """A persisted model whose coefficient count disagrees with this
+    library's feature recipe must fail fast, not silently mis-score."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors
+
+    tiny = spark.createDataFrame(
+        [(Vectors.dense([0.0, 1.0]), 0.0), (Vectors.dense([1.0, 0.0]), 1.0)],
+        ["features", "label"],
+    )
+    other = LogisticRegression(maxIter=5).fit(tiny)
+    pth = str(tmp_path / "foreign")
+    other.write().overwrite().save(pth)
+    with pytest.raises(ValueError, match="different recipe"):
+        QualityFilter.load(spark, pth)

@@ -739,3 +739,25 @@ def test_embedding_seed_must_fit_index_metadata(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, emb array<double>")
     with pytest.raises(ValueError, match="32-bit"):
         embedding_index_build(df, "id", "emb", planes=8, seed=2**33, dim=2)
+
+
+def test_ivf_drift_check_rejects_vectorless_stats(spark):
+    """Hand-built or degenerate stats frames with zero total vectors
+    raise loudly on BOTH sides instead of 0/0-NaN silently disabling
+    the distortion check."""
+    from pandarallel_spark.operators.similarity import (
+        ivf_drift_check,
+        ivf_index_build,
+        ivf_list_stats,
+    )
+
+    empty_stats = spark.createDataFrame(
+        [(0, 0, None), (1, 0, None)],
+        "__cid__ bigint, n_vectors bigint, mean_sq_dist double",
+    )
+    with pytest.raises(ValueError, match="holds no vectors"):
+        ivf_drift_check(empty_stats)
+    corpus, _, _ = _ivf_fixtures(spark)
+    good = ivf_list_stats(ivf_index_build(corpus, n_centroids=8))
+    with pytest.raises(ValueError, match="POPULATED build-time"):
+        ivf_drift_check(good, baseline=empty_stats)

@@ -131,3 +131,18 @@ def test_strict_lazy_gates_the_fit(spark, two_clusters):
             prototype_scores(two_clusters, "id", "emb", k=2)
     finally:
         spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
+def test_zero_vector_survives_the_real_fit_path(spark):
+    """MLlib's cosine KMeans asserts on zero vectors — the fit must
+    filter them while the scoring pass still emits them as cluster −1
+    (review finding r11: the earlier test injected _centers and never
+    exercised training)."""
+    rng = np.random.default_rng(13)
+    rows = [(i, rng.standard_normal(4)) for i in range(10)]
+    rows.append((99, np.zeros(4)))
+    df = _mk(spark, rows)
+    got = {r["id"]: r["cluster"] for r in
+           prototype_scores(df, "id", "emb", k=2, max_iter=5).collect()}
+    assert got[99] == -1
+    assert len(got) == 11
