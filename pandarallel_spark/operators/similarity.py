@@ -851,14 +851,20 @@ def ivf_index_write(index: DataFrame, path: str, mode: str = "error") -> None:
     ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
 
 
-def ivf_index_read(spark, path: str) -> DataFrame:
+def ivf_index_read(spark, path: str, include_deltas: bool = False) -> DataFrame:
     """Load an index persisted by :func:`ivf_index_write`: the centroid
     sidecar is read once (one-row driver collect, strictLazy-gated) and
     re-attached as constant LITERAL columns, so the result is drop-in
     compatible with ``ivf_topk_indexed`` — whose query plan prunes the
     literal metadata columns away and keeps the static partition
     pruning over ``lists/__cid__=...``; the per-row arrays never leave
-    the driver."""
+    the driver.
+
+    ``include_deltas=True`` additionally unions the COMMITTED
+    ``delta/b=`` dirs written by the continuous ingest loop
+    (``streaming.ingest_ann.stream_ingest_ann``) — each delta dir is
+    itself ``__cid__``-partitioned, so the probed-list pruning holds
+    across the union."""
     eager_build_guard(
         spark,
         "ivf_index_read centroid sidecar read (one-row bounded collect)",
@@ -868,11 +874,20 @@ def ivf_index_read(spark, path: str) -> DataFrame:
         spark.read.parquet(f"{path}/meta"), "ivf_index_read"
     )
     lists = spark.read.parquet(f"{path}/lists")
+    rows = lists.select(
+        "c_id", "__cvec__", F.col("__cid__").cast("bigint").alias("__cid__")
+    )
+    if include_deltas:
+        from pandarallel_spark.streaming.ingest_ann import read_ivf_deltas
+
+        deltas = read_ivf_deltas(spark, path)
+        if deltas is not None:
+            rows = rows.unionByName(deltas)
     vec_type = dict(lists.dtypes)["__cvec__"]
-    return lists.select(
+    return rows.select(
         "c_id",
         "__cvec__",
-        F.col("__cid__").cast("bigint").alias("__cid__"),
+        "__cid__",
         *_ivf_meta_cols(dim, cent_ids, cent_raw, vec_type),
     )
 

@@ -13,6 +13,11 @@ from pandarallel_spark.streaming.ingest import (
     retain_index_versions,
     stream_ingest_dedup,
 )
+from pandarallel_spark.streaming.ingest_ann import (
+    compact_ivf_deltas,
+    read_ivf_deltas,
+    stream_ingest_ann,
+)
 from pandarallel_spark.streaming.joins import stream_stream_interval_join
 from pandarallel_spark.streaming.stateful import (
     content_dedup_stream,
@@ -31,8 +36,11 @@ from pandarallel_spark.streaming.windows import (
 
 __all__ = [
     "compact_retained_corpus",
+    "compact_ivf_deltas",
+    "read_ivf_deltas",
     "read_retained_corpus",
     "retain_index_versions",
+    "stream_ingest_ann",
     "stream_ingest_dedup",
     "stream_stream_interval_join",
     "content_dedup_stream",

@@ -111,32 +111,34 @@ def _compaction_manifest(spark: SparkSession, corpus_root: str) -> dict | None:
         inp.close()
 
 
-def _finish_compaction(spark: SparkSession, corpus_root: str, man: dict) -> None:
+def _finish_compaction(
+    spark: SparkSession, root_path: str, man: dict, prefix: str
+) -> None:
     """Complete (or roll forward) a compaction recorded in the manifest:
     the tmp dir was durably committed BEFORE the manifest was written,
     so finishing is always safe — delete the listed source dirs, move
     the tmp into the target's place, drop the manifest. Idempotent:
     every step checks what already happened."""
-    jvm, fs, root = _fs(spark, corpus_root)
+    jvm, fs, root = _fs(spark, root_path)
     P = jvm.org.apache.hadoop.fs.Path
     tmp = P(root, _COMPACT_TMP)
-    target = P(root, f"ingest_batch={man['target']}")
+    target = P(root, f"{prefix}{man['target']}")
     if fs.exists(tmp):
         for b in man["sources"]:
-            src = P(root, f"ingest_batch={b}")
+            src = P(root, f"{prefix}{b}")
             if fs.exists(src):
                 fs.delete(src, True)
         if not fs.rename(tmp, target):
             raise IOError(
                 f"compaction: rename {_COMPACT_TMP} -> "
-                f"ingest_batch={man['target']} failed under {corpus_root!r}"
+                f"{prefix}{man['target']} failed under {root_path!r}"
             )
     else:
         # rename already happened on a previous attempt: only stray
         # sources (all ≠ target by construction) might remain
         for b in man["sources"]:
             if b != man["target"]:
-                src = P(root, f"ingest_batch={b}")
+                src = P(root, f"{prefix}{b}")
                 if fs.exists(src):
                     fs.delete(src, True)
     fs.delete(P(root, _COMPACT_MANIFEST), False)
@@ -173,29 +175,54 @@ def compact_retained_corpus(spark: SparkSession, corpus_root: str) -> int | None
     reader racing the directory swap can see a partial listing, same
     caveat the module docstring gives for replays.
     """
-    pending = _compaction_manifest(spark, corpus_root)
+    return _compact_numbered_dirs(spark, corpus_root, "ingest_batch=")
+
+
+def _compact_numbered_dirs(
+    spark: SparkSession,
+    root_path: str,
+    prefix: str,
+    partition_by: list[str] | None = None,
+) -> int | None:
+    """The generic fold-committed-dirs-below-the-max core shared by
+    :func:`compact_retained_corpus` (``ingest_batch=`` under the corpus
+    root) and the ANN delta compaction (``b=`` under an IVF index's
+    ``delta/``; ``partition_by=["__cid__"]`` keeps the folded dir's
+    static-pruning layout). Same tmp-then-manifest crash protocol."""
+    pending = _compaction_manifest(spark, root_path)
     if pending is not None:
-        _finish_compaction(spark, corpus_root, pending)
-    committed = _committed_batches(spark, corpus_root, "ingest_batch=")
+        _finish_compaction(spark, root_path, pending, prefix)
+    committed = _committed_batches(spark, root_path, prefix)
     sources = committed[:-1]  # strictly below the max committed id
     if len(sources) < 2:
         return pending["target"] if pending is not None else None
     target = sources[-1]
-    jvm, fs, root = _fs(spark, corpus_root)
+    jvm, fs, root = _fs(spark, root_path)
     P = jvm.org.apache.hadoop.fs.Path
     tmp = P(root, _COMPACT_TMP)
     if fs.exists(tmp):  # stale tmp from a crash BEFORE its manifest: discard
         fs.delete(tmp, True)
-    spark.read.parquet(
-        *[f"{corpus_root}/ingest_batch={b}" for b in sources]
-    ).write.parquet(str(tmp))
+    reader = spark.read
+    if partition_by:
+        # sub-partitioned sources (e.g. __cid__= inside each b= dir)
+        # need a basePath to read as one table; the prefix key then
+        # appears as a partition column and is dropped — bookkeeping,
+        # not data
+        reader = reader.option("basePath", root_path)
+    df = reader.parquet(*[f"{root_path}/{prefix}{b}" for b in sources])
+    if partition_by:
+        df = df.drop(prefix.rstrip("="))
+    w = df.write
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(str(tmp))
     man = {"sources": sources, "target": target}
     out = fs.create(P(root, _COMPACT_MANIFEST), True)
     try:
         out.writeUTF(json.dumps(man))
     finally:
         out.close()
-    _finish_compaction(spark, corpus_root, man)
+    _finish_compaction(spark, root_path, man, prefix)
     return target
 
 

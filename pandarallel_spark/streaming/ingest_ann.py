@@ -1,0 +1,145 @@
+"""Continuous ANN ingest: a Structured Streaming loop around the
+persisted IVF index — the similarity twin of ``ingest.py``'s dedup
+loop, closing the last ingest asymmetry (dedup has had a streaming
+loop since r10; the IVF index could only be appended batch-wise).
+
+Layout, on top of :func:`similarity.ivf_index_write`'s root:
+
+- ``{root}/lists/``        — the base index (partitioned by __cid__)
+- ``{root}/meta/``         — the one-row centroid sidecar
+- ``{root}/delta/b={id}/`` — one dir per micro-batch, each itself
+  partitioned by ``__cid__`` so static probed-list pruning holds for
+  delta rows exactly as for base rows (overwrite per dir)
+
+Idempotency is the dedup loop's scheme verbatim: Structured Streaming
+replays a failed batch with the same batchId, the replay OVERWRITES
+its own ``b={id}`` dir, and readers trust only ``_SUCCESS``-committed
+dirs — so a crash mid-write is invisible. The same reset-checkpoint
+refusal applies: delta dirs from batches LATER than the current one
+mean the checkpoint and the index root have come apart.
+
+Housekeeping: :func:`compact_ivf_deltas` folds committed delta dirs
+strictly below the newest into one (the shared tmp-then-manifest
+crash protocol, partition layout preserved); a full fold into
+``lists/`` is a rebuild-and-swap — ``ivf_index_write(ivf_index_read(
+root, include_deltas=True), new_root)`` then repoint, the same
+new-path-then-swap rule the dedup index documents.
+
+Centroids are NEVER retrained by the loop (appends assign with the
+index's own stored centroids — the IVF trade); watch staleness with
+``similarity.ivf_list_stats``/``ivf_drift_check`` over
+``ivf_index_read(root, include_deltas=True)`` on whatever cadence the
+deployment likes, and rebuild when the probe recommends it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pandarallel_spark.streaming.ingest import (
+    _committed_batches,
+    _compact_numbered_dirs,
+    _compaction_manifest,
+    _list_numbered,
+)
+
+
+def compact_ivf_deltas(spark: SparkSession, index_root: str) -> int | None:
+    """Fold the committed ``delta/b=`` dirs STRICTLY BELOW the highest
+    committed batch into one, preserving the ``__cid__`` partition
+    layout — returns the surviving dir's batch id (or None when fewer
+    than two qualify). Crash-safe and replay-compatible by the same
+    argument as :func:`ingest.compact_retained_corpus` (the newest dir
+    stays untouched because its batch may replay); run it between
+    stream runs."""
+    return _compact_numbered_dirs(
+        spark, f"{index_root}/delta", "b=", partition_by=["__cid__"]
+    )
+
+
+def read_ivf_deltas(spark: SparkSession, index_root: str) -> DataFrame | None:
+    """The committed delta rows ``(c_id, __cvec__, __cid__)`` — only
+    ``_SUCCESS``-carrying ``delta/b=`` dirs, so a torn batch's
+    half-written dir never reaches a reader. None when no deltas exist.
+    Refuses while a delta compaction manifest is pending."""
+    droot = f"{index_root}/delta"
+    if _compaction_manifest(spark, droot) is not None:
+        raise RuntimeError(
+            f"an interrupted delta compaction is pending under {droot!r} — "
+            "run compact_ivf_deltas to roll it forward before reading"
+        )
+    committed = _committed_batches(spark, droot, "b=")
+    if not committed:
+        return None
+    # basePath makes Spark treat the b= dirs as partitions of ONE table
+    # (reading several __cid__-partitioned roots without it trips
+    # CONFLICTING_DIRECTORY_STRUCTURES); the batch id column is then
+    # dropped — it is bookkeeping, not data
+    df = spark.read.option("basePath", droot).parquet(
+        *[f"{droot}/b={b}" for b in committed]
+    )
+    return df.select(
+        "c_id", "__cvec__", df["__cid__"].cast("bigint").alias("__cid__")
+    )
+
+
+def stream_ingest_ann(
+    stream: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    index_root: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Run the ANN ingest loop over ``stream``; returns the started
+    ``StreamingQuery``. ``index_root`` must hold an index persisted by
+    :func:`similarity.ivf_index_write` (the loop never creates one —
+    centroids come from training, which is a batch decision).
+
+    Each micro-batch: recover the centroid set from the sidecar (one
+    bounded row), assign the batch's vectors with ONE Arrow-batched
+    matmul (``ivf_index_append`` — no shuffle), and overwrite this
+    batch's ``delta/b={id}`` dir partitioned by ``__cid__``. Query the
+    growing index with ``ivf_topk_indexed(queries,
+    ivf_index_read(spark, root, include_deltas=True))`` — answers are
+    row-for-row what the inline path gives on the unioned corpus.
+    """
+    from pandarallel_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_read,
+    )
+
+    spark = stream.sparkSession
+    droot = f"{index_root}/delta"
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        if _compaction_manifest(spark, droot) is not None:
+            raise RuntimeError(
+                f"an interrupted delta compaction is pending under "
+                f"{droot!r} — run compact_ivf_deltas before resuming"
+            )
+        stale = [
+            b for b in _list_numbered(spark, droot, "b=") if b > batch_id
+        ]
+        if stale:
+            raise RuntimeError(
+                f"batch {batch_id} found delta dirs from LATER batches "
+                f"({sorted(stale)[:4]}…) — the checkpoint was reset or "
+                "relocated independently of index_root. Resume with the "
+                "original checkpoint, or start over against a fresh root."
+            )
+        index = ivf_index_read(spark, index_root)
+        appended = ivf_index_append(index, batch_df, id_col, vec_col)
+        appended.select("c_id", "__cvec__", "__cid__").write.mode(
+            "overwrite"
+        ).partitionBy("__cid__").parquet(f"{droot}/b={batch_id}")
+
+    w = stream.writeStream.foreachBatch(_ingest).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
