@@ -111,6 +111,21 @@ def _compaction_manifest(spark: SparkSession, corpus_root: str) -> dict | None:
         inp.close()
 
 
+def _refuse_pending_compaction(
+    spark: SparkSession, root_path: str, tool: str, doing: str
+) -> None:
+    """ONE definition of the pending-manifest guard every reader and
+    loop shares: an interrupted compaction leaves ``_compacting``
+    behind, and anything that reads or writes the numbered dirs must
+    refuse until ``tool`` rolls it forward."""
+    if _compaction_manifest(spark, root_path) is not None:
+        raise RuntimeError(
+            f"an interrupted compaction is pending under {root_path!r} "
+            f"(manifest {_COMPACT_MANIFEST!r} present) — run {tool} to "
+            f"roll it forward before {doing}"
+        )
+
+
 def _finish_compaction(
     spark: SparkSession, root_path: str, man: dict, prefix: str
 ) -> None:
@@ -266,13 +281,9 @@ def read_retained_corpus(
     uncommitted batch — but a reader racing that exact rewrite can
     still see it mid-overwrite; a deployment that needs full
     reader/writer isolation should layer a table format on top."""
-    pending = _compaction_manifest(spark, corpus_root)
-    if pending is not None:
-        raise RuntimeError(
-            f"an interrupted compaction is pending under {corpus_root!r} "
-            f"(manifest {_COMPACT_MANIFEST!r} present) — run "
-            "compact_retained_corpus to roll it forward before reading"
-        )
+    _refuse_pending_compaction(
+        spark, corpus_root, "compact_retained_corpus", "reading"
+    )
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(corpus_root)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -408,12 +419,10 @@ def stream_ingest_dedup(
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
-        if _compaction_manifest(spark, corpus_root) is not None:
-            raise RuntimeError(
-                f"an interrupted compaction is pending under {corpus_root!r}"
-                " — run compact_retained_corpus to roll it forward before "
-                "resuming the ingest loop"
-            )
+        _refuse_pending_compaction(
+            spark, corpus_root, "compact_retained_corpus",
+            "resuming the ingest loop",
+        )
         # Idempotency is keyed on the streaming batchId, which lives in
         # the CHECKPOINT: restarting against a fresh/relocated
         # checkpoint resets it to 0, and batch 0 would then bootstrap

@@ -39,8 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pandarallel_spark.streaming.ingest import (
     _committed_batches,
     _compact_numbered_dirs,
-    _compaction_manifest,
     _list_numbered,
+    _refuse_pending_compaction,
 )
 
 
@@ -63,11 +63,7 @@ def read_ivf_deltas(spark: SparkSession, index_root: str) -> DataFrame | None:
     half-written dir never reaches a reader. None when no deltas exist.
     Refuses while a delta compaction manifest is pending."""
     droot = f"{index_root}/delta"
-    if _compaction_manifest(spark, droot) is not None:
-        raise RuntimeError(
-            f"an interrupted delta compaction is pending under {droot!r} — "
-            "run compact_ivf_deltas to roll it forward before reading"
-        )
+    _refuse_pending_compaction(spark, droot, "compact_ivf_deltas", "reading")
     committed = _committed_batches(spark, droot, "b=")
     if not committed:
         return None
@@ -97,43 +93,56 @@ def stream_ingest_ann(
     :func:`similarity.ivf_index_write` (the loop never creates one —
     centroids come from training, which is a batch decision).
 
-    Each micro-batch: recover the centroid set from the sidecar (one
-    bounded row), assign the batch's vectors with ONE Arrow-batched
-    matmul (``ivf_index_append`` — no shuffle), and overwrite this
-    batch's ``delta/b={id}`` dir partitioned by ``__cid__``. Query the
-    growing index with ``ivf_topk_indexed(queries,
-    ivf_index_read(spark, root, include_deltas=True))`` — answers are
-    row-for-row what the inline path gives on the unioned corpus.
+    The centroid set is recovered from the sidecar ONCE, when the loop
+    starts (the loop's own contract is that centroids never change
+    while it runs); each micro-batch then pays exactly one
+    Arrow-batched assignment matmul over its own rows (no shuffle, no
+    per-batch driver collect, no per-batch lists/ listing) and one
+    overwrite of its ``delta/b={id}`` dir partitioned by ``__cid__``.
+    Query the growing index with ``ivf_topk_indexed(queries,
+    ivf_index_read(spark, root, include_deltas=True))`` — answers come
+    from the STORED centroids, exactly like ``ivf_index_append``: they
+    equal the inline path on the unioned corpus whenever the union's
+    centroid rule would pick the same centroids (delta ids above the
+    base ids), and otherwise differ precisely because the index keeps
+    its trained centroids while a from-scratch inline run would train
+    on the union — the IVF append trade, not a bug.
     """
     from pandarallel_spark.operators.similarity import (
-        ivf_index_append,
+        _ivf_assign,
+        _ivf_index_meta,
         ivf_index_read,
     )
 
     spark = stream.sparkSession
     droot = f"{index_root}/delta"
+    # one-time metadata recovery — the loop refuses to start without a
+    # persisted index, and never retrains its centroids
+    index = ivf_index_read(spark, index_root)
+    _, cent_ids, c_mat, _ = _ivf_index_meta(index, "stream_ingest_ann")
+    vec_type = dict(index.dtypes)["__cvec__"]
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
-        if _compaction_manifest(spark, droot) is not None:
-            raise RuntimeError(
-                f"an interrupted delta compaction is pending under "
-                f"{droot!r} — run compact_ivf_deltas before resuming"
-            )
-        stale = [
+        _refuse_pending_compaction(
+            spark, droot, "compact_ivf_deltas", "resuming the ingest loop"
+        )
+        stale = sorted(
             b for b in _list_numbered(spark, droot, "b=") if b > batch_id
-        ]
+        )
         if stale:
             raise RuntimeError(
-                f"batch {batch_id} found delta dirs from LATER batches "
-                f"({sorted(stale)[:4]}…) — the checkpoint was reset or "
-                "relocated independently of index_root. Resume with the "
-                "original checkpoint, or start over against a fresh root."
+                f"batch {batch_id} found delta dirs from LATER batches: "
+                f"{stale[:4]}{'…' if len(stale) > 4 else ''} — the "
+                "checkpoint was reset or relocated independently of "
+                "index_root. Resume with the original checkpoint, or "
+                "start over against a fresh root."
             )
-        index = ivf_index_read(spark, index_root)
-        appended = ivf_index_append(index, batch_df, id_col, vec_col)
-        appended.select("c_id", "__cvec__", "__cid__").write.mode(
+        assigned = _ivf_assign(
+            batch_df, id_col, vec_col, c_mat, cent_ids, vec_type
+        )
+        assigned.select("c_id", "__cvec__", "__cid__").write.mode(
             "overwrite"
         ).partitionBy("__cid__").parquet(f"{droot}/b={batch_id}")
 
