@@ -24,6 +24,9 @@ or a north-star extension (§2.3) onto Spark primitives:
 - ``incremental_embedding`` — the embedding twin: persistable
   sign-bit-LSH index (quantized vectors + packed plane bits) +
   delta-vs-index cosine near-dedup, verification exact from the index
+- ``incremental_substr`` — the ExactSubstr twin: persistable k-gram
+  count index + delta span stripping against the retained corpus
+  (index count + delta count replays the corpus-wide criterion)
 - ``bpe``        — BPE tokenizer training (distributed word histogram →
   exact driver merge learning) + Arrow-batched distributed encoding
 - ``quality_model`` — trained curated-vs-crawl quality classifier

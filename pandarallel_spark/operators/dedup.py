@@ -547,7 +547,13 @@ def duplicated_substring_spans(
         seeds = seeds.filter(
             F.struct("__id__", "__pos__") != F.col("__first__")
         )
-    seeds = seeds.select("__id__", "__pos__")
+    return _spans_from_seeds(seeds.select("__id__", "__pos__"), k, id_col)
+
+
+def _spans_from_seeds(seeds: DataFrame, k: int, id_col: str) -> DataFrame:
+    """(__id__, __pos__) seed positions → maximal (id, span_start,
+    span_end) runs — the per-doc gaps-and-islands window merge, ONE
+    definition shared by the batch and incremental span paths."""
     wd = Window.partitionBy("__id__").orderBy("__pos__")
     brk = F.when(
         F.col("__pos__") > F.lag("__pos__").over(wd) + k, F.lit(1)
@@ -589,6 +595,19 @@ def strip_duplicated_spans(
     spans = duplicated_substring_spans(
         df, id_col, text_col, k, min_count, keep_first=keep_first
     )
+    return _cut_spans(df, id_col, text_col, spans, output_col)
+
+
+def _cut_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    spans: DataFrame,
+    output_col: str,
+) -> DataFrame:
+    """Cut (id, span_start, span_end) token spans out of each document
+    — the strip half of ``strip_duplicated_spans``, ONE definition
+    shared with the incremental path."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__sp__")
     )

@@ -359,28 +359,59 @@ i AS (SELECT doc_id, pos,
           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
       FROM (SELECT doc_id, pos,
                    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-            FROM d))
-SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
-FROM i GROUP BY doc_id, isl
+            FROM d)),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+  FROM i GROUP BY doc_id, isl)
+SELECT 'batch' AS kind, doc_id, span_start, span_end FROM spans
+UNION ALL
+-- incremental ingest twin (r11): even docs indexed (gram counts),
+-- odd docs as the delta. A delta position is duplicated when index
+-- count + delta count >= 2 — which IS the corpus-wide count — so the
+-- incremental spans equal the batch spans restricted to odd docs.
+SELECT 'incr' AS kind, doc_id, span_start, span_end FROM spans
+WHERE doc_id % 2 = 1
 """
 
 
 @register(
     "dedup_substring_spans",
     _SUBSTR_ORACLE,
-    "Exact substring duplication (Lee et al., arXiv:2107.06499 "
-    "ExactSubstr, NEW r7): maximal token spans covered by 8-token "
-    "shingles occurring ≥2 times corpus-wide. The paper's single-node "
-    "suffix array cannot shard; the k-token-anchor formulation "
-    "distributes — zero-shuffle positional shingling (posexplode), "
-    "duplicated grams via groupBy count (map-side combine tames hot "
-    "grams), sort-merge join back, per-doc gaps-and-islands window "
-    "merge. The DuckDB oracle mirrors the md5-gram pipeline "
-    "bit-for-bit, so spans are hash-exact.",
+    "Exact substring duplication family row, kind-tagged (r11 merge). "
+    "kind=batch (r7): maximal token spans covered by 8-token shingles "
+    "occurring ≥2 times corpus-wide (Lee et al., arXiv:2107.06499 "
+    "ExactSubstr). The paper's single-node suffix array cannot shard; "
+    "the k-token-anchor formulation distributes — zero-shuffle "
+    "positional shingling (posexplode), duplicated grams via groupBy "
+    "count (map-side combine tames hot grams), sort-merge join back, "
+    "per-doc gaps-and-islands window merge. The DuckDB oracle mirrors "
+    "the md5-gram pipeline bit-for-bit, so spans are hash-exact. "
+    "kind=incr (NEW r11): the INGEST twin — even doc_ids built into a "
+    "persistable k-gram COUNT index (operators/incremental_substr.py), "
+    "odd doc_ids arriving as the delta through "
+    "duplicated_spans_incremental; index count + delta count replays "
+    "the corpus-wide criterion exactly, so the oracle is the batch "
+    "span set restricted to the delta — the third incremental signal "
+    "under the hard oracle, next to MinHash and embeddings.",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.incremental_substr import (
+        duplicated_spans_incremental,
+        substr_index_build,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return _dedup.duplicated_substring_spans(docs, "doc_id", "text", k=8)
+    batch = _dedup.duplicated_substring_spans(
+        docs, "doc_id", "text", k=8
+    ).select(F.lit("batch").alias("kind"), "doc_id", "span_start", "span_end")
+    index = substr_index_build(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", k=8
+    )
+    inc = duplicated_spans_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", index,
+        _k=8,
+    ).select(F.lit("incr").alias("kind"), "doc_id", "span_start", "span_end")
+    return batch.unionByName(inc)
 
 
 _FRAME_SAMPLE_ORACLE = """
