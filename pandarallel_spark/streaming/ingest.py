@@ -320,6 +320,9 @@ def stream_ingest_dedup(
     dim: int | None = None,
     planes: int | None = None,
     seed: int | None = None,
+    k: int | None = None,
+    min_count: int | None = None,
+    keep_first: bool | None = None,
     threshold: float | None = None,
     bands: int = 16,
     verify: str | None = None,
@@ -349,6 +352,17 @@ def stream_ingest_dedup(
     width); cosine ``threshold`` defaults to 0.8. Passing the wrong
     method's dials raises instead of being silently ignored.
 
+    ``method="substr"``: each batch runs ``incremental_substr_corpus``
+    — documents are never DROPPED; their duplicated passages (vs the
+    retained corpus and the delta itself) are STRIPPED, so every
+    retained doc carries a ``text_deduped`` column next to the
+    original text, and the index gains the grams of the text that
+    actually entered the corpus. Index-only like the embedding method
+    (``verify=``/``keep_by=`` do not apply). Dials: ``k`` (shingle
+    width, default 20) / ``min_count`` (default 2) / ``keep_first``
+    (default False — True keeps each purely-delta-internal passage's
+    first occurrence).
+
     Batch 0 (or any batch arriving before an index exists) bootstraps:
     from ``bootstrap_docs`` (a parquet path holding an already-retained
     corpus with the same id and text/embedding columns) when given,
@@ -372,12 +386,33 @@ def stream_ingest_dedup(
     later than the current one) and refuses to run rather than
     silently corrupting the retained corpus.
     """
-    if method not in ("minhash", "embedding"):
+    if method not in ("minhash", "embedding", "substr"):
         raise ValueError(
-            f"method must be 'minhash' or 'embedding', got {method!r}"
+            f"method must be 'minhash', 'embedding' or 'substr', got "
+            f"{method!r}"
         )
-    if method == "embedding":
+    if method == "substr":
+        wrong = [
+            p for p, v in (
+                ("n", n), ("num_perm", num_perm), ("dim", dim),
+                ("planes", planes), ("seed", seed), ("verify", verify),
+                ("threshold", threshold), ("keep_by", keep_by),
+            ) if v is not None
+        ]
+        if wrong:
+            raise ValueError(
+                f"stream_ingest_dedup(method='substr') does not use "
+                f"{wrong} — passages are stripped, never docs dropped, "
+                "always exactly from the index; its dials are "
+                "k=/min_count=/keep_first="
+            )
+        k = 20 if k is None else k
+        min_count = 2 if min_count is None else min_count
+        keep_first = False if keep_first is None else keep_first
+    elif method == "embedding":
         wrong = [p for p, v in (("n", n), ("num_perm", num_perm),
+                                ("k", k), ("min_count", min_count),
+                                ("keep_first", keep_first),
                                 ("verify", verify)) if v is not None]
         if wrong:
             raise ValueError(
@@ -396,7 +431,9 @@ def stream_ingest_dedup(
         threshold = 0.8 if threshold is None else threshold
     else:
         wrong = [p for p, v in (("dim", dim), ("planes", planes),
-                                ("seed", seed)) if v is not None]
+                                ("seed", seed), ("k", k),
+                                ("min_count", min_count),
+                                ("keep_first", keep_first)) if v is not None]
         if wrong:
             raise ValueError(
                 f"stream_ingest_dedup(method='minhash') does not use "
@@ -463,7 +500,35 @@ def stream_ingest_dedup(
                 for b in _list_numbered(spark, corpus_root, "ingest_batch=")
                 if b < batch_id
             ]
-            if method == "embedding":
+            if method == "substr":
+                from pandarallel_spark.operators.incremental_substr import (
+                    incremental_substr_corpus,
+                    substr_index_build,
+                )
+
+                if versions:
+                    index = spark.read.parquet(f"{index_root}/v={max(versions)}")
+                elif bootstrap_docs is not None:
+                    # computed ONCE, like the minhash bootstrap below
+                    index = truncate_lineage(
+                        substr_index_build(
+                            spark.read.parquet(bootstrap_docs), id_col,
+                            text_col, k=k,
+                        ),
+                        eager=True,
+                    )
+                else:
+                    index = substr_index_build(
+                        empty_frame, id_col, text_col, k=k
+                    )
+                # index-only: passages strip against the gram counts,
+                # the corpus is never read
+                kept, updated = incremental_substr_corpus(
+                    batch_df, id_col, text_col, index,
+                    k=k, min_count=min_count, keep_first=keep_first,
+                    **cycle_kwargs,
+                )
+            elif method == "embedding":
                 from pandarallel_spark.operators.incremental_embedding import (
                     embedding_index_build,
                     incremental_dedup_embeddings,

@@ -174,3 +174,85 @@ def test_strict_lazy_requires_explicit_k(spark, corpus):
             substr_index_merge(index, index)
     finally:
         spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
+def test_stream_ingest_substr_matches_sequential_cycles(spark, tmp_path):
+    """The streaming loop with method='substr' must equal running
+    incremental_substr_corpus cycle-by-cycle: same retained (stripped)
+    docs, same final gram index — and the retained corpus is never
+    read (no old_docs plumbing exists for this method)."""
+    from pandarallel_spark.streaming import (
+        read_retained_corpus,
+        stream_ingest_dedup,
+    )
+
+    waves = [
+        [(100, "wave one says " + _PASSAGE + " loudly today"),
+         (101, "independent first wave content with nothing repeated")],
+        [(200, "wave two repeats " + _PASSAGE + " again here"),  # strips
+         (201, "fresh second wave material that stands alone")],
+    ]
+    src = str(tmp_path / "src")
+    for i, w in enumerate(waves):
+        _mk(spark, w).coalesce(1).write.parquet(
+            src, mode="append" if i else "overwrite"
+        )
+    boot = str(tmp_path / "boot")
+    _mk(spark, [(1, "bootstrap corpus document mentioning nothing shared")]
+        ).write.parquet(boot)
+
+    corpus_root = str(tmp_path / "corpus")
+    index_root = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema("id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ingest_dedup(
+        stream, "id", "text", method="substr",
+        corpus_root=corpus_root, index_root=index_root,
+        checkpoint=str(tmp_path / "chk"), bootstrap_docs=boot,
+        k=_K, keep_first=True,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["id"]: r["text_deduped"]
+        for r in read_retained_corpus(spark, corpus_root).collect()
+    }
+
+    # sequential reference
+    index = substr_index_build(spark.read.parquet(boot), "id", "text", k=_K)
+    want = {}
+    for w in waves:
+        stripped, index = incremental_substr_corpus(
+            _mk(spark, w), "id", "text", index, keep_first=True
+        )
+        stripped = stripped.persist()
+        for r in stripped.collect():
+            want[r["id"]] = r["text_deduped"]
+    assert got == want
+    # the second wave's repeat of the retained passage is stripped
+    assert _PASSAGE not in got[200] and _PASSAGE in got[100]
+
+
+def test_stream_ingest_substr_validation(spark, tmp_path):
+    from pandarallel_spark.streaming import stream_ingest_dedup
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    stream = spark.readStream.schema("id long, text string").parquet(str(src))
+    common = dict(
+        corpus_root=str(tmp_path / "c"), index_root=str(tmp_path / "i"),
+        checkpoint=str(tmp_path / "kk"),
+    )
+    with pytest.raises(ValueError, match="does not use"):
+        stream_ingest_dedup(
+            stream, "id", "text", method="substr", n=3, **common
+        )
+    with pytest.raises(ValueError, match="does not use"):
+        stream_ingest_dedup(
+            stream, "id", "text", method="substr", verify="exact", **common
+        )
+    with pytest.raises(ValueError, match="does not use"):
+        stream_ingest_dedup(stream, "id", "text", k=8, **common)
