@@ -10,7 +10,9 @@ or a north-star extension (§2.3) onto Spark primitives:
 - ``dedup``      — exact / MinHash-LSH (exact-first set collapse) / SimHash /
   n-gram Jaccard / ExactSubstr dedup
 - ``similarity`` — embedding cosine top-k (brute force, LSH-bucketed,
-  IVF-Flat, IVF-PQ with driver or distributed codebook training)
+  IVF-Flat, IVF-PQ with driver or distributed codebook training;
+  coarse centroids anchor-picked or k-means-trained distributively,
+  with a drift-driven index rebuild)
 - ``text``       — language id, quality scoring, token counts, fingerprints
 - ``multimodal`` — binary media columns: real PPM/BMP/PNG (Adam7, 16-bit)/
   JPEG (baseline + progressive)/PCM-WAV codecs + batch plumbing
@@ -28,7 +30,9 @@ or a north-star extension (§2.3) onto Spark primitives:
   count index + delta span stripping against the retained corpus
   (index count + delta count replays the corpus-wide criterion)
 - ``bpe``        — BPE tokenizer training (distributed word histogram →
-  exact driver merge learning) + Arrow-batched distributed encoding
+  exact driver merge learning) + Arrow-batched distributed encoding;
+  the histogram is the ingest artifact (merge == whole-build, retrain
+  from the persisted histogram without re-scanning the corpus)
 - ``quality_model`` — trained curated-vs-crawl quality classifier
   (pyspark.ml logistic regression over the JVM feature expressions),
   the CCNet/GPT-3-style filter tier above the fixed heuristic

@@ -30,6 +30,13 @@ Determinism contract: ties on pair frequency break by lexicographic
 pair order, so two trainings over the same histogram produce the SAME
 merge list on any engine — and the differential pytest pins the
 incremental trainer against a naive recount-everything reference.
+
+The histogram is also the tokenizer's INGEST artifact: it merges by
+summing counts (``word_histogram_merge`` — merge == whole-build, like
+the dedup/ANN index merges), so a growing corpus persists its
+histogram once, each delta pays one aggregate over its own text, and
+``train_bpe_from_histogram`` retrains from the merged artifact without
+re-scanning anything.
 """
 
 from __future__ import annotations
@@ -65,6 +72,37 @@ def word_histogram(
         df.select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _check_histogram(hist_df: DataFrame, op: str) -> None:
+    for c in ("word", "count"):
+        if c not in hist_df.columns:
+            raise ValueError(
+                f"{op}: not a word histogram — missing column {c!r} "
+                "(build one with word_histogram)"
+            )
+
+
+def word_histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two word histograms, summing counts —
+    ``merge(word_histogram(A), word_histogram(B))`` row-for-row equals
+    ``word_histogram(A ∪ B)``. This is the tokenizer-training ingest
+    twin: the histogram is the persistable artifact (vocabulary-sized,
+    Heaps' law — tens of MB for a 100 TB web corpus), each delta pays
+    ONE histogram aggregate over its own text, and
+    :func:`train_bpe_from_histogram` retrains from the merged artifact
+    without ever re-scanning the corpus. Same shape as
+    ``incremental.minhash_index_merge`` / ``substr_index_merge``, with
+    no metadata to validate — a histogram has no build-time dials (the
+    pretokenizer regex is fixed; ``lowercase`` must match across
+    builds, which the caller owns like any normalization step)."""
+    _check_histogram(a, "word_histogram_merge")
+    _check_histogram(b, "word_histogram_merge")
+    return (
+        a.unionByName(b)
+        .groupBy("word")
+        .agg(F.sum("count").alias("count"))
     )
 
 
@@ -155,21 +193,48 @@ def train_bpe(
 
     Eager by design (the histogram collect) and strictLazy-gated.
     """
+    # lineage-truncated so the truncation-mass aggregate inside the
+    # histogram trainer reads the materialized histogram blocks instead
+    # of re-running the corpus explode+groupBy as a second full scan
+    # (review finding r11); the truncation must happen HERE, where the
+    # histogram is a computed plan — train_bpe_from_histogram also takes
+    # persisted parquet histograms, for which a checkpoint would only
+    # copy cheap scan output
+    return train_bpe_from_histogram(
+        truncate_lineage(
+            word_histogram(df, text_col, lowercase=lowercase), eager=False
+        ),
+        num_merges,
+        max_words=max_words,
+        _op="train_bpe",
+    )
+
+
+def train_bpe_from_histogram(
+    hist_df: DataFrame,
+    num_merges: int,
+    max_words: int = 1_000_000,
+    _op: str = "train_bpe_from_histogram",
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a ``(word, count)``
+    histogram DataFrame — :func:`word_histogram` output, reloaded from
+    parquet and/or combined with :func:`word_histogram_merge`. This is
+    the ingest-loop retraining path: at 100 TB the corpus is scanned
+    once per delta (its histogram), and every retrain reads only the
+    merged vocabulary-sized artifact. Identical semantics to
+    :func:`train_bpe` (same cap, same truncation-mass warning, same
+    deterministic tie-break), because :func:`train_bpe` IS this
+    function over a freshly aggregated histogram."""
     if num_merges < 1:
         raise ValueError(f"num_merges must be ≥ 1, got {num_merges}")
     if max_words < 1:
         raise ValueError(f"max_words must be ≥ 1, got {max_words}")
+    _check_histogram(hist_df, _op)
     eager_build_guard(
-        df.sparkSession,
-        "train_bpe histogram collect (bounded by max_words)",
+        hist_df.sparkSession,
+        f"{_op} histogram collect (bounded by max_words)",
         "Collect a word histogram yourself and use the driver trainer "
         "outside strict-lazy scope.",
-    )
-    # lineage-truncated so the truncation-mass aggregate below reads the
-    # materialized histogram blocks instead of re-running the corpus
-    # explode+groupBy as a second full scan (review finding r11)
-    hist_df = truncate_lineage(
-        word_histogram(df, text_col, lowercase=lowercase), eager=False
     )
     top = (
         hist_df.orderBy(F.col("count").desc(), F.col("word"))
@@ -184,7 +249,7 @@ def train_bpe(
         kept = sum(r["count"] for r in top)
         dropped = 1.0 - kept / float(totals["all"])
         warnings.warn(
-            f"train_bpe: histogram truncated to the top {max_words} words "
+            f"{_op}: histogram truncated to the top {max_words} words "
             f"— the dropped tail holds {dropped:.4%} of token occurrences; "
             "raise max_words if that mass matters for your vocabulary",
             stacklevel=2,

@@ -137,3 +137,68 @@ def test_train_bpe_strict_lazy_gated(spark):
             train_bpe(docs, "text", num_merges=2)
     finally:
         spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
+def test_word_histogram_merge_equals_whole_through_parquet(spark, tmp_path):
+    """merge(hist(A), hist(B)) == hist(A ∪ B) row-for-row — including
+    through a parquet round-trip of A's histogram, the ingest shape:
+    the persisted artifact plus one delta aggregate replays the whole-
+    corpus training input, so the corpus is never re-scanned."""
+    from pandarallel_spark.operators.bpe import (
+        train_bpe_from_histogram,
+        word_histogram_merge,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "low low low lower newest"), (2, "newest newest widest")],
+        "id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(3, "newest newest newest widest widest wide low")],
+        "id long, text string",
+    )
+    pth = str(tmp_path / "hist_a")
+    word_histogram(a, "text").write.parquet(pth)
+    merged = word_histogram_merge(
+        spark.read.parquet(pth), word_histogram(b, "text")
+    )
+    whole = word_histogram(a.unionByName(b), "text")
+    as_dict = lambda df: {r["word"]: r["count"] for r in df.collect()}
+    assert as_dict(merged) == as_dict(whole)
+
+    # retraining from the merged artifact == training over the union
+    assert train_bpe_from_histogram(merged, num_merges=8) == train_bpe(
+        a.unionByName(b), "text", num_merges=8
+    )
+
+
+def test_histogram_merge_validation_and_strict_lazy(spark):
+    from pandarallel_spark.operators.bpe import (
+        train_bpe_from_histogram,
+        word_histogram_merge,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    hist = word_histogram(docs, "text")
+    with pytest.raises(ValueError, match="not a word histogram"):
+        word_histogram_merge(hist, docs)
+    with pytest.raises(ValueError, match="not a word histogram"):
+        train_bpe_from_histogram(docs, num_merges=2)
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(RuntimeError, match="histogram collect"):
+            train_bpe_from_histogram(hist, num_merges=2)
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
+def test_from_histogram_truncation_warns_like_train_bpe(spark):
+    from pandarallel_spark.operators.bpe import train_bpe_from_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta beta gamma")], "id long, text string"
+    )
+    hist = word_histogram(docs, "text")
+    with pytest.warns(UserWarning, match="dropped tail holds"):
+        merges = train_bpe_from_histogram(hist, num_merges=3, max_words=2)
+    assert merges == _naive_train([("alpha", 3), ("beta", 2)], 3)
