@@ -193,6 +193,14 @@ def train_bpe(
 
     Eager by design (the histogram collect) and strictLazy-gated.
     """
+    # validate BEFORE building the histogram plan: under
+    # reliableCheckpoint the truncation below is eager (a full corpus
+    # scan + checkpoint write), which must never run for arguments the
+    # trainer will reject anyway
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be ≥ 1, got {num_merges}")
+    if max_words < 1:
+        raise ValueError(f"max_words must be ≥ 1, got {max_words}")
     # lineage-truncated so the truncation-mass aggregate inside the
     # histogram trainer reads the materialized histogram blocks instead
     # of re-running the corpus explode+groupBy as a second full scan

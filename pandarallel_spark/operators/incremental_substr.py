@@ -167,7 +167,6 @@ def duplicated_spans_incremental(
     k: int | None = None,
     min_count: int = 2,
     keep_first: bool = False,
-    _sh: DataFrame | None = None,
     _k: int | None = None,
 ) -> DataFrame:
     """Duplicated spans of the DELTA against the indexed corpus and
@@ -188,12 +187,8 @@ def duplicated_spans_incremental(
     if min_count < 2:
         raise ValueError(f"min_count must be ≥ 2, got {min_count}")
     k = _k if _k is not None else _resolve_substr_k(index, k)
-    sh = (
-        _sh
-        if _sh is not None
-        else truncate_lineage(
-            _shingle_pos_rows(new_df, id_col, text_col, k), eager=False
-        )
+    sh = truncate_lineage(
+        _shingle_pos_rows(new_df, id_col, text_col, k), eager=False
     )
     delta = sh.groupBy("__g__").agg(
         F.count(F.lit(1)).alias("__dc__"),
@@ -224,6 +219,7 @@ def strip_spans_incremental(
     min_count: int = 2,
     keep_first: bool = False,
     output_col: str = "text_deduped",
+    _k: int | None = None,
 ) -> DataFrame:
     """Cut the delta's duplicated spans out
     (:func:`duplicated_spans_incremental` → the shared span cutter):
@@ -232,7 +228,7 @@ def strip_spans_incremental(
     byte-for-byte."""
     spans = duplicated_spans_incremental(
         new_df, id_col, text_col, index, k=k, min_count=min_count,
-        keep_first=keep_first,
+        keep_first=keep_first, _k=_k,
     )
     return _cut_spans(new_df, id_col, text_col, spans, output_col)
 
@@ -256,11 +252,12 @@ def incremental_substr_corpus(
     swap, like the sibling cycles."""
     k = _resolve_substr_k(index, k)
     # the stripped output is read twice (corpus write + index build) —
-    # cut the lineage so the span pipeline runs once
+    # cut the lineage so the span pipeline runs once; k is already
+    # resolved above, so _k= skips the second metadata probe job
     stripped = truncate_lineage(
         strip_spans_incremental(
             new_df, id_col, text_col, index, k=k, min_count=min_count,
-            keep_first=keep_first, output_col=output_col,
+            keep_first=keep_first, output_col=output_col, _k=k,
         ),
         eager=False,
     )

@@ -562,8 +562,9 @@ def _ivf_maxmin_init(
         chosen.append(nxt)
         d2 = np.minimum(d2, ((mat - mat[nxt]) ** 2).sum(axis=1))
     init = mat[chosen].astype("float64") / QUANT
-    if len(init) < n_centroids:  # degenerate tiny corpus: pad by repeating
-        init = np.concatenate([init, init[: n_centroids - len(init)]])
+    if len(init) < n_centroids:  # degenerate tiny corpus: tile to size
+        reps = -(-n_centroids // len(init))
+        init = np.concatenate([init] * reps)[:n_centroids]
     return [[float(x) for x in v] for v in init]
 
 

@@ -280,7 +280,16 @@ def read_retained_corpus(
     directories are immutable — a replay only ever rewrites the one
     uncommitted batch — but a reader racing that exact rewrite can
     still see it mid-overwrite; a deployment that needs full
-    reader/writer isolation should layer a table format on top."""
+    reader/writer isolation should layer a table format on top.
+
+    Schemas are UNIONED across directories (``mergeSchema``): a
+    ``method="substr"`` corpus carries ``text_deduped`` on its batch
+    dirs but not on the bootstrap dir, and without the merge Spark
+    would take whichever file's footer it samples first — silently
+    dropping the column or not depending on listing order. With the
+    merge the result is deterministic: bootstrap rows read
+    ``text_deduped = NULL`` (they entered unstripped — read their text
+    as ``coalesce(text_deduped, text)``)."""
     _refuse_pending_compaction(
         spark, corpus_root, "compact_retained_corpus", "reading"
     )
@@ -302,7 +311,7 @@ def read_retained_corpus(
             f"no committed ingest batches under {corpus_root!r} "
             "(and no bootstrap_docs given)"
         )
-    return spark.read.parquet(*paths)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def stream_ingest_dedup(

@@ -1,0 +1,103 @@
+"""Regression tests for the round-11 review findings (the inline
+review over the substring-twin + kmeans/histogram commits):
+
+1. `read_retained_corpus` must union schemas across directories — a
+   substr corpus's batch dirs carry `text_deduped` while the bootstrap
+   dir does not, and without `mergeSchema` the surviving schema
+   depended on which file's footer Spark sampled first.
+2. `_ivf_maxmin_init`'s degenerate-corpus pad must TILE to
+   `n_centroids` (a single self-concatenate silently built fewer
+   lists than requested when n_centroids > 2× the sample).
+3. `train_bpe` must validate its arguments BEFORE building the
+   histogram plan (under reliableCheckpoint the lineage truncation is
+   eager — a full corpus scan must never run for rejected arguments).
+4. `incremental_substr_corpus` resolves the index's embedded k ONCE
+   per cycle (the `_k` fast-path threads through the strip).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_read_retained_corpus_merges_schemas(spark, tmp_path):
+    from pandarallel_spark.streaming.ingest import read_retained_corpus
+
+    boot = str(tmp_path / "boot")
+    spark.createDataFrame(
+        [(1, "old doc")], "doc_id long, text string"
+    ).write.parquet(boot)
+    root = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(2, "new doc", "new doc stripped")],
+        "doc_id long, text string, text_deduped string",
+    ).write.parquet(f"{root}/ingest_batch=0")
+
+    got = read_retained_corpus(spark, root, bootstrap_docs=boot)
+    assert "text_deduped" in got.columns
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert rows[1]["text_deduped"] is None  # bootstrap: entered unstripped
+    assert rows[2]["text_deduped"] == "new doc stripped"
+    # the documented read pattern resolves both sides
+    eff = {
+        r["doc_id"]: r["eff"]
+        for r in got.select(
+            "doc_id", F.coalesce("text_deduped", "text").alias("eff")
+        ).collect()
+    }
+    assert eff == {1: "old doc", 2: "new doc stripped"}
+
+
+def test_kmeans_init_tiles_degenerate_corpus(spark):
+    from pandarallel_spark.operators.similarity import ivf_index_build
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = ivf_index_build(
+        tiny, n_centroids=16, dim=2, train="kmeans", kmeans_iters=2
+    )
+    cids = list(idx.select("__ivf_cids__").limit(1).collect()[0][0])
+    assert cids == list(range(16))  # the caller got the lists they asked for
+
+
+def test_train_bpe_validates_before_planning(spark, tmp_path, monkeypatch):
+    import pandarallel_spark.operators.bpe as bpe_mod
+
+    # a histogram builder that explodes if touched proves validation
+    # runs first — no plan is built, let alone checkpointed
+    def boom(*a, **k):
+        raise AssertionError("histogram built for invalid arguments")
+
+    monkeypatch.setattr(bpe_mod, "word_histogram", boom)
+    docs = spark.createDataFrame([(1, "a b")], "id long, text string")
+    with pytest.raises(ValueError, match="num_merges"):
+        bpe_mod.train_bpe(docs, "text", num_merges=0)
+    with pytest.raises(ValueError, match="max_words"):
+        bpe_mod.train_bpe(docs, "text", num_merges=2, max_words=0)
+
+
+def test_substr_cycle_resolves_k_once(spark, monkeypatch):
+    import pandarallel_spark.operators.incremental_substr as mod
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string"
+    )
+    index = mod.substr_index_build(docs, "doc_id", "text", k=3)
+    calls = {"n": 0}
+    real = mod._substr_index_k
+
+    def counting(ix):
+        calls["n"] += 1
+        return real(ix)
+
+    monkeypatch.setattr(mod, "_substr_index_k", counting)
+    delta = spark.createDataFrame(
+        [(2, "one two three four seven")], "doc_id long, text string"
+    )
+    stripped, updated = mod.incremental_substr_corpus(
+        delta, "doc_id", "text", index
+    )
+    stripped.count(), updated.count()
+    assert calls["n"] == 1  # one metadata probe per ingest cycle
