@@ -56,6 +56,85 @@ def topk_per_group(
     )
 
 
+def rrf_fuse(
+    ranked: Mapping[str, DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+    weights: Mapping[str, float] | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of named ranked lists (Cormack et al.,
+    SIGIR'09) — the standard hybrid-retrieval combiner: a document's
+    fused score is ``Σ_systems w_s / (k + rank_s)``, with a system that
+    did not retrieve the document contributing 0. The classic ``k=60``
+    damps the head so one system's #1 cannot drown the others.
+
+    ``ranked`` maps system name → DataFrame carrying ``id_col`` and
+    ``rank_col`` (1-based; e.g. a BM25 top-k and an ANN top-k over the
+    same id space). Output: ``(id_col, rank_<name>… [nullable], score,
+    rank)``, ranked by (score desc, id) — a total order, deterministic.
+
+    Determinism contract: the score is ONE fixed-shape expression (the
+    systems' terms added left-to-right in ``ranked``'s iteration
+    order), never a float SUM aggregation — float addition is not
+    associative, so a groupBy-sum's cross-partition merge order could
+    flip last-ulp bits between runs and engines. Fixed-order division
+    and addition are correctly-rounded IEEE ops, so an external SQL
+    replay of the same expression matches bit-for-bit (pass ``dict``s,
+    which preserve insertion order).
+
+    Scale shape: inputs are top-k candidate LISTS, not corpora — the
+    fold of full-outer equi-joins runs over k-sized frames (full outer
+    cannot broadcast in Spark, but AQE coalesces these tiny shuffles);
+    the corpus-sized work already happened inside the retrieval systems
+    being fused."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    names = list(ranked)
+    weights = dict(weights or {})
+    unknown = set(weights) - set(names)
+    if unknown:
+        raise ValueError(
+            f"weights name systems not being fused: {sorted(unknown)}"
+        )
+    fused: DataFrame | None = None
+    for name in names:
+        df = ranked[name]
+        for c in (id_col, rank_col):
+            if c not in df.columns:
+                raise ValueError(
+                    f"ranked list {name!r} is missing column {c!r}"
+                )
+        side = df.select(
+            id_col, F.col(rank_col).alias(f"rank_{name}")
+        )
+        fused = side if fused is None else fused.join(
+            side, id_col, "full_outer"
+        )
+    terms = [
+        F.coalesce(
+            F.lit(float(weights.get(name, 1.0)))
+            / (F.lit(k).cast("double") + F.col(f"rank_{name}").cast("double")),
+            F.lit(0.0),
+        )
+        for name in names
+    ]
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    out = (
+        fused.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return out
+
+
 def skew_safe_count_distinct(
     df: DataFrame, keys: list[str], col: str
 ) -> DataFrame:

@@ -266,9 +266,6 @@ def _bm25_oracle() -> str:
         f" (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))"
         for i in range(len(_BM25_TERMS))
     )
-    tf_out = ", ".join(
-        f"CAST(tf{i} AS BIGINT) AS tf_{i}" for i in range(len(_BM25_TERMS))
-    )
     return f"""
 WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
 base AS (
@@ -277,26 +274,58 @@ base AS (
   FROM t),
 stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, {df_cols} FROM base),
 scored AS (
-  SELECT doc_id, CAST(dl AS BIGINT) AS dl, {tf_out},
+  SELECT doc_id,
     {terms} AS score
-  FROM base CROSS JOIN stats)
-SELECT * FROM (
-  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM base CROSS JOIN stats),
+bm AS (SELECT * FROM (
+  SELECT doc_id, score,
+    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
   FROM scored WHERE score > 0)
-WHERE rank <= 50
+  WHERE rank <= 50),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cos AS (SELECT * FROM (
+  SELECT c.vec_id AS doc_id,
+    CAST(row_number() OVER (ORDER BY
+      list_sum([CAST(round(CAST(qe[i] AS DOUBLE)*10000) AS BIGINT)
+                * CAST(round(CAST(ce[i] AS DOUBLE)*10000) AS BIGINT)
+                FOR i IN range(1, len(qe)+1)]) DESC, c.vec_id)
+    AS BIGINT) AS rank
+  FROM (SELECT vec_id, embedding AS ce FROM embeddings) c CROSS JOIN qv)
+  WHERE rank <= 50),
+fused AS (
+  SELECT COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
+    COALESCE(1.0 / (60.0 + CAST(bm.rank AS DOUBLE)), 0.0)
+      + COALESCE(1.0 / (60.0 + CAST(cos.rank AS DOUBLE)), 0.0) AS score
+  FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id),
+rrf AS (SELECT * FROM (
+  SELECT doc_id, score,
+    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM fused)
+  WHERE rank <= 20)
+SELECT 'bm25' AS kind, doc_id, score, rank FROM bm
+UNION ALL
+SELECT 'rrf' AS kind, doc_id, score, rank FROM rrf
 """
 
 
 @register(
     "bm25_topk",
     _bm25_oracle(),
-    "BM25-style retrieval scoring (rational Robertson idf — no ln, "
-    "which is not correctly-rounded IEEE and would break cross-engine "
-    "bit-exactness) over a fixed 3-term query: tf/df/N/avgdl from two "
-    "tiny broadcast aggregates + a pure projection; top-50 window.",
+    "Hybrid retrieval in one kind-tagged row. kind=bm25: BM25-style "
+    "scoring (rational Robertson idf — no ln, which is not correctly-"
+    "rounded IEEE and would break cross-engine bit-exactness) over a "
+    "fixed 3-term query: tf/df/N/avgdl from two tiny broadcast "
+    "aggregates + a pure projection; top-50 window. kind=rrf (r11): "
+    "reciprocal-rank fusion (Cormack SIGIR'09, k=60) of that BM25 "
+    "list with the exact int64-cosine top-50 for embedding vec 0 — "
+    "relational.rrf_fuse's fixed-shape score expression (never a "
+    "float SUM aggregation, so the addition order is engine-"
+    "independent), fused top-20.",
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+
+    from pandarallel_spark.operators.relational import rrf_fuse
 
     docs = load_table(spark, sf_dir, "documents")
     scored = _text.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
@@ -309,7 +338,36 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    # the 50-row BM25 list feeds BOTH kinds (its own output + the
+    # fusion input) — cut the lineage so the documents corpus is
+    # scanned once, not once per branch
+    from pandarallel_spark.operators._memo import truncate_lineage
+
+    bm = truncate_lineage(
+        top.withColumn("rank", F.row_number().over(w).cast("bigint")),
+        eager=False,
+    )
+
+    # the dense side: exact quantized-cosine top-50 for one query
+    # vector — the same id space (doc_id == vec_id in the testdata)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = _sim.topk_expr(
+        emb.filter(F.col("vec_id") < 1), emb, k=50
+    ).select(
+        F.col("c_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+    fused = rrf_fuse(
+        {"bm25": bm.select("doc_id", "rank"), "vec": vec},
+        "doc_id",
+        k=60,
+        top_k=20,
+    )
+    return bm.select(
+        F.lit("bm25").alias("kind"), "doc_id", "score", "rank"
+    ).unionByName(
+        fused.select(F.lit("rrf").alias("kind"), "doc_id", "score", "rank")
+    )
 
 
 _DECONTAM_ORACLE = f"""

@@ -101,3 +101,49 @@ def test_substr_cycle_resolves_k_once(spark, monkeypatch):
     )
     stripped.count(), updated.count()
     assert calls["n"] == 1  # one metadata probe per ingest cycle
+
+
+def test_rrf_fuse_semantics_and_validation(spark):
+    """RRF (Cormack et al. SIGIR'09): score = Σ w_s/(k+rank_s), missing
+    system contributes 0; ranked by (score desc, id); weights scale a
+    system's terms; malformed inputs raise."""
+    from pandarallel_spark.operators.relational import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2)], "doc_id long, rank long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rrf_fuse({"a": a, "b": b}, "doc_id", k=60).collect()
+    }
+    assert out[3]["score"] == 1.0 / 63 + 1.0 / 61  # both systems
+    assert out[1]["score"] == 1.0 / 61             # a only
+    assert out[4]["score"] == 1.0 / 62             # b only
+    assert out[3]["rank"] == 1                     # fused winner
+    assert out[1]["rank_b"] is None                # missing → NULL rank
+
+    # weights scale per-system terms
+    wout = {
+        r["doc_id"]: r["score"]
+        for r in rrf_fuse(
+            {"a": a, "b": b}, "doc_id", k=60, weights={"b": 2.0}
+        ).collect()
+    }
+    assert wout[4] == 2.0 / 62
+    assert wout[3] == 1.0 / 63 + 2.0 / 61
+
+    # top_k bounds the fused list
+    assert rrf_fuse({"a": a, "b": b}, "doc_id", top_k=2).count() == 2
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one"):
+        rrf_fuse({}, "doc_id")
+    with _pt.raises(ValueError, match="k must be"):
+        rrf_fuse({"a": a}, "doc_id", k=0)
+    with _pt.raises(ValueError, match="not being fused"):
+        rrf_fuse({"a": a}, "doc_id", weights={"zzz": 1.0})
+    with _pt.raises(ValueError, match="missing column"):
+        rrf_fuse({"a": a.drop("rank")}, "doc_id")
