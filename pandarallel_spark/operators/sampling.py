@@ -78,6 +78,51 @@ def hash_split(
     return df.withColumn(split_col, out)
 
 
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic seeded GLOBAL shuffle of a corpus into
+    ``n_shards`` — the standard pre-training export step: training
+    wants documents in pseudo-random order, decorrelated from crawl
+    order, source, and time, and it wants the SAME order on a rerun.
+
+    A row's shard is ``md5(id, seed) mod n_shards`` and its position
+    within the shard is its ``md5(id, seed+1)`` hash order — both pure
+    functions of the id, so reruns, appends, and cluster resizes
+    reproduce the identical layout (unlike ``orderBy(rand())``, which
+    is neither stable nor rerun-safe). The result is repartitioned so
+    partition == shard and sorted within partitions: ONE hash shuffle,
+    never a global sort —
+
+        shuffle_shards(df, "doc_id", 1024).write.parquet(path)
+
+    writes one pseudo-randomly-ordered file per shard. NULL ids raise
+    rather than silently landing in one hot shard (md5(NULL) is NULL →
+    pmod NULL — the hash_split NULL lesson applied eagerly)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be ≥ 1, got {n_shards}")
+    if shard_col in df.columns:
+        raise ValueError(
+            f"column {shard_col!r} already exists — pass shard_col= to "
+            "rename the output column"
+        )
+    shard = md5_bucket(id_col, n_shards, seed)
+    out = df.withColumn(
+        shard_col,
+        F.when(F.col(id_col).isNull(), F.raise_error(
+            F.lit(f"shuffle_shards: NULL {id_col} cannot be sharded "
+                  "deterministically — repair ids upstream")
+        )).otherwise(shard),
+    )
+    return out.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
+        md5_bucket(id_col, _HASH_BUCKETS, seed + 1), F.col(id_col)
+    )
+
+
 def sample_per_group(
     df: DataFrame,
     keys: Sequence[str],

@@ -1061,6 +1061,192 @@ def ivf_index_rebuild(
     )
 
 
+_PQ_META_COLS = (
+    "__pq_dim__", "__pq_m__", "__pq_ncodes__", "__pq_resid__",
+    "__pq_vtype__", "__pq_cids__", "__pq_cmat__", "__pq_cb__",
+)
+
+
+def pq_index_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int | None = None,
+    train: str = "anchors",
+    by_residual: bool = True,
+    seed: int = 0,
+    kmeans_iters: int = 8,
+    sample_n: int = 4096,
+    kmeans_dist_fraction: float = 1.0,
+    store_vectors: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable IVF-PQ index — the compression twin of
+    :func:`ivf_index_build`, and the form that actually matters at
+    100 TB: ``ivf_pq_topk`` re-trains codebooks and re-encodes the
+    WHOLE corpus on every call, while this builds the encoded lists
+    once at ingest. Returns ``(lists, meta)``:
+
+    - ``lists`` — one row per corpus vector: ``(c_id[, __cvec__],
+      __cid__, __codes__)``. With ``store_vectors=False`` the true
+      vectors are dropped and each row is ~m bytes of codes — the 32×
+      compression layout (queries then rank by ADC alone, no exact
+      rerank: the faiss ``IVFPQ``-without-refine trade).
+    - ``meta`` — ONE row holding everything a query needs: the
+      QUANTIZED centroid matrix and flattened codebooks (exact int64 —
+      nothing is re-derived, so a reloaded index scores bit-identically),
+      dims, and the layout flags.
+
+    The metadata is deliberately a separate one-row frame (sidecar
+    layout via :func:`pq_index_write`), never per-row constant columns:
+    codebooks are ``m × n_codes × sub`` ints (~KBs) — the ADVICE-r10
+    projection-cost lesson from the Flat index applied from day one.
+
+    Persist with :func:`pq_index_write` (lists partitioned by
+    ``__cid__`` — :func:`pq_topk_indexed` pushes the probed-list ids
+    as a LITERAL partition filter, so a query reads ~nprobe/n_centroids
+    of the code bytes). Same training dials as ``ivf_pq_topk``
+    (``train="anchors"|"kmeans"|"kmeans_dist"``). Eager on the driver
+    (the head collect), strictLazy-gated."""
+    if train not in ("anchors", "kmeans", "kmeans_dist"):
+        raise ValueError(
+            f"train must be 'anchors', 'kmeans' or 'kmeans_dist', got {train!r}"
+        )
+    _require_integral_ids("pq_index_build", id_col, corpus)
+    if dim is not None and dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    eager_build_guard(
+        corpus.sparkSession,
+        "pq_index_build head collect (bounded orderBy/limit)",
+        "Index building is eager by design — run it from a session that "
+        "permits build-time jobs.",
+    )
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col, "pq_index_build")
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    c_mat, cent_ids, cb = _pq_train(
+        corpus, id_col, vec_col, n_centroids, m, n_codes, train,
+        by_residual, seed, kmeans_iters, sample_n, kmeans_dist_fraction,
+        "pq_index_build",
+    )
+    vec_type = dict(corpus.dtypes)[vec_col]
+    lists = _pq_encode(
+        corpus, id_col, vec_col, c_mat, cent_ids, cb, by_residual,
+        vec_type, store_vectors=store_vectors,
+    )
+    meta = corpus.sparkSession.range(1).select(
+        F.lit(int(dim)).cast("int").alias("__pq_dim__"),
+        F.lit(int(m)).cast("int").alias("__pq_m__"),
+        F.lit(int(n_codes)).cast("int").alias("__pq_ncodes__"),
+        F.lit(bool(by_residual)).alias("__pq_resid__"),
+        F.lit(vec_type).alias("__pq_vtype__"),
+        F.lit([int(i) for i in cent_ids]).cast("array<bigint>").alias("__pq_cids__"),
+        F.lit([[int(x) for x in row] for row in c_mat])
+        .cast("array<array<bigint>>")
+        .alias("__pq_cmat__"),
+        F.lit([int(x) for x in cb.ravel()])
+        .cast("array<bigint>")
+        .alias("__pq_cb__"),
+    )
+    return lists, meta
+
+
+def _pq_index_meta(meta: DataFrame, op: str):
+    for c in _PQ_META_COLS:
+        if c not in meta.columns:
+            raise ValueError(
+                f"{op}: not a PQ index metadata frame — missing column "
+                f"{c!r} (build one with pq_index_build)"
+            )
+    rows = meta.limit(1).collect()
+    if not rows:
+        raise ValueError(f"{op}: the PQ metadata frame is empty")
+    r = rows[0]
+    dim, m, n_codes = int(r["__pq_dim__"]), int(r["__pq_m__"]), int(r["__pq_ncodes__"])
+    cent_ids = np.array(list(r["__pq_cids__"]), dtype="int64")
+    c_mat = np.array([list(v) for v in r["__pq_cmat__"]], dtype="int64")
+    cb = np.array(list(r["__pq_cb__"]), dtype="int64").reshape(
+        m, n_codes, dim // m
+    )
+    return dim, m, n_codes, bool(r["__pq_resid__"]), str(r["__pq_vtype__"]), cent_ids, c_mat, cb
+
+
+def pq_topk_indexed(
+    queries: DataFrame,
+    lists: DataFrame,
+    meta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 32,
+    max_queries: int = DEFAULT_MAX_QUERIES,
+) -> DataFrame:
+    """``ivf_pq_topk`` against a prebuilt (usually parquet-persisted)
+    PQ index: identical results row-for-row when the index stores true
+    vectors; ADC-only ranking when it was built with
+    ``store_vectors=False``. The corpus is never touched — centroids
+    and codebooks come from the ONE metadata row (exact int64, so a
+    reloaded index scores bit-identically), and the probed-list ids go
+    down as a LITERAL partition filter against a
+    ``partitionBy("__cid__")`` lists layout."""
+    _require_integral_ids("pq_topk_indexed", id_col, queries)
+    qpdf = _collect_queries(
+        queries, id_col, vec_col, "pq_topk_indexed", max_queries
+    )
+    if qpdf.empty:
+        return queries.sparkSession.createDataFrame(
+            [], "q_id bigint, c_id bigint, score bigint, rank bigint"
+        )
+    dim, m, n_codes, by_residual, vec_type, cent_ids, c_mat, cb = _pq_index_meta(
+        meta, "pq_topk_indexed"
+    )
+    for c in ("c_id", "__cid__", "__codes__"):
+        if c not in lists.columns:
+            raise ValueError(
+                f"pq_topk_indexed: not a PQ index lists frame — missing "
+                f"column {c!r} (build one with pq_index_build)"
+            )
+    sel = ["c_id", "__cid__", "__codes__"]
+    if "__cvec__" in lists.columns:
+        sel.insert(1, "__cvec__")
+    return _pq_probe_and_score(
+        queries.sparkSession, qpdf, id_col, vec_col,
+        lists.select(*sel).withColumn(
+            "__cid__", F.col("__cid__").cast("bigint")
+        ),
+        c_mat, cent_ids, cb, dim, by_residual, k, nprobe, rerank, vec_type,
+    )
+
+
+def pq_index_write(
+    lists: DataFrame, meta: DataFrame, path: str, mode: str = "error"
+) -> None:
+    """Persist a PQ index: ``{path}/lists`` partitioned by ``__cid__``
+    (so the indexed query's literal probed-list filter statically
+    prunes the scan) and ``{path}/meta`` as one sidecar row."""
+    for c in _PQ_META_COLS:
+        if c not in meta.columns:
+            raise ValueError(
+                f"pq_index_write: not a PQ metadata frame — missing {c!r}"
+            )
+    lists.write.mode(mode).partitionBy("__cid__").parquet(f"{path}/lists")
+    meta.coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+
+
+def pq_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a PQ index persisted by :func:`pq_index_write`; returns
+    ``(lists, meta)`` ready for :func:`pq_topk_indexed`. Lazy — the
+    metadata row is read when a query needs it."""
+    return (
+        spark.read.parquet(f"{path}/lists"),
+        spark.read.parquet(f"{path}/meta"),
+    )
+
+
 def ivf_index_write(index: DataFrame, path: str, mode: str = "error") -> None:
     """Persist an IVF index with the centroid set stored ONCE as a
     sidecar instead of per-row constant columns (ADVICE r10): the
@@ -1564,6 +1750,45 @@ def ivf_pq_topk(
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
 
+    c_mat, cent_ids, cb = _pq_train(
+        corpus, id_col, vec_col, n_centroids, m, n_codes, train,
+        by_residual, seed, kmeans_iters, sample_n, kmeans_dist_fraction,
+        "ivf_pq_topk",
+    )
+    vec_type = dict(corpus.dtypes)[vec_col]
+    enc = _pq_encode(
+        corpus, id_col, vec_col, c_mat, cent_ids, cb, by_residual, vec_type
+    )
+    # (qpdf collected and bounded at the top of the function)
+    if qpdf.empty:
+        return queries.sparkSession.createDataFrame(
+            [], "q_id bigint, c_id bigint, score bigint, rank bigint"
+        )
+    return _pq_probe_and_score(
+        queries.sparkSession, qpdf, id_col, vec_col, enc, c_mat, cent_ids,
+        cb, dim, by_residual, k, nprobe, rerank, vec_type,
+    )
+
+
+def _pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    m: int,
+    n_codes: int,
+    train: str,
+    by_residual: bool,
+    seed: int,
+    kmeans_iters: int,
+    sample_n: int,
+    kmeans_dist_fraction: float,
+    op: str,
+):
+    """Coarse centroids + PQ codebooks, shared by the inline op and the
+    persistable index builder so their quantization cannot drift.
+    Returns ``(c_mat (n_centroids, dim) int64, cent_ids, cb (m,
+    n_codes, sub) int64)``."""
     # ONE TakeOrdered over the corpus serves centroids AND codebook
     # training rows (review finding r8: the anchors path previously
     # fetched the identical head rows with a second full-corpus job)
@@ -1572,8 +1797,9 @@ def ivf_pq_topk(
         corpus.select(id_col, vec_col).orderBy(id_col).limit(head_n).collect()
     )
     if not head_rows:
-        raise ValueError("ivf_pq_topk: corpus is empty")
+        raise ValueError(f"{op}: corpus is empty")
     head_mat = _np_quant(np.array([list(r[vec_col]) for r in head_rows]))
+    sub = head_mat.shape[1] // m
     c_mat = head_mat[:n_centroids]
     cent_ids = np.array(
         [r[id_col] for r in head_rows[:n_centroids]], dtype="int64"
@@ -1613,9 +1839,25 @@ def ivf_pq_topk(
                 corpus, id_col, vec_col, c_mat, cb0, m, sub, n_codes,
                 kmeans_iters, by_residual, kmeans_dist_fraction,
             )
+    return c_mat, cent_ids, cb
 
-    # --- encode: one Arrow pass over the corpus scan ----------------------
-    vec_type = dict(corpus.dtypes)[vec_col]
+
+def _pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    c_mat: np.ndarray,
+    cent_ids: np.ndarray,
+    cb: np.ndarray,
+    by_residual: bool,
+    vec_type: str,
+    store_vectors: bool = True,
+) -> DataFrame:
+    """One Arrow-batched encode pass over the corpus scan: coarse
+    assignment matmul + per-subspace code argmin — no shuffle. With
+    ``store_vectors=False`` the true vectors are dropped (the 32×
+    compression form — ADC-only ranking, no exact rerank)."""
+    m, n_codes, sub = cb.shape
 
     def encode_batches(batches):
         for pdf in batches:
@@ -1629,37 +1871,64 @@ def ivf_pq_topk(
             # first-occurrence = smallest code on ties
             d = ((rs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
             codes = d.argmin(axis=2).astype("int32")
-            yield pd.DataFrame(
-                {
-                    "c_id": pdf[id_col].to_numpy(),
-                    "__cvec__": pdf[vec_col],
-                    "__cid__": cent_ids[idx],
-                    "__codes__": list(codes),
-                }
-            )
+            cols = {"c_id": pdf[id_col].to_numpy()}
+            if store_vectors:
+                cols["__cvec__"] = pdf[vec_col]
+            cols["__cid__"] = cent_ids[idx]
+            cols["__codes__"] = list(codes)
+            yield pd.DataFrame(cols)
 
     from pandarallel_spark.operators.apply import _widen
 
-    enc = _widen(corpus.select(id_col, vec_col)).mapInPandas(
-        encode_batches,
-        f"c_id bigint, __cvec__ {vec_type}, __cid__ bigint, __codes__ array<int>",
+    schema = (
+        "c_id bigint, "
+        + (f"__cvec__ {vec_type}, " if store_vectors else "")
+        + "__cid__ bigint, __codes__ array<int>"
+    )
+    return _widen(corpus.select(id_col, vec_col)).mapInPandas(
+        encode_batches, schema
     )
 
-    # --- probes: nprobe lists + the per-query ADC table, broadcast --------
-    # (qpdf collected and bounded at the top of the function)
-    if qpdf.empty:
-        return queries.sparkSession.createDataFrame(
-            [], "q_id bigint, c_id bigint, score bigint, rank bigint"
-        )
+
+def _pq_probe_and_score(
+    spark,
+    qpdf: pd.DataFrame,
+    id_col: str,
+    vec_col: str,
+    enc: DataFrame,
+    c_mat: np.ndarray,
+    cent_ids: np.ndarray,
+    cb: np.ndarray,
+    dim: int,
+    by_residual: bool,
+    k: int,
+    nprobe: int,
+    rerank: int,
+    vec_type: str,
+) -> DataFrame:
+    """The PQ query tail shared by the inline op and the persisted
+    index: nprobe nearest lists per query (scored on the driver from
+    the bounded collect), per-query ADC lookup tables broadcast, ADC
+    scoring as pure ``element_at`` codegen, exact rerank of the ADC
+    shortlist when the encoded rows carry true vectors (ADC-only
+    ranking otherwise — the ``store_vectors=False`` compression form).
+    The probed-list ids are pushed as a LITERAL ``isin`` filter on the
+    encoded side — static partition pruning against a
+    ``partitionBy("__cid__")`` layout, the same move as the IVF-Flat
+    path (and a scan cut for the inline form too)."""
+    m, n_codes, sub = cb.shape
+    store_vectors = "__cvec__" in enc.columns
     q_mat = _np_quant(np.stack(qpdf[vec_col].apply(np.asarray).to_numpy()))
     qs = q_mat @ c_mat.T  # (nq, n_centroids) int64
     order = np.argsort(-qs, axis=1, kind="stable")[:, :nprobe]
+    probed_cids = sorted({int(c) for c in cent_ids[order.ravel()]})
+    enc = enc.filter(F.col("__cid__").isin(probed_cids))
     # table[q][j*n_codes + c] = dot(q_sub_j, cb[j][c]) — int64 exact
     qtab = np.einsum(
         "qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), cb
     ).reshape(len(q_mat), m * n_codes)
     nq, npb = len(qpdf), order.shape[1]
-    probes = queries.sparkSession.createDataFrame(
+    probes = spark.createDataFrame(
         pd.DataFrame(
             {
                 "q_id": np.repeat(qpdf[id_col].to_numpy(), npb),
@@ -1691,10 +1960,20 @@ def ivf_pq_topk(
         ),
         F.lit(0).cast("bigint"),
     )
-    cand = (
-        F.broadcast(probes)
-        .join(enc, "__cid__")
-        .select("q_id", "c_id", "__qvec__", "__cvec__", adc.alias("__adc__"))
+    joined = F.broadcast(probes).join(enc, "__cid__")
+    if not store_vectors:
+        # ADC-only: the 32×-compression form has no true vectors to
+        # rerank — score IS the ADC approximation, ties to smaller id
+        w_only = Window.partitionBy("q_id").orderBy(
+            F.col("score").desc(), F.col("c_id")
+        )
+        return (
+            joined.select("q_id", "c_id", adc.alias("score"))
+            .withColumn("rank", F.row_number().over(w_only).cast("bigint"))
+            .filter(F.col("rank") <= k)
+        )
+    cand = joined.select(
+        "q_id", "c_id", "__qvec__", "__cvec__", adc.alias("__adc__")
     )
     w_adc = Window.partitionBy("q_id").orderBy(F.col("__adc__").desc(), F.col("c_id"))
     shortlist = (

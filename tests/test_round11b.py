@@ -147,3 +147,60 @@ def test_rrf_fuse_semantics_and_validation(spark):
         rrf_fuse({"a": a}, "doc_id", weights={"zzz": 1.0})
     with _pt.raises(ValueError, match="missing column"):
         rrf_fuse({"a": a.drop("rank")}, "doc_id")
+
+
+def test_shuffle_shards_deterministic_layout(spark):
+    """shuffle_shards: shard = md5(id, seed) mod n, within-shard order
+    = md5(id, seed+1) hash order — a pure function of the id, so two
+    runs produce the identical layout; partition == shard (one hash
+    shuffle, no global sort); NULL ids raise."""
+    from pandarallel_spark.operators.sampling import (
+        md5_bucket,
+        shuffle_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = shuffle_shards(docs, "doc_id", 4, seed=7)
+
+    def layout(df):
+        return [
+            (r["shard"], r["doc_id"])
+            for r in df.select("shard", "doc_id").collect()
+        ]
+
+    a = layout(out)
+    b = layout(shuffle_shards(docs, "doc_id", 4, seed=7))
+    assert a == b  # rerun-identical, including within-partition order
+
+    # shard assignment matches the documented hash rule
+    want = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", md5_bucket("doc_id", 4, 7).alias("s")
+        ).collect()
+    }
+    assert all(s == want[d] for s, d in a)
+    assert len({s for s, _ in a}) == 4  # all shards populated at n=200
+
+    # the order is a real shuffle: not id-sorted within any shard
+    by_shard: dict = {}
+    for s, d in a:
+        by_shard.setdefault(s, []).append(d)
+    assert any(ids != sorted(ids) for ids in by_shard.values())
+
+    # a different seed gives a different permutation
+    c = layout(shuffle_shards(docs, "doc_id", 4, seed=8))
+    assert c != a
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_shards"):
+        shuffle_shards(docs, "doc_id", 0)
+    with _pt.raises(ValueError, match="already exists"):
+        shuffle_shards(docs.withColumn("shard", F.lit(1)), "doc_id", 2)
+    nulls = spark.createDataFrame(
+        [(None, "x")], "doc_id long, text string"
+    )
+    with _pt.raises(Exception, match="NULL doc_id"):
+        shuffle_shards(nulls, "doc_id", 2).collect()
