@@ -1222,6 +1222,50 @@ def pq_topk_indexed(
     )
 
 
+def pq_index_append(
+    lists: DataFrame,
+    meta: DataFrame,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encoded rows for NEW vectors, produced with the index's OWN
+    stored centroids and codebooks — the PQ analog of
+    :func:`ivf_index_append`: the ingest loop encodes the corpus once
+    and each delta pays only its own one-Arrow-pass encode, never a
+    re-train or re-encode. Returns ONLY the new rows, schema-identical
+    to ``lists`` (including the ``store_vectors`` choice — the layout
+    flag lives in the lists schema itself). Append with
+    ``.write.mode("append").partitionBy("__cid__")`` against
+    ``{path}/lists``: old partitions are untouched and
+    :func:`pq_topk_indexed`'s static probed-list pruning keeps
+    holding. Codebooks are NOT re-trained — ADC quality against the
+    appended distribution degrades as it drifts from the trained one
+    (the standard PQ trade); rebuild with :func:`pq_index_build` on
+    whatever cadence the drift warrants. Eager on the driver (the
+    one-row metadata collect), strictLazy-gated like the builder."""
+    _require_integral_ids("pq_index_append", id_col, new_corpus)
+    eager_build_guard(
+        new_corpus.sparkSession,
+        "pq_index_append metadata recovery (one-row bounded collect)",
+        "Appending is eager by design — run it from a session that "
+        "permits build-time jobs.",
+    )
+    dim, m, n_codes, by_residual, vec_type, cent_ids, c_mat, cb = _pq_index_meta(
+        meta, "pq_index_append"
+    )
+    for c in ("c_id", "__cid__", "__codes__"):
+        if c not in lists.columns:
+            raise ValueError(
+                "pq_index_append: not a PQ index lists frame — missing "
+                f"column {c!r} (build one with pq_index_build)"
+            )
+    return _pq_encode(
+        new_corpus, id_col, vec_col, c_mat, cent_ids, cb, by_residual,
+        vec_type, store_vectors="__cvec__" in lists.columns,
+    )
+
+
 def pq_index_write(
     lists: DataFrame, meta: DataFrame, path: str, mode: str = "error"
 ) -> None:

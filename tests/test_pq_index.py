@@ -137,3 +137,66 @@ def test_pq_index_validation_and_gates(spark):
             pq_index_build(corpus)
     finally:
         spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
+def test_pq_index_append_equals_build_over_union(spark, tmp_path):
+    """append(lists, meta, new) must encode new vectors with the
+    index's OWN stored centroids and codebooks: lists ∪ appended is
+    row-for-row what a rebuild over the unioned corpus produces when
+    the training rule agrees (new ids all above the old head), and the
+    indexed query over the appended parquet layout equals the inline
+    operator on the unioned corpus."""
+    from pandarallel_spark.operators.similarity import pq_index_append
+
+    corpus, queries = _fixtures(spark)
+    rng = np.random.default_rng(41)
+    new = spark.createDataFrame(
+        [(2000 + i, [float(x) for x in rng.normal(size=16)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    lists, meta = pq_index_build(corpus, n_centroids=8, m=4, n_codes=8)
+    appended = pq_index_append(lists, meta, new)
+
+    def rows(df):
+        return sorted(
+            (r["c_id"], r["__cid__"], tuple(r["__codes__"]))
+            for r in df.collect()
+        )
+
+    rebuilt_lists, _ = pq_index_build(
+        corpus.unionByName(new), n_centroids=8, m=4, n_codes=8
+    )
+    assert rows(lists.unionByName(appended)) == rows(rebuilt_lists)
+
+    # persisted append: new files land in the partitioned layout and
+    # the indexed query equals the inline op on the union
+    pth = str(tmp_path / "pq_app")
+    pq_index_write(lists, meta, pth)
+    pq_index_append(
+        spark.read.parquet(f"{pth}/lists"),
+        spark.read.parquet(f"{pth}/meta"),
+        new,
+    ).write.mode("append").partitionBy("__cid__").parquet(f"{pth}/lists")
+    rl, rm = pq_index_read(spark, pth)
+    got = sorted(
+        (r.q_id, r.rank, r.c_id, r.score)
+        for r in pq_topk_indexed(queries, rl, rm, k=4, nprobe=3, rerank=16).collect()
+    )
+    inline = sorted(
+        (r.q_id, r.rank, r.c_id, r.score)
+        for r in ivf_pq_topk(
+            queries, corpus.unionByName(new),
+            n_centroids=8, m=4, n_codes=8, k=4, nprobe=3, rerank=16,
+        ).collect()
+    )
+    assert got == inline
+
+    # strictLazy gate + lists-schema guard
+    with pytest.raises(ValueError, match="not a PQ index lists"):
+        pq_index_append(corpus, meta, new)
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(RuntimeError, match="pq_index_append"):
+            pq_index_append(lists, meta, new)
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
