@@ -94,6 +94,12 @@ def rrf_fuse(
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
     names = list(ranked)
+    reserved = {"score", "rank", *(f"rank_{n}" for n in names)}
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col {id_col!r} collides with an rrf_fuse output column "
+            f"({sorted(reserved)}) — rename the id column first"
+        )
     weights = dict(weights or {})
     unknown = set(weights) - set(names)
     if unknown:

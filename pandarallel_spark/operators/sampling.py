@@ -94,15 +94,19 @@ def shuffle_shards(
     within the shard is its ``md5(id, seed+1)`` hash order — both pure
     functions of the id, so reruns, appends, and cluster resizes
     reproduce the identical layout (unlike ``orderBy(rand())``, which
-    is neither stable nor rerun-safe). The result is repartitioned so
-    partition == shard and sorted within partitions: ONE hash shuffle,
-    never a global sort —
+    is neither stable nor rerun-safe). The result is repartitioned ON
+    the shard value (ONE hash shuffle, never a global sort — note
+    Spark hash-partitions the shard VALUE, so a task may hold several
+    shards) and sorted within partitions by (shard, position), so
+    every shard's rows are contiguous and shuffle-ordered. Write with
 
-        shuffle_shards(df, "doc_id", 1024).write.parquet(path)
+        shuffle_shards(df, "doc_id", 1024).write
+            .partitionBy("shard").parquet(path)
 
-    writes one pseudo-randomly-ordered file per shard. NULL ids raise
-    rather than silently landing in one hot shard (md5(NULL) is NULL →
-    pmod NULL — the hash_split NULL lesson applied eagerly)."""
+    — one DIRECTORY per shard, each file internally in the
+    deterministic shuffle order. NULL ids raise rather than silently
+    landing in one hot shard (md5(NULL) is NULL → pmod NULL — the
+    hash_split NULL lesson applied eagerly)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be ≥ 1, got {n_shards}")
     if shard_col in df.columns:
@@ -119,7 +123,8 @@ def shuffle_shards(
         )).otherwise(shard),
     )
     return out.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
-        md5_bucket(id_col, _HASH_BUCKETS, seed + 1), F.col(id_col)
+        F.col(shard_col), md5_bucket(id_col, _HASH_BUCKETS, seed + 1),
+        F.col(id_col),
     )
 
 

@@ -622,8 +622,14 @@ def _ivf_kmeans_refine(
                 np.add.at(sums, a, b)
                 np.add.at(cnts, a, 1)
                 bd = dots.max(axis=1)
-                ix = int(bd.argmin())
-                cand = (int(bd[ix]), tuple(int(x) for x in b[ix]))
+                # ties on best-dot break LEXICOGRAPHICALLY on the
+                # vector, matching the cross-partition struct-min rule
+                # exactly — a positional argmin would make the reseed
+                # depend on Arrow batch layout
+                bdmin = int(bd.min())
+                tied = b[bd == bd.min()]
+                vec = min(tuple(int(x) for x in row) for row in tied)
+                cand = (bdmin, vec)
                 if low is None or cand < low:
                     low = cand
             if not seen:
@@ -1130,7 +1136,7 @@ def pq_index_build(
     c_mat, cent_ids, cb = _pq_train(
         corpus, id_col, vec_col, n_centroids, m, n_codes, train,
         by_residual, seed, kmeans_iters, sample_n, kmeans_dist_fraction,
-        "pq_index_build",
+        "pq_index_build", expect_dim=dim,
     )
     vec_type = dict(corpus.dtypes)[vec_col]
     lists = _pq_encode(
@@ -1792,12 +1798,11 @@ def ivf_pq_topk(
         dim = _infer_dim(corpus, vec_col, "ivf_pq_topk")
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
-    sub = dim // m
 
     c_mat, cent_ids, cb = _pq_train(
         corpus, id_col, vec_col, n_centroids, m, n_codes, train,
         by_residual, seed, kmeans_iters, sample_n, kmeans_dist_fraction,
-        "ivf_pq_topk",
+        "ivf_pq_topk", expect_dim=dim,
     )
     vec_type = dict(corpus.dtypes)[vec_col]
     enc = _pq_encode(
@@ -1828,6 +1833,7 @@ def _pq_train(
     sample_n: int,
     kmeans_dist_fraction: float,
     op: str,
+    expect_dim: int | None = None,
 ):
     """Coarse centroids + PQ codebooks, shared by the inline op and the
     persistable index builder so their quantization cannot drift.
@@ -1843,6 +1849,12 @@ def _pq_train(
     if not head_rows:
         raise ValueError(f"{op}: corpus is empty")
     head_mat = _np_quant(np.array([list(r[vec_col]) for r in head_rows]))
+    if expect_dim is not None and head_mat.shape[1] != expect_dim:
+        raise ValueError(
+            f"{op}: dim={expect_dim} was passed but the {vec_col!r} "
+            f"vectors are {head_mat.shape[1]}-wide — a mismatched dim "
+            "would persist a codebook the query side cannot reshape"
+        )
     sub = head_mat.shape[1] // m
     c_mat = head_mat[:n_centroids]
     cent_ids = np.array(

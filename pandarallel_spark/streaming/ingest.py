@@ -282,14 +282,17 @@ def read_retained_corpus(
     still see it mid-overwrite; a deployment that needs full
     reader/writer isolation should layer a table format on top.
 
-    Schemas are UNIONED across directories (``mergeSchema``): a
+    Schemas are UNIONED across directories (per-directory reads folded
+    with ``unionByName(allowMissingColumns=True)``): a
     ``method="substr"`` corpus carries ``text_deduped`` on its batch
-    dirs but not on the bootstrap dir, and without the merge Spark
-    would take whichever file's footer it samples first — silently
-    dropping the column or not depending on listing order. With the
-    merge the result is deterministic: bootstrap rows read
-    ``text_deduped = NULL`` (they entered unstripped — read their text
-    as ``coalesce(text_deduped, text)``)."""
+    dirs but not on the bootstrap dir, and a bare multi-path
+    ``parquet(*paths)`` would take whichever file's footer Spark
+    samples first — silently dropping the column or not depending on
+    listing order. The per-directory fold is deterministic (bootstrap
+    rows read ``text_deduped = NULL`` — they entered unstripped; read
+    their text as ``coalesce(text_deduped, text)``) and costs one
+    schema sample PER DIRECTORY, not a ``mergeSchema`` footer job over
+    every file of every batch."""
     _refuse_pending_compaction(
         spark, corpus_root, "compact_retained_corpus", "reading"
     )
@@ -311,7 +314,12 @@ def read_retained_corpus(
             f"no committed ingest batches under {corpus_root!r} "
             "(and no bootstrap_docs given)"
         )
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    out = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        out = out.unionByName(
+            spark.read.parquet(p), allowMissingColumns=True
+        )
+    return out
 
 
 def stream_ingest_dedup(

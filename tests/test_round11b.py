@@ -204,3 +204,24 @@ def test_shuffle_shards_deterministic_layout(spark):
     )
     with _pt.raises(Exception, match="NULL doc_id"):
         shuffle_shards(nulls, "doc_id", 2).collect()
+
+
+def test_rrf_fuse_rejects_reserved_id_col(spark):
+    from pandarallel_spark.operators.relational import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1)], "rank long, pos long")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="collides"):
+        rrf_fuse({"a": a}, id_col="rank", rank_col="pos")
+
+
+def test_pq_build_rejects_mismatched_dim(spark):
+    from pandarallel_spark.operators.similarity import pq_index_build
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    import pytest as _pt
+    with _pt.raises(ValueError, match="8.*4-wide|4-wide"):
+        pq_index_build(corpus, m=4, dim=8)
