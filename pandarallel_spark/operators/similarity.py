@@ -1287,14 +1287,28 @@ def pq_index_write(
     meta.coalesce(1).write.mode(mode).parquet(f"{path}/meta")
 
 
-def pq_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
+def pq_index_read(
+    spark, path: str, include_deltas: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Load a PQ index persisted by :func:`pq_index_write`; returns
     ``(lists, meta)`` ready for :func:`pq_topk_indexed`. Lazy — the
-    metadata row is read when a query needs it."""
-    return (
-        spark.read.parquet(f"{path}/lists"),
-        spark.read.parquet(f"{path}/meta"),
-    )
+    metadata row is read when a query needs it.
+
+    ``include_deltas=True`` additionally unions the COMMITTED
+    ``delta/b=`` dirs written by the continuous PQ ingest loop
+    (``streaming.ingest_ann.stream_ingest_pq``) — each delta dir is
+    itself ``__cid__``-partitioned, so the probed-list pruning holds
+    across the union."""
+    lists = spark.read.parquet(f"{path}/lists")
+    if include_deltas:
+        from pandarallel_spark.streaming.ingest_ann import read_pq_deltas
+
+        deltas = read_pq_deltas(spark, path, list(lists.columns))
+        if deltas is not None:
+            lists = lists.withColumn(
+                "__cid__", F.col("__cid__").cast("bigint")
+            ).unionByName(deltas)
+    return lists, spark.read.parquet(f"{path}/meta")
 
 
 def ivf_index_write(index: DataFrame, path: str, mode: str = "error") -> None:

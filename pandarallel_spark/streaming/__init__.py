@@ -15,8 +15,11 @@ from pandarallel_spark.streaming.ingest import (
 )
 from pandarallel_spark.streaming.ingest_ann import (
     compact_ivf_deltas,
+    compact_pq_deltas,
     read_ivf_deltas,
+    read_pq_deltas,
     stream_ingest_ann,
+    stream_ingest_pq,
 )
 from pandarallel_spark.streaming.joins import stream_stream_interval_join
 from pandarallel_spark.streaming.stateful import (
@@ -37,10 +40,13 @@ from pandarallel_spark.streaming.windows import (
 __all__ = [
     "compact_retained_corpus",
     "compact_ivf_deltas",
+    "compact_pq_deltas",
     "read_ivf_deltas",
+    "read_pq_deltas",
     "read_retained_corpus",
     "retain_index_versions",
     "stream_ingest_ann",
+    "stream_ingest_pq",
     "stream_ingest_dedup",
     "stream_stream_interval_join",
     "content_dedup_stream",

@@ -79,6 +79,108 @@ def read_ivf_deltas(spark: SparkSession, index_root: str) -> DataFrame | None:
     )
 
 
+def compact_pq_deltas(spark: SparkSession, index_root: str) -> int | None:
+    """PQ twin of :func:`compact_ivf_deltas` — the generic fold works
+    on any ``delta/b=`` layout partitioned by ``__cid__``, whatever
+    columns the rows carry (here ``__codes__`` and optionally
+    ``__cvec__``)."""
+    return _compact_numbered_dirs(
+        spark, f"{index_root}/delta", "b=", partition_by=["__cid__"]
+    )
+
+
+def read_pq_deltas(
+    spark: SparkSession, index_root: str, columns: list[str]
+) -> DataFrame | None:
+    """The committed PQ delta rows, projected to the base lists'
+    ``columns`` (so the union is schema-exact whichever
+    ``store_vectors`` layout the index uses) — only
+    ``_SUCCESS``-carrying ``delta/b=`` dirs; None when no deltas
+    exist. Refuses while a delta compaction manifest is pending."""
+    droot = f"{index_root}/delta"
+    _refuse_pending_compaction(spark, droot, "compact_pq_deltas", "reading")
+    committed = _committed_batches(spark, droot, "b=")
+    if not committed:
+        return None
+    df = spark.read.option("basePath", droot).parquet(
+        *[f"{droot}/b={b}" for b in committed]
+    )
+    return df.withColumn(
+        "__cid__", df["__cid__"].cast("bigint")
+    ).select(*columns)
+
+
+def stream_ingest_pq(
+    stream: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    index_root: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """The PQ twin of :func:`stream_ingest_ann`: a continuous encode
+    loop over an index persisted by :func:`similarity.pq_index_write`.
+    Centroids AND codebooks are recovered from the metadata sidecar
+    ONCE at loop start (the loop never retrains — the PQ append
+    trade); each micro-batch pays one Arrow-batched encode pass
+    (coarse assignment + per-subspace code argmin, no shuffle) and
+    one overwrite of its ``delta/b={id}`` dir partitioned by
+    ``__cid__`` — the same idempotency, ``_SUCCESS``-gating, and
+    reset-checkpoint refusal as the Flat loop. Delta rows follow the
+    base lists' ``store_vectors`` layout, so
+    ``pq_topk_indexed(queries, *pq_index_read(spark, root,
+    include_deltas=True))`` answers over the grown index with the
+    exact rerank (or pure-ADC ranking) the base index was built
+    with."""
+    from pandarallel_spark.operators.similarity import (
+        _pq_encode,
+        _pq_index_meta,
+        pq_index_read,
+    )
+
+    spark = stream.sparkSession
+    droot = f"{index_root}/delta"
+    lists, meta = pq_index_read(spark, index_root)
+    (_, _, _, by_residual, vec_type, cent_ids, c_mat, cb) = _pq_index_meta(
+        meta, "stream_ingest_pq"
+    )
+    store_vectors = "__cvec__" in lists.columns
+    out_cols = [c for c in lists.columns if c != "__cid__"] + ["__cid__"]
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        _refuse_pending_compaction(
+            spark, droot, "compact_pq_deltas", "resuming the ingest loop"
+        )
+        stale = sorted(
+            b for b in _list_numbered(spark, droot, "b=") if b > batch_id
+        )
+        if stale:
+            raise RuntimeError(
+                f"batch {batch_id} found delta dirs from LATER batches: "
+                f"{stale[:4]}{'…' if len(stale) > 4 else ''} — the "
+                "checkpoint was reset or relocated independently of "
+                "index_root. Resume with the original checkpoint, or "
+                "start over against a fresh root."
+            )
+        encoded = _pq_encode(
+            batch_df, id_col, vec_col, c_mat, cent_ids, cb, by_residual,
+            vec_type, store_vectors=store_vectors,
+        )
+        encoded.select(*out_cols).write.mode("overwrite").partitionBy(
+            "__cid__"
+        ).parquet(f"{droot}/b={batch_id}")
+
+    w = stream.writeStream.foreachBatch(_ingest).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_ingest_ann(
     stream: DataFrame,
     id_col: str,

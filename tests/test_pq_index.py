@@ -200,3 +200,90 @@ def test_pq_index_append_equals_build_over_union(spark, tmp_path):
             pq_index_append(lists, meta, new)
     finally:
         spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
+def test_stream_ingest_pq_matches_sequential_appends(spark, tmp_path):
+    """The PQ streaming loop: streamed delta rows equal sequential
+    pq_index_append runs row-for-row, queries over the delta-grown
+    index equal the inline operator on the unioned corpus, and
+    compaction keeps reader results identical."""
+    from pandarallel_spark.operators.similarity import pq_index_append
+    from pandarallel_spark.streaming import (
+        compact_pq_deltas,
+        read_pq_deltas,
+        stream_ingest_pq,
+    )
+
+    rng = np.random.default_rng(47)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    root = str(tmp_path / "pq_root")
+    lists, meta = pq_index_build(corpus, n_centroids=8, m=4, n_codes=8)
+    pq_index_write(lists, meta, root)
+
+    waves = [
+        [(1000 + i, [float(x) for x in rng.normal(size=16)]) for i in range(30)],
+        [(2000 + i, [float(x) for x in rng.normal(size=16)]) for i in range(40)],
+    ]
+    frames = [
+        spark.createDataFrame(w, "vec_id long, embedding array<double>")
+        for w in waves
+    ]
+    src = str(tmp_path / "src")
+    for i, f in enumerate(frames):
+        f.coalesce(1).write.parquet(src, mode="append" if i else "overwrite")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ingest_pq(
+        stream, "vec_id", "embedding",
+        index_root=root, checkpoint=str(tmp_path / "chk"),
+    )
+    q.awaitTermination(180)
+
+    # streamed deltas == sequential appends, row-for-row
+    rl, rm = pq_index_read(spark, root)
+    want = {}
+    for f in frames:
+        for r in pq_index_append(rl, rm, f).collect():
+            want[r["c_id"]] = (r["__cid__"], tuple(r["__codes__"]))
+    got = {
+        r["c_id"]: (r["__cid__"], tuple(r["__codes__"]))
+        for r in read_pq_deltas(spark, root, rl.columns).collect()
+    }
+    assert got == want
+
+    # queries over the grown index == inline on the union (anchors
+    # rule agrees: delta ids sit above the base head)
+    queries = spark.createDataFrame(
+        [(9000 + i, [float(x) for x in rng.normal(size=16)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    gl, gm = pq_index_read(spark, root, include_deltas=True)
+    a = sorted(
+        (r.q_id, r.rank, r.c_id, r.score)
+        for r in pq_topk_indexed(queries, gl, gm, k=4, nprobe=3).collect()
+    )
+    union = corpus.unionByName(frames[0]).unionByName(frames[1])
+    b = sorted(
+        (r.q_id, r.rank, r.c_id, r.score)
+        for r in ivf_pq_topk(
+            queries, union, n_centroids=8, m=4, n_codes=8, k=4, nprobe=3
+        ).collect()
+    )
+    assert a == b
+
+    # compaction folds committed deltas below the newest; readers are
+    # row-identical before/after
+    before = got
+    compact_pq_deltas(spark, root)
+    after = {
+        r["c_id"]: (r["__cid__"], tuple(r["__codes__"]))
+        for r in read_pq_deltas(spark, root, rl.columns).collect()
+    }
+    assert after == before
