@@ -1005,6 +1005,13 @@ def ivf_index_append(
         "permits build-time jobs.",
     )
     dim, cent_ids, c_mat, cent_raw = _ivf_index_meta(index, "ivf_index_append")
+    got = _infer_dim(new_corpus, vec_col, "ivf_index_append")
+    if got != dim:
+        raise ValueError(
+            f"ivf_index_append: the index was built on {dim}-wide vectors "
+            f"but the new corpus's {vec_col!r} vectors are {got}-wide — "
+            "re-embed the delta or rebuild the index"
+        )
     vec_type = dict(index.dtypes)["__cvec__"]
     assigned = _ivf_assign(new_corpus, id_col, vec_col, c_mat, cent_ids, vec_type)
     return assigned.select(
@@ -1266,6 +1273,13 @@ def pq_index_append(
                 "pq_index_append: not a PQ index lists frame — missing "
                 f"column {c!r} (build one with pq_index_build)"
             )
+    got = _infer_dim(new_corpus, vec_col, "pq_index_append")
+    if got != dim:
+        raise ValueError(
+            f"pq_index_append: the index was built on {dim}-wide vectors "
+            f"but the new corpus's {vec_col!r} vectors are {got}-wide — "
+            "re-embed the delta or rebuild the index"
+        )
     return _pq_encode(
         new_corpus, id_col, vec_col, c_mat, cent_ids, cb, by_residual,
         vec_type, store_vectors="__cvec__" in lists.columns,

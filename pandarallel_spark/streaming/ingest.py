@@ -299,14 +299,23 @@ def read_retained_corpus(
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(corpus_root)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    paths = []
+    # sorted by BATCH ID: fs.listStatus makes no ordering promise, and
+    # paths[0] anchors the fold's base schema / column order — an
+    # unsorted fold would make the output schema depend on filesystem
+    # listing order
+    numbered = []
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             if name.startswith("ingest_batch=") and fs.exists(
                 jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
             ):
-                paths.append(str(st.getPath()))
+                try:
+                    numbered.append((int(name[len("ingest_batch="):]),
+                                     str(st.getPath())))
+                except ValueError:
+                    pass
+    paths = [p for _, p in sorted(numbered)]
     if bootstrap_docs is not None:
         paths.append(bootstrap_docs)
     if not paths:

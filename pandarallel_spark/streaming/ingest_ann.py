@@ -83,10 +83,73 @@ def compact_pq_deltas(spark: SparkSession, index_root: str) -> int | None:
     """PQ twin of :func:`compact_ivf_deltas` — the generic fold works
     on any ``delta/b=`` layout partitioned by ``__cid__``, whatever
     columns the rows carry (here ``__codes__`` and optionally
-    ``__cvec__``)."""
-    return _compact_numbered_dirs(
-        spark, f"{index_root}/delta", "b=", partition_by=["__cid__"]
+    ``__cvec__``); ONE implementation, two names."""
+    return compact_ivf_deltas(spark, index_root)
+
+
+def _delta_ingest_loop(
+    stream: DataFrame,
+    *,
+    index_root: str,
+    checkpoint: str,
+    tool: str,
+    prepare,
+    trigger_available_now: bool,
+):
+    """The shared delta-ingest scaffolding of both ANN loops: per
+    micro-batch — empty-batch skip, pending-compaction refusal,
+    reset-checkpoint stale-dir refusal, ``prepare(batch_df)`` to the
+    writable rows, idempotent overwrite of ``delta/b={batchId}``
+    partitioned by ``__cid__``. One definition so a fix to the replay
+    protocol cannot reach one loop and miss the other."""
+    spark = stream.sparkSession
+    droot = f"{index_root}/delta"
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        _refuse_pending_compaction(
+            spark, droot, tool, "resuming the ingest loop"
+        )
+        stale = sorted(
+            b for b in _list_numbered(spark, droot, "b=") if b > batch_id
+        )
+        if stale:
+            raise RuntimeError(
+                f"batch {batch_id} found delta dirs from LATER batches: "
+                f"{stale[:4]}{'…' if len(stale) > 4 else ''} — the "
+                "checkpoint was reset or relocated independently of "
+                "index_root. Resume with the original checkpoint, or "
+                "start over against a fresh root."
+            )
+        prepare(batch_df).write.mode("overwrite").partitionBy(
+            "__cid__"
+        ).parquet(f"{droot}/b={batch_id}")
+
+    w = stream.writeStream.foreachBatch(_ingest).option(
+        "checkpointLocation", checkpoint
     )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def _check_batch_width(
+    batch_df: DataFrame, vec_col: str, dim: int, op: str
+) -> None:
+    """One bounded row: a delta whose vectors are the wrong width must
+    fail loudly at the batch boundary naming both dims, not as an
+    opaque numpy matmul shape error inside an executor (and, in a
+    streaming loop, a poison-pill replay)."""
+    head = batch_df.select(vec_col).limit(1).collect()
+    if head and head[0][vec_col] is not None:
+        got = len(list(head[0][vec_col]))
+        if got != dim:
+            raise ValueError(
+                f"{op}: the index was built on {dim}-wide vectors but "
+                f"this delta's {vec_col!r} vectors are {got}-wide — "
+                "re-embed the delta or rebuild the index"
+            )
 
 
 def read_pq_deltas(
@@ -133,6 +196,7 @@ def stream_ingest_pq(
     include_deltas=True))`` answers over the grown index with the
     exact rerank (or pure-ADC ranking) the base index was built
     with."""
+    from pandarallel_spark.operators._memo import eager_build_guard
     from pandarallel_spark.operators.similarity import (
         _pq_encode,
         _pq_index_meta,
@@ -140,45 +204,34 @@ def stream_ingest_pq(
     )
 
     spark = stream.sparkSession
-    droot = f"{index_root}/delta"
+    eager_build_guard(
+        spark,
+        "stream_ingest_pq metadata recovery (one-row bounded collect)",
+        "The ingest loop is eager by design — run it from a session "
+        "that permits build-time jobs.",
+    )
     lists, meta = pq_index_read(spark, index_root)
-    (_, _, _, by_residual, vec_type, cent_ids, c_mat, cb) = _pq_index_meta(
+    (dim, _, _, by_residual, vec_type, cent_ids, c_mat, cb) = _pq_index_meta(
         meta, "stream_ingest_pq"
     )
     store_vectors = "__cvec__" in lists.columns
     out_cols = [c for c in lists.columns if c != "__cid__"] + ["__cid__"]
 
-    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.limit(1).count() == 0:
-            return
-        _refuse_pending_compaction(
-            spark, droot, "compact_pq_deltas", "resuming the ingest loop"
-        )
-        stale = sorted(
-            b for b in _list_numbered(spark, droot, "b=") if b > batch_id
-        )
-        if stale:
-            raise RuntimeError(
-                f"batch {batch_id} found delta dirs from LATER batches: "
-                f"{stale[:4]}{'…' if len(stale) > 4 else ''} — the "
-                "checkpoint was reset or relocated independently of "
-                "index_root. Resume with the original checkpoint, or "
-                "start over against a fresh root."
-            )
-        encoded = _pq_encode(
+    def prepare(batch_df: DataFrame) -> DataFrame:
+        _check_batch_width(batch_df, vec_col, dim, "stream_ingest_pq")
+        return _pq_encode(
             batch_df, id_col, vec_col, c_mat, cent_ids, cb, by_residual,
             vec_type, store_vectors=store_vectors,
-        )
-        encoded.select(*out_cols).write.mode("overwrite").partitionBy(
-            "__cid__"
-        ).parquet(f"{droot}/b={batch_id}")
+        ).select(*out_cols)
 
-    w = stream.writeStream.foreachBatch(_ingest).option(
-        "checkpointLocation", checkpoint
+    return _delta_ingest_loop(
+        stream,
+        index_root=index_root,
+        checkpoint=checkpoint,
+        tool="compact_pq_deltas",
+        prepare=prepare,
+        trigger_available_now=trigger_available_now,
     )
-    if trigger_available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
 
 
 def stream_ingest_ann(
@@ -217,40 +270,24 @@ def stream_ingest_ann(
     )
 
     spark = stream.sparkSession
-    droot = f"{index_root}/delta"
     # one-time metadata recovery — the loop refuses to start without a
     # persisted index, and never retrains its centroids
+    # (ivf_index_read carries the strictLazy gate)
     index = ivf_index_read(spark, index_root)
-    _, cent_ids, c_mat, _ = _ivf_index_meta(index, "stream_ingest_ann")
+    dim, cent_ids, c_mat, _ = _ivf_index_meta(index, "stream_ingest_ann")
     vec_type = dict(index.dtypes)["__cvec__"]
 
-    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.limit(1).count() == 0:
-            return
-        _refuse_pending_compaction(
-            spark, droot, "compact_ivf_deltas", "resuming the ingest loop"
-        )
-        stale = sorted(
-            b for b in _list_numbered(spark, droot, "b=") if b > batch_id
-        )
-        if stale:
-            raise RuntimeError(
-                f"batch {batch_id} found delta dirs from LATER batches: "
-                f"{stale[:4]}{'…' if len(stale) > 4 else ''} — the "
-                "checkpoint was reset or relocated independently of "
-                "index_root. Resume with the original checkpoint, or "
-                "start over against a fresh root."
-            )
-        assigned = _ivf_assign(
+    def prepare(batch_df: DataFrame) -> DataFrame:
+        _check_batch_width(batch_df, vec_col, dim, "stream_ingest_ann")
+        return _ivf_assign(
             batch_df, id_col, vec_col, c_mat, cent_ids, vec_type
-        )
-        assigned.select("c_id", "__cvec__", "__cid__").write.mode(
-            "overwrite"
-        ).partitionBy("__cid__").parquet(f"{droot}/b={batch_id}")
+        ).select("c_id", "__cvec__", "__cid__")
 
-    w = stream.writeStream.foreachBatch(_ingest).option(
-        "checkpointLocation", checkpoint
+    return _delta_ingest_loop(
+        stream,
+        index_root=index_root,
+        checkpoint=checkpoint,
+        tool="compact_ivf_deltas",
+        prepare=prepare,
+        trigger_available_now=trigger_available_now,
     )
-    if trigger_available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()

@@ -226,6 +226,7 @@ def test_stream_ingest_pq_matches_sequential_appends(spark, tmp_path):
     waves = [
         [(1000 + i, [float(x) for x in rng.normal(size=16)]) for i in range(30)],
         [(2000 + i, [float(x) for x in rng.normal(size=16)]) for i in range(40)],
+        [(3000 + i, [float(x) for x in rng.normal(size=16)]) for i in range(20)],
     ]
     frames = [
         spark.createDataFrame(w, "vec_id long, embedding array<double>")
@@ -269,7 +270,9 @@ def test_stream_ingest_pq_matches_sequential_appends(spark, tmp_path):
         (r.q_id, r.rank, r.c_id, r.score)
         for r in pq_topk_indexed(queries, gl, gm, k=4, nprobe=3).collect()
     )
-    union = corpus.unionByName(frames[0]).unionByName(frames[1])
+    union = corpus
+    for f in frames:
+        union = union.unionByName(f)
     b = sorted(
         (r.q_id, r.rank, r.c_id, r.score)
         for r in ivf_pq_topk(
@@ -278,12 +281,38 @@ def test_stream_ingest_pq_matches_sequential_appends(spark, tmp_path):
     )
     assert a == b
 
-    # compaction folds committed deltas below the newest; readers are
-    # row-identical before/after
+    # compaction ACTUALLY folds (3 committed dirs → the two below the
+    # max merge into b=1, the newest stays); readers are row-identical
     before = got
-    compact_pq_deltas(spark, root)
+    target = compact_pq_deltas(spark, root)
+    assert target == 1
+    from pandarallel_spark.streaming.ingest import _committed_batches
+
+    assert _committed_batches(spark, f"{root}/delta", "b=") == [1, 2]
     after = {
         r["c_id"]: (r["__cid__"], tuple(r["__codes__"]))
         for r in read_pq_deltas(spark, root, rl.columns).collect()
     }
     assert after == before
+
+
+def test_append_rejects_mismatched_vector_width(spark):
+    """A delta embedded at the wrong width must fail at build time
+    naming both dims, not as an executor-side numpy shape error (and,
+    in the streaming loops, a poison-pill replay)."""
+    from pandarallel_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_append,
+        pq_index_append,
+    )
+
+    corpus, _ = _fixtures(spark, n_corpus=40)
+    wrong = spark.createDataFrame(
+        [(5000, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    lists, meta = pq_index_build(corpus, n_centroids=4, m=4, n_codes=4)
+    with pytest.raises(ValueError, match="16-wide.*8-wide"):
+        pq_index_append(lists, meta, wrong)
+    flat = ivf_index_build(corpus, n_centroids=4)
+    with pytest.raises(ValueError, match="16-wide.*8-wide"):
+        ivf_index_append(flat, wrong)
