@@ -1286,6 +1286,96 @@ def pq_index_append(
     )
 
 
+def pq_list_stats(lists: DataFrame, meta: DataFrame) -> DataFrame:
+    """Per-inverted-list health stats for a PQ index: ``(__cid__,
+    n_vectors, mean_sq_dist)`` — the SAME contract :func:`ivf_list_stats`
+    emits, so :func:`ivf_drift_check` consumes both unchanged and the
+    PQ index gets the identical rebuild-cadence loop.
+
+    ``mean_sq_dist`` here is the PQ RECONSTRUCTION error — the mean
+    squared L2 distance between each vector and ``centroid +
+    codebook[codes]`` (or just the codebook reconstruction without
+    residual encoding), in quantized units. It measures what Flat's
+    stat cannot: codebook staleness. Appended vectors drawn from a
+    drifted distribution code poorly against the trained codebooks
+    even when their coarse lists stay balanced, degrading ADC ranking
+    quality silently — this stat makes it visible. Snapshot it at
+    build time, persist next to the index, and compare after appends.
+
+    Scale shape: one Arrow-batched pass over the lists (per-partition
+    int64 partial sums per list, like the k-means rounds — the
+    shuffle carries partitions × n_centroids tiny rows), exact
+    integer arithmetic throughout. Requires a ``store_vectors=True``
+    index: a codes-only index has no true vectors to measure
+    reconstruction error against — snapshot stats before dropping
+    vectors, or keep them."""
+    (dim, m, n_codes, by_residual, _vt, cent_ids, c_mat, cb) = _pq_index_meta(
+        meta, "pq_list_stats"
+    )
+    if "__cvec__" not in lists.columns:
+        raise ValueError(
+            "pq_list_stats requires a store_vectors=True index — a "
+            "codes-only index has no vectors to measure reconstruction "
+            "error against; snapshot stats at build time before "
+            "dropping vectors"
+        )
+    eager_build_guard(
+        lists.sparkSession,
+        "pq_list_stats metadata recovery (one-row bounded collect)",
+        "Collect the metadata row yourself outside strict-lazy scope.",
+    )
+    sub = dim // m
+    cid_to_slot = {int(c): i for i, c in enumerate(cent_ids)}
+    n_cent = len(cent_ids)
+    src = lists.select("__cvec__", "__cid__", "__codes__")
+
+    def partials(batches):
+        cnts = np.zeros(n_cent, dtype="int64")
+        errs = np.zeros(n_cent, dtype="int64")
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            b = _np_quant(np.stack(pdf["__cvec__"].apply(np.asarray).to_numpy()))
+            codes = np.stack(
+                pdf["__codes__"].apply(np.asarray).to_numpy()
+            ).astype("int64")
+            slots = pdf["__cid__"].map(cid_to_slot).to_numpy().astype("int64")
+            recon = cb[np.arange(m)[None, :], codes, :].reshape(len(b), dim)
+            if by_residual:
+                recon = recon + c_mat[slots]
+            err = ((b - recon) ** 2).sum(axis=1)
+            np.add.at(cnts, slots, 1)
+            np.add.at(errs, slots, err)
+        if not seen:
+            return
+        yield pd.DataFrame(
+            {"__cid__": cent_ids, "cnt": cnts, "err": errs}
+        )
+
+    agg = (
+        src.mapInPandas(partials, "__cid__ bigint, cnt bigint, err bigint")
+        .groupBy("__cid__")
+        .agg(F.sum("cnt").alias("n_vectors"), F.sum("err").alias("__err__"))
+    )
+    present = agg.select(
+        "__cid__",
+        "n_vectors",
+        F.when(
+            F.col("n_vectors") > 0, F.col("__err__") / F.col("n_vectors")
+        ).alias("mean_sq_dist"),
+    )
+    # the centroid universe comes from the metadata, so empty lists
+    # appear as n_vectors=0 (same rationale as ivf_list_stats)
+    universe = meta.select(F.explode("__pq_cids__").alias("__cid__"))
+    return universe.join(present, "__cid__", "left").select(
+        "__cid__",
+        F.coalesce(F.col("n_vectors"), F.lit(0)).alias("n_vectors"),
+        "mean_sq_dist",
+    )
+
+
 def pq_index_write(
     lists: DataFrame, meta: DataFrame, path: str, mode: str = "error"
 ) -> None:

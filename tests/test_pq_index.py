@@ -316,3 +316,79 @@ def test_append_rejects_mismatched_vector_width(spark):
     flat = ivf_index_build(corpus, n_centroids=4)
     with pytest.raises(ValueError, match="16-wide.*8-wide"):
         ivf_index_append(flat, wrong)
+
+
+def test_pq_list_stats_numpy_differential_and_drift(spark):
+    """pq_list_stats measures the PQ RECONSTRUCTION error per list —
+    pinned against a numpy recompute — in the same (__cid__,
+    n_vectors, mean_sq_dist) contract ivf_drift_check consumes, so
+    appending drifted vectors (which code poorly against the trained
+    codebooks) drives the distortion ratio up and the existing drift
+    check recommends a rebuild."""
+    from pandarallel_spark.operators.similarity import (
+        ivf_drift_check,
+        pq_index_append,
+        pq_list_stats,
+    )
+
+    rng = np.random.default_rng(53)
+    # base corpus: tight cluster — codes reconstruct it well
+    corpus = spark.createDataFrame(
+        [
+            (i, [float(x) for x in (rng.normal(scale=0.1, size=16) + 1.0)])
+            for i in range(120)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    lists, meta = pq_index_build(corpus, n_centroids=4, m=4, n_codes=8)
+    base_stats = pq_list_stats(lists, meta)
+
+    # numpy differential: recompute reconstruction error from scratch
+    from pandarallel_spark.operators.similarity import _pq_index_meta
+
+    (dim, m, n_codes, by_res, _vt, cent_ids, c_mat, cb) = _pq_index_meta(
+        meta, "test"
+    )
+    rows = lists.collect()
+    want_cnt: dict = {}
+    want_err: dict = {}
+    for r in rows:
+        v = _np_quant(np.array([list(r["__cvec__"])]))[0]
+        codes = np.array(list(r["__codes__"]), dtype="int64")
+        recon = cb[np.arange(m), codes, :].reshape(dim)
+        if by_res:
+            slot = int(np.where(cent_ids == r["__cid__"])[0][0])
+            recon = recon + c_mat[slot]
+        e = int(((v - recon) ** 2).sum())
+        want_cnt[r["__cid__"]] = want_cnt.get(r["__cid__"], 0) + 1
+        want_err[r["__cid__"]] = want_err.get(r["__cid__"], 0) + e
+    got = {r["__cid__"]: r for r in base_stats.collect()}
+    for cid in set(want_cnt) | set(got):
+        assert got[cid]["n_vectors"] == want_cnt.get(cid, 0)
+        if want_cnt.get(cid, 0):
+            assert got[cid]["mean_sq_dist"] == pytest.approx(
+                want_err[cid] / want_cnt[cid]
+            )
+
+    # drifted appends code poorly: far cluster, same lists schema
+    drifted = spark.createDataFrame(
+        [
+            (5000 + i, [float(x) for x in (rng.normal(scale=0.1, size=16) - 4.0)])
+            for i in range(120)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    grown = lists.unionByName(pq_index_append(lists, meta, drifted))
+    with pytest.warns(UserWarning, match="rebuild"):
+        verdict = ivf_drift_check(
+            pq_list_stats(grown, meta), baseline=base_stats
+        )
+    assert verdict["rebuild_recommended"]
+    assert verdict["distortion_ratio"] > 2.0
+
+    # codes-only index: loud refusal, not a silent wrong answer
+    nv_lists, nv_meta = pq_index_build(
+        corpus, n_centroids=4, m=4, n_codes=8, store_vectors=False
+    )
+    with pytest.raises(ValueError, match="store_vectors=True"):
+        pq_list_stats(nv_lists, nv_meta)
