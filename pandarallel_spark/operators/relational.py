@@ -84,6 +84,14 @@ def rrf_fuse(
     replay of the same expression matches bit-for-bit (pass ``dict``s,
     which preserve insertion order).
 
+    Precondition: each ranked list carries ONE row per id (what any
+    retrieval top-k emits). A duplicated id would multiply rows through
+    the full-outer join fold and contribute one term PER COPY, silently
+    inflating fused scores — so each list is guarded with a lazy
+    per-id count and the plan raises a named error at execution time
+    if a duplicate appears (lazy, so the strictLazy contract holds;
+    the window runs over the k-sized list, not a corpus) (ADVICE r11).
+
     Scale shape: inputs are top-k candidate LISTS, not corpora — the
     fold of full-outer equi-joins runs over k-sized frames (full outer
     cannot broadcast in Spark, but AQE coalesces these tiny shuffles);
@@ -114,8 +122,25 @@ def rrf_fuse(
                 raise ValueError(
                     f"ranked list {name!r} is missing column {c!r}"
                 )
+        dup_cnt = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        guarded_rank = F.when(
+            dup_cnt > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"rrf_fuse: ranked list {name!r} contains a "
+                        f"duplicate {id_col}="
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        " — each list must carry one row per id "
+                        "(duplicates would inflate fused scores)"
+                    ),
+                )
+            ).cast(dict(df.dtypes)[rank_col]),
+        ).otherwise(F.col(rank_col))
         side = df.select(
-            id_col, F.col(rank_col).alias(f"rank_{name}")
+            id_col, guarded_rank.alias(f"rank_{name}")
         )
         fused = side if fused is None else fused.join(
             side, id_col, "full_outer"

@@ -558,6 +558,14 @@ def _ivf_maxmin_init(
     chosen = [0]  # smallest sample id
     d2 = ((mat - mat[0]) ** 2).sum(axis=1)
     while len(chosen) < min(n_centroids, len(ids)):
+        if d2.max() == 0:
+            # fewer DISTINCT vectors than n_centroids: every remaining
+            # point coincides with a chosen centroid, so argmax would
+            # silently re-pick index 0 (a duplicate slot that survives
+            # when kmeans_iters=0 skips the reseed) — stop here and let
+            # the tile-to-size path below handle the degenerate case in
+            # one place (ADVICE r11)
+            break
         nxt = int(d2.argmax())  # first occurrence = smallest id on ties
         chosen.append(nxt)
         d2 = np.minimum(d2, ((mat - mat[nxt]) ** 2).sum(axis=1))
@@ -1286,6 +1294,88 @@ def pq_index_append(
     )
 
 
+def pq_index_rebuild(
+    lists: DataFrame,
+    meta: DataFrame,
+    n_centroids: int | None = None,
+    m: int | None = None,
+    n_codes: int | None = None,
+    train: str = "kmeans",
+    kmeans_iters: int = 8,
+    seed: int = 0,
+    sample_n: int = 4096,
+    kmeans_dist_fraction: float = 1.0,
+    store_vectors: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-train the PQ codebooks (and re-pick the coarse centroids)
+    over the index's OWN stored vectors and re-encode every row — the
+    action :func:`pq_list_stats` + :func:`ivf_drift_check`'s
+    ``rebuild_recommended`` verdict calls for, without touching the raw
+    corpus: the Flat rebuild's twin (:func:`ivf_index_rebuild`), closing
+    the lifecycle the r11 monitoring opened (a drifted-append index's
+    reconstruction error measures CODEBOOK staleness — the fix is a
+    codebook retrain, which only existed inline until now).
+
+    Requires a ``store_vectors=True`` index: a codes-only index has no
+    true vectors to retrain from — it refuses loudly (re-encode from
+    the raw corpus with :func:`pq_index_build` instead). Returns a
+    fresh ``(lists, meta)`` pair; persist with :func:`pq_index_write`
+    to a NEW path, then swap — the old index stays readable until the
+    new one commits, the same write-new-then-swap discipline as the
+    dedup index versions.
+
+    ``train="kmeans"`` (default — a rebuild exists to RE-FIT the
+    quantizer) retrains codebooks from scratch over the CURRENT
+    vectors, deliberately cold-start for the same reason as
+    :func:`ivf_index_rebuild`: a degenerate codebook is an init Lloyd
+    cannot escape, and stale codebooks are the very condition that
+    triggered the rebuild. Coarse centroids follow the PQ builder's
+    own rule (first ``n_centroids`` rows by id over the index's
+    ``c_id``s — SQL-reproducible), so list ids are a NEW ``__cid__``
+    space: reset any per-list drift baseline (re-snapshot
+    ``pq_list_stats``) after a rebuild. Geometry dials (``m``,
+    ``n_codes``, ``n_centroids``) and ``by_residual`` default to the
+    old index's metadata. Eager on the driver like every index
+    builder, strictLazy-gated inside the build."""
+    for c in ("c_id", "__cid__", "__codes__"):
+        if c not in lists.columns:
+            raise ValueError(
+                "pq_index_rebuild: not a PQ index lists frame — missing "
+                f"column {c!r} (build one with pq_index_build)"
+            )
+    if "__cvec__" not in lists.columns:
+        raise ValueError(
+            "pq_index_rebuild requires a store_vectors=True index — a "
+            "codes-only index has no true vectors to retrain from; "
+            "rebuild from the raw corpus with pq_index_build instead"
+        )
+    eager_build_guard(
+        lists.sparkSession,
+        "pq_index_rebuild metadata recovery + codebook retrain",
+        "Rebuilding is eager by design — run it from a session that "
+        "permits build-time jobs.",
+    )
+    dim, old_m, old_ncodes, by_residual, _vt, cent_ids, _cm, _cb = (
+        _pq_index_meta(meta, "pq_index_rebuild")
+    )
+    return pq_index_build(
+        lists.select("c_id", "__cvec__"),
+        id_col="c_id",
+        vec_col="__cvec__",
+        n_centroids=n_centroids if n_centroids is not None else len(cent_ids),
+        m=m if m is not None else old_m,
+        n_codes=n_codes if n_codes is not None else old_ncodes,
+        dim=dim,
+        train=train,
+        by_residual=by_residual,
+        seed=seed,
+        kmeans_iters=kmeans_iters,
+        sample_n=sample_n,
+        kmeans_dist_fraction=kmeans_dist_fraction,
+        store_vectors=store_vectors,
+    )
+
+
 def pq_list_stats(lists: DataFrame, meta: DataFrame) -> DataFrame:
     """Per-inverted-list health stats for a PQ index: ``(__cid__,
     n_vectors, mean_sq_dist)`` — the SAME contract :func:`ivf_list_stats`
@@ -1309,9 +1399,6 @@ def pq_list_stats(lists: DataFrame, meta: DataFrame) -> DataFrame:
     index: a codes-only index has no true vectors to measure
     reconstruction error against — snapshot stats before dropping
     vectors, or keep them."""
-    (dim, m, n_codes, by_residual, _vt, cent_ids, c_mat, cb) = _pq_index_meta(
-        meta, "pq_list_stats"
-    )
     if "__cvec__" not in lists.columns:
         raise ValueError(
             "pq_list_stats requires a store_vectors=True index — a "
@@ -1319,10 +1406,16 @@ def pq_list_stats(lists: DataFrame, meta: DataFrame) -> DataFrame:
             "error against; snapshot stats at build time before "
             "dropping vectors"
         )
+    # guard BEFORE the metadata collect: under strictLazy the refusal
+    # must fire before any Spark job runs (ADVICE r11 — the other PQ
+    # entry points already order it this way)
     eager_build_guard(
         lists.sparkSession,
         "pq_list_stats metadata recovery (one-row bounded collect)",
         "Collect the metadata row yourself outside strict-lazy scope.",
+    )
+    (dim, m, n_codes, by_residual, _vt, cent_ids, c_mat, cb) = _pq_index_meta(
+        meta, "pq_list_stats"
     )
     sub = dim // m
     cid_to_slot = {int(c): i for i, c in enumerate(cent_ids)}
@@ -1341,7 +1434,18 @@ def pq_list_stats(lists: DataFrame, meta: DataFrame) -> DataFrame:
             codes = np.stack(
                 pdf["__codes__"].apply(np.asarray).to_numpy()
             ).astype("int64")
-            slots = pdf["__cid__"].map(cid_to_slot).to_numpy().astype("int64")
+            mapped = pdf["__cid__"].map(cid_to_slot)
+            if mapped.isna().any():
+                stray = sorted(
+                    int(c) for c in pdf["__cid__"][mapped.isna()].unique()
+                )[:5]
+                raise ValueError(
+                    "pq_list_stats: lists rows carry __cid__ values "
+                    f"absent from the metadata frame (e.g. {stray}) — "
+                    "the (lists, meta) pair is mismatched; pass the "
+                    "metadata frame the lists were built/appended with"
+                )
+            slots = mapped.to_numpy().astype("int64")
             recon = cb[np.arange(m)[None, :], codes, :].reshape(len(b), dim)
             if by_residual:
                 recon = recon + c_mat[slots]
@@ -2087,9 +2191,13 @@ def _pq_probe_and_score(
     shortlist when the encoded rows carry true vectors (ADC-only
     ranking otherwise — the ``store_vectors=False`` compression form).
     The probed-list ids are pushed as a LITERAL ``isin`` filter on the
-    encoded side — static partition pruning against a
-    ``partitionBy("__cid__")`` layout, the same move as the IVF-Flat
-    path (and a scan cut for the inline form too)."""
+    encoded side. Against a persisted ``partitionBy("__cid__")`` layout
+    that is static partition pruning — only the probed lists' files are
+    read, the same move as the IVF-Flat path. On the INLINE path the
+    filter sits above the ``mapInPandas`` encode and cannot push
+    through it: the whole corpus is still scanned and encoded, and the
+    filter only shrinks the join input afterwards — persisting the
+    index is what buys the scan cut."""
     m, n_codes, sub = cb.shape
     store_vectors = "__cvec__" in enc.columns
     q_mat = _np_quant(np.stack(qpdf[vec_col].apply(np.asarray).to_numpy()))

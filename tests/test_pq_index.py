@@ -392,3 +392,118 @@ def test_pq_list_stats_numpy_differential_and_drift(spark):
     )
     with pytest.raises(ValueError, match="store_vectors=True"):
         pq_list_stats(nv_lists, nv_meta)
+
+
+def test_pq_index_rebuild_clears_drift_and_matches_inline(spark, tmp_path):
+    """The lifecycle the r11 monitoring opened, closed: a drifted-append
+    index whose pq_list_stats/ivf_drift_check verdict recommends a
+    rebuild gets one — codebooks (and coarse anchors) retrained from the
+    index's OWN stored vectors, never the raw corpus. Assertions:
+    reconstruction error drops on the drifted index, the drift verdict
+    clears against a re-snapshot baseline, geometry dials default to
+    the old metadata, and the rebuilt index persisted through parquet
+    answers queries row-for-row like the inline operator over the same
+    vectors with the same training rule."""
+    from pandarallel_spark.operators.similarity import (
+        ivf_drift_check,
+        pq_index_append,
+        pq_index_rebuild,
+        pq_list_stats,
+    )
+
+    rng = np.random.default_rng(61)
+    base = spark.createDataFrame(
+        [
+            (i, [float(x) for x in (rng.normal(scale=0.1, size=16) + 1.0)])
+            for i in range(120)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    lists, meta = pq_index_build(base, n_centroids=4, m=4, n_codes=8)
+    base_stats = pq_list_stats(lists, meta)
+
+    drifted = spark.createDataFrame(
+        [
+            (5000 + i, [float(x) for x in (rng.normal(scale=0.1, size=16) - 4.0)])
+            for i in range(120)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    grown = lists.unionByName(pq_index_append(lists, meta, drifted))
+
+    def mean_err(stats):
+        rows = stats.collect()
+        n = sum(r["n_vectors"] for r in rows)
+        return (
+            sum((r["mean_sq_dist"] or 0.0) * r["n_vectors"] for r in rows) / n
+        )
+
+    with pytest.warns(UserWarning, match="rebuild"):
+        verdict = ivf_drift_check(
+            pq_list_stats(grown, meta), baseline=base_stats,
+            max_imbalance=100.0,  # this test targets CODEBOOK staleness
+        )
+    assert verdict["rebuild_recommended"]
+    drifted_err = mean_err(pq_list_stats(grown, meta))
+
+    new_lists, new_meta = pq_index_rebuild(grown, meta, seed=7)
+    # geometry dials default to the old metadata
+    nm = new_meta.collect()[0]
+    assert (nm["__pq_m__"], nm["__pq_ncodes__"]) == (4, 8)
+    assert len(nm["__pq_cids__"]) == 4
+
+    # reconstruction error drops on the drifted index...
+    new_stats = pq_list_stats(new_lists, new_meta)
+    rebuilt_err = mean_err(new_stats)
+    assert rebuilt_err < 0.5 * drifted_err
+    # ...and the verdict clears against the re-snapshot baseline
+    verdict2 = ivf_drift_check(
+        new_stats, baseline=new_stats, max_imbalance=100.0
+    )
+    assert not verdict2["rebuild_recommended"]
+
+    # rebuilt-and-persisted == inline over the same vectors, same rule
+    pth = str(tmp_path / "pq_rebuilt")
+    pq_index_write(new_lists, new_meta, pth)
+    rl, rm = pq_index_read(spark, pth)
+    queries = spark.createDataFrame(
+        [(9000 + i, [float(x) for x in rng.normal(size=16)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r.q_id, r.rank, r.c_id, r.score)
+        for r in pq_topk_indexed(queries, rl, rm, k=4, nprobe=2, rerank=16).collect()
+    )
+    inline = sorted(
+        (r.q_id, r.rank, r.c_id, r.score)
+        for r in ivf_pq_topk(
+            queries, base.unionByName(drifted),
+            n_centroids=4, m=4, n_codes=8, k=4, nprobe=2, rerank=16,
+            train="kmeans", seed=7,
+        ).collect()
+    )
+    assert got == inline
+
+
+def test_pq_index_rebuild_validation_and_gates(spark):
+    """Codes-only refuses loudly (nothing to retrain from), non-index
+    frames are named, and strictLazy blocks the eager build."""
+    from pandarallel_spark.operators.similarity import pq_index_rebuild
+
+    corpus, _ = _fixtures(spark, n_corpus=40)
+    lists, meta = pq_index_build(corpus, n_centroids=4, m=4, n_codes=4)
+    nv_lists, nv_meta = pq_index_build(
+        corpus, n_centroids=4, m=4, n_codes=4, store_vectors=False
+    )
+    with pytest.raises(ValueError, match="store_vectors=True"):
+        pq_index_rebuild(nv_lists, nv_meta)
+    with pytest.raises(ValueError, match="not a PQ index lists"):
+        pq_index_rebuild(corpus, meta)
+    with pytest.raises(ValueError, match="not a PQ index metadata"):
+        pq_index_rebuild(lists, corpus)
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(RuntimeError, match="pq_index_rebuild"):
+            pq_index_rebuild(lists, meta)
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")

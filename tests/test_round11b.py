@@ -225,3 +225,21 @@ def test_pq_build_rejects_mismatched_dim(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="8.*4-wide|4-wide"):
         pq_index_build(corpus, m=4, dim=8)
+
+
+def test_rrf_fuse_rejects_duplicate_ids_within_a_list(spark):
+    """A duplicated id inside one ranked list would multiply rows
+    through the full-outer fold and contribute one term PER COPY —
+    rrf_fuse guards each list lazily and raises a named error at
+    execution time (ADVICE r11)."""
+    from pandarallel_spark.operators.relational import rrf_fuse
+
+    dup = spark.createDataFrame(
+        [(1, 1), (1, 2), (3, 3)], "doc_id bigint, rank bigint"
+    )
+    clean = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id bigint, rank bigint"
+    )
+    out = rrf_fuse({"bm25": dup, "ann": clean}, "doc_id")  # lazy: no raise yet
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        out.collect()
