@@ -38,4 +38,7 @@ or a north-star extension (§2.3) onto Spark primitives:
   the CCNet/GPT-3-style filter tier above the fixed heuristic
 - ``semantic``   — SSL-Prototypes curation: distributed k-means
   clusters, prototype-distance scoring, per-cluster hard/easy pruning
+- ``curate``     — one-call trained-tier pipeline: quality filter →
+  prototype prune → near-dedup → shuffle-shard export, with lineage
+  truncation at stage boundaries and one up-front strictLazy gate
 """

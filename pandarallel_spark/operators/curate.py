@@ -1,0 +1,190 @@
+"""One-call corpus curation — the TRAINED-tier pipeline a pretraining
+data team actually runs (SURVEY.md §2.3; the heuristic-tier twin is the
+graded ``corpus_cleanup_pipeline`` workload row):
+
+    trained quality filter  →  SSL-prototype prune  →  near-dedup
+                            →  deterministic shuffle-shard export
+
+Each stage exists — and is tested — on its own
+(:class:`~pandarallel_spark.operators.quality_model.QualityFilter`,
+:func:`~pandarallel_spark.operators.semantic.prune_prototypes`,
+:func:`~pandarallel_spark.operators.dedup.near_dedup_corpus`,
+:func:`~pandarallel_spark.operators.sampling.shuffle_shards`); this
+module composes them with the stage-boundary discipline the pieces
+can't impose on each other:
+
+- **lineage truncation between stages** (``truncate_lineage`` —
+  ``localCheckpoint`` by default, reliable ``checkpoint()`` under the
+  ``reliableCheckpoint`` opt-in): every stage after the first consumes
+  its input MORE THAN ONCE (k-means fit + scoring pass + join-back;
+  shingle pass + anti-join), so without a cut each stage would re-run
+  the whole upstream chain — the quality filter's regex features are
+  the expensive tail — once per downstream scan. With the cut, each
+  stage's work runs exactly once.
+- **one strictLazy gate up front**: prototype pruning and clustering
+  are eager by design; the composed call refuses under strictLazy
+  BEFORE any stage runs, naming the lazy subset that would work.
+
+Stage order follows the cost gradient: the quality filter is a pure
+JVM projection (cheapest — run it first so every later stage sees a
+smaller corpus), prototype pruning pays one k-means fit + one scan,
+near-dedup pays shingling + banding, and the shard export is the final
+single shuffle. Pruning before dedup also matches the SSL-Prototypes
+setting (Sorscher et al. 2022 prune a deduplicated-ish corpus; exact
+copies that survive to the prune stage all land in one cluster and are
+then removed by the dedup stage anyway — order changes cost, not the
+set of kept documents, for copies).
+
+Reference frame: the reference repo (pandarallel) has no pipeline
+surface; this is the RefinedWeb/FineWeb-shaped composition
+re-expressed as one Spark plan chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from pandarallel_spark.operators._memo import eager_build_guard, truncate_lineage
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality=None,
+    min_prob: float = 0.5,
+    vec_col: str | None = None,
+    keep_frac: float | None = None,
+    prototype_policy: str = "hard",
+    prototype_k: int = 16,
+    prototype_seed: int = 7,
+    dedup_method: str | None = "minhash",
+    dedup_threshold: float | None = None,
+    keep_by: str | None = None,
+    dedup_kwargs: dict | None = None,
+    n_shards: int | None = None,
+    shard_seed: int = 42,
+    shard_col: str = "shard",
+    position_col: str | None = None,
+    checkpoint_stages: bool = True,
+) -> DataFrame:
+    """Curate a corpus in one call; every stage is optional and skipped
+    stages cost nothing. Returns the curated DataFrame (original
+    schema, plus ``shard_col``/``position_col`` when sharding).
+
+    - ``quality``: a trained
+      :class:`~pandarallel_spark.operators.quality_model.QualityFilter`
+      (or anything with its ``apply(df, text_col, min_prob)`` contract);
+      rows scoring below ``min_prob`` are dropped. ``None`` skips.
+    - ``keep_frac`` + ``vec_col``: SSL-prototype pruning — keep
+      ``keep_frac`` of every semantic cluster (``prototype_policy``
+      ``"hard"`` keeps the far-from-prototype tail, ``"easy"`` the
+      core; ``prototype_k``/``prototype_seed`` are the k-means dials).
+      ``None`` skips.
+    - ``dedup_method``: forwarded to
+      :func:`~pandarallel_spark.operators.dedup.near_dedup_corpus`
+      (``"minhash"``/``"ngram"``/``"simhash"`` run over ``text_col``;
+      ``"embedding"`` — SemDeDup — runs over ``vec_col``).
+      ``dedup_threshold``/``keep_by``/``dedup_kwargs`` pass through.
+      ``None`` skips.
+    - ``n_shards``: finish with
+      :func:`~pandarallel_spark.operators.sampling.shuffle_shards` —
+      the deterministic pre-training export layout; ``position_col``
+      additionally materializes the in-shard order. ``None`` skips.
+    - ``checkpoint_stages``: truncate lineage at each stage boundary
+      (see the module docstring — strongly recommended; disable only
+      for plan inspection or when a fully lazy quality+shards-only
+      chain must run under strictLazy).
+
+    Scale shape: the corpus shrinks monotonically through the chain
+    and each stage reads its (checkpointed) input instead of replaying
+    upstream work; no stage adds a scan the standalone operator
+    wouldn't pay. Determinism: every stage is content-hash / seeded —
+    the same corpus curates identically on any cluster size.
+    """
+    stages_on = [
+        quality is not None,
+        keep_frac is not None,
+        dedup_method is not None,
+        n_shards is not None,
+    ]
+    if not any(stages_on):
+        raise ValueError(
+            "curate_corpus: every stage is disabled (quality=None, "
+            "keep_frac=None, dedup_method=None, n_shards=None) — enable "
+            "at least one, or drop the call"
+        )
+    if keep_frac is not None and vec_col is None:
+        raise ValueError(
+            "curate_corpus: prototype pruning (keep_frac=) needs the "
+            "embedding column — pass vec_col="
+        )
+    if dedup_method == "embedding" and vec_col is None:
+        raise ValueError(
+            "curate_corpus: dedup_method='embedding' (SemDeDup) needs "
+            "the embedding column — pass vec_col="
+        )
+    # one gate up front: clustering/dedup stages (and the stage-boundary
+    # checkpoints) run eager jobs — fail BEFORE stage one under
+    # strictLazy rather than midway through the pipeline
+    runs_eager = (
+        keep_frac is not None
+        or dedup_method is not None
+        or (checkpoint_stages and any(stages_on[:3]))
+    )
+    if runs_eager:
+        eager_build_guard(
+            df.sparkSession,
+            "curate_corpus stages (clustering/dedup/stage checkpoints "
+            "run eagerly at call time)",
+            "Only a quality+shards chain with checkpoint_stages=False "
+            "is fully lazy; compose the stages explicitly outside "
+            "strict-lazy scope otherwise.",
+        )
+
+    out = df
+    if quality is not None:
+        out = quality.apply(out, text_col, min_prob=min_prob)
+        if checkpoint_stages and any(stages_on[1:3]):
+            # the regex-feature projection must not re-run once per
+            # downstream scan of the filtered corpus
+            out = truncate_lineage(out)
+    if keep_frac is not None:
+        from pandarallel_spark.operators.semantic import prune_prototypes
+
+        out = prune_prototypes(
+            out,
+            id_col=id_col,
+            vec_col=vec_col,
+            keep_frac=keep_frac,
+            policy=prototype_policy,
+            k=prototype_k,
+            seed=prototype_seed,
+        )
+        if checkpoint_stages and dedup_method is not None:
+            out = truncate_lineage(out)
+    if dedup_method is not None:
+        from pandarallel_spark.operators.dedup import near_dedup_corpus
+
+        sig_col = vec_col if dedup_method == "embedding" else text_col
+        out = near_dedup_corpus(
+            out,
+            id_col,
+            sig_col,
+            method=dedup_method,
+            keep_by=keep_by,
+            threshold=dedup_threshold,
+            **(dedup_kwargs or {}),
+        )
+    if n_shards is not None:
+        from pandarallel_spark.operators.sampling import shuffle_shards
+
+        out = shuffle_shards(
+            out,
+            id_col,
+            n_shards,
+            seed=shard_seed,
+            shard_col=shard_col,
+            position_col=position_col,
+        )
+    return out

@@ -84,6 +84,7 @@ def shuffle_shards(
     n_shards: int,
     seed: int = 42,
     shard_col: str = "shard",
+    position_col: str | None = None,
 ) -> DataFrame:
     """Deterministic seeded GLOBAL shuffle of a corpus into
     ``n_shards`` — the standard pre-training export step: training
@@ -106,14 +107,23 @@ def shuffle_shards(
     — one DIRECTORY per shard, each file internally in the
     deterministic shuffle order. NULL ids raise rather than silently
     landing in one hot shard (md5(NULL) is NULL → pmod NULL — the
-    hash_split NULL lesson applied eagerly)."""
+    hash_split NULL lesson applied eagerly).
+
+    ``position_col`` (r12) additionally MATERIALIZES the in-shard rank
+    (1-based) as a column — the order becomes data, so an exporter can
+    persist it, a resume can seek by it, and an external SQL engine can
+    replay it row-for-row. The ranking window partitions on the shard
+    value and orders by the keys the sort already established, so it
+    rides the SAME single shuffle — no extra exchange, no global
+    sort."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be ≥ 1, got {n_shards}")
-    if shard_col in df.columns:
-        raise ValueError(
-            f"column {shard_col!r} already exists — pass shard_col= to "
-            "rename the output column"
-        )
+    for c in (shard_col, position_col):
+        if c is not None and c in df.columns:
+            raise ValueError(
+                f"column {c!r} already exists — pass shard_col=/"
+                "position_col= to rename the output columns"
+            )
     shard = md5_bucket(id_col, n_shards, seed)
     out = df.withColumn(
         shard_col,
@@ -122,10 +132,18 @@ def shuffle_shards(
                   "deterministically — repair ids upstream")
         )).otherwise(shard),
     )
-    return out.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
-        F.col(shard_col), md5_bucket(id_col, _HASH_BUCKETS, seed + 1),
-        F.col(id_col),
+    pos_key = md5_bucket(id_col, _HASH_BUCKETS, seed + 1)
+    out = out.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
+        F.col(shard_col), pos_key, F.col(id_col),
     )
+    if position_col is not None:
+        w = Window.partitionBy(F.col(shard_col)).orderBy(
+            pos_key, F.col(id_col)
+        )
+        out = out.withColumn(
+            position_col, F.row_number().over(w).cast("bigint")
+        )
+    return out
 
 
 def sample_per_group(

@@ -1,0 +1,208 @@
+"""One-call curation pipeline (operators/curate.py): trained quality
+filter → SSL-prototype prune → near-dedup → shuffle-shard export.
+
+Load-bearing invariants:
+- the pipeline IS the explicit composition of its standalone stages,
+  row-for-row (same seeds, same inputs — no hidden reordering);
+- end to end: junk is removed, per-cluster redundancy is pruned, dup
+  texts lose all but one member, and the shard layout is deterministic
+  across reruns;
+- stage-boundary lineage truncation means the FINAL plan re-scans no
+  source files (the r11 verdict's "no extra corpus scans" bar);
+- validation names disabled/misconfigured stages; strictLazy refuses
+  up front.
+
+Reference frame: RefinedWeb/FineWeb-style curation; the reference repo
+(pandarallel) has no pipeline surface.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandarallel_spark.operators.curate import curate_corpus
+from pandarallel_spark.operators.quality_model import train_quality_filter
+
+_CLEAN = [
+    "the quick brown fox jumps over the lazy dog and runs into the field",
+    "a clear and well formed sentence with normal words of usual length",
+    "spark compiles the declarative plan into stages and runs them",
+    "the weather in the valley was mild and the harvest was plentiful",
+    "she walked to the market and bought bread and cheese for the family",
+    "engineers write tests so that the behavior of the system is pinned",
+    "the committee agreed to publish the findings in the spring report",
+    "a calm river flows past the old mill at the edge of the town",
+]
+_GARBAGE = [
+    "$$$ !!! ### @@@ %%% ^^^ &&& *** ((( ))) ___ +++ === ~~~",
+    "zzzzzzzzzzzz qqqqqqqqqqq xxxxxxxxxxxx jjjjjjjjjjjj wwwwwwwww",
+    "buy buy buy buy buy buy buy buy buy buy buy buy buy buy buy",
+    "AAAAA BBBBB CCCCC DDDDD EEEEE FFFFF GGGGG HHHHH IIIII JJJJJ",
+]
+
+
+def _quality(spark):
+    pos = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CLEAN)], "id long, text string"
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(_GARBAGE)], "id long, text string"
+    )
+    return train_quality_filter(pos, neg, "text")
+
+
+def _corpus(spark, dim=8):
+    """36 docs: 24 distinct good ones in two embedding clusters (ids
+    0-15 the redundant core at +2, ids 16-23 spread at -2), two EXACT
+    text duplicates of good docs (ids 50/51), and 10 junk docs (ids
+    70-79)."""
+    from itertools import combinations
+
+    rng = np.random.default_rng(17)
+    rows = []
+    # each good doc concatenates a DISTINCT pair of clean sentences, so
+    # cross-doc shingle Jaccard stays ~1/3 (< the 0.5 dedup threshold)
+    # while the text still reads as curated to the quality filter
+    pairs = list(combinations(range(len(_CLEAN)), 2))[:24]
+    for i, (a, b) in enumerate(pairs):
+        text = f"{_CLEAN[a]} {_CLEAN[b]}"
+        center = 2.0 if i < 16 else -2.0
+        emb = [float(x) for x in rng.normal(scale=0.2, size=dim) + center]
+        rows.append((i, text, emb))
+    # exact duplicates of docs 0 and 1 (higher ids: min-id survivor
+    # keeps the originals)
+    for j, src in ((50, 0), (51, 1)):
+        emb = [float(x) for x in rng.normal(scale=0.2, size=dim) + 2.0]
+        rows.append((j, rows[src][1], emb))
+    for j in range(10):
+        emb = [float(x) for x in rng.normal(scale=0.2, size=dim) - 2.0]
+        rows.append((70 + j, _GARBAGE[j % len(_GARBAGE)], emb))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+
+
+def test_curate_corpus_is_the_explicit_composition(spark):
+    """The one-call pipeline equals quality.apply → prune_prototypes →
+    near_dedup_corpus → shuffle_shards composed by hand with the same
+    dials, row-for-row (ids, shards, positions)."""
+    from pandarallel_spark.operators.dedup import near_dedup_corpus
+    from pandarallel_spark.operators.sampling import shuffle_shards
+    from pandarallel_spark.operators.semantic import prune_prototypes
+
+    df = _corpus(spark)
+    qf = _quality(spark)
+    kw = dict(
+        keep_frac=0.75, prototype_k=2, prototype_seed=11,
+        dedup_threshold=0.5, n_shards=4, shard_seed=9, position_col="pos",
+    )
+    got = curate_corpus(
+        df, "doc_id", "text", quality=qf, vec_col="embedding", **kw
+    )
+
+    step = qf.apply(df, "text", min_prob=0.5)
+    step = prune_prototypes(
+        step, id_col="doc_id", vec_col="embedding",
+        keep_frac=0.75, policy="hard", k=2, seed=11,
+    )
+    step = near_dedup_corpus(step, "doc_id", "text", threshold=0.5)
+    want = shuffle_shards(step, "doc_id", 4, seed=9, position_col="pos")
+
+    key = lambda r: (r["doc_id"], r["shard"], r["pos"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_curate_corpus_end_to_end_behavior(spark):
+    """Junk removed, redundancy pruned per cluster, exact dups lose the
+    higher-id member, shard layout reproduces identically on a rerun."""
+    df = _corpus(spark)
+    qf = _quality(spark)
+    kw = dict(
+        quality=qf, vec_col="embedding",
+        keep_frac=0.5, prototype_k=2, prototype_seed=11,
+        n_shards=4, position_col="pos",
+    )
+    out = curate_corpus(df, "doc_id", "text", **kw)
+    rows = out.collect()
+    kept = {r["doc_id"] for r in rows}
+
+    # junk gone (quality stage)
+    assert not (kept & set(range(70, 80)))
+    # redundancy pruned: the quality survivors (26 docs) shrink by the
+    # per-cluster keep fraction before dedup — strictly fewer than 26
+    assert len(kept) < 26
+    # dups dropped: never BOTH members of an exact-dup pair
+    assert not ({0, 50} <= kept) and not ({1, 51} <= kept)
+    # deterministic export layout: a full rerun reproduces (id, shard,
+    # pos) exactly
+    rerun = curate_corpus(df, "doc_id", "text", **kw).collect()
+    key = lambda r: (r["doc_id"], r["shard"], r["pos"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, rerun))
+    # schema: original columns + the export columns
+    assert out.columns == ["doc_id", "text", "embedding", "shard", "pos"]
+
+
+def test_curate_corpus_stage_checkpoints_cut_source_rescans(spark, tmp_path):
+    """With checkpoint_stages=True (default) the FINAL plan reads the
+    stage checkpoints, never the source files — each stage's work runs
+    once no matter how many scans the next stage makes. Disabling the
+    cuts leaves source scans in the final plan (the thing the default
+    prevents)."""
+    pth = str(tmp_path / "corpus")
+    _corpus(spark).write.parquet(pth)
+    df = spark.read.parquet(pth)
+    qf = _quality(spark)
+    kw = dict(
+        quality=qf, vec_col="embedding", keep_frac=0.75, prototype_k=2,
+    )
+    cut = curate_corpus(df, "doc_id", "text", **kw)
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan[:2000]
+
+    uncut = curate_corpus(df, "doc_id", "text", checkpoint_stages=False, **kw)
+    plan2 = uncut._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Scan parquet") >= 2, plan2[:2000]
+    # same result either way — the cuts are a cost choice, not semantics
+    assert sorted(r["doc_id"] for r in cut.collect()) == sorted(
+        r["doc_id"] for r in uncut.collect()
+    )
+
+
+def test_curate_corpus_optional_stages_and_validation(spark):
+    df = _corpus(spark)
+    # dedup-only (the default stage set): drops exactly the dup tails
+    out = curate_corpus(df, "doc_id", "text")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 50 not in kept and 51 not in kept and 0 in kept and 1 in kept
+    # 24 distinct good docs + the 4 junk template survivors (junk isn't
+    # quality-filtered here, but its exact-duplicate copies dedup away)
+    assert kept == set(range(24)) | {70, 71, 72, 73}
+
+    with pytest.raises(ValueError, match="every stage is disabled"):
+        curate_corpus(df, "doc_id", "text", dedup_method=None)
+    with pytest.raises(ValueError, match="vec_col"):
+        curate_corpus(df, "doc_id", "text", keep_frac=0.5)
+    with pytest.raises(ValueError, match="vec_col"):
+        curate_corpus(df, "doc_id", "text", dedup_method="embedding")
+
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(RuntimeError, match="curate_corpus"):
+            curate_corpus(df, "doc_id", "text")
+        # the documented fully-lazy subset builds under strictLazy
+        lazy = curate_corpus(
+            df, "doc_id", "text", quality=_quality_lazy(spark),
+            dedup_method=None, n_shards=2, checkpoint_stages=False,
+        )
+        assert "shard" in lazy.columns
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
+def _quality_lazy(spark):
+    """Train OUTSIDE the strictLazy scope the test enables afterwards."""
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+    try:
+        return _quality(spark)
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "true")

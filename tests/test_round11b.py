@@ -243,3 +243,45 @@ def test_rrf_fuse_rejects_duplicate_ids_within_a_list(spark):
     out = rrf_fuse({"bm25": dup, "ann": clean}, "doc_id")  # lazy: no raise yet
     with pytest.raises(Exception, match="duplicate doc_id"):
         out.collect()
+
+
+def test_shuffle_shards_position_col_materializes_order(spark):
+    """position_col= turns the documented in-shard order into DATA:
+    a 1-based rank per shard that matches the sortWithinPartitions
+    keys exactly, computed on the operator's single hash shuffle (no
+    second exchange), and validated against the existing-column
+    guard."""
+    from pandarallel_spark.operators.sampling import (
+        md5_bucket,
+        shuffle_shards,
+        _HASH_BUCKETS,
+    )
+
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(docs, "doc_id", 4, seed=7, position_col="pos")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+    rows = out.collect()
+    # rank follows (md5(id, seed+1), id) within each shard, 1-based
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    key_rows = {
+        r["doc_id"]: r["h2"]
+        for r in docs.select(
+            "doc_id", md5_bucket("doc_id", _HASH_BUCKETS, 8).alias("h2")
+        ).collect()
+    }
+    for shard, members in by_shard.items():
+        want = sorted(members, key=lambda r: (key_rows[r["doc_id"]], r["doc_id"]))
+        got = sorted(members, key=lambda r: r["pos"])
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+        assert sorted(r["pos"] for r in members) == list(
+            range(1, len(members) + 1)
+        )
+
+    with pytest.raises(ValueError, match="already exists"):
+        shuffle_shards(
+            docs.withColumn("pos", F.lit(1)), "doc_id", 2, position_col="pos"
+        )
