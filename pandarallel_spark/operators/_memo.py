@@ -113,6 +113,32 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
         df.unpersist()
 
 
+def constant_partition_key(col):
+    """A constant-valued but NON-FOLDABLE window partition key for
+    deliberately single-partition windows over PROVABLY TINY frames
+    (top-k lists, per-bucket carry tables ≤ n_buckets rows).
+
+    Why not an empty partition spec: WindowExec warns "No Partition
+    Defined … serious performance degradation" on every such window,
+    and these documented-bounded sites would bury a FUTURE genuine
+    total-order regression in known-benign noise (r11 verdict). Why
+    not ``partitionBy(F.lit(0))``: Spark 4's
+    ``EliminateWindowPartitions`` optimizer rule strips foldable
+    partition expressions, reintroducing the empty spec (a
+    multiply-by-zero form is likewise simplified away — both verified
+    empirically). This form — ``pmod(hash(col), 1)`` — evaluates to 0
+    for every row of ANY type (``hash(NULL)`` is the seed, so NULLs
+    land in the same partition), references a real column so no rule
+    can fold it, and costs one hash per row on frames that are tiny by
+    contract. Use it ONLY where the docstring of the call site states
+    why the frame is bounded."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.pmod(F.hash(c), F.lit(1))
+
+
 def shuffle_partitions(spark, default: int = 200) -> int:
     """``spark.sql.shuffle.partitions`` as an int, tolerating platforms
     where the conf is non-numeric (e.g. ``"auto"`` on Databricks): an

@@ -48,8 +48,17 @@ from pandarallel_spark.operators.text import fingerprint, tokens
 _CANDIDATE_BC_CAP_CONF = "spark.pandarallel_spark.candidateBroadcastCap"
 _CANDIDATE_BC_CAP_DEFAULT = 200_000
 
+# probe verdicts keyed on (source plan+files, parameters, cap) — the
+# skew-probe memo pattern (_skew.py), r11 verdict task: a pipeline that
+# builds the same pair plan repeatedly (retry loops, bench reruns over
+# unchanged parquet, multi-consumer compositions) pays the bounded
+# count once, not once per call
+_bc_probe_memo: dict = {}
 
-def resolve_broadcast_candidates(candidates: DataFrame, setting) -> bool:
+
+def resolve_broadcast_candidates(
+    candidates: DataFrame, setting, memo_key: tuple | None = None
+) -> bool:
     """Resolve a ``broadcast_candidates`` setting to a concrete bool.
 
     ``"auto"`` (the r11 default, closing the r10 verdict's "manual
@@ -64,7 +73,17 @@ def resolve_broadcast_candidates(candidates: DataFrame, setting) -> bool:
     would be a forbidden build-time job: ``"auto"`` resolves to False
     (plain equi-joins; AQE still broadcasts at runtime when the
     measured size is small — the always-safe direction). Explicit
-    True/False pass through untouched."""
+    True/False pass through untouched.
+
+    ``memo_key`` (r12): a :func:`_memo.plan_data_key`-derived identity
+    of the SOURCE data + the parameters that determine the candidate
+    set. When given, the probe verdict is memoized per (key, cap) so
+    rebuilding the same plan over unchanged files skips the count; the
+    candidate frame itself has no file identity to key on (it sits
+    behind a lazy ``localCheckpoint``), which is why the key comes from
+    the caller's sources. ``None`` (driver-local or otherwise
+    unidentifiable inputs) probes every time — correct, just uncached.
+    """
     if setting != "auto":
         return bool(setting)
     spark = candidates.sparkSession
@@ -78,7 +97,13 @@ def resolve_broadcast_candidates(candidates: DataFrame, setting) -> bool:
                                  str(_CANDIDATE_BC_CAP_DEFAULT)))
     except (ValueError, TypeError):
         cap = _CANDIDATE_BC_CAP_DEFAULT
-    return candidates.limit(cap + 1).count() <= cap
+    key = None if memo_key is None else (memo_key, cap)
+    if key is not None and key in _bc_probe_memo:
+        return _bc_probe_memo[key]
+    fits = candidates.limit(cap + 1).count() <= cap
+    if key is not None:
+        memo_put(_bc_probe_memo, key, fits)
+    return fits
 
 
 # ---------------------------------------------------------------------------
@@ -998,9 +1023,18 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("__fb__")))
         .distinct()
     )
+    # the candidate set is a pure function of (df's data, these dials),
+    # so the probe verdict memoizes on the SOURCE's plan+files — the
+    # injected _s1 fast path shares the key legitimately (it is required
+    # to be built from df with the same (n, num_perm))
+    _bc_key = plan_data_key(
+        df, "minhash_bc", id_col, text_col, n, num_perm, bands, bucket_cap
+    )
     _maybe_bc = (
         F.broadcast
-        if resolve_broadcast_candidates(candidates, broadcast_candidates)
+        if resolve_broadcast_candidates(
+            candidates, broadcast_candidates, memo_key=_bc_key
+        )
         else (lambda d: d)
     )
     cand_ex = groups.join(_maybe_bc(cand_fps), "__fp__").select("__fp__", "__eid__")

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from pandarallel_spark.operators._memo import (
     eager_build_guard,
+    plan_data_key,
     truncate_lineage,
 )
 from pandarallel_spark.operators.dedup import (
@@ -514,9 +515,24 @@ def minhash_pairs_incremental(
         # (default): a bounded count probe over the truncated candidate
         # table decides; False under strictLazy (see
         # dedup.resolve_broadcast_candidates).
+        # memoize the probe on BOTH candidate-determining sources (the
+        # delta and the index) — either lacking a file identity skips
+        # memoization, never the probe itself
+        _k_delta = plan_data_key(
+            new_df, "minhash_inc_bc", id_col, text_col, n, num_perm,
+            bands, bucket_cap,
+        )
+        _k_index = plan_data_key(index)
+        _bc_key = (
+            (_k_delta, _k_index)
+            if _k_delta is not None and _k_index is not None
+            else None
+        )
         _maybe_bc = (
             F.broadcast
-            if resolve_broadcast_candidates(candidates, broadcast_candidates)
+            if resolve_broadcast_candidates(
+                candidates, broadcast_candidates, memo_key=_bc_key
+            )
             else (lambda d: d)
         )
         new_cand = fresh.select("__fp__", "__neid__").join(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pandarallel_spark.operators._memo import (
+    constant_partition_key,
     eager_build_guard,
     memo_put,
     plan_data_key,
@@ -337,8 +338,17 @@ def _global_asof_buckets(
     spine = spark.range(len(bnds) + 1).select(
         F.col("id").cast("int").alias("__bkt__")
     )
-    w_prev = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
-    w_next = Window.orderBy("__bkt__").rowsBetween(1, Window.unboundedFollowing)
+    # constant-keyed single-partition windows over the ≤ n_buckets+1
+    # boundary rows — deliberate (and tiny); an empty partition spec
+    # would spam WindowExec's no-partition warning (r11 verdict; see
+    # _memo.constant_partition_key)
+    _k = constant_partition_key("__bkt__")
+    w_prev = Window.partitionBy(_k).orderBy("__bkt__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_next = Window.partitionBy(_k).orderBy("__bkt__").rowsBetween(
+        1, Window.unboundedFollowing
+    )
     carry = spine.join(summ, "__bkt__", "left").select(
         "__bkt__",
         F.last("__last_r__", ignorenulls=True).over(w_prev).alias("__carry_b__"),

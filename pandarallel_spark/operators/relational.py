@@ -156,7 +156,18 @@ def rrf_fuse(
     score = terms[0]
     for t in terms[1:]:
         score = score + t
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    # constant partition key: same single-partition execution over the
+    # (tiny, k-sized) fused list, but the plan declares the partition
+    # deliberate — an EMPTY partition spec here would spam WindowExec's
+    # no-partition warning and bury a future genuine total-order
+    # regression in known-benign noise (r11 verdict; see
+    # _memo.constant_partition_key for why a bare lit(0) won't survive
+    # the optimizer)
+    from pandarallel_spark.operators._memo import constant_partition_key
+
+    w = Window.partitionBy(constant_partition_key(id_col)).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
     out = (
         fused.withColumn("score", score)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))

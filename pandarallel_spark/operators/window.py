@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pandarallel_spark.operators._memo import (
+    constant_partition_key,
     eager_build_guard,
     memo_put,
     plan_data_key,
@@ -2356,8 +2357,12 @@ def _bucketed_expanding(
         F.max(v).alias("__mx__"),
     )
     # prefix carry over the tiny totals frame (≤ n_buckets rows — the
-    # one intentionally single-partition window here)
-    wc = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    # one intentionally single-partition window here; constant-keyed so
+    # WindowExec's no-partition warning stays meaningful, r11 verdict;
+    # see _memo.constant_partition_key)
+    wc = Window.partitionBy(constant_partition_key("__bkt__")).orderBy(
+        "__bkt__"
+    ).rowsBetween(Window.unboundedPreceding, -1)
     carry = tot.select(
         "__bkt__",
         F.sum("__n__").over(wc).alias("__cn__"),

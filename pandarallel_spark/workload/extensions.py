@@ -337,7 +337,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(50)
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    # constant-keyed: the frame is the 50-row top-k list — declare the
+    # single partition deliberate instead of tripping WindowExec's
+    # no-partition warning (r11 verdict)
+    from pandarallel_spark.operators._memo import constant_partition_key
+
+    w = Window.partitionBy(constant_partition_key("doc_id")).orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
     # the 50-row BM25 list feeds BOTH kinds (its own output + the
     # fusion input) — cut the lineage so the documents corpus is
     # scanned once, not once per branch

@@ -144,7 +144,14 @@ def test_bm25_no_python_partial_topk(spark, sf_dir):
     sort."""
     plan = _plan(spark, sf_dir, "bm25_topk")
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
-    assert "TakeOrderedAndProject" in plan
+    # the visible top-k (the fused rank ≤ 20) must plan as a PARTIAL
+    # top-k, never a global sort: with an empty-spec rank window the
+    # optimizer rewrites it to TakeOrderedAndProject
+    # (LimitPushDownThroughWindow); with r12's constant-keyed window it
+    # plants map-side WindowGroupLimit before the exchange
+    # (InferWindowGroupLimit) — both are the two-phase partial-top-k
+    # shape (the bm kind's own top-50 TOAP sits behind the lineage cut)
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
 
 
 def test_semi_anti_are_semi_joins(spark, sf_dir):
@@ -409,30 +416,22 @@ def test_registry_scale_audit(spark, sf_dir):
     queries()  # force registration
     # every allowance names a BOUNDED-INPUT or semantically-forced
     # single partition — verified by reading the plan and the operator:
+    # r12: the bounded top-k/carry windows (bm25's rank lists, the
+    # as-of and expanding bucket carries, the temperature n_min) now
+    # declare their deliberate single partition with a constant key
+    # (_memo.constant_partition_key) instead of an empty spec, so those
+    # former allowances measure 0 and were removed — the gate is
+    # strictly tighter than r11's.
     allowed_single_partition = {
-        # two-phase GLOBAL corpus-stats aggregate: the exchange carries
-        # one PARTIAL row per upstream partition into the final
-        # HashAggregate — the normal global-agg shape, not a data sort
-        "bm25_topk": 1,
         # axis=0 UDF reduce (reference op #2): pandas hands the WHOLE
         # column to one opaque func — not distributable by definition;
         # builtin-name aggs route to JVM partial aggregation instead
         "col_apply_range": 1,
-        # bucket-carry chain: cumulative window over the per-bucket
-        # summary table (≤ buckets+1 rows), broadcast back — bounded
-        "global_asof_purchase_before_click": 1,
-        # expanding branch's broadcast-carry prefix scan: cumulative
-        # window over ≤ n_buckets per-bucket aggregate rows — bounded
-        "rolling_scans_global": 1,
         # the contract row's three sequential stock-pandas REFERENCE
         # branches (mean/var/times): the graded boolean is precisely
         # "distributed scan == sequential scan", so one-task references
         # exist BY DESIGN; ~30 anchor rows reach the final output
         "ewm_mean_purchase_cents": 3,
-        # temperature kind: the global MIN over the per-stratum count
-        # table — a two-phase aggregate whose exchange carries one
-        # partial row per partition of a |strata|-row input
-        "stratified_sample_sources": 1,
     }
     allowed_nested_loop = {
         # the graded row kind-tags BOTH execution forms; the expr form

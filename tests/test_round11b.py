@@ -285,3 +285,64 @@ def test_shuffle_shards_position_col_materializes_order(spark):
         shuffle_shards(
             docs.withColumn("pos", F.lit(1)), "doc_id", 2, position_col="pos"
         )
+
+
+def test_broadcast_probe_memoizes_on_plan_data_key(spark, tmp_path):
+    """resolve_broadcast_candidates with a memo_key pays the bounded
+    count ONCE per (source identity, cap); keyless callers probe every
+    time (r11 verdict: the skew-probe memo pattern applied to the
+    auto-broadcast probe)."""
+    from pandarallel_spark.operators import dedup as _d
+    from pandarallel_spark.operators._memo import plan_data_key
+
+    class CountingFrame:
+        """The probe's contract surface: .sparkSession and .limit()."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.probes = 0
+
+        @property
+        def sparkSession(self):
+            return self._inner.sparkSession
+
+        def limit(self, n):
+            self.probes += 1
+            return self._inner.limit(n)
+
+    pth = str(tmp_path / "src")
+    spark.range(100).write.parquet(pth)
+    src = spark.read.parquet(pth)
+    cand = CountingFrame(src)
+    key = plan_data_key(src, "probe_test")
+    assert key is not None
+
+    _d._bc_probe_memo.clear()
+    assert _d.resolve_broadcast_candidates(cand, "auto", memo_key=key)
+    assert _d.resolve_broadcast_candidates(cand, "auto", memo_key=key)
+    assert cand.probes == 1  # second call served from the memo
+    # keyless: probes every time (driver-local inputs have no identity)
+    assert _d.resolve_broadcast_candidates(cand, "auto")
+    assert cand.probes == 2
+    # explicit settings never probe
+    assert _d.resolve_broadcast_candidates(cand, True)
+    assert not _d.resolve_broadcast_candidates(cand, False)
+    assert cand.probes == 2
+
+    # integration: the batch pair generator memoizes across rebuilds of
+    # the same plan over the same files
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    dpth = str(tmp_path / "docs")
+    docs.write.parquet(dpth)
+    dsrc = spark.read.parquet(dpth)
+    _d._bc_probe_memo.clear()
+    from pandarallel_spark.operators.dedup import minhash_lsh_pairs
+
+    minhash_lsh_pairs(dsrc, "doc_id", "text").collect()
+    assert len(_d._bc_probe_memo) == 1
+    before = dict(_d._bc_probe_memo)
+    minhash_lsh_pairs(dsrc, "doc_id", "text").collect()
+    assert _d._bc_probe_memo == before  # same key, no new entry
