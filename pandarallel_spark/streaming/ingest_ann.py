@@ -26,10 +26,18 @@ root, include_deltas=True), new_root)`` then repoint, the same
 new-path-then-swap rule the dedup index documents.
 
 Centroids are NEVER retrained by the loop (appends assign with the
-index's own stored centroids — the IVF trade); watch staleness with
-``similarity.ivf_list_stats``/``ivf_drift_check`` over
-``ivf_index_read(root, include_deltas=True)`` on whatever cadence the
-deployment likes, and rebuild when the probe recommends it.
+index's own stored centroids — the IVF trade); staleness is watched
+either out-of-band (``similarity.ivf_list_stats``/``ivf_drift_check``
+over ``ivf_index_read(root, include_deltas=True)`` on whatever cadence
+the deployment likes) or — r12 — IN the loop via the
+``drift_check_every=N`` hook both loops take: every N non-empty
+batches the loop runs the matching stats operator over the grown
+index, feeds :func:`similarity.ivf_drift_check` (against the
+build-time ``drift_baseline`` snapshot when given), and hands the
+verdict — ``rebuild_recommended`` and all — to the ``on_drift``
+callback, closing the loop the r11 drift operators opened: the
+monitoring now lives where the drift accumulates. Rebuild with
+``ivf_index_rebuild``/``pq_index_rebuild`` when it fires.
 """
 
 from __future__ import annotations
@@ -95,13 +103,18 @@ def _delta_ingest_loop(
     tool: str,
     prepare,
     trigger_available_now: bool,
+    monitor=None,
 ):
     """The shared delta-ingest scaffolding of both ANN loops: per
     micro-batch — empty-batch skip, pending-compaction refusal,
     reset-checkpoint stale-dir refusal, ``prepare(batch_df)`` to the
     writable rows, idempotent overwrite of ``delta/b={batchId}``
-    partitioned by ``__cid__``. One definition so a fix to the replay
-    protocol cannot reach one loop and miss the other."""
+    partitioned by ``__cid__``, then the optional ``monitor(batch_id)``
+    hook AFTER the write commits (so the check sees the batch it
+    follows; a replayed batch re-runs its check — monitoring is
+    idempotent-safe because it writes nothing). One definition so a
+    fix to the replay protocol cannot reach one loop and miss the
+    other."""
     spark = stream.sparkSession
     droot = f"{index_root}/delta"
 
@@ -125,6 +138,8 @@ def _delta_ingest_loop(
         prepare(batch_df).write.mode("overwrite").partitionBy(
             "__cid__"
         ).parquet(f"{droot}/b={batch_id}")
+        if monitor is not None:
+            monitor(batch_id)
 
     w = stream.writeStream.foreachBatch(_ingest).option(
         "checkpointLocation", checkpoint
@@ -132,6 +147,64 @@ def _delta_ingest_loop(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def _drift_monitor(
+    spark: SparkSession,
+    index_root: str,
+    kind: str,
+    *,
+    every: int,
+    baseline: DataFrame | None,
+    on_drift,
+    max_imbalance: float,
+    max_distortion_ratio: float,
+    meta: DataFrame | None = None,
+    dim: int | None = None,
+):
+    """The every-N-batches drift hook shared by both loops: run the
+    family's list-stats operator over the GROWN index (base + committed
+    deltas), feed :func:`similarity.ivf_drift_check` (which WARNS on an
+    exceeded bound), and hand the verdict — with the triggering
+    ``batch_id`` added — to ``on_drift``. Counts non-empty batches, not
+    batch ids (ids need not be consecutive across restarts). Cost: one
+    scan of the index every N batches — the deployment's cadence dial;
+    nothing is written, so a replayed batch re-checking is harmless."""
+    if every < 1:
+        raise ValueError(f"drift_check_every must be ≥ 1, got {every}")
+    state = {"n": 0}
+
+    def monitor(batch_id: int) -> None:
+        state["n"] += 1
+        if state["n"] % every:
+            return
+        from pandarallel_spark.operators.similarity import (
+            ivf_drift_check,
+            ivf_list_stats,
+            ivf_index_read,
+            pq_index_read,
+            pq_list_stats,
+        )
+
+        if kind == "ivf":
+            grown = ivf_index_read(spark, index_root, include_deltas=True)
+            stats = ivf_list_stats(grown, dim=dim)
+        else:
+            grown_lists, _m = pq_index_read(
+                spark, index_root, include_deltas=True
+            )
+            stats = pq_list_stats(grown_lists, meta)
+        verdict = ivf_drift_check(
+            stats,
+            baseline=baseline,
+            max_imbalance=max_imbalance,
+            max_distortion_ratio=max_distortion_ratio,
+        )
+        verdict["batch_id"] = batch_id
+        if on_drift is not None:
+            on_drift(verdict)
+
+    return monitor
 
 
 def _check_batch_width(
@@ -181,6 +254,11 @@ def stream_ingest_pq(
     index_root: str,
     checkpoint: str,
     trigger_available_now: bool = True,
+    drift_check_every: int | None = None,
+    drift_baseline: DataFrame | None = None,
+    on_drift=None,
+    drift_max_imbalance: float = 4.0,
+    drift_max_distortion_ratio: float = 2.0,
 ):
     """The PQ twin of :func:`stream_ingest_ann`: a continuous encode
     loop over an index persisted by :func:`similarity.pq_index_write`.
@@ -195,7 +273,17 @@ def stream_ingest_pq(
     ``pq_topk_indexed(queries, *pq_index_read(spark, root,
     include_deltas=True))`` answers over the grown index with the
     exact rerank (or pure-ADC ranking) the base index was built
-    with."""
+    with.
+
+    ``drift_check_every=N`` (r12) runs :func:`similarity.pq_list_stats`
+    over the grown index every N non-empty batches, feeds
+    :func:`similarity.ivf_drift_check` against ``drift_baseline`` (the
+    build-time stats snapshot; None checks imbalance only), and hands
+    the verdict + ``batch_id`` to ``on_drift`` — reconstruction error
+    IS codebook staleness, so this hook is how a continuously-fed PQ
+    index learns it needs :func:`similarity.pq_index_rebuild`. Requires
+    a ``store_vectors=True`` index (refused loudly at loop start —
+    codes-only rows carry no vectors to measure against)."""
     from pandarallel_spark.operators._memo import eager_build_guard
     from pandarallel_spark.operators.similarity import (
         _pq_encode,
@@ -216,6 +304,22 @@ def stream_ingest_pq(
     )
     store_vectors = "__cvec__" in lists.columns
     out_cols = [c for c in lists.columns if c != "__cid__"] + ["__cid__"]
+    monitor = None
+    if drift_check_every is not None:
+        if not store_vectors:
+            raise ValueError(
+                "stream_ingest_pq: drift_check_every needs a "
+                "store_vectors=True index — codes-only rows carry no "
+                "vectors to measure reconstruction error against; "
+                "monitor a vector-carrying twin, or rebuild on a fixed "
+                "cadence instead"
+            )
+        monitor = _drift_monitor(
+            spark, index_root, "pq",
+            every=drift_check_every, baseline=drift_baseline,
+            on_drift=on_drift, max_imbalance=drift_max_imbalance,
+            max_distortion_ratio=drift_max_distortion_ratio, meta=meta,
+        )
 
     def prepare(batch_df: DataFrame) -> DataFrame:
         _check_batch_width(batch_df, vec_col, dim, "stream_ingest_pq")
@@ -231,6 +335,7 @@ def stream_ingest_pq(
         tool="compact_pq_deltas",
         prepare=prepare,
         trigger_available_now=trigger_available_now,
+        monitor=monitor,
     )
 
 
@@ -242,6 +347,11 @@ def stream_ingest_ann(
     index_root: str,
     checkpoint: str,
     trigger_available_now: bool = True,
+    drift_check_every: int | None = None,
+    drift_baseline: DataFrame | None = None,
+    on_drift=None,
+    drift_max_imbalance: float = 4.0,
+    drift_max_distortion_ratio: float = 2.0,
 ):
     """Run the ANN ingest loop over ``stream``; returns the started
     ``StreamingQuery``. ``index_root`` must hold an index persisted by
@@ -262,6 +372,14 @@ def stream_ingest_ann(
     base ids), and otherwise differ precisely because the index keeps
     its trained centroids while a from-scratch inline run would train
     on the union — the IVF append trade, not a bug.
+
+    ``drift_check_every=N`` (r12) runs :func:`similarity.ivf_list_stats`
+    over the grown index every N non-empty batches, feeds
+    :func:`similarity.ivf_drift_check` against ``drift_baseline`` (the
+    build-time stats snapshot; None checks imbalance only), and hands
+    the verdict + ``batch_id`` to ``on_drift`` — when
+    ``rebuild_recommended`` fires, retrain with
+    :func:`similarity.ivf_index_rebuild` and swap roots.
     """
     from pandarallel_spark.operators.similarity import (
         _ivf_assign,
@@ -276,6 +394,14 @@ def stream_ingest_ann(
     index = ivf_index_read(spark, index_root)
     dim, cent_ids, c_mat, _ = _ivf_index_meta(index, "stream_ingest_ann")
     vec_type = dict(index.dtypes)["__cvec__"]
+    monitor = None
+    if drift_check_every is not None:
+        monitor = _drift_monitor(
+            spark, index_root, "ivf",
+            every=drift_check_every, baseline=drift_baseline,
+            on_drift=on_drift, max_imbalance=drift_max_imbalance,
+            max_distortion_ratio=drift_max_distortion_ratio, dim=dim,
+        )
 
     def prepare(batch_df: DataFrame) -> DataFrame:
         _check_batch_width(batch_df, vec_col, dim, "stream_ingest_ann")
@@ -290,4 +416,5 @@ def stream_ingest_ann(
         tool="compact_ivf_deltas",
         prepare=prepare,
         trigger_available_now=trigger_available_now,
+        monitor=monitor,
     )

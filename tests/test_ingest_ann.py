@@ -160,3 +160,113 @@ def test_stale_checkpoint_and_missing_index_are_refused(spark, tmp_path):
     with pytest.raises(Exception, match="LATER batches"):
         q.awaitTermination(120)
         raise RuntimeError(str(q.exception()))
+
+
+def test_drift_monitor_hook_flips_on_a_drifting_stream(spark, tmp_path):
+    """The r12 in-loop drift hook: a stream drawn from the trained
+    distribution keeps rebuild_recommended False; a drifted stream
+    (vectors far from every centroid, coding poorly against the
+    codebooks) flips it True on BOTH loop families, with the verdict
+    carrying the triggering batch_id. Codes-only PQ indexes refuse the
+    hook loudly at loop start."""
+    import warnings
+
+    from pandarallel_spark.operators.similarity import (
+        ivf_list_stats,
+        pq_index_build,
+        pq_index_write,
+        pq_list_stats,
+        pq_index_read,
+    )
+    from pandarallel_spark.streaming import stream_ingest_pq
+
+    rng = np.random.default_rng(71)
+
+    def tight(spark, ids, center):
+        return spark.createDataFrame(
+            [
+                (i, [float(x) for x in rng.normal(scale=0.1, size=_DIM) + center])
+                for i in ids
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    def run(loop, root, chk, src_frames, src_dir, baseline, every=1):
+        for i, f in enumerate(src_frames):
+            f.coalesce(1).write.parquet(
+                src_dir, mode="append" if i else "overwrite"
+            )
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        verdicts = []
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # drift_check warns by design
+            q = loop(
+                stream, "vec_id", "embedding",
+                index_root=root, checkpoint=chk,
+                drift_check_every=every, drift_baseline=baseline,
+                on_drift=verdicts.append, drift_max_imbalance=100.0,
+            )
+            q.awaitTermination(180)
+        return verdicts
+
+    # --- IVF loop: in-distribution stream stays clean ------------------
+    base = tight(spark, range(120), 1.0)
+    root_a = str(tmp_path / "ivf_clean")
+    ivf_index_write(ivf_index_build(base, n_centroids=4), root_a)
+    bl_a = ivf_list_stats(ivf_index_read(spark, root_a))
+    v_clean = run(
+        stream_ingest_ann, root_a, str(tmp_path / "chk_a"),
+        [tight(spark, range(1000, 1040), 1.0)], str(tmp_path / "src_a"), bl_a,
+    )
+    assert len(v_clean) == 1 and not v_clean[0]["rebuild_recommended"]
+    assert "batch_id" in v_clean[0]
+
+    # --- IVF loop: drifted stream flips the verdict --------------------
+    root_b = str(tmp_path / "ivf_drift")
+    ivf_index_write(ivf_index_build(base, n_centroids=4), root_b)
+    bl_b = ivf_list_stats(ivf_index_read(spark, root_b))
+    v_drift = run(
+        stream_ingest_ann, root_b, str(tmp_path / "chk_b"),
+        [
+            tight(spark, range(1000, 1060), -4.0),
+            tight(spark, range(2000, 2060), -4.0),
+        ],
+        str(tmp_path / "src_b"), bl_b,
+    )
+    assert len(v_drift) == 2
+    assert v_drift[-1]["rebuild_recommended"]
+    assert v_drift[-1]["distortion_ratio"] > 2.0
+
+    # --- PQ loop: reconstruction error catches codebook staleness ------
+    root_c = str(tmp_path / "pq_drift")
+    pl, pm = pq_index_build(base, n_centroids=4, m=4, n_codes=8)
+    pq_index_write(pl, pm, root_c)
+    rl, rm = pq_index_read(spark, root_c)
+    bl_c = pq_list_stats(rl, rm)
+    v_pq = run(
+        stream_ingest_pq, root_c, str(tmp_path / "chk_c"),
+        [tight(spark, range(1000, 1060), -4.0)], str(tmp_path / "src_c"), bl_c,
+    )
+    assert len(v_pq) == 1 and v_pq[0]["rebuild_recommended"]
+
+    # --- codes-only PQ: loud refusal at loop start ----------------------
+    root_d = str(tmp_path / "pq_novec")
+    nl, nm = pq_index_build(
+        base, n_centroids=4, m=4, n_codes=8, store_vectors=False
+    )
+    pq_index_write(nl, nm, root_d)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src_c"))
+    )
+    with pytest.raises(ValueError, match="store_vectors=True"):
+        stream_ingest_pq(
+            stream, "vec_id", "embedding",
+            index_root=root_d, checkpoint=str(tmp_path / "chk_d"),
+            drift_check_every=1,
+        )
