@@ -393,6 +393,37 @@ def _time_queries(
     return timings, query_bands
 
 
+# per-kind attribution for the heavy kind-tagged family rows (r12, the
+# r11 verdict's "record the per-kind split" task): these rows execute
+# several capability kinds in one union, so a headline delta on the ROW
+# doesn't say which kind moved. Filtering on the literal kind tag prunes
+# the other union legs (Catalyst folds lit(k)=lit(j) to false and
+# PruneFilters empties the leg), so each draw approximates that kind's
+# own cost. min-of-1: this is attribution for regression triage, not a
+# headline number. Recorded in BENCH_LOCAL.json only.
+KIND_SPLIT = {
+    "embedding_cosine_pairs": ("batch", "incr_old", "incr_new"),
+    "bm25_topk": ("bm25", "rrf"),
+    "similarity_ivf_topk": ("ivf", "ivfpq"),
+}
+
+
+def _time_kind_splits(spark, qs, sf_dir: str) -> dict[str, dict[str, float]]:
+    from pyspark.sql import functions as F
+
+    out: dict[str, dict[str, float]] = {}
+    for name, kinds in KIND_SPLIT.items():
+        if name not in qs:
+            continue
+        for k in kinds:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).filter(F.col("kind") == k).count()
+            out.setdefault(name, {})[k] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 # scale-ramp regression gate (r8): sf0.1 holds 10× sf0.01's rows, so a
 # LINEAR plan's time ratio sits ≤ 10 — usually well under, because the
 # fixed session/plan overhead is a big share of the small-SF draw. The
@@ -484,6 +515,7 @@ def main() -> None:
     spark = get_spark("pandarallel_spark_bench")
     _warm(spark, SF_DIR)
     timings, query_bands = _time_queries(spark, qs, names, SF_DIR)
+    kind_split = _time_kind_splits(spark, qs, SF_DIR)
 
     ratios: dict[str, float] = {}
     ratio_bands: dict[str, dict] = {}
@@ -525,6 +557,7 @@ def main() -> None:
     full = dict(
         summary,
         queries_exact=timings,
+        kind_split_sec=kind_split,
         variance={
             "query_draws_sec": query_bands,
             "ratio_draws_sec": ratio_bands,
