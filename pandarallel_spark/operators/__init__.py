@@ -41,4 +41,9 @@ or a north-star extension (§2.3) onto Spark primitives:
 - ``curate``     — one-call trained-tier pipeline: quality filter →
   prototype prune → near-dedup → shuffle-shard export, with lineage
   truncation at stage boundaries and one up-front strictLazy gate
+- ``sketches``   — KLL quantile-sketch rollups (mergeable per-key
+  distribution partials) and Theta set sketches (distinct counts with
+  union/intersection/difference — corpus-overlap estimation from two
+  kilobyte sketches); completes the mergeable-summaries set next to
+  relational's HLL rollup and Misra-Gries heavy hitters
 """
