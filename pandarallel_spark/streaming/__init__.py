@@ -14,10 +14,17 @@ from pandarallel_spark.streaming.ingest import (
     stream_ingest_dedup,
 )
 from pandarallel_spark.streaming.ingest_ann import (
+    ann_current_root,
+    ann_versions,
     compact_ivf_deltas,
     compact_pq_deltas,
+    ivf_rebuild_swap,
+    ivf_version_write,
+    pq_rebuild_swap,
+    pq_version_write,
     read_ivf_deltas,
     read_pq_deltas,
+    retire_ann_versions,
     stream_ingest_ann,
     stream_ingest_pq,
 )
@@ -38,6 +45,13 @@ from pandarallel_spark.streaming.windows import (
 )
 
 __all__ = [
+    "ann_current_root",
+    "ann_versions",
+    "ivf_rebuild_swap",
+    "ivf_version_write",
+    "pq_rebuild_swap",
+    "pq_version_write",
+    "retire_ann_versions",
     "compact_retained_corpus",
     "compact_ivf_deltas",
     "compact_pq_deltas",

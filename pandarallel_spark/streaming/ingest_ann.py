@@ -20,10 +20,16 @@ mean the checkpoint and the index root have come apart.
 
 Housekeeping: :func:`compact_ivf_deltas` folds committed delta dirs
 strictly below the newest into one (the shared tmp-then-manifest
-crash protocol, partition layout preserved); a full fold into
-``lists/`` is a rebuild-and-swap — ``ivf_index_write(ivf_index_read(
-root, include_deltas=True), new_root)`` then repoint, the same
-new-path-then-swap rule the dedup index documents.
+crash protocol, partition layout preserved); the full fold into
+``lists/`` is MECHANIZED (r12) by the versioned-root API at the bottom
+of this module: ``{vroot}/v={n}/`` dirs each holding a complete index
+root, committed by an ``_INDEX_COMMITTED`` marker written LAST —
+:func:`ivf_rebuild_swap`/:func:`pq_rebuild_swap` read the active
+version with its committed deltas, retrain from the stored vectors,
+and write+commit the next version in one crash-safe call (a torn swap
+leaves an uncommitted dir readers ignore); :func:`ann_current_root`
+resolves the active version, :func:`retire_ann_versions` drops
+superseded ones keeping the top two.
 
 Centroids are NEVER retrained by the loop (appends assign with the
 index's own stored centroids — the IVF trade); staleness is watched
@@ -47,9 +53,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pandarallel_spark.streaming.ingest import (
     _committed_batches,
     _compact_numbered_dirs,
+    _fs,
     _list_numbered,
     _refuse_pending_compaction,
 )
+
+# the VERSION-level commit marker: meta/ and lists/ each carry Spark's
+# own per-directory _SUCCESS, but a version is only trustworthy once
+# ALL its parts are durable — the marker is written LAST, so a torn
+# swap leaves an uncommitted v= dir readers never see
+_VERSION_MARKER = "_INDEX_COMMITTED"
 
 
 def compact_ivf_deltas(spark: SparkSession, index_root: str) -> int | None:
@@ -418,3 +431,177 @@ def stream_ingest_ann(
         trigger_available_now=trigger_available_now,
         monitor=monitor,
     )
+
+
+# ---------------------------------------------------------------------------
+# versioned index roots: the rebuild-and-swap the drift verdict calls for
+# ---------------------------------------------------------------------------
+
+
+def ann_versions(spark: SparkSession, vroot: str) -> list[int]:
+    """COMMITTED index versions under a versioned root — ``v={n}`` dirs
+    carrying the ``_INDEX_COMMITTED`` marker (written last by the swap,
+    so a torn swap's half-written version is invisible). Sorted
+    ascending; the max is the active version."""
+    jvm, fs, _ = _fs(spark, vroot)
+    out = []
+    for n in _list_numbered(spark, vroot, "v="):
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{vroot}/v={n}/{_VERSION_MARKER}")
+        ):
+            out.append(n)
+    return sorted(out)
+
+
+def ann_current_root(spark: SparkSession, vroot: str) -> tuple[str, int]:
+    """Path + id of the ACTIVE (highest committed) version — the root
+    to hand to ``*_index_read`` / the streaming loops. Raises when no
+    committed version exists (an uncommitted ``v=`` dir alone means a
+    swap tore before its marker; re-run the swap)."""
+    versions = ann_versions(spark, vroot)
+    if not versions:
+        raise ValueError(
+            f"no committed index version under {vroot!r} — write one "
+            "with ivf_version_write/pq_version_write (a bare v= dir "
+            "without the commit marker is a torn swap; re-run it)"
+        )
+    n = versions[-1]
+    return f"{vroot}/v={n}", n
+
+
+def _commit_version(spark: SparkSession, vroot: str, n: int) -> None:
+    jvm, fs, _ = _fs(spark, vroot)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{vroot}/v={n}/{_VERSION_MARKER}"),
+        True,
+    ).close()
+
+
+def _next_version_dir(spark: SparkSession, vroot: str) -> tuple[str, int]:
+    """The next version id: one past the highest EXISTING ``v=`` dir
+    (committed or torn — never reuse a torn dir's id in place; the
+    write below overwrites it wholesale before committing)."""
+    existing = _list_numbered(spark, vroot, "v=")
+    n = (max(existing) + 1) if existing else 1
+    return f"{vroot}/v={n}", n
+
+
+def ivf_version_write(spark: SparkSession, vroot: str, index: DataFrame) -> int:
+    """Write ``index`` as the next committed version under ``vroot``
+    (``v={n}/`` in :func:`similarity.ivf_index_write`'s layout, commit
+    marker last — crash-safe: a torn write leaves an uncommitted dir
+    that :func:`ann_current_root` ignores and the next write's id skips
+    past). Returns the new version id."""
+    from pandarallel_spark.operators.similarity import ivf_index_write
+
+    path, n = _next_version_dir(spark, vroot)
+    ivf_index_write(index, path, mode="overwrite")
+    _commit_version(spark, vroot, n)
+    return n
+
+
+def pq_version_write(
+    spark: SparkSession, vroot: str, lists: DataFrame, meta: DataFrame
+) -> int:
+    """PQ twin of :func:`ivf_version_write`."""
+    from pandarallel_spark.operators.similarity import pq_index_write
+
+    path, n = _next_version_dir(spark, vroot)
+    pq_index_write(lists, meta, path, mode="overwrite")
+    _commit_version(spark, vroot, n)
+    return n
+
+
+def ivf_rebuild_swap(
+    spark: SparkSession,
+    vroot: str,
+    n_centroids: int | None = None,
+    train: str = "kmeans",
+    kmeans_iters: int = 8,
+) -> int:
+    """THE action the drift verdict recommends, end to end: read the
+    active version WITH its committed deltas, retrain from the index's
+    own stored vectors (:func:`similarity.ivf_index_rebuild`), write
+    the result as the next version, and commit it — the
+    write-new-then-swap discipline as one crash-safe call. The old
+    version stays readable throughout (and afterwards, until
+    :func:`retire_ann_versions` drops it); a crash at ANY point leaves
+    an uncommitted ``v=`` dir that readers ignore and a re-run
+    supersedes. Returns the new version id.
+
+    Streaming handoff: stop the loop FIRST and let its final batch
+    commit (``availableNow`` loops quiesce on ``awaitTermination``) —
+    the swap folds exactly the COMMITTED deltas, so resuming the SAME
+    checkpoint against the new version's root continues cleanly
+    (already-folded source files are not re-read; new batch ids land
+    in the new version's empty ``delta/``). Swapping under a torn
+    final batch would double that batch's rows when its replay
+    re-writes a delta the rebuild already folded — quiesce, then swap.
+    Reset any drift baseline after the swap (list ids are a new
+    ``__cid__`` space)."""
+    from pandarallel_spark.operators.similarity import (
+        ivf_index_read,
+        ivf_index_rebuild,
+    )
+
+    cur, _n = ann_current_root(spark, vroot)
+    grown = ivf_index_read(spark, cur, include_deltas=True)
+    rebuilt = ivf_index_rebuild(
+        grown, n_centroids=n_centroids, train=train, kmeans_iters=kmeans_iters
+    )
+    return ivf_version_write(spark, vroot, rebuilt)
+
+
+def pq_rebuild_swap(
+    spark: SparkSession,
+    vroot: str,
+    n_centroids: int | None = None,
+    m: int | None = None,
+    n_codes: int | None = None,
+    train: str = "kmeans",
+    kmeans_iters: int = 8,
+    seed: int = 0,
+) -> int:
+    """PQ twin of :func:`ivf_rebuild_swap`: fold the active version's
+    committed deltas, retrain codebooks + coarse anchors from the
+    stored vectors (:func:`similarity.pq_index_rebuild` — so a
+    ``store_vectors=False`` version refuses loudly), write + commit the
+    next version. Same quiesce-then-swap streaming handoff and same
+    reset-the-baseline consequence as the Flat form."""
+    from pandarallel_spark.operators.similarity import (
+        pq_index_read,
+        pq_index_rebuild,
+    )
+
+    cur, _n = ann_current_root(spark, vroot)
+    lists, meta = pq_index_read(spark, cur, include_deltas=True)
+    new_lists, new_meta = pq_index_rebuild(
+        lists, meta, n_centroids=n_centroids, m=m, n_codes=n_codes,
+        train=train, kmeans_iters=kmeans_iters, seed=seed,
+    )
+    return pq_version_write(spark, vroot, new_lists, new_meta)
+
+
+def retire_ann_versions(
+    spark: SparkSession, vroot: str, keep: int = 2
+) -> list[int]:
+    """Delete superseded index versions, keeping the ``keep`` highest
+    COMMITTED ones (plus any torn dir above them, which the next swap
+    overwrites); returns the deleted ids. ``keep`` must be ≥ 2 so a
+    reader mid-scan on the previous version never has it deleted out
+    from under the query that started before the swap. Deletion-only —
+    trivially crash-safe."""
+    if keep < 2:
+        raise ValueError(
+            f"keep must be ≥ 2 (got {keep}): a reader that planned "
+            "against the previous version may still be scanning it"
+        )
+    committed = ann_versions(spark, vroot)
+    live = set(committed[-keep:])
+    jvm, fs, _ = _fs(spark, vroot)
+    dropped = []
+    for n in _list_numbered(spark, vroot, "v="):
+        if n not in live and committed and n < max(live, default=0):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{vroot}/v={n}"), True)
+            dropped.append(n)
+    return sorted(dropped)
