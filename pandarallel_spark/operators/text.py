@@ -305,6 +305,100 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
 
 
 # ---------------------------------------------------------------------------
+# HTML → text extraction (web-corpus curation step zero)
+# ---------------------------------------------------------------------------
+
+# Ordered (pattern, replacement) chain — ONE definition shared by the
+# Spark expression and the SQL-oracle mirror, the PII_PATTERNS
+# discipline: patterns restrict to the Java∩RE2 subset (inline (?is)
+# flags, non-greedy quantifiers, \b — no lookaround, which RE2 lacks),
+# so both engines transform identically. Order is part of the contract:
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    # script/style payloads vanish WITH their content (their text is
+    # code, not prose — and it contains '<' that would corrupt the
+    # generic tag strip below)
+    (r"(?is)<script\b.*?</script>", " "),
+    (r"(?is)<style\b.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level closers/breaks become newlines BEFORE the generic
+    # strip so paragraph structure survives as line structure
+    (r"(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table)\b[^>]*>", "\n"),
+    (r"<[^>]*>", " "),
+    # named entities decode AFTER tag stripping (entities are TEXT —
+    # '&lt;b&gt;' must not become a strippable tag); &amp; decodes
+    # LAST so '&amp;lt;' correctly yields '&lt;' and stops. Numeric
+    # entities beyond &#39; are NOT decoded (a general &#NNN; decode
+    # needs codepoint arithmetic no fixed regex chain can express —
+    # they survive verbatim, visible rather than silently mangled).
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&apos;", "'"),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    # whitespace canonicalization: blank runs → one space, newline runs
+    # (with surrounding blanks) → one newline, then trim both ends.
+    # Explicit classes, not \s: Java's \s includes \x0B where RE2's
+    # does not — the one place the engines' shorthands diverge
+    (r"[ \t\f\r]+", " "),
+    (r" ?\n[ \n]*", "\n"),
+    (r"^[ \t\n\f\r]+|[ \t\n\f\r]+$", ""),
+)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Visible text of an HTML document — curation step ZERO for a web
+    corpus (everything downstream: language id, quality, dedup,
+    tokenization, expects prose, not markup). A chained
+    ``regexp_replace`` expression — JVM regex, zero Python, one
+    projection, no shuffle: at 100 TB this rides the scan like
+    ``redact_pii``.
+
+    Semantics (deliberately regular — a full HTML5 parser is not
+    expressible as a scan projection and rarely needed for corpus
+    work): script/style/comment content removed, block-level
+    closers/``<br>`` become newlines, remaining tags become spaces,
+    the common named entities decode (``&amp;`` last; numeric entities
+    other than ``&#39;`` survive verbatim), whitespace canonicalizes
+    to single spaces/newlines, ends trimmed. Pathological non-regular
+    inputs (unclosed ``<script``, tags split across attribute quotes)
+    degrade to extra stripped text, never to an error."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def html_strip_sql(expr: str) -> str:
+    """The DuckDB mirror of :func:`html_to_text` — the identical chain
+    rendered as ``regexp_replace(..., 'g')`` calls, generated from the
+    SAME ``HTML_STRIP_STEPS`` so the two can never drift. Newline
+    replacements render as ``chr(10)``; quotes double per SQL."""
+    out = expr
+    for pat, repl in HTML_STRIP_STEPS:
+        p = pat.replace("'", "''")
+        if repl == "\n":
+            r = "chr(10)"
+        else:
+            r = "'" + repl.replace("'", "''") + "'"
+        pl = "'" + p.replace("\n", "' || chr(10) || '") + "'"
+        out = f"regexp_replace({out}, {pl}, {r}, 'g')"
+    return out
+
+
+def html_text_ratio(col: Column | str) -> Column:
+    """Visible-text fraction of an HTML document — the classic
+    boilerplate/quality signal for web pages (markup-heavy chrome pages
+    score low, article pages high). ``length(html_to_text(x)) /
+    length(x)``, NULL on empty input."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(html_to_text(c)).cast("double") / F.nullif(
+        F.length(c).cast("double"), F.lit(0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus-frequency scoring (unigram-LM-ish quality signal)
 # ---------------------------------------------------------------------------
 

@@ -1753,12 +1753,29 @@ _PII_SYNTH_SQL = (
 )
 
 
+# deterministic synthetic HTML per doc (the corpus is plain prose):
+# comment, style+script payloads carrying '<' that must vanish whole,
+# headline/paragraph/list structure, and the named-entity set — the
+# identical wrapper in both engines, so the oracle replays extraction
+# bit-for-bit. Kept single-quote-free so the SQL literal stays simple.
+_HTML_SYNTH_SQL = (
+    "'<html><!-- c' || CAST(doc_id AS VARCHAR) || ' --><head>"
+    "<style>p {color:red}</style>"
+    "<script>var x = 1 < 2; if (x) { y(); }</script></head>"
+    "<body><h1>Doc &amp; no. ' || CAST(doc_id AS VARCHAR) || '</h1><p>' "
+    "|| text || '</p><ul><li>&lt;keep&gt;</li>"
+    "<li>&quot;q&quot; &#39;a&#39;&nbsp;end</li></ul></body></html>'"
+)
+
+
 def _pii_oracle_sql() -> str:
-    """Chained-CTE oracle mirroring redact_pii/pii_counts exactly: each
-    category counts matches in (and redacts) the PREVIOUS category's
-    output, using the same shared PII_PATTERNS strings (the regex subset
-    Java and RE2 evaluate identically)."""
-    from pandarallel_spark.operators.text import PII_PATTERNS
+    """Chained-CTE oracle mirroring redact_pii/pii_counts exactly (each
+    category counts matches in — and redacts — the PREVIOUS category's
+    output, same shared PII_PATTERNS strings), UNION ALL'd with the
+    html kind: the HTML_STRIP_STEPS chain rendered by html_strip_sql
+    over the same synthetic wrapper the Spark side builds — one shared
+    step list, the regex subset Java and RE2 evaluate identically."""
+    from pandarallel_spark.operators.text import PII_PATTERNS, html_strip_sql
 
     sql = f"WITH r0 AS (SELECT doc_id, {_PII_SYNTH_SQL} AS t FROM documents)"
     carried: list[str] = []
@@ -1773,8 +1790,14 @@ def _pii_oracle_sql() -> str:
         carried.append(f"n_{name}")
     count_cols = ", ".join(carried)
     sql += (
-        f" SELECT doc_id, {count_cols}, substr(t, 1, 90) AS redacted_head "
-        f"FROM r{len(PII_PATTERNS)}"
+        f" SELECT 'pii' AS kind, doc_id, {count_cols}, "
+        f"substr(t, 1, 90) AS head FROM r{len(PII_PATTERNS)} "
+        "UNION ALL "
+        "SELECT 'html' AS kind, doc_id, "
+        + ", ".join(f"CAST(NULL AS BIGINT) AS {c}" for c in carried)
+        + ", "
+        f"substr({html_strip_sql(_HTML_SYNTH_SQL)}, 1, 90) AS head "
+        "FROM documents"
     )
     return sql
 
@@ -1782,15 +1805,24 @@ def _pii_oracle_sql() -> str:
 @register(
     "pii_redact_docs",
     _pii_oracle_sql(),
-    "PII scrubbing (pretraining hygiene): chained regexp_replace for "
-    "emails/SSNs/phones/IPv4s with per-category match counts — pure JVM "
-    "expressions, one projection, no shuffle (the 100 TB shape of a "
-    "scrub pass). Patterns restrict to the Java∩RE2 regex subset so the "
-    "SQL oracle reproduces redaction and counts bit-for-bit; synthetic "
-    "per-doc PII makes every row exercise every pattern.",
+    "Text hygiene in one kind-tagged row. kind=pii: PII scrubbing — "
+    "chained regexp_replace for emails/SSNs/phones/IPv4s with "
+    "per-category match counts, pure JVM expressions, one projection, "
+    "no shuffle (the 100 TB shape of a scrub pass); synthetic per-doc "
+    "PII makes every row exercise every pattern. kind=html (NEW r12): "
+    "curation step ZERO — html_to_text extracts the visible prose from "
+    "a deterministic per-doc HTML wrapper (comment + style/script "
+    "payloads carrying '<' that must vanish whole, block structure to "
+    "newlines, the named-entity set) via the shared HTML_STRIP_STEPS "
+    "chain. Both kinds restrict to the Java∩RE2 regex subset so the "
+    "SQL oracle reproduces every byte.",
 )
 def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pandarallel_spark.operators.text import pii_counts, redact_pii
+    from pandarallel_spark.operators.text import (
+        html_to_text,
+        pii_counts,
+        redact_pii,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
@@ -1805,11 +1837,29 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.select("doc_id", synth.alias("__t__"))
     counts = pii_counts("__t__")
-    return base.select(
+    pii = base.select(
+        F.lit("pii").alias("kind"),
         "doc_id",
         *[c.cast("bigint").alias(n) for n, c in counts.items()],
-        F.substring(redact_pii("__t__"), 1, 90).alias("redacted_head"),
+        F.substring(redact_pii("__t__"), 1, 90).alias("head"),
     )
+    html = F.concat(
+        F.lit("<html><!-- c"), v(did),
+        F.lit(" --><head><style>p {color:red}</style>"
+              "<script>var x = 1 < 2; if (x) { y(); }</script></head>"
+              "<body><h1>Doc &amp; no. "), v(did),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><ul><li>&lt;keep&gt;</li>"
+              "<li>&quot;q&quot; &#39;a&#39;&nbsp;end</li></ul>"
+              "</body></html>"),
+    )
+    html_kind = docs.select(
+        F.lit("html").alias("kind"),
+        "doc_id",
+        *[F.lit(None).cast("bigint").alias(n) for n in counts],
+        F.substring(html_to_text(html), 1, 90).alias("head"),
+    )
+    return pii.unionByName(html_kind)
 
 
 @register(
