@@ -51,6 +51,7 @@ def curate_corpus(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    extract_html: bool = False,
     quality=None,
     min_prob: float = 0.5,
     vec_col: str | None = None,
@@ -72,6 +73,13 @@ def curate_corpus(
     stages cost nothing. Returns the curated DataFrame (original
     schema, plus ``shard_col``/``position_col`` when sharding).
 
+    - ``extract_html`` (r12): run
+      :func:`~pandarallel_spark.operators.text.html_to_text` over
+      ``text_col`` FIRST — curation step zero for a web corpus, so the
+      quality features, shingles, and embeddings downstream see prose
+      instead of markup. A pure projection fused into the first scan;
+      the column is replaced in place (the raw HTML is the input's
+      concern, not the curated output's).
     - ``quality``: a trained
       :class:`~pandarallel_spark.operators.quality_model.QualityFilter`
       (or anything with its ``apply(df, text_col, min_prob)`` contract);
@@ -108,11 +116,11 @@ def curate_corpus(
         dedup_method is not None,
         n_shards is not None,
     ]
-    if not any(stages_on):
+    if not any(stages_on) and not extract_html:
         raise ValueError(
-            "curate_corpus: every stage is disabled (quality=None, "
-            "keep_frac=None, dedup_method=None, n_shards=None) — enable "
-            "at least one, or drop the call"
+            "curate_corpus: every stage is disabled (extract_html=False, "
+            "quality=None, keep_frac=None, dedup_method=None, "
+            "n_shards=None) — enable at least one, or drop the call"
         )
     if keep_frac is not None and vec_col is None:
         raise ValueError(
@@ -143,6 +151,10 @@ def curate_corpus(
         )
 
     out = df
+    if extract_html:
+        from pandarallel_spark.operators.text import html_to_text
+
+        out = out.withColumn(text_col, html_to_text(text_col))
     if quality is not None:
         out = quality.apply(out, text_col, min_prob=min_prob)
         if checkpoint_stages and any(stages_on[1:3]):

@@ -28,6 +28,12 @@ from pandarallel_spark.streaming.ingest_ann import (
     stream_ingest_ann,
     stream_ingest_pq,
 )
+from pandarallel_spark.streaming.ingest_bpe import (
+    compact_bpe_deltas,
+    read_word_histogram,
+    stream_ingest_bpe,
+    write_base_histogram,
+)
 from pandarallel_spark.streaming.joins import stream_stream_interval_join
 from pandarallel_spark.streaming.stateful import (
     content_dedup_stream,
@@ -53,8 +59,12 @@ __all__ = [
     "pq_version_write",
     "retire_ann_versions",
     "compact_retained_corpus",
+    "compact_bpe_deltas",
     "compact_ivf_deltas",
     "compact_pq_deltas",
+    "read_word_histogram",
+    "stream_ingest_bpe",
+    "write_base_histogram",
     "read_ivf_deltas",
     "read_pq_deltas",
     "read_retained_corpus",

@@ -117,6 +117,7 @@ def _delta_ingest_loop(
     prepare,
     trigger_available_now: bool,
     monitor=None,
+    partition_by: list[str] | None = None,
 ):
     """The shared delta-ingest scaffolding of both ANN loops: per
     micro-batch — empty-batch skip, pending-compaction refusal,
@@ -148,9 +149,10 @@ def _delta_ingest_loop(
                 "index_root. Resume with the original checkpoint, or "
                 "start over against a fresh root."
             )
-        prepare(batch_df).write.mode("overwrite").partitionBy(
-            "__cid__"
-        ).parquet(f"{droot}/b={batch_id}")
+        w = prepare(batch_df).write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(f"{droot}/b={batch_id}")
         if monitor is not None:
             monitor(batch_id)
 
@@ -349,6 +351,7 @@ def stream_ingest_pq(
         prepare=prepare,
         trigger_available_now=trigger_available_now,
         monitor=monitor,
+        partition_by=["__cid__"],
     )
 
 
@@ -430,6 +433,7 @@ def stream_ingest_ann(
         prepare=prepare,
         trigger_available_now=trigger_available_now,
         monitor=monitor,
+        partition_by=["__cid__"],
     )
 
 

@@ -206,3 +206,32 @@ def _quality_lazy(spark):
         return _quality(spark)
     finally:
         spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+
+
+def test_curate_corpus_html_stage_zero(spark):
+    """extract_html=True replaces the text column with the extracted
+    prose BEFORE any other stage, so dedup sees the underlying content:
+    two pages whose prose is identical but whose markup differs must
+    collapse to one survivor."""
+    rows = [
+        (1, "<html><body><p>the same exact story about the calm river "
+            "mill town</p></body></html>"),
+        # identical prose, different markup + chrome
+        (2, "<div class='art'><h1></h1><p>the same exact story about "
+            "the calm river mill town</p><script>nav();</script></div>"),
+        (3, "<p>a completely different tale of harvest in the high "
+            "valley farms</p>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(df, "doc_id", "text", extract_html=True)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1, 3}  # min-id survivor of the markup twins
+    assert "<" not in got[1] and got[1].startswith("the same exact story")
+
+    # extract-only call is valid (a pure reformat pass)
+    only = curate_corpus(
+        df, "doc_id", "text", extract_html=True, dedup_method=None
+    )
+    assert only.count() == 3
+    with pytest.raises(ValueError, match="every stage is disabled"):
+        curate_corpus(df, "doc_id", "text", dedup_method=None)
