@@ -43,6 +43,7 @@ re-expressed as one Spark plan chain.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pandarallel_spark.operators._memo import eager_build_guard, truncate_lineage
 
@@ -200,3 +201,44 @@ def curate_corpus(
             position_col=position_col,
         )
     return out
+
+
+def curation_report(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-group kept/dropped accounting between a pipeline's input and
+    its output — the run log every curation job wants next to its
+    artifacts: ``(*keys, n_before, n_after, n_dropped, kept_frac)``,
+    one row per group present on EITHER side (a group the pipeline
+    emptied shows ``n_after = 0``, not a missing row; a group that
+    appeared — impossible for a pure filter chain, loud if a bug makes
+    it possible — shows ``n_before = 0``). ``keys=None`` gives the
+    single global row.
+
+    Plan shape: one map-side-combined count aggregate per side over the
+    key columns only (column pruning keeps the scans narrow) and a
+    |groups|-sized full-outer join — at 100 TB the report costs two
+    count scans, nothing row-sized moves. Lazy end to end: attach it to
+    the same write the pipeline runs, or collect it for logging."""
+    keys = list(keys or [])
+    if not keys:
+        b = before.agg(F.count(F.lit(1)).alias("n_before"))
+        a = after.agg(F.count(F.lit(1)).alias("n_after"))
+        joined = b.join(a)
+    else:
+        b = before.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_before"))
+        a = after.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_after"))
+        joined = b.join(a, keys, "full_outer")
+    nb = F.coalesce(F.col("n_before"), F.lit(0))
+    na = F.coalesce(F.col("n_after"), F.lit(0))
+    return joined.select(
+        *keys,
+        nb.alias("n_before"),
+        na.alias("n_after"),
+        (nb - na).alias("n_dropped"),
+        F.when(nb > 0, na.cast("double") / nb.cast("double")).alias(
+            "kept_frac"
+        ),
+    )

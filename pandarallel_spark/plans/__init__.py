@@ -1,7 +1,7 @@
 """Planning helpers: schema inference for UDF outputs, order reification,
 physical-plan scale auditing."""
 
-from pandarallel_spark.plans.audit import ScaleAudit, scale_audit
+from pandarallel_spark.plans.audit import ScaleAudit, scale_audit, scale_report
 from pandarallel_spark.plans.ordering import with_row_id
 from pandarallel_spark.plans.schema import (
     infer_schema_from_pandas,
@@ -11,6 +11,7 @@ from pandarallel_spark.plans.schema import (
 __all__ = [
     "ScaleAudit",
     "scale_audit",
+    "scale_report",
     "with_row_id",
     "infer_schema_from_pandas",
     "pandas_dtype_to_spark",

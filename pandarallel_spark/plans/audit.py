@@ -144,3 +144,55 @@ def scale_audit(df: DataFrame) -> ScaleAudit:
         if flt:
             a.pushed_filters.extend(p.strip() for p in flt.split(","))
     return a
+
+
+def scale_report(df: DataFrame) -> str:
+    """Human-readable scale verdict for a plan — :func:`scale_audit`
+    narrated, for notebooks and code review ("would this survive a
+    100× scale-up?" as text instead of a dataclass). Returns a
+    multi-line string: the counted facts first, then one advice line
+    per smell, ``"no scale smells detected"`` when clean. Purely
+    observational — building the report never executes the plan."""
+    a = scale_audit(df)
+    lines = [
+        "plan scale audit:",
+        f"  shuffles (exchanges):        {a.exchanges}",
+        f"  single-partition exchanges:  {a.single_partition_exchanges}"
+        f" (+{a.bounded_scalar_agg_exchanges} exempt global-agg merges)",
+        f"  broadcast joins:             {a.broadcast_joins}",
+        f"  sort-merge joins:            {a.sort_merge_joins}",
+        f"  nested-loop/cartesian joins: {a.nested_loop_joins}",
+        f"  Python stages:               {a.python_arrow_stages} Arrow, "
+        f"{a.python_row_stages} row-at-a-time",
+        f"  source scans:                {a.scans}"
+        f" ({len(a.pushed_filters)} pushed filters)",
+    ]
+    advice = []
+    if a.single_partition_exchanges:
+        advice.append(
+            "single-partition exchange(s): a total order puts ALL data "
+            "through one task — replace global sorts/windows with keyed "
+            "or bucketed forms (see operators/window.py's bucketed "
+            "rolling), or orderBy+limit for top-k"
+        )
+    if a.python_row_stages:
+        advice.append(
+            "row-at-a-time Python UDF(s) in the plan — 10-100x slower "
+            "than Arrow-batched pandas UDFs and built-in expressions; "
+            "prefer pyspark.sql.functions or mapInPandas"
+        )
+    if a.nested_loop_joins:
+        advice.append(
+            "nested-loop/cartesian join(s): fine only when one side is "
+            "provably tiny (a broadcast stats row, a bounded query set) "
+            "— otherwise add an equi-join key, banding, or bucketing"
+        )
+    if a.scans and not a.pushed_filters:
+        advice.append(
+            "no filters reached a source scan — if this query is "
+            "selective, check that predicates are expressed on scan "
+            "columns (not through UDFs) so pushdown can engage"
+        )
+    if not advice:
+        advice.append("no scale smells detected")
+    return "\n".join(lines + [f"  ! {s}" for s in advice])

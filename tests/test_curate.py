@@ -235,3 +235,37 @@ def test_curate_corpus_html_stage_zero(spark):
     assert only.count() == 3
     with pytest.raises(ValueError, match="every stage is disabled"):
         curate_corpus(df, "doc_id", "text", dedup_method=None)
+
+
+def test_curation_report_accounting(spark):
+    """Per-group kept/dropped accounting: emptied groups show n_after=0
+    (never a missing row), fractions are exact, and the global form is
+    one row."""
+    from pandarallel_spark.operators.curate import curation_report
+
+    before = spark.createDataFrame(
+        [(i, "web" if i < 6 else "books") for i in range(10)],
+        "doc_id long, source string",
+    )
+    after = before.filter((F.col("doc_id") % 2 == 0) & (F.col("source") == "web"))
+    rep = {
+        r["source"]: r
+        for r in curation_report(before, after, keys=["source"]).collect()
+    }
+    assert rep["web"]["n_before"] == 6 and rep["web"]["n_after"] == 3
+    assert rep["web"]["kept_frac"] == pytest.approx(0.5)
+    assert rep["books"]["n_after"] == 0 and rep["books"]["n_dropped"] == 4
+    g = curation_report(before, after).collect()
+    assert len(g) == 1 and g[0]["n_before"] == 10 and g[0]["n_after"] == 3
+
+
+def test_scale_report_narrates_smells(spark):
+    """scale_report flags the single-partition and row-Python smells on
+    a bad plan and stays quiet on a clean aggregate."""
+    from pandarallel_spark.plans import scale_report
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    bad = scale_report(df.repartition(1))
+    assert "single-partition exchange" in bad
+    clean = scale_report(df.groupBy((F.col("k") % 10).alias("g")).count())
+    assert "no scale smells detected" in clean
