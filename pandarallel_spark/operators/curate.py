@@ -156,6 +156,11 @@ def curate_corpus(
         from pandarallel_spark.operators.text import html_to_text
 
         out = out.withColumn(text_col, html_to_text(text_col))
+        if checkpoint_stages and quality is None and any(stages_on[1:3]):
+            # no quality stage to carry the cut: the 14-step regex
+            # chain must still not re-run once per downstream scan of
+            # the prune/dedup stages (review finding r12)
+            out = truncate_lineage(out)
     if quality is not None:
         out = quality.apply(out, text_col, min_prob=min_prob)
         if checkpoint_stages and any(stages_on[1:3]):
@@ -227,14 +232,39 @@ def curation_report(
         b = before.agg(F.count(F.lit(1)).alias("n_before"))
         a = after.agg(F.count(F.lit(1)).alias("n_after"))
         joined = b.join(a)
+        key_cols: list = []
     else:
-        b = before.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_before"))
-        a = after.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_after"))
-        joined = b.join(a, keys, "full_outer")
+        # per-side key renames: `after` usually derives from `before`
+        # (a filter chain), so attribute references into the two
+        # aggregates are ambiguous self-join columns — distinct names
+        # sidestep the resolver entirely
+        b = before.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_before")
+        ).select(
+            *[F.col(k).alias(f"__b_{k}__") for k in keys], "n_before"
+        )
+        a = after.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_after")
+        ).select(
+            *[F.col(k).alias(f"__a_{k}__") for k in keys], "n_after"
+        )
+        # NULL-SAFE key equality: a plain equi-join never matches NULL
+        # keys, which would split a NULL-keyed group into two wrong
+        # rows (n_after=0 + a phantom n_before=0 with negative
+        # n_dropped — review finding r12)
+        cond = None
+        for k in keys:
+            c = F.col(f"__b_{k}__").eqNullSafe(F.col(f"__a_{k}__"))
+            cond = c if cond is None else (cond & c)
+        joined = b.join(a, cond, "full_outer")
+        key_cols = [
+            F.coalesce(F.col(f"__b_{k}__"), F.col(f"__a_{k}__")).alias(k)
+            for k in keys
+        ]
     nb = F.coalesce(F.col("n_before"), F.lit(0))
     na = F.coalesce(F.col("n_after"), F.lit(0))
     return joined.select(
-        *keys,
+        *key_cols,
         nb.alias("n_before"),
         na.alias("n_after"),
         (nb - na).alias("n_dropped"),

@@ -118,6 +118,12 @@ def shuffle_shards(
     sort."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be ≥ 1, got {n_shards}")
+    if position_col == shard_col:
+        raise ValueError(
+            f"position_col and shard_col are both {shard_col!r} — the "
+            "position column would silently replace the shard column "
+            "(review finding r12); name them distinctly"
+        )
     for c in (shard_col, position_col):
         if c is not None and c in df.columns:
             raise ValueError(

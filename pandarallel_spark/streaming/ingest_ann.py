@@ -154,7 +154,23 @@ def _delta_ingest_loop(
             w = w.partitionBy(*partition_by)
         w.parquet(f"{droot}/b={batch_id}")
         if monitor is not None:
-            monitor(batch_id)
+            try:
+                monitor(batch_id)
+            except Exception as exc:  # noqa: BLE001 — observation must
+                # never take down ingest: the monitor runs AFTER the
+                # delta write but BEFORE the checkpoint commit, so a
+                # raising callback (metrics sink down, stats job
+                # transient failure) would fail the batch and
+                # crash-loop the replay on the same error forever
+                # (review finding r12). Warn loudly instead.
+                import warnings
+
+                warnings.warn(
+                    f"drift monitor failed on batch {batch_id} "
+                    f"({exc!r}) — ingest continues; the check re-runs "
+                    "on the next cadence hit",
+                    stacklevel=2,
+                )
 
     w = stream.writeStream.foreachBatch(_ingest).option(
         "checkpointLocation", checkpoint

@@ -75,9 +75,20 @@ def stream_ingest_bpe(
     one-row ``meta/`` sidecar on first start; a resume with the other
     setting refuses loudly (mixed-case and lowercased pretokens in one
     histogram would silently split every word's count in two)."""
+    from pandarallel_spark.operators._memo import eager_build_guard
     from pandarallel_spark.operators.bpe import word_histogram
 
     spark = stream.sparkSession
+    # loop start reads (and on first start writes) the one-row sidecar —
+    # eager work the strictLazy contract forbids silently, same as the
+    # sibling PQ loop's metadata recovery (review finding r12)
+    eager_build_guard(
+        spark,
+        "stream_ingest_bpe lowercase-stamp recovery (one-row bounded "
+        "collect + first-start sidecar write)",
+        "The ingest loop is eager by design — run it from a session "
+        "that permits build-time jobs.",
+    )
     stamped = _read_lowercase_meta(spark, hist_root)
     if stamped is None:
         spark.range(1).select(
@@ -140,14 +151,28 @@ def write_base_histogram(
 ) -> None:
     """Bootstrap a histogram root from an existing corpus's
     ``word_histogram`` output: writes ``base/`` and stamps the
-    ``lowercase`` sidecar the loop validates against."""
+    ``lowercase`` sidecar the loop validates against. An EXISTING stamp
+    is validated, never clobbered — a root that already holds loop
+    deltas under one pretokenization must not silently flip to the
+    other (review finding r12: the overwrite corrupted the very stamp
+    the loop enforces)."""
     from pandarallel_spark.operators.bpe import _check_histogram
 
     _check_histogram(hist, "write_base_histogram")
+    stamped = _read_lowercase_meta(spark, hist_root)
+    if stamped is not None and stamped != bool(lowercase):
+        raise ValueError(
+            f"write_base_histogram: {hist_root!r} is already stamped "
+            f"lowercase={stamped} (it holds loop output under that "
+            f"pretokenization) but the base was built with "
+            f"lowercase={lowercase} — rebuild the base to match, or "
+            "bootstrap a fresh root"
+        )
     hist.write.mode("error").parquet(f"{hist_root}/base")
-    spark.range(1).select(
-        F.lit(bool(lowercase)).alias("__bpe_lowercase__")
-    ).write.mode("overwrite").parquet(_hist_meta_path(hist_root))
+    if stamped is None:
+        spark.range(1).select(
+            F.lit(bool(lowercase)).alias("__bpe_lowercase__")
+        ).write.mode("overwrite").parquet(_hist_meta_path(hist_root))
 
 
 def compact_bpe_deltas(spark: SparkSession, hist_root: str) -> int | None:

@@ -269,3 +269,43 @@ def test_scale_report_narrates_smells(spark):
     assert "single-partition exchange" in bad
     clean = scale_report(df.groupBy((F.col("k") % 10).alias("g")).count())
     assert "no scale smells detected" in clean
+
+
+def test_curation_report_null_keys_and_html_truncation(spark, tmp_path):
+    """Review-finding pins (r12): (a) NULL-keyed groups stay ONE row
+    (null-safe join — a plain equi-join split them into an n_after=0
+    row plus a phantom negative-n_dropped row); (b) extract_html with
+    quality=None still truncates lineage before the multi-scan stages,
+    so the regex chain never reaches the final plan."""
+    from pandarallel_spark.operators.curate import curation_report
+
+    before = spark.createDataFrame(
+        [(1, None), (2, None), (3, "web")], "doc_id long, src string"
+    )
+    after = before.filter(F.col("doc_id") != 2)
+    rows = curation_report(before, after, keys=["src"]).collect()
+    by = {r["src"]: r for r in rows}
+    assert len(rows) == 2  # NULL group is one row, not two
+    assert by[None]["n_before"] == 2 and by[None]["n_after"] == 1
+    assert by[None]["n_dropped"] == 1
+    assert by[None]["kept_frac"] == pytest.approx(0.5)
+
+    pth = str(tmp_path / "html_corpus")
+    spark.createDataFrame(
+        [(i, f"<p>unique words {i} alpha beta gamma delta {i}</p>")
+         for i in range(12)],
+        "doc_id long, text string",
+    ).write.parquet(pth)
+    src = spark.read.parquet(pth)
+    out = curate_corpus(src, "doc_id", "text", extract_html=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan[:1500]
+    assert out.count() == 12
+
+
+def test_shuffle_shards_rejects_shard_position_collision(spark):
+    from pandarallel_spark.operators.sampling import shuffle_shards
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="both"):
+        shuffle_shards(docs, "doc_id", 2, shard_col="s", position_col="s")

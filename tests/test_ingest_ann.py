@@ -270,3 +270,42 @@ def test_drift_monitor_hook_flips_on_a_drifting_stream(spark, tmp_path):
             index_root=root_d, checkpoint=str(tmp_path / "chk_d"),
             drift_check_every=1,
         )
+
+
+def test_drift_monitor_failure_never_kills_ingest(spark, tmp_path):
+    """Review-finding pin (r12): a raising on_drift callback (metrics
+    sink down) warns and lets the batch commit — observation must not
+    crash-loop the data path."""
+    rng = np.random.default_rng(83)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=_DIM)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    root = str(tmp_path / "ivf_mon")
+    ivf_index_write(ivf_index_build(base, n_centroids=4), root)
+    src = str(tmp_path / "src_mon")
+    spark.createDataFrame(
+        [(1000 + i, [float(x) for x in rng.normal(size=_DIM)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(src)
+
+    def boom(verdict):
+        raise RuntimeError("metrics sink down")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .parquet(src)
+    )
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        q = stream_ingest_ann(
+            stream, "vec_id", "embedding",
+            index_root=root, checkpoint=str(tmp_path / "chk_mon"),
+            drift_check_every=1, on_drift=boom, drift_max_imbalance=100.0,
+        )
+        q.awaitTermination(120)
+    assert any("drift monitor failed" in str(w.message) for w in caught)
+    # the batch committed despite the failing monitor
+    assert ivf_index_read(spark, root, include_deltas=True).count() == 80

@@ -136,3 +136,35 @@ def test_lowercase_stamp_is_enforced(spark, tmp_path):
             stream3, "text", hist_root=root3,
             checkpoint=str(tmp_path / "chk4"), lowercase=True,
         )
+
+
+def test_bpe_loop_strictlazy_and_base_stamp_protection(spark, tmp_path):
+    """Review-finding pins (r12): the loop's eager stamp recovery is
+    strictLazy-gated like the sibling loops, and write_base_histogram
+    refuses to flip an existing stamp instead of clobbering it."""
+    src = str(tmp_path / "src")
+    _docs(spark, ["a b c"]).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(RuntimeError, match="stream_ingest_bpe"):
+            stream_ingest_bpe(
+                stream, "text", hist_root=str(tmp_path / "h"),
+                checkpoint=str(tmp_path / "c"),
+            )
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+    # a root stamped by a loop run refuses a mismatching base bootstrap
+    root = str(tmp_path / "h2")
+    q = stream_ingest_bpe(
+        stream, "text", hist_root=root, checkpoint=str(tmp_path / "c2"),
+        lowercase=True,
+    )
+    q.awaitTermination(120)
+    with pytest.raises(ValueError, match="already stamped lowercase=True"):
+        write_base_histogram(
+            spark, root,
+            word_histogram(_docs(spark, ["x Y"]), "text", lowercase=False),
+            lowercase=False,
+        )
