@@ -41,6 +41,10 @@ or a north-star extension (§2.3) onto Spark primitives:
 - ``curate``     — one-call trained-tier pipeline: quality filter →
   prototype prune → near-dedup → shuffle-shard export, with lineage
   truncation at stage boundaries and one up-front strictLazy gate
+- ``embedding_codec`` — int8 storage codec for embedding columns
+  (per-vector symmetric scalar quantization, 4× fewer bytes on disk;
+  pure-projection encode/decode, half-step error bound pinned) —
+  storage compression, orthogonal to similarity's PQ search codes
 - ``sketches``   — KLL quantile-sketch rollups (mergeable per-key
   distribution partials) and Theta set sketches (distinct counts with
   union/intersection/difference — corpus-overlap estimation from two
