@@ -330,3 +330,61 @@ def bpe_encode(
         F.col(col) if isinstance(col, str) else col, F.lit(_RAW_PATTERN), 0
     )
     return _encode(toks)
+
+
+def save_bpe_merges(
+    spark, merges: list[tuple[str, str]], path: str, lowercase: bool = True
+) -> None:
+    """Persist a trained merge table — the tokenizer's SECOND artifact
+    next to the word histogram: the histogram lets you RETRAIN without
+    re-scanning; the saved merges let every later session ENCODE
+    without retraining at all (ship the path to the encode jobs, not a
+    Python object). One vocabulary-sized parquet of ``(rank, left,
+    right)`` plus the ``lowercase`` pretokenization flag stamped on
+    every row — :func:`load_bpe_merges` validates it against the
+    caller's intent the way the ingest loop validates its sidecar
+    (encoding with the wrong pretokenization silently produces
+    different pieces, never an error)."""
+    if not merges:
+        raise ValueError("save_bpe_merges: empty merge table")
+    df = spark.createDataFrame(
+        [(i, a, b, bool(lowercase)) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, lowercase boolean",
+    )
+    df.coalesce(1).write.mode("error").parquet(path)
+
+
+def load_bpe_merges(
+    spark, path: str, lowercase: bool = True
+) -> list[tuple[str, str]]:
+    """Reload a merge table saved by :func:`save_bpe_merges`, rank
+    order restored exactly; raises when the stored ``lowercase``
+    pretokenization flag disagrees with the caller's (pass the setting
+    you will hand to ``bpe_encode``). Eager (a vocabulary-sized
+    bounded collect), strictLazy-gated."""
+    from pandarallel_spark.operators._memo import eager_build_guard
+
+    eager_build_guard(
+        spark,
+        "load_bpe_merges table read (vocabulary-sized bounded collect)",
+        "Load the merge table outside strict-lazy scope.",
+    )
+    df = spark.read.parquet(path)
+    for c in ("rank", "left", "right", "lowercase"):
+        if c not in df.columns:
+            raise ValueError(
+                f"load_bpe_merges: {path!r} is not a saved merge table — "
+                f"missing column {c!r} (write one with save_bpe_merges)"
+            )
+    rows = df.orderBy("rank").collect()
+    if not rows:
+        raise ValueError(f"load_bpe_merges: the table at {path!r} is empty")
+    stored = bool(rows[0]["lowercase"])
+    if stored != bool(lowercase):
+        raise ValueError(
+            f"load_bpe_merges: the table was trained with "
+            f"lowercase={stored} but lowercase={lowercase} was requested "
+            "— encoding with mismatched pretokenization silently changes "
+            "every piece; pass the stored setting"
+        )
+    return [(r["left"], r["right"]) for r in rows]

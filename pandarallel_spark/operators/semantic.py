@@ -199,3 +199,55 @@ def prune_prototypes(
     return df.join(
         keep_ids, df[id_col] == F.col("__keep_id__"), "left_semi"
     )
+
+
+def save_prototype_centers(spark, centers: np.ndarray, path: str) -> None:
+    """Persist a trained center matrix — the semantic-curation artifact
+    (k×dim floats, kilobytes): score or prune LATER corpora / deltas
+    against the SAME prototypes via ``prototype_scores(_centers=
+    load_prototype_centers(...))`` instead of retraining per session —
+    retraining on a delta would move every cluster and silently change
+    which documents count as redundant. One row per center
+    ``(cluster, center array<double>)``."""
+    arr = np.asarray(centers, dtype="float64")
+    if arr.ndim != 2 or not arr.size:
+        raise ValueError(
+            f"save_prototype_centers: expected a non-empty k×dim matrix, "
+            f"got shape {arr.shape}"
+        )
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(arr)],
+        "cluster int, center array<double>",
+    ).coalesce(1).write.mode("error").parquet(path)
+
+
+def load_prototype_centers(spark, path: str) -> np.ndarray:
+    """Reload a center matrix saved by :func:`save_prototype_centers`,
+    cluster order restored (row i IS cluster i, matching
+    ``prototype_scores``' output ids). Eager (a k-sized bounded
+    collect), strictLazy-gated."""
+    eager_build_guard(
+        spark,
+        "load_prototype_centers read (k-sized bounded collect)",
+        "Load the centers outside strict-lazy scope.",
+    )
+    df = spark.read.parquet(path)
+    for c in ("cluster", "center"):
+        if c not in df.columns:
+            raise ValueError(
+                f"load_prototype_centers: {path!r} is not a saved center "
+                f"matrix — missing column {c!r} (write one with "
+                "save_prototype_centers)"
+            )
+    rows = df.orderBy("cluster").collect()
+    if not rows:
+        raise ValueError(
+            f"load_prototype_centers: the matrix at {path!r} is empty"
+        )
+    if [r["cluster"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            "load_prototype_centers: cluster ids are not the contiguous "
+            "0..k-1 the scorer's output uses — the file was modified or "
+            "partially written"
+        )
+    return np.array([list(r["center"]) for r in rows], dtype="float64")

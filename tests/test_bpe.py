@@ -202,3 +202,53 @@ def test_from_histogram_truncation_warns_like_train_bpe(spark):
     with pytest.warns(UserWarning, match="dropped tail holds"):
         merges = train_bpe_from_histogram(hist, num_merges=3, max_words=2)
     assert merges == _naive_train([("alpha", 3), ("beta", 2)], 3)
+
+
+def test_merge_table_persistence_roundtrip(spark, tmp_path):
+    """save/load of the trained merge table: rank order exact, encode
+    through the reloaded table equals encode through the in-memory
+    one, and the lowercase pretokenization stamp is enforced (r12)."""
+    from pyspark.sql import functions as F
+
+    from pandarallel_spark.operators.bpe import (
+        bpe_encode,
+        load_bpe_merges,
+        save_bpe_merges,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new news newest new")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, "text", 10)
+    pth = str(tmp_path / "merges")
+    save_bpe_merges(spark, merges, pth)
+    back = load_bpe_merges(spark, pth)
+    assert back == merges
+
+    a = sorted(
+        map(tuple, docs.select(
+            "doc_id", bpe_encode("text", merges).alias("p")
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, docs.select(
+            "doc_id", bpe_encode("text", back).alias("p")
+        ).collect())
+    )
+    assert a == b
+
+    with pytest.raises(ValueError, match="lowercase=True"):
+        load_bpe_merges(spark, pth, lowercase=False)
+    with pytest.raises(ValueError, match="empty merge table"):
+        save_bpe_merges(spark, [], str(tmp_path / "e"))
+    with pytest.raises(ValueError, match="not a saved merge table"):
+        docs.write.parquet(str(tmp_path / "w"))
+        load_bpe_merges(spark, str(tmp_path / "w"))
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(RuntimeError, match="load_bpe_merges"):
+            load_bpe_merges(spark, pth)
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")

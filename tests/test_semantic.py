@@ -146,3 +146,47 @@ def test_zero_vector_survives_the_real_fit_path(spark):
            prototype_scores(df, "id", "emb", k=2, max_iter=5).collect()}
     assert got[99] == -1
     assert len(got) == 11
+
+
+def test_center_persistence_roundtrip_and_validation(spark, tmp_path, two_clusters):
+    """Centers persist and reload bit-for-bit, scores against reloaded
+    centers equal scores against the in-memory matrix, and the loader
+    validates shape/order/strictLazy (r12 — the semantic artifact joins
+    the histogram/merge-table persistence family)."""
+    import numpy as np
+
+    from pandarallel_spark.operators.semantic import (
+        load_prototype_centers,
+        save_prototype_centers,
+    )
+
+    centers = _train_centers(two_clusters, "emb", k=2, seed=11, max_iter=10)
+    pth = str(tmp_path / "centers")
+    save_prototype_centers(spark, centers, pth)
+    back = load_prototype_centers(spark, pth)
+    assert np.array_equal(back, centers)
+
+    a = sorted(
+        map(tuple, prototype_scores(
+            two_clusters, "id", "emb", k=2, _centers=centers
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, prototype_scores(
+            two_clusters, "id", "emb", k=2, _centers=back
+        ).collect())
+    )
+    assert a == b
+
+    with pytest.raises(ValueError, match="non-empty"):
+        save_prototype_centers(spark, np.zeros((0, 4)), str(tmp_path / "e"))
+    wrong = str(tmp_path / "wrong")
+    two_clusters.select("id").write.parquet(wrong)
+    with pytest.raises(ValueError, match="not a saved center"):
+        load_prototype_centers(spark, wrong)
+    spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
+    try:
+        with pytest.raises(RuntimeError, match="load_prototype_centers"):
+            load_prototype_centers(spark, pth)
+    finally:
+        spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
