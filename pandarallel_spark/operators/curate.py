@@ -102,8 +102,9 @@ def curate_corpus(
       additionally materializes the in-shard order. ``None`` skips.
     - ``checkpoint_stages``: truncate lineage at each stage boundary
       (see the module docstring — strongly recommended; disable only
-      for plan inspection or when a fully lazy quality+shards-only
-      chain must run under strictLazy).
+      for plan inspection). Checkpoints only fire when a prune/dedup
+      stage follows, so a quality- or quality+shards-only chain stays
+      fully lazy (and strictLazy-safe) regardless of this flag.
 
     Scale shape: the corpus shrinks monotonically through the chain
     and each stage reads its (checkpointed) input instead of replaying
@@ -133,14 +134,15 @@ def curate_corpus(
             "curate_corpus: dedup_method='embedding' (SemDeDup) needs "
             "the embedding column — pass vec_col="
         )
-    # one gate up front: clustering/dedup stages (and the stage-boundary
-    # checkpoints) run eager jobs — fail BEFORE stage one under
-    # strictLazy rather than midway through the pipeline
-    runs_eager = (
-        keep_frac is not None
-        or dedup_method is not None
-        or (checkpoint_stages and any(stages_on[:3]))
-    )
+    # one gate up front: clustering/dedup stages run eager jobs — fail
+    # BEFORE stage one under strictLazy rather than midway through the
+    # pipeline. Stage-boundary checkpoints only ever fire when a
+    # prune/dedup stage follows (every truncate_lineage below is gated
+    # on stages_on[1:3]), so they add no term of their own: a quality-
+    # or quality+shards-only chain is fully lazy even with
+    # checkpoint_stages=True (ADVICE r12 — the old any(stages_on[:3])
+    # term refused that lazy configuration)
+    runs_eager = keep_frac is not None or dedup_method is not None
     if runs_eager:
         eager_build_guard(
             df.sparkSession,
@@ -228,6 +230,22 @@ def curation_report(
     count scans, nothing row-sized moves. Lazy end to end: attach it to
     the same write the pipeline runs, or collect it for logging."""
     keys = list(keys or [])
+    reserved = {"n_before", "n_after", "n_dropped", "kept_frac"}
+    bad = [
+        k
+        for k in keys
+        if k in reserved or (k.startswith("__b_") or k.startswith("__a_"))
+    ]
+    if bad:
+        # a key literally named n_before (etc.) would collide with the
+        # agg aliases and fail downstream with an opaque ambiguity
+        # error; the __b_/__a_ prefixes are this function's own rename
+        # namespace (ADVICE r12)
+        raise ValueError(
+            f"curation_report: key column(s) {bad} collide with the "
+            f"reserved output columns {sorted(reserved)} or the "
+            "internal __b_*/__a_* rename namespace — rename them first"
+        )
     if not keys:
         b = before.agg(F.count(F.lit(1)).alias("n_before"))
         a = after.agg(F.count(F.lit(1)).alias("n_after"))

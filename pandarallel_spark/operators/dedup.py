@@ -83,6 +83,17 @@ def resolve_broadcast_candidates(
     behind a lazy ``localCheckpoint``), which is why the key comes from
     the caller's sources. ``None`` (driver-local or otherwise
     unidentifiable inputs) probes every time — correct, just uncached.
+
+    Caveat (shared with ``_skew._PROTECT_MEMO``, same tradeoff): the
+    key is semanticHash + input-file NAMES, so a source overwritten IN
+    PLACE with identical file names returns the stale verdict — here
+    that can mean broadcasting a candidate set that no longer fits
+    (executor memory pressure, not wrong results; AQE-planned joins are
+    unaffected). Grown datasets normally add/rename part files, which
+    changes the key; pipelines that do rewrite in place should pass
+    ``memo_key=None`` or restart the session. File sizes/mtimes are
+    deliberately NOT in the key — hitting the memo must not cost a
+    per-call filesystem listing of every input file.
     """
     if setting != "auto":
         return bool(setting)

@@ -120,8 +120,12 @@ def quantile_sketch_merge(
 
     ``dtype`` defaults to the ``{sketch_col}_dtype`` pin the rollup
     wrote; pass it explicitly when merging hand-built partials. Mixed
-    families in one table raise (checked lazily via the pin column
-    when present)."""
+    families in one table raise: inferred dtype runs a bounded distinct
+    over the pin column; an EXPLICIT dtype with the pin column present
+    is validated lazily row-by-row (``raise_error`` guard fused into
+    the merge — a mismatched family fails with a named error instead
+    of an opaque JVM deserialization fault; ADVICE r12). Pin-less
+    tables with explicit dtype are trusted as documented."""
     for q in quantiles:
         if not 0.0 <= float(q) <= 1.0:
             raise ValueError(f"quantile ranks must be in [0, 1], got {q}")
@@ -147,10 +151,37 @@ def quantile_sketch_merge(
                 "separately (the binary formats are incompatible)"
             )
         dtype = pins[0]
+        merge_input: Column = F.col(sketch_col)
+    elif pin in partials.columns:
+        # explicit dtype + pin present: validate lazily — a when/
+        # otherwise(raise_error) guard evaluates per row inside the
+        # merge itself, so a mismatched family fails with this named
+        # error before the bytes ever reach the incompatible
+        # deserializer (ADVICE r12); no extra job, no extra scan
+        merge_input = F.when(
+            F.col(pin) == F.lit(dtype), F.col(sketch_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "quantile_sketch_merge: partial's "
+                        f"{pin}="
+                    ),
+                    F.coalesce(F.col(pin), F.lit("NULL")),
+                    F.lit(
+                        f" does not match dtype={dtype!r} — KLL "
+                        "long/float/double sketch formats are binary-"
+                        "incompatible; merge each family separately"
+                    ),
+                )
+            ).cast("binary")
+        )
+    else:
+        merge_input = F.col(sketch_col)
     merge = _kll_fn("kll_merge_agg", dtype)
     getq = _kll_fn("kll_sketch_get_quantile", dtype)
     getn = _kll_fn("kll_sketch_get_n", dtype)
-    merged = partials.groupBy(*keys).agg(merge(sketch_col).alias("__kll__"))
+    merged = partials.groupBy(*keys).agg(merge(merge_input).alias("__kll__"))
 
     def pname(q: float) -> str:
         s = f"{float(q) * 100:g}".replace(".", "_")

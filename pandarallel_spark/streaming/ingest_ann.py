@@ -499,8 +499,10 @@ def _commit_version(spark: SparkSession, vroot: str, n: int) -> None:
 
 def _next_version_dir(spark: SparkSession, vroot: str) -> tuple[str, int]:
     """The next version id: one past the highest EXISTING ``v=`` dir
-    (committed or torn — never reuse a torn dir's id in place; the
-    write below overwrites it wholesale before committing)."""
+    (committed or torn — a torn dir's id is never reused; the dir is
+    simply skipped past, stays invisible to readers for want of a
+    commit marker, and is deleted by :func:`retire_ann_versions` once
+    enough committed versions sit above it)."""
     existing = _list_numbered(spark, vroot, "v=")
     n = (max(existing) + 1) if existing else 1
     return f"{vroot}/v={n}", n
@@ -606,8 +608,9 @@ def retire_ann_versions(
     spark: SparkSession, vroot: str, keep: int = 2
 ) -> list[int]:
     """Delete superseded index versions, keeping the ``keep`` highest
-    COMMITTED ones (plus any torn dir above them, which the next swap
-    overwrites); returns the deleted ids. ``keep`` must be ≥ 2 so a
+    COMMITTED ones (plus any torn dir above them — its id is never
+    reused, and it is cleaned up here once committed versions supersede
+    it); returns the deleted ids. ``keep`` must be ≥ 2 so a
     reader mid-scan on the previous version never has it deleted out
     from under the query that started before the swap. Deletion-only —
     trivially crash-safe."""

@@ -195,6 +195,14 @@ def test_curate_corpus_optional_stages_and_validation(spark):
             dedup_method=None, n_shards=2, checkpoint_stages=False,
         )
         assert "shard" in lazy.columns
+        # ADVICE r12: checkpoint_stages=True must NOT refuse a chain
+        # that never actually checkpoints (checkpoints only fire when a
+        # prune/dedup stage follows) — quality+shards is lazy either way
+        lazy_default = curate_corpus(
+            df, "doc_id", "text", quality=_quality_lazy(spark),
+            dedup_method=None, n_shards=2,
+        )
+        assert "shard" in lazy_default.columns
     finally:
         spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
 
@@ -257,6 +265,16 @@ def test_curation_report_accounting(spark):
     assert rep["books"]["n_after"] == 0 and rep["books"]["n_dropped"] == 4
     g = curation_report(before, after).collect()
     assert len(g) == 1 and g[0]["n_before"] == 10 and g[0]["n_after"] == 3
+
+    # ADVICE r12: key names colliding with the report's own output
+    # columns (or its __b_/__a_ rename namespace) refuse loudly instead
+    # of failing downstream with an ambiguity error
+    renamed = before.withColumnRenamed("source", "n_before")
+    with pytest.raises(ValueError, match="reserved output columns"):
+        curation_report(renamed, renamed, keys=["n_before"])
+    shadowed = before.withColumnRenamed("source", "__b_x__")
+    with pytest.raises(ValueError, match="rename namespace"):
+        curation_report(shadowed, shadowed, keys=["__b_x__"])
 
 
 def test_scale_report_narrates_smells(spark):

@@ -116,6 +116,16 @@ def test_kll_type_dispatch_and_validation(spark):
     )
     with pytest.raises(ValueError, match="mix KLL families"):
         quantile_sketch_merge(mixed, [], "k", [0.5])
+    # ADVICE r12: EXPLICIT dtype with a present-but-mismatched pin
+    # column fails lazily with the named error, not a JVM
+    # deserialization fault — and a MATCHING pin passes through
+    from pyspark.errors import SparkRuntimeException
+
+    bad = quantile_sketch_merge(mixed, [], "k", [0.5], dtype="bigint")
+    with pytest.raises(SparkRuntimeException, match="binary-incompatible"):
+        bad.collect()
+    ok = quantile_sketch_merge(pi, [], "i_kll", [0.5], dtype="bigint")
+    assert ok.collect()[0]["p50"] == 1
     # strictLazy: the family probe is gated; explicit dtype skips it
     spark.conf.set("spark.pandarallel_spark.strictLazy", "true")
     try:
