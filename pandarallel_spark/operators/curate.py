@@ -53,6 +53,10 @@ def curate_corpus(
     id_col: str,
     text_col: str,
     extract_html: bool = False,
+    min_text_ratio: float | None = None,
+    lang_profiles: DataFrame | None = None,
+    keep_langs: list[str] | None = None,
+    min_quality: float | None = None,
     quality=None,
     min_prob: float = 0.5,
     vec_col: str | None = None,
@@ -81,6 +85,22 @@ def curate_corpus(
       instead of markup. A pure projection fused into the first scan;
       the column is replaced in place (the raw HTML is the input's
       concern, not the curated output's).
+    - ``min_text_ratio`` (r13, needs ``extract_html``): drop pages
+      whose visible-text fraction (extracted length / raw length, the
+      classic boilerplate signal —
+      :func:`~pandarallel_spark.operators.text.html_text_ratio`) falls
+      below the threshold. Fused with the extraction so the strip
+      chain runs once, not once for the ratio and once for the text.
+    - ``lang_profiles`` + ``keep_langs`` (r13): Cavnar-Trenkle
+      language filter (:mod:`~pandarallel_spark.operators.langid`) —
+      classify ``text_col`` against the given profile table (e.g.
+      :func:`~pandarallel_spark.operators.langid.seed_language_profiles`)
+      and keep only the listed languages. Rows whose language can't be
+      derived (NULL text) are dropped. Must be passed together.
+    - ``min_quality`` (r13): the HEURISTIC quality tier —
+      :func:`~pandarallel_spark.operators.text.quality_score` ≥
+      threshold as a pure filter fused into the scan; the cheap
+      first-pass gate in front of (or instead of) the trained filter.
     - ``quality``: a trained
       :class:`~pandarallel_spark.operators.quality_model.QualityFilter`
       (or anything with its ``apply(df, text_col, min_prob)`` contract);
@@ -112,17 +132,30 @@ def curate_corpus(
     wouldn't pay. Determinism: every stage is content-hash / seeded —
     the same corpus curates identically on any cluster size.
     """
+    lang_on = lang_profiles is not None or keep_langs is not None
+    if lang_on and (lang_profiles is None or keep_langs is None):
+        raise ValueError(
+            "curate_corpus: the language stage needs BOTH lang_profiles= "
+            "(e.g. langid.seed_language_profiles(spark)) and keep_langs="
+        )
+    if min_text_ratio is not None and not extract_html:
+        raise ValueError(
+            "curate_corpus: min_text_ratio is the visible-text fraction "
+            "of an HTML page — it needs extract_html=True"
+        )
     stages_on = [
         quality is not None,
         keep_frac is not None,
         dedup_method is not None,
         n_shards is not None,
     ]
-    if not any(stages_on) and not extract_html:
+    pre_stages_on = extract_html or lang_on or min_quality is not None
+    if not any(stages_on) and not pre_stages_on:
         raise ValueError(
             "curate_corpus: every stage is disabled (extract_html=False, "
-            "quality=None, keep_frac=None, dedup_method=None, "
-            "n_shards=None) — enable at least one, or drop the call"
+            "lang_profiles=None, min_quality=None, quality=None, "
+            "keep_frac=None, dedup_method=None, n_shards=None) — enable "
+            "at least one, or drop the call"
         )
     if keep_frac is not None and vec_col is None:
         raise ValueError(
@@ -136,13 +169,16 @@ def curate_corpus(
         )
     # one gate up front: clustering/dedup stages run eager jobs — fail
     # BEFORE stage one under strictLazy rather than midway through the
-    # pipeline. Stage-boundary checkpoints only ever fire when a
-    # prune/dedup stage follows (every truncate_lineage below is gated
-    # on stages_on[1:3]), so they add no term of their own: a quality-
-    # or quality+shards-only chain is fully lazy even with
-    # checkpoint_stages=True (ADVICE r12 — the old any(stages_on[:3])
-    # term refused that lazy configuration)
-    runs_eager = keep_frac is not None or dedup_method is not None
+    # pipeline. Stage-boundary checkpoints fire when a MULTI-SCAN stage
+    # follows (prune/dedup via stages_on[1:3]; the r13 language stage
+    # consumes its input twice, so extraction checkpoints ahead of it)
+    # — a quality- or quality+shards-only chain stays fully lazy even
+    # with checkpoint_stages=True (ADVICE r12)
+    runs_eager = (
+        keep_frac is not None
+        or dedup_method is not None
+        or (checkpoint_stages and lang_on and extract_html)
+    )
     if runs_eager:
         eager_build_guard(
             df.sparkSession,
@@ -157,12 +193,47 @@ def curate_corpus(
     if extract_html:
         from pandarallel_spark.operators.text import html_to_text
 
-        out = out.withColumn(text_col, html_to_text(text_col))
-        if checkpoint_stages and quality is None and any(stages_on[1:3]):
-            # no quality stage to carry the cut: the 14-step regex
-            # chain must still not re-run once per downstream scan of
-            # the prune/dedup stages (review finding r12)
+        if min_text_ratio is not None:
+            # fuse ratio + extraction: one strip-chain evaluation per
+            # row (ratio = extracted length / raw length), then the
+            # extracted text replaces the raw column
+            out = (
+                out.withColumn("__xt__", html_to_text(text_col))
+                .filter(
+                    F.length("__xt__").cast("double")
+                    / F.nullif(F.length(text_col).cast("double"), F.lit(0.0))
+                    >= F.lit(float(min_text_ratio))
+                )
+                .withColumn(text_col, F.col("__xt__"))
+                .drop("__xt__")
+            )
+        else:
+            out = out.withColumn(text_col, html_to_text(text_col))
+        if checkpoint_stages and (
+            lang_on or (quality is None and any(stages_on[1:3]))
+        ):
+            # the 14-step regex chain must not re-run once per
+            # downstream scan: the language stage consumes its input
+            # twice (gram pipeline + join-back), and without a quality
+            # stage to carry a later cut the prune/dedup stages would
+            # replay it too (review finding r12)
             out = truncate_lineage(out)
+    if lang_on:
+        from pandarallel_spark.operators.langid import with_language
+
+        out = with_language(
+            out, id_col, text_col, lang_profiles, out_col="__lang_ct__"
+        ).filter(F.col("__lang_ct__").isin(*keep_langs)).drop("__lang_ct__")
+        if checkpoint_stages and quality is None and any(stages_on[1:3]):
+            # no trained-quality cut to carry it: the classification
+            # pipeline must not replay once per prune/dedup scan
+            out = truncate_lineage(out)
+    if min_quality is not None:
+        from pandarallel_spark.operators.text import quality_score
+
+        # heuristic tier: a pure expression filter — rides the scan,
+        # no cut needed (single consumer until the next stage)
+        out = out.filter(quality_score(text_col) >= F.lit(float(min_quality)))
     if quality is not None:
         out = quality.apply(out, text_col, min_prob=min_prob)
         if checkpoint_stages and any(stages_on[1:3]):
@@ -208,6 +279,44 @@ def curate_corpus(
             position_col=position_col,
         )
     return out
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    mode: str = "overwrite",
+    report_before: DataFrame | None = None,
+    report_keys: list[str] | None = None,
+) -> DataFrame | None:
+    """The curation pipeline's terminal step in one call (r12 verdict
+    task #5): write ``df`` partitioned by ``shard_col`` — the
+    pre-training export layout ``shuffle_shards`` prepared, one
+    directory per shard so a trainer reads shard ``k`` with partition
+    pruning and zero list-everything cost — and, when ``report_before``
+    is given, compute :func:`curation_report` between it and the data
+    AS WRITTEN (read back from ``path``, so the report counts what
+    actually landed, not what the plan promised) and persist it under
+    ``{path}/_curation_report``. The leading underscore keeps the
+    report invisible to parquet discovery over ``path`` (Spark and
+    DuckDB both skip ``_``-prefixed entries), so the shard table stays
+    clean. Returns the written report DataFrame, or ``None`` when no
+    ``report_before`` was given."""
+    if shard_col not in df.columns:
+        raise ValueError(
+            f"write_shards: no {shard_col!r} column — run shuffle_shards "
+            "(or curate_corpus(n_shards=...)) first, or pass shard_col="
+        )
+    df.write.partitionBy(shard_col).mode(mode).parquet(path)
+    if report_before is None:
+        return None
+    spark = df.sparkSession
+    report = curation_report(
+        report_before, spark.read.parquet(path), keys=report_keys
+    )
+    report_path = f"{path}/_curation_report"
+    report.write.mode(mode).parquet(report_path)
+    return spark.read.parquet(report_path)
 
 
 def curation_report(

@@ -1,0 +1,479 @@
+"""Language identification — Cavnar & Trenkle n-gram rank profiles
+("N-Gram-Based Text Categorization", SDAIR'94), re-expressed as pure
+relational Spark (SURVEY.md §2.3; r12 verdict task #2 — the one
+standard curation stage the engine lacked: ``stratified_sample_sources``'
+temperature mixing and ``curate_corpus`` both presumed a ``lang``
+column somebody else produced).
+
+Method (public, hash-free — which is what makes it SQL-replayable and
+therefore oracle-gradable):
+
+1. normalize text: lowercase, collapse every non-letter run to one
+   space, pad with single spaces (the pad makes word-boundary grams
+   first-class, the classic C&T trick);
+2. extract character n-grams (default n ∈ {1,2,3}) over the padded
+   string — one deviation from the paper, which n-grams per padded
+   word: whole-string grams give the same boundary information with
+   one expression and no per-word loop;
+3. a LANGUAGE PROFILE is the top-``k`` grams ranked by frequency
+   (ties broken by gram, so profiles are total-order deterministic);
+4. a document is scored against each profile by the OUT-OF-PLACE
+   distance: for each of the document's top-``k`` grams,
+   ``|doc_rank - profile_rank|`` when the gram is in the profile, a
+   fixed ``penalty`` (the paper's "maximum out-of-place") when not;
+   lowest total distance wins, ties broken by language code.
+
+Scale shape: training aggregates the labeled corpus once (explode →
+map-side-combined count → per-language rank window) into a profile
+table of ``|langs| × top_k`` rows — kilobytes, broadcast everywhere
+after. Classification is explode → count → rank per document (shuffles
+partitioned BY DOCUMENT, so it scales out linearly and no key is
+hotter than the longest document's distinct-gram count, itself capped
+by ``doc_top_k``), a broadcast join against the profiles, and one
+ranking window. Zero Python in the plan — every step is JVM
+expressions Catalyst can push and fuse; DuckDB replays every step
+bit-for-bit (integer counts and ranks; the regex stays in the Java∩RE2
+subset like text.BPE_PATTERN).
+
+The built-in seed corpus (``SEED_TRAIN``/``SEED_TEST``) is a small set
+of sentences written for this module across six Latin-script
+languages — enough signal for the rank profiles to separate them, and
+a deterministic fixture both engines can embed as literals. Real
+deployments should train on their own labeled sample via
+:func:`train_language_profiles`; profiles are plain DataFrames, so
+they persist/load as parquet like any other table.
+
+Reference frame: the reference repo (pandarallel, core.py) has no
+language-id surface; this is LLM-pipeline scope (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Java ∩ RE2: \p{L} works identically in Spark's regexp_replace and
+# DuckDB's RE2 (same contract as text.BPE_PATTERN)
+_NON_LETTER = r"[^\p{L}]+"
+DEFAULT_NS: tuple[int, ...] = (1, 2, 3)
+DEFAULT_TOP_K = 300
+
+# ---------------------------------------------------------------------------
+# built-in seed corpus (six Latin-script languages, all-lowercase so
+# normalization parity never depends on locale-sensitive case mapping)
+# ---------------------------------------------------------------------------
+
+SEED_TRAIN: dict[str, tuple[str, ...]] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog near the river",
+        "she said that the weather would be fine for the long walk home",
+        "this is the story of a small town and the people who live there",
+        "we should think about what the children want before the holidays",
+        "there are many ways to cook a good meal with fresh vegetables",
+        "he could not remember where the old keys had been left yesterday",
+        "the library opens early and the readers arrive with their books",
+        "every morning the birds sing in the garden behind the house",
+        "it would have been better to ask for help when the work started",
+        "they watched the ships come into the harbour under a grey sky",
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund am fluss",
+        "sie sagte dass das wetter für den langen heimweg schön sein würde",
+        "dies ist die geschichte einer kleinen stadt und ihrer menschen",
+        "wir sollten überlegen was die kinder vor den ferien wollen",
+        "es gibt viele wege ein gutes essen mit frischem gemüse zu kochen",
+        "er konnte sich nicht erinnern wo die alten schlüssel geblieben waren",
+        "die bibliothek öffnet früh und die leser kommen mit ihren büchern",
+        "jeden morgen singen die vögel im garten hinter dem haus",
+        "es wäre besser gewesen um hilfe zu bitten als die arbeit begann",
+        "sie sahen die schiffe unter einem grauen himmel in den hafen kommen",
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux près de la rivière",
+        "elle a dit que le temps serait beau pour le long chemin du retour",
+        "voici l'histoire d'une petite ville et des gens qui y vivent",
+        "nous devrions penser à ce que veulent les enfants avant les vacances",
+        "il y a beaucoup de façons de préparer un bon repas avec des légumes frais",
+        "il ne se souvenait plus où les vieilles clés avaient été laissées hier",
+        "la bibliothèque ouvre tôt et les lecteurs arrivent avec leurs livres",
+        "chaque matin les oiseaux chantent dans le jardin derrière la maison",
+        "il aurait mieux valu demander de l'aide quand le travail a commencé",
+        "ils regardaient les navires entrer dans le port sous un ciel gris",
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso junto al río",
+        "ella dijo que el tiempo sería bueno para el largo camino a casa",
+        "esta es la historia de un pueblo pequeño y de la gente que vive allí",
+        "deberíamos pensar en lo que quieren los niños antes de las vacaciones",
+        "hay muchas maneras de cocinar una buena comida con verduras frescas",
+        "él no podía recordar dónde habían quedado las llaves viejas ayer",
+        "la biblioteca abre temprano y los lectores llegan con sus libros",
+        "cada mañana los pájaros cantan en el jardín detrás de la casa",
+        "habría sido mejor pedir ayuda cuando empezó el trabajo",
+        "miraban los barcos entrar al puerto bajo un cielo gris",
+    ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro vicino al fiume",
+        "lei ha detto che il tempo sarebbe stato bello per la lunga strada di casa",
+        "questa è la storia di una piccola città e della gente che ci vive",
+        "dovremmo pensare a cosa vogliono i bambini prima delle vacanze",
+        "ci sono molti modi per cucinare un buon pasto con verdure fresche",
+        "non riusciva a ricordare dove fossero rimaste le vecchie chiavi ieri",
+        "la biblioteca apre presto e i lettori arrivano con i loro libri",
+        "ogni mattina gli uccelli cantano nel giardino dietro la casa",
+        "sarebbe stato meglio chiedere aiuto quando il lavoro è iniziato",
+        "guardavano le navi entrare nel porto sotto un cielo grigio",
+    ),
+    "pt": (
+        "a rápida raposa marrom salta sobre o cão preguiçoso perto do rio",
+        "ela disse que o tempo estaria bom para o longo caminho de casa",
+        "esta é a história de uma cidade pequena e das pessoas que vivem lá",
+        "devíamos pensar no que as crianças querem antes das férias",
+        "há muitas maneiras de cozinhar uma boa refeição com legumes frescos",
+        "ele não conseguia lembrar onde as chaves velhas tinham ficado ontem",
+        "a biblioteca abre cedo e os leitores chegam com os seus livros",
+        "toda manhã os pássaros cantam no jardim atrás da casa",
+        "teria sido melhor pedir ajuda quando o trabalho começou",
+        "eles olhavam os navios entrar no porto sob um céu cinzento",
+    ),
+}
+
+SEED_TEST: dict[str, tuple[str, ...]] = {
+    "en": (
+        "the teacher asked the students to write about their summer",
+        "a warm wind came through the open window during the night",
+        "nobody knew why the lights in the old house were still on",
+        "the train was late so we waited with coffee at the station",
+    ),
+    "de": (
+        "der lehrer bat die schüler über ihren sommer zu schreiben",
+        "ein warmer wind kam in der nacht durch das offene fenster",
+        "niemand wusste warum das licht im alten haus noch brannte",
+        "der zug hatte verspätung also warteten wir mit kaffee am bahnhof",
+    ),
+    "fr": (
+        "le professeur a demandé aux élèves d'écrire sur leur été",
+        "un vent chaud est entré par la fenêtre ouverte pendant la nuit",
+        "personne ne savait pourquoi les lumières de la vieille maison brillaient encore",
+        "le train était en retard alors nous avons attendu avec du café à la gare",
+    ),
+    "es": (
+        "el maestro pidió a los alumnos que escribieran sobre su verano",
+        "un viento cálido entró por la ventana abierta durante la noche",
+        "nadie sabía por qué las luces de la casa vieja seguían encendidas",
+        "el tren llegó tarde así que esperamos con café en la estación",
+    ),
+    "it": (
+        "il maestro ha chiesto agli alunni di scrivere della loro estate",
+        "un vento caldo è entrato dalla finestra aperta durante la notte",
+        "nessuno sapeva perché le luci della vecchia casa fossero ancora accese",
+        "il treno era in ritardo così abbiamo aspettato con un caffè alla stazione",
+    ),
+    "pt": (
+        "o professor pediu aos alunos que escrevessem sobre o seu verão",
+        "um vento quente entrou pela janela aberta e não deixou ninguém dormir",
+        "ninguém sabia por que as luzes da casa velha ainda estavam acesas",
+        "o trem estava atrasado então esperamos com café na estação",
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# expression building blocks (pure Column — JVM-side, fuse into the scan)
+# ---------------------------------------------------------------------------
+
+
+def normalize_for_langid(col: Column | str) -> Column:
+    """Lowercase, collapse non-letter runs to single spaces, pad with
+    one space each side — the gram alphabet is letters + the boundary
+    space, nothing else, so punctuation/digit noise can't leak into
+    profiles."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(c), _NON_LETTER, " "))
+    return F.concat(F.lit(" "), norm, F.lit(" "))
+
+
+def char_ngrams(col: Column | str, ns: tuple[int, ...] = DEFAULT_NS) -> Column:
+    """All character n-grams (WITH multiplicity — the profiles rank by
+    frequency) of the normalized padded text, for every n in ``ns``.
+    One array expression; the sequence guard keeps short strings from
+    producing Spark's descending ``sequence(1, 0) = [1, 0]``."""
+    pt = normalize_for_langid(col)
+    ln = F.length(pt)
+
+    def gram_at(n: int):
+        # a SINGLE-parameter lambda: F.transform inspects arity and
+        # would pass the ARRAY INDEX as a second argument, silently
+        # clobbering a `n=n` default-capture (found the hard way)
+        return lambda i: pt.substr(i, F.lit(n))
+
+    parts = []
+    for n in ns:
+        idx = F.when(ln >= n, F.sequence(F.lit(1), ln - F.lit(n - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        parts.append(F.transform(idx, gram_at(n)))
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+# ---------------------------------------------------------------------------
+# train / classify
+# ---------------------------------------------------------------------------
+
+
+def train_language_profiles(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str,
+    ns: tuple[int, ...] = DEFAULT_NS,
+    top_k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Rank profiles from a labeled corpus: ``(lang, gram, rank)`` with
+    ``rank`` 1..``top_k`` per language (frequency-descending, gram-
+    ascending ties — total order, so the same corpus trains the same
+    profile on any cluster). One explode + map-side-combined count +
+    one rank window partitioned by language; output is
+    ``|langs| × top_k`` rows — persist it as parquet next to the model
+    artifacts and broadcast it at classify time."""
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(text_col, ns)).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("__c__"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("__c__").desc(), F.col("gram").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("lang", "gram", "rank")
+    )
+
+
+def seed_language_profiles(
+    spark,
+    langs: tuple[str, ...] | None = None,
+    ns: tuple[int, ...] = DEFAULT_NS,
+    top_k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Profiles trained on the built-in ``SEED_TRAIN`` corpus — the
+    zero-setup path for the six seed languages. For anything beyond
+    (more languages, domain text, CJK — which needs its own seeds),
+    train on a real labeled sample instead."""
+    langs = langs or tuple(sorted(SEED_TRAIN))
+    rows = [(lg, s) for lg in langs for s in SEED_TRAIN[lg]]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    return train_language_profiles(df, "text", "lang", ns=ns, top_k=top_k)
+
+
+def identify_language(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: DataFrame,
+    ns: tuple[int, ...] = DEFAULT_NS,
+    doc_top_k: int = DEFAULT_TOP_K,
+    penalty: int | None = None,
+    out_col: str = "lang_ct",
+    dist_col: str = "lang_ct_dist",
+) -> DataFrame:
+    """Classify each document: ``(id_col, out_col, dist_col)`` — the
+    winning language and its integer out-of-place distance (exact
+    arithmetic, which is what lets the DuckDB oracle grade this).
+
+    ``penalty`` is the out-of-place cost of a document gram absent
+    from a profile; default ``doc_top_k`` (the paper's "maximum"
+    scaled to the document profile length). Set ``doc_top_k`` lower
+    than training's ``top_k`` for short inputs — a 60-char query has
+    ~150 grams and the extra slots would just be noise.
+
+    Plan: all shuffles are partitioned by document id (count, rank,
+    score), the profile side is an explicit broadcast, and the tiny
+    language list is a broadcast cross join — nothing corpus-sized
+    ever co-shuffles with anything but itself.
+
+    NULL text has no grams, so the document is absent from the output
+    (:func:`with_language`'s left join surfaces it with a NULL lang);
+    empty/letterless text still classifies — its profile is just the
+    boundary-space grams."""
+    if penalty is None:
+        penalty = doc_top_k
+    grams = df.select(
+        F.col(id_col), F.explode(char_ngrams(text_col, ns)).alias("__g__")
+    )
+    counts = grams.groupBy(id_col, "__g__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__c__").desc(), F.col("__g__").asc()
+    )
+    doc_prof = (
+        counts.withColumn("__dr__", F.row_number().over(w))
+        .filter(F.col("__dr__") <= doc_top_k)
+        .select(id_col, "__g__", "__dr__")
+    )
+    prof = F.broadcast(
+        profiles.select(
+            F.col("lang").alias("__lang__"),
+            F.col("gram").alias("__g__"),
+            F.col("rank").alias("__pr__"),
+        )
+    )
+    matched = (
+        doc_prof.join(prof, "__g__")
+        .groupBy(id_col, "__lang__")
+        .agg(
+            F.sum(F.abs(F.col("__dr__") - F.col("__pr__"))).alias("__md__"),
+            F.count(F.lit(1)).alias("__mc__"),
+        )
+    )
+    # k_doc = the document profile length (ranks are dense 1..k)
+    ks = doc_prof.groupBy(id_col).agg(F.max("__dr__").alias("__k__"))
+    langs = F.broadcast(profiles.select(F.col("lang").alias("__lang__")).distinct())
+    scored = (
+        ks.crossJoin(langs)
+        .join(matched, [id_col, "__lang__"], "left")
+        .select(
+            id_col,
+            "__lang__",
+            (
+                F.coalesce(F.col("__md__"), F.lit(0))
+                + F.lit(int(penalty))
+                * (F.col("__k__") - F.coalesce(F.col("__mc__"), F.lit(0)))
+            ).cast("bigint").alias("__dist__"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("__dist__").asc(), F.col("__lang__").asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(win))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            id_col,
+            F.col("__lang__").alias(out_col),
+            F.col("__dist__").alias(dist_col),
+        )
+    )
+
+
+def with_language(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: DataFrame,
+    out_col: str = "lang_ct",
+    **kwargs,
+) -> DataFrame:
+    """``df`` plus the predicted-language column — the curation-stage
+    shape (``curate_corpus`` keep_langs / ``temperature_mix`` feed).
+    One equi-join back on ``id_col``; the distance column is dropped
+    (ask :func:`identify_language` directly when you want it)."""
+    preds = identify_language(
+        df, id_col, text_col, profiles, out_col=out_col, **kwargs
+    ).drop("lang_ct_dist" if "dist_col" not in kwargs else kwargs["dist_col"])
+    return df.join(preds, id_col, "left")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB replay (oracle generation — same contract as text.html_strip_sql)
+# ---------------------------------------------------------------------------
+
+
+def _sql_ngram_list(pt_expr: str, ns: tuple[int, ...]) -> str:
+    """DuckDB list expression for char_ngrams over a padded-text SQL
+    expression — generate_series is empty when the bound is < 1, so no
+    guard is needed (unlike Spark's descending sequence)."""
+    parts = [
+        f"list_transform(generate_series(1, length({pt_expr}) - {n - 1}), "
+        f"i -> substr({pt_expr}, i, {n}))"
+        for n in ns
+    ]
+    return " || ".join(parts)
+
+
+def ct_classify_sql(
+    docs_rel: str,
+    train_rel: str,
+    ns: tuple[int, ...] = DEFAULT_NS,
+    top_k: int = DEFAULT_TOP_K,
+    doc_top_k: int = DEFAULT_TOP_K,
+    penalty: int | None = None,
+) -> str:
+    """A DuckDB CTE chain replaying train + classify bit-for-bit.
+    ``docs_rel`` must expose ``(id, t)``, ``train_rel`` ``(lang, t)``;
+    the result relation is ``(id, lang_pred, dist)``. Every step is
+    the same integer arithmetic the Spark plan runs (counts, dense
+    ranks with the identical DESC/ASC tie order, out-of-place sums),
+    which is the property that makes the langid kind oracle-gradable."""
+    if penalty is None:
+        penalty = doc_top_k
+    norm = (
+        "' ' || trim(regexp_replace(lower({t}), '[^\\p{{L}}]+', ' ', 'g')) "
+        "|| ' '"
+    )
+    tr_pt = norm.format(t="t")
+    return f"""
+__tr_g AS (SELECT lang, unnest({_sql_ngram_list('pt', ns)}) AS g
+  FROM (SELECT lang, {tr_pt} AS pt FROM {train_rel})),
+__tr_c AS (SELECT lang, g, count(*) AS c FROM __tr_g GROUP BY 1, 2),
+__prof AS (SELECT lang, g, pr FROM (
+  SELECT lang, g, row_number() OVER (
+    PARTITION BY lang ORDER BY c DESC, g ASC) AS pr FROM __tr_c)
+  WHERE pr <= {top_k}),
+__d_g AS (SELECT id, unnest({_sql_ngram_list('pt', ns)}) AS g
+  FROM (SELECT id, {tr_pt} AS pt FROM {docs_rel})),
+__d_c AS (SELECT id, g, count(*) AS c FROM __d_g GROUP BY 1, 2),
+__dg AS (SELECT id, g, dr FROM (
+  SELECT id, g, row_number() OVER (
+    PARTITION BY id ORDER BY c DESC, g ASC) AS dr FROM __d_c)
+  WHERE dr <= {doc_top_k}),
+__ks AS (SELECT id, max(dr) AS k FROM __dg GROUP BY 1),
+__m AS (SELECT __dg.id, __prof.lang,
+    sum(abs(__dg.dr - __prof.pr)) AS md, count(*) AS mc
+  FROM __dg JOIN __prof ON __dg.g = __prof.g GROUP BY 1, 2),
+__sc AS (SELECT __ks.id, l.lang,
+    CAST(coalesce(__m.md, 0)
+         + {penalty} * (__ks.k - coalesce(__m.mc, 0)) AS BIGINT) AS dist
+  FROM __ks CROSS JOIN (SELECT DISTINCT lang FROM __prof) l
+  LEFT JOIN __m ON __m.id = __ks.id AND __m.lang = l.lang),
+__ct AS (SELECT id, lang AS lang_pred, dist FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY id ORDER BY dist ASC, lang ASC) AS rn FROM __sc)
+  WHERE rn = 1)
+"""
+
+
+def seed_values_sql(which: dict[str, tuple[str, ...]]) -> str:
+    """``(lang, t)`` VALUES relation for a seed dict — single quotes
+    escaped the SQL way."""
+    rows = [
+        f"('{lg}', '{s.replace(chr(39), chr(39) * 2)}')"
+        for lg in sorted(which)
+        for s in which[lg]
+    ]
+    return "(SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(lang, t))"
+
+
+def seed_test_docs_sql() -> str:
+    """``(id, lang, t)`` VALUES relation for SEED_TEST with the same
+    deterministic ids :func:`seed_test_docs` assigns."""
+    rows = []
+    for i, (lg, s) in enumerate(
+        (lg, s) for lg in sorted(SEED_TEST) for s in SEED_TEST[lg]
+    ):
+        esc = s.replace("'", "''")
+        rows.append(f"({1000000 + i}, '{lg}', '{esc}')")
+    return "(SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(id, lang, t))"
+
+
+def seed_test_docs(spark) -> DataFrame:
+    """SEED_TEST as ``(id, lang, text)`` rows — ids deterministic and
+    disjoint from the testdata doc_id space (1e6+)."""
+    rows = [
+        (1000000 + i, lg, s)
+        for i, (lg, s) in enumerate(
+            (lg, s) for lg in sorted(SEED_TEST) for s in SEED_TEST[lg]
+        )
+    ]
+    return spark.createDataFrame(rows, "id long, lang string, text string")

@@ -31,8 +31,8 @@ _DOC_TOKS = (
 # text analysis
 # ---------------------------------------------------------------------------
 
-_TEXT_STATS_ORACLE = f"""
-WITH t AS (SELECT doc_id, text, {_DOC_TOKS} AS toks FROM documents),
+_TEXT_STATS_STATS_CTES = f"""
+t AS (SELECT doc_id, text, {_DOC_TOKS} AS toks FROM documents),
 f AS (
   SELECT doc_id,
     CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -47,7 +47,32 @@ f AS (
     len(list_filter(toks, x -> x IN ('el','la','y','de','rapido'))) AS es_c,
     md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
   FROM t)
-SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+"""
+
+
+def _text_stats_oracle() -> str:
+    """stats kind (the r1 battery) UNION ALL the langid_ct kind (r13):
+    Cavnar-Trenkle train-and-classify over the module's seed corpus,
+    replayed by langid.ct_classify_sql's CTE chain — integer ranks and
+    out-of-place distances, so the value hash is exact."""
+    from pandarallel_spark.operators.langid import (
+        SEED_TRAIN,
+        ct_classify_sql,
+        seed_test_docs_sql,
+        seed_values_sql,
+    )
+
+    return (
+        "WITH "
+        + _TEXT_STATS_STATS_CTES.strip().rstrip(",")
+        + ", __docs AS (SELECT id, t FROM "
+        + seed_test_docs_sql()
+        + "), __train AS (SELECT lang, t FROM "
+        + seed_values_sql(SEED_TRAIN)
+        + "), "
+        + ct_classify_sql("__docs", "__train").strip()
+        + """
+SELECT 'stats' AS kind, doc_id, n_tokens, avg_token_len, stopword_ratio,
   coalesce(least(1.0, CAST(n_tokens AS DOUBLE)/100.0) * 0.5
     + (1.0 - stopword_ratio) * 0.3
     + least(1.0, avg_token_len/8.0) * 0.2, 0.0) AS quality,
@@ -57,24 +82,60 @@ SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
     WHEN de_c > 0 AND de_c > en_c AND de_c > fr_c AND de_c > es_c THEN 'de'
     WHEN es_c > 0 AND es_c > en_c AND es_c > fr_c AND es_c > de_c THEN 'es'
     ELSE 'und' END AS lang_pred,
-  fingerprint
+  fingerprint, CAST(NULL AS BIGINT) AS ct_dist
 FROM f
+UNION ALL
+SELECT 'langid_ct' AS kind, id AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+  CAST(NULL AS DOUBLE) AS avg_token_len, CAST(NULL AS DOUBLE) AS stopword_ratio,
+  CAST(NULL AS DOUBLE) AS quality, lang_pred,
+  CAST(NULL AS VARCHAR) AS fingerprint, dist AS ct_dist
+FROM __ct
 """
+    )
 
 
 @register(
     "text_stats",
-    _TEXT_STATS_ORACLE,
-    "Text analysis battery (token count, quality score, language id, "
-    "bag-of-words fingerprint) as pure Column expressions — zero Python "
-    "in the scan.",
+    _text_stats_oracle(),
+    "Text analysis in one kind-tagged row. kind=stats: the battery "
+    "(token count, quality score, marker-word language id, "
+    "bag-of-words fingerprint) as pure Column expressions — zero "
+    "Python in the scan. kind=langid_ct (NEW r13): Cavnar-Trenkle "
+    "n-gram rank-profile language identification (operators/langid.py) "
+    "trained on the built-in six-language seed corpus and classifying "
+    "the held-out seed sentences — explode/count/rank windows "
+    "partitioned by document, profiles broadcast, integer out-of-place "
+    "distances, all replayed bit-for-bit by the DuckDB oracle.",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.langid import (
+        identify_language,
+        seed_language_profiles,
+        seed_test_docs,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return with_text_stats(docs, "text").select(
+    stats = with_text_stats(docs, "text").select(
+        F.lit("stats").alias("kind"),
         "doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
         "quality", "lang_pred", "fingerprint",
+        F.lit(None).cast("bigint").alias("ct_dist"),
     )
+    preds = identify_language(
+        seed_test_docs(spark), "id", "text", seed_language_profiles(spark)
+    )
+    ct = preds.select(
+        F.lit("langid_ct").alias("kind"),
+        F.col("id").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("double").alias("avg_token_len"),
+        F.lit(None).cast("double").alias("stopword_ratio"),
+        F.lit(None).cast("double").alias("quality"),
+        F.col("lang_ct").alias("lang_pred"),
+        F.lit(None).cast("string").alias("fingerprint"),
+        F.col("lang_ct_dist").alias("ct_dist"),
+    )
+    return stats.unionByName(ct)
 
 
 # ---------------------------------------------------------------------------
@@ -1862,11 +1923,63 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii.unionByName(html_kind)
 
 
-@register(
-    "stratified_sample_sources",
-    f"""
+# temperature_derived kind (r13, verdict task #6): a deterministic
+# skewed multilingual corpus synthesized from doc_id (5:3:1:1 over
+# en/de/fr/es, sentence text drawn from langid.SEED_TEST), language
+# DERIVED by the C&T classifier, then the same mT5 temperature cut —
+# the whole mix-from-raw-text path under one oracle.
+_TD_BUCKETS = (("en", (0, 1, 2, 3, 4)), ("de", (5, 6, 7)), ("fr", (8,)), ("es", (9,)))
+
+
+def _td_synth_sql() -> str:
+    from pandarallel_spark.operators.langid import SEED_TEST
+
+    cases = []
+    for lang, buckets in _TD_BUCKETS:
+        blist = ", ".join(str(b) for b in buckets)
+        inner = " ".join(
+            f"WHEN {j} THEN '" + SEED_TEST[lang][j].replace("'", "''") + "'"
+            for j in range(4)
+        )
+        cases.append(
+            f"WHEN doc_id % 10 IN ({blist}) "
+            f"THEN CASE (doc_id // 10) % 4 {inner} END"
+        )
+    return "CASE " + " ".join(cases) + " END"
+
+
+def _td_synth_col() -> F.Column:
+    from pandarallel_spark.operators.langid import SEED_TEST
+
+    did = F.col("doc_id")
+    j = (did / 10).cast("bigint") % 4  # doc_id >= 0: trunc == floor == //
+    expr = None
+    for lang, buckets in _TD_BUCKETS:
+        for jj in range(4):
+            cond = (did % 10).isin(*[F.lit(b) for b in buckets]) & (j == jj)
+            val = F.lit(SEED_TEST[lang][jj])
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr
+
+
+def _stratified_oracle() -> str:
+    from pandarallel_spark.operators.langid import (
+        SEED_TRAIN,
+        ct_classify_sql,
+        seed_values_sql,
+    )
+
+    h = _H.format(b=_B)
+    return (
+        "WITH __docs AS (SELECT doc_id AS id, "
+        + _td_synth_sql()
+        + " AS t FROM documents), __train AS (SELECT lang, t FROM "
+        + seed_values_sql(SEED_TRAIN)
+        + "), "
+        + ct_classify_sql("__docs", "__train").strip()
+        + f"""
 SELECT 'stratified' AS kind, doc_id, source FROM documents
-WHERE ({_H.format(b=_B)}) <
+WHERE ({h}) <
   CASE WHEN source IN ('src0','src1') THEN {int(round(0.9 * _B))}
        WHEN source IN ('src2','src3','src4') THEN {int(round(0.5 * _B))}
        ELSE {int(round(0.1 * _B))} END
@@ -1879,7 +1992,7 @@ SELECT 'weighted' AS kind, doc_id, source FROM (
   ORDER BY aes DESC, doc_id LIMIT 40)
 UNION ALL
 SELECT 'temperature' AS kind, doc_id, source FROM (
-  SELECT d.doc_id, d.source, ({_H.format(b=_B)}) AS b,
+  SELECT d.doc_id, d.source, ({h}) AS b,
     CAST(round(pow(CAST(c.n AS DOUBLE) / m.nmin, 0.3 - 1.0) * {_B})
          AS BIGINT) AS cut
   FROM documents d
@@ -1890,7 +2003,25 @@ SELECT 'temperature' AS kind, doc_id, source FROM (
     (SELECT COUNT(*) AS n FROM documents
      WHERE lang IS NOT NULL GROUP BY lang)) m)
 WHERE b < cut
-""",
+UNION ALL
+SELECT 'temperature_derived' AS kind, doc_id, source FROM (
+  SELECT d.doc_id, d.source, ({h}) AS b,
+    CAST(round(pow(CAST(c.n AS DOUBLE) / m.nmin, 0.3 - 1.0) * {_B})
+         AS BIGINT) AS cut
+  FROM documents d
+  JOIN __ct ON __ct.id = d.doc_id
+  JOIN (SELECT lang_pred, COUNT(*) AS n FROM __ct GROUP BY 1) c
+    ON c.lang_pred = __ct.lang_pred
+  CROSS JOIN (SELECT CAST(MIN(n) AS DOUBLE) AS nmin FROM
+    (SELECT COUNT(*) AS n FROM __ct GROUP BY lang_pred)) m)
+WHERE b < cut
+"""
+    )
+
+
+@register(
+    "stratified_sample_sources",
+    _stratified_oracle(),
     "Two sampling modes, kind-tagged in ONE graded row. "
     "kind=stratified: data-mixing stratified sample — keep 90% of two "
     "premium sources, 50% of three mid sources, 10% of the rest "
@@ -1907,9 +2038,19 @@ WHERE b < cut
     "0.3, normalized so the smallest language keeps 100%; one "
     "map-side-combined count per language broadcast back as the keep "
     "rate, then the shared md5 cut — downweights the head toward the "
-    "tail with zero shuffles of the data itself.",
+    "tail with zero shuffles of the data itself. "
+    "kind=temperature_derived (NEW r13): the same mix over languages "
+    "DERIVED in-engine — a deterministic 5:3:1:1 en/de/fr/es corpus "
+    "synthesized from doc_id, classified by the Cavnar-Trenkle rank "
+    "profiles (operators/langid.py, seed-trained), then temperature-"
+    "cut on the predictions: the complete mix-from-raw-text path "
+    "under one oracle.",
 )
 def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators.langid import (
+        identify_language,
+        seed_language_profiles,
+    )
     from pandarallel_spark.operators.sampling import (
         stratified_sample,
         temperature_mix,
@@ -1936,4 +2077,20 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     temp = temperature_mix(
         docs.select("doc_id", "source", "lang"), "lang", "doc_id", alpha=0.3
     ).select(F.lit("temperature").alias("kind"), "doc_id", "source")
-    return strat.unionByName(weighted).unionByName(temp)
+    synth = docs.select("doc_id", "source", _td_synth_col().alias("__t__"))
+    preds = identify_language(
+        synth, "doc_id", "__t__", seed_language_profiles(spark),
+        out_col="__lang__",
+    )
+    # temperature_mix consumes its input three times (counts, n_min,
+    # final join) — cut lineage so the classification pipeline runs
+    # once, not once per consumer
+    from pandarallel_spark.operators._memo import truncate_lineage
+
+    tagged = truncate_lineage(
+        preds.join(docs.select("doc_id", "source"), "doc_id")
+    )
+    derived = temperature_mix(
+        tagged, "__lang__", "doc_id", alpha=0.3
+    ).select(F.lit("temperature_derived").alias("kind"), "doc_id", "source")
+    return strat.unionByName(weighted).unionByName(temp).unionByName(derived)

@@ -327,3 +327,108 @@ def test_shuffle_shards_rejects_shard_position_collision(spark):
     docs = spark.range(10).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError, match="both"):
         shuffle_shards(docs, "doc_id", 2, shard_col="s", position_col="s")
+
+
+def test_curate_corpus_r13_stages(spark):
+    """The r13 optional stages compose: html_text_ratio gate (fused
+    with extraction), Cavnar-Trenkle language filter, and the
+    heuristic quality tier — each equals its hand-built equivalent."""
+    from pandarallel_spark.operators.langid import (
+        SEED_TEST,
+        seed_language_profiles,
+    )
+    from pandarallel_spark.operators.text import (
+        html_text_ratio,
+        quality_score,
+    )
+
+    prose = "the quiet village kept its old stone bridge in good repair"
+    chrome = "<div>" + "<span class='nav'></span>" * 40 + "<p>hi</p></div>"
+    rows = [
+        (1, f"<p>{prose} and the mill wheel turned all day long</p>", "en"),
+        (2, chrome, "en"),  # boilerplate: low visible-text ratio
+        (3, f"<p>{SEED_TEST['de'][0]} {SEED_TEST['de'][1]}</p>", "de"),
+        (4, f"<p>{SEED_TEST['fr'][0]} {SEED_TEST['fr'][1]}</p>", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, truth string")
+    profs = seed_language_profiles(spark)
+
+    # ratio gate drops the chrome page; extraction replaces the column
+    out = curate_corpus(
+        df, "doc_id", "text", extract_html=True, min_text_ratio=0.3,
+        dedup_method=None,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1, 3, 4} and "<" not in got[1]
+    # hand-built equivalent (ratio on raw, then extract)
+    ratios = {
+        r["doc_id"]: r["rt"]
+        for r in df.select(
+            "doc_id", html_text_ratio("text").alias("rt")
+        ).collect()
+    }
+    assert ratios[2] < 0.3 and all(ratios[i] >= 0.3 for i in (1, 3, 4))
+
+    # ratio gate + language filter compose: the chrome page (whose
+    # 2-char extract would classify as noise) falls to the ratio gate,
+    # then only the requested langs survive classification
+    kept = curate_corpus(
+        df, "doc_id", "text", extract_html=True, min_text_ratio=0.3,
+        lang_profiles=profs, keep_langs=["de", "fr"], dedup_method=None,
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {3, 4}
+    # helper column does not leak
+    assert "__lang_ct__" not in kept.columns
+
+    # heuristic quality tier equals the raw expression filter
+    junk = spark.createDataFrame(
+        [(10, "zzz qqq $$$"), (11, prose + " " + prose)],
+        "doc_id long, text string",
+    )
+    hq = curate_corpus(junk, "doc_id", "text", min_quality=0.5,
+                       dedup_method=None)
+    exp = junk.filter(quality_score("text") >= 0.5)
+    assert [r["doc_id"] for r in hq.collect()] == [
+        r["doc_id"] for r in exp.collect()
+    ]
+
+    # validation
+    with pytest.raises(ValueError, match="extract_html=True"):
+        curate_corpus(df, "doc_id", "text", min_text_ratio=0.3,
+                      dedup_method=None)
+    with pytest.raises(ValueError, match="BOTH lang_profiles"):
+        curate_corpus(df, "doc_id", "text", keep_langs=["en"],
+                      dedup_method=None)
+
+
+def test_write_shards_and_report(spark, tmp_path):
+    """write_shards: partitioned layout on disk, report computed from
+    the data AS WRITTEN, report dir invisible to discovery over the
+    shard table."""
+    from pandarallel_spark.operators.curate import curate_corpus, write_shards
+
+    docs = _corpus(spark)
+    curated = curate_corpus(
+        docs, "doc_id", "text", dedup_method="minhash", n_shards=3,
+    )
+    path = str(tmp_path / "shards")
+    report = write_shards(
+        curated, path, report_before=docs.select("doc_id", "text")
+    )
+    back = spark.read.parquet(path)
+    # partition pruning layout: one dir per shard, report dir hidden
+    import os
+
+    entries = sorted(os.listdir(path))
+    assert [e for e in entries if e.startswith("shard=")]
+    assert "_curation_report" in entries
+    assert back.count() == curated.count()
+    assert set(back.columns) == set(curated.columns)
+    rep = report.collect()
+    assert len(rep) == 1
+    assert rep[0]["n_before"] == docs.count()
+    assert rep[0]["n_after"] == back.count()
+    assert rep[0]["n_dropped"] == docs.count() - back.count()
+
+    with pytest.raises(ValueError, match="shuffle_shards"):
+        write_shards(docs, str(tmp_path / "no_shard_col"))

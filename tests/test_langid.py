@@ -1,0 +1,164 @@
+"""Cavnar–Trenkle language id (operators/langid.py). Load-bearing:
+
+- differential vs an independent pure-Python C&T implementation
+  (counts → rank profiles → out-of-place distance → argmin) on the
+  held-out seed sentences — predictions AND exact distances;
+- accuracy: every held-out seed sentence classifies to its language
+  (six Latin-script languages, including the es/it/pt near-neighbors);
+- DuckDB replay (ct_classify_sql) is bit-exact — the property that
+  lets the langid kind ride a graded row;
+- edge inputs (empty, digits-only) stay total and deterministic.
+
+Reference frame: Cavnar & Trenkle SDAIR'94; the reference repo
+(pandarallel) has no language-id surface (SURVEY.md §2.3 scope).
+"""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandarallel_spark.operators.langid import (
+    DEFAULT_NS,
+    DEFAULT_TOP_K,
+    SEED_TEST,
+    SEED_TRAIN,
+    char_ngrams,
+    ct_classify_sql,
+    identify_language,
+    seed_language_profiles,
+    seed_test_docs,
+    seed_test_docs_sql,
+    seed_values_sql,
+    train_language_profiles,
+    with_language,
+)
+
+
+# --- independent pure-Python reference ------------------------------------
+
+
+def _py_norm(text: str) -> str:
+    import unicodedata
+
+    out = []
+    for ch in text.lower():
+        out.append(ch if unicodedata.category(ch).startswith("L") else " ")
+    return " " + " ".join("".join(out).split()) + " "
+
+
+def _py_grams(text: str, ns=DEFAULT_NS) -> list[str]:
+    t = _py_norm(text)
+    return [t[i : i + n] for n in ns for i in range(len(t) - n + 1)]
+
+
+def _py_profile(texts, ns=DEFAULT_NS, top_k=DEFAULT_TOP_K) -> dict[str, int]:
+    c = Counter()
+    for t in texts:
+        c.update(_py_grams(t, ns))
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return {g: i + 1 for i, (g, _) in enumerate(ranked)}
+
+
+def _py_classify(text, profiles, ns=DEFAULT_NS, doc_top_k=DEFAULT_TOP_K,
+                 penalty=None):
+    penalty = penalty if penalty is not None else doc_top_k
+    dp = _py_profile([text], ns, doc_top_k)
+    best = None
+    for lang in sorted(profiles):
+        p = profiles[lang]
+        dist = sum(
+            abs(dr - p[g]) if g in p else penalty for g, dr in dp.items()
+        )
+        if best is None or (dist, lang) < best:
+            best = (dist, lang)
+    return best[1], best[0]
+
+
+def test_differential_vs_python_reference(spark):
+    """Spark predictions and exact integer distances equal the
+    independent reference on every held-out sentence."""
+    profiles = seed_language_profiles(spark)
+    docs = seed_test_docs(spark)
+    got = {
+        r["id"]: (r["lang_ct"], r["lang_ct_dist"])
+        for r in identify_language(docs, "id", "text", profiles).collect()
+    }
+    py_prof = {lg: _py_profile(SEED_TRAIN[lg]) for lg in SEED_TRAIN}
+    rows = docs.collect()
+    assert len(got) == len(rows) == 24
+    for r in rows:
+        lang, dist = _py_classify(r["text"], py_prof)
+        assert got[r["id"]] == (lang, dist), (r["lang"], r["text"][:30])
+        # accuracy: held-out sentences classify to their language
+        assert lang == r["lang"]
+
+
+def test_duckdb_replay_is_bit_exact(spark):
+    import duckdb
+
+    profiles = seed_language_profiles(spark)
+    docs = seed_test_docs(spark)
+    got = {
+        r["id"]: (r["lang_ct"], r["lang_ct_dist"])
+        for r in identify_language(docs, "id", "text", profiles).collect()
+    }
+    sql = (
+        "WITH __docs AS (SELECT id, t FROM " + seed_test_docs_sql() + "), "
+        "__train AS (SELECT lang, t FROM " + seed_values_sql(SEED_TRAIN) + "), "
+        + ct_classify_sql("__docs", "__train")
+        + " SELECT id, lang_pred, dist FROM __ct"
+    )
+    oracle = {r[0]: (r[1], r[2]) for r in duckdb.sql(sql).fetchall()}
+    assert got == oracle
+
+
+def test_char_ngrams_and_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "ab, c7d"), (2, ""), (3, "1234 !!"), (4, None)],
+        "id long, t string",
+    )
+    rows = {
+        r["id"]: r["g"]
+        for r in df.select("id", char_ngrams("t").alias("g")).collect()
+    }
+    assert rows[1] == _py_grams("ab, c7d")
+    # empty/digits-only normalize to the bare pad — grams exist, stay total
+    assert rows[2] == _py_grams("") == [" ", " ", "  "]
+    assert rows[3] == _py_grams("1234 !!")
+    # NULL text falls through the sequence guard to the empty array:
+    # no grams -> the doc drops out of identify_language (and gets a
+    # NULL lang from with_language's left join)
+    assert rows[4] == []
+
+    # classification of degenerate docs is still total and deterministic
+    profiles = seed_language_profiles(spark)
+    out = identify_language(
+        df.filter(F.col("t").isNotNull()), "id", "t", profiles
+    )
+    got = {r["id"]: r["lang_ct"] for r in out.collect()}
+    assert set(got) == {1, 2, 3} and all(v in SEED_TRAIN for v in got.values())
+
+
+def test_train_profiles_shape_and_with_language(spark):
+    corpus = spark.createDataFrame(
+        [(lg, s) for lg in sorted(SEED_TRAIN) for s in SEED_TRAIN[lg]],
+        "lang string, text string",
+    )
+    prof = train_language_profiles(corpus, "text", "lang", top_k=50)
+    rows = prof.collect()
+    assert len(rows) == 6 * 50
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rank"])
+    for lg, ranks in by_lang.items():
+        assert sorted(ranks) == list(range(1, 51)), lg
+    # the most frequent gram of any letters+space alphabet is the space
+    assert all(
+        r["gram"] == " " for r in rows if r["rank"] == 1
+    )
+
+    docs = seed_test_docs(spark)
+    tagged = with_language(docs, "id", "text", seed_language_profiles(spark))
+    assert set(tagged.columns) == {"id", "lang", "text", "lang_ct"}
+    assert tagged.filter(F.col("lang_ct") == F.col("lang")).count() == 24

@@ -441,9 +441,16 @@ def test_registry_scale_audit(spark, sf_dir):
         # the 1-row corpus-stats build side broadcast to every doc —
         # the documented bounded broadcast (operators/text.py BM25)
         "bm25_topk": 1,
-        # temperature kind: the 1-row n_min broadcast joined onto the
-        # |strata|-row count table (both sides bounded by construction)
-        "stratified_sample_sources": 1,
+        # temperature kinds (stored + derived, r13): each mixes via the
+        # 1-row n_min broadcast joined onto the |strata|-row count
+        # table (both sides bounded by construction); the derived
+        # kind's langid cross join (|langs| rows broadcast) sits
+        # behind its lineage cut
+        "stratified_sample_sources": 2,
+        # langid_ct kind (r13): identify_language scores every doc
+        # against every language — the |langs|-row list is an explicit
+        # broadcast cross join (bounded by construction)
+        "text_stats": 1,
     }
     failures = []
     for name in sorted(REGISTRY):
