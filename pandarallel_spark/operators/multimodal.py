@@ -1323,21 +1323,172 @@ def audio_features(mono: np.ndarray, out_dim: int) -> np.ndarray:
     return out.astype("float32")
 
 
-def image_features(img: np.ndarray, out_dim: int) -> np.ndarray:
-    """Decoded pixels → fixed-length features: luma grayscale, nearest-
-    neighbor sample onto a ⌈√out_dim⌉² grid, scaled to [0, 1]. Exact
-    integer-index sampling → deterministic across platforms."""
-    gray = (
+def _luma(img: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 luma of an (H, W, 3) uint8 array, float64."""
+    return (
         0.299 * img[:, :, 0].astype("float64")
         + 0.587 * img[:, :, 1].astype("float64")
         + 0.114 * img[:, :, 2].astype("float64")
     )
+
+
+def image_features(img: np.ndarray, out_dim: int) -> np.ndarray:
+    """Decoded pixels → fixed-length features: luma grayscale, nearest-
+    neighbor sample onto a ⌈√out_dim⌉² grid, scaled to [0, 1]. Exact
+    integer-index sampling → deterministic across platforms."""
+    gray = _luma(img)
     h, w = gray.shape
     g = int(np.ceil(np.sqrt(out_dim)))
     ys = ((np.arange(g) + 0.5) * h / g).astype("int64").clip(0, h - 1)
     xs = ((np.arange(g) + 0.5) * w / g).astype("int64").clip(0, w - 1)
     grid = gray[np.ix_(ys, xs)].ravel()[:out_dim]
     return (grid / 255.0).astype("float32")
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashes (r13, the r12 verdict's image-dedup task)
+# ---------------------------------------------------------------------------
+
+
+def _luma_int(img: np.ndarray) -> np.ndarray:
+    """1000× BT.601 luma as EXACT int64 (299R+587G+114B) — the hash
+    pipeline sums these without float error, so an image and its exact
+    k× nearest-neighbor upscale produce BIT-IDENTICAL means (a float
+    cumsum leaves ~1e-11 residue, which flips median-tied pHash bits
+    on periodic synthetic images — found the hard way)."""
+    r = img[:, :, 0].astype("int64")
+    g = img[:, :, 1].astype("int64")
+    b = img[:, :, 2].astype("int64")
+    return 299 * r + 587 * g + 114 * b
+
+
+def _resize_area(gray1000: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Deterministic area-mean resize of an int64 ``_luma_int`` array:
+    each target cell averages its source block via an exact integer
+    integral image; inputs smaller than the target are first
+    nearest-neighbor repeated so every cell has ≥1 source pixel.
+    Returns float64 mean luma on the 0–255 scale — one IEEE division
+    per cell from exact integer operands, so an exact k× upscale
+    yields IDENTICAL floats whenever the grid boundaries align (source
+    dims divisible by the target grid — e.g. 64×288 for the 8×9 dHash
+    grid); unaligned dims shift a few block boundaries by one source
+    pixel, which moves hashes by a few bits, not float noise."""
+    h, w = gray1000.shape
+    if h < th:
+        gray1000 = np.repeat(gray1000, -(-th // h), axis=0)
+        h = gray1000.shape[0]
+    if w < tw:
+        gray1000 = np.repeat(gray1000, -(-tw // w), axis=1)
+        w = gray1000.shape[1]
+    s = np.zeros((h + 1, w + 1), dtype=np.int64)
+    s[1:, 1:] = gray1000.cumsum(axis=0).cumsum(axis=1)
+    ys = (np.arange(th + 1) * h) // th
+    xs = (np.arange(tw + 1) * w) // tw
+    area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    box = (
+        s[np.ix_(ys[1:], xs[1:])]
+        - s[np.ix_(ys[:-1], xs[1:])]
+        - s[np.ix_(ys[1:], xs[:-1])]
+        + s[np.ix_(ys[:-1], xs[:-1])]
+    )
+    return box / (area * 1000.0)
+
+
+def _pack_bits64(bits: np.ndarray) -> int:
+    """64 booleans (row-major, MSB first) → SIGNED int64 — the same
+    packing convention as text SimHash (dedup.simhash), so the Hamming
+    band machinery consumes either signature unchanged."""
+    v = np.uint64(0)
+    for b in bits.ravel()[:64]:
+        v = np.uint64(v << np.uint64(1)) | np.uint64(bool(b))
+    return int(v.astype(np.int64))
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference hash (public method; e.g. the imagehash library's
+    dHash): luma → 8×9 area resize → bit = left pixel brighter than
+    its right neighbor. Robust to re-encoding/scaling/brightness
+    shifts; 64-bit signed int, text-SimHash packing."""
+    g = _resize_area(_luma_int(img), 8, 9)
+    return _pack_bits64(g[:, :-1] > g[:, 1:])
+
+
+def phash64(img: np.ndarray) -> int:
+    """Perceptual DCT hash (public method; pHash): luma → 32×32 area
+    resize → 2-D orthonormal DCT-II (the generic-size sibling of the
+    JPEG codec's exact ``_dct_mat``) → keep the 8×8 low-frequency
+    block → bit = coefficient above the median of the 63 AC cells (DC
+    excluded from the median, included as a bit — the conventional
+    choice). More robust than dHash to blur/resampling; same packing."""
+    g = _resize_area(_luma_int(img), 32, 32)
+    n = np.arange(32)
+    m = np.sqrt(2.0 / 32) * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 64)
+    m[0] *= 1 / np.sqrt(2)
+    block = (m @ g @ m.T)[:8, :8]
+    med = np.median(block.ravel()[1:])
+    return _pack_bits64(block > med)
+
+
+def image_hashes(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    require_real_codec: bool = False,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Binary image column → perceptual signatures via ``mapInPandas``:
+    ``(media_id, decoded boolean, dhash bigint, phash bigint,
+    *passthrough)``. Real decodes (PPM/BMP/PNG/JPEG — ``decode_image``)
+    hash their pixels; undecodable payloads fall back to a
+    deterministic sha256-seeded fake image (``decoded=false``) so the
+    plumbing stays testable, or raise with
+    ``require_real_codec=True`` (the honest production setting —
+    an image-dedup pass that silently hashes noise would 'find' no
+    duplicates). Scale shape: one Arrow-batched projection, no shuffle;
+    the signatures are what moves afterwards, never pixels."""
+    passthrough = list(passthrough or [])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            dh, ph, decoded = [], [], []
+            for c in pdf[content_col]:
+                raw = bytes(c)
+                img = decode_image(raw)
+                if img is None:
+                    if require_real_codec:
+                        raise ValueError(
+                            f"payload ({raw[:8]!r}...) is not a decodable "
+                            "PPM/BMP/PNG/JPEG and require_real_codec=True"
+                        )
+                    d = hashlib.sha256(raw).digest()
+                    img = np.frombuffer((d + d)[:48], dtype=np.uint8)
+                    img = img.reshape(4, 4, 3)
+                    decoded.append(False)
+                else:
+                    decoded.append(True)
+                dh.append(dhash64(img))
+                ph.append(phash64(img))
+            out = {
+                "media_id": pdf[id_col].to_numpy(),
+                "decoded": decoded,
+                "dhash": np.asarray(dh, dtype="int64"),
+                "phash": np.asarray(ph, dtype="int64"),
+            }
+            for p in passthrough:
+                out[p] = pdf[p].to_numpy()
+            yield pd.DataFrame(out)
+
+    extra_ddl = "".join(
+        f", {p} {df.schema[p].dataType.simpleString()}" for p in passthrough
+    )
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, content_col, *passthrough).mapInPandas(
+        run,
+        f"media_id {id_ddl}, decoded boolean, dhash bigint, phash bigint"
+        f"{extra_ddl}",
+    )
 
 
 def decode_features(

@@ -109,6 +109,15 @@ def scale_audit(df: DataFrame) -> ScaleAudit:
         "partial_bloom_filter_agg", "partial_count", "partial_sum",
         "partial_min", "partial_max", "partial_avg", "partial_first",
         "partial_last",
+        # DataSketches aggregates (r13): every partial is a k-bounded
+        # sketch — kilobytes per partition regardless of data size, the
+        # same cluster-sized-not-data-sized shape as the rest
+        "partial_theta_sketch_agg", "partial_theta_union_agg",
+        "partial_kll_sketch_agg_bigint", "partial_kll_sketch_agg_float",
+        "partial_kll_sketch_agg_double", "partial_kll_merge_agg_bigint",
+        "partial_kll_merge_agg_float", "partial_kll_merge_agg_double",
+        "partial_hll_sketch_agg", "partial_hll_union_agg",
+        "partial_approx_count_distinct",
     )
     blocks = re.split(r"\n\s*\n", text)
     for i, blk in enumerate(blocks):

@@ -567,6 +567,43 @@ SELECT 'hll_roll' AS src, l_returnflag AS key,
        CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS exact,
        TRUE AS approx_within_bound
 FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'kll_exact_p50' AS src, source AS key,
+       CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS exact,
+       TRUE AS approx_within_bound
+FROM documents GROUP BY source
+UNION ALL
+SELECT 'kll_exact_p99' AS src, source AS key,
+       CAST(quantile_disc(n_chars, 0.99) AS DOUBLE) AS exact,
+       TRUE AS approx_within_bound
+FROM documents GROUP BY source
+UNION ALL
+SELECT 'theta_exact' AS src, m.key, m.exact, TRUE AS approx_within_bound
+FROM (
+  WITH ta AS (SELECT DISTINCT doc_id % 400 AS v FROM documents
+              WHERE doc_id % 2 = 0),
+       tb AS (SELECT DISTINCT doc_id % 400 AS v FROM documents
+              WHERE doc_id % 3 = 0),
+       m0 AS (SELECT
+         CAST((SELECT COUNT(*) FROM ta) AS DOUBLE) AS n_a,
+         CAST((SELECT COUNT(*) FROM tb) AS DOUBLE) AS n_b,
+         CAST((SELECT COUNT(*) FROM (SELECT v FROM ta UNION SELECT v FROM tb))
+              AS DOUBLE) AS n_union,
+         CAST((SELECT COUNT(*) FROM
+               (SELECT v FROM ta INTERSECT SELECT v FROM tb)) AS DOUBLE)
+              AS n_intersection,
+         CAST((SELECT COUNT(*) FROM (SELECT v FROM ta EXCEPT SELECT v FROM tb))
+              AS DOUBLE) AS n_only_a,
+         CAST((SELECT COUNT(*) FROM (SELECT v FROM tb EXCEPT SELECT v FROM ta))
+              AS DOUBLE) AS n_only_b)
+  SELECT 'n_a' AS key, n_a AS exact FROM m0
+  UNION ALL SELECT 'n_b', n_b FROM m0
+  UNION ALL SELECT 'n_union', n_union FROM m0
+  UNION ALL SELECT 'n_intersection', n_intersection FROM m0
+  UNION ALL SELECT 'n_only_a', n_only_a FROM m0
+  UNION ALL SELECT 'n_only_b', n_only_b FROM m0
+  UNION ALL SELECT 'jaccard', n_intersection / n_union FROM m0
+) m
 """
 
 
@@ -604,7 +641,13 @@ FROM lineitem GROUP BY l_returnflag
     "DuckDB asserts the exact values and literal TRUE — a sketch "
     "regression on either branch breaks the value hash. The exact "
     "columns are the verification harness; production keeps only the "
-    "sketches.",
+    "sketches. src=kll_exact_p50/p99 + theta_exact (NEW r13): the "
+    "EXACT-REGIME contracts — below k / 2^lg_k the KLL and Theta "
+    "sketches store everything, so the sketch's own answer (merged "
+    "per-source KLL quantiles of n_chars; Theta set algebra incl. "
+    "Jaccard over two derived residue sets) is graded as a HARD "
+    "equality against quantile_disc / exact distinct-set SQL, not a "
+    "tolerance.",
 )
 def sketches_error_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandarallel_spark.operators.text import tokens
@@ -721,7 +764,69 @@ def sketches_error_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_within_bound"
         ),
     )
-    return pct.unionByName(hll).unionByName(mg).unionByName(hll_roll)
+    # src=kll_exact_* / theta_exact (r13, the r12 verdict's task #4):
+    # below k (KLL) / 2^lg_k (Theta) the sketches store everything and
+    # their answers are EXACT — and the per-source / residue-set
+    # populations here sit in that regime at every test SF — so the
+    # exact column carries the SKETCH's own answer and the oracle
+    # asserts it equals the exact SQL (quantile_disc — the shared
+    # "smallest item with inclusive rank ≥ p" convention — and the
+    # distinct-set algebra). A regime regression breaks the value
+    # hash, not a tolerance.
+    from pandarallel_spark.operators.sketches import (
+        corpus_overlap,
+        quantile_sketch_merge,
+        quantile_sketch_rollup,
+    )
+
+    docs_nc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    kll_partials = quantile_sketch_rollup(
+        docs_nc, ["source", "lang"], "n_chars", k=4096
+    )
+    kll_merged = quantile_sketch_merge(
+        kll_partials, ["source"], "n_chars_kll", quantiles=[0.5, 0.99],
+        dtype="bigint",
+    )
+    kll_rows = kll_merged.select(
+        F.col("source").alias("key"),
+        F.inline(F.array(
+            F.struct(
+                F.lit("kll_exact_p50").alias("src"),
+                F.col("p50").cast("double").alias("exact"),
+                F.lit(True).alias("approx_within_bound"),
+            ),
+            F.struct(
+                F.lit("kll_exact_p99").alias("src"),
+                F.col("p99").cast("double").alias("exact"),
+                F.lit(True).alias("approx_within_bound"),
+            ),
+        )),
+    ).select("src", "key", "exact", "approx_within_bound")
+    residue = (F.col("doc_id") % 400).alias("v")
+    theta = corpus_overlap(
+        docs_nc.filter(F.col("doc_id") % 2 == 0).select(residue),
+        docs_nc.filter(F.col("doc_id") % 3 == 0).select(residue),
+        "v",
+        lg_k=12,
+    )
+    theta_rows = theta.select(
+        F.inline(F.array(*[
+            F.struct(
+                F.lit("theta_exact").alias("src"),
+                F.lit(c).alias("key"),
+                F.col(c).cast("double").alias("exact"),
+                F.lit(True).alias("approx_within_bound"),
+            )
+            for c in ("n_a", "n_b", "n_union", "n_intersection",
+                      "n_only_a", "n_only_b", "jaccard")
+        ])),
+    ).select("src", "key", "exact", "approx_within_bound")
+    return (
+        pct.unionByName(hll).unionByName(mg).unionByName(hll_roll)
+        .unionByName(kll_rows).unionByName(theta_rows)
+    )
 
 
 @register(

@@ -1,0 +1,179 @@
+"""Perceptual image dedup (r13 — r12 verdict task #3): dHash + pHash
+over real decoded pixels, Hamming-banded like text SimHash, fused as
+near_dedup_corpus's fifth method. Load-bearing:
+
+- hash invariances on EXTERNAL fixtures (the nodejs doc JPEGs, decoded
+  by the repo's own codec): a re-encode through a different quant
+  table + chroma subsampling stays within a small Hamming radius;
+  distinct artwork lands far away;
+- exact k× nearest-neighbor upscale produces BIT-IDENTICAL hashes (the
+  integer-luma integral-image resize contract);
+- image_hash_pairs finds exactly the near-dup pairs, through the
+  shared chunk-band machinery;
+- near_dedup_corpus(method='image') keeps the min-id survivor per
+  duplicate group and validates its dials.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from pandarallel_spark.operators import multimodal as mm
+from pandarallel_spark.operators.dedup import image_hash_pairs, near_dedup_corpus
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _ppm(arr: np.ndarray) -> bytes:
+    h, w, _ = arr.shape
+    return b"P6 %d %d 255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _nodejs(name: str) -> bytes:
+    import os
+
+    path = f"/usr/share/doc/nodejs/{name}"
+    if not os.path.exists(path):
+        pytest.skip(f"external fixture {path} absent on this host")
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+def _grad() -> np.ndarray:
+    yy, xx = np.mgrid[0:64, 0:96]
+    return np.stack(
+        [(xx * 2) % 256, (yy * 3) % 256, (xx + yy) % 256], axis=2
+    ).astype(np.uint8)
+
+
+def _noise(h: int = 64, w: int = 288) -> np.ndarray:
+    """Seeded texture — every dHash/pHash bit carries signal (smooth
+    gradients degenerate dHash to all-zeros: any monotone row compares
+    'left > right' identically). Default dims divide BOTH hash grids
+    (8×9 and 32×32), so an exact 2x upscale is bit-identical."""
+    return (
+        np.random.default_rng(3).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    )
+
+
+def _checker() -> np.ndarray:
+    yy, xx = np.mgrid[0:64, 0:96]
+    c = (((yy // 8 + xx // 8) % 2) * 255).astype(np.uint8)
+    return np.stack([c] * 3, axis=2)
+
+
+def test_hash_invariances_external_fixtures():
+    thin = mm.decode_jpeg(_nodejs("thin-white-stripe.jpg"))
+    full = mm.decode_jpeg(_nodejs("full-white-stripe.jpg"))
+    # re-encode through the repo's own baseline encoder with a coarser
+    # quant table AND 4:2:0 subsampling — a genuinely different
+    # compression of the same artwork
+    q = (np.ones((8, 8)) * 24).astype(int)
+    q[0, 0] = 16
+    re = mm.decode_jpeg(mm.encode_jpeg_baseline(thin, quant=q, subsample=True))
+    for h in (mm.dhash64, mm.phash64):
+        assert h(thin) == h(mm.decode_jpeg(_nodejs("thin-white-stripe.jpg")))
+        assert _ham(h(thin), h(re)) <= 4, h.__name__  # re-encode collides
+        assert _ham(h(thin), h(full)) >= 12, h.__name__  # distinct art apart
+
+
+def test_hash_scale_and_brightness_invariance():
+    n = _noise()  # dims divide both hash grids
+    big = np.repeat(np.repeat(n, 2, 0), 2, 1)
+    # exact 2x upscale with aligned grids: BIT-identical (the integer
+    # integral-image resize — a float cumsum left ~1e-11 residue that
+    # flipped median-tied pHash bits)
+    assert mm.dhash64(n) == mm.dhash64(big)
+    assert mm.phash64(n) == mm.phash64(big)
+    # unaligned dims (64×96 is not divisible by the 8×9 grid): the 2x
+    # boundaries shift a few blocks by one pixel — small radius, not 0
+    g = _grad()
+    n96 = _noise(64, 96)
+    big96 = np.repeat(np.repeat(n96, 2, 0), 2, 1)
+    assert _ham(mm.dhash64(n96), mm.dhash64(big96)) <= 4
+    assert _ham(mm.phash64(n96), mm.phash64(big96)) <= 4
+    # uniform brightness shift: dHash compares neighbors, so it is
+    # fully invariant wherever no channel clips
+    g2 = np.clip(g.astype(int) + 6, 0, 255).astype(np.uint8)
+    assert mm.dhash64(g) == mm.dhash64(g2)
+    # distinct content far apart on both hashes
+    assert _ham(mm.dhash64(n), mm.dhash64(_checker())) >= 12
+    assert _ham(mm.phash64(g), mm.phash64(_checker())) >= 12
+
+
+def test_image_hashes_dataframe_op(spark):
+    thin = _nodejs("thin-white-stripe.jpg")
+    rows = [
+        (1, bytearray(thin), "a"),
+        (2, bytearray(_ppm(_grad())), "b"),
+        (3, bytearray(b"not an image at all"), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary, tag string"
+    )
+    out = {
+        r["media_id"]: r
+        for r in mm.image_hashes(df, passthrough=["tag"]).collect()
+    }
+    assert out[1]["decoded"] and out[2]["decoded"] and not out[3]["decoded"]
+    assert out[1]["phash"] == mm.phash64(mm.decode_jpeg(thin))
+    assert out[2]["dhash"] == mm.dhash64(_grad())
+    assert out[1]["tag"] == "a" and out[3]["tag"] == "c"
+    # honest production setting: undecodable bytes raise
+    with pytest.raises(Exception, match="require_real_codec"):
+        mm.image_hashes(df, require_real_codec=True).collect()
+
+
+def _image_corpus(spark):
+    thin = _nodejs("thin-white-stripe.jpg")
+    q = (np.ones((8, 8)) * 24).astype(int)
+    q[0, 0] = 16
+    re = mm.encode_jpeg_baseline(
+        mm.decode_jpeg(thin), quant=q, subsample=True
+    )
+    n = _noise()
+    rows = [
+        (10, bytearray(thin)),
+        (11, bytearray(re)),  # near-dup of 10
+        (20, bytearray(_nodejs("full-white-stripe.jpg"))),
+        (30, bytearray(_ppm(n))),
+        (31, bytearray(_ppm(np.repeat(np.repeat(n, 2, 0), 2, 1)))),  # of 30
+        (40, bytearray(_ppm(_checker()))),
+    ]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def test_image_hash_pairs_and_near_dedup(spark):
+    df = _image_corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_hash_pairs(df, "media_id", "content").collect()
+    }
+    assert pairs == {(10, 11), (30, 31)}
+    # dHash variant agrees on this corpus
+    pairs_d = {
+        (r["id_a"], r["id_b"])
+        for r in image_hash_pairs(
+            df, "media_id", "content", hash_kind="dhash", max_hamming=4
+        ).collect()
+    }
+    assert pairs_d == {(10, 11), (30, 31)}
+
+    survivors = {
+        r["media_id"]
+        for r in near_dedup_corpus(
+            df, "media_id", "content", method="image"
+        ).collect()
+    }
+    assert survivors == {10, 20, 30, 40}  # min-id member survives
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        near_dedup_corpus(df, "media_id", "content", method="image",
+                          threshold=0.5)
+    with pytest.raises(ValueError, match="hash_kind"):
+        image_hash_pairs(df, "media_id", "content", hash_kind="ahash")
+    sdf = df.withColumn("media_id", df["media_id"].cast("string"))
+    with pytest.raises(TypeError, match="integral id"):
+        image_hash_pairs(sdf, "media_id", "content")

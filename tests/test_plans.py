@@ -451,6 +451,9 @@ def test_registry_scale_audit(spark, sf_dir):
         # against every language — the |langs|-row list is an explicit
         # broadcast cross join (bounded by construction)
         "text_stats": 1,
+        # theta_exact kind (r13): corpus_overlap's 1×1 broadcast join
+        # of the two single-row sketch aggregates (sketches.py:239)
+        "sketches_error_contracts": 1,
     }
     failures = []
     for name in sorted(REGISTRY):
