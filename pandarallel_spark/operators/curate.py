@@ -138,6 +138,20 @@ def curate_corpus(
             "curate_corpus: the language stage needs BOTH lang_profiles= "
             "(e.g. langid.seed_language_profiles(spark)) and keep_langs="
         )
+    if lang_on and not list(keep_langs):
+        # isin() with zero args is silently false for every row — an
+        # empty keep list would delete the whole corpus without a word
+        # (review finding r13)
+        raise ValueError(
+            "curate_corpus: keep_langs is empty — it would silently drop "
+            "every row; list the languages to keep"
+        )
+    if lang_on and "__lang_ct__" in df.columns:
+        raise ValueError(
+            "curate_corpus: input already has a column named "
+            "'__lang_ct__' (the language stage's helper); rename it "
+            "before calling"
+        )
     if min_text_ratio is not None and not extract_html:
         raise ValueError(
             "curate_corpus: min_text_ratio is the visible-text fraction "
@@ -184,9 +198,10 @@ def curate_corpus(
             df.sparkSession,
             "curate_corpus stages (clustering/dedup/stage checkpoints "
             "run eagerly at call time)",
-            "Only a quality+shards chain with checkpoint_stages=False "
-            "is fully lazy; compose the stages explicitly outside "
-            "strict-lazy scope otherwise.",
+            "Chains without prune/dedup stages (and without the "
+            "extract_html+language combination) are fully lazy "
+            "regardless of checkpoint_stages; compose the eager stages "
+            "explicitly outside strict-lazy scope otherwise.",
         )
 
     out = df
@@ -306,6 +321,16 @@ def write_shards(
         raise ValueError(
             f"write_shards: no {shard_col!r} column — run shuffle_shards "
             "(or curate_corpus(n_shards=...)) first, or pass shard_col="
+        )
+    if report_before is not None and mode != "overwrite":
+        # an appended write would report old+new rows against a
+        # new-batch 'before' (kept_frac > 1, negative n_dropped) and
+        # stack report rows from different writes (review finding r13)
+        raise ValueError(
+            "write_shards: report_before only makes sense with "
+            f"mode='overwrite' (got mode={mode!r}) — with append the "
+            "read-back mixes batches; compute curation_report "
+            "explicitly for incremental writes"
         )
     df.write.partitionBy(shard_col).mode(mode).parquet(path)
     if report_before is None:

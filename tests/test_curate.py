@@ -399,6 +399,16 @@ def test_curate_corpus_r13_stages(spark):
     with pytest.raises(ValueError, match="BOTH lang_profiles"):
         curate_corpus(df, "doc_id", "text", keep_langs=["en"],
                       dedup_method=None)
+    # review pins (r13): empty keep list would silently drop the whole
+    # corpus (isin() with zero args is false everywhere); a leaked
+    # helper column would fail with an opaque ambiguity error
+    with pytest.raises(ValueError, match="keep_langs is empty"):
+        curate_corpus(df, "doc_id", "text", lang_profiles=profs,
+                      keep_langs=[], dedup_method=None)
+    with pytest.raises(ValueError, match="__lang_ct__"):
+        curate_corpus(df.withColumn("__lang_ct__", F.lit("x")),
+                      "doc_id", "text", lang_profiles=profs,
+                      keep_langs=["en"], dedup_method=None)
 
 
 def test_write_shards_and_report(spark, tmp_path):
@@ -432,3 +442,6 @@ def test_write_shards_and_report(spark, tmp_path):
 
     with pytest.raises(ValueError, match="shuffle_shards"):
         write_shards(docs, str(tmp_path / "no_shard_col"))
+    # review pin (r13): an appended report would mix batches
+    with pytest.raises(ValueError, match="mode='overwrite'"):
+        write_shards(curated, path, mode="append", report_before=docs)
