@@ -472,6 +472,7 @@ KIND_SPLIT = {
     "embedding_cosine_pairs": ("batch", "incr_old", "incr_new"),
     "bm25_topk": ("bm25", "rrf"),
     "similarity_ivf_topk": ("ivf", "ivfpq"),
+    "text_stats": ("stats", "langid_ct"),  # r13: the row went two-kind
 }
 
 

@@ -36,12 +36,14 @@ bit-for-bit (integer counts and ranks; the regex stays in the Java∩RE2
 subset like text.BPE_PATTERN).
 
 The built-in seed corpus (``SEED_TRAIN``/``SEED_TEST``) is a small set
-of sentences written for this module across six Latin-script
-languages — enough signal for the rank profiles to separate them, and
-a deterministic fixture both engines can embed as literals. Real
-deployments should train on their own labeled sample via
-:func:`train_language_profiles`; profiles are plain DataFrames, so
-they persist/load as parquet like any other table.
+of sentences written for this module across eight languages — six
+Latin-script plus Chinese and Japanese (``[^\p{L}]+`` keeps han/kana
+characters, and kana grams separate ja from zh) — enough signal for
+the rank profiles to separate them, and a deterministic fixture both
+engines can embed as literals. Real deployments should train on their
+own labeled sample via :func:`train_language_profiles`; profiles are
+plain DataFrames, so they persist/load as parquet like any other
+table.
 
 Reference frame: the reference repo (pandarallel, core.py) has no
 language-id surface; this is LLM-pipeline scope (SURVEY.md §2.3).
@@ -59,7 +61,7 @@ DEFAULT_NS: tuple[int, ...] = (1, 2, 3)
 DEFAULT_TOP_K = 300
 
 # ---------------------------------------------------------------------------
-# built-in seed corpus (six Latin-script languages, all-lowercase so
+# built-in seed corpus (six Latin-script languages + zh/ja, lowercase so
 # normalization parity never depends on locale-sensitive case mapping)
 # ---------------------------------------------------------------------------
 
@@ -136,6 +138,33 @@ SEED_TRAIN: dict[str, tuple[str, ...]] = {
         "teria sido melhor pedir ajuda quando o trabalho começou",
         "eles olhavam os navios entrar no porto sob um céu cinzento",
     ),
+    # CJK (r13 extension): \p{L} keeps han/kana characters, so the same
+    # rank-profile machinery separates them — Japanese profiles are
+    # dominated by kana grams Chinese text never contains
+    "zh": (
+        "今天的天气很好我们一起去公园散步吧",
+        "他说这本书的故事发生在一个小镇上",
+        "我们应该在假期之前想一想孩子们想要什么",
+        "用新鲜的蔬菜做一顿好饭有很多方法",
+        "他不记得旧钥匙昨天放在哪里了",
+        "图书馆每天早上开门读者们带着书来",
+        "每天早晨鸟儿在房子后面的花园里唱歌",
+        "工作开始的时候最好先请别人帮忙",
+        "他们看着船在灰色的天空下进入港口",
+        "她说天气会很好适合走很长的路回家",
+    ),
+    "ja": (
+        "今日は天気がいいので公園まで散歩に行きましょう",
+        "彼はこの本の物語が小さな町で起こると言った",
+        "休みの前に子どもたちが何を望むか考えるべきだ",
+        "新鮮な野菜でおいしい食事を作る方法はたくさんある",
+        "彼は古い鍵を昨日どこに置いたか思い出せなかった",
+        "図書館は朝早く開き読者は本を持ってやって来る",
+        "毎朝鳥たちが家の裏の庭で歌っている",
+        "仕事を始めるときは助けを求めたほうがよかった",
+        "彼らは灰色の空の下で船が港に入るのを見ていた",
+        "彼女は長い帰り道の天気はきっといいと言った",
+    ),
 }
 
 SEED_TEST: dict[str, tuple[str, ...]] = {
@@ -174,6 +203,18 @@ SEED_TEST: dict[str, tuple[str, ...]] = {
         "um vento quente entrou pela janela aberta e não deixou ninguém dormir",
         "ninguém sabia por que as luzes da casa velha ainda estavam acesas",
         "o trem estava atrasado então esperamos com café na estação",
+    ),
+    "zh": (
+        "老师让学生们写一写他们的暑假生活",
+        "夜里一阵暖风从打开的窗户吹了进来",
+        "没有人知道为什么老房子里的灯还亮着",
+        "火车晚点了所以我们在车站喝咖啡等着",
+    ),
+    "ja": (
+        "先生は生徒たちに夏休みのことを書くように言った",
+        "夜の間に暖かい風が開いた窓から入ってきた",
+        "古い家の明かりがまだついている理由は誰も知らなかった",
+        "電車が遅れたので駅でコーヒーを飲みながら待った",
     ),
 }
 
@@ -257,9 +298,9 @@ def seed_language_profiles(
     top_k: int = DEFAULT_TOP_K,
 ) -> DataFrame:
     """Profiles trained on the built-in ``SEED_TRAIN`` corpus — the
-    zero-setup path for the six seed languages. For anything beyond
-    (more languages, domain text, CJK — which needs its own seeds),
-    train on a real labeled sample instead."""
+    zero-setup path for the eight seed languages (six Latin-script +
+    zh/ja). For anything beyond (more languages, domain text), train
+    on a real labeled sample instead."""
     langs = langs or tuple(sorted(SEED_TRAIN))
     rows = [(lg, s) for lg in langs for s in SEED_TRAIN[lg]]
     df = spark.createDataFrame(rows, "lang string, text string")

@@ -102,7 +102,7 @@ FROM __ct
     "bag-of-words fingerprint) as pure Column expressions — zero "
     "Python in the scan. kind=langid_ct (NEW r13): Cavnar-Trenkle "
     "n-gram rank-profile language identification (operators/langid.py) "
-    "trained on the built-in six-language seed corpus and classifying "
+    "trained on the built-in eight-language seed corpus and classifying "
     "the held-out seed sentences — explode/count/rank windows "
     "partitioned by document, profiles broadcast, integer out-of-place "
     "distances, all replayed bit-for-bit by the DuckDB oracle.",

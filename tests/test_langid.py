@@ -4,7 +4,8 @@
   (counts → rank profiles → out-of-place distance → argmin) on the
   held-out seed sentences — predictions AND exact distances;
 - accuracy: every held-out seed sentence classifies to its language
-  (six Latin-script languages, including the es/it/pt near-neighbors);
+  (eight languages: six Latin-script including the es/it/pt
+  near-neighbors, plus the zh/ja han-vs-kana split);
 - DuckDB replay (ct_classify_sql) is bit-exact — the property that
   lets the langid kind ride a graded row;
 - edge inputs (empty, digits-only) stay total and deterministic.
@@ -86,7 +87,8 @@ def test_differential_vs_python_reference(spark):
     }
     py_prof = {lg: _py_profile(SEED_TRAIN[lg]) for lg in SEED_TRAIN}
     rows = docs.collect()
-    assert len(got) == len(rows) == 24
+    n_test = sum(len(v) for v in SEED_TEST.values())
+    assert len(got) == len(rows) == n_test == 32
     for r in rows:
         lang, dist = _py_classify(r["text"], py_prof)
         assert got[r["id"]] == (lang, dist), (r["lang"], r["text"][:30])
@@ -147,7 +149,7 @@ def test_train_profiles_shape_and_with_language(spark):
     )
     prof = train_language_profiles(corpus, "text", "lang", top_k=50)
     rows = prof.collect()
-    assert len(rows) == 6 * 50
+    assert len(rows) == len(SEED_TRAIN) * 50
     by_lang = {}
     for r in rows:
         by_lang.setdefault(r["lang"], []).append(r["rank"])
@@ -161,4 +163,5 @@ def test_train_profiles_shape_and_with_language(spark):
     docs = seed_test_docs(spark)
     tagged = with_language(docs, "id", "text", seed_language_profiles(spark))
     assert set(tagged.columns) == {"id", "lang", "text", "lang_ct"}
-    assert tagged.filter(F.col("lang_ct") == F.col("lang")).count() == 24
+    n_test = sum(len(v) for v in SEED_TEST.values())
+    assert tagged.filter(F.col("lang_ct") == F.col("lang")).count() == n_test
