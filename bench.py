@@ -285,9 +285,14 @@ def _measure_ratio(spark, setup) -> dict:
     workload either way, and ``contended`` flags a spread that outlived
     the budget. Returns every raw draw so the full record (written to
     BENCH_LOCAL.json by the parent) carries variance bands."""
+    import atexit
+    import shutil
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="bench_ratio_")
+    # r13: these dirs (60-150 MB of ratio-workload parquet each) used
+    # to leak — 171 of them (~10 GB) had accumulated across rounds
+    atexit.register(shutil.rmtree, tmp, True)
 
     def spark_input(pdf, name):
         # parquet-backed input — the engine's native path (vectorized
