@@ -145,6 +145,37 @@ def _image_corpus(spark):
     return spark.createDataFrame(rows, "media_id long, content binary")
 
 
+def test_image_dedup_recall_precision_at_scale(spark):
+    """Planted-duplicate sweep: 60 distinct seeded noise images, 20 of
+    them also present as exact 2x re-scales (aligned dims → identical
+    hashes). The pair set must be EXACTLY the planted 20 — 100% recall,
+    100% precision — and survive the banding machinery end to end."""
+    rng_imgs = [
+        np.random.default_rng(100 + i).integers(0, 256, (64, 288, 3)).astype(np.uint8)
+        for i in range(60)
+    ]
+    rows = [(i, bytearray(_ppm(img))) for i, img in enumerate(rng_imgs)]
+    rows += [
+        (1000 + i, bytearray(_ppm(np.repeat(np.repeat(rng_imgs[i], 2, 0), 2, 1))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_hash_pairs(
+            df, "media_id", "content", max_hamming=4
+        ).collect()
+    }
+    assert pairs == {(i, 1000 + i) for i in range(20)}
+    survivors = {
+        r["media_id"]
+        for r in near_dedup_corpus(
+            df, "media_id", "content", method="image", max_hamming=4
+        ).collect()
+    }
+    assert survivors == set(range(60))  # min-id originals survive
+
+
 def test_image_hash_pairs_and_near_dedup(spark):
     df = _image_corpus(spark)
     pairs = {
