@@ -293,10 +293,14 @@ def train_language_profiles(
 
 def _py_char_ngrams(text: str, ns: tuple[int, ...]) -> list[str]:
     """Driver-side twin of :func:`char_ngrams` for the STATIC seed
-    corpus (pure Python; pinned equal to the Spark expression by
-    ``tests/test_langid.py``). The seeds are all-lowercase letters and
-    spaces, so normalization is just whitespace collapsing + padding —
-    no locale-sensitive case mapping can diverge."""
+    corpus. Parity rests on two facts: the seeds are pre-lowercased
+    (no locale-sensitive case mapping runs), and Python's
+    ``unicodedata`` letter categories agree with Java's ``\\p{L}`` for
+    every character the seeds use (Latin + common CJK — a Unicode-
+    version skew on NEWER code points could diverge, which is why
+    ``tests/test_langid.py::test_seed_profiles_equal_distributed_training``
+    pins this function row-for-row against the Spark trainer; any seed
+    edit that breaks the agreement fails there, loudly)."""
     import unicodedata
 
     letters = "".join(
@@ -360,10 +364,12 @@ def identify_language(
     than training's ``top_k`` for short inputs — a 60-char query has
     ~150 grams and the extra slots would just be noise.
 
-    Plan: all shuffles are partitioned by document id (count, rank,
-    score), the profile side is an explicit broadcast, and the tiny
-    language list is a broadcast cross join — nothing corpus-sized
-    ever co-shuffles with anything but itself.
+    Plan: all shuffles are partitioned by document id (gram count,
+    rank window, the (id, lang) score aggregate, the winner window);
+    the profile table and the tiny language list are broadcasts — the
+    ×|langs| gram expansion happens map-side against them and
+    collapses in the same stage's partial aggregation, so nothing
+    corpus-sized ever co-shuffles with anything but itself.
 
     NULL text has no grams, so the document is absent from the output
     (:func:`with_language`'s left join surfaces it with a NULL lang);
@@ -392,63 +398,36 @@ def identify_language(
             F.col("rank").alias("__pr__"),
         )
     )
-    if 1 in ns:
-        # FAST PATH (r13): with 1-grams in play, the boundary space is
-        # the most frequent gram of EVERY document and EVERY profile
-        # trained over the same ns (text is space-padded), so the
-        # matched join already contains every (doc, lang) pair — the
-        # |langs| cross-fill and its left join are redundant plan
-        # weight. k_doc rides the rank window's existing partitioning
-        # as one more window expression (no extra shuffle/aggregate).
-        # Contract (unchanged from C&T): profiles and classification
-        # must use the same ns.
-        doc_prof = doc_prof.withColumn(
-            "__k__", F.max("__dr__").over(Window.partitionBy(id_col))
+    # every (doc, lang) pair must be scored, matched or not — a doc
+    # sharing NO gram with some (or any!) profile still gets that
+    # language's distance penalty·k_doc, exactly as the SQL replay
+    # computes it. (An r13 "fast path" skipped the unmatched fill on
+    # the assumption that the boundary-space gram matches every pair;
+    # the review killed it: long unsegmented-script docs can push ' '
+    # out of the top-doc_top_k cut, and a doc with no profile overlap
+    # would vanish from the output entirely.) Complete BY CONSTRUCTION:
+    # expand each doc gram across the |langs| broadcast list, left-join
+    # the profile on (gram, lang), and aggregate coalesce(|dr−pr|,
+    # penalty) — one map-side-combined shuffle on (id, lang), no
+    # separate k_doc aggregate, no post-hoc fill join. The ×|langs|
+    # expansion happens map-side against broadcasts and collapses in
+    # the same stage's partial aggregation.
+    langs = F.broadcast(
+        profiles.select(F.col("lang").alias("__lang__")).distinct()
+    )
+    scored = (
+        doc_prof.crossJoin(langs)
+        .join(prof, ["__g__", "__lang__"], "left")
+        .groupBy(id_col, "__lang__")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("__dr__") - F.col("__pr__")),
+                    F.lit(int(penalty)),
+                )
+            ).cast("bigint").alias("__dist__")
         )
-        scored = (
-            doc_prof.join(prof, "__g__")
-            .groupBy(id_col, "__lang__")
-            .agg(
-                F.sum(F.abs(F.col("__dr__") - F.col("__pr__"))).alias("__md__"),
-                F.count(F.lit(1)).alias("__mc__"),
-                F.first("__k__").alias("__k__"),
-            )
-            .select(
-                id_col,
-                "__lang__",
-                (
-                    F.col("__md__")
-                    + F.lit(int(penalty)) * (F.col("__k__") - F.col("__mc__"))
-                ).cast("bigint").alias("__dist__"),
-            )
-        )
-    else:
-        matched = (
-            doc_prof.join(prof, "__g__")
-            .groupBy(id_col, "__lang__")
-            .agg(
-                F.sum(F.abs(F.col("__dr__") - F.col("__pr__"))).alias("__md__"),
-                F.count(F.lit(1)).alias("__mc__"),
-            )
-        )
-        # k_doc = the document profile length (ranks are dense 1..k)
-        ks = doc_prof.groupBy(id_col).agg(F.max("__dr__").alias("__k__"))
-        langs = F.broadcast(
-            profiles.select(F.col("lang").alias("__lang__")).distinct()
-        )
-        scored = (
-            ks.crossJoin(langs)
-            .join(matched, [id_col, "__lang__"], "left")
-            .select(
-                id_col,
-                "__lang__",
-                (
-                    F.coalesce(F.col("__md__"), F.lit(0))
-                    + F.lit(int(penalty))
-                    * (F.col("__k__") - F.coalesce(F.col("__mc__"), F.lit(0)))
-                ).cast("bigint").alias("__dist__"),
-            )
-        )
+    )
     win = Window.partitionBy(id_col).orderBy(
         F.col("__dist__").asc(), F.col("__lang__").asc()
     )

@@ -142,6 +142,43 @@ def test_char_ngrams_and_edges(spark):
     assert set(got) == {1, 2, 3} and all(v in SEED_TRAIN for v in got.values())
 
 
+def test_no_overlap_doc_still_scored(spark):
+    """Review pin (r13): a document must never vanish from the output
+    for want of profile overlap — an earlier 'fast path' dropped such
+    docs entirely. Two regimes: at default ns a Thai sentence shares
+    ONLY the boundary-space gram with every profile (all languages tie,
+    alphabetical winner); at ns=(2,3) it shares NOTHING and every
+    language scores the full penalty·k_doc. Both must match the
+    pure-Python reference exactly."""
+    thai = "อากาศวันนี้ดีมากเราไปเดินเล่นกันเถอะ"
+    rows = [(1, thai), (2, "the weather is lovely today")]
+    df = spark.createDataFrame(rows, "id long, t string")
+
+    profiles = seed_language_profiles(spark)
+    got = {
+        r["id"]: (r["lang_ct"], r["lang_ct_dist"])
+        for r in identify_language(df, "id", "t", profiles).collect()
+    }
+    assert set(got) == {1, 2}
+    py_prof = {lg: _py_profile(SEED_TRAIN[lg]) for lg in SEED_TRAIN}
+    for i, t in rows:
+        assert got[i] == _py_classify(t, py_prof)
+    assert got[1][0] == sorted(SEED_TRAIN)[0]  # all-tie, alphabetical
+    assert got[2][0] == "en"
+
+    # TRUE zero overlap: no 1-grams, so even the boundary space can't
+    # match — the doc still appears, every language at penalty*k_doc
+    ns = (2, 3)
+    prof23 = seed_language_profiles(spark, ns=ns)
+    got23 = identify_language(df, "id", "t", prof23, ns=ns).collect()
+    by = {r["id"]: (r["lang_ct"], r["lang_ct_dist"]) for r in got23}
+    assert set(by) == {1, 2}
+    py23 = {lg: _py_profile(SEED_TRAIN[lg], ns=ns) for lg in SEED_TRAIN}
+    assert by[1] == _py_classify(thai, py23, ns=ns)
+    k_doc = len(_py_profile([thai], ns=ns))
+    assert by[1] == (sorted(SEED_TRAIN)[0], 300 * k_doc)
+
+
 def test_general_path_without_1grams(spark):
     """ns without 1-grams takes the cross-fill path (no boundary-space
     guarantee): still differential-equal to the reference and still

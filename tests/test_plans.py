@@ -443,12 +443,14 @@ def test_registry_scale_audit(spark, sf_dir):
         "bm25_topk": 1,
         # temperature kinds (stored + derived, r13): each mixes via the
         # 1-row n_min broadcast joined onto the |strata|-row count
-        # table (both sides bounded by construction). The langid cross
-        # join no longer appears: the 1-gram fast path fills every
-        # (doc, lang) pair through the matched join (text_stats audits
-        # at 0; identify_language's general ns-without-1 path keeps the
-        # bounded |langs| cross join, unit-tested not graded)
+        # table (both sides bounded by construction); the derived
+        # kind's langid cross-fill sits behind its lineage cut
         "stratified_sample_sources": 2,
+        # langid_ct kind (r13): identify_language scores every doc
+        # against every language via the |langs|-row broadcast
+        # cross-fill (bounded by construction; a doc with zero profile
+        # overlap must not vanish — review-pinned)
+        "text_stats": 1,
         # theta_exact kind (r13): corpus_overlap's 1×1 broadcast join
         # of the two single-row sketch aggregates (sketches.py:239)
         "sketches_error_contracts": 1,
