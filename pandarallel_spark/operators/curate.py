@@ -91,6 +91,10 @@ def curate_corpus(
       :func:`~pandarallel_spark.operators.text.html_text_ratio`) falls
       below the threshold. Fused with the extraction so the strip
       chain runs once, not once for the ratio and once for the text.
+      NULL-text and zero-length raw pages have no defined ratio and
+      are DROPPED by this gate (a page with no raw bytes has no
+      visible text to keep) — whereas ``extract_html`` alone passes
+      NULL-text rows through as NULL (ADVICE r13).
     - ``lang_profiles`` + ``keep_langs`` (r13): Cavnar-Trenkle
       language filter (:mod:`~pandarallel_spark.operators.langid`) —
       classify ``text_col`` against the given profile table (e.g.
@@ -211,7 +215,10 @@ def curate_corpus(
         if min_text_ratio is not None:
             # fuse ratio + extraction: one strip-chain evaluation per
             # row (ratio = extracted length / raw length), then the
-            # extracted text replaces the raw column
+            # extracted text replaces the raw column. NULL text / empty
+            # raw → NULL ratio → the >= predicate is NULL → dropped:
+            # the documented (ADVICE r13) empty-page behavior of this
+            # gate, deliberately stricter than bare extract_html
             out = (
                 out.withColumn("__xt__", html_to_text(text_col))
                 .filter(

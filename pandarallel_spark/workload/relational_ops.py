@@ -789,17 +789,47 @@ def sketches_error_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         kll_partials, ["source"], "n_chars_kll", quantiles=[0.5, 0.99],
         dtype="bigint",
     )
+    # regime guard (ADVICE r13): the HARD-equality contract only holds
+    # while every merged per-source sketch is in the exact regime
+    # (n ≤ k — below that KLL stores every value). At sf0.1 that is
+    # 250 docs/source (~16× headroom), but a larger-SF run would
+    # otherwise fail as an opaque value-hash mismatch; this fused
+    # when/otherwise(raise_error) names the violation instead. The
+    # sketch's own n column is the witness — no extra aggregate. (The
+    # theta_exact kinds need no guard: their value space is doc_id %
+    # 400, ≤ 400 distinct residues at ANY SF, far under 2^lg_k=4096.)
+    _kll_regime_err = F.raise_error(
+        F.concat(
+            F.lit(
+                "sketches_error_contracts: kll_exact regime violated — "
+                "source "
+            ),
+            F.col("source"),
+            F.lit(" merged n="),
+            F.col("n").cast("string"),
+            F.lit(
+                " > k=4096, so the KLL answer is an estimate, not exact; "
+                "scale k with SF or retire the kll_exact_* kinds"
+            ),
+        )
+    ).cast("double")
+
+    def _kll_exact(col: str) -> Column:
+        return F.when(
+            F.col("n") <= F.lit(4096), F.col(col).cast("double")
+        ).otherwise(_kll_regime_err)
+
     kll_rows = kll_merged.select(
         F.col("source").alias("key"),
         F.inline(F.array(
             F.struct(
                 F.lit("kll_exact_p50").alias("src"),
-                F.col("p50").cast("double").alias("exact"),
+                _kll_exact("p50").alias("exact"),
                 F.lit(True).alias("approx_within_bound"),
             ),
             F.struct(
                 F.lit("kll_exact_p99").alias("src"),
-                F.col("p99").cast("double").alias("exact"),
+                _kll_exact("p99").alias("exact"),
                 F.lit(True).alias("approx_within_bound"),
             ),
         )),
