@@ -56,6 +56,7 @@ def curate_corpus(
     min_text_ratio: float | None = None,
     lang_profiles: DataFrame | None = None,
     keep_langs: list[str] | None = None,
+    langid_kwargs: dict | None = None,
     min_quality: float | None = None,
     quality=None,
     min_prob: float = 0.5,
@@ -101,6 +102,12 @@ def curate_corpus(
       :func:`~pandarallel_spark.operators.langid.seed_language_profiles`)
       and keep only the listed languages. Rows whose language can't be
       derived (NULL text) are dropped. Must be passed together.
+      ``langid_kwargs`` (r14) forwards classification dials —
+      notably the unknown-language rejection
+      (``max_rel_dist=``/``min_margin=``/``max_dist=``, see
+      :func:`~pandarallel_spark.operators.langid.identify_language`):
+      with dials set, documents no profile explains classify ``"und"``
+      and are dropped unless ``"und"`` is listed in ``keep_langs``.
     - ``min_quality`` (r13): the HEURISTIC quality tier —
       :func:`~pandarallel_spark.operators.text.quality_score` ≥
       threshold as a pure filter fused into the scan; the cheap
@@ -137,6 +144,11 @@ def curate_corpus(
     the same corpus curates identically on any cluster size.
     """
     lang_on = lang_profiles is not None or keep_langs is not None
+    if langid_kwargs and not lang_on:
+        raise ValueError(
+            "curate_corpus: langid_kwargs only applies to the language "
+            "stage — pass lang_profiles= and keep_langs= too"
+        )
     if lang_on and (lang_profiles is None or keep_langs is None):
         raise ValueError(
             "curate_corpus: the language stage needs BOTH lang_profiles= "
@@ -244,7 +256,8 @@ def curate_corpus(
         from pandarallel_spark.operators.langid import with_language
 
         out = with_language(
-            out, id_col, text_col, lang_profiles, out_col="__lang_ct__"
+            out, id_col, text_col, lang_profiles, out_col="__lang_ct__",
+            **(langid_kwargs or {}),
         ).filter(F.col("__lang_ct__").isin(*keep_langs)).drop("__lang_ct__")
         if checkpoint_stages and quality is None and any(stages_on[1:3]):
             # no trained-quality cut to carry it: the classification

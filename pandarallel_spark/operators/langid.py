@@ -167,6 +167,21 @@ SEED_TRAIN: dict[str, tuple[str, ...]] = {
     ),
 }
 
+# out-of-profile fixtures (r14, the rejection-dial contract): scripts
+# disjoint from every seed profile (Cyrillic, Greek) and letterless
+# text — each scores near the all-unmatched maximum against ALL eight
+# profiles (margin ~0, rel-dist ~1.0), so min_margin/max_rel_dist
+# reject them while every SEED_TEST sentence stays correctly labeled.
+# (A Dutch page, by contrast, genuinely sits inside the in-profile
+# margin band of the 10-sentence de/en seeds — see identify_language's
+# docstring; near-relative rejection needs domain-trained profiles.)
+OOD_TEST: tuple[str, ...] = (
+    "быстрая коричневая лиса прыгает через ленивую собаку у реки",
+    "учитель попросил учеников написать о своем лете",
+    "η γρηγορη καφε αλεπου πηδαει πανω απο το τεμπελικο σκυλι",
+    "12345 67890 11111 22222 33333",
+)
+
 SEED_TEST: dict[str, tuple[str, ...]] = {
     "en": (
         "the teacher asked the students to write about their summer",
@@ -353,6 +368,10 @@ def identify_language(
     penalty: int | None = None,
     out_col: str = "lang_ct",
     dist_col: str = "lang_ct_dist",
+    max_dist: int | None = None,
+    max_rel_dist: float | None = None,
+    min_margin: int | None = None,
+    unknown_label: str = "und",
 ) -> DataFrame:
     """Classify each document: ``(id_col, out_col, dist_col)`` — the
     winning language and its integer out-of-place distance (exact
@@ -363,6 +382,38 @@ def identify_language(
     scaled to the document profile length). Set ``doc_top_k`` lower
     than training's ``top_k`` for short inputs — a 60-char query has
     ~150 grams and the extra slots would just be noise.
+
+    Unknown-language rejection (r14 — the r13 verdict's #2 task; C&T's
+    own practice): by default every document is assigned its NEAREST
+    profile language, so a language outside the profile set silently
+    lands on its closest neighbor. Three independent dials emit
+    ``unknown_label`` (default ``"und"``) instead:
+
+    - ``max_dist`` — reject when the winning distance exceeds this
+      absolute cap (scales with document profile size; prefer
+      ``max_rel_dist`` for mixed-length corpora);
+    - ``max_rel_dist`` — reject when ``dist / (penalty · k_doc)``
+      (k_doc = the document's scored gram count; the ratio is 1.0 for
+      a document sharing NO gram with the profile) exceeds this
+      dimensionless cap — e.g. 0.95 rejects script-disjoint text
+      (Cyrillic vs Latin profiles) at any document length;
+    - ``min_margin`` — reject when the runner-up language's distance
+      is within ``min_margin`` of the winner (ties — letterless text,
+      script-disjoint text where every profile scores ~identically —
+      have margin 0 and reject at any positive setting). A profile
+      table with a single language has no runner-up and never
+      margin-rejects.
+
+    ``dist_col`` always carries the winning (pre-rejection) distance —
+    the evidence for the und verdict, not erased by it. Discriminating
+    power scales with profile quality: against the 10-sentence seed
+    profiles a Dutch page still lands within the in-profile margin
+    band of de/en (no dial setting separates it without breaking
+    in-profile sentences), while script-disjoint or letterless inputs
+    separate cleanly; train domain profiles via
+    :func:`train_language_profiles` when near-relative rejection
+    matters. ``unknown_label`` may not collide with a trained profile
+    language (raises — the output would be unreadable).
 
     Plan: all shuffles are partitioned by document id (gram count,
     rank window, the (id, lang) score aggregate, the winner window);
@@ -377,6 +428,17 @@ def identify_language(
     boundary-space grams."""
     if penalty is None:
         penalty = doc_top_k
+    if max_rel_dist is not None and not 0.0 < float(max_rel_dist) <= 1.0:
+        raise ValueError(
+            f"max_rel_dist must be in (0, 1], got {max_rel_dist} — it is "
+            "the winning distance as a fraction of the all-unmatched "
+            "maximum penalty·k_doc"
+        )
+    if min_margin is not None and int(min_margin) < 1:
+        raise ValueError(
+            f"min_margin must be ≥ 1, got {min_margin} — 0 would never "
+            "reject (margins are non-negative integers)"
+        )
     grams = df.select(
         F.col(id_col), F.explode(char_ngrams(text_col, ns)).alias("__g__")
     )
@@ -425,20 +487,62 @@ def identify_language(
                     F.abs(F.col("__dr__") - F.col("__pr__")),
                     F.lit(int(penalty)),
                 )
-            ).cast("bigint").alias("__dist__")
+            ).cast("bigint").alias("__dist__"),
+            # k_doc: one row per scored doc gram — the max_rel_dist
+            # denominator, computed in the same partial aggregation
+            F.count(F.lit(1)).alias("__k__"),
         )
     )
     win = Window.partitionBy(id_col).orderBy(
         F.col("__dist__").asc(), F.col("__lang__").asc()
     )
-    return (
-        scored.withColumn("__rn__", F.row_number().over(win))
-        .filter(F.col("__rn__") == 1)
-        .select(
-            id_col,
-            F.col("__lang__").alias(out_col),
-            F.col("__dist__").alias(dist_col),
+    ranked = scored.select(
+        id_col,
+        "__lang__",
+        "__dist__",
+        "__k__",
+        F.row_number().over(win).alias("__rn__"),
+        # runner-up distance over the SAME window ordering — one
+        # window function pass computes both
+        F.lead("__dist__", 1).over(win).alias("__d2__"),
+    ).filter(F.col("__rn__") == 1)
+    reject = F.lit(False)
+    if max_dist is not None:
+        reject = reject | (F.col("__dist__") > F.lit(int(max_dist)))
+    if max_rel_dist is not None:
+        reject = reject | (
+            F.col("__dist__").cast("double")
+            > F.lit(float(max_rel_dist))
+            * F.lit(int(penalty))
+            * F.col("__k__").cast("double")
         )
+    if min_margin is not None:
+        reject = reject | (
+            F.col("__d2__").isNotNull()
+            & ((F.col("__d2__") - F.col("__dist__")) < F.lit(int(min_margin)))
+        )
+    if max_dist is None and max_rel_dist is None and min_margin is None:
+        lang_out = F.col("__lang__")
+    else:
+        # a trained language named like the rejection label would make
+        # the output unreadable — validated lazily inside the plan (no
+        # eager job; same idiom as sketches.py's dtype-pin guard)
+        lang_out = F.when(
+            F.col("__lang__") == F.lit(unknown_label),
+            F.raise_error(
+                F.lit(
+                    f"identify_language: profile language "
+                    f"{unknown_label!r} collides with unknown_label — "
+                    "pick a different rejection label"
+                )
+            ).cast("string"),
+        ).otherwise(
+            F.when(reject, F.lit(unknown_label)).otherwise(F.col("__lang__"))
+        )
+    return ranked.select(
+        id_col,
+        lang_out.alias(out_col),
+        F.col("__dist__").alias(dist_col),
     )
 
 
@@ -484,13 +588,22 @@ def ct_classify_sql(
     top_k: int = DEFAULT_TOP_K,
     doc_top_k: int = DEFAULT_TOP_K,
     penalty: int | None = None,
+    max_dist: int | None = None,
+    max_rel_dist: float | None = None,
+    min_margin: int | None = None,
+    unknown_label: str = "und",
+    prefix: str = "__",
 ) -> str:
     """A DuckDB CTE chain replaying train + classify bit-for-bit.
     ``docs_rel`` must expose ``(id, t)``, ``train_rel`` ``(lang, t)``;
-    the result relation is ``(id, lang_pred, dist)``. Every step is
-    the same integer arithmetic the Spark plan runs (counts, dense
-    ranks with the identical DESC/ASC tie order, out-of-place sums),
-    which is the property that makes the langid kind oracle-gradable."""
+    the result relation is ``(id, lang_pred, dist)`` named
+    ``{prefix}ct`` (pass a distinct ``prefix`` to embed two chains —
+    e.g. the plain and rejection-dial classifications — in one
+    query). Every step is the same integer arithmetic the Spark plan
+    runs (counts, dense ranks with the identical DESC/ASC tie order,
+    out-of-place sums, r14's rejection CASE over dist / runner-up
+    lead / penalty·k), which is the property that makes the langid
+    kinds oracle-gradable."""
     if penalty is None:
         penalty = doc_top_k
     norm = (
@@ -498,33 +611,50 @@ def ct_classify_sql(
         "|| ' '"
     )
     tr_pt = norm.format(t="t")
+    p = prefix
+    rej = []
+    if max_dist is not None:
+        rej.append(f"dist > {int(max_dist)}")
+    if max_rel_dist is not None:
+        rej.append(
+            f"CAST(dist AS DOUBLE) > {float(max_rel_dist)!r} * "
+            f"{int(penalty)} * CAST(k AS DOUBLE)"
+        )
+    if min_margin is not None:
+        rej.append(f"(d2 IS NOT NULL AND d2 - dist < {int(min_margin)})")
+    esc = unknown_label.replace("'", "''")
+    pred = (
+        f"CASE WHEN {' OR '.join(rej)} THEN '{esc}' ELSE lang END"
+        if rej
+        else "lang"
+    )
     return f"""
-__tr_g AS (SELECT lang, unnest({_sql_ngram_list('pt', ns)}) AS g
+{p}tr_g AS (SELECT lang, unnest({_sql_ngram_list('pt', ns)}) AS g
   FROM (SELECT lang, {tr_pt} AS pt FROM {train_rel})),
-__tr_c AS (SELECT lang, g, count(*) AS c FROM __tr_g GROUP BY 1, 2),
-__prof AS (SELECT lang, g, pr FROM (
+{p}tr_c AS (SELECT lang, g, count(*) AS c FROM {p}tr_g GROUP BY 1, 2),
+{p}prof AS (SELECT lang, g, pr FROM (
   SELECT lang, g, row_number() OVER (
-    PARTITION BY lang ORDER BY c DESC, g ASC) AS pr FROM __tr_c)
+    PARTITION BY lang ORDER BY c DESC, g ASC) AS pr FROM {p}tr_c)
   WHERE pr <= {top_k}),
-__d_g AS (SELECT id, unnest({_sql_ngram_list('pt', ns)}) AS g
+{p}d_g AS (SELECT id, unnest({_sql_ngram_list('pt', ns)}) AS g
   FROM (SELECT id, {tr_pt} AS pt FROM {docs_rel})),
-__d_c AS (SELECT id, g, count(*) AS c FROM __d_g GROUP BY 1, 2),
-__dg AS (SELECT id, g, dr FROM (
+{p}d_c AS (SELECT id, g, count(*) AS c FROM {p}d_g GROUP BY 1, 2),
+{p}dg AS (SELECT id, g, dr FROM (
   SELECT id, g, row_number() OVER (
-    PARTITION BY id ORDER BY c DESC, g ASC) AS dr FROM __d_c)
+    PARTITION BY id ORDER BY c DESC, g ASC) AS dr FROM {p}d_c)
   WHERE dr <= {doc_top_k}),
-__ks AS (SELECT id, max(dr) AS k FROM __dg GROUP BY 1),
-__m AS (SELECT __dg.id, __prof.lang,
-    sum(abs(__dg.dr - __prof.pr)) AS md, count(*) AS mc
-  FROM __dg JOIN __prof ON __dg.g = __prof.g GROUP BY 1, 2),
-__sc AS (SELECT __ks.id, l.lang,
-    CAST(coalesce(__m.md, 0)
-         + {penalty} * (__ks.k - coalesce(__m.mc, 0)) AS BIGINT) AS dist
-  FROM __ks CROSS JOIN (SELECT DISTINCT lang FROM __prof) l
-  LEFT JOIN __m ON __m.id = __ks.id AND __m.lang = l.lang),
-__ct AS (SELECT id, lang AS lang_pred, dist FROM (
-  SELECT *, row_number() OVER (
-    PARTITION BY id ORDER BY dist ASC, lang ASC) AS rn FROM __sc)
+{p}ks AS (SELECT id, max(dr) AS k FROM {p}dg GROUP BY 1),
+{p}m AS (SELECT {p}dg.id, {p}prof.lang,
+    sum(abs({p}dg.dr - {p}prof.pr)) AS md, count(*) AS mc
+  FROM {p}dg JOIN {p}prof ON {p}dg.g = {p}prof.g GROUP BY 1, 2),
+{p}sc AS (SELECT {p}ks.id, l.lang, {p}ks.k,
+    CAST(coalesce({p}m.md, 0)
+         + {penalty} * ({p}ks.k - coalesce({p}m.mc, 0)) AS BIGINT) AS dist
+  FROM {p}ks CROSS JOIN (SELECT DISTINCT lang FROM {p}prof) l
+  LEFT JOIN {p}m ON {p}m.id = {p}ks.id AND {p}m.lang = l.lang),
+{p}ct AS (SELECT id, {pred} AS lang_pred, dist FROM (
+  SELECT *, row_number() OVER w AS rn, lead(dist) OVER w AS d2
+  FROM {p}sc WINDOW w AS (PARTITION BY id ORDER BY dist ASC, lang ASC))
   WHERE rn = 1)
 """
 
@@ -562,3 +692,19 @@ def seed_test_docs(spark) -> DataFrame:
         )
     ]
     return spark.createDataFrame(rows, "id long, lang string, text string")
+
+
+def ood_test_docs(spark) -> DataFrame:
+    """OOD_TEST as ``(id, text)`` rows — deterministic ids in a 3e6+
+    range disjoint from both the testdata doc_ids and SEED_TEST."""
+    rows = [(3000000 + i, s) for i, s in enumerate(OOD_TEST)]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def ood_test_docs_sql() -> str:
+    """``(id, t)`` VALUES relation mirroring :func:`ood_test_docs`."""
+    rows = [
+        f"({3000000 + i}, '{s.replace(chr(39), chr(39) * 2)}')"
+        for i, s in enumerate(OOD_TEST)
+    ]
+    return "(SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(id, t))"

@@ -58,6 +58,7 @@ def _text_stats_oracle() -> str:
     from pandarallel_spark.operators.langid import (
         SEED_TRAIN,
         ct_classify_sql,
+        ood_test_docs_sql,
         seed_test_docs_sql,
         seed_values_sql,
     )
@@ -69,8 +70,15 @@ def _text_stats_oracle() -> str:
         + seed_test_docs_sql()
         + "), __train AS (SELECT lang, t FROM "
         + seed_values_sql(SEED_TRAIN)
+        + "), __docs2 AS (SELECT id, t FROM __docs UNION ALL SELECT id, t FROM "
+        + ood_test_docs_sql()
         + "), "
         + ct_classify_sql("__docs", "__train").strip()
+        + ",\n"
+        + ct_classify_sql(
+            "__docs2", "__train",
+            max_rel_dist=0.95, min_margin=400, prefix="__u",
+        ).strip()
         + """
 SELECT 'stats' AS kind, doc_id, n_tokens, avg_token_len, stopword_ratio,
   coalesce(least(1.0, CAST(n_tokens AS DOUBLE)/100.0) * 0.5
@@ -90,6 +98,12 @@ SELECT 'langid_ct' AS kind, id AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
   CAST(NULL AS DOUBLE) AS quality, lang_pred,
   CAST(NULL AS VARCHAR) AS fingerprint, dist AS ct_dist
 FROM __ct
+UNION ALL
+SELECT 'langid_ct_und' AS kind, id AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+  CAST(NULL AS DOUBLE) AS avg_token_len, CAST(NULL AS DOUBLE) AS stopword_ratio,
+  CAST(NULL AS DOUBLE) AS quality, lang_pred,
+  CAST(NULL AS VARCHAR) AS fingerprint, dist AS ct_dist
+FROM __uct
 """
     )
 
@@ -105,11 +119,18 @@ FROM __ct
     "trained on the built-in eight-language seed corpus and classifying "
     "the held-out seed sentences — explode/count/rank windows "
     "partitioned by document, profiles broadcast, integer out-of-place "
-    "distances, all replayed bit-for-bit by the DuckDB oracle.",
+    "distances, all replayed bit-for-bit by the DuckDB oracle. "
+    "kind=langid_ct_und (NEW r14): the same classification with the "
+    "unknown-language rejection dials live (max_rel_dist=0.95, "
+    "min_margin=400) over the held-out seeds PLUS script-disjoint/"
+    "letterless OOD fixtures — in-profile sentences keep their labels, "
+    "the OOD docs emit 'und', and the oracle replays the rejection "
+    "CASE (runner-up lead, penalty-normalized distance) exactly.",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandarallel_spark.operators.langid import (
         identify_language,
+        ood_test_docs,
         seed_language_profiles,
         seed_test_docs,
     )
@@ -121,21 +142,37 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality", "lang_pred", "fingerprint",
         F.lit(None).cast("bigint").alias("ct_dist"),
     )
-    preds = identify_language(
-        seed_test_docs(spark), "id", "text", seed_language_profiles(spark)
+    profiles = seed_language_profiles(spark)
+
+    def _ct_arm(kind: str, preds) -> DataFrame:
+        return preds.select(
+            F.lit(kind).alias("kind"),
+            F.col("id").alias("doc_id"),
+            F.lit(None).cast("bigint").alias("n_tokens"),
+            F.lit(None).cast("double").alias("avg_token_len"),
+            F.lit(None).cast("double").alias("stopword_ratio"),
+            F.lit(None).cast("double").alias("quality"),
+            F.col("lang_ct").alias("lang_pred"),
+            F.lit(None).cast("string").alias("fingerprint"),
+            F.col("lang_ct_dist").alias("ct_dist"),
+        )
+
+    ct = _ct_arm(
+        "langid_ct",
+        identify_language(seed_test_docs(spark), "id", "text", profiles),
     )
-    ct = preds.select(
-        F.lit("langid_ct").alias("kind"),
-        F.col("id").alias("doc_id"),
-        F.lit(None).cast("bigint").alias("n_tokens"),
-        F.lit(None).cast("double").alias("avg_token_len"),
-        F.lit(None).cast("double").alias("stopword_ratio"),
-        F.lit(None).cast("double").alias("quality"),
-        F.col("lang_ct").alias("lang_pred"),
-        F.lit(None).cast("string").alias("fingerprint"),
-        F.col("lang_ct_dist").alias("ct_dist"),
+    # r14: rejection dials live over seeds + script-disjoint/letterless
+    # OOD fixtures — in-profile labels survive, OOD docs emit 'und'
+    und = _ct_arm(
+        "langid_ct_und",
+        identify_language(
+            seed_test_docs(spark).select("id", "text")
+            .unionByName(ood_test_docs(spark)),
+            "id", "text", profiles,
+            max_rel_dist=0.95, min_margin=400,
+        ),
     )
-    return stats.unionByName(ct)
+    return stats.unionByName(ct).unionByName(und)
 
 
 # ---------------------------------------------------------------------------

@@ -445,3 +445,40 @@ def test_write_shards_and_report(spark, tmp_path):
     # review pin (r13): an appended report would mix batches
     with pytest.raises(ValueError, match="mode='overwrite'"):
         write_shards(curated, path, mode="append", report_before=docs)
+
+
+def test_curate_langid_rejection_dials(spark):
+    """r14: langid_kwargs forwards the unknown-language rejection dials
+    — an out-of-profile (Cyrillic) page classifies 'und' and is dropped
+    unless 'und' is listed in keep_langs; without dials the same page
+    sails through as its nearest profile language (the r13 gap)."""
+    from pandarallel_spark.operators.langid import (
+        SEED_TEST,
+        seed_language_profiles,
+    )
+
+    profs = seed_language_profiles(spark)
+    rows = [
+        (1, SEED_TEST["en"][0]),
+        (2, SEED_TEST["de"][0]),
+        (3, "быстрая коричневая лиса прыгает через ленивую собаку у реки"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dials = {"max_rel_dist": 0.95, "min_margin": 400}
+    # without dials the Cyrillic page lands on SOME profile language —
+    # and an en+de keep list cannot exclude it reliably; with dials it
+    # is 'und' and dropped
+    kept = curate_corpus(
+        df, "doc_id", "text", lang_profiles=profs,
+        keep_langs=["en", "de"], langid_kwargs=dials, dedup_method=None,
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+    # the und bucket is addressable: keep ONLY the rejected rows
+    und_only = curate_corpus(
+        df, "doc_id", "text", lang_profiles=profs,
+        keep_langs=["und"], langid_kwargs=dials, dedup_method=None,
+    )
+    assert {r["doc_id"] for r in und_only.collect()} == {3}
+    with pytest.raises(ValueError, match="langid_kwargs"):
+        curate_corpus(df, "doc_id", "text", langid_kwargs=dials,
+                      dedup_method=None)

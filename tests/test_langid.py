@@ -238,3 +238,110 @@ def test_train_profiles_shape_and_with_language(spark):
     assert set(tagged.columns) == {"id", "lang", "text", "lang_ct"}
     n_test = sum(len(v) for v in SEED_TEST.values())
     assert tagged.filter(F.col("lang_ct") == F.col("lang")).count() == n_test
+
+
+# --- r14: unknown-language rejection dials ---------------------------------
+
+
+def test_rejection_dials_emit_und(spark):
+    """With the graded dials (max_rel_dist=0.95, min_margin=400) every
+    held-out seed sentence keeps its label (32/32) and every
+    script-disjoint / letterless OOD fixture emits 'und' — while the
+    dist column still carries the winning (pre-rejection) evidence."""
+    from pandarallel_spark.operators.langid import OOD_TEST, ood_test_docs
+
+    profiles = seed_language_profiles(spark)
+    docs = (
+        seed_test_docs(spark).select("id", "text")
+        .unionByName(ood_test_docs(spark))
+    )
+    got = {
+        r["id"]: (r["lang_ct"], r["lang_ct_dist"])
+        for r in identify_language(
+            docs, "id", "text", profiles,
+            max_rel_dist=0.95, min_margin=400,
+        ).collect()
+    }
+    for r in seed_test_docs(spark).collect():
+        assert got[r["id"]][0] == r["lang"], r["text"][:30]
+    for i in range(len(OOD_TEST)):
+        lang, dist = got[3000000 + i]
+        assert lang == "und", OOD_TEST[i][:30]
+        assert dist is not None and dist > 0
+
+
+def test_rejection_duckdb_replay_bit_exact(spark):
+    import duckdb
+
+    from pandarallel_spark.operators.langid import (
+        ood_test_docs,
+        ood_test_docs_sql,
+    )
+
+    profiles = seed_language_profiles(spark)
+    docs = (
+        seed_test_docs(spark).select("id", "text")
+        .unionByName(ood_test_docs(spark))
+    )
+    got = {
+        r["id"]: (r["lang_ct"], r["lang_ct_dist"])
+        for r in identify_language(
+            docs, "id", "text", profiles,
+            max_rel_dist=0.95, min_margin=400,
+        ).collect()
+    }
+    sql = (
+        "WITH __docs AS (SELECT id, t FROM " + seed_test_docs_sql()
+        + " UNION ALL SELECT id, t FROM " + ood_test_docs_sql() + "), "
+        "__train AS (SELECT lang, t FROM " + seed_values_sql(SEED_TRAIN) + "), "
+        + ct_classify_sql(
+            "__docs", "__train", max_rel_dist=0.95, min_margin=400,
+        )
+        + " SELECT id, lang_pred, dist FROM __ct"
+    )
+    oracle = {r[0]: (r[1], r[2]) for r in duckdb.sql(sql).fetchall()}
+    assert got == oracle
+
+
+def test_rejection_max_dist_absolute(spark):
+    """max_dist is a hard absolute cap: 0 rejects every document."""
+    profiles = seed_language_profiles(spark)
+    docs = seed_test_docs(spark)
+    out = identify_language(
+        docs, "id", "text", profiles, max_dist=0
+    ).collect()
+    assert out and all(r["lang_ct"] == "und" for r in out)
+
+
+def test_rejection_single_language_margin_passes(spark):
+    """A one-language profile table has no runner-up — min_margin can
+    never reject (the lead is NULL), matching the documented contract."""
+    rows = [(lg, s) for lg in ("en",) for s in SEED_TRAIN[lg]]
+    train = spark.createDataFrame(rows, "lang string, text string")
+    profiles = train_language_profiles(train, "text", "lang")
+    docs = spark.createDataFrame(
+        [(1, "the readers arrive with their books")], "id long, text string"
+    )
+    out = identify_language(
+        docs, "id", "text", profiles, min_margin=10**9
+    ).collect()
+    assert out[0]["lang_ct"] == "en"
+
+
+def test_rejection_validation_and_label_collision(spark):
+    profiles = seed_language_profiles(spark)
+    docs = seed_test_docs(spark)
+    with pytest.raises(ValueError, match="max_rel_dist"):
+        identify_language(docs, "id", "text", profiles, max_rel_dist=1.5)
+    with pytest.raises(ValueError, match="min_margin"):
+        identify_language(docs, "id", "text", profiles, min_margin=0)
+    # a winning profile language equal to unknown_label is unreadable
+    # output — the lazy in-plan guard raises at execution
+    und_train = spark.createDataFrame(
+        [("und", s) for s in SEED_TRAIN["en"]], "lang string, text string"
+    )
+    und_prof = train_language_profiles(und_train, "text", "lang")
+    with pytest.raises(Exception, match="collides"):
+        identify_language(
+            docs, "id", "text", und_prof, min_margin=1
+        ).collect()
