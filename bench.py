@@ -592,9 +592,9 @@ def _ramp_main() -> None:
     big = os.environ.get("SPARK_GRAFT_RAMP_BIG", "/root/testdata/sf0.1")
     spark = get_spark("pandarallel_spark_bench_ramp")
     _warm(spark, small)
-    t_small, _, _ = _time_queries(spark, qs, names, small)
+    t_small, _, _, _ = _time_queries(spark, qs, names, small)
     _warm(spark, big)
-    t_big, _, _ = _time_queries(spark, qs, names, big)
+    t_big, _, _, _ = _time_queries(spark, qs, names, big)
     table = {}
     violations = []
     for n in names:
