@@ -372,10 +372,21 @@ def identify_language(
     max_rel_dist: float | None = None,
     min_margin: int | None = None,
     unknown_label: str = "und",
+    nearest_col: str | None = None,
 ) -> DataFrame:
     """Classify each document: ``(id_col, out_col, dist_col)`` — the
     winning language and its integer out-of-place distance (exact
     arithmetic, which is what lets the DuckDB oracle grade this).
+
+    ``nearest_col`` (r14, optimization hook): when set, the output
+    additionally carries the PRE-rejection winner language under that
+    name. The rejection dials are a pure CASE over columns the winner
+    window already computed (dist, runner-up lead, k_doc), so exposing
+    the undialed label is free — it lets one classification pass feed
+    both a plain and a rejection-dialed consumer instead of running
+    the explode/count/rank/score plan twice (classification is
+    per-document independent: every shuffle is partitioned by
+    ``id_col``, so the same document scores identically in any batch).
 
     ``penalty`` is the out-of-place cost of a document gram absent
     from a profile; default ``doc_top_k`` (the paper's "maximum"
@@ -539,11 +550,14 @@ def identify_language(
         ).otherwise(
             F.when(reject, F.lit(unknown_label)).otherwise(F.col("__lang__"))
         )
-    return ranked.select(
-        id_col,
+    out_cols = [
+        F.col(id_col),
         lang_out.alias(out_col),
         F.col("__dist__").alias(dist_col),
-    )
+    ]
+    if nearest_col is not None:
+        out_cols.append(F.col("__lang__").alias(nearest_col))
+    return ranked.select(*out_cols)
 
 
 def with_language(

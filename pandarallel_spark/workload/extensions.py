@@ -144,35 +144,63 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     profiles = seed_language_profiles(spark)
 
-    def _ct_arm(kind: str, preds) -> DataFrame:
-        return preds.select(
-            F.lit(kind).alias("kind"),
+    # r14 optimization (guide §2.4 — remove duplicated work): ONE
+    # classification pass over seeds + OOD emits BOTH langid kinds.
+    # Classification is per-document independent (every shuffle in the
+    # plan is partitioned by doc id), so the plain kind's rows — the
+    # held-out seeds with their nearest-profile labels — are exactly
+    # the pre-rejection labels of the dialed pass restricted to seed
+    # ids, which ``nearest_col`` exposes for free. Each classified row
+    # explodes into its two kind rows and the (langid_ct, OOD-id)
+    # combinations are filtered out — a 2-element Generate over 72
+    # rows, so the whole explode/count/rank/score subtree (4 exchanges
+    # + 2 broadcasts) appears ONCE in the plan where it previously ran
+    # twice. (A union of two projections of the shared pass was also
+    # measured: the plain arm's id filter pushes through the whole
+    # per-doc chain, de-canonicalizing the subtrees — no exchange
+    # reuse, no win. In-session A/B: two-pass 3.34 s, union-of-shared
+    # 3.61 s, this form 2.80 s for the langid arms at sf0.1.)
+    # ood ids live at 3e6+, seed ids at 1e6+.
+    preds = identify_language(
+        seed_test_docs(spark).select("id", "text")
+        .unionByName(ood_test_docs(spark)),
+        "id", "text", profiles,
+        max_rel_dist=0.95, min_margin=400,
+        nearest_col="lang_ct_nearest",
+    )
+    ct_both = (
+        preds.select(
+            "id",
+            "lang_ct_dist",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("langid_ct").alias("kind"),
+                        F.col("lang_ct_nearest").alias("lp"),
+                    ),
+                    F.struct(
+                        F.lit("langid_ct_und").alias("kind"),
+                        F.col("lang_ct").alias("lp"),
+                    ),
+                )
+            ).alias("a"),
+        )
+        .filter(
+            ~((F.col("a.kind") == "langid_ct") & (F.col("id") >= 3000000))
+        )
+        .select(
+            F.col("a.kind").alias("kind"),
             F.col("id").alias("doc_id"),
             F.lit(None).cast("bigint").alias("n_tokens"),
             F.lit(None).cast("double").alias("avg_token_len"),
             F.lit(None).cast("double").alias("stopword_ratio"),
             F.lit(None).cast("double").alias("quality"),
-            F.col("lang_ct").alias("lang_pred"),
+            F.col("a.lp").alias("lang_pred"),
             F.lit(None).cast("string").alias("fingerprint"),
             F.col("lang_ct_dist").alias("ct_dist"),
         )
-
-    ct = _ct_arm(
-        "langid_ct",
-        identify_language(seed_test_docs(spark), "id", "text", profiles),
     )
-    # r14: rejection dials live over seeds + script-disjoint/letterless
-    # OOD fixtures — in-profile labels survive, OOD docs emit 'und'
-    und = _ct_arm(
-        "langid_ct_und",
-        identify_language(
-            seed_test_docs(spark).select("id", "text")
-            .unionByName(ood_test_docs(spark)),
-            "id", "text", profiles,
-            max_rel_dist=0.95, min_margin=400,
-        ),
-    )
-    return stats.unionByName(ct).unionByName(und)
+    return stats.unionByName(ct_both)
 
 
 # ---------------------------------------------------------------------------
@@ -563,6 +591,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         substr_index_build,
     )
 
+    # r14 optimization note (measured, REJECTED): sharing one
+    # lineage-truncated shingle table across the row's three consumers
+    # (batch counts+seeds, even-half index, odd-half delta) was built
+    # and benchmarked — it LOST (~3.5 s → 4.1-6.6 s at sf0.1): the
+    # localCheckpoint materialization barrier defeats the count side's
+    # fused map-side partial aggregation and serializes every
+    # positional shingle row, costing more than the saved tokenize+md5
+    # recompute. The same trade is wrong at 100 TB (a positions-sized
+    # table cannot be pinned). Recompute-not-materialize stays.
     docs = load_table(spark, sf_dir, "documents")
     batch = _dedup.duplicated_substring_spans(
         docs, "doc_id", "text", k=8

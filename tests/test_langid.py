@@ -345,3 +345,48 @@ def test_rejection_validation_and_label_collision(spark):
         identify_language(
             docs, "id", "text", und_prof, min_margin=1
         ).collect()
+
+
+def test_nearest_col_matches_separate_passes(spark):
+    """r14 optimization hook: one dialed pass with ``nearest_col``
+    carries the same labels/distances as two separate calls — the
+    pre-rejection column equals a plain (undialed) classification of
+    the same docs, the dialed column is unchanged, and restricting the
+    shared pass to a subset of ids equals classifying that subset alone
+    (per-document independence)."""
+    from pandarallel_spark.operators.langid import ood_test_docs
+
+    profiles = seed_language_profiles(spark)
+    docs = seed_test_docs(spark).select("id", "text").unionByName(
+        ood_test_docs(spark)
+    )
+    shared = identify_language(
+        docs, "id", "text", profiles,
+        max_rel_dist=0.95, min_margin=400, nearest_col="near",
+    ).collect()
+    plain = {
+        r["id"]: (r["lang_ct"], r["lang_ct_dist"])
+        for r in identify_language(docs, "id", "text", profiles).collect()
+    }
+    dialed = {
+        r["id"]: (r["lang_ct"], r["lang_ct_dist"])
+        for r in identify_language(
+            docs, "id", "text", profiles, max_rel_dist=0.95, min_margin=400
+        ).collect()
+    }
+    assert len(shared) == len(plain) == len(dialed)
+    for r in shared:
+        assert (r["near"], r["lang_ct_dist"]) == plain[r["id"]]
+        assert (r["lang_ct"], r["lang_ct_dist"]) == dialed[r["id"]]
+    # subset restriction == classifying the subset alone
+    seeds_only = {
+        r["id"]: (r["lang_ct"], r["lang_ct_dist"])
+        for r in identify_language(
+            seed_test_docs(spark), "id", "text", profiles
+        ).collect()
+    }
+    assert {
+        r["id"]: (r["near"], r["lang_ct_dist"])
+        for r in shared
+        if r["id"] < 3000000
+    } == seeds_only

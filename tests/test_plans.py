@@ -446,13 +446,14 @@ def test_registry_scale_audit(spark, sf_dir):
         # table (both sides bounded by construction); the derived
         # kind's langid cross-fill sits behind its lineage cut
         "stratified_sample_sources": 2,
-        # langid_ct + langid_ct_und kinds (r13/r14): each
-        # identify_language chain scores every doc against every
-        # language via the |langs|-row broadcast cross-fill (bounded
-        # by construction; a doc with zero profile overlap must not
-        # vanish — review-pinned). The r14 rejection-dial kind runs a
-        # second, independently-dialed chain → two allowances.
-        "text_stats": 2,
+        # langid_ct + langid_ct_und kinds (r13/r14): ONE shared
+        # identify_language chain (r14 optimization — nearest_col
+        # exposes the pre-rejection label, so both kinds ride a single
+        # classification pass) scores every doc against every language
+        # via the |langs|-row broadcast cross-fill (bounded by
+        # construction; a doc with zero profile overlap must not
+        # vanish — review-pinned).
+        "text_stats": 1,
         # theta_exact kind (r13): corpus_overlap's 1×1 broadcast join
         # of the two single-row sketch aggregates (sketches.py:239)
         "sketches_error_contracts": 1,
