@@ -903,7 +903,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filters)
     planes = _CPL_BANDS * _CPL_R
     sv = _vec_signatures(emb, "vec_id", "embedding", _CPL_DIM, planes, _CPL_SEED)
-    batch = _sim.cosine_pairs_lsh(
+    batch_pairs = _sim.cosine_pairs_lsh(
         emb,
         threshold=_CPL_THRESH,
         bands=_CPL_BANDS,
@@ -911,7 +911,27 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_CPL_SEED,
         dim=_CPL_DIM,
         _sigs=sigs_long_from_sv(sv, _CPL_BANDS, _CPL_R),
-    ).select(F.lit("batch").alias("kind"), "id_a", "id_b", "cosine")
+    )
+    # r14 optimization (guide §2.4): incr_new is BY DEFINITION the
+    # batch pair set restricted to odd-odd pairs (pinned by
+    # tests/test_incremental_embedding.py against the live
+    # include_new_pairs path), but tagging it via batch.filter(...)
+    # planned the whole bucket-verify subtree a second time — the
+    # pushed filter de-canonicalizes the exchanges, so the per-bucket
+    # matmul pass and its distinct ran twice per build. One pass now
+    # emits each verified pair's kind row(s) through a 2-element-max
+    # explode instead.
+    batch = batch_pairs.select(
+        F.explode(
+            F.when(
+                (F.col("id_a") % 2 == 1) & (F.col("id_b") % 2 == 1),
+                F.array(F.lit("batch"), F.lit("incr_new")),
+            ).otherwise(F.array(F.lit("batch")))
+        ).alias("kind"),
+        "id_a",
+        "id_b",
+        "cosine",
+    )
     new = emb.filter(F.col("vec_id") % 2 == 1)
     index = _index_from_vec_signatures(
         sv.filter(F.col("__id__") % 2 == 0), _CPL_DIM, planes, _CPL_SEED
@@ -940,10 +960,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         "cosine",
     )
-    incr_new = batch.filter(
-        (F.col("id_a") % 2 == 1) & (F.col("id_b") % 2 == 1)
-    ).select(F.lit("incr_new").alias("kind"), "id_a", "id_b", "cosine")
-    return batch.unionByName(inc).unionByName(incr_new)
+    return batch.unionByName(inc)
 
 
 # ---------------------------------------------------------------------------
