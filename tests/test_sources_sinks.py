@@ -181,3 +181,31 @@ def test_zorder_key_prunes_both_dimensions(spark):
         zorder_key(sdf, ["x"])
     with pytest.raises(ValueError, match="> 63"):
         zorder_key(sdf, ["x", "y"], bits_per_col=32)
+
+
+def test_schema_memo_serves_and_invalidates(spark, tmp_path):
+    """r14: load_table memoizes the inferred parquet schema per
+    concrete file set (driver-side footer I/O saved on repeat loads).
+    The memo must serve an identical schema on a repeat load and
+    INVALIDATE when the files change — an overwrite with a different
+    schema must never be served the stale one."""
+    from pandarallel_spark.sources.tables import (
+        _SCHEMA_MEMO,
+        _read_parquet_memo_schema,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(p)
+    before = len(_SCHEMA_MEMO)
+    d1 = _read_parquet_memo_schema(spark, p)
+    assert len(_SCHEMA_MEMO) == before + 1
+    d2 = _read_parquet_memo_schema(spark, p)
+    assert d2.schema == d1.schema
+    assert [r["a"] for r in d2.orderBy("id").collect()] == [0, 2, 4, 6, 8]
+    # overwrite with a DIFFERENT schema -> fresh inference, new entry
+    spark.range(3).selectExpr(
+        "id", "CAST(id AS STRING) AS b"
+    ).write.mode("overwrite").parquet(p)
+    d3 = _read_parquet_memo_schema(spark, p)
+    assert "b" in d3.columns and "a" not in d3.columns
+    assert d3.count() == 3
