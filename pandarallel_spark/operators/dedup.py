@@ -1280,6 +1280,7 @@ def _hamming_banded_pairs(
     verify_block: int,
     bucket_cap: int | None = None,
     intra_pairs: str = "clique",
+    _num_groups: int | None = None,
 ) -> DataFrame:
     """The chunk-banded Hamming verifier behind :func:`simhash_pairs`,
     :func:`image_hash_pairs` and :func:`audio_hash_pairs` (r13
@@ -1317,6 +1318,16 @@ def _hamming_banded_pairs(
     preserved whenever any shared chunk stays under cap. Cluster
     structure survives whenever the hub verifies (star pairs connect
     the same components). Default ``None`` keeps the exact behavior.
+
+    r14 boundary shape: the Python verify stage is keyed on a COARSE
+    deterministic hash of the bucket key (``4 × shuffle partitions``
+    groups, each call verifying every real bucket it holds) instead of
+    one group per ``(chunk, value)`` bucket — grouped ``applyInPandas``
+    pays a fixed per-group cost, and the raw keying multiplied it by up
+    to ``chunks·2^width`` groups. Emitted pairs are identical; see the
+    inline note at the grouping site. ``_num_groups`` pins the group
+    count (tests exercise multi-bucket groups deterministically with
+    it; production derives it from the session).
     """
     if intra_pairs not in ("clique", "star"):
         raise ValueError(
@@ -1347,15 +1358,14 @@ def _hamming_banded_pairs(
         .astype("uint8")
     )
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
-        )
-        if m < 2:
-            return empty
-        ids = pdf["__id__"].to_numpy()
-        hashes = pdf["__sh__"].to_numpy().astype("int64").view("uint64")
+    def verify_bucket(
+        ids: np.ndarray, hashes: np.ndarray, parts: list
+    ) -> None:
+        """Verify ONE real (chunk, value) bucket — ids/hashes are its
+        member rows (hashes uint64) — appending result frames to
+        ``parts``. Pure array logic; no per-call pandas scaffolding."""
+        if len(ids) < 2:
+            return
         # collapse to distinct signatures: usig ascending (unsigned), so
         # usig[0] is the deterministic bucket hub regardless of row
         # order; sids groups member ids by signature via starts[]
@@ -1365,7 +1375,6 @@ def _hamming_banded_pairs(
         sids = ids[order]
         starts = np.searchsorted(inv[order], np.arange(u + 1))
         counts = np.diff(starts)
-        parts = []
 
         def emit(a: np.ndarray, b: np.ndarray, h) -> None:
             parts.append(
@@ -1395,7 +1404,7 @@ def _hamming_banded_pairs(
                 emit(mem[ia], mem[ib], 0)
 
         if u < 2:
-            return pd.concat(parts, ignore_index=True) if parts else empty
+            return
 
         def popcnt(x: np.ndarray) -> np.ndarray:
             return (
@@ -1443,11 +1452,64 @@ def _hamming_banded_pairs(
                     ia, ib = np.nonzero(keep)
                     if len(ia):
                         expand(ia + i0, ib + j0, ham[ia, ib])
+
+    def grouped_bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        cs = pdf["__c__"].to_numpy()
+        vs = pdf["__v__"].to_numpy()
+        ids = pdf["__id__"].to_numpy()
+        hashes = pdf["__sh__"].to_numpy().astype("int64").view("uint64")
+        # split the coarse group back into its real (chunk, value)
+        # buckets and verify each independently — identical pair
+        # emission to the one-group-per-bucket form
+        order = np.lexsort((vs, cs))
+        cs, vs, ids, hashes = cs[order], vs[order], ids[order], hashes[order]
+        brk = np.flatnonzero((np.diff(cs) != 0) | (np.diff(vs) != 0)) + 1
+        bounds = np.concatenate(([0], brk, [len(cs)]))
+        parts: list[pd.DataFrame] = []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            verify_bucket(ids[b0:b1], hashes[b0:b1], parts)
         return pd.concat(parts, ignore_index=True) if parts else empty
 
+    # r14 (guide §4.5 — amortize the per-call boundary cost): grouped
+    # applyInPandas pays a fixed per-GROUP overhead (~3 ms of core time
+    # per group on Spark 4.1: Arrow framing + pandas scaffolding per
+    # call) regardless of group size. Keyed on raw (chunk, value) that
+    # multiplies by the BUCKET count — up to chunks·2^width groups
+    # (262 144 at the 16-bit default), corpus-independent but enormous
+    # next to the popcount work (measured: a trivial per-bucket
+    # function over sf0.1's 6 709 buckets cost 29 s of the row's 31 s).
+    # Buckets are therefore hashed into a scale-adaptive number of
+    # coarse groups (4 × shuffle partitions — grows with the cluster,
+    # never tuned to one box) and each Python call verifies every real
+    # bucket in its group. The shuffle key is deterministic
+    # (xxhash64 of the bucket key — guide §2.5), shuffle bytes are
+    # unchanged, per-bucket verification (cap/intra semantics, tiling,
+    # emitted pairs) is byte-identical; per-task memory moves from
+    # bucket-sized to group-sized (~chunks·n / n_groups rows of 32 B —
+    # the standard partition contract; a single pathological bucket was
+    # already group-sized before).
+    if _num_groups is not None:
+        n_groups = int(_num_groups)
+    else:
+        spark = sh.sparkSession
+        try:
+            shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            shuffle_parts = spark.sparkContext.defaultParallelism
+        n_groups = max(1, min(4 * shuffle_parts, 65536))
+    grouped = long.withColumn(
+        "__grp__", F.pmod(F.xxhash64("__c__", "__v__"), F.lit(n_groups))
+    )
     return (
-        long.groupBy("__c__", "__v__")
-        .applyInPandas(bucket_pairs, "id_a bigint, id_b bigint, hamming bigint")
+        grouped.groupBy("__grp__")
+        .applyInPandas(
+            grouped_bucket_pairs, "id_a bigint, id_b bigint, hamming bigint"
+        )
         .distinct()
     )
 

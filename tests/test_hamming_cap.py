@@ -92,6 +92,37 @@ def test_bucket_cap_recall_through_other_chunks(spark):
     assert capped <= _brute(sigs, 2)
 
 
+def test_coarse_grouping_is_group_count_invariant(spark):
+    """r14 boundary-shape change: the verify stage is keyed on a coarse
+    hash of the (chunk, value) bucket key, each Python call verifying
+    every real bucket in its group. The pair set must not depend on the
+    group count — one group holding ALL buckets, a prime count that
+    splits them unevenly, and a count far above the bucket count must
+    all equal brute force (and each other), with the cap/star dials
+    riding along unchanged."""
+    rng = np.random.default_rng(21)
+    sigs = [int(s) for s in rng.integers(-(2**63), 2**63, 60, dtype=np.int64)]
+    base = sigs[0]
+    sigs += [base, base ^ 1, base ^ (1 << 40), sigs[5], sigs[5], sigs[5]]
+    df = _sig_df(spark, sigs)
+    expect = _brute(sigs, 3)
+    for ng in (1, 7, 100_000):
+        assert (
+            _collect(_hamming_banded_pairs(df, 3, 4, 16, _num_groups=ng))
+            == expect
+        ), f"_num_groups={ng}"
+    # dials under multi-bucket groups: star intra + cap star-through-hub
+    hot = [1 << i for i in range(10)]
+    hot_df = _sig_df(spark, hot)
+    assert _collect(
+        _hamming_banded_pairs(hot_df, 2, 4, 16, bucket_cap=2, _num_groups=1)
+    ) == {(0, j, 2) for j in range(1, 10)}
+    dup = _sig_df(spark, [123456789] * 6 + [int(0x0F0F0F0F0F0F0F0F)])
+    assert _collect(
+        _hamming_banded_pairs(dup, 3, 4, 16, intra_pairs="star", _num_groups=1)
+    ) == {(0, j, 0) for j in range(1, 6)}
+
+
 def test_hamming_dial_validation(spark):
     df = _sig_df(spark, [1, 2, 3])
     with pytest.raises(ValueError, match="intra_pairs"):
