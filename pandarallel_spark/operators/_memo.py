@@ -150,6 +150,19 @@ def shuffle_partitions(spark, default: int = 200) -> int:
         return default
 
 
+def coarse_group_count(spark, factor: int = 4, cap: int = 65536) -> int:
+    """Scale-adaptive group count for Python verify stages keyed on a
+    COARSE hash of their bucket key (r14): grouped ``applyInPandas``
+    pays a fixed per-GROUP boundary cost (measured ~2 ms of wall clock
+    per group at local[32] on Spark 4.1 — Arrow framing + pandas
+    scaffolding per call — regardless of group size), so a stage whose
+    natural bucket key yields thousands of tiny buckets hashes it into
+    ``factor × shuffle partitions`` groups and verifies every real
+    bucket inside one call. Grows with the cluster via the shuffle
+    partition count; never tuned to one box."""
+    return max(1, min(factor * shuffle_partitions(spark), cap))
+
+
 def memo_put(memo: dict, key, val, cap: int = 16) -> None:
     """Insert with bounded-FIFO eviction (oldest insertion first)."""
     while len(memo) >= cap:

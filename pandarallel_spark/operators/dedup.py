@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 
 from pandarallel_spark.operators._memo import (
     STRICT_LAZY_CONF,
+    coarse_group_count,
     eager_build_guard,
     memo_put,
     plan_data_key,
@@ -1476,32 +1477,29 @@ def _hamming_banded_pairs(
         return pd.concat(parts, ignore_index=True) if parts else empty
 
     # r14 (guide §4.5 — amortize the per-call boundary cost): grouped
-    # applyInPandas pays a fixed per-GROUP overhead (~3 ms of core time
-    # per group on Spark 4.1: Arrow framing + pandas scaffolding per
-    # call) regardless of group size. Keyed on raw (chunk, value) that
-    # multiplies by the BUCKET count — up to chunks·2^width groups
-    # (262 144 at the 16-bit default), corpus-independent but enormous
-    # next to the popcount work (measured: a trivial per-bucket
-    # function over sf0.1's 6 709 buckets cost 29 s of the row's 31 s).
-    # Buckets are therefore hashed into a scale-adaptive number of
-    # coarse groups (4 × shuffle partitions — grows with the cluster,
-    # never tuned to one box) and each Python call verifies every real
-    # bucket in its group. The shuffle key is deterministic
-    # (xxhash64 of the bucket key — guide §2.5), shuffle bytes are
-    # unchanged, per-bucket verification (cap/intra semantics, tiling,
-    # emitted pairs) is byte-identical; per-task memory moves from
-    # bucket-sized to group-sized (~chunks·n / n_groups rows of 32 B —
-    # the standard partition contract; a single pathological bucket was
-    # already group-sized before).
-    if _num_groups is not None:
-        n_groups = int(_num_groups)
-    else:
-        spark = sh.sparkSession
-        try:
-            shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):
-            shuffle_parts = spark.sparkContext.defaultParallelism
-        n_groups = max(1, min(4 * shuffle_parts, 65536))
+    # applyInPandas pays a fixed per-GROUP overhead (measured ~2 ms of
+    # wall clock per group at local[32] on Spark 4.1: Arrow framing +
+    # pandas scaffolding per call) regardless of group size. Keyed on
+    # raw (chunk, value) that multiplies by the BUCKET count — up to
+    # chunks·2^width groups (262 144 at the 16-bit default),
+    # corpus-independent but enormous next to the popcount work
+    # (measured: a trivial per-bucket function over sf0.1's 6 709
+    # buckets cost 29 s of the row's 31 s). Buckets are therefore
+    # hashed into a scale-adaptive number of coarse groups
+    # (``coarse_group_count`` — grows with the cluster, never tuned to
+    # one box) and each Python call verifies every real bucket in its
+    # group. The shuffle key is deterministic (xxhash64 of the bucket
+    # key — guide §2.5), shuffle bytes are unchanged, per-bucket
+    # verification (cap/intra semantics, tiling, emitted pairs) is
+    # byte-identical; per-task memory moves from bucket-sized to
+    # group-sized (~chunks·n / n_groups rows of 32 B — the standard
+    # partition contract; a single pathological bucket was already
+    # group-sized before).
+    n_groups = (
+        int(_num_groups)
+        if _num_groups is not None
+        else coarse_group_count(sh.sparkSession)
+    )
     grouped = long.withColumn(
         "__grp__", F.pmod(F.xxhash64("__c__", "__v__"), F.lit(n_groups))
     )

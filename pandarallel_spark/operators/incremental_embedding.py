@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandarallel_spark.operators._memo import (
+    coarse_group_count,
     eager_build_guard,
     truncate_lineage,
 )
@@ -671,17 +672,9 @@ def _bucket_verify(
     )
     BLOCK = max(int(verify_block), 2)
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"__fp__": [], "__ofp__": [], "__oeid__": [], "cosine": []}
-        ).astype(
-            {"__fp__": "int64", "__ofp__": "int64", "__oeid__": "int64",
-             "cosine": "float64"}
-        )
-        nw = pdf[pdf["__isnew__"]]
-        od = pdf[~pdf["__isnew__"]]
-        if nw.empty or od.empty:
-            return empty
+    def verify_bucket(nw: pd.DataFrame, od: pd.DataFrame, parts: list) -> None:
+        """Verify ONE real (band, signature) bucket's delta×index
+        candidates — appending result frames to ``parts``."""
         if bucket_cap is not None and len(od) > bucket_cap:
             od = od[od["__key__"] == od["__key__"].min()]
         qn = np.stack(nw["__qv__"].apply(np.asarray).to_numpy()).astype("int64")
@@ -691,7 +684,6 @@ def _bucket_verify(
         fps = nw["__key__"].to_numpy()
         ofps = od["__key__"].to_numpy()
         oeids = od["__keid__"].to_numpy()
-        parts = []
         for i0 in range(0, len(nw), BLOCK):
             i1 = min(i0 + BLOCK, len(nw))
             for j0 in range(0, len(od), BLOCK):
@@ -713,12 +705,38 @@ def _bucket_verify(
                         }
                     )
                 )
+
+    def grouped_bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"__fp__": [], "__ofp__": [], "__oeid__": [], "cosine": []}
+        ).astype(
+            {"__fp__": "int64", "__ofp__": "int64", "__oeid__": "int64",
+             "cosine": "float64"}
+        )
+        if pdf.empty:
+            return empty
+        parts: list[pd.DataFrame] = []
+        for (_b, _h), bucket in pdf.groupby(["__band__", "__h__"], sort=False):
+            nw = bucket[bucket["__isnew__"]]
+            od = bucket[~bucket["__isnew__"]]
+            if nw.empty or od.empty:
+                continue
+            verify_bucket(nw, od, parts)
         return pd.concat(parts, ignore_index=True) if parts else empty
 
+    # r14 boundary shape (guide §4.5, mirroring cosine_pairs_lsh /
+    # dedup._hamming_banded_pairs): coarse deterministic hash of the
+    # (band, signature) bucket key instead of one Python call per raw
+    # bucket — same pair set, same bucket_cap hub semantics (applied
+    # per REAL bucket inside the call), fewer fixed per-group costs.
+    n_groups = coarse_group_count(both.sparkSession)
     return (
-        both.groupBy("__band__", "__h__")
+        both.withColumn(
+            "__grp__", F.pmod(F.xxhash64("__band__", "__h__"), F.lit(n_groups))
+        )
+        .groupBy("__grp__")
         .applyInPandas(
-            bucket_pairs,
+            grouped_bucket_pairs,
             "__fp__ bigint, __ofp__ bigint, __oeid__ bigint, cosine double",
         )
         .dropDuplicates(["__fp__", "__ofp__"])
