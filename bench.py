@@ -12,7 +12,12 @@ and a fixed driver-side CPU canary timed between queries stamps
 median) or a uniformly slow run (median vs an absolute bar derived
 from the newest clean recorded anchor — ``canary_bar_source`` names
 it) shows up (r12's driver record was silently ~26% inflated by
-exactly that); a query whose tiebreak draw still disagrees >1.5x is
+exactly that), or — r14 — when a PARALLEL canary (cpu_count()
+concurrent sha256 loops) runs slow relative to the single-thread one:
+host-level core oversubscription (steal) slows 32-wide Spark stages
+~3x while a single busy thread still schedules, which once produced a
+94 s contended=false record on a 33-36 s clean band; a query whose
+tiebreak draw still disagrees >1.5x is
 named in ``suspect_queries`` (bursts inside one query window are
 invisible to between-query canaries). The vs-pandas ratio section runs
 each BASELINE.md workload in its OWN fresh-JVM subprocess: Python-UDF
@@ -450,9 +455,83 @@ def _canary_draw(buf: bytes = b"\xa5" * (4 << 20)) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+# r14 (second measurement gap, found the hard way): the single-thread
+# canary CANNOT see host-level core oversubscription. A run on this box
+# read 94 s total (clean band 33-36 s) with every query uniformly ~3×
+# slow, yet contended=false — /proc/stat showed steal time ≈ user time:
+# the virtualized host was overcommitted, which slows 32-wide Spark
+# stages ~3× while a single busy thread still gets scheduled almost
+# normally (canary median 0.178 s vs the 0.187 s bar). The fix is a
+# PARALLEL canary: os.cpu_count() threads each doing the same sha256
+# loop (hashlib releases the GIL on large buffers, so threads occupy
+# real cores). On healthy hardware wall-clock ≈ the single-thread draw
+# (ratio ~1-1.5 with SMT); under host steal the ratio tracks the
+# oversubscription factor. Flagged against 1.5× the newest clean
+# recorded ``canary_mt_ratio`` anchor (same derivation as the median
+# bar), fallback 2.5 when no record carries the field yet, env
+# override SPARK_GRAFT_CANARY_MT_BAR.
+_CANARY_MT_RATIO_BAR_FALLBACK = 2.5
+
+
+def _canary_mt_bar() -> tuple[float, str]:
+    env = os.environ.get("SPARK_GRAFT_CANARY_MT_BAR")
+    if env:
+        return float(env), "env:SPARK_GRAFT_CANARY_MT_BAR"
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, float, str] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+            if "canary_mt_ratio" not in rec and isinstance(
+                rec.get("parsed"), dict
+            ):
+                rec = rec["parsed"]
+            anchor = rec.get("canary_mt_ratio")
+            if anchor is None or rec.get("contended") is not False:
+                continue
+            rnum = int(os.path.basename(path)[7:-5])
+            if best is None or rnum > best[0]:
+                best = (rnum, float(anchor), os.path.basename(path))
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            continue
+    if best is not None:
+        return (
+            round(_CANARY_ANCHOR_FACTOR * best[1], 4),
+            f"anchor:{best[2]} x{_CANARY_ANCHOR_FACTOR}",
+        )
+    return _CANARY_MT_RATIO_BAR_FALLBACK, "fallback:absolute"
+
+
+def _canary_draw_mt(buf: bytes = b"\xa5" * (4 << 20)) -> float:
+    """Wall-clock of ``os.cpu_count()`` concurrent single-draw-sized
+    sha256 loops. Thread count follows the BOX (not SPARK_GRAFT_CPUS):
+    the question is whether the hardware can deliver its cores, which
+    is independent of how many Spark asks for."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = os.cpu_count() or 1
+
+    def one(_i: int) -> None:
+        h = hashlib.sha256()
+        for _ in range(_CANARY_REPS):
+            h.update(buf)
+        h.digest()
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        list(ex.map(one, range(n)))
+    return round(time.perf_counter() - t0, 4)
+
+
 def _time_queries(
     spark, qs, names: list[str], sf_dir: str
-) -> tuple[dict[str, float], dict[str, list[float]], list[float], list[str]]:
+) -> tuple[
+    dict[str, float], dict[str, list[float]], dict[str, list[float]], list[str]
+]:
     # min-of-2 with a GC between queries: single cold runs of the
     # heavier queries swing 2-4× run-over-run on this box (JVM old-gen
     # debt + codegen compilation landing on whichever query is unlucky),
@@ -472,7 +551,11 @@ def _time_queries(
     timings: dict[str, float] = {}
     query_bands: dict[str, list[float]] = {}
     suspects: list[str] = []
-    canary_draws: list[float] = [_canary_draw()]  # warm: pages the buffer
+    # warm draws (index 0): page the buffer / spawn the thread pool once
+    canary_draws: dict[str, list[float]] = {
+        "st": [_canary_draw()],
+        "mt": [_canary_draw_mt()],
+    }
     for name in names:
         # drop the PREVIOUS query's persisted intermediates (several
         # dedup/similarity plans persist candidate sets): accumulated
@@ -503,29 +586,45 @@ def _time_queries(
                 suspects.append(name)
         timings[name] = min(draws)
         query_bands[name] = draws
-        canary_draws.append(_canary_draw())
+        canary_draws["st"].append(_canary_draw())
+        canary_draws["mt"].append(_canary_draw_mt())
     return timings, query_bands, canary_draws, suspects
 
 
 def _canary_verdict(
-    canary_draws: list[float], median_bar_sec: float
-) -> tuple[bool, float]:
-    """(contended, spread) over the post-warm-up draws — index 0 is
-    the page-in/branch-warm draw and would inflate the spread into
-    false positives on a genuinely idle box. Spread = max/MEDIAN, not
-    max/min: the signal is a SLOW window against the run's robust
-    center; one anomalously fast draw (brief CPU turbo) must not stamp
-    a clean record dirty (review finding r13). Sampling limitation
-    (ADVICE r13): canaries run BETWEEN queries, so a burst fully
-    contained inside one query's window can leave every canary clean —
-    contended=false is necessary, not sufficient; the per-query
-    suspect list (3rd draw still >1.5× off) covers that gap."""
-    live = canary_draws[1:] or canary_draws
+    canary_draws: dict[str, list[float]],
+    median_bar_sec: float,
+    mt_ratio_bar: float,
+) -> tuple[bool, float, float, float]:
+    """(contended, spread, mt_ratio, mt_median) over the post-warm-up
+    draws — index 0 is the page-in/branch-warm draw and would inflate
+    the spread into false positives on a genuinely idle box. Spread =
+    max/MEDIAN, not max/min: the signal is a SLOW window against the
+    run's robust center; one anomalously fast draw (brief CPU turbo)
+    must not stamp a clean record dirty (review finding r13). Three
+    triggers: a slow window (spread), a uniformly slow single thread
+    (median vs the anchored absolute bar), and — r14 — a box that
+    cannot deliver its CORES (mt_ratio = parallel canary median /
+    single canary median vs its anchored bar): host-level CPU steal
+    slows 32-wide Spark stages by the oversubscription factor while a
+    single busy thread still schedules, which produced a 94 s
+    contended=false record on this box (clean band 33-36 s). Sampling
+    limitation (ADVICE r13): canaries run BETWEEN queries, so a burst
+    fully contained inside one query's window can leave every canary
+    clean — contended=false is necessary, not sufficient; the
+    per-query suspect list (3rd draw still >1.5× off) covers that
+    gap."""
+    live = canary_draws["st"][1:] or canary_draws["st"]
     med = float(statistics.median(live))
     spread = round(max(live) / max(med, 1e-9), 2)
+    live_mt = canary_draws["mt"][1:] or canary_draws["mt"]
+    med_mt = float(statistics.median(live_mt))
+    mt_ratio = round(med_mt / max(med, 1e-9), 2)
     return (
-        spread > _CANARY_SPREAD_BAR or med > median_bar_sec
-    ), spread
+        spread > _CANARY_SPREAD_BAR
+        or med > median_bar_sec
+        or mt_ratio > mt_ratio_bar
+    ), spread, mt_ratio, round(med_mt, 4)
 
 
 # per-kind attribution for the heavy kind-tagged family rows (r12, the
@@ -655,7 +754,10 @@ def main() -> None:
     )
     kind_split = _time_kind_splits(spark, qs, SF_DIR)
     canary_bar, canary_bar_source = _canary_median_bar()
-    contended, canary_spread = _canary_verdict(canary_draws, canary_bar)
+    canary_mt_bar, canary_mt_bar_source = _canary_mt_bar()
+    contended, canary_spread, canary_mt_ratio, canary_mt_median = (
+        _canary_verdict(canary_draws, canary_bar, canary_mt_bar)
+    )
 
     ratios: dict[str, float] = {}
     ratio_bands: dict[str, dict] = {}
@@ -698,12 +800,23 @@ def main() -> None:
         # absolute anchor: cross-round comparison catches uniform
         # slowness the within-run spread can't see
         "canary_median_sec": round(
-            float(statistics.median(canary_draws[1:] or canary_draws)), 4
+            float(
+                statistics.median(canary_draws["st"][1:] or canary_draws["st"])
+            ),
+            4,
         ),
         # r14: the absolute bar the median was judged against names its
         # own source (env override / recorded-anchor×1.5 / fallback)
         "canary_bar_sec": canary_bar,
         "canary_bar_source": canary_bar_source,
+        # r14 parallel canary: median wall of cpu_count() concurrent
+        # single-draw sha256 loops / the single-thread median. ~1 on
+        # healthy hardware (≤ ~1.5 with SMT); rises with host core
+        # oversubscription, which the single-thread canary cannot see
+        "canary_mt_ratio": canary_mt_ratio,
+        "canary_mt_median_sec": canary_mt_median,
+        "canary_mt_bar": canary_mt_bar,
+        "canary_mt_bar_source": canary_mt_bar_source,
         # queries whose tiebreak draw STILL disagreed >1.5× — movement
         # inside the query window the between-query canary cannot see
         "suspect_queries": suspects,
@@ -726,7 +839,8 @@ def main() -> None:
         ),
         variance={
             "query_draws_sec": query_bands,
-            "canary_draws_sec": canary_draws,
+            "canary_draws_sec": canary_draws["st"],
+            "canary_mt_draws_sec": canary_draws["mt"],
             "ratio_draws_sec": ratio_bands,
         },
         methodology=(
@@ -738,7 +852,14 @@ def main() -> None:
             ">2x vs the run median (slow window) OR median > "
             "canary_bar_sec (uniform load; bar = 1.5x the newest clean "
             "recorded anchor, SPARK_GRAFT_CANARY_BAR override, 0.45s "
-            "no-history fallback — see canary_bar_source). Canaries "
+            "no-history fallback — see canary_bar_source) OR "
+            "canary_mt_ratio > canary_mt_bar (r14: cpu_count() "
+            "concurrent sha256 loops vs one — host core "
+            "oversubscription/steal slows parallel stages while a "
+            "single busy thread still schedules; bar = 1.5x the newest "
+            "clean recorded canary_mt_ratio anchor, "
+            "SPARK_GRAFT_CANARY_MT_BAR override, 2.5 no-history "
+            "fallback). Canaries "
             "sample BETWEEN queries only: a burst contained inside one "
             "query window shows up in suspect_queries, not contended. "
             "ratios: one fresh-JVM "
