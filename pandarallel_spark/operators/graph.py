@@ -74,19 +74,29 @@ def _cc_star(
       node u and all its parents re-attach to the minimum parent.
 
     The fixpoint is a star forest: every node points directly at its
-    component's minimum. Convergence is detected by an exact multiset
-    comparison of consecutive edge sets (two exceptAll probes — edge
-    rows only, never data rows). Rounds are lineage-truncated like the
-    propagation variant: labels(t+1) reads labels(t) twice, and an
-    unbroken lineage would double the logical plan per round —
-    localCheckpoint by default, RELIABLE checkpoint under the
-    ``spark.pandarallel_spark.reliableCheckpoint`` opt-in (r10: a
-    multi-hour contraction over billions of edges should survive
-    executor churn; see ``_memo.truncate_lineage``).
+    component's minimum. Convergence is an exact SET comparison of
+    consecutive edge sets (both are ``.distinct()`` by construction):
+    equal cardinality AND an empty one-sided anti-join. r14 (guide
+    §2.4, remove shuffles outright): the previous two-``exceptAll``
+    multiset probe aggregated the union of both edge sets TWICE per
+    round — two full shuffles of edge rows per round just to detect
+    the fixpoint. Now each round pays one ``count()`` over the freshly
+    checkpointed set (no shuffle — partial counts only), and the
+    anti-join runs ONLY when the cardinalities match (at most the
+    final round plus coincidental-count rounds). Rounds are
+    lineage-truncated like the propagation variant: labels(t+1) reads
+    labels(t) twice, and an unbroken lineage would double the logical
+    plan per round — localCheckpoint by default, RELIABLE checkpoint
+    under the ``spark.pandarallel_spark.reliableCheckpoint`` opt-in
+    (r10: a multi-hour contraction over billions of edges should
+    survive executor churn; see ``_memo.truncate_lineage``).
     """
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # lazy truncation + count: the count action materializes the
+    # checkpoint blocks AND returns the cardinality in ONE job (an
+    # eager checkpoint followed by a count would be two)
     e0 = truncate_lineage(
-        raw.filter(F.col("a") != F.col("b")).distinct(), eager=True
+        raw.filter(F.col("a") != F.col("b")).distinct(), eager=False
     )
     # nodes appearing ONLY in self-loop edges never enter the star
     # rounds but are still their own components (the propagation
@@ -97,7 +107,8 @@ def _cc_star(
         .select(F.col("a").alias("node"))
         .distinct()
     )
-    if not e0.take(1):
+    cur_n = e0.count()
+    if cur_n == 0:
         return loops.select("node", F.col("node").alias("component"))
 
     cur = e0
@@ -126,14 +137,19 @@ def _cc_star(
         )
         self_edges = pmin.select("a", F.col("__m__").alias("b"))
         nxt = truncate_lineage(
-            rewired.unionByName(self_edges).distinct(), eager=True
+            rewired.unionByName(self_edges).distinct(), eager=False
         )
-        # exact fixpoint test on the (small) edge sets
-        changed = (
-            cur.exceptAll(nxt).unionAll(nxt.exceptAll(cur)).count()
+        # exact fixpoint test on the (small, distinct) edge sets:
+        # |cur| == |nxt| and nxt \ cur == ∅ ⟺ cur == nxt. The lazy
+        # checkpoint materializes inside the count job (one job per
+        # round, not checkpoint + probe); the anti-join probe only
+        # runs when the counts agree.
+        nxt_n = nxt.count()
+        unchanged = cur_n == nxt_n and not (
+            nxt.join(cur, ["a", "b"], "left_anti").take(1)
         )
-        cur = nxt
-        if changed == 0:
+        cur, cur_n = nxt, nxt_n
+        if unchanged:
             converged = True
             break
     if not converged:
@@ -194,7 +210,9 @@ def _cc_propagation(
                     F.col("component"), F.coalesce(F.col("__nm__"), F.col("component"))
                 ).alias("component"),
             ),
-            eager=True,
+            # lazy: the changed-count action below materializes the
+            # checkpoint blocks AND counts in one job per round (r14)
+            eager=False,
         )
         changed = new_labels.filter(F.col("component") != F.col("__old__")).count()
         labels = new_labels
