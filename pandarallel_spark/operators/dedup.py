@@ -522,6 +522,7 @@ def duplicated_substring_spans(
     k: int = 20,
     min_count: int = 2,
     keep_first: bool = False,
+    _dup_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Exact substring duplication: maximal token spans covered by
     k-token shingles that occur ≥ ``min_count`` times corpus-wide
@@ -564,21 +565,37 @@ def duplicated_substring_spans(
 
     Returns (id, span_start, span_end) inclusive token positions,
     bigint. Feed to ``strip_duplicated_spans`` to cut the spans out.
+
+    ``_dup_grams`` (internal — the workload's kind-tagged family row):
+    a precomputed ``(__g__)`` table of the grams occurring ≥
+    ``min_count`` times in ``df``, e.g. derived by summing per-half
+    count indexes that the caller already pays for
+    (``substr_index_build`` counts are additive over a partition of
+    the corpus). Skips this function's own corpus-wide count aggregate
+    — one full shingle pass saved (guide §2.4) — leaving only the
+    seeds join pass. Caller-asserted equivalence; incompatible with
+    ``keep_first`` (the first-occurrence struct only exists in the
+    in-function aggregate).
     """
     if k < 2:
         raise ValueError(f"k must be ≥ 2 tokens, got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be ≥ 2, got {min_count}")
     sh = _shingle_pos_rows(df, id_col, text_col, k)
-    dup_grams = (
-        sh.groupBy("__g__")
-        .agg(
-            F.count(F.lit(1)).alias("__c__"),
-            F.min(F.struct("__id__", "__pos__")).alias("__first__"),
+    if _dup_grams is not None:
+        if keep_first:
+            raise ValueError("_dup_grams is incompatible with keep_first")
+        dup_grams = _dup_grams.select("__g__")
+    else:
+        dup_grams = (
+            sh.groupBy("__g__")
+            .agg(
+                F.count(F.lit(1)).alias("__c__"),
+                F.min(F.struct("__id__", "__pos__")).alias("__first__"),
+            )
+            .filter(F.col("__c__") >= min_count)
+            .select("__g__", "__first__")
         )
-        .filter(F.col("__c__") >= min_count)
-        .select("__g__", "__first__")
-    )
     seeds = sh.join(dup_grams, "__g__")
     if keep_first:
         seeds = seeds.filter(

@@ -168,6 +168,8 @@ def duplicated_spans_incremental(
     min_count: int = 2,
     keep_first: bool = False,
     _k: int | None = None,
+    _sh: DataFrame | None = None,
+    _delta_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicated spans of the DELTA against the indexed corpus and
     itself: maximal token runs of NEW documents covered by k-grams
@@ -183,23 +185,45 @@ def duplicated_spans_incremental(
     (zero-shuffle) + one gram-count aggregate; the index pays ONE gram
     equi-join sized by the delta's distinct grams (bucket the
     persisted index on ``__g__`` and only the delta shuffles).
+
+    ``_sh`` / ``_delta_counts`` (internal — the workload family row):
+    an already-lineage-truncated positional shingle table of
+    ``new_df`` at width ``k``, and/or a precomputed
+    ``(__g__, __cnt__)`` count table over it, so a caller running
+    several consumers of the same delta (here: the incr kind AND the
+    batch kind's derived corpus counts) pays the shingle pass and the
+    count aggregate once. ``_delta_counts`` is only consulted when
+    ``keep_first`` is False (the first-occurrence struct is not in a
+    plain count table). Caller-asserted equivalence.
     """
     if min_count < 2:
         raise ValueError(f"min_count must be ≥ 2, got {min_count}")
     k = _k if _k is not None else _resolve_substr_k(index, k)
-    sh = truncate_lineage(
+    sh = _sh if _sh is not None else truncate_lineage(
         _shingle_pos_rows(new_df, id_col, text_col, k), eager=False
     )
-    delta = sh.groupBy("__g__").agg(
-        F.count(F.lit(1)).alias("__dc__"),
-        F.min(F.struct("__id__", "__pos__")).alias("__dfirst__"),
-    )
+    if keep_first:
+        delta = sh.groupBy("__g__").agg(
+            F.count(F.lit(1)).alias("__dc__"),
+            F.min(F.struct("__id__", "__pos__")).alias("__dfirst__"),
+        )
+        info_cols = ["__g__", "__oc__", "__dfirst__"]
+    else:
+        # __dfirst__ is only consumed by the keep_first filter; Catalyst
+        # pruned it here anyway, so skipping it is plan-neutral and lets
+        # an injected plain count table slot in
+        delta = (
+            _delta_counts.select("__g__", F.col("__cnt__").alias("__dc__"))
+            if _delta_counts is not None
+            else sh.groupBy("__g__").agg(F.count(F.lit(1)).alias("__dc__"))
+        )
+        info_cols = ["__g__", "__oc__"]
     idx = index.select("__g__", F.col("__cnt__").alias("__oc__"))
     info = (
         delta.join(idx, "__g__", "left")
         .withColumn("__oc__", F.coalesce(F.col("__oc__"), F.lit(0)))
         .filter(F.col("__oc__") + F.col("__dc__") >= min_count)
-        .select("__g__", "__oc__", "__dfirst__")
+        .select(*info_cols)
     )
     seeds = sh.join(info, "__g__")
     if keep_first:

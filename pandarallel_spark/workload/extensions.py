@@ -586,30 +586,62 @@ WHERE doc_id % 2 = 1
     "under the hard oracle, next to MinHash and embeddings.",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandarallel_spark.operators._memo import truncate_lineage
     from pandarallel_spark.operators.incremental_substr import (
         duplicated_spans_incremental,
         substr_index_build,
     )
 
-    # r14 optimization note (measured, REJECTED): sharing one
-    # lineage-truncated shingle table across the row's three consumers
-    # (batch counts+seeds, even-half index, odd-half delta) was built
-    # and benchmarked — it LOST (~3.5 s → 4.1-6.6 s at sf0.1): the
-    # localCheckpoint materialization barrier defeats the count side's
-    # fused map-side partial aggregation and serializes every
-    # positional shingle row, costing more than the saved tokenize+md5
-    # recompute. The same trade is wrong at 100 TB (a positions-sized
-    # table cannot be pinned). Recompute-not-materialize stays.
+    # r14 optimization history on sharing work across the kinds:
+    # - REJECTED (first session): ONE lineage-truncated positional
+    #   shingle table over the FULL corpus feeding batch counts+seeds,
+    #   even-half index, odd-half delta — LOST (~3.5 s → 4.1-6.6 s at
+    #   sf0.1): the localCheckpoint materialization barrier defeats the
+    #   count side's fused map-side partial aggregation and serializes
+    #   every positional shingle row. The same trade is wrong at 100 TB
+    #   (a positions-sized table cannot be pinned).
+    # - ADOPTED (this session, guide §2.4): derive the batch kind's
+    #   corpus-wide duplicated-gram set from the even-half INDEX + the
+    #   odd-half DELTA counts the incr kind already pays for (counts
+    #   are additive over the even/odd partition of the corpus — the
+    #   substr_index_merge law), instead of running a third corpus-wide
+    #   count aggregate. Only the AGGREGATED (gram, count) tables are
+    #   materialized (small; the index IS the persisted artifact at
+    #   scale) — the full positional shingle stream is never pinned, so
+    #   the rejected experiment's barrier does not reappear; the batch
+    #   seeds join still re-derives its shingles streaming. Net: one
+    #   full-corpus shingle+count pass removed from the row.
     docs = load_table(spark, sf_dir, "documents")
-    batch = _dedup.duplicated_substring_spans(
-        docs, "doc_id", "text", k=8
-    ).select(F.lit("batch").alias("kind"), "doc_id", "span_start", "span_end")
-    index = substr_index_build(
-        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", k=8
+    sh_odd = truncate_lineage(
+        _dedup._shingle_pos_rows(
+            docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", 8
+        ),
+        eager=False,
     )
+    odd_counts = truncate_lineage(
+        sh_odd.groupBy("__g__").agg(F.count(F.lit(1)).alias("__cnt__")),
+        eager=False,
+    )
+    index = truncate_lineage(
+        substr_index_build(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", k=8
+        ),
+        eager=False,
+    )
+    batch_grams = (
+        index.select("__g__", "__cnt__")
+        .unionByName(odd_counts)
+        .groupBy("__g__")
+        .agg(F.sum("__cnt__").alias("__c__"))
+        .filter(F.col("__c__") >= 2)
+        .select("__g__")
+    )
+    batch = _dedup.duplicated_substring_spans(
+        docs, "doc_id", "text", k=8, _dup_grams=batch_grams
+    ).select(F.lit("batch").alias("kind"), "doc_id", "span_start", "span_end")
     inc = duplicated_spans_incremental(
         docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", index,
-        _k=8,
+        _k=8, _sh=sh_odd, _delta_counts=odd_counts,
     ).select(F.lit("incr").alias("kind"), "doc_id", "span_start", "span_end")
     return batch.unionByName(inc)
 
