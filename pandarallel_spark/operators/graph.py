@@ -76,14 +76,15 @@ def _cc_star(
     The fixpoint is a star forest: every node points directly at its
     component's minimum. Convergence is an exact SET comparison of
     consecutive edge sets (both are ``.distinct()`` by construction):
-    equal cardinality AND an empty one-sided anti-join. r14 (guide
-    §2.4, remove shuffles outright): the previous two-``exceptAll``
-    multiset probe aggregated the union of both edge sets TWICE per
-    round — two full shuffles of edge rows per round just to detect
-    the fixpoint. Now each round pays one ``count()`` over the freshly
-    checkpointed set (no shuffle — partial counts only), and the
-    anti-join runs ONLY when the cardinalities match (at most the
-    final round plus coincidental-count rounds). Rounds are
+    equal cardinality AND full intersection, computed as ONE
+    left-join + count aggregate per round whose scan side also
+    materializes the round's lazy checkpoint — exactly one job per
+    round. r14 (guide §2.4, remove shuffles outright): the previous
+    two-``exceptAll`` multiset probe paid an eager checkpoint job
+    plus a probe job that aggregated the union of both edge sets
+    TWICE per round; an intermediate rewrite (count, then anti-join
+    when counts agreed) still paid two jobs on count-equal rounds,
+    which near-clique dedup graphs hit on most rounds. Rounds are
     lineage-truncated like the propagation variant: labels(t+1) reads
     labels(t) twice, and an unbroken lineage would double the logical
     plan per round — localCheckpoint by default, RELIABLE checkpoint
@@ -139,15 +140,25 @@ def _cc_star(
         nxt = truncate_lineage(
             rewired.unionByName(self_edges).distinct(), eager=False
         )
-        # exact fixpoint test on the (small, distinct) edge sets:
-        # |cur| == |nxt| and nxt \ cur == ∅ ⟺ cur == nxt. The lazy
-        # checkpoint materializes inside the count job (one job per
-        # round, not checkpoint + probe); the anti-join probe only
-        # runs when the counts agree.
-        nxt_n = nxt.count()
-        unchanged = cur_n == nxt_n and not (
-            nxt.join(cur, ["a", "b"], "left_anti").take(1)
+        # exact fixpoint test on the (small, distinct) edge sets in ONE
+        # job: a left join of nxt against cur aggregated to
+        # (|nxt|, |nxt ∩ cur|). Both sets are distinct, so
+        # |nxt| == |cur| and |nxt ∩ cur| == |nxt| ⟺ cur == nxt. The
+        # lazy checkpoint materializes inside this same job (the probe
+        # scans nxt), so a round pays exactly one action — the first
+        # r14 form (count, then an anti-join when the counts agreed)
+        # still paid two jobs on count-equal rounds, which near-clique
+        # dedup graphs hit on most rounds.
+        probe = (
+            nxt.join(cur.withColumn("__in__", F.lit(1)), ["a", "b"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("__n__"),
+                F.count("__in__").alias("__m__"),
+            )
+            .collect()[0]
         )
+        nxt_n = probe["__n__"]
+        unchanged = nxt_n == cur_n and probe["__m__"] == nxt_n
         cur, cur_n = nxt, nxt_n
         if unchanged:
             converged = True
