@@ -408,17 +408,21 @@ _CANARY_ANCHOR_FACTOR = 1.5
 
 
 def _canary_median_bar() -> tuple[float, str]:
-    """(bar_seconds, source) — env override, else 1.5× the newest
-    recorded clean anchor, else the absolute fallback. The source
-    string is recorded next to the verdict so every record names what
-    its contended flag was judged against."""
+    """(bar_seconds, source) — env override, else 1.5× the MINIMUM
+    recorded clean anchor, else the absolute fallback. Minimum, not
+    newest (r15, the r14 verdict's ratchet finding): a record that was
+    mildly contaminated yet passed the then-current bar would, as the
+    newest anchor, LOOSEN the detector that should have caught it;
+    the minimum across clean records only ever ratchets tighter. The
+    source string is recorded next to the verdict so every record
+    names what its contended flag was judged against."""
     env = os.environ.get("SPARK_GRAFT_CANARY_BAR")
     if env:
         return float(env), "env:SPARK_GRAFT_CANARY_BAR"
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, float, str] | None = None
+    best: tuple[float, str] | None = None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
             with open(path) as fh:
@@ -431,15 +435,14 @@ def _canary_median_bar() -> tuple[float, str]:
             anchor = rec.get("canary_median_sec")
             if anchor is None or rec.get("contended") is not False:
                 continue
-            rnum = int(os.path.basename(path)[7:-5])
-            if best is None or rnum > best[0]:
-                best = (rnum, float(anchor), os.path.basename(path))
+            if best is None or float(anchor) < best[0]:
+                best = (float(anchor), os.path.basename(path))
         except (OSError, ValueError, KeyError, json.JSONDecodeError):
             continue
     if best is not None:
         return (
-            round(_CANARY_ANCHOR_FACTOR * best[1], 4),
-            f"anchor:{best[2]} x{_CANARY_ANCHOR_FACTOR}",
+            round(_CANARY_ANCHOR_FACTOR * best[0], 4),
+            f"anchor:min-clean:{best[1]} x{_CANARY_ANCHOR_FACTOR}",
         )
     return _CANARY_MEDIAN_BAR_FALLBACK_SEC, "fallback:absolute"
 
@@ -471,6 +474,16 @@ def _canary_draw(buf: bytes = b"\xa5" * (4 << 20)) -> float:
 # bar), fallback 2.5 when no record carries the field yet, env
 # override SPARK_GRAFT_CANARY_MT_BAR.
 _CANARY_MT_RATIO_BAR_FALLBACK = 2.5
+# r15 (the r14 verdict's ratchet finding): BENCH_r14's 32-core record
+# carried canary_mt_ratio 2.09 — elevated by host steal, passed only
+# via the 2.5 no-history fallback — and as the NEWEST clean anchor it
+# would have set the next bar to 3.14: a mildly-stolen record LOOSENING
+# the detector built to catch it. The anchor is now the MINIMUM across
+# clean records, and additionally clamped into [1.0, 1.3] before the
+# 1.5× factor (healthy band on real hardware is ~1-1.5 incl. SMT), so
+# the bar lives in [1.5, 1.95] once any clean record exists — r14's
+# 2.09 record flags against it.
+_CANARY_MT_ANCHOR_CLAMP = (1.0, 1.3)
 
 
 def _canary_mt_bar() -> tuple[float, str]:
@@ -480,7 +493,7 @@ def _canary_mt_bar() -> tuple[float, str]:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, float, str] | None = None
+    best: tuple[float, str] | None = None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
             with open(path) as fh:
@@ -492,15 +505,17 @@ def _canary_mt_bar() -> tuple[float, str]:
             anchor = rec.get("canary_mt_ratio")
             if anchor is None or rec.get("contended") is not False:
                 continue
-            rnum = int(os.path.basename(path)[7:-5])
-            if best is None or rnum > best[0]:
-                best = (rnum, float(anchor), os.path.basename(path))
+            if best is None or float(anchor) < best[0]:
+                best = (float(anchor), os.path.basename(path))
         except (OSError, ValueError, KeyError, json.JSONDecodeError):
             continue
     if best is not None:
+        lo, hi = _CANARY_MT_ANCHOR_CLAMP
+        anchor = min(max(best[0], lo), hi)
         return (
-            round(_CANARY_ANCHOR_FACTOR * best[1], 4),
-            f"anchor:{best[2]} x{_CANARY_ANCHOR_FACTOR}",
+            round(_CANARY_ANCHOR_FACTOR * anchor, 4),
+            f"anchor:min-clean:{best[1]} clamp[{lo},{hi}] "
+            f"x{_CANARY_ANCHOR_FACTOR}",
         )
     return _CANARY_MT_RATIO_BAR_FALLBACK, "fallback:absolute"
 

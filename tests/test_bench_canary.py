@@ -75,3 +75,52 @@ def test_mt_bar_falls_back_without_recorded_anchor(monkeypatch):
     # source flips to anchor:<file> and this assertion half still holds
     assert bar >= 1.5
     assert source.startswith(("fallback:", "anchor:"))
+
+
+def test_mt_bar_ratchets_tight_never_loose(tmp_path, monkeypatch):
+    """r15 (the r14 verdict's ratchet finding): the anchor is the
+    MINIMUM across clean records, clamped into [1.0, 1.3] — a newer
+    record whose mt_ratio was elevated (mild steal that slipped past
+    the then-current bar, e.g. r14's 2.09) must NOT loosen the bar."""
+    import json as _json
+
+    monkeypatch.delenv("SPARK_GRAFT_CANARY_MT_BAR", raising=False)
+    for rnum, mt in ((10, 1.12), (11, 2.09)):
+        (tmp_path / f"BENCH_r{rnum:02d}.json").write_text(
+            _json.dumps({"contended": False, "canary_mt_ratio": mt})
+        )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    bar, source = bench._canary_mt_bar()
+    # min(1.12, 2.09)=1.12 → clamped to 1.12 → bar 1.68; were the
+    # NEWEST anchor used the bar would be 2.09*1.5=3.14
+    assert bar == 1.68
+    assert "min-clean" in source
+    # an r14-grade contaminated record (2.09) flags against this bar
+    contended, _, mt_ratio, _ = bench._canary_verdict(
+        {"st": [0.2, 0.125, 0.13, 0.128], "mt": [0.4, 0.26, 0.27, 0.26]},
+        median_bar_sec=0.19,
+        mt_ratio_bar=bar,
+    )
+    assert mt_ratio > bar and contended is True
+
+
+def test_mt_bar_clamp_keeps_bar_in_healthy_band(tmp_path, monkeypatch):
+    """Even when the ONLY clean record carries an elevated anchor, the
+    clamp caps the bar at 1.3*1.5=1.95 — below r14's 2.09. And a
+    suspiciously LOW anchor cannot tighten the bar into the healthy
+    1-1.5 band's false-positive zone (floor 1.0*1.5=1.5)."""
+    import json as _json
+
+    monkeypatch.delenv("SPARK_GRAFT_CANARY_MT_BAR", raising=False)
+    (tmp_path / "BENCH_r14.json").write_text(
+        _json.dumps({"contended": False, "canary_mt_ratio": 2.09})
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    bar, _ = bench._canary_mt_bar()
+    assert bar == 1.95 < 2.09
+
+    (tmp_path / "BENCH_r14.json").write_text(
+        _json.dumps({"contended": False, "canary_mt_ratio": 0.4})
+    )
+    bar, _ = bench._canary_mt_bar()
+    assert bar == 1.5
