@@ -979,12 +979,20 @@ def minhash_lsh_pairs(
     )
     members = s1.select("__id__", "__fp__")
 
-    # collapse to one row per DISTINCT shingle set (identical sets have
-    # identical signatures, so min == the shared value); this is the
-    # banding input — bounded by distinct sets, not documents.
-    sets = s1.groupBy("__fp__").agg(
-        F.min("__sz__").alias("__sz__"), *_hmin_exprs(num_perm)
-    )
+    # collapse to one row per DISTINCT shingle set — the banding input,
+    # bounded by distinct sets, not documents. r15 (§2.4 applied to the
+    # DRIVER's work): band hashes are computed PER DOCUMENT over the s1
+    # leaf and the collapse aggregates min(__b{b}__) — 17 aggregate
+    # expressions instead of 65 — because docs of one fingerprint group
+    # share every per-permutation min, so each member's band hash IS
+    # the group's band hash (min over equal values). Value-identical to
+    # hashing after the min-collapse, but the 64 __h{i}__ columns now
+    # appear in exactly ONE plan subtree (the s1 aggregate behind its
+    # lineage cut) instead of being re-analyzed/re-optimized in the
+    # candidates conversion AND the final plan (~0.4-0.7 s of driver
+    # time per wide pass on this box); the runtime cost moves from
+    # sets×16 to docs×16 xxhash64 calls over already-computed longs —
+    # noise next to the shingle scan at any scale.
     band_cols = [
         F.expr(
             "xxhash64("
@@ -993,7 +1001,15 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sets.select("__fp__", *band_cols)
+    sets = (
+        s1.select("__fp__", "__sz__", *band_cols)
+        .groupBy("__fp__")
+        .agg(
+            F.min("__sz__").alias("__sz__"),
+            *[F.expr(f"min(__b{b}__) AS __b{b}__") for b in range(bands)],
+        )
+    )
+    banded = sets.drop("__sz__")
     bands_long = banded.select(
         "__fp__", _bands_explode_expr(bands).alias("bh")
     ).select("__fp__", F.col("bh.band").alias("__band__"), F.col("bh.h").alias("__h__"))
@@ -1078,6 +1094,9 @@ def minhash_lsh_pairs(
     # __fp__ here is a plain carried column (not an expression over the
     # text), so Catalyst's projection collapse under the explode is
     # harmless — no per-shingle fingerprint recompute.
+    # the cut stays by A/B (r15 re-check: dropping it moves ~0.4 s of
+    # driver planning into ~0.4 s of runtime recompute at sf0.1 — and
+    # at 100 TB the recompute is a second corpus-scale shingle pass)
     sh_cand = truncate_lineage(
         _shingle_rows_distinct(cand_docs, "__fp__", text_col, n), eager=False
     )

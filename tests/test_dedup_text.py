@@ -1632,3 +1632,38 @@ def test_near_dedup_guards(spark, docs):
             near_dedup_corpus(docs, "doc_id", "text")
     finally:
         spark.conf.unset("spark.pandarallel_spark.strictLazy")
+
+
+def test_per_doc_band_hash_collapse_equals_band_of_min(spark, docs):
+    """r15 banding refactor pin: ``minhash_lsh_pairs`` now computes the
+    16 band hashes PER DOCUMENT over the signature table and collapses
+    them with min(), instead of hashing after the per-set min-collapse
+    — valid because members of one fingerprint group share every
+    per-permutation min. Assert the two formulations produce the same
+    (fp, band-hash) table on a corpus that includes exact duplicates
+    (multi-member fingerprint groups)."""
+    num_perm, bands = 64, 16
+    rpb = num_perm // bands
+    s1 = dedup._set_signature_agg(docs, "doc_id", "text", 3, num_perm)
+    band_cols = [
+        F.expr(
+            "xxhash64("
+            + ", ".join(f"__h{b * rpb + r}__" for r in range(rpb))
+            + f") AS __b{b}__"
+        )
+        for b in range(bands)
+    ]
+    new = (
+        s1.select("__fp__", *band_cols)
+        .groupBy("__fp__")
+        .agg(*[F.expr(f"min(__b{b}__) AS __b{b}__") for b in range(bands)])
+    )
+    old = (
+        s1.groupBy("__fp__")
+        .agg(*dedup._hmin_exprs(num_perm))
+        .select("__fp__", *band_cols)
+    )
+    key = ["__fp__"] + [f"__b{b}__" for b in range(bands)]
+    a = sorted(map(tuple, new.select(*key).collect()))
+    b = sorted(map(tuple, old.select(*key).collect()))
+    assert a == b and len(a) == 4  # 1==5 collapse → 4 distinct sets
