@@ -195,6 +195,7 @@ def bm25_scores(
     terms: list[str],
     k1: float = 1.2,
     b: float = 0.75,
+    prune_nonmatching: bool = False,
 ) -> DataFrame:
     """BM25-style retrieval scoring of a fixed term set over the corpus,
     fully declarative (zero Python):
@@ -216,6 +217,24 @@ def bm25_scores(
     Scale shape: two tiny broadcast aggregates + a pure projection over
     the corpus scan; the only shuffle is whatever the caller adds (e.g.
     a top-k window). Output: (id, dl, tf_0.., score).
+
+    ``prune_nonmatching`` (r15, guide §3 candidate pruning): drop
+    documents sharing NO query term BEFORE the stats join and the
+    caller's top-k. Exact for BM25-style ranking consumers — every
+    per-term score is ≥ 0 and > 0 iff tf > 0 (idf is strictly
+    positive in the Robertson form), so a pruned document's score is
+    exactly 0.0 and can never enter a positive-score top-k; the filter
+    is over the scan's own tf columns, so it applies in the scan stage
+    and the join + ranking see candidates only. Off by default because
+    it changes the OUTPUT CONTRACT from "every document scored" to
+    "matching documents scored" — callers that keep zero-score rows
+    must not enable it. The corpus statistics (N, avgdl, df) are
+    computed over the FULL corpus either way. (The stats attach stays
+    a 1-row broadcast crossJoin: a constant-keyed equi-join was tried
+    and Catalyst constant-folds the key equality away, planning the
+    same BroadcastNestedLoopJoin — which for a single-row build side
+    IS the linear-optimal attach; the filter sits on its streamed
+    side, so only candidates flow through it.)
     """
     if not terms:
         raise ValueError("bm25_scores requires at least one query term")
@@ -242,6 +261,12 @@ def bm25_scores(
             for i in range(len(terms))
         ],
     )
+    if prune_nonmatching:
+        matched = None
+        for i in range(len(terms)):
+            pred = F.col(f"__tf{i}__") > 0
+            matched = pred if matched is None else (matched | pred)
+        base = base.filter(matched)
     scored = base.crossJoin(F.broadcast(stats))
     avgdl = F.col("__sumdl__").cast("double") / F.col("__n__").cast("double")
     norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("__dl__").cast("double") / avgdl)

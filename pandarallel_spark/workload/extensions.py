@@ -454,7 +454,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandarallel_spark.operators.relational import rrf_fuse
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = _text.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+    # prune_nonmatching (r15, guide §3): only docs sharing ≥1 query
+    # term reach the stats join and the top-k — exact, because a
+    # non-matching doc scores exactly 0.0 and the score>0 filter below
+    # already excluded it; the declared result set is unchanged
+    scored = _text.bm25_scores(
+        docs, "doc_id", "text", _BM25_TERMS, prune_nonmatching=True
+    )
     # global top-k via orderBy+limit → TakeOrderedAndProject (per-
     # partition partial top-k, no full sort); the rank window then runs
     # over 50 rows only

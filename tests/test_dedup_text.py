@@ -1667,3 +1667,42 @@ def test_per_doc_band_hash_collapse_equals_band_of_min(spark, docs):
     a = sorted(map(tuple, new.select(*key).collect()))
     b = sorted(map(tuple, old.select(*key).collect()))
     assert a == b and len(a) == 4  # 1==5 collapse → 4 distinct sets
+
+
+def test_bm25_prune_nonmatching_is_exact_for_positive_topk(spark, docs, sf_dir):
+    """r15 §3 candidate pruning: pruned scoring == unpruned scoring
+    restricted to score > 0 (a doc sharing no query term scores
+    exactly 0.0), stats computed over the FULL corpus either way, and
+    the pruning filter sits on the streamed side BELOW the 1-row
+    stats attach (only candidates flow through the join and into the
+    caller's top-k)."""
+    from pandarallel_spark.operators.text import bm25_scores
+
+    terms = ["quick", "cat"]
+    full = bm25_scores(docs, "doc_id", "text", terms).toPandas()
+    pruned_df = bm25_scores(
+        docs, "doc_id", "text", terms, prune_nonmatching=True
+    )
+    pruned = pruned_df.toPandas()
+    # doc 3 shares no term -> present unpruned at exactly 0.0, pruned out
+    assert set(full.doc_id) == {1, 2, 3, 4, 5}
+    assert float(full[full.doc_id == 3].score.iloc[0]) == 0.0
+    keep = full[full.score > 0].sort_values("doc_id").reset_index(drop=True)
+    got = pruned.sort_values("doc_id").reset_index(drop=True)
+    # identical rows INCLUDING scores: df/N/avgdl must come from the
+    # full corpus, not the pruned candidate set
+    assert got.equals(keep)
+    # plan shape on a parquet-backed corpus (the local-relation corpus
+    # above gets its filter evaluated at optimization time): the
+    # candidate filter is a Filter over the scan's tf columns, below
+    # the stats join
+    from pandarallel_spark.sources import load_table
+
+    pq = load_table(spark, sf_dir, "documents")
+    pq_pruned = bm25_scores(
+        pq, "doc_id", "text", terms, prune_nonmatching=True
+    )
+    plan = pq_pruned._sc._jvm.PythonSQLUtils.explainString(
+        pq_pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "Filter" in plan and "> 0)" in plan
