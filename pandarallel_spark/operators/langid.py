@@ -485,8 +485,14 @@ def identify_language(
     # separate k_doc aggregate, no post-hoc fill join. The ×|langs|
     # expansion happens map-side against broadcasts and collapses in
     # the same stage's partial aggregation.
+    # coalesce(1) before the distinct (r15): a profile table is a
+    # model artifact of |langs|·top_k rows at any corpus scale, and the
+    # result feeds a broadcast anyway — deduplicating it in a single
+    # partition removes the plan's only non-doc-keyed shuffle Exchange
+    # (SinglePartition satisfies the aggregate's clustering
+    # requirement, so no hash exchange is planned).
     langs = F.broadcast(
-        profiles.select(F.col("lang").alias("__lang__")).distinct()
+        profiles.select(F.col("lang").alias("__lang__")).coalesce(1).distinct()
     )
     scored = (
         doc_prof.crossJoin(langs)
@@ -504,19 +510,35 @@ def identify_language(
             F.count(F.lit(1)).alias("__k__"),
         )
     )
-    win = Window.partitionBy(id_col).orderBy(
-        F.col("__dist__").asc(), F.col("__lang__").asc()
+    # winner + runner-up via ONE id-keyed aggregate instead of a
+    # row_number/lead window (r15, guide §2.4): the scored table holds
+    # exactly |langs| rows per document, so the winner selection is a
+    # bounded top-2 — collect the (dist, lang) structs (lexicographic
+    # array_sort == the window's dist-asc/lang-asc total order) and
+    # slice the first two. Same doc-id clustering as the score
+    # aggregate, so like the window it plans with no extra Exchange —
+    # but the window's full Sort of the scored table (O(R log R) per
+    # partition, real at corpus scale) becomes a hash aggregate with a
+    # ≤|langs|-element in-memory sort per document. try_element_at(2)
+    # is NULL for a single-language profile table (ANSI element_at
+    # would throw on the missing index), matching lead()'s
+    # no-runner-up NULL.
+    top2 = scored.groupBy(id_col).agg(
+        F.expr(
+            "slice(array_sort(collect_list(struct(__dist__, __lang__))),"
+            " 1, 2) AS __t2__"
+        ),
+        # k_doc is identical across a doc's language rows (one row per
+        # scored doc gram in each) — min picks the shared value
+        F.min("__k__").alias("__k__"),
     )
-    ranked = scored.select(
-        id_col,
-        "__lang__",
-        "__dist__",
-        "__k__",
-        F.row_number().over(win).alias("__rn__"),
-        # runner-up distance over the SAME window ordering — one
-        # window function pass computes both
-        F.lead("__dist__", 1).over(win).alias("__d2__"),
-    ).filter(F.col("__rn__") == 1)
+    ranked = top2.select(
+        F.col(id_col),
+        F.element_at("__t2__", 1)["__lang__"].alias("__lang__"),
+        F.element_at("__t2__", 1)["__dist__"].alias("__dist__"),
+        F.col("__k__"),
+        F.try_element_at("__t2__", F.lit(2))["__dist__"].alias("__d2__"),
+    )
     reject = F.lit(False)
     if max_dist is not None:
         reject = reject | (F.col("__dist__") > F.lit(int(max_dist)))
