@@ -142,3 +142,56 @@ def test_none_returning_mutator_raises_clearly(spark, sdf):
 
     with _pytest.raises(ValueError, match="mutating it in place"):
         parallelize(sdf).groupby("a").parallel_apply(mutate_in_place)
+
+
+def test_grouped_apply_coarse_bucketing_is_group_count_invariant(
+    spark, monkeypatch
+):
+    """r15: grouped_apply keys its Python stage on a coarse hash of the
+    group keys (the r14 per-group-overhead pattern applied to the
+    flagship op). The result must be identical for ANY bucket count —
+    1, a prime, and more buckets than groups — across all three result
+    modes, with NULL keys and multi-column keys included."""
+    import pandas as pd
+
+    from pandarallel_spark.operators import _memo, groupby as gb
+
+    pdf = pd.DataFrame(
+        {
+            "k1": [1, 1, 2, 2, 2, None, None, 3],
+            "k2": ["x", "x", "y", "y", "z", "z", "z", None],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+
+    def run(mode, func, schema):
+        out = gb.grouped_apply(
+            sdf, ["k1", "k2"], func, schema=schema, mode=mode
+        ).toPandas()
+        return sorted(
+            map(str, out.fillna("<null>").itertuples(index=False, name=None))
+        )
+
+    cases = {
+        "scalar": (lambda g: float(g.v.sum()),
+                   "k1 double, k2 string, result double"),
+        "series": (lambda g: pd.Series({"s": float(g.v.sum()),
+                                        "n": float(len(g))}),
+                   "k1 double, k2 string, s double, n double"),
+        "frame": (lambda g: g.assign(v2=g.v * 2),
+                  "k1 double, k2 string, v double, v2 double"),
+    }
+    for mode, (func, schema) in cases.items():
+        results = []
+        for n in (1, 7, 1024):
+            monkeypatch.setattr(
+                _memo, "coarse_group_count",
+                lambda _s, factor=4, cap=65536, _n=n: _n,
+            )
+            results.append(run(mode, func, schema))
+        assert results[0] == results[1] == results[2], mode
+        # sanity: the expected group count survived (5 distinct keys
+        # incl. the NULL-keyed ones)
+        if mode == "scalar":
+            assert len(results[0]) == 5
